@@ -1,0 +1,464 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operator inventory over the TPC-H-ish test tables
+  * (SURVEY.md §2.5: scans, projection, filter, joins incl. semi/anti,
+  * aggregation incl. distinct + rollup, windows, sort/limit/top-k,
+  * set ops, scalar functions).
+  *
+  * Determinism contract with the DuckDB oracle:
+  *  - money sums go through DECIMAL(18,2/4) per row, are summed exactly,
+  *    then cast back to DOUBLE — immune to floating-point ordering and
+  *    schema-stable across engines;
+  *  - averages are exact-decimal sums divided by exact counts in double;
+  *  - timestamps in output are formatted to strings;
+  *  - every LIMIT carries a total-order ORDER BY tiebreak.
+  *
+  * Scale notes (100 TB): every query is fully declarative DataFrame API —
+  * filters/projections push to the parquet scan, aggregates get map-side
+  * partial aggregation, small dims (region/nation/supplier) are broadcast,
+  * and AQE can re-plan skewed shuffles. No collect(), no driver loops.
+  */
+object Relational {
+
+  /** Exact decimal sum of a money expression, surfaced as double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val defs: Seq[QDef] = Seq(
+    // ------------------------------------------------------------------
+    // q1: TPC-H Q1-style pricing summary — full-scan agg with partial
+    // aggregation; the grouping key cardinality is tiny (3x2) so the
+    // shuffle after map-side combine is a few rows per partition.
+    QDef(
+      "q1_pricing_summary",
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("sum_disc_price"),
+            // extendedprice(2dp) * (1-disc)(2dp) * (1+tax)(2dp) has exactly
+            // 6 decimal digits, so a scale-6 cast is exact in both engines
+            // (scale 4 would round a true ...x5 halfway digit, where Spark
+            // HALF_UP and DuckDB disagree).
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+            (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+            (dsum(col("l_discount"), 4) / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+          CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+      """)),
+
+    // ------------------------------------------------------------------
+    // q2: TPC-H Q6-style selective scan — all three predicates and the
+    // two-column projection must reach the parquet reader (PushedFilters).
+    QDef(
+      "q2_forecast_revenue",
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem
+        li.filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+            col("l_discount").between(0.02, 0.06) &&
+            col("l_quantity") < 24)
+          .agg(dsum(col("l_extendedprice") * col("l_discount"), 4)
+            .as("revenue"))
+      },
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24
+      """)),
+
+    // ------------------------------------------------------------------
+    // q3: TPC-H Q3-style 3-way join + agg. customer is small relative to
+    // lineitem → Catalyst broadcasts it; the orders⋈lineitem join
+    // shuffles on orderkey, which is also the grouping key, so the
+    // aggregation reuses the join's partitioning (one shuffle, not two).
+    QDef(
+      "q3_shipping_priority",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cut = lit("1997-06-15").cast("timestamp_ntz")
+        t.customer.filter(col("c_mktsegment") === "BUILDING")
+          .join(t.orders, col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") < cut)
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > cut)
+          .groupBy(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+      },
+      Some("""
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND o_orderkey = l_orderkey
+          AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1997-06-15 00:00:00'
+        GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+      """)),
+
+    // ------------------------------------------------------------------
+    // q4: star-schema dim rollup — region and nation are tiny and
+    // explicitly broadcast; no shuffle bigger than the supplier table.
+    QDef(
+      "q4_supplier_by_region",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.supplier
+          .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_suppliers"),
+            dsum(col("s_acctbal")).as("sum_bal"),
+            (dsum(col("s_acctbal")) / count(lit(1))).as("avg_bal"))
+      },
+      Some("""
+        SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+          CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+          CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+      """)),
+
+    // ------------------------------------------------------------------
+    // q5: left-semi join (EXISTS) — no row multiplication, the probe side
+    // streams; at scale the orders side is pre-aggregated by the semi
+    // join itself (no distinct needed).
+    QDef(
+      "q5_big_spenders",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val big = t.orders.filter(col("o_totalprice") > 450000)
+        t.customer
+          .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      """)),
+
+    // ------------------------------------------------------------------
+    // q6: left-anti join (NOT EXISTS).
+    QDef(
+      "q6_customers_without_big_orders",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val big = t.orders.filter(col("o_totalprice") > 450000)
+        t.customer
+          .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      """)),
+
+    // ------------------------------------------------------------------
+    // q7: window function — top-3 orders per customer by price, with a
+    // full tiebreak (orderkey) so ROW_NUMBER is deterministic. One
+    // shuffle on the partition key.
+    QDef(
+      "q7_top_orders_per_customer",
+      (s, dir) => {
+        val o = Tables(s, dir).orders
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        o.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("rk"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rk
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders) t
+        WHERE rk <= 3
+      """)),
+
+    // ------------------------------------------------------------------
+    // q8: global top-k — Spark plans TakeOrderedAndProject (per-partition
+    // heap + driver merge of k rows), not a full sort; total order via
+    // (orderkey, linenumber) tiebreak.
+    QDef(
+      "q8_top100_lineitems",
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem
+        li.select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+          .limit(100)
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 100
+      """)),
+
+    // ------------------------------------------------------------------
+    // q9: set operations — INTERSECT and EXCEPT over derived key sets,
+    // tagged and unioned into one result.
+    QDef(
+      "q9_setops",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val spenders = t.orders.filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("custkey")).distinct()
+        val building = t.customer.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+        spenders.intersect(building).withColumn("tag", lit("both"))
+          .unionByName(
+            spenders.except(building).withColumn("tag", lit("spender_only")))
+          .select(col("tag"), col("custkey"))
+      },
+      Some("""
+        SELECT 'both' AS tag, custkey FROM (
+          SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+          INTERSECT
+          SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        UNION ALL
+        SELECT 'spender_only' AS tag, custkey FROM (
+          SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+          EXCEPT
+          SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      """)),
+
+    // ------------------------------------------------------------------
+    // q10: multiple distinct aggregates — Catalyst expands to a single
+    // pass with grouping-id rather than N self-joins.
+    QDef(
+      "q10_distinct_counts",
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+      """)),
+
+    // ------------------------------------------------------------------
+    // q11: ROLLUP hierarchy totals; NULL grouping slots normalized to
+    // 'ALL' so both engines hash identically.
+    QDef(
+      "q11_rollup_suppliers",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.supplier
+          .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            dsum(col("s_acctbal")).as("sum_bal"))
+          .select(
+            coalesce(col("r_name"), lit("ALL")).as("region_name"),
+            coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+            col("n_suppliers"), col("sum_bal"))
+      },
+      Some("""
+        SELECT COALESCE(r_name, 'ALL') AS region_name,
+               COALESCE(n_name, 'ALL') AS nation_name,
+               COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+      """)),
+
+    // ------------------------------------------------------------------
+    // q12: scalar function surface — date parts, string ops, math — all
+    // codegen'd builtins, no UDFs.
+    QDef(
+      "q12_scalar_functions",
+      (s, dir) => {
+        val o = Tables(s, dir).orders
+        o.filter(col("o_orderkey") % 100 === 0)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast("int").as("o_year"),
+            month(col("o_orderdate")).cast("int").as("o_month"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"),
+            upper(substring(col("o_orderpriority"), 3, 20)).as("prio_name"),
+            length(col("o_orderpriority")).cast("int").as("prio_len"),
+            concat_ws("#", col("o_orderstatus"), col("o_orderpriority"))
+              .as("status_prio"),
+            round(sqrt(col("o_totalprice")), 6).as("sqrt_price"),
+            floor(col("o_totalprice") / 1000).as("price_bucket"),
+            abs(col("o_totalprice") - 250000).as("dist_from_mid"))
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS o_month,
+               strftime(o_orderdate, '%Y-%m') AS o_ym,
+               UPPER(SUBSTRING(o_orderpriority, 3, 20)) AS prio_name,
+               CAST(LENGTH(o_orderpriority) AS INTEGER) AS prio_len,
+               CONCAT_WS('#', o_orderstatus, o_orderpriority) AS status_prio,
+               ROUND(SQRT(o_totalprice), 6) AS sqrt_price,
+               CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_bucket,
+               ABS(o_totalprice - 250000) AS dist_from_mid
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+      """)),
+
+    // ------------------------------------------------------------------
+    // q13: time-bucketed event aggregation (the batch shape of the
+    // streaming tumbling-window query in graft.streaming).
+    QDef(
+      "q13_events_hourly",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        ev.groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("hour_ts"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            dsum(col("value")).as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+      """)),
+
+    // ------------------------------------------------------------------
+    // q14: semi-structured props extraction (regexp over the JSON-ish
+    // string column; pattern identical under Java regex and RE2).
+    QDef(
+      "q14_props_extract",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        ev.select(col("event_type"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+              .as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"),
+            count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT event_type,
+               CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k, COUNT(*) AS n
+        FROM (SELECT event_type,
+                     CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+              FROM events) t
+        GROUP BY event_type
+      """)),
+
+    // ------------------------------------------------------------------
+    // q15: conditional aggregation (pivot shape) — one pass, no joins.
+    QDef(
+      "q15_status_pivot",
+      (s, dir) => {
+        val o = Tables(s, dir).orders
+        o.groupBy(col("o_orderpriority"))
+          .agg(
+            sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+            sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+            sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
+            dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+              .otherwise(0)).as("sum_f_price"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+               CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS sum_f_price
+        FROM orders
+        GROUP BY o_orderpriority
+      """)),
+
+    // ------------------------------------------------------------------
+    // q16: sessionization via window lag — 30-min inactivity gap starts a
+    // new session; counts sessions and events per user. Single shuffle on
+    // user_id shared by the window and the final aggregation.
+    QDef(
+      "q16_sessionize",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc,
+          col("event_id").asc)
+        ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              (unix_micros(col("ts").cast("timestamp")) -
+                unix_micros(col("prev_ts").cast("timestamp"))) / 1e6 > 1800,
+              1).otherwise(0))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_session")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""
+        SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        FROM (SELECT user_id,
+                     CASE WHEN prev_ts IS NULL
+                               OR EPOCH(ts) - EPOCH(prev_ts) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM (SELECT user_id, ts, event_id,
+                           LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC) AS prev_ts
+                    FROM events) t1) t2
+        GROUP BY user_id
+      """))
+  )
+}
