@@ -1,0 +1,40 @@
+package graft.core
+
+/** CLI entry point mirroring the reference's runners
+  * (`/root/reference/main/mrsequential.go`, `main/mrmaster.go` +
+  * `main/mrworker.go` collapse to one Spark driver — SURVEY.md §3.2):
+  *
+  * {{{
+  * sbt "runMain graft.core.MRMain <app> <outDir> <input...> [--seq] [--nreduce N]"
+  * }}}
+  *
+  * `<app>` is a registry name (wc | indexer | nocrash) replacing the
+  * reference's `.so` plugin argument. `--seq` runs the single-process
+  * sequential oracle (mr-out-0); default is the distributed engine
+  * (mr-out-0..nReduce-1, nReduce defaults to 10 like mrmaster.go:23).
+  */
+object MRMain {
+  def main(args: Array[String]): Unit = {
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    require(pos.length >= 3,
+      "usage: MRMain <app> <outDir> <input...> [--seq] [--nreduce=N]")
+    val app = MRApp.byName(pos(0))
+    val outDir = pos(1)
+    val inputs = pos.drop(2).toSeq
+    val seq = flags.contains("--seq")
+    val nReduce = flags.collectFirst {
+      case f if f.startsWith("--nreduce=") => f.stripPrefix("--nreduce=").toInt
+    }.getOrElse(10)
+
+    if (seq) {
+      MapReduce.runSequential(inputs, app, outDir)
+      println(s"wrote ${outDir}/mr-out-0")
+    } else {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = graft.Sessions.local("graft-mr", cpus)
+      val n = MapReduce.run(spark, inputs, app, nReduce, outDir)
+      println(s"wrote $n mr-out files to $outDir")
+      spark.stop()
+    }
+  }
+}

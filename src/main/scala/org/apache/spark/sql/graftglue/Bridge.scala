@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftglue
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. ExpressionUtils is private[sql], so this
+  * one-file glue lives under the org.apache.spark.sql package namespace —
+  * the standard extension-library pattern for exposing custom Catalyst
+  * expressions as Columns. No Spark internals are modified.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
