@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the core of an LLM
+  * training-data pipeline: exact dedup, MinHash+LSH banding, n-gram
+  * Jaccard verification, and SimHash.
+  *
+  * Every hash is md5-based so the DuckDB oracle computes bit-identical
+  * values (Spark's xxhash64/murmur are not portable across engines).
+  * At production scale md5-per-shingle is still a pure map-side cost;
+  * the shuffles are the band-bucket join (MinHash) and the blocked
+  * self-join (Jaccard), both bounded by the blocking keys.
+  *
+  * Candidate generation is blocked on `source` — the natural "same crawl
+  * / same shard" blocking key — so the self-join is per-block
+  * O(block²), not O(N²); at 100 TB the block is the LSH bucket itself.
+  */
+object DedupQueries {
+
+  private val W = TextQueries.wordsExpr
+  private val WDuck = TextQueries.wordsExprDuck
+
+  private val SGDuck =
+    """list_distinct(
+         CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END)"""
+
+  /** Distinct word 3-gram shingles as ROWS (doc_id, source, shingle).
+    *
+    * Row-based on purpose: an array-valued `transform(sequence(...),
+    * i -> element_at(ws, i)...)` column gets inlined into pushed-down
+    * null-check filters by Catalyst, re-evaluating the token split per
+    * element — O(len²) per document (observed 45s+ at sf0.1). posexplode
+    * + window lead() is one shuffle keyed by doc_id and keeps every
+    * operator streaming, which is also the only shape that survives
+    * book-length documents at 100 TB (no giant in-row arrays).
+    */
+  private def shingleRows(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(W)).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("source"),
+        // concat (not concat_ws) so a missing lead nulls the shingle out
+        concat(col("word"), lit(" "), lead(col("word"), 1).over(w),
+          lit(" "), lead(col("word"), 2).over(w)).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
+  }
+
+  val defs: Seq[QDef] = Seq(
+    // ------------------------------------------------------------------
+    // q22: exact dedup — group by content fingerprint; keep the minimum
+    // doc_id per cluster (the standard deterministic survivor rule).
+    QDef(
+      "q22_exact_dedup",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .withColumn("fp",
+            md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+              .cast("binary")))
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("keep_id"),
+            array_join(
+              transform(array_sort(collect_list(col("doc_id"))),
+                x => x.cast("string")), ",").as("doc_ids"))
+      },
+      Some("""
+        SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        FROM (SELECT doc_id,
+                     md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+              FROM documents) t
+        GROUP BY fp
+      """)),
+
+    // ------------------------------------------------------------------
+    // q23: MinHash + LSH near-dup candidates. 8 md5-seeded minhashes over
+    // word 3-gram shingles, 4 bands x 2 rows; pairs sharing a band bucket
+    // (within a source block) are candidates; estimated Jaccard =
+    // signature agreement. Top-50 with full tiebreak.
+    //
+    // Scale: signatures are one map pass; the only shuffle is the
+    // explode-by-band + bucket join, whose fan-in is the bucket size —
+    // exactly how MinHashLSH sharding behaves on a cluster.
+    QDef(
+      "q23_minhash_lsh",
+      (s, dir) => {
+        // 8 minhashes as 8 MIN aggregates over shingle rows — pure
+        // map-side-combinable aggregation, no per-doc arrays, no UDFs.
+        val minhashes = (0 until 8).map(j =>
+          min(md5(concat(lit(s"$j|"), col("shingle")).cast("binary")))
+            .as(s"sig_$j"))
+        val sigs = shingleRows(s, dir)
+          .groupBy(col("doc_id"), col("source"))
+          .agg(minhashes.head, minhashes.tail: _*)
+        val bands = sigs.withColumn("bucket",
+          explode(array((0 until 4).map(b =>
+            md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
+              .cast("binary"))): _*)))
+        val a = bands.alias("a")
+        val b = bands.alias("b")
+        val agree = (0 until 8)
+          .map(j => s"(case when a.sig_$j = b.sig_$j then 1 else 0 end)")
+          .mkString(" + ")
+        a.join(b,
+            col("a.bucket") === col("b.bucket") &&
+            col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            expr(s"($agree) / 8.0").as("est_jaccard"))
+          .distinct()
+          .orderBy(col("est_jaccard").desc, col("doc_a").asc,
+            col("doc_b").asc)
+          .limit(50)
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
+        sh AS (SELECT doc_id, source, $SGDuck AS sg FROM w),
+        sig AS (SELECT doc_id, source,
+                  list_transform(range(0, 8),
+                    j -> list_min(list_transform(sg, s -> md5(j || '|' || s)))) AS sig
+                FROM sh),
+        bands AS (SELECT doc_id, source, sig,
+                    unnest(list_transform(range(0, 4),
+                      b -> md5(sig[2*b + 1] || sig[2*b + 2]))) AS bucket
+                  FROM sig),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.sig AS sig_a, b.sig AS sig_b
+                  FROM bands a JOIN bands b
+                    ON a.bucket = b.bucket AND a.source = b.source
+                   AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               len(list_filter(range(1, 9), j -> sig_a[j] = sig_b[j])) / 8.0
+                 AS est_jaccard
+        FROM pairs
+        ORDER BY est_jaccard DESC, doc_a ASC, doc_b ASC
+        LIMIT 50
+      """)),
+
+    // ------------------------------------------------------------------
+    // q24: exact n-gram Jaccard over source-blocked pairs — the
+    // verification stage behind q23's candidates. Top-50 closest pairs.
+    //
+    // Sparse formulation: explode shingles and equi-join on
+    // (source, shingle), so |A∩B| is a COUNT per pair and |A∪B| =
+    // n_a + n_b - common. This replaces per-pair O(|sg|) array
+    // intersections (a 45s stage at sf0.1) with one shuffle keyed by
+    // shingle — the formulation that survives scale-up, since pairs with
+    // zero overlap are never materialized.
+    QDef(
+      "q24_ngram_jaccard",
+      (s, dir) => {
+        val ex = shingleRows(s, dir)
+          .withColumn("n",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id"))))
+        val a = ex.alias("a")
+        val b = ex.alias("b")
+        a.join(b,
+            col("a.source") === col("b.source") &&
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.n").as("n_a"), col("b.n").as("n_b"))
+          .agg(count(lit(1)).as("common"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("common / (n_a + n_b - common)").as("jaccard"))
+          .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+          .limit(50)
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
+        sh AS (SELECT doc_id, source, $SGDuck AS sg FROM w)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sg, b.sg))) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+        LIMIT 50
+      """)),
+
+    // ------------------------------------------------------------------
+    // q25: 16-bit SimHash from word unigrams (with multiplicity). Bit b
+    // comes from hex digit b/4, bit b%4 of md5(word); the doc's bit is
+    // the sign of the +1/-1 vote sum. One explode + 16 conditional sums —
+    // a single aggregation pass, partial-agg friendly.
+    QDef(
+      "q25_simhash",
+      (s, dir) => {
+        val exploded = Tables(s, dir).documents
+          .select(col("doc_id"), explode(expr(W)).as("word"))
+          .withColumn("h", md5(col("word").cast("binary")))
+        val votes = (0 until 16).map { bIdx =>
+          val hexPos = bIdx / 4 + 1
+          val bit = bIdx % 4
+          sum(expr(
+            s"""case when (shiftright(instr('0123456789abcdef',
+                  substring(h, $hexPos, 1)) - 1, $bit) & 1) = 1
+                then 1 else -1 end""")).as(s"s_$bIdx")
+        }
+        val simhashExpr = (0 until 16)
+          .map(bIdx => s"(case when s_$bIdx >= 0 then ${1L << bIdx} else 0 end)")
+          .mkString("cast(", " + ", " as bigint)")
+        exploded.groupBy(col("doc_id"))
+          .agg(votes.head, votes.tail: _*)
+          .withColumn("simhash", expr(simhashExpr))
+          .select(col("doc_id"), col("simhash"))
+      },
+      Some {
+        val votes = (0 until 16).map { bIdx =>
+          val hexPos = bIdx / 4 + 1
+          val bit = bIdx % 4
+          s"""CAST(SUM(CASE WHEN ((strpos('0123456789abcdef',
+                substring(h, $hexPos, 1)) - 1) >> $bit) & 1 = 1
+              THEN 1 ELSE -1 END) AS BIGINT) AS s_$bIdx"""
+        }.mkString(",\n")
+        val simhash = (0 until 16)
+          .map(bIdx => s"(CASE WHEN s_$bIdx >= 0 THEN ${1L << bIdx} ELSE 0 END)")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        s"""
+        SELECT doc_id, $simhash AS simhash
+        FROM (
+          SELECT doc_id, $votes
+          FROM (SELECT doc_id, md5(word) AS h
+                FROM (SELECT doc_id, unnest($WDuck) AS word
+                      FROM documents) t0) t1
+          GROUP BY doc_id) t2
+        """
+      })
+  )
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * q26 is the exact brute-force baseline: query-set × corpus cosine with
+  * a windowed top-k. q27 is the scale path: sign-bucket LSH (axis-aligned
+  * random-hyperplane hashing) so each query only scans its bucket — on a
+  * cluster the bucket id becomes the shuffle/partition key and the
+  * brute-force join never materializes. An IVF refinement would replace
+  * the sign buckets with k-means centroid ids; the plumbing is identical.
+  *
+  * Dot products run through Catalyst lambda folds over double-cast
+  * arrays — codegen'd, no UDFs, deterministic sequential summation.
+  */
+object SimilarityQueries {
+
+  /** cosine(qv, v) with sequential double folds (deterministic). */
+  private val COS =
+    """aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)
+       / (sqrt(aggregate(qv, 0D, (a, x) -> a + x * x))
+          * sqrt(aggregate(v, 0D, (a, x) -> a + x * x)))"""
+
+  private def vectors(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir).embeddings
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+  val defs: Seq[QDef] = Seq(
+    // ------------------------------------------------------------------
+    // q26: brute-force cosine top-5 for the first 10 vectors as queries.
+    QDef(
+      "q26_cosine_topk",
+      (s, dir) => {
+        val e = vectors(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor_id"),
+            expr(COS).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("neighbor_id"), col("rk"),
+            round(col("cos"), 6).as("cos_r"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        scored AS (
+          SELECT qid, e.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+                      * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))))
+                   AS cos
+          FROM q JOIN e ON e.vec_id <> qid),
+        ranked AS (
+          SELECT qid, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, neighbor_id ASC) AS rk
+          FROM scored)
+        SELECT qid, neighbor_id, rk, ROUND(cos, 6) AS cos_r
+        FROM ranked WHERE rk <= 5
+      """)),
+
+    // ------------------------------------------------------------------
+    // q27: LSH-bucketed ANN — bucket = sign bits of dims 1..4 (16
+    // buckets); neighbors only scanned within the query's bucket. The
+    // candidate join is equi-join on bucket, so it shuffles by bucket
+    // instead of exploding into a cross join.
+    QDef(
+      "q27_ann_bucketed",
+      (s, dir) => {
+        val bucketExpr =
+          """cast(case when element_at(v, 1) >= 0D then 8 else 0 end
+               + case when element_at(v, 2) >= 0D then 4 else 0 end
+               + case when element_at(v, 3) >= 0D then 2 else 0 end
+               + case when element_at(v, 4) >= 0D then 1 else 0 end
+             as int)"""
+        val e = vectors(s, dir).withColumn("bucket", expr(bucketExpr))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("bucket").as("qbucket"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        q.join(e, col("bucket") === col("qbucket") &&
+            col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qbucket").as("bucket"),
+            col("vec_id").as("neighbor_id"), expr(COS).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("bucket"), col("neighbor_id"), col("rk"),
+            round(col("cos"), 6).as("cos_r"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 CAST(CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+                    + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END AS INTEGER)
+                   AS bucket
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+              FROM e WHERE vec_id < 20),
+        scored AS (
+          SELECT qid, qbucket AS bucket, e.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+                      * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))))
+                   AS cos
+          FROM q JOIN e ON e.bucket = qbucket AND e.vec_id <> qid),
+        ranked AS (
+          SELECT qid, bucket, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, neighbor_id ASC) AS rk
+          FROM scored)
+        SELECT qid, bucket, neighbor_id, rk, ROUND(cos, 6) AS cos_r
+        FROM ranked WHERE rk <= 3
+      """))
+  )
+}

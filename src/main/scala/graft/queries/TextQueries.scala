@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the reference's
+  * wc/indexer apps re-expressed as declarative Spark queries (SURVEY.md
+  * §2.3 "Spark-native formulation") plus the LLM-pipeline text operators:
+  * token statistics, quality scoring, language-ID heuristic, and document
+  * fingerprinting.
+  *
+  * All scalar work uses builtin `functions._` / Catalyst lambda
+  * expressions (codegen'd, partial-agg friendly) — no Scala UDFs. Every
+  * computation is cross-engine deterministic: md5 for hashing, exact
+  * integer counts, and double arithmetic only on exact integers.
+  *
+  * Scale: each query is a single scan + hash aggregation; explode fan-out
+  * (one row per token) is bounded by map-side partial aggregation before
+  * the shuffle, so 100 TB of documents shuffles only (word, partial-count)
+  * pairs per partition.
+  */
+object TextQueries {
+
+  /** Token list: split on runs of non-letters, drop empties (the wc.go
+    * tokenizer, `/root/reference/mrapps/wc.go:21-27`). Shared with
+    * DedupQueries.
+    */
+  val wordsExpr = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
+  val wordsExprDuck =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+  private val W = wordsExpr
+  private val WDuck = wordsExprDuck
+
+  val defs: Seq[QDef] = Seq(
+    // ------------------------------------------------------------------
+    // q17: word count gone native — vs the MR shim this gets map-side
+    // partial aggregation for free (SURVEY.md §4.1: the reference has no
+    // combiner; Catalyst adds one automatically).
+    QDef(
+      "q17_doc_wordcount",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .select(col("doc_id"), explode(expr(W)).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n_occurrences"),
+            countDistinct(col("doc_id")).as("n_docs"))
+      },
+      Some(s"""
+        SELECT word, COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest($WDuck) AS word FROM documents) t
+        GROUP BY word
+      """)),
+
+    // ------------------------------------------------------------------
+    // q18: inverted index gone native (indexer.go semantics: per-doc
+    // DISTINCT words, postings sorted by doc id, comma-joined).
+    QDef(
+      "q18_inverted_index",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .select(col("doc_id"),
+            explode(array_distinct(expr(W))).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n_docs"),
+            array_join(
+              transform(array_sort(collect_list(col("doc_id"))),
+                x => x.cast("string")),
+              ",").as("doc_list"))
+      },
+      Some(s"""
+        SELECT word, COUNT(*) AS n_docs,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_list
+        FROM (SELECT doc_id, unnest(list_distinct($WDuck)) AS word
+              FROM documents) t
+        GROUP BY word
+      """)),
+
+    // ------------------------------------------------------------------
+    // q19: per-document token statistics + quality score (length,
+    // punctuation and stopword ratios — the classic data-quality
+    // heuristics). One narrow projection, no shuffle at all.
+    QDef(
+      "q19_text_stats",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .withColumn("ws", expr(W))
+          .select(
+            col("doc_id"),
+            expr("cast(size(ws) as bigint)").as("n_tokens"),
+            expr("cast(size(array_distinct(ws)) as bigint)").as("n_distinct"),
+            expr("cast(length(text) as bigint)").as("n_chars_actual"),
+            expr("aggregate(ws, 0L, (a, x) -> a + length(x)) / size(ws)")
+              .as("avg_token_len"),
+            expr("size(filter(ws, x -> x = 'the' or x = 'a')) / size(ws)")
+              .as("stopword_ratio"),
+            expr("length(regexp_replace(text, '[a-z ]', '')) / length(text)")
+              .as("punct_ratio"),
+            expr("size(array_distinct(ws)) / size(ws)").as("ttr"))
+          // round(…, 9): the three-term multiply-add differs by 1 ulp
+          // between engines (FMA/association); 9 digits is far above the
+          // noise and far below any semantic signal.
+          .withColumn("quality_score",
+            expr("round(0.4 * stopword_ratio + 0.3 * ttr + " +
+              "0.3 * (least(n_tokens, 200) / 200.0), 9)"))
+      },
+      Some(s"""
+        SELECT doc_id, n_tokens, n_distinct, n_chars_actual, avg_token_len,
+               stopword_ratio, punct_ratio, ttr,
+               ROUND(0.4 * stopword_ratio + 0.3 * ttr
+                 + 0.3 * (LEAST(n_tokens, 200) / 200.0), 9) AS quality_score
+        FROM (
+          SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+                 CAST(length(text) AS BIGINT) AS n_chars_actual,
+                 CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                   / len(ws) AS avg_token_len,
+                 CAST(len(list_filter(ws, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                   / len(ws) AS stopword_ratio,
+                 CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+                 CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
+          FROM (SELECT doc_id, text, $WDuck AS ws FROM documents) t0) t1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q20: language-ID via stopword-marker counts with a fixed priority
+    // argmax (deterministic tiebreak). The marker lists are tiny
+    // broadcast-free literals; at scale this is a pure map.
+    QDef(
+      "q20_lang_id",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .withColumn("ws", expr(W))
+          .withColumn("s_en", expr(
+            "cast(size(filter(ws, x -> x in ('the','a','of','and'))) as bigint)"))
+          .withColumn("s_de", expr(
+            "cast(size(filter(ws, x -> x in ('der','die','das','und'))) as bigint)"))
+          .withColumn("s_es", expr(
+            "cast(size(filter(ws, x -> x in ('el','la','los','que'))) as bigint)"))
+          .withColumn("s_fr", expr(
+            "cast(size(filter(ws, x -> x in ('le','les','et','une'))) as bigint)"))
+          .withColumn("pred_lang", expr(
+            """CASE
+               WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END"""))
+          .select(col("doc_id"), col("lang").as("labeled_lang"),
+            col("pred_lang"), col("s_en"), col("s_de"), col("s_es"),
+            col("s_fr"))
+      },
+      Some(s"""
+        SELECT doc_id, lang AS labeled_lang,
+               CASE
+                 WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                 WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                 WHEN s_es >= s_fr THEN 'es'
+                 ELSE 'fr' END AS pred_lang,
+               s_en, s_de, s_es, s_fr
+        FROM (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(ws, x -> x IN ('the','a','of','and'))) AS BIGINT) AS s_en,
+            CAST(len(list_filter(ws, x -> x IN ('der','die','das','und'))) AS BIGINT) AS s_de,
+            CAST(len(list_filter(ws, x -> x IN ('el','la','los','que'))) AS BIGINT) AS s_es,
+            CAST(len(list_filter(ws, x -> x IN ('le','les','et','une'))) AS BIGINT) AS s_fr
+          FROM (SELECT doc_id, lang, $WDuck AS ws FROM documents) t0) t1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q21: document fingerprint — md5 of whitespace-normalized lowercase
+    // text — plus per-fingerprint cluster size via a window count.
+    QDef(
+      "q21_fingerprint",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .withColumn("fp",
+            md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+              .cast("binary")))
+          .withColumn("n_same",
+            count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+          .select(col("doc_id"), col("fp"), col("n_same"))
+      },
+      Some("""
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
+        FROM (SELECT doc_id,
+                     md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+              FROM documents) t
+      """))
+  )
+}
