@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over events-shaped data.
+  *
+  * The reference is strictly batch (hard map→reduce barrier,
+  * `/root/reference/mr/master.go:222-228`) — this module is an engine
+  * extension (SURVEY.md §1.6): the same aggregations the batch layer runs
+  * (q13 hourly windows, q16 sessionization) expressed as incremental
+  * streaming queries with watermarks and keyed state.
+  *
+  * Scale: both queries shuffle once on their keys; state is per-key and
+  * bounded (window finalization via watermark; one open session per
+  * user), so a 1000-executor cluster partitions state horizontally with
+  * no driver involvement.
+  */
+object EventsStreaming {
+
+  final case class Event(
+      event_id: Long,
+      ts: java.sql.Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  final case class Session(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Tumbling 1-hour windowed counts — the streaming twin of
+    * q13_events_hourly. Append mode + watermark: a window only emits
+    * once the watermark passes its end; events later than the watermark
+    * are dropped.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization — the streaming twin of q16_sessionize —
+    * via flatMapGroupsWithState: per-user state holds the open session;
+    * an event further than `gapSeconds` from the last one closes it.
+    * Only closed sessions are emitted (append semantics); the open
+    * session stays in state across triggers.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    final case class Open(start: Long, end: Long, n: Long)
+
+    def fold(
+        userId: Long,
+        it: Iterator[Event],
+        state: GroupState[(Long, Long, Long)]): Iterator[Session] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var open: Option[(Long, Long, Long)] = state.getOption
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        open = open match {
+          case Some((s0, e0, n)) if t - e0 <= gapSeconds * 1000 =>
+            Some((s0, math.max(e0, t), n + 1))
+          case Some((s0, e0, n)) =>
+            closed += Session(userId, new java.sql.Timestamp(s0),
+              new java.sql.Timestamp(e0), n)
+            Some((t, t, 1L))
+          case None => Some((t, t, 1L))
+        }
+      }
+      open.foreach(state.update)
+      closed.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fold)
+  }
+}

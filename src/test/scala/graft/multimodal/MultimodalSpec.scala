@@ -1,0 +1,60 @@
+package graft.multimodal
+
+import graft.TestSpark
+import graft.multimodal.Multimodal._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def media =
+    mediaFromDocuments(spark.read.parquet(s"$dir/documents.parquet"))
+
+  test("media table: binary payloads with kind metadata, all docs kept") {
+    val rows = media.collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.kind).toSet == Set("image", "audio", "video"))
+    // payload is the UTF-8 text bytes — non-empty, deterministic id→kind
+    assert(rows.forall(_.bytes.nonEmpty))
+    assert(rows.forall(r =>
+      r.kind == Seq("image", "audio", "video")((r.media_id % 3).toInt)))
+  }
+
+  test("decode: stub kernel is deterministic with the documented contract") {
+    val d1 = decode(media).collect().sortBy(_.media_id)
+    val d2 = decode(media).collect().sortBy(_.media_id)
+    assert(d1.length == 500)
+    d1.zip(d2).foreach { case (a, b) =>
+      assert(a == b.copy(features = a.features) &&
+        a.features.sameElements(b.features), "decode must be deterministic")
+    }
+    d1.foreach { d =>
+      assert((d.width, d.height) == fakeDims(d.n_bytes))
+      // histogram features: 16 bins, nonnegative, sums to 1
+      assert(d.features.length == 16)
+      assert(d.features.forall(_ >= 0f))
+      assert(math.abs(d.features.sum - 1f) < 1e-3)
+    }
+  }
+
+  test("resize rewrites metadata only") {
+    val r = resize(decode(media), 224, 224).collect()
+    assert(r.forall(d => d.width == 224 && d.height == 224))
+    assert(r.map(_.n_bytes).sum == decode(media).collect().map(_.n_bytes).sum)
+  }
+
+  test("frameSample emits every stride-th 64-byte chunk of videos only") {
+    val frames = frameSample(media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    val videos = media.filter(_.kind == "video").collect()
+      .map(r => r.media_id -> r.bytes).toMap
+    assert(frames.map(_.media_id).toSet == videos.keySet)
+    frames.foreach { f =>
+      val expected = videos(f.media_id)
+        .slice(f.frame_idx * 64, f.frame_idx * 64 + 64)
+      assert(f.frame_bytes.sameElements(expected))
+    }
+  }
+}

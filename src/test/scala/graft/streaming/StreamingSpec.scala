@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import graft.streaming.EventsStreaming.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourly windowed counts finalize via watermark; late data dropped") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventsStreaming.hourlyCounts(ms.toDF())
+      .writeStream.format("memory").queryName("hc")
+      .outputMode("append").start()
+    try {
+      // hour-0 events
+      ms.addData(
+        Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:40:00"), 2, "click", 2.0),
+        Event(3, ts("2024-01-01 00:50:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("hc").count() == 0,
+        "append-mode window must not emit before watermark passes")
+
+      // advance event time to hour 5 (watermark = max - 2h = 03:xx)
+      ms.addData(Event(4, ts("2024-01-01 05:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(5, ts("2024-01-01 05:01:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hc")
+        .selectExpr("cast(hour_ts as string)", "event_type", "n_events")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00", "click", 2L),
+        ("2024-01-01 00:00:00", "view", 1L)))
+
+      // late event inside the finalized hour-0 window → dropped
+      ms.addData(Event(6, ts("2024-01-01 00:59:00"), 9, "click", 9.0))
+      q.processAllAvailable()
+      assert(spark.table("hc").count() == rows.size,
+        "late data beyond watermark must be dropped")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventsStreaming.sessionize(ms.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0),
+        Event(2, ts("2024-01-01 00:10:00"), 1, "click", 0),
+        Event(3, ts("2024-01-01 00:00:00"), 2, "view", 0))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 0, "no session closed yet")
+
+      // user 1 comes back 110 minutes later → closes first session
+      ms.addData(Event(4, ts("2024-01-01 02:00:00"), 1, "click", 0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[Session].collect()
+      assert(sessions.toSeq == Seq(
+        Session(1, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2)))
+
+      // within-gap event extends the open session, closes nothing
+      ms.addData(Event(5, ts("2024-01-01 02:05:00"), 1, "click", 0))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 1)
+    } finally q.stop()
+  }
+}
