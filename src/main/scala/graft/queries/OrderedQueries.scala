@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Order-aware join operators Spark has no dedicated node for: as-of
+  * join and banded range join — composed from existing operators per the
+  * custom-operator preference order (compose > custom Expression > custom
+  * SparkPlan), since the semantics are fully expressible with one
+  * shuffle each.
+  */
+object OrderedQueries {
+
+  val defs: Seq[QDef] = Seq(
+    // ------------------------------------------------------------------
+    // q29: AS-OF JOIN — for each error event, the most recent click by
+    // the same user at-or-before it. Implemented as a single pass: one
+    // shuffle on user_id, running "last click" via an ignoreNulls
+    // last_value window — no self-join, no row explosion; this is the
+    // merge-scan shape an AsofJoinExec would produce, and at 100 TB it
+    // stays one shuffle + sort regardless of click:error ratio.
+    // (DuckDB validates via its native ASOF JOIN.)
+    QDef(
+      "q29_asof_join",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+          .filter(col("event_type").isin("click", "error"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("last_click",
+            last(when(col("event_type") === "click",
+              struct(col("ts").as("cts"), col("event_id").as("cid"))),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "error" &&
+            col("last_click").isNotNull)
+          .select(
+            col("event_id").as("error_id"),
+            col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"),
+            col("last_click.cid").as("click_id"),
+            ((unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("last_click.cts").cast("timestamp")))
+              / 1000000.0).as("gap_seconds"))
+      },
+      Some("""
+        SELECT e.event_id AS error_id, e.user_id,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+               c.event_id AS click_id,
+               (epoch_us(e.ts) - epoch_us(c.ts)) / 1000000.0 AS gap_seconds
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+      """)),
+
+    // ------------------------------------------------------------------
+    // q30: banded RANGE (theta) join — orders against a tiny literal
+    // tier table on BETWEEN bounds. The tier side broadcasts, so the
+    // non-equi predicate never forces a shuffle of orders.
+    QDef(
+      "q30_range_join",
+      (s, dir) => {
+        val s2 = s
+        import s2.implicits._
+        val tiers = Seq(
+          ("T1_budget", 0.0, 50000.0),
+          ("T2_mid", 50000.0, 150000.0),
+          ("T3_high", 150000.0, 300000.0),
+          ("T4_premium", 300000.0, 1000000.0))
+          .toDF("tier", "lo", "hi")
+        Tables(s, dir).orders
+          .join(broadcast(tiers),
+            col("o_totalprice") >= col("lo") &&
+            col("o_totalprice") < col("hi"))
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+      },
+      Some("""
+        SELECT tier, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        JOIN (VALUES ('T1_budget', 0.0, 50000.0),
+                     ('T2_mid', 50000.0, 150000.0),
+                     ('T3_high', 150000.0, 300000.0),
+                     ('T4_premium', 300000.0, 1000000.0)) AS t(tier, lo, hi)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY tier
+      """))
+  )
+}
