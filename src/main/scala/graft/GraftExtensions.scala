@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions registering the engine's custom Catalyst
+  * expressions as SQL functions — the `SparkSessionExtensions` injection
+  * point, enabled via `spark.sql.extensions=graft.GraftExtensions`
+  * (set by [[Sessions.local]]). `SELECT fnv1a(key)` then plans the
+  * codegen'd expression directly, no UDF wrapper.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("fnv1a"),
+      new ExpressionInfo(
+        classOf[graft.functions.Fnv1aHash].getName, "fnv1a"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "fnv1a takes exactly one argument")
+        graft.functions.Fnv1aHash(children.head)
+      }))
+  }
+}

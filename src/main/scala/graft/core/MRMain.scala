@@ -29,6 +29,20 @@ object MRMain {
     if (seq) {
       MapReduce.runSequential(inputs, app, outDir)
       println(s"wrote ${outDir}/mr-out-0")
+    } else if (flags.contains("--dataset")) {
+      // Catalyst-planned path: typed HolisticReduce aggregation instead
+      // of the exact-layout shim; one "key value" line per pair, single
+      // unsorted output (fidelity layout stays with the default path).
+      val spark = graft.Sessions.local("graft-mr-ds", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      val out = MRAggregators.runDataset(spark, inputs, app)
+      val rows = out.collect().sortBy(_._1)(ByteOrdering)
+      val dir = java.nio.file.Paths.get(outDir)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("mr-out-0"),
+        rows.map { case (k, v) => s"$k $v\n" }.mkString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"wrote ${rows.length} pairs to $outDir/mr-out-0 (dataset path)")
+      spark.stop()
     } else {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
       val spark = graft.Sessions.local("graft-mr", cpus)

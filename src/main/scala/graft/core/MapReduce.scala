@@ -78,18 +78,7 @@ object MapReduce {
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       sc.hadoopConfiguration)
     val out = outDir
-
-    // One map task per input file, like master.go:289-296. The reference
-    // hands Map the CLI argument verbatim (mrsequential.go:49 passes
-    // os.Args through); wholeTextFiles absolutizes, so map resolved paths
-    // back to the caller's original strings.
-    val nameMap = inputs
-      .map(i => new java.io.File(i).getAbsolutePath -> i).toMap
-    val files = sc.wholeTextFiles(inputs.mkString(","), inputs.size)
-    val pairs = files.flatMap { case (uri, contents) =>
-      val p = normalizePath(uri)
-      app.map(nameMap.getOrElse(p, p), contents).map(kv => (kv.key, kv.value))
-    }
+    val pairs = mapStage(spark, inputs, app)
 
     val written = pairs
       .partitionBy(new Fnv1aPartitioner(nReduce))
@@ -155,6 +144,28 @@ object MapReduce {
       i = j
     }
     outLines.result()
+  }
+
+  /** Shared scan+map stage: one map task per input file
+    * (master.go:289-296), Map called with the caller's ORIGINAL path
+    * string — the reference hands Map the CLI argument verbatim
+    * (mrsequential.go:49), while wholeTextFiles absolutizes, so resolved
+    * paths are mapped back. Used by both the exact-layout runner and the
+    * Catalyst-planned MRAggregators.runDataset.
+    */
+  def mapStage(
+      spark: SparkSession,
+      inputs: Seq[String],
+      app: MRApp): org.apache.spark.rdd.RDD[(String, String)] = {
+    val nameMap = inputs
+      .map(i => new java.io.File(i).getAbsolutePath -> i).toMap
+    spark.sparkContext
+      .wholeTextFiles(inputs.mkString(","), inputs.size)
+      .flatMap { case (uri, contents) =>
+        val p = normalizePath(uri)
+        app.map(nameMap.getOrElse(p, p), contents)
+          .map(kv => (kv.key, kv.value))
+      }
   }
 
   /** wholeTextFiles yields `file:/abs/path`; the reference passes the CLI

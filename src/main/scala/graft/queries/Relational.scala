@@ -459,6 +459,46 @@ object Relational {
                              ORDER BY ts ASC, event_id ASC) AS prev_ts
                     FROM events) t1) t2
         GROUP BY user_id
-      """))
+      """)),
+
+    // ------------------------------------------------------------------
+    // q31: CUBE — all 2^2 grouping combinations in one pass (expand +
+    // single shuffle), NULL slots normalized for hashing.
+    QDef(
+      "q31_cube_lineitem",
+      (s, dir) => {
+        Tables(s, dir).lineitem
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("n_rows"), col("sum_qty"))
+      },
+      Some("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+      """)),
+
+    // ------------------------------------------------------------------
+    // q32: sketch aggregates — HLL distinct and approximate quantiles.
+    // Approximations are engine-specific by construction, so there is no
+    // DuckDB oracle (driver records a rows-only check); the spec suite
+    // asserts error bounds against exact answers instead.
+    QDef(
+      "q32_sketches",
+      (s, dir) => {
+        Tables(s, dir).lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+              .as("approx_median_price"))
+      },
+      None)
   )
 }

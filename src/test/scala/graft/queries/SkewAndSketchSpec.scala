@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.TestSpark
+import graft.functions.Fnv1a
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale techniques validated for equivalence: key salting (the standard
+  * hot-key mitigation — pre-aggregate on (key, salt), then merge) and
+  * sketch error bounds vs exact answers.
+  */
+class SkewAndSketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted two-stage aggregation == direct aggregation on skewed keys") {
+    // hotkey.txt: one word repeated 2000x — worst-case key skew.
+    val text = scala.io.Source.fromFile(
+      TestSpark.resource("edge/hotkey.txt"), "UTF-8").mkString
+    import spark.implicits._
+    val words = spark.sparkContext
+      .parallelize(text.split("[^\\p{L}]+").toIndexedSeq.filter(_.nonEmpty), 8)
+      .toDF("word")
+
+    val direct = words.groupBy(col("word")).count()
+
+    val salted = words
+      // salt from the row id: spreads one hot key over 8 partial groups
+      .withColumn("salt", Fnv1a.fnv1a(
+        concat(col("word"), monotonically_increasing_id())) % 8)
+      .groupBy(col("word"), col("salt")).agg(count(lit(1)).as("c"))
+      .groupBy(col("word")).agg(sum(col("c")).as("count"))
+
+    assert(salted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  test("sketch aggregates stay within error bounds of exact answers") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d"),
+        expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val approx = SparkEntry_q32(dir)
+    approx.foreach { case (flag, (ad, am)) =>
+      val (ed, em) = exact(flag)
+      assert(math.abs(ad - ed).toDouble / ed < 0.1,
+        s"$flag HLL off: approx $ad vs exact $ed")
+      assert(math.abs(am - em) / em < 0.1,
+        s"$flag median off: approx $am vs exact $em")
+    }
+  }
+
+  private def SparkEntry_q32(d: String) =
+    graft.SparkEntry.queries("q32_sketches")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+}
