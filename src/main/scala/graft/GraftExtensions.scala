@@ -20,5 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "fnv1a takes exactly one argument")
         graft.functions.Fnv1aHash(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(
+        classOf[graft.functions.DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dot_product takes exactly two arguments")
+        graft.functions.DotProduct(children.head, children(1))
+      }))
   }
 }

@@ -18,16 +18,27 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityQueries {
 
-  /** cosine(qv, v) with sequential double folds (deterministic). */
-  private val COS =
-    """aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)
-       / (sqrt(aggregate(qv, 0D, (a, x) -> a + x * x))
-          * sqrt(aggregate(v, 0D, (a, x) -> a + x * x)))"""
+  /** cosine of pre-normalized vectors = one dot product per pair, via
+    * the codegen'd DotProduct expression (same sequential multiply-add
+    * order as a lambda fold, so bit-identical results — but a primitive
+    * loop instead of 64 interpreted lambda steps). Normalizing per ROW
+    * instead of per PAIR already cut the pair stage from three folds to
+    * one; the native expression removes the interpretation overhead.
+    */
+  private val COS = "dot_product(qv, v)"
 
+  /** Unit-normalized double vectors. The norm sub-expression gets
+    * inlined into the lambda (O(d²) per row) but that is scan-side and
+    * negligible next to the pair stage it speeds up.
+    */
   private def vectors(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir).embeddings
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
+        expr("""transform(embedding,
+                  x -> cast(x as double) /
+                       sqrt(aggregate(embedding, 0D,
+                         (a, y) -> a + cast(y as double) * cast(y as double))))""")
+          .as("v"))
 
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------
@@ -49,14 +60,14 @@ object SimilarityQueries {
             round(col("cos"), 6).as("cos_r"))
       },
       Some("""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
         scored AS (
           SELECT qid, e.vec_id AS neighbor_id,
-                 list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
-                   / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
-                      * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))))
-                   AS cos
+                 list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) AS cos
           FROM q JOIN e ON e.vec_id <> qid),
         ranked AS (
           SELECT qid, neighbor_id, cos,
@@ -98,7 +109,9 @@ object SimilarityQueries {
       },
       Some("""
         WITH e AS (
-          SELECT vec_id, embedding::DOUBLE[] AS v,
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v,
                  CAST(CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
                     + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
                     + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
@@ -109,10 +122,7 @@ object SimilarityQueries {
               FROM e WHERE vec_id < 20),
         scored AS (
           SELECT qid, qbucket AS bucket, e.vec_id AS neighbor_id,
-                 list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
-                   / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
-                      * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))))
-                   AS cos
+                 list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) AS cos
           FROM q JOIN e ON e.bucket = qbucket AND e.vec_id <> qid),
         ranked AS (
           SELECT qid, bucket, neighbor_id, cos,
@@ -121,6 +131,40 @@ object SimilarityQueries {
           FROM scored)
         SELECT qid, bucket, neighbor_id, rk, ROUND(cos, 6) AS cos_r
         FROM ranked WHERE rk <= 3
+      """)),
+
+    // ------------------------------------------------------------------
+    // q33: embedding-cosine near-dup — the dedup flavor that keys on
+    // vector similarity. The synthetic corpus has no true dup vectors
+    // (max pairwise cosine ≈ 0.6 at every SF), so a threshold query is
+    // degenerate; instead emit the global top-20 closest pairs with a
+    // full tiebreak. Brute-force all-pairs is the correctness baseline —
+    // at 100 TB the q27 sign-bucket (or IVF) join replaces the cross
+    // product and the per-pair math is unchanged.
+    QDef(
+      "q33_embedding_neardup",
+      (s, dir) => {
+        val e = vectors(s, dir)
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("qv"))
+        val b = e.select(col("vec_id").as("id_b"), col("v"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), round(expr(COS), 6).as("cos_r"))
+          .orderBy(col("cos_r").desc, col("id_a").asc, col("id_b").asc)
+          .limit(20)
+      },
+      Some("""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])), 6) AS cos_r
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos_r
+        FROM scored
+        ORDER BY cos_r DESC, id_a ASC, id_b ASC
+        LIMIT 20
       """))
   )
 }

@@ -46,6 +46,19 @@ object EventsStreaming {
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming twin of q22: keeps the first
+    * occurrence per id, with state bounded by the watermark (ids older
+    * than the watermark are forgotten, so state doesn't grow without
+    * bound on an infinite stream).
+    */
+  def dedupeStream(
+      events: DataFrame,
+      idCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(idCols :+ "ts")
+
   /** Gap-based sessionization — the streaming twin of q16_sessionize —
     * via flatMapGroupsWithState: per-user state holds the open session;
     * an event further than `gapSeconds` from the last one closes it.

@@ -50,6 +50,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup emits first occurrence only, across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventsStreaming.dedupeStream(ms.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      val e1 = Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0)
+      val e2 = Event(2, ts("2024-01-01 00:01:00"), 1, "view", 2.0)
+      ms.addData(e1, e2, e1) // in-batch duplicate
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+      ms.addData(e2) // cross-batch duplicate
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2,
+        "cross-batch duplicate must be suppressed by state")
+      ms.addData(Event(3, ts("2024-01-01 00:02:00"), 2, "click", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 3)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
