@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytic extensions: exact quantiles, window frames, date arithmetic,
+  * and TF-IDF — rounding out the §2.5 "engine extension" categories.
+  */
+object AnalyticQueries {
+
+  val defs: Seq[QDef] = Seq(
+    // ------------------------------------------------------------------
+    // q34: exact interpolated percentiles (sort-based, not sketches —
+    // q32 covers the approximate path). round(…,6): the linear
+    // interpolation step differs across engines by ulps.
+    QDef(
+      "q34_percentiles",
+      (s, dir) => {
+        Tables(s, dir).lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+            round(expr("percentile(l_quantity, 0.25)"), 6).as("q1_qty"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+               ROUND(quantile_cont(l_quantity, 0.25), 6) AS q1_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+      """)),
+
+    // ------------------------------------------------------------------
+    // q35: window frame surface — running totals (exact decimal),
+    // bounded moving average, ntile, percent_rank — one shuffle on
+    // user_id serves all four.
+    QDef(
+      "q35_window_frames",
+      (s, dir) => {
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val run = byTime.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val recent = byTime.rowsBetween(-2, 0)
+        val dec = col("value").cast(DecimalType(18, 2))
+        Tables(s, dir).events
+          .filter(col("user_id") < 20)
+          .select(
+            col("event_id"), col("user_id"),
+            sum(dec).over(run).cast("double").as("running_value"),
+            (sum(dec).over(recent).cast("double") /
+              count(lit(1)).over(recent)).as("moving_avg3"),
+            ntile(4).over(byTime).as("quartile"),
+            round(percent_rank().over(byTime), 9).as("pct_rank"))
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER run AS DOUBLE) AS running_value,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER recent AS DOUBLE)
+                 / COUNT(*) OVER recent AS moving_avg3,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank
+        FROM events
+        WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+               run AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               recent AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      """)),
+
+    // ------------------------------------------------------------------
+    // q36: date/time arithmetic. Cross-engine traps handled: DuckDB's
+    // date_diff takes (part, start, end) — reversed vs Spark's
+    // datediff(end, start); DuckDB dayofweek is 0=Sunday vs Spark's
+    // 1=Sunday (strftime('%w') == dayofweek(x)-1).
+    QDef(
+      "q36_date_arith",
+      (s, dir) => {
+        Tables(s, dir).orders
+          .filter(col("o_orderkey") % 50 === 0)
+          .select(
+            col("o_orderkey"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+              .cast("bigint").as("days_since_epoch95"),
+            date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd")
+              .as("plus_3_months"),
+            date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+              .as("month_end"),
+            (dayofweek(col("o_orderdate")) - 1).cast("int").as("dow"),
+            quarter(col("o_orderdate")).cast("int").as("qtr"),
+            weekofyear(col("o_orderdate")).cast("int").as("iso_week"))
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+                 AS days_since_epoch95,
+               strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3_months,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+               CAST(strftime(o_orderdate, '%w') AS INTEGER) AS dow,
+               CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS qtr,
+               CAST(EXTRACT(WEEK FROM o_orderdate) AS INTEGER) AS iso_week
+        FROM orders
+        WHERE o_orderkey % 50 = 0
+      """)),
+
+    // ------------------------------------------------------------------
+    // q37: TF-IDF top-3 terms per document. Ranking uses the ROUNDED
+    // score (libm log differs across engines by ulps) with a word
+    // tiebreak, so ranks agree cross-engine. Two shuffles: tf group and
+    // df group (broadcast back).
+    QDef(
+      "q37_tfidf",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val tokens = docs.select(col("doc_id"),
+          explode(expr(TextQueries.wordsExpr)).as("word"))
+        val tf = tokens.groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tokens.select(col("doc_id"), col("word")).distinct()
+          .groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val n = docs.count() // tiny scalar; on a cluster: countApprox or a broadcast scalar subquery
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_r").desc, col("word").asc)
+        tf.join(broadcast(df), "word")
+          .withColumn("score_r",
+            round(col("tf") * log(lit(n.toDouble) / col("df")), 9))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("word"), col("tf"),
+            col("df"), col("score_r"))
+      },
+      Some(s"""
+        WITH tokens AS (
+          SELECT doc_id, unnest(${TextQueries.wordsExprDuck}) AS word
+          FROM documents),
+        tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+        df AS (SELECT word, COUNT(*) AS df
+               FROM (SELECT DISTINCT doc_id, word FROM tokens) GROUP BY 1),
+        n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                 ROUND(tf.tf * ln(n.n / df.df), 9) AS score_r
+          FROM tf JOIN df USING (word), n),
+        ranked AS (
+          SELECT doc_id, word, tf, df, score_r,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score_r DESC, word ASC) AS rk
+          FROM scored)
+        SELECT doc_id, rk, word, tf, df, score_r
+        FROM ranked WHERE rk <= 3
+      """))
+  )
+}
