@@ -153,6 +153,40 @@ object AnalyticQueries {
           FROM scored)
         SELECT doc_id, rk, word, tf, df, score_r
         FROM ranked WHERE rk <= 3
+      """)),
+
+    // ------------------------------------------------------------------
+    // q38: fuzzy string matching — edit-distance near-pairs of part
+    // names, blocked by brand so the self-join is per-block. Exact
+    // integer distances, identical across engines.
+    QDef(
+      "q38_fuzzy_part_names",
+      (s, dir) => {
+        val p = Tables(s, dir).part
+          .filter(col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_brand"), col("p_name"))
+        val a = p.alias("a")
+        val b = p.alias("b")
+        a.join(b,
+            col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("a.p_partkey").as("key_a"),
+            col("b.p_partkey").as("key_b"),
+            levenshtein(col("a.p_name"), col("b.p_name")).cast("bigint")
+              .as("dist"))
+          .filter(col("dist") <= 5)
+          .orderBy(col("dist").asc, col("key_a").asc, col("key_b").asc)
+          .limit(100)
+      },
+      Some("""
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM (SELECT * FROM part WHERE p_size <= 10) a
+        JOIN (SELECT * FROM part WHERE p_size <= 10) b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 5
+        ORDER BY dist ASC, key_a ASC, key_b ASC
+        LIMIT 100
       """))
   )
 }
