@@ -18,7 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.Fnv1aHash].getName, "fnv1a"),
       (children: Seq[Expression]) => {
         require(children.size == 1, "fnv1a takes exactly one argument")
-        graft.functions.Fnv1aHash(children.head)
+        // cast like the Column helper does — without it a non-string
+        // argument passes analysis and dies in codegen/eval
+        graft.functions.Fnv1aHash(org.apache.spark.sql.catalyst.expressions
+          .Cast(children.head, org.apache.spark.sql.types.StringType))
       }))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),

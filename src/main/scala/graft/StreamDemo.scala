@@ -15,29 +15,35 @@ object StreamDemo {
     val spark = Sessions.local("graft-stream-demo", "8")
     import spark.implicits._
 
-    // Stage the (nanos-normalized) events table as one file per day with
+    // Stage the (nanos-normalized) events table as one file per DATE
+    // (not day-of-month — that interleaves across month boundaries) with
     // ascending names AND mtimes, so the file stream consumes them in
     // event-time order and the watermark advances like a live feed
     // (FileStreamSource offers no ordering guarantee otherwise — with
     // jumbled arrival, earlier days land behind the watermark and are
     // dropped as late, which the first cut of this demo demonstrated).
+    // One pass: partitionBy(date) writes every day at once, then the
+    // part files are renamed into the flat staging dir in date order.
     val staging = java.nio.file.Files
       .createTempDirectory("events-stream").toString
     val ev = Tables(spark, sfDir).events
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-    val days = ev.select(dayofmonth($"ts").as("d")).distinct()
-      .orderBy($"d").as[Int].collect()
-    days.zipWithIndex.foreach { case (d, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("ev-day").toString
-      ev.filter(dayofmonth($"ts") === d).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).get
-      val dst = java.nio.file.Paths.get(staging, f"day-$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(1000000000000L + i * 60000L)
+    val tmp = java.nio.file.Files.createTempDirectory("ev-days")
+    ev.withColumn("d", to_date($"ts"))
+      .repartition($"d").sortWithinPartitions($"ts")
+      .write.mode("overwrite").partitionBy("d").parquet(tmp.toString)
+    val dayDirs = new java.io.File(tmp.toString).listFiles()
+      .filter(_.getName.startsWith("d=")).sortBy(_.getName)
+    dayDirs.zipWithIndex.foreach { case (dir, i) =>
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (part, j) =>
+          val dst = java.nio.file.Paths.get(staging,
+            f"day-$i%03d-$j%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(1000000000000L + (i * 100L + j) * 60000L)
+        }
     }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
 
     val schema = spark.read.parquet(staging).schema
     val stream = spark.readStream.schema(schema)

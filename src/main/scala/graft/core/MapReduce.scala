@@ -78,6 +78,18 @@ object MapReduce {
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       sc.hadoopConfiguration)
     val out = outDir
+    // Clear stale mr-out-* from a previous run in the same dir — shards
+    // that are empty (or out of range) this run would otherwise keep old
+    // content and corrupt readOutput / CLI diffs.
+    locally {
+      val dir = new Path(out)
+      val fs = dir.getFileSystem(sc.hadoopConfiguration)
+      if (fs.exists(dir)) {
+        fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.startsWith("mr-out-"))
+          .foreach(fs.delete(_, false))
+      }
+    }
     val pairs = mapStage(spark, inputs, app)
 
     val written = pairs
@@ -184,10 +196,11 @@ object MapReduce {
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("mr-out-")).sortBy(_.getName)
     files.toSeq.flatMap { f =>
-      scala.io.Source.fromFile(f, "UTF-8").getLines().map { line =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f.toPath, UTF_8).asScala.map { line =>
         val sp = line.indexOf(' ')
         (line.substring(0, sp), line.substring(sp + 1))
-      }.toList
+      }
     }
   }
 }

@@ -60,9 +60,7 @@ object DedupQueries {
       "q22_exact_dedup",
       (s, dir) => {
         Tables(s, dir).documents
-          .withColumn("fp",
-            md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
-              .cast("binary")))
+          .withColumn("fp", Q.fingerprint(col("text")))
           .groupBy(col("fp"))
           .agg(count(lit(1)).as("n_docs"),
             min(col("doc_id")).as("keep_id"),
@@ -70,11 +68,10 @@ object DedupQueries {
               transform(array_sort(collect_list(col("doc_id"))),
                 x => x.cast("string")), ",").as("doc_ids"))
       },
-      Some("""
+      Some(s"""
         SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id,
                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
-        FROM (SELECT doc_id,
-                     md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM (SELECT doc_id, ${Q.fingerprintDuck} AS fp
               FROM documents) t
         GROUP BY fp
       """)),
@@ -182,6 +179,7 @@ object DedupQueries {
                  / len(list_distinct(list_concat(a.sg, b.sg))) AS jaccard
         FROM sh a JOIN sh b
           ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sg, b.sg)) > 0
         ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
         LIMIT 50
       """)),

@@ -26,9 +26,9 @@ object MultimodalQueries {
                CASE CAST(doc_id % 3 AS INTEGER)
                  WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                  ELSE 'video' END AS kind,
-               CAST(16 + length(text) % 64 AS INTEGER) AS width,
-               CAST(16 + (length(text) // 64) % 64 AS INTEGER) AS height,
-               CAST(length(text) AS BIGINT) AS n_bytes
+               CAST(16 + strlen(text) % 64 AS INTEGER) AS width,
+               CAST(16 + (strlen(text) // 64) % 64 AS INTEGER) AS height,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
         FROM documents
       """))
   )

@@ -75,8 +75,7 @@ object OrderedQueries {
             col("o_totalprice") < col("hi"))
           .groupBy(col("tier"))
           .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-              .as("sum_price"))
+            Q.dsum(col("o_totalprice")).as("sum_price"))
       },
       Some("""
         SELECT tier, COUNT(*) AS n_orders,

@@ -26,9 +26,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
 
-  /** Exact decimal sum of a money expression, surfaced as double. */
-  private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+  private def dsum(c: Column, scale: Int = 2): Column = Q.dsum(c, scale)
 
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------

@@ -175,18 +175,15 @@ object TextQueries {
       "q21_fingerprint",
       (s, dir) => {
         Tables(s, dir).documents
-          .withColumn("fp",
-            md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
-              .cast("binary")))
+          .withColumn("fp", Q.fingerprint(col("text")))
           .withColumn("n_same",
             count(lit(1)).over(
               org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
           .select(col("doc_id"), col("fp"), col("n_same"))
       },
-      Some("""
+      Some(s"""
         SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
-        FROM (SELECT doc_id,
-                     md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM (SELECT doc_id, ${Q.fingerprintDuck} AS fp
               FROM documents) t
       """))
   )

@@ -46,10 +46,38 @@ object EventsStreaming {
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: each error joined to clicks by the
+    * same user within the preceding `windowSeconds`. Both sides carry
+    * watermarks so the join state is bounded: a buffered click can be
+    * dropped once the error-side watermark passes click_ts +
+    * windowSeconds. The streaming twin of q29's as-of join (1:N within
+    * the interval rather than latest-only — latest-only needs the q29
+    * batch shape or a downstream max aggregation).
+    */
+  def errorsNearClicks(
+      errors: DataFrame,
+      clicks: DataFrame,
+      windowSeconds: Long = 3600): DataFrame = {
+    val e = errors.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"))
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    e.join(c,
+      col("user_id") === col("c_user") &&
+      col("click_ts") <= col("error_ts") &&
+      col("click_ts") >= col("error_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("error_id"), col("user_id"), col("error_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Streaming exact dedup — the streaming twin of q22: keeps the first
     * occurrence per id, with state bounded by the watermark (ids older
     * than the watermark are forgotten, so state doesn't grow without
-    * bound on an infinite stream).
+    * bound on an infinite stream). dropDuplicatesWithinWatermark gives
+    * per-id dedup with bounded state — plain dropDuplicates(id :+ ts)
+    * would leak redelivered events whose retry carries a fresh ts.
     */
   def dedupeStream(
       events: DataFrame,
@@ -57,7 +85,7 @@ object EventsStreaming {
       watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates(idCols :+ "ts")
+      .dropDuplicatesWithinWatermark(idCols)
 
   /** Gap-based sessionization — the streaming twin of q16_sessionize —
     * via flatMapGroupsWithState: per-user state holds the open session;

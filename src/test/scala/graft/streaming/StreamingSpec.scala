@@ -50,6 +50,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs errors with in-window clicks") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val q = EventsStreaming.errorsNearClicks(
+        errors.toDF(), clicks.toDF(), windowSeconds = 3600)
+      .writeStream.format("memory").queryName("enc")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(10, ts("2024-01-01 09:00:00"), 1, "click", 0), // in window
+        Event(11, ts("2024-01-01 07:30:00"), 1, "click", 0), // too old
+        Event(12, ts("2024-01-01 09:30:00"), 2, "click", 0)) // other user
+      errors.addData(Event(20, ts("2024-01-01 09:45:00"), 1, "error", 0))
+      q.processAllAvailable()
+      val got = spark.table("enc")
+        .select("error_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((20L, 10L)),
+        "only the same-user in-window click may join")
+
+      // a later click for the same user arrives after the error: outside
+      // the ≤ error_ts bound, must not join
+      clicks.addData(Event(13, ts("2024-01-01 09:50:00"), 1, "click", 0))
+      q.processAllAvailable()
+      assert(spark.table("enc").count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits first occurrence only, across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -67,6 +97,11 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("dedup").count() == 2,
         "cross-batch duplicate must be suppressed by state")
+      // redelivery with the SAME id but a refreshed ts (producer retry)
+      ms.addData(e2.copy(ts = ts("2024-01-01 00:01:30")))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2,
+        "same-id redelivery with a new ts must also be suppressed")
       ms.addData(Event(3, ts("2024-01-01 00:02:00"), 2, "click", 3.0))
       q.processAllAvailable()
       assert(spark.table("dedup").count() == 3)
