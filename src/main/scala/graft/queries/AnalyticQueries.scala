@@ -187,6 +187,106 @@ object AnalyticQueries {
         WHERE levenshtein(a.p_name, b.p_name) <= 5
         ORDER BY dist ASC, key_a ASC, key_b ASC
         LIMIT 100
+      """)),
+
+    // ------------------------------------------------------------------
+    // q39: per-group top-k via the bounded TopK Aggregator registered
+    // with functions.udaf — same semantics (and oracle) as q7's window
+    // formulation, but with a k-bounded buffer and MAP-SIDE PARTIAL
+    // MERGE instead of a full per-group sort: at most k rows per group
+    // per partition reach the shuffle, the shape that survives
+    // million-row groups. (The typed groupByKey(...).agg path plans NO
+    // partial aggregate — raw rows would shuffle — hence the udaf route;
+    // verified via the physical plan: partial_topk before the exchange.)
+    QDef(
+      "q39_topk_aggregate",
+      (s, dir) => {
+        implicit val bufEnc: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+        val topk = udaf(
+          graft.functions.TopK[(Long, Double)](3, _._2, _._1))
+        Tables(s, dir).orders
+          .groupBy(col("o_custkey"))
+          .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top"))
+          .select(col("o_custkey"),
+            posexplode(col("top")).as(Seq("pos", "row")))
+          .select(col("o_custkey"),
+            col("row._1").as("o_orderkey"),
+            col("row._2").as("o_totalprice"),
+            (col("pos") + 1).cast("int").as("rk"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rk
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders) t
+        WHERE rk <= 3
+      """)),
+
+    // ------------------------------------------------------------------
+    // q40: FULL OUTER join null semantics — daily order counts vs daily
+    // event counts; the date domains are disjoint (1995-2001 vs 2024) so
+    // both null sides are exercised; keys and measures coalesced so the
+    // output is null-free and hash-stable.
+    QDef(
+      "q40_full_outer_calendar",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val od = t.orders
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_orders"))
+        val ed = t.events
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_events"))
+        od.join(ed, Seq("day"), "full_outer")
+          .select(col("day"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"))
+      },
+      Some("""
+        SELECT COALESCE(o.day, e.day) AS day,
+               COALESCE(o.n_orders, 0) AS n_orders,
+               COALESCE(e.n_events, 0) AS n_events
+        FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS n_orders
+              FROM orders GROUP BY 1) o
+        FULL OUTER JOIN
+             (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
+              FROM events GROUP BY 1) e
+          USING (day)
+      """)),
+
+    // ------------------------------------------------------------------
+    // q41: array/collection function surface over embeddings — slice,
+    // sort, contains, element access, size — all codegen'd builtins.
+    QDef(
+      "q41_array_functions",
+      (s, dir) => {
+        Tables(s, dir).embeddings
+          .filter(col("vec_id") < 50)
+          .select(
+            col("vec_id"),
+            expr("cast(size(embedding) as bigint)").as("dim"),
+            round(expr("cast(element_at(embedding, 1) as double)"), 6)
+              .as("first_val"),
+            round(expr("cast(array_max(embedding) as double)"), 6)
+              .as("max_val"),
+            round(expr("cast(array_min(slice(embedding, 1, 8)) as double)"), 6)
+              .as("min_first8"),
+            expr("cast(size(filter(embedding, x -> x > 0)) as bigint)")
+              .as("n_positive"),
+            col("label"))
+      },
+      Some("""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+               ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+               ROUND(CAST(list_min(embedding[1:8]) AS DOUBLE), 6) AS min_first8,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+               label
+        FROM embeddings
+        WHERE vec_id < 50
       """))
   )
 }
