@@ -287,6 +287,64 @@ object AnalyticQueries {
                label
         FROM embeddings
         WHERE vec_id < 50
+      """)),
+
+    // ------------------------------------------------------------------
+    // q44: correlated scalar subquery — orders more than twice their
+    // customer's average. Exercises Catalyst's subquery decorrelation
+    // (planned as an aggregate + join, not a per-row re-scan). The inner
+    // average uses the exact-decimal pattern so the comparison threshold
+    // is bit-identical across engines.
+    QDef(
+      "q44_correlated_subquery",
+      (s, dir) => {
+        Tables(s, dir).orders.createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders o
+          WHERE o_totalprice > 2 * (
+            SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        """)
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      """)),
+
+    // ------------------------------------------------------------------
+    // q45: real JSON parsing of the props column (q14 is the regexp
+    // fallback; this is the typed path — from_json with an explicit
+    // schema, which at scale beats schema inference and stays codegen'd).
+    QDef(
+      "q45_json_parse",
+      (s, dir) => {
+        Tables(s, dir).events
+          .select(col("event_type"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .getField("k").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(col("k")).as("n_parsed"),
+            sum(col("k").cast("long")).as("sum_k"),
+            min(col("k")).cast("int").as("min_k"),
+            max(col("k")).cast("int").as("max_k"))
+      },
+      Some("""
+        SELECT event_type,
+               COUNT(k) AS n_parsed,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(MIN(k) AS INTEGER) AS min_k,
+               CAST(MAX(k) AS INTEGER) AS max_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events) t
+        GROUP BY event_type
       """))
   )
 }
