@@ -28,29 +28,22 @@ object DedupQueries {
               ELSE list_transform(range(1, len(ws) - 1),
                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END)"""
 
-  /** Distinct word 3-gram shingles as ROWS (doc_id, source, shingle).
+  /** Distinct word 3-gram shingles as ROWS (doc_id, source, shingle),
+    * via the custom [[graft.functions.Shingles]] Generator — a single
+    * scan-side pass, no shuffles.
     *
-    * Row-based on purpose: an array-valued `transform(sequence(...),
-    * i -> element_at(ws, i)...)` column gets inlined into pushed-down
-    * null-check filters by Catalyst, re-evaluating the token split per
-    * element — O(len²) per document (observed 45s+ at sf0.1). posexplode
-    * + window lead() is one shuffle keyed by doc_id and keeps every
-    * operator streaming, which is also the only shape that survives
-    * book-length documents at 100 TB (no giant in-row arrays).
+    * History of this shape (kept because both alternatives are traps):
+    * an array-valued `transform(sequence(...), i -> element_at(ws, i))`
+    * column gets inlined into pushed-down null-check filters, making the
+    * split O(len²) per document (observed 45s+ at sf0.1); the composed
+    * row formulation (posexplode + window lead + distinct) is correct
+    * but pays a window shuffle plus a distinct shuffle before dedup work
+    * begins. The Generator emits already-distinct shingles streaming.
     */
-  private def shingleRows(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+  private def shingleRows(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir).documents
       .select(col("doc_id"), col("source"),
-        posexplode(expr(W)).as(Seq("pos", "word")))
-      .select(col("doc_id"), col("source"),
-        // concat (not concat_ws) so a missing lead nulls the shingle out
-        concat(col("word"), lit(" "), lead(col("word"), 1).over(w),
-          lit(" "), lead(col("word"), 2).over(w)).as("shingle"))
-      .filter(col("shingle").isNotNull)
-      .distinct()
-  }
+        graft.functions.Shingles.shingles(col("text"), 3).as("shingle"))
 
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------
