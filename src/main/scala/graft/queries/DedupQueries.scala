@@ -83,9 +83,17 @@ object DedupQueries {
       (s, dir) => {
         // 8 minhashes as 8 MIN aggregates over shingle rows — pure
         // map-side-combinable aggregation, no per-doc arrays, no UDFs.
-        val minhashes = (0 until 8).map(j =>
-          min(md5(concat(lit(s"$j|"), col("shingle")).cast("binary")))
-            .as(s"sig_$j"))
+        // md5 is the dominant cost, so each digest yields FOUR 32-bit
+        // minhash fields (disjoint 8-hex-char substrings; fixed-width
+        // hex compares lexicographically == numerically): 2 digests per
+        // shingle instead of 8.
+        val minhashes = (0 until 8).map { j =>
+          val seed = if (j < 4) "A|" else "B|"
+          val lo = (j % 4) * 8 + 1
+          min(substring(
+            md5(concat(lit(seed), col("shingle")).cast("binary")), lo, 8))
+            .as(s"sig_$j")
+        }
         val sigs = shingleRows(s, dir)
           .groupBy(col("doc_id"), col("source"))
           .agg(minhashes.head, minhashes.tail: _*)
@@ -114,7 +122,9 @@ object DedupQueries {
         sh AS (SELECT doc_id, source, $SGDuck AS sg FROM w),
         sig AS (SELECT doc_id, source,
                   list_transform(range(0, 8),
-                    j -> list_min(list_transform(sg, s -> md5(j || '|' || s)))) AS sig
+                    j -> list_min(list_transform(sg,
+                      s -> substring(md5(CASE WHEN j < 4 THEN 'A|' ELSE 'B|' END || s),
+                                     (j % 4) * 8 + 1, 8)))) AS sig
                 FROM sh),
         bands AS (SELECT doc_id, source, sig,
                     unnest(list_transform(range(0, 4),

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.TestSpark
+import graft.functions.Shingles.shingles
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ShinglesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def run(text: String, n: Int = 3): Seq[String] = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .select(shingles(col("text"), n).as("s"))
+      .as[String].collect().toSeq
+  }
+
+  test("emits sliding word n-grams, lowercased, non-letters as separators") {
+    assert(run("The quick brown fox JUMPS") ==
+      Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+    assert(run("a-b c,d e") == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("deduplicates repeated shingles within a document") {
+    assert(run("x y z x y z x y z") ==
+      Seq("x y z", "y z x", "z x y"))
+  }
+
+  test("short and empty documents emit nothing") {
+    assert(run("only two") == Nil)
+    assert(run("") == Nil)
+    assert(run("!!! 123 ---") == Nil)
+  }
+
+  test("n parameter respected") {
+    assert(run("a b c d", n = 2) == Seq("a b", "b c", "c d"))
+    assert(run("a b c d", n = 4) == Seq("a b c d"))
+  }
+
+  test("matches the wordsExpr tokenizer contract on real documents") {
+    // generator shingle set == set derived from the shared words
+    // expression (the two must never drift — q23/q24 vs q17-q21 share it)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val viaGen = docs.select(col("doc_id"), shingles(col("text"), 3).as("s"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_set(col("s"))).as("g"))
+    val viaExpr = docs
+      .withColumn("ws", expr(graft.queries.TextQueries.wordsExpr))
+      .select(col("doc_id"), sort_array(array_distinct(expr(
+        """transform(sequence(1, size(ws) - 2),
+             i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1),
+                         ' ', element_at(ws, i + 2)))"""))).as("e"))
+    val joined = viaGen.join(viaExpr, "doc_id")
+      .filter(not(col("g") === col("e")))
+    assert(joined.count() == 0)
+  }
+}
