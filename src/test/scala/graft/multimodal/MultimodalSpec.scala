@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.TestSpark
 import graft.multimodal.Multimodal._
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
@@ -42,6 +43,28 @@ class MultimodalSpec extends AnyFunSuite {
     val r = resize(decode(media), 224, 224).collect()
     assert(r.forall(d => d.width == 224 && d.height == 224))
     assert(r.map(_.n_bytes).sum == decode(media).collect().map(_.n_bytes).sum)
+  }
+
+  test("binaryFile source feeds the decode pipeline (production ingest path)") {
+    import spark.implicits._
+    // the real ingest: opaque payloads + path metadata from the FS
+    val files = spark.read.format("binaryFile")
+      .load(graft.TestSpark.resource("books") + "/*.txt")
+      .select(col("path"), col("content"), col("length"))
+    val media = files.as[(String, Array[Byte], Long)].map {
+      case (path, bytes, _) =>
+        Multimodal.MediaRecord(
+          media_id = path.hashCode.toLong, kind = "image",
+          bytes = bytes, source = path)
+    }
+    val decoded = Multimodal.decode(media).collect()
+    assert(decoded.length == 4) // the four book fixtures
+    decoded.foreach { d =>
+      assert(d.n_bytes > 0 && (d.width, d.height) == fakeDims(d.n_bytes))
+    }
+    // payload length from the source matches what decode saw
+    val lens = files.select(col("length")).as[Long].collect().sorted
+    assert(decoded.map(_.n_bytes).sorted.sameElements(lens))
   }
 
   test("frameSample emits every stride-th 64-byte chunk of videos only") {
