@@ -10,11 +10,15 @@ import org.apache.spark.sql.SparkSession
   * timestamps admitted as longs (normalized in [[Tables.events]]).
   */
 object Sessions {
-  def local(appName: String, cores: String): SparkSession = {
+  /** `master` accepts the bare core count ("8") or a full local spec
+    * ("4,4" for maxFailures); shuffle partitions default to the core
+    * count.
+    */
+  def local(appName: String, master: String): SparkSession = {
     val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(s"local[$master]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", master.takeWhile(_ != ','))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

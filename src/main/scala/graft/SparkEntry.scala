@@ -11,7 +11,7 @@ import graft.queries.{AnalyticQueries, DedupQueries, MRQueries, MultimodalQuerie
   */
 object SparkEntry {
 
-  private def all: Seq[QDef] =
+  private lazy val all: Seq[QDef] =
     Relational.defs ++ OrderedQueries.defs ++ AnalyticQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ MRQueries.defs

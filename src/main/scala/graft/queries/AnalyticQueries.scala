@@ -215,14 +215,7 @@ object AnalyticQueries {
             col("row._2").as("o_totalprice"),
             (col("pos") + 1).cast("int").as("rk"))
       },
-      Some("""
-        SELECT o_custkey, o_orderkey, o_totalprice, rk
-        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-                     ROW_NUMBER() OVER (PARTITION BY o_custkey
-                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
-              FROM orders) t
-        WHERE rk <= 3
-      """)),
+      Some(Q.topOrdersOracle)),
 
     // ------------------------------------------------------------------
     // q40: FULL OUTER join null semantics — daily order counts vs daily

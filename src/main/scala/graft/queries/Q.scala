@@ -26,4 +26,17 @@ object Q {
   /** DuckDB restatement of [[fingerprint]]. */
   val fingerprintDuck: String =
     """md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"""
+
+  /** Shared oracle for the per-customer top-3 orders — q7 (window
+    * formulation) and q39 (bounded top-k aggregate) implement the SAME
+    * semantics; one oracle string encodes that.
+    */
+  val topOrdersOracle: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders) t
+    WHERE rk <= 3
+  """
 }

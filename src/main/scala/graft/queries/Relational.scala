@@ -208,14 +208,7 @@ object Relational {
           .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
             col("rk"))
       },
-      Some("""
-        SELECT o_custkey, o_orderkey, o_totalprice, rk
-        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-                     ROW_NUMBER() OVER (PARTITION BY o_custkey
-                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
-              FROM orders) t
-        WHERE rk <= 3
-      """)),
+      Some(Q.topOrdersOracle)),
 
     // ------------------------------------------------------------------
     // q8: global top-k — Spark plans TakeOrderedAndProject (per-partition
