@@ -19,7 +19,12 @@ object Bench {
         // noop sink: forces full materialization of every output column
         // (count() would let Spark skip column evaluation entirely).
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            // stderr, not the JSON line — a failed query must be visible,
+            // not silently reported as a fast run
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val p1 = pass()
