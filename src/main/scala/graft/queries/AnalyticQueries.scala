@@ -62,7 +62,7 @@ object AnalyticQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER run AS DOUBLE) AS running_value,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER recent AS DOUBLE)
                  / COUNT(*) OVER recent AS moving_avg3,
-               NTILE(4) OVER w AS quartile,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
                ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank
         FROM events
         WHERE user_id < 20
@@ -151,7 +151,7 @@ object AnalyticQueries {
                  ROW_NUMBER() OVER (PARTITION BY doc_id
                    ORDER BY score_r DESC, word ASC) AS rk
           FROM scored)
-        SELECT doc_id, rk, word, tf, df, score_r
+        SELECT doc_id, CAST(rk AS INTEGER) AS rk, word, tf, df, score_r
         FROM ranked WHERE rk <= 3
       """)),
 

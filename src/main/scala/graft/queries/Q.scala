@@ -32,7 +32,7 @@ object Q {
     * semantics; one oracle string encodes that.
     */
   val topOrdersOracle: String = """
-    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
     FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                  ROW_NUMBER() OVER (PARTITION BY o_custkey
                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk

@@ -74,7 +74,8 @@ object SimilarityQueries {
                  ROW_NUMBER() OVER (PARTITION BY qid
                    ORDER BY cos DESC, neighbor_id ASC) AS rk
           FROM scored)
-        SELECT qid, neighbor_id, rk, ROUND(cos, 6) AS cos_r
+        SELECT qid, neighbor_id, CAST(rk AS INTEGER) AS rk,
+               ROUND(cos, 6) AS cos_r
         FROM ranked WHERE rk <= 5
       """)),
 
@@ -129,7 +130,8 @@ object SimilarityQueries {
                  ROW_NUMBER() OVER (PARTITION BY qid
                    ORDER BY cos DESC, neighbor_id ASC) AS rk
           FROM scored)
-        SELECT qid, bucket, neighbor_id, rk, ROUND(cos, 6) AS cos_r
+        SELECT qid, bucket, neighbor_id, CAST(rk AS INTEGER) AS rk,
+               ROUND(cos, 6) AS cos_r
         FROM ranked WHERE rk <= 3
       """)),
 

@@ -48,6 +48,14 @@ def main(sf_dir, out_dir):
             print(f"[SCHEMA] {name}: spark={scols} oracle={ocols}")
             n_bad += 1
             continue
+        dt = [(c, str(sdf[c].dtype), str(odf[c].dtype)) for c in scols
+              if str(sdf[c].dtype) != str(odf[c].dtype)]
+        if dt:
+            print(f"[DTYPE] {name}: {dt}")
+            # dtype divergence is a warning-level finding (the driver may
+            # or may not compare types) — still count it as bad so it
+            # gets fixed.
+            n_bad += 1
         srows = sorted([tuple(canon(v) for v in r)
                         for r in sdf[scols].itertuples(index=False)])
         orows = sorted([tuple(canon(v) for v in r)
