@@ -338,6 +338,73 @@ object AnalyticQueries {
                      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
               FROM events) t
         GROUP BY event_type
+      """)),
+
+    // ------------------------------------------------------------------
+    // q46: explicit GROUPING SETS with grouping() markers — arbitrary
+    // aggregation lattices beyond rollup/cube's fixed shapes (q11/q31),
+    // still one expand + one shuffle.
+    QDef(
+      "q46_grouping_sets",
+      (s, dir) => {
+        Tables(s, dir).orders.createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                 COALESCE(o_orderpriority, 'ALL') AS priority,
+                 CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                 CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                  (o_orderstatus, o_orderpriority))
+        """)
+      },
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+      """)),
+
+    // ------------------------------------------------------------------
+    // q47: temporal interval self-join — for each error event, how many
+    // same-user events (any type) occurred within the preceding 5
+    // minutes. Non-equi time predicate on top of the user equi-key, so
+    // the join shuffles on user_id only; at 100 TB the standard upgrade
+    // is time-bucket blocking (join on (user, 5-min bucket) ± 1) to
+    // bound the per-key scan.
+    QDef(
+      "q47_interval_overlap",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"),
+            col("ts").as("ets"))
+        val all = ev.select(col("event_id").as("oid"),
+          col("user_id").as("ouser"), col("ts").as("ots"))
+        err.join(all,
+            col("user_id") === col("ouser") &&
+            col("oid") =!= col("error_id") &&
+            col("ots") <= col("ets") &&
+            col("ots") >= col("ets") - expr("INTERVAL 5 MINUTES"))
+          .groupBy(col("error_id"), col("user_id"))
+          .agg(count(lit(1)).as("n_nearby"))
+      },
+      Some("""
+        SELECT e.event_id AS error_id, e.user_id, COUNT(*) AS n_nearby
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        JOIN events o
+          ON o.user_id = e.user_id
+         AND o.event_id <> e.event_id
+         AND o.ts <= e.ts
+         AND o.ts >= e.ts - INTERVAL 5 MINUTE
+        GROUP BY e.event_id, e.user_id
       """))
   )
 }
