@@ -167,6 +167,82 @@ object SimilarityQueries {
         FROM scored
         ORDER BY cos_r DESC, id_a ASC, id_b ASC
         LIMIT 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // q48: IVF ANN — the other scale path next to q27's LSH. Coarse
+    // quantizer = the first 16 vectors as centroids (deterministic
+    // "training"; production swaps in k-means centroids, the plumbing is
+    // identical): every vector is assigned to its nearest centroid cell,
+    // queries probe their top-2 cells, and only those cells are scanned.
+    // On a cluster the cell id is the partition key — the corpus-wide
+    // scan becomes nprobe cell scans. All similarity math runs through
+    // the codegen'd dot_product over pre-normalized vectors.
+    QDef(
+      "q48_ann_ivf",
+      (s, dir) => {
+        val e = vectors(s, dir)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        val sims = e.join(broadcast(cents))
+          .select(col("vec_id"), col("cent_id"),
+            expr("dot_product(v, cv)").as("sim"))
+        val byVec = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cent_id").asc)
+        val ranked = sims.withColumn("rn", row_number().over(byVec))
+        val assign = ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell"))
+        val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+        val cand = probes.join(assign, "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor_id"))
+          .distinct()
+        val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
+        val n = e.select(col("vec_id").as("neighbor_id"), col("v"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        cand.join(q, "qid").join(n, "neighbor_id")
+          .select(col("qid"), col("neighbor_id"),
+            expr("dot_product(qv, v)").as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("neighbor_id"),
+            col("rk").cast("int").as("rk"), round(col("cos"), 6).as("cos_r"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+        sims AS (SELECT e.vec_id, c.cent_id,
+                   list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i])) AS sim
+                 FROM e, cents c),
+        ranked AS (SELECT vec_id, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, cent_id ASC) AS rn
+                   FROM sims),
+        assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+        probes AS (SELECT vec_id AS qid, cent_id AS cell
+                   FROM ranked WHERE rn <= 2 AND vec_id < 10),
+        cand AS (SELECT DISTINCT p.qid, a.vec_id AS neighbor_id
+                 FROM probes p JOIN assign a ON a.cell = p.cell
+                 WHERE a.vec_id <> p.qid),
+        scored AS (
+          SELECT c.qid, c.neighbor_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> qe.v[i] * ne.v[i])) AS cos
+          FROM cand c
+          JOIN e qe ON qe.vec_id = c.qid
+          JOIN e ne ON ne.vec_id = c.neighbor_id),
+        out AS (SELECT qid, neighbor_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, neighbor_id ASC) AS rk
+                FROM scored)
+        SELECT qid, neighbor_id, CAST(rk AS INTEGER) AS rk,
+               ROUND(cos, 6) AS cos_r
+        FROM out WHERE rk <= 3
       """))
   )
 }
