@@ -60,3 +60,65 @@ object Shingles {
   def shingles(text: Column, n: Int = 3): Column =
     Bridge.column(Shingles(Bridge.expression(text), n))
 }
+
+/** winnow(text, k, w): MOSS-style winnowing fingerprints as a Generator —
+  * hash every k-char gram (first 8 hex chars of md5, matching the SQL
+  * restatement `substring(md5(substring(lower(text), i, k)), 1, 8)`),
+  * emit the DISTINCT minimum of each w-gram window. Same rationale as
+  * [[Shingles]]: the composed formulation needs a 2M-row window
+  * sort+shuffle at sf0.1 (4.7s); this computes the minima in one local
+  * pass per document.
+  */
+case class Winnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType =
+    StructType(StructField("fp", StringType, nullable = false) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val text = v.asInstanceOf[UTF8String].toString.toLowerCase
+    val nGrams = text.length - k + 1
+    if (nGrams < 1) return Iterator.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[String](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      val digest = md.digest(text.substring(i, i + k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 hex chars == substring(md5hex, 1, 8)
+      val sb = new java.lang.StringBuilder(8)
+      var b = 0
+      while (b < 4) {
+        sb.append(Character.forDigit((digest(b) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(digest(b) & 0xf, 16))
+        b += 1
+      }
+      hs(i) = sb.toString
+      i += 1
+    }
+    val nWindows = nGrams - w + 1
+    if (nWindows < 1) return Iterator.empty
+    val seen = new java.util.HashSet[String]()
+    (0 until nWindows).iterator.flatMap { j =>
+      var m = hs(j)
+      var t = j + 1
+      while (t < j + w) {
+        if (hs(t).compareTo(m) < 0) m = hs(t)
+        t += 1
+      }
+      if (seen.add(m)) Iterator.single(InternalRow(UTF8String.fromString(m)))
+      else Iterator.empty
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
+object Winnow {
+  def winnow(text: Column, k: Int = 8, w: Int = 4): Column =
+    Bridge.column(Winnow(Bridge.expression(text), k, w))
+}

@@ -88,6 +88,14 @@ object TextQueries {
           .select(
             col("doc_id"),
             expr("cast(size(ws) as bigint)").as("n_tokens"),
+            // whitespace tokenization + a BPE-ish regex (letter runs,
+            // digit runs, punctuation runs — the GPT-2 pretokenizer
+            // shape), both countable identically in RE2 and Java regex
+            expr("""cast(size(filter(split(text, '\\s+'), x -> x != ''))
+                    as bigint)""").as("n_ws_tokens"),
+            expr("""cast(size(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0)) as bigint)""")
+              .as("n_bpeish_tokens"),
             expr("cast(size(array_distinct(ws)) as bigint)").as("n_distinct"),
             expr("cast(length(text) as bigint)").as("n_chars_actual"),
             expr("aggregate(ws, 0L, (a, x) -> a + length(x)) / size(ws)")
@@ -105,13 +113,18 @@ object TextQueries {
               "0.3 * (least(n_tokens, 200) / 200.0), 9)"))
       },
       Some(s"""
-        SELECT doc_id, n_tokens, n_distinct, n_chars_actual, avg_token_len,
+        SELECT doc_id, n_tokens, n_ws_tokens, n_bpeish_tokens, n_distinct,
+               n_chars_actual, avg_token_len,
                stopword_ratio, punct_ratio, ttr,
                ROUND(0.4 * stopword_ratio + 0.3 * ttr
                  + 0.3 * (LEAST(n_tokens, 200) / 200.0), 9) AS quality_score
         FROM (
           SELECT doc_id,
                  CAST(len(ws) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+                 CAST(len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS BIGINT) AS n_bpeish_tokens,
                  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
                  CAST(length(text) AS BIGINT) AS n_chars_actual,
                  CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
@@ -185,6 +198,48 @@ object TextQueries {
         SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
         FROM (SELECT doc_id, ${Q.fingerprintDuck} AS fp
               FROM documents) t
+      """)),
+
+    // ------------------------------------------------------------------
+    // q49: rolling-hash document fingerprinting (MOSS-style winnowing):
+    // hash every 8-char gram, keep each 4-gram window's minimum hash —
+    // the classic local-fingerprint scheme whose selected set is robust
+    // to insertions/reordering (unlike q21's whole-document digest).
+    // One explode + one window + one aggregation; per-doc fan-out is
+    // O(len), partial-agg shrinks it before the shuffle.
+    QDef(
+      "q49_winnowing",
+      (s, dir) => {
+        // The Winnow generator emits each doc's DISTINCT selected minima
+        // locally (no 2M-row window shuffle — see its scaladoc), so the
+        // only shuffle is the final per-doc aggregation.
+        Tables(s, dir).documents
+          .select(col("doc_id"),
+            graft.functions.Winnow.winnow(col("text"), 8, 4).as("fp"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_fp"), // rows are distinct per doc
+            min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+      },
+      Some("""
+        WITH pos AS (
+          SELECT doc_id, text,
+                 unnest(range(1, GREATEST(length(text) - 7, 1) + 1)) AS i
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i,
+                 substring(md5(substring(lower(text), i, 8)), 1, 8) AS h
+          FROM pos),
+        sel AS (
+          SELECT doc_id, i,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS n_pos
+          FROM grams)
+        SELECT doc_id, COUNT(DISTINCT fp) AS n_fp,
+               MIN(fp) AS min_fp, MAX(fp) AS max_fp
+        FROM sel
+        WHERE i <= n_pos - 3
+        GROUP BY doc_id
       """))
   )
 }
