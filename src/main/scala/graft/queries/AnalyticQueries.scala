@@ -405,6 +405,47 @@ object AnalyticQueries {
          AND o.ts <= e.ts
          AND o.ts >= e.ts - INTERVAL 5 MINUTE
         GROUP BY e.event_id, e.user_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q50: native session windows — session_window(ts, gap) assigns each
+    // event to a gap-delimited session whose end is lastEvent + gap;
+    // the same operator drives streaming sessionization without custom
+    // state. Oracle: the lag/cumsum reconstruction (split when the gap
+    // is >= 30min, matching session_window's "merge while < end").
+    QDef(
+      "q50_session_windows",
+      (s, dir) => {
+        Tables(s, dir).events
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("event_type")).as("n_types"))
+          .select(col("user_id"),
+            date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("session_start"),
+            date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("session_end"),
+            col("n_events"), col("n_types"))
+      },
+      Some("""
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                        '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_types
+        FROM (
+          SELECT user_id, ts, event_type,
+                 SUM(CASE WHEN prev_ts IS NULL
+                            OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+          FROM (SELECT user_id, ts, event_id, event_type,
+                       LAG(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_ts
+                FROM events) t1) t2
+        GROUP BY user_id, session_id
       """))
   )
 }

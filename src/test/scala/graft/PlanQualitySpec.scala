@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression net over the whole query inventory: every
+  * declared query must plan with at least one WholeStageCodegen span,
+  * and none may degrade to a cartesian/nested-loop join except the
+  * queries whose SEMANTICS are an all-pairs scan (brute-force
+  * similarity baselines) or a broadcast non-equi band join.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // all-pairs by design (q26/q33 brute-force baselines, q48's
+  // 16-centroid assignment); broadcast non-equi joins plan as
+  // BroadcastNestedLoopJoin by construction (q30 banded range, q47
+  // interval — both with a broadcast side)
+  private val nlAllowed = Set("q26_cosine_topk", "q33_embedding_neardup",
+    "q30_range_join", "q47_interval_overlap", "q48_ann_ivf")
+
+  test("every query codegens and avoids accidental nested-loop joins") {
+    // codegen wrappers only appear in the non-adaptive physical plan
+    // string (AQE annotates them per stage at execution time)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val failures = try {
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val physical = fn(spark, dir).queryExecution.executedPlan
+        val plan = physical.toString
+        val codegenSpans = physical.collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+        }
+        val errs = Seq.newBuilder[String]
+        if (codegenSpans.isEmpty)
+          errs += s"$name: no WholeStageCodegen span"
+        if (plan.contains("CartesianProduct"))
+          errs += s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") && !nlAllowed(name))
+          errs += s"$name: unexpected BroadcastNestedLoopJoin"
+        errs.result()
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
