@@ -18,21 +18,25 @@ object Bench {
         val t0 = System.nanoTime()
         // noop sink: forces full materialization of every output column
         // (count() would let Spark skip column evaluation entirely).
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
           case e: Throwable =>
-            // stderr, not the JSON line — a failed query must be visible,
-            // not silently reported as a fast run
+            // -1 sentinel in the JSON (plus stderr): a failed query must
+            // read as a FAILURE, not as a fast successful run.
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            name -> -1.0
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val p1 = pass()
     val p2 = pass()
+    // min of the two passes; any failure in either pass poisons the
+    // query's entry to the -1 sentinel.
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

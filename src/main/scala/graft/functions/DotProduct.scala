@@ -24,6 +24,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  // NULL on malformed input (length mismatch / null element) rather
+  // than a silently-truncated plausible value — so the result is
+  // nullable even when both children are not.
+  override def nullable: Boolean = true
+
   // Element types are fixed at analysis time; reading a float vector
   // with getDouble would throw deep inside the parquet reader, so both
   // float and double arrays are supported natively and anything else is
@@ -44,13 +49,18 @@ case class DotProduct(left: Expression, right: Expression)
     if (elemType(e).contains(FloatType)) a.getFloat(i).toDouble
     else a.getDouble(i)
 
+  // Mismatched lengths or a null element yield NULL — never a
+  // truncated/garbage sum (ArrayData.getDouble on a null slot returns
+  // whatever is in the backing buffer).
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += get(left, x, i) * get(right, y, i)
       i += 1
     }
@@ -66,12 +76,17 @@ case class DotProduct(left: Expression, right: Expression)
         if (elemType(e).contains(FloatType)) s"(double) $v.getFloat($i)"
         else s"$v.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${rd(left, x)} * ${rd(right, y)};
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${rd(left, x)} * ${rd(right, y)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -15,15 +15,25 @@ object AnalyticQueries {
     // q34: exact interpolated percentiles (sort-based, not sketches —
     // q32 covers the approximate path). round(…,6): the linear
     // interpolation step differs across engines by ulps.
+    //
+    // Formulated via Q.exactPercentiles (external window sort + rank
+    // interpolation), NOT the holistic `percentile` aggregate: holistic
+    // buffers every group value in one buffer — an OOM at 100 TB. Two
+    // value columns → two sorts, but both reuse the single hash exchange
+    // on l_returnflag; the final 3-row join is broadcast.
     QDef(
       "q34_percentiles",
       (s, dir) => {
-        Tables(s, dir).lineitem
-          .groupBy(col("l_returnflag"))
-          .agg(
-            round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-            round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
-            round(expr("percentile(l_quantity, 0.25)"), 6).as("q1_qty"))
+        val li = Tables(s, dir).lineitem
+        val pe = Q.exactPercentiles(li, "l_returnflag", "l_extendedprice",
+          Seq(0.5 -> "p50", 0.9 -> "p90"))
+        val pq = Q.exactPercentiles(li, "l_returnflag", "l_quantity",
+          Seq(0.25 -> "q1_qty"))
+        pe.join(pq, "l_returnflag")
+          .select(col("l_returnflag"),
+            round(col("p50"), 6).as("p50"),
+            round(col("p90"), 6).as("p90"),
+            round(col("q1_qty"), 6).as("q1_qty"))
       },
       Some("""
         SELECT l_returnflag,
@@ -123,12 +133,17 @@ object AnalyticQueries {
           .agg(count(lit(1)).as("tf"))
         val df = tokens.select(col("doc_id"), col("word")).distinct()
           .groupBy(col("word")).agg(count(lit(1)).as("df"))
-        val n = docs.count() // tiny scalar; on a cluster: countApprox or a broadcast scalar subquery
+        // Corpus size as a broadcast one-row aggregate, not docs.count():
+        // count() is a separate driver-side job (an extra scan of
+        // `documents` before the main DAG even starts); the crossJoin of a
+        // broadcast single row lets Catalyst plan everything as one DAG.
+        val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score_r").desc, col("word").asc)
         tf.join(broadcast(df), "word")
+          .crossJoin(broadcast(nDf))
           .withColumn("score_r",
-            round(col("tf") * log(lit(n.toDouble) / col("df")), 9))
+            round(col("tf") * log(col("n_docs") / col("df")), 9))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select(col("doc_id"), col("rk"), col("word"), col("tf"),

@@ -111,7 +111,10 @@ object DedupQueries {
             col("a.source") === col("b.source") &&
             col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            expr(s"($agree) / 8.0").as("est_jaccard"))
+            // 8.0D: a bare 8.0 literal parses as DECIMAL(2,1), which would
+            // make est_jaccard DECIMAL(17,6) while the oracle's len(...)/8.0
+            // is DOUBLE — identical values, different hash (round-1 red cell).
+            expr(s"cast(($agree) as double) / 8.0D").as("est_jaccard"))
           .distinct()
           .orderBy(col("est_jaccard").desc, col("doc_a").asc,
             col("doc_b").asc)

@@ -35,6 +35,15 @@ object MRQueries {
       .agg(reduce(col("key"), col("value")).as("value"))
   }
 
+  /** DuckDB restatement of WordCount.tokenize (wc.go:23-26): split on
+    * runs of non-Unicode-letters, case-PRESERVING. Deliberately not
+    * TextQueries.wordsExprDuck, which lowercases and splits on [^a-z]+ —
+    * the two only coincide on all-lowercase-ASCII text; this oracle
+    * stays faithful on any corpus.
+    */
+  private val mrWordsDuck =
+    """list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')"""
+
   val defs: Seq[QDef] = Seq(
     // wc.go semantics end-to-end: tokenize on non-letters, value is the
     // occurrence count as a decimal STRING (the reference's string-only
@@ -44,7 +53,7 @@ object MRQueries {
       (s, dir) => runApp(s, dir, WordCount),
       Some(s"""
         SELECT word AS key, CAST(COUNT(*) AS VARCHAR) AS value
-        FROM (SELECT unnest(${TextQueries.wordsExprDuck}) AS word
+        FROM (SELECT unnest($mrWordsDuck) AS word
               FROM documents) t
         GROUP BY word
       """)),
@@ -60,7 +69,7 @@ object MRQueries {
                CAST(COUNT(*) AS VARCHAR) || ' ' ||
                  string_agg(name, ',' ORDER BY name) AS value
         FROM (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS name,
-                     unnest(${TextQueries.wordsExprDuck}) AS word
+                     unnest($mrWordsDuck) AS word
               FROM documents) t
         GROUP BY word
       """))

@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -26,6 +27,51 @@ object Q {
   /** DuckDB restatement of [[fingerprint]]. */
   val fingerprintDuck: String =
     """md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"""
+
+  /** Exact interpolated percentiles via sort + window-rank interpolation.
+    *
+    * Spark's holistic `percentile` buffers EVERY group value in one
+    * aggregation buffer — at 100 TB with 3 group keys that is ~600M
+    * doubles per buffer, an OOM rather than a slowdown. This shape keeps
+    * memory bounded per task: the window sort is Spark's external
+    * (spilling) sort, row_number streams, and only the two boundary rows
+    * per percentile survive into a conditional-max aggregate.
+    *
+    * Semantics match `percentile` / DuckDB `quantile_cont`: position
+    * p*(n-1) computed in doubles, linear interpolation
+    * (ceil(pos)-pos)*v_lo + (pos-floor(pos))*v_hi.
+    *
+    * @param ps (fraction, output column name) pairs
+    * @return one row per key: key, then one double column per entry of ps
+    */
+  def exactPercentiles(df: DataFrame, key: String, valueCol: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val byVal = Window.partitionBy(col(key)).orderBy(col("v").asc)
+    val grp = Window.partitionBy(col(key))
+    val ranked = df
+      .select(col(key), col(valueCol).cast("double").as("v"))
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(grp))
+    def pos(p: Double) = s"(cast($p as double) * (n - 1))"
+    // Ties in v land on arbitrary rn among equal values, so the picked
+    // boundary VALUE is deterministic even though the rank choice isn't.
+    val picks = ps.flatMap { case (p, name) =>
+      Seq(
+        max(when(expr(s"rn = cast(floor(${pos(p)}) as bigint) + 1"),
+          col("v"))).as(s"${name}_lo"),
+        max(when(expr(s"rn = cast(ceil(${pos(p)}) as bigint) + 1"),
+          col("v"))).as(s"${name}_hi"))
+    } :+ max(col("n")).as("n")
+    val agg = ranked.groupBy(col(key)).agg(picks.head, picks.tail: _*)
+    val outs = ps.map { case (p, name) =>
+      val po = pos(p)
+      expr(
+        s"""case when floor($po) = ceil($po) then ${name}_lo
+             else (ceil($po) - $po) * ${name}_lo
+                + ($po - floor($po)) * ${name}_hi end""").as(name)
+    }
+    agg.select(col(key) +: outs: _*)
+  }
 
   /** Shared oracle for the per-customer top-3 orders — q7 (window
     * formulation) and q39 (bounded top-k aggregate) implement the SAME

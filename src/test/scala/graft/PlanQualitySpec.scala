@@ -12,12 +12,14 @@ class PlanQualitySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  // all-pairs by design (q26/q33 brute-force baselines, q48's
-  // 16-centroid assignment); broadcast non-equi joins plan as
+  // all-pairs by design (q26 brute-force baseline, q48's 16-centroid
+  // assignment); broadcast non-equi joins plan as
   // BroadcastNestedLoopJoin by construction (q30 banded range, q47
-  // interval — both with a broadcast side)
-  private val nlAllowed = Set("q26_cosine_topk", "q33_embedding_neardup",
-    "q30_range_join", "q47_interval_overlap", "q48_ann_ivf")
+  // interval — both with a broadcast side); q37's corpus-size
+  // crossJoin broadcasts exactly ONE aggregated row. q33 is NOT
+  // allowed: its LSH candidate join must stay an equi-join.
+  private val nlAllowed = Set("q26_cosine_topk",
+    "q30_range_join", "q37_tfidf", "q47_interval_overlap", "q48_ann_ivf")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

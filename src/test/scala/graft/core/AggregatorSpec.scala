@@ -51,17 +51,22 @@ class AggregatorSpec extends AnyFunSuite {
   test("dot_product registered as SQL function; codegen == interpreted") {
     val df = spark.sql(
       """SELECT dot_product(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d,
-                dot_product(array(1D), array(2D, 9D)) AS short""")
+                dot_product(array(1D), array(2D, 9D)) AS mismatched,
+                dot_product(array(1D, CAST(NULL AS DOUBLE)), array(2D, 3D))
+                  AS nullelem""")
     val r = df.collect().head
     assert(r.getDouble(0) == 32.0)
-    assert(r.getDouble(1) == 2.0) // min-length semantics
+    // malformed input → NULL, never a silently-truncated sum
+    assert(r.isNullAt(1), "length mismatch must yield NULL")
+    assert(r.isNullAt(2), "null element must yield NULL")
     // interpreted path (eval) must agree with codegen
     import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.util.ArrayData
     val lit = (xs: Seq[Double]) => Literal.create(xs,
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType))
     val e = graft.functions.DotProduct(lit(Seq(1.5, -2.0)), lit(Seq(4.0, 0.25)))
     assert(e.eval(null) == 1.5 * 4.0 + (-2.0) * 0.25)
+    val mism = graft.functions.DotProduct(lit(Seq(1.5)), lit(Seq(4.0, 0.25)))
+    assert(mism.eval(null) == null)
   }
 }

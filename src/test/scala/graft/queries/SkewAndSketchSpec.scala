@@ -36,24 +36,27 @@ class SkewAndSketchSpec extends AnyFunSuite {
   }
 
   test("sketch aggregates stay within error bounds of exact answers") {
+    // q32 now computes the bound check IN-QUERY (ok_* flags must be 1);
+    // this spec asserts the flags and independently recomputes the exact
+    // yardsticks the query claims to compare against.
+    val rows = graft.SparkEntry.queries("q32_sketches")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      assert(r.getInt(2) == 1, s"$flag HLL outside 5% of exact")
+      assert(r.getInt(4) == 1, s"$flag approx median outside 5% of exact")
+    }
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("d"),
         expr("percentile(l_extendedprice, 0.5)").as("m"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
       .toMap
-    val approx = SparkEntry_q32(dir)
-    approx.foreach { case (flag, (ad, am)) =>
-      val (ed, em) = exact(flag)
-      assert(math.abs(ad - ed).toDouble / ed < 0.1,
-        s"$flag HLL off: approx $ad vs exact $ed")
-      assert(math.abs(am - em) / em < 0.1,
-        s"$flag median off: approx $am vs exact $em")
+    rows.foreach { r =>
+      val (ed, em) = exact(r.getString(0))
+      assert(r.getLong(1) == ed, s"${r.getString(0)} exact_parts mismatch")
+      assert(math.abs(r.getDouble(3) - math.rint(em * 1e6) / 1e6) < 1e-6,
+        s"${r.getString(0)} sort-based exact median != holistic percentile")
     }
   }
-
-  private def SparkEntry_q32(d: String) =
-    graft.SparkEntry.queries("q32_sketches")(spark, d)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
-      .toMap
 }
