@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** End-to-end training-data-pipeline operators over `documents` — the
+  * stages that sit AROUND dedup/quality scoring in a real corpus build:
+  * reproducible train/held-out splitting, the C4-style cleaning funnel,
+  * and sequence-length bucketing for batch packing.
+  *
+  * Everything is a deterministic pure map or a partial-agg-friendly
+  * aggregation; the only shuffle anywhere is a groupBy on a low-cardinality
+  * derived key (split/reason/bucket), so each query's plan is a single
+  * scan + exchange that shards cleanly at 100 TB.
+  */
+object PipelineQueries {
+
+  private val W = TextQueries.wordsExpr
+  private val WDuck = TextQueries.wordsExprDuck
+
+  /** Deterministic hash split: md5 of a salted doc id, compared on the
+    * first two hex chars — 'cd' = 205/256 ≈ 80% train. String compare
+    * avoids hex→int conversion, which DuckDB cannot express portably.
+    * Reassigning a doc never depends on the rest of the corpus, so the
+    * split is stable under corpus growth — the property that matters for
+    * decontaminating held-out sets.
+    */
+  private val splitExprSpark =
+    """case when substring(md5(cast(concat('split|', cast(doc_id as string)) as binary)), 1, 2) < 'cd'
+            then 'train' else 'held_out' end"""
+  private val splitExprDuck =
+    """CASE WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+            THEN 'train' ELSE 'held_out' END"""
+
+  val defs: Seq[QDef] = Seq(
+    // ------------------------------------------------------------------
+    // q51: reproducible train/held-out split with per-(split, lang)
+    // stratification stats — the reproducibility contract is the hash,
+    // not a random seed, so any engine (or any rerun at any scale)
+    // assigns every document identically.
+    QDef(
+      "q51_train_test_split",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .withColumn("split", expr(splitExprSpark))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("cast(length(text) as bigint)")).as("n_chars"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      },
+      Some(s"""
+        SELECT split, lang, COUNT(*) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM (SELECT doc_id, lang, text, $splitExprDuck AS split
+              FROM documents) t
+        GROUP BY split, lang
+      """)),
+
+    // ------------------------------------------------------------------
+    // q52: the cleaning funnel — every document is assigned its FIRST
+    // failing stage (dup loser → too short → low quality → kept), and
+    // the funnel reports doc and token counts per outcome. This is the
+    // shape of a C4/RefinedWeb-style pipeline audit: one pass computes
+    // per-doc features (pure map), one window resolves dedup survivors,
+    // one tiny aggregation summarizes. Thresholds are corpus-tuned
+    // (tokens >= 30, stopword_ratio >= 0.02) so the quality stages are
+    // non-empty at every SF; dup_loser appears where the corpus actually
+    // has exact dups (sf0.1: 8 docs — smaller SFs have none).
+    QDef(
+      "q52_clean_funnel",
+      (s, dir) => {
+        val byFp = Window.partitionBy(col("fp"))
+        val scored = Tables(s, dir).documents
+          .withColumn("fp", Q.fingerprint(col("text")))
+          .withColumn("ws", expr(W))
+          .withColumn("n_tokens", expr("cast(size(ws) as bigint)"))
+          .withColumn("stop_ratio",
+            expr("size(filter(ws, x -> x = 'the' or x = 'a')) / size(ws)"))
+          .withColumn("keep_id", min(col("doc_id")).over(byFp))
+        val reasoned = scored.withColumn("outcome", expr(
+          """case when doc_id != keep_id then 'dup_loser'
+                  when n_tokens < 30 then 'too_short'
+                  when stop_ratio < 0.02 then 'low_quality'
+                  else 'kept' end"""))
+        reasoned
+          .groupBy(col("outcome"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("doc_id")).as("sample_doc"))
+      },
+      Some(s"""
+        WITH feat AS (
+          SELECT doc_id, ${Q.fingerprintDuck} AS fp,
+                 CAST(len(ws) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(ws, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                   / len(ws) AS stop_ratio
+          FROM (SELECT doc_id, text, $WDuck AS ws FROM documents) t0),
+        resolved AS (
+          SELECT doc_id, n_tokens, stop_ratio,
+                 MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
+          FROM feat)
+        SELECT CASE WHEN doc_id <> keep_id THEN 'dup_loser'
+                    WHEN n_tokens < 30 THEN 'too_short'
+                    WHEN stop_ratio < 0.02 THEN 'low_quality'
+                    ELSE 'kept' END AS outcome,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS sample_doc
+        FROM resolved
+        GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q53: sequence-length bucketing for batch packing — documents
+    // binned by BPE-ish token count into power-of-two context buckets;
+    // per bucket: doc count, token total, and the padding waste if each
+    // doc were padded to the bucket top. The waste column is what a
+    // packing scheduler minimizes; computing it per bucket is one pure
+    // map + one 4-row aggregation.
+    QDef(
+      "q53_length_buckets",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .withColumn("n_tok", expr(
+            """cast(size(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0)) as bigint)"""))
+          .withColumn("bucket_top", expr(
+            """cast(case when n_tok <= 16 then 16
+                         when n_tok <= 32 then 32
+                         when n_tok <= 64 then 64
+                         when n_tok <= 128 then 128
+                         else 256 end as bigint)"""))
+          .groupBy(col("bucket_top"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tokens"),
+            sum(col("bucket_top") - col("n_tok")).as("pad_waste"))
+      },
+      Some("""
+        SELECT bucket_top, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(bucket_top - n_tok) AS BIGINT) AS pad_waste
+        FROM (
+          SELECT n_tok,
+                 CAST(CASE WHEN n_tok <= 16 THEN 16
+                           WHEN n_tok <= 32 THEN 32
+                           WHEN n_tok <= 64 THEN 64
+                           WHEN n_tok <= 128 THEN 128
+                           ELSE 256 END AS BIGINT) AS bucket_top
+          FROM (SELECT CAST(len(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS n_tok
+                FROM documents) t0) t1
+        GROUP BY bucket_top
+      """))
+  )
+}

@@ -35,6 +35,18 @@ class SourcesSpec extends AnyFunSuite {
       df.collect().toSeq)
   }
 
+  test("orc sink/source round-trip preserves rows and schema") {
+    val out = TestSpark.tmpDir("orc-rt")
+    val df = wordCounts
+    df.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    // file sources surface every column nullable — compare names/types
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy(col("word")).collect().toSeq ==
+      df.collect().toSeq)
+  }
+
   test("text sink writes the reference's 'key value' line format") {
     val out = TestSpark.tmpDir("text-rt")
     wordCounts
