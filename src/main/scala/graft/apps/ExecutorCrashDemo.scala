@@ -6,14 +6,21 @@ import org.apache.spark.sql.SparkSession
   * whole WORKER PROCESS (`/root/reference/mrapps/crash.go:24`,
   * `os.Exit(1)`), while [[FaultInjected]] injects task-level
   * exceptions — same recovery semantics, smaller blast radius. This
-  * demo closes that gap: on a `local-cluster[2,2,1024]` standalone
-  * cluster (real executor JVMs, not threads), the first attempt of one
-  * partition halts its ENTIRE executor JVM (`Runtime.halt` — no
-  * shutdown hooks, exactly `os.Exit`), taking every concurrently
-  * running task on that executor with it. The standalone Worker
-  * relaunches the executor, Spark reschedules the lost tasks, and the
-  * job's result must equal the uncrashed run (C3 re-execution + C5
-  * first-finish-wins from SURVEY.md §2.2, at process blast radius).
+  * demo closes that gap on a `local-cluster[2,2,1024]` standalone
+  * cluster (real executor JVMs, not threads) with two scenarios, both
+  * of which must converge to the uncrashed result:
+  *
+  *  1. MAP-stage kill: the first attempt of one partition halts its
+  *     ENTIRE executor JVM (`Runtime.halt` — no shutdown hooks, exactly
+  *     `os.Exit`), taking every concurrently running task with it; the
+  *     Worker relaunches the executor and lost tasks reschedule (C3
+  *     re-execution + C5 first-finish-wins, SURVEY.md §2.2).
+  *  2. REDUCE-stage kill: the executor dies AFTER producing map output,
+  *     destroying its local shuffle files (the analog of the
+  *     reference's worker-local mr-* intermediates); the retried
+  *     reducer hits FetchFailed and the DAGScheduler must RESUBMIT the
+  *     already-finished map stage (C8 — re-execution of completed work
+  *     after output loss), the hardest recovery path.
   *
   * Runs as a separate main (driven by ExecutorCrashSpec via a child
   * process) because a JVM hosts at most one SparkContext and the test
@@ -38,6 +45,34 @@ object ExecutorCrashDemo {
       }
       it.map(_.toLong * 2)
     }
+  }
+
+  /** Reduce-side kill: halting an executor AFTER the map stage also
+    * destroys the shuffle files it served (local-disk shuffle, like the
+    * reference's worker-local mr-* intermediates, SURVEY.md §1.3).
+    * Recovery needs more than task retry: the retried reducer hits
+    * FetchFailed and the DAGScheduler must RESUBMIT the finished map
+    * stage (C8 — re-execution of completed work after output loss).
+    */
+  private final class CrashReducer(marker: String)
+      extends ((Int, Iterator[(Long, Long)]) => Iterator[(Long, Long)])
+      with Serializable {
+    def apply(pid: Int, it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+      if (pid == 0 && new java.io.File(marker).createNewFile()) {
+        Runtime.getRuntime.halt(1)
+      }
+      it
+    }
+  }
+
+  private final class ModKey(groups: Int)
+      extends (Int => (Long, Long)) with Serializable {
+    def apply(x: Int): (Long, Long) = (x.toLong % groups, x.toLong)
+  }
+
+  private final class SumLong
+      extends ((Long, Long) => Long) with Serializable {
+    def apply(a: Long, b: Long): Long = a + b
   }
 
   def main(args: Array[String]): Unit = {
@@ -75,23 +110,45 @@ object ExecutorCrashDemo {
     try {
       val sc = spark.sparkContext
       val n = 100000
+
+      // Scenario 1: executor killed mid-MAP (result stage) — lost
+      // running tasks reschedule onto the relaunched executor.
       val expected = (1 to n).map(_.toLong * 2).sum
       val result = sc.parallelize(1 to n, 8)
         .mapPartitionsWithIndex(new CrashThenDouble(marker))
         .collect()
         .sum
-      if (result == expected) {
-        println(s"[executor-crash] OK: $result == $expected after executor kill")
-        spark.stop()
-        sys.exit(0)
-      } else {
-        System.err.println(s"[executor-crash] MISMATCH: $result != $expected")
-        spark.stop()
-        sys.exit(2)
+      if (result != expected) {
+        System.err.println(s"[executor-crash] MAP MISMATCH: $result != $expected")
+        spark.stop(); sys.exit(2)
       }
+      println(s"[executor-crash] map-stage OK: $result == $expected")
+
+      // Scenario 2: executor killed mid-REDUCE, after its map output was
+      // produced — the retried reducer FetchFails against the dead
+      // executor's shuffle files and the map stage must be resubmitted.
+      val marker2 = marker + "-reduce"
+      val groups = 16
+      val expected2 = (1 to n).map(_.toLong).groupBy(_ % groups)
+        .view.mapValues(_.sum).values.toSeq.sorted
+      val result2 = sc.parallelize(1 to n, 8)
+        .map(new ModKey(groups))
+        .reduceByKey(new SumLong, 8)
+        .mapPartitionsWithIndex(new CrashReducer(marker2),
+          preservesPartitioning = true)
+        .values.collect().toSeq.sorted
+      if (result2 != expected2) {
+        System.err.println(s"[executor-crash] REDUCE MISMATCH: $result2")
+        spark.stop(); sys.exit(2)
+      }
+      println("[executor-crash] OK: reduce-stage kill recovered " +
+        "(map output re-executed) and map-stage kill recovered")
+      spark.stop()
+      sys.exit(0)
     } catch {
       case e: Throwable =>
         System.err.println(s"[executor-crash] FAILED: $e")
+        e.printStackTrace()
         sys.exit(2)
     }
   }

@@ -1,7 +1,6 @@
 package graft.core
 
 import org.scalatest.funsuite.AnyFunSuite
-import scala.jdk.CollectionConverters._
 
 /** Drives [[graft.apps.ExecutorCrashDemo]] in a child JVM: an executor
   * JVM is halted mid-job on a real local-cluster (process blast radius,
@@ -13,12 +12,20 @@ class ExecutorCrashSpec extends AnyFunSuite {
 
   test("executor JVM kill mid-job recovers to the uncrashed result") {
     val javaBin = s"${sys.props("java.home")}/bin/java"
-    // Reuse this JVM's --add-opens flags (Spark-on-JDK17 module opens).
-    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toSeq
-      .sliding(2).collect {
-        case Seq("--add-opens", v) => Seq("--add-opens", v)
-      }.flatten.toSeq
+    // Spark-on-JDK17 module opens for the child driver JVM. Passed
+    // explicitly (single-arg form) rather than copied from this JVM's
+    // runtime args: under sbt the pair-form flags are not reliably
+    // visible via RuntimeMXBean, and a missing java.nio open fails
+    // Kryo's HeapByteBuffer registration only once a shuffle runs.
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).map(p => s"--add-opens=$p=ALL-UNNAMED")
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx2g", "-cp", sys.props("java.class.path"),
       "graft.apps.ExecutorCrashDemo")
