@@ -13,8 +13,12 @@ object Bench {
 
     // Two passes, min per query: the first pass absorbs per-plan codegen
     // compilation; min approximates steady-state throughput.
+    // optional args: query names to bench (default: all) — dev loop aid
+    val wanted = args.toSet
     def pass(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => wanted.isEmpty || wanted(n) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink: forces full materialization of every output column
         // (count() would let Spark skip column evaluation entirely).

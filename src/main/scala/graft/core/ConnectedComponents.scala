@@ -1,0 +1,100 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star /
+  * small-star contraction (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC 2014).
+  *
+  * Naive min-label propagation needs O(diameter) rounds — the sf0.1
+  * similarity graph already has a diameter-12 component, and diameter
+  * grows with corpus size, so per-hop propagation is the wrong shape at
+  * 100 TB. Star contraction converges in O(log² n) rounds regardless of
+  * diameter; every step is one shuffle keyed by node id (a window
+  * minimum over the neighborhood), exactly the partitioning a
+  * 1000-executor cluster wants.
+  *
+  * The driver loop is control-plane only (same pattern as GraphX
+  * Pregel). Per-round cost is two jobs: two full ls∘ss alternations
+  * fuse into a single checkpointed action, a cheap scan computes the
+  * convergence fingerprint (count, Σu, Σv), and the exact fixpoint test
+  * (symmetric difference empty — a fingerprint alone could
+  * false-converge and poison the labels) is only paid on rounds whose
+  * fingerprint repeats.
+  */
+object ConnectedComponents {
+
+  /** Large-star: every node connects its strictly-larger neighbors to
+    * the minimum of its closed neighborhood. Emitted edges (v, m) keep
+    * v > u >= m, so no self-loops can appear. Output is a bag, not a
+    * set — duplicate edges never change a window MIN, so dedup is
+    * deferred to the end of the fused round (≤4× growth per round).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    und
+      .withColumn("m",
+        least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+  }
+
+  /** Small-star: orient edges high→low; every node connects itself and
+    * its smaller neighbors to the minimum of those neighbors. The
+    * (m, m) self-loop the explode emits for v = m is filtered out.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+      .select(explode(array(
+        struct(col("v").as("u"), col("m").as("v")),
+        struct(col("u").as("u"), col("m").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .where(col("u") =!= col("v"))
+  }
+
+  private def round(e: DataFrame): DataFrame =
+    smallStar(largeStar(smallStar(largeStar(e)))).distinct()
+
+  /** @param edges two columns `u`, `v` (undirected, any orientation)
+    * @return one row `(u, v)` per NON-ROOT node: u = node, v = the
+    *         minimum node id of u's component. Component minima (roots)
+    *         and isolated nodes do not appear on the u side. The result
+    *         is cached (it is both the loop fixpoint and what callers
+    *         re-execute downstream plans against).
+    */
+  def run(edges: DataFrame): DataFrame = {
+    // localCheckpoint (not persist): each round references its input ~4×,
+    // so without RDD-level lineage truncation the analyzed plan grows
+    // 4^rounds and PLANNING, not execution, dominates (observed 21 s at
+    // sf0.1 with persist vs ~2 s with checkpoint truncation).
+    var e = edges.select(col("u"), col("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    if (e.isEmpty) return e
+    var fp: Option[Seq[Any]] = None
+    var converged = false
+    var rounds = 0
+    // 25 fused rounds (50 alternations) is a safety rail only: O(log² n)
+    // bounds real convergence far below it (sf0.1 hits the fixpoint in 2
+    // fused rounds; the 3rd detects it). At test SFs the ~15 tiny
+    // control-plane jobs dominate q54's wall time — at production SF the
+    // per-round shuffles dominate and the job overhead amortizes.
+    while (!converged && rounds < 25) {
+      val next = round(e).localCheckpoint()
+      // fingerprint job is a cheap scan of the checkpointed blocks
+      val nfp = Some(next.agg(count(lit(1)), sum(col("u")), sum(col("v")))
+        .head.toSeq)
+      converged = fp == nfp &&
+        next.except(e).union(e.except(next)).isEmpty
+      e = next
+      fp = nfp
+      rounds += 1
+    }
+    require(converged, s"star contraction did not converge in $rounds rounds")
+    e
+  }
+}

@@ -45,6 +45,40 @@ object DedupQueries {
       .select(col("doc_id"), col("source"),
         graft.functions.Shingles.shingles(col("text"), 3).as("shingle"))
 
+  /** (doc_a, doc_b, jaccard) for source-blocked pairs with at least one
+    * common shingle — the sparse explode-join-count formulation shared
+    * by q24 (top-k verification) and q54 (cluster formation). Pairs with
+    * zero overlap never materialize.
+    */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ex = shingleRows(s, dir)
+      .withColumn("n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))))
+    val a = ex.alias("a")
+    val b = ex.alias("b")
+    a.join(b,
+        col("a.source") === col("b.source") &&
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("common"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("common / (n_a + n_b - common)").as("jaccard"))
+  }
+
+  /** DuckDB restatement of [[jaccardPairs]] (assumes CTEs `w` and `sh`
+    * from $WDuck / $SGDuck are in scope).
+    */
+  private val jaccardPairsDuck = """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sg, b.sg))) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sg, b.sg)) > 0"""
+
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------
     // q22: exact dedup — group by content fingerprint; keep the minimum
@@ -158,34 +192,14 @@ object DedupQueries {
     // zero overlap are never materialized.
     QDef(
       "q24_ngram_jaccard",
-      (s, dir) => {
-        val ex = shingleRows(s, dir)
-          .withColumn("n",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("doc_id"))))
-        val a = ex.alias("a")
-        val b = ex.alias("b")
-        a.join(b,
-            col("a.source") === col("b.source") &&
-            col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.n").as("n_a"), col("b.n").as("n_b"))
-          .agg(count(lit(1)).as("common"))
-          .select(col("doc_a"), col("doc_b"),
-            expr("common / (n_a + n_b - common)").as("jaccard"))
+      (s, dir) =>
+        jaccardPairs(s, dir)
           .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
-          .limit(50)
-      },
+          .limit(50),
       Some(s"""
         WITH w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
         sh AS (SELECT doc_id, source, $SGDuck AS sg FROM w)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.sg, b.sg))) AS jaccard
-        FROM sh a JOIN sh b
-          ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sg, b.sg)) > 0
+        SELECT doc_a, doc_b, jaccard FROM ($jaccardPairsDuck) jp
         ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
         LIMIT 50
       """)),
@@ -237,6 +251,62 @@ object DedupQueries {
                       FROM documents) t0) t1
           GROUP BY doc_id) t2
         """
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q54: near-dup CLUSTER formation — the step that turns pairwise
+    // similarity (q23/q24) into dedup groups. Documents whose Jaccard
+    // similarity reaches 0.02 within a source block are edges; connected
+    // components over that graph (alternating large-star/small-star —
+    // see graft.core.ConnectedComponents for the O(log²)-round scale
+    // argument) assign every doc a cluster id = the minimum doc_id of
+    // its component; singletons are their own cluster. Output is the
+    // full per-document assignment table a survivor rule consumes —
+    // n_members and is_survivor (min-id rule) included.
+    //
+    // The oracle restates components as a recursive CTE (min label over
+    // the reachability closure) — a formulation DuckDB can run exactly
+    // but which would NOT scale (the closure is O(Σ component²) rows);
+    // the star-contraction side is the 100 TB shape.
+    QDef(
+      "q54_dedup_clusters",
+      (s, dir) => {
+        val edges = jaccardPairs(s, dir)
+          .where(col("jaccard") >= 0.02)
+          .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        val assign = graft.core.ConnectedComponents.run(edges)
+          .select(col("u").as("doc_id"), col("v").as("cid"))
+        val labeled = Tables(s, dir).documents.select(col("doc_id"))
+          .join(assign, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+        val sizes = labeled.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"))
+        labeled.join(sizes, Seq("cluster_id"))
+          .select(col("doc_id"), col("cluster_id"), col("n_members"),
+            (col("doc_id") === col("cluster_id")).as("is_survivor"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
+        sh AS (SELECT doc_id, source, $SGDuck AS sg FROM w),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM ($jaccardPairsDuck) jp
+                  WHERE jaccard >= 0.02),
+        und AS (SELECT u AS src, v AS dst FROM edges
+                UNION ALL SELECT v, u FROM edges),
+        walk(node, label) AS (
+          SELECT DISTINCT src, src FROM und
+          UNION
+          SELECT u.dst, wk.label FROM walk wk JOIN und u ON u.src = wk.node),
+        comp AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        assign AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+                   FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+        SELECT a.doc_id, a.cluster_id, n.n_members,
+               a.doc_id = a.cluster_id AS is_survivor
+        FROM assign a
+        JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM assign
+              GROUP BY cluster_id) n
+          ON a.cluster_id = n.cluster_id
+      """))
   )
 }

@@ -152,6 +152,56 @@ object PipelineQueries {
                   '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS n_tok
                 FROM documents) t0) t1
         GROUP BY bucket_top
+      """)),
+
+    // ------------------------------------------------------------------
+    // q55: deterministic source-quota mixing — the Pile/Dolma-style
+    // "mix sources at target weights" stage. Each source gets a weight
+    // from its mixing config (here derived from the source id; in
+    // production a broadcast config table) and keeps its
+    // ceil(weight * n_source) lowest documents by md5 rank — a
+    // reproducible sample: no seed, no RNG, identical on any engine and
+    // at any parallelism. Weights are binary-exact fractions
+    // (0.25/0.5/0.75) so weight * n is exact in both DOUBLE and DECIMAL
+    // arithmetic and the quota can never disagree across engines.
+    //
+    // Scale: one window per source (Spark's external, spilling sort).
+    // If the exact per-source rank ever became the bottleneck, the
+    // sort-free variant keeps docs with md5 below a weight-scaled
+    // cutoff — constant-time per row, quota exact only in expectation.
+    QDef(
+      "q55_source_quota_mix",
+      (s, dir) => {
+        val bySrc = Window.partitionBy(col("source"))
+        Tables(s, dir).documents
+          .withColumn("h",
+            md5(concat(lit("mix|"), col("doc_id").cast("string"))
+              .cast("binary")))
+          .withColumn("rk", row_number()
+            .over(bySrc.orderBy(col("h").asc, col("doc_id").asc))
+            .cast("bigint"))
+          .withColumn("quota", expr(
+            """cast(ceil((case cast(substring(source, 4, 8) as int) % 3
+                            when 0 then 0.25d when 1 then 0.5d
+                            else 0.75d end)
+                         * (count(1) over (partition by source))) as bigint)"""))
+          .where(col("rk") <= col("quota"))
+          .select(col("source"), col("doc_id"), col("rk"), col("quota"))
+      },
+      Some("""
+        SELECT source, doc_id, rk, quota
+        FROM (
+          SELECT source, doc_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR)) ASC,
+                                 doc_id ASC) AS BIGINT) AS rk,
+                 CAST(CEIL((CASE CAST(substring(source, 4) AS INT) % 3
+                              WHEN 0 THEN 0.25 WHEN 1 THEN 0.5
+                              ELSE 0.75 END)
+                           * COUNT(*) OVER (PARTITION BY source)) AS BIGINT)
+                   AS quota
+          FROM documents) t
+        WHERE rk <= quota
       """))
   )
 }
