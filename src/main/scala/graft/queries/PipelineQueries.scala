@@ -202,6 +202,79 @@ object PipelineQueries {
                    AS quota
           FROM documents) t
         WHERE rk <= quota
+      """)),
+
+    // ------------------------------------------------------------------
+    // q56: held-out decontamination — the GPT-3/PaLM-style audit that a
+    // held-out document shares no 13-gram with any training document.
+    // Emits every held-out doc with its distinct-13-gram total, how many
+    // of those grams appear anywhere in train, how many train docs
+    // contribute, and the contamination ratio.
+    //
+    // Scale: the contamination join is keyed by the 13-gram itself — the
+    // natural shard key (this is exactly a distributed inverted-index
+    // probe). Shingle generation is the zero-shuffle Shingles generator;
+    // hot grams (boilerplate) are AQE-skew-split territory, and the
+    // per-doc aggregation shrinks map-side before its shuffle.
+    QDef(
+      "q56_decontamination",
+      (s, dir) => {
+        val sh = Tables(s, dir).documents
+          .withColumn("split", expr(splitExprSpark))
+          .select(col("doc_id"), col("split"),
+            graft.functions.Shingles.shingles(col("text"), 13).as("g"))
+        val held = sh.where(col("split") === "held_out")
+        val train = sh.where(col("split") === "train")
+        val hits = held.alias("h")
+          .join(train.alias("t"), col("h.g") === col("t.g"))
+          .groupBy(col("h.doc_id").as("doc_id"))
+          .agg(countDistinct(col("h.g")).as("hit_grams"),
+            countDistinct(col("t.doc_id")).as("hit_train_docs"))
+        val totals = held.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("tot")) // generator rows are distinct
+        Tables(s, dir).documents
+          .withColumn("split", expr(splitExprSpark))
+          .where(col("split") === "held_out")
+          .select(col("doc_id"))
+          .join(totals, Seq("doc_id"), "left")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("tot"), lit(0L)).as("n_shingles"),
+            coalesce(col("hit_grams"), lit(0L)).as("n_contaminated"),
+            coalesce(col("hit_train_docs"), lit(0L)).as("n_train_docs"),
+            expr("""case when coalesce(tot, 0L) = 0 then 0.0d
+                    else cast(coalesce(hit_grams, 0L) as double) / tot
+                    end""").as("contam_ratio"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, $splitExprDuck AS split, $WDuck AS ws
+                   FROM documents),
+        sh AS (SELECT doc_id, split,
+                 unnest(list_distinct(
+                   CASE WHEN len(ws) < 13 THEN []::VARCHAR[]
+                        ELSE list_transform(range(1, len(ws) - 11),
+                          i -> list_aggregate(ws[i:i+12], 'string_agg', ' '))
+                   END)) AS g
+               FROM w),
+        hits AS (SELECT h.doc_id,
+                        CAST(COUNT(DISTINCT h.g) AS BIGINT) AS hit_grams,
+                        CAST(COUNT(DISTINCT t.doc_id) AS BIGINT)
+                          AS hit_train_docs
+                 FROM sh h JOIN sh t ON h.g = t.g
+                 WHERE h.split = 'held_out' AND t.split = 'train'
+                 GROUP BY h.doc_id),
+        totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tot
+                   FROM sh WHERE split = 'held_out' GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(tot, 0) AS n_shingles,
+               COALESCE(hit_grams, 0) AS n_contaminated,
+               COALESCE(hit_train_docs, 0) AS n_train_docs,
+               CASE WHEN COALESCE(tot, 0) = 0 THEN 0.0
+                    ELSE CAST(COALESCE(hit_grams, 0) AS DOUBLE) / tot END
+                 AS contam_ratio
+        FROM (SELECT doc_id FROM w WHERE split = 'held_out') d
+        LEFT JOIN totals USING (doc_id)
+        LEFT JOIN hits USING (doc_id)
       """))
   )
 }

@@ -240,6 +240,82 @@ object TextQueries {
         FROM sel
         WHERE i <= n_pos - 3
         GROUP BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q57: Gopher-style repetition quality signals — the "remove docs
+    // that repeat themselves" filter of a production corpus pipeline:
+    // top-word fraction, top-2-gram fraction (with multiplicity, so a
+    // distinct-shingle generator can't be used), distinct-word ratio,
+    // and the repetitive flag (thresholds sit at the corpus ~p90 so the
+    // flag actually splits the data). The max aggregate keeps only the
+    // top COUNT, never the gram itself — no tie-break nondeterminism.
+    //
+    // Shape: posexplode + per-doc lead window for grams (the array
+    // formulation trips Catalyst filter-inlining — see DedupQueries),
+    // then two (doc, term)-keyed aggregations that partial-aggregate
+    // map-side; per-doc fan-out is O(len) rows, never O(len) arrays.
+    QDef(
+      "q57_repetition_stats",
+      (s, dir) => {
+        val words = Tables(s, dir).documents
+          .select(col("doc_id"), posexplode(expr(W)).as(Seq("pos", "word")))
+        val byDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos").asc)
+        val wordStats = words
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_words"), max(col("c")).as("top_w"),
+            count(lit(1)).as("n_distinct"))
+        val gramStats = words
+          .withColumn("nxt", lead(col("word"), 1).over(byDoc))
+          .where(col("nxt").isNotNull)
+          .select(col("doc_id"),
+            concat_ws(" ", col("word"), col("nxt")).as("g"))
+          .groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_g"))
+        wordStats.join(gramStats, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_words"),
+            expr("cast(top_w as double) / n_words").as("top_word_frac"),
+            expr("""case when n_grams is null then 0.0d
+                    else cast(top_g as double) / n_grams end""")
+              .as("top_2gram_frac"),
+            expr("cast(n_distinct as double) / n_words")
+              .as("distinct_ratio"),
+            expr("""cast(cast(top_w as double) / n_words > 0.14
+                      or (n_grams is not null
+                          and cast(top_g as double) / n_grams > 0.07)
+                    as int)""").as("repetitive"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, $WDuck AS ws FROM documents),
+        words AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        grams AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i+1])) AS g FROM w),
+        ws_ AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                       CAST(MAX(c) AS BIGINT) AS top_w,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct
+                FROM (SELECT doc_id, word, COUNT(*) AS c FROM words
+                      GROUP BY 1, 2) t GROUP BY 1),
+        gs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                      CAST(MAX(c) AS BIGINT) AS top_g
+               FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams
+                     GROUP BY 1, 2) t GROUP BY 1)
+        SELECT doc_id, n_words,
+               CAST(top_w AS DOUBLE) / n_words AS top_word_frac,
+               CASE WHEN n_grams IS NULL THEN 0.0
+                    ELSE CAST(top_g AS DOUBLE) / n_grams END
+                 AS top_2gram_frac,
+               CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+               CAST(CAST(top_w AS DOUBLE) / n_words > 0.14
+                      OR (n_grams IS NOT NULL
+                          AND CAST(top_g AS DOUBLE) / n_grams > 0.07)
+                    AS INT) AS repetitive
+        FROM ws_ LEFT JOIN gs USING (doc_id)
       """))
   )
 }
