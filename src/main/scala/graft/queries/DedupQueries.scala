@@ -212,8 +212,12 @@ object DedupQueries {
     QDef(
       "q25_simhash",
       (s, dir) => {
+        // (doc, word, multiplicity) pre-agg before hashing/voting — see
+        // q58's comment; votes are identical, md5 runs ~40× less often.
         val exploded = Tables(s, dir).documents
           .select(col("doc_id"), explode(expr(W)).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("c"))
           .withColumn("h", md5(col("word").cast("binary")))
         val votes = (0 until 16).map { bIdx =>
           val hexPos = bIdx / 4 + 1
@@ -221,7 +225,7 @@ object DedupQueries {
           sum(expr(
             s"""case when (shiftright(instr('0123456789abcdef',
                   substring(h, $hexPos, 1)) - 1, $bit) & 1) = 1
-                then 1 else -1 end""")).as(s"s_$bIdx")
+                then c else -c end""")).as(s"s_$bIdx")
         }
         val simhashExpr = (0 until 16)
           .map(bIdx => s"(case when s_$bIdx >= 0 then ${1L << bIdx} else 0 end)")
@@ -250,6 +254,98 @@ object DedupQueries {
                 FROM (SELECT doc_id, unnest($WDuck) AS word
                       FROM documents) t0) t1
           GROUP BY doc_id) t2
+        """
+      }),
+
+    // ------------------------------------------------------------------
+    // q58: 64-bit SimHash near-dup JOIN at scale — q25's sketch widened
+    // to 64 bits (16-bit collides wholesale on a same-vocabulary corpus:
+    // 594k "near" pairs at sf0.1 vs 299 real ones at 64-bit) and stored
+    // as FOUR 16-bit bands, which are simultaneously (a) the simhash
+    // value and (b) the pigeonhole LSH key: hamming ≤ 3 < 4 bands
+    // guarantees at least one identical band, so an equi-join on
+    // (band_idx, band_value) finds EXACTLY the pairs an all-pairs scan
+    // would — the oracle below is that brute-force restatement. The only
+    // shuffle is keyed by the band value; the 64 vote sums are one
+    // partial-agg-friendly aggregation over exploded words.
+    QDef(
+      "q58_simhash_neardup",
+      (s, dir) => {
+        // pre-aggregate to (doc, word, multiplicity) BEFORE hashing and
+        // voting: the md5 and the 64 vote cases then run once per
+        // distinct word per doc, not once per occurrence (~40× fewer
+        // rows through the expensive expressions; identical votes since
+        // Σ_occurrences ±1 = Σ_distinct ±count).
+        val exploded = Tables(s, dir).documents
+          .select(col("doc_id"), explode(expr(W)).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("h", md5(col("word").cast("binary")))
+        // vote s_k_b: band k (hex digits 4k+1..4k+4 of md5), bit b
+        val votes = (0 until 4).flatMap { k =>
+          (0 until 16).map { b =>
+            val hexPos = 4 * k + b / 4 + 1
+            sum(expr(
+              s"""case when (shiftright(instr('0123456789abcdef',
+                    substring(h, $hexPos, 1)) - 1, ${b % 4}) & 1) = 1
+                  then c else -c end""")).as(s"s_${k}_$b")
+          }
+        }
+        val bandExprs = (0 until 4).map { k =>
+          (0 until 16)
+            .map(b => s"(case when s_${k}_$b >= 0 then ${1L << b} else 0 end)")
+            .mkString("cast(", " + ", s" as bigint) as sh_$k")
+        }
+        val sh = exploded.groupBy(col("doc_id"))
+          .agg(votes.head, votes.tail: _*)
+          .selectExpr("doc_id" +: bandExprs: _*)
+        val banded = sh.withColumn("band",
+          explode(array((0 until 4).map(k =>
+            struct(lit(k).as("i"), col(s"sh_$k").as("v"))): _*)))
+        val a = banded.alias("a")
+        val b = banded.alias("b")
+        val ham = (0 until 4)
+          .map(k => s"bit_count(a.sh_$k ^ b.sh_$k)").mkString(" + ")
+        a.join(b,
+            col("a.band.i") === col("b.band.i") &&
+            col("a.band.v") === col("b.band.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .where(expr(s"($ham) <= 3"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            expr(s"cast(($ham) as int)").as("hamming"))
+          .distinct()
+          .withColumn("est_similarity",
+            expr("cast(1.0d - cast(hamming as double) / 64.0d as double)"))
+      },
+      Some {
+        val sums = (0 until 4).flatMap { k =>
+          (0 until 16).map { b =>
+            val hexPos = 4 * k + b / 4 + 1
+            s"""SUM(CASE WHEN ((strpos('0123456789abcdef',
+                  substring(h, $hexPos, 1)) - 1) >> ${b % 4}) & 1 = 1
+                THEN 1 ELSE -1 END) AS s_${k}_$b"""
+          }
+        }.mkString(",\n")
+        val bands = (0 until 4).map { k =>
+          (0 until 16)
+            .map(b => s"(CASE WHEN s_${k}_$b >= 0 THEN ${1L << b} ELSE 0 END)")
+            .mkString("CAST(", " + ", s" AS BIGINT) AS sh_$k")
+        }.mkString(", ")
+        val ham = (0 until 4)
+          .map(k => s"bit_count(xor(a.sh_$k, b.sh_$k))").mkString(" + ")
+        s"""
+        WITH v AS (SELECT doc_id, $sums
+                   FROM (SELECT doc_id, md5(word) AS h
+                         FROM (SELECT doc_id, unnest($WDuck) AS word
+                               FROM documents) t0) t1
+                   GROUP BY doc_id),
+        sh AS (SELECT doc_id, $bands FROM v)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST($ham AS INT) AS hamming,
+               CAST(1.0 - CAST($ham AS DOUBLE) / 64.0 AS DOUBLE)
+                 AS est_similarity
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE ($ham) <= 3
         """
       }),
 
