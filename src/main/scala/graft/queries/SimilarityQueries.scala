@@ -287,6 +287,91 @@ object SimilarityQueries {
         SELECT qid, neighbor_id, CAST(rk AS INTEGER) AS rk,
                ROUND(cos, 6) AS cos_r
         FROM out WHERE rk <= 3
+      """)),
+
+    // ------------------------------------------------------------------
+    // q59: SemDeDup-style semantic dedup (Abbas et al. 2023): assign
+    // every embedding to its IVF cell (q48's coarse quantizer), compute
+    // pairwise cosine ONLY within cells, and drop any vector that has a
+    // smaller-id ε-neighbor in its cell — the pragmatic greedy survivor
+    // rule (transitive grouping is q54's connected components applied to
+    // these edges). ε = 0.4 is corpus-tuned: the synthetic embeddings
+    // have no true near-dups (max cos ≈ 0.53), so a production 0.9+
+    // threshold would make keep/drop trivial. Cosines are rounded to 9
+    // digits BEFORE thresholding so a 1-ulp fold-order difference can
+    // never flip ε-membership across engines.
+    //
+    // Scale: the cell id bounds the quadratic blast radius and is the
+    // shuffle key — exactly the SemDeDup design point (cluster first so
+    // pairwise work is per-cell, never corpus-wide).
+    QDef(
+      "q59_semantic_dedup",
+      (s, dir) => {
+        val e = vectors(s, dir)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        val byVec = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cent_id").asc)
+        val assign = e.join(broadcast(cents))
+          .select(col("vec_id"), col("cent_id"), col("v"),
+            expr("dot_product(v, cv)").as("sim"))
+          .withColumn("rn", row_number().over(byVec))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+        val a = assign.alias("a")
+        val b = assign.alias("b")
+        val pairs = a.join(b,
+            col("a.cell") === col("b.cell") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+            expr("round(dot_product(a.v, b.v), 9)").as("cos9"))
+          .where(col("cos9") >= 0.4)
+        val neighbors = pairs
+          .select(col("ia").as("vec_id"), col("ib").as("nb"), col("cos9"))
+          .union(pairs.select(col("ib"), col("ia"), col("cos9")))
+        val stats = neighbors.groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n_near"), min(col("nb")).as("min_nb"),
+            max(col("cos9")).as("max_cos"))
+        assign.select(col("vec_id"), col("cell"))
+          .join(stats, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("n_near"), lit(0L)).as("n_near"),
+            expr("""cast(case when min_nb is null or min_nb > vec_id
+                         then 1 else 0 end as int)""").as("keep"),
+            coalesce(round(col("max_cos"), 6), lit(0.0d)).as("max_cos_r"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+        sims AS (SELECT e.vec_id, c.cent_id, e.v,
+                   list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i])) AS sim
+                 FROM e, cents c),
+        assign AS (SELECT vec_id, cent_id AS cell, v FROM (
+                     SELECT vec_id, cent_id, v,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY sim DESC, cent_id ASC) AS rn
+                     FROM sims) t WHERE rn = 1),
+        pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                    ROUND(list_sum(list_transform(range(1, 65),
+                      i -> a.v[i] * b.v[i])), 9) AS cos9
+                  FROM assign a JOIN assign b
+                    ON a.cell = b.cell AND a.vec_id < b.vec_id
+                  WHERE ROUND(list_sum(list_transform(range(1, 65),
+                      i -> a.v[i] * b.v[i])), 9) >= 0.4),
+        neighbors AS (SELECT ia AS vec_id, ib AS nb, cos9 FROM pairs
+                      UNION ALL SELECT ib, ia, cos9 FROM pairs),
+        stats AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_near,
+                         MIN(nb) AS min_nb, MAX(cos9) AS max_cos
+                  FROM neighbors GROUP BY vec_id)
+        SELECT a.vec_id, a.cell,
+               COALESCE(n_near, 0) AS n_near,
+               CAST(CASE WHEN min_nb IS NULL OR min_nb > a.vec_id
+                    THEN 1 ELSE 0 END AS INT) AS keep,
+               COALESCE(ROUND(max_cos, 6), 0.0) AS max_cos_r
+        FROM assign a LEFT JOIN stats ON stats.vec_id = a.vec_id
       """))
   )
 }

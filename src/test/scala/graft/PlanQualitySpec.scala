@@ -18,8 +18,10 @@ class PlanQualitySpec extends AnyFunSuite {
   // interval — both with a broadcast side); q37's corpus-size
   // crossJoin broadcasts exactly ONE aggregated row. q33 is NOT
   // allowed: its LSH candidate join must stay an equi-join.
+  // q59's centroid assignment broadcasts the same 16-row table as q48.
   private val nlAllowed = Set("q26_cosine_topk",
-    "q30_range_join", "q37_tfidf", "q47_interval_overlap", "q48_ann_ivf")
+    "q30_range_join", "q37_tfidf", "q47_interval_overlap", "q48_ann_ivf",
+    "q59_semantic_dedup")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan
