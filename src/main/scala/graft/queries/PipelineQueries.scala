@@ -275,6 +275,59 @@ object PipelineQueries {
         FROM (SELECT doc_id FROM w WHERE split = 'held_out') d
         LEFT JOIN totals USING (doc_id)
         LEFT JOIN hits USING (doc_id)
+      """)),
+
+    // ------------------------------------------------------------------
+    // q60: the corpus build, end to end, as ONE DAG — what a nightly
+    // pipeline run actually executes: per-doc features (pure map) →
+    // exact-dedup survivor resolution (one window) → cleaning funnel →
+    // deterministic train/held-out split → per-(split, lang) corpus
+    // report. Composes q52's funnel, q22's survivor rule, and q51's
+    // split; a single scan feeds everything, and the only shuffles are
+    // the fingerprint window and the final low-cardinality aggregation.
+    QDef(
+      "q60_corpus_build",
+      (s, dir) => {
+        val byFp = Window.partitionBy(col("fp"))
+        val kept = Tables(s, dir).documents
+          .withColumn("fp", Q.fingerprint(col("text")))
+          .withColumn("ws", expr(W))
+          .withColumn("n_tokens", expr("cast(size(ws) as bigint)"))
+          .withColumn("stop_ratio",
+            expr("size(filter(ws, x -> x = 'the' or x = 'a')) / size(ws)"))
+          .withColumn("keep_id", min(col("doc_id")).over(byFp))
+          .where(col("doc_id") === col("keep_id") &&
+            col("n_tokens") >= 30 && col("stop_ratio") >= 0.02)
+        kept
+          .withColumn("split", expr(splitExprSpark))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            countDistinct(col("source")).as("n_sources"),
+            min(col("doc_id")).as("min_doc"))
+      },
+      Some(s"""
+        WITH feat AS (
+          SELECT doc_id, lang, source,
+                 ${Q.fingerprintDuck} AS fp,
+                 CAST(len(ws) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(ws, x -> x = 'the' OR x = 'a'))
+                      AS DOUBLE) / len(ws) AS stop_ratio
+          FROM (SELECT doc_id, lang, source, text, $WDuck AS ws
+                FROM documents) t0),
+        kept AS (
+          SELECT * FROM (
+            SELECT doc_id, lang, source, n_tokens, stop_ratio,
+                   MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
+            FROM feat) t
+          WHERE doc_id = keep_id AND n_tokens >= 30 AND stop_ratio >= 0.02)
+        SELECT $splitExprDuck AS split, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               MIN(doc_id) AS min_doc
+        FROM kept
+        GROUP BY 1, 2
       """))
   )
 }
