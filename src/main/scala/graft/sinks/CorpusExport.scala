@@ -1,0 +1,59 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned corpus export — the write side of the training-data
+  * pipeline (the read side is `graft.Tables`; the reference's only sink
+  * is the per-shard text file, `/root/reference/mr/worker.go:182-199`).
+  *
+  * Layout contract:
+  *   - hive-style directories `split=…/lang=…` so any reader
+  *     partition-prunes on the two standard downstream predicates
+  *     ("train only", "one language");
+  *   - `maxRecordsPerFile` bounds shard size, so one giant language
+  *     cannot produce an unsplittable file at 100 TB;
+  *   - rows inside each file are sorted by doc_id
+  *     (`sortWithinPartitions`), which keeps parquet min/max row-group
+  *     stats tight for doc_id range scans and makes file contents
+  *     deterministic for a fixed partitioning.
+  *
+  * The returned manifest is computed by READING BACK what was written —
+  * it is the export's receipt, not an echo of the input.
+  */
+object CorpusExport {
+
+  def export(docs: DataFrame, outDir: String,
+      maxRecordsPerFile: Int = 100000): DataFrame = {
+    docs
+      .repartition(col("split"), col("lang"))
+      .sortWithinPartitions(col("doc_id"))
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("split", "lang")
+      .mode("overwrite")
+      .parquet(outDir)
+    manifest(docs.sparkSession, outDir)
+  }
+
+  /** One row per (split, lang) partition of an exported corpus:
+    * doc/token counts plus file count and bytes from the filesystem.
+    */
+  def manifest(spark: SparkSession, outDir: String): DataFrame = {
+    val stats = spark.read.parquet(outDir)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("cast(length(text) as bigint)")).as("n_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .load(outDir)
+      .select(col("path"), col("length"),
+        regexp_extract(col("path"), "split=([^/]+)", 1).as("split"),
+        regexp_extract(col("path"), "lang=([^/]+)", 1).as("lang"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_files"), sum(col("length")).as("n_bytes"))
+    stats.join(files, Seq("split", "lang"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.sinks
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusExportSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("export lays out split=/lang= partitions and the manifest is a receipt") {
+    val out = TestSpark.tmpDir("corpus-export")
+    val docs = Tables(spark, dir).documents
+      .withColumn("split", expr(
+        """case when substring(md5(cast(concat('split|',
+             cast(doc_id as string)) as binary)), 1, 2) < 'cd'
+           then 'train' else 'held_out' end"""))
+    val manifest = CorpusExport.export(docs, out).cache()
+
+    // hive layout on disk
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("split=train", "split=held_out"))
+
+    // the receipt matches an independent recount of the INPUT
+    val want = docs.groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = manifest.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(6), r.getLong(7))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (nDocs, nFiles, nBytes)) =>
+      assert(nDocs == want(k), s"docs for $k")
+      assert(nFiles >= 1 && nBytes > 0, s"files for $k")
+    }
+
+    // a split+lang predicate prunes to ONE partition's files at scan
+    val k = want.keySet.head
+    val pruned = spark.read.parquet(out)
+      .where(col("split") === k._1 && col("lang") === k._2)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty)
+    val seen = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .map(d => (d.values.getString(0), d.values.getString(1))).toSet
+    assert(seen == Set(k), s"pruned listing saw partitions $seen")
+    assert(pruned.count() == want(k))
+    manifest.unpersist()
+  }
+}
