@@ -31,5 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "dot_product takes exactly two arguments")
         graft.functions.DotProduct(children.head, children(1))
       }))
+    // scale guard: holistic percentile → bounded sort-based plan
+    ext.injectOptimizerRule(_ => graft.plans.ScaleSafePercentiles)
   }
 }

@@ -1,0 +1,91 @@
+package graft.plans
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The percentile scale guard: identical answers to the holistic
+  * aggregate (obtained by excluding the rule), no `Percentile` left in
+  * the optimized plan, and exact null semantics.
+  */
+class ScaleSafePercentilesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val excludeConf = "spark.sql.optimizer.excludedRules"
+
+  private def holistic[A](body: => A): A = {
+    spark.conf.set(excludeConf, ScaleSafePercentiles.getClass.getName
+      .stripSuffix("$"))
+    try body finally spark.conf.unset(excludeConf)
+  }
+
+  private def hasPercentile(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists(
+      _.expressions.exists(_.exists(_.isInstanceOf[Percentile])))
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().toSet[org.apache.spark.sql.Row].map(_.toSeq.map {
+      case d: Double => math.round(d * 1e9) / 1e9
+      case x => x
+    })
+
+  test("grouped percentiles match the holistic plan and drop the buffer") {
+    val sql = """SELECT l_returnflag,
+                   percentile(l_quantity, 0.5D) AS p50,
+                   percentile(l_quantity, 0.95D) AS p95,
+                   percentile(l_extendedprice, 0.25D) AS price_p25
+                 FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`
+                 GROUP BY l_returnflag"""
+    val rewritten = spark.sql(sql)
+    assert(!hasPercentile(rewritten), "rule must remove the holistic agg")
+    assert(rewritten.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]))
+    val expected = holistic {
+      val df = spark.sql(sql)
+      assert(hasPercentile(df), "exclusion must restore the holistic agg")
+      rows(df)
+    }
+    assert(rows(rewritten) == expected)
+  }
+
+  test("global aggregate (no GROUP BY) matches") {
+    val sql = """SELECT percentile(l_tax, 0.5D) AS p50
+                 FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`"""
+    val rewritten = spark.sql(sql)
+    assert(!hasPercentile(rewritten))
+    assert(rows(rewritten) == holistic(rows(spark.sql(sql))))
+  }
+
+  test("null values are skipped; all-null groups yield null") {
+    import spark.implicits._
+    Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", null), ("a", 3.0), ("a", 2.0),
+      ("b", null), ("b", null),
+      ("c", 7.0))
+      .toDF("k", "x").createOrReplaceTempView("pctl_nulls")
+    val sql = """SELECT k, percentile(x, 0.5D) AS p50 FROM pctl_nulls
+                 GROUP BY k"""
+    val rewritten = spark.sql(sql)
+    assert(!hasPercentile(rewritten))
+    assert(rows(rewritten) ==
+      Set(Seq("a", 2.0), Seq("b", null), Seq("c", 7.0)))
+    assert(rows(rewritten) == holistic(rows(spark.sql(sql))))
+  }
+
+  test("out-of-scope shapes keep the holistic aggregate") {
+    // mixed with a non-percentile aggregate → bail out
+    val mixed = spark.sql(
+      """SELECT l_returnflag, percentile(l_quantity, 0.5D) AS p50,
+           sum(l_quantity) AS s
+         FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`
+         GROUP BY l_returnflag""")
+    assert(hasPercentile(mixed))
+    // array of fractions → bail out
+    val arr = spark.sql(
+      """SELECT percentile(l_quantity, array(0.5D, 0.9D)) AS ps
+         FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`""")
+    assert(hasPercentile(arr))
+    // both still answer correctly
+    assert(mixed.count() > 0 && arr.count() == 1)
+  }
+}
