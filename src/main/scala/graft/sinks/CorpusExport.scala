@@ -25,16 +25,24 @@ object CorpusExport {
 
   def export(docs: DataFrame, outDir: String,
       maxRecordsPerFile: Int = 100000): DataFrame = {
+    write(docs, outDir, "overwrite", maxRecordsPerFile)
+    manifest(docs.sparkSession, outDir)
+  }
+
+  /** The bare partitioned write ("append" mode is what the streaming
+    * foreachBatch bridge uses — each micro-batch adds files under the
+    * same hive tree).
+    */
+  def write(docs: DataFrame, outDir: String, mode: String,
+      maxRecordsPerFile: Int = 100000): Unit =
     docs
       .repartition(col("split"), col("lang"))
       .sortWithinPartitions(col("doc_id"))
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy("split", "lang")
-      .mode("overwrite")
+      .mode(mode)
       .parquet(outDir)
-    manifest(docs.sparkSession, outDir)
-  }
 
   /** One row per (split, lang) partition of an exported corpus:
     * doc/token counts plus file count and bytes from the filesystem.

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+// top-level: a nested case class would capture the suite as an outer
+// pointer and break encoder codegen
+case class StreamedDoc(doc_id: Long, text: String, lang: String,
+    source: String, ingest_ts: Timestamp)
+
+class CorpusStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // 30+ tokens with enough stopwords to clear the q52 thresholds
+  private val goodText =
+    ("the quick brown fox jumps over a lazy dog and then " * 4).trim
+
+  test("streaming ingest dedups across batches and appends partitions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val out = TestSpark.tmpDir("stream-corpus")
+    val ms = MemoryStream[StreamedDoc]
+    val q = CorpusStreaming
+      .exportSink(CorpusStreaming.cleanStream(ms.toDF()), out)
+      .option("checkpointLocation", TestSpark.tmpDir("stream-corpus-ckpt"))
+      .start()
+    try {
+      // batch 1: one keeper, one too-short reject
+      ms.addData(
+        StreamedDoc(1L, goodText, "en", "src0", ts("2024-01-01 00:00:00")),
+        StreamedDoc(2L, "too short", "en", "src0", ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      // batch 2: exact dup of doc 1 (different id, same content) must be
+      // dropped by cross-batch fingerprint STATE, plus a new keeper
+      ms.addData(
+        StreamedDoc(3L, goodText, "de", "src1", ts("2024-01-01 00:10:00")),
+        StreamedDoc(4L, goodText + " extra unique tail words here now",
+          "de", "src1", ts("2024-01-01 00:11:00")))
+      q.processAllAvailable()
+
+      val got = spark.read.parquet(out)
+      assert(got.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+      // layout: split dirs exist and carry lang subdirs
+      val dirs = new java.io.File(out).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs.forall(_.startsWith("split=")) && dirs.nonEmpty)
+      // survivors carry the deterministic split + token count
+      assert(got.where(col("n_tokens") < 30).isEmpty)
+      assert(got.select("split").as[String].collect()
+        .forall(s => s == "train" || s == "held_out"))
+    } finally q.stop()
+  }
+}
