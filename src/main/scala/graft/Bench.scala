@@ -13,8 +13,13 @@ object Bench {
 
     // Two passes, min per query: the first pass absorbs per-plan codegen
     // compilation; min approximates steady-state throughput.
-    // optional args: query names to bench (default: all) — dev loop aid
+    // optional args: query names to bench (default: all) — dev loop aid.
+    // Unknown names fail loudly: an empty filter would print a
+    // success-looking zero-total line (the invisible-failure mode the
+    // -1 sentinel exists to prevent).
     val wanted = args.toSet
+    val unknown = wanted -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     def pass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => wanted.isEmpty || wanted(n) }

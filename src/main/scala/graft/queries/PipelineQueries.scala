@@ -25,13 +25,25 @@ object PipelineQueries {
     * Reassigning a doc never depends on the rest of the corpus, so the
     * split is stable under corpus growth — the property that matters for
     * decontaminating held-out sets.
+    *
+    * Public: `CorpusStreaming` and the export specs consume the SAME
+    * expression — a drifted copy would silently desynchronize the
+    * streaming twin from the batch split.
     */
-  private val splitExprSpark =
+  val splitExprSpark =
     """case when substring(md5(cast(concat('split|', cast(doc_id as string)) as binary)), 1, 2) < 'cd'
             then 'train' else 'held_out' end"""
-  private val splitExprDuck =
+  val splitExprDuck =
     """CASE WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
             THEN 'train' ELSE 'held_out' END"""
+
+  /** The cleaning-funnel feature thresholds, shared by q52, q60, and
+    * the streaming funnel — one definition so corpus tuning can't fork.
+    */
+  val minTokens = 30L
+  val minStopRatio = 0.02
+  val stopRatioExprSpark =
+    "size(filter(ws, x -> x = 'the' or x = 'a')) / size(ws)"
 
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------
@@ -76,13 +88,12 @@ object PipelineQueries {
           .withColumn("fp", Q.fingerprint(col("text")))
           .withColumn("ws", expr(W))
           .withColumn("n_tokens", expr("cast(size(ws) as bigint)"))
-          .withColumn("stop_ratio",
-            expr("size(filter(ws, x -> x = 'the' or x = 'a')) / size(ws)"))
+          .withColumn("stop_ratio", expr(stopRatioExprSpark))
           .withColumn("keep_id", min(col("doc_id")).over(byFp))
         val reasoned = scored.withColumn("outcome", expr(
-          """case when doc_id != keep_id then 'dup_loser'
-                  when n_tokens < 30 then 'too_short'
-                  when stop_ratio < 0.02 then 'low_quality'
+          s"""case when doc_id != keep_id then 'dup_loser'
+                  when n_tokens < $minTokens then 'too_short'
+                  when stop_ratio < $minStopRatio then 'low_quality'
                   else 'kept' end"""))
         reasoned
           .groupBy(col("outcome"))
@@ -135,12 +146,16 @@ object PipelineQueries {
           .groupBy(col("bucket_top"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tok")).as("total_tokens"),
-            sum(col("bucket_top") - col("n_tok")).as("pad_waste"))
+            // overflow docs (n_tok > 256) get truncated, not padded —
+            // clamp so they can't contribute NEGATIVE waste
+            sum(greatest(col("bucket_top") - col("n_tok"), lit(0L)))
+              .as("pad_waste"))
       },
       Some("""
         SELECT bucket_top, COUNT(*) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-               CAST(SUM(bucket_top - n_tok) AS BIGINT) AS pad_waste
+               CAST(SUM(GREATEST(bucket_top - n_tok, 0)) AS BIGINT)
+                 AS pad_waste
         FROM (
           SELECT n_tok,
                  CAST(CASE WHEN n_tok <= 16 THEN 16
@@ -293,18 +308,23 @@ object PipelineQueries {
           .withColumn("fp", Q.fingerprint(col("text")))
           .withColumn("ws", expr(W))
           .withColumn("n_tokens", expr("cast(size(ws) as bigint)"))
-          .withColumn("stop_ratio",
-            expr("size(filter(ws, x -> x = 'the' or x = 'a')) / size(ws)"))
+          .withColumn("stop_ratio", expr(stopRatioExprSpark))
           .withColumn("keep_id", min(col("doc_id")).over(byFp))
           .where(col("doc_id") === col("keep_id") &&
-            col("n_tokens") >= 30 && col("stop_ratio") >= 0.02)
-        kept
+            col("n_tokens") >= minTokens && col("stop_ratio") >= minStopRatio)
           .withColumn("split", expr(splitExprSpark))
-          .groupBy(col("split"), col("lang"))
+        // distinct agg kept SEPARATE from the plain aggregates: mixing
+        // them plans an Expand that duplicates every input row per
+        // aggregate family (the q32 lesson); the rejoin is tiny.
+        val plain = kept.groupBy(col("split"), col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("n_tokens"),
-            countDistinct(col("source")).as("n_sources"),
             min(col("doc_id")).as("min_doc"))
+        val srcs = kept.groupBy(col("split"), col("lang"))
+          .agg(countDistinct(col("source")).as("n_sources"))
+        plain.join(srcs, Seq("split", "lang"))
+          .select(col("split"), col("lang"), col("n_docs"),
+            col("n_tokens"), col("n_sources"), col("min_doc"))
       },
       Some(s"""
         WITH feat AS (

@@ -46,12 +46,16 @@ object Q {
     */
   def exactPercentiles(df: DataFrame, key: String, valueCol: String,
       ps: Seq[(Double, String)]): DataFrame = {
-    val byVal = Window.partitionBy(col(key)).orderBy(col("v").asc)
+    // nulls sort LAST and n counts only non-null values, matching
+    // percentile/quantile_cont's skip-nulls contract (nulls-first +
+    // count(*) would shift every rank and pick the null row for low
+    // fractions); same fix as plans.ScaleSafePercentiles
+    val byVal = Window.partitionBy(col(key)).orderBy(col("v").asc_nulls_last)
     val grp = Window.partitionBy(col(key))
     val ranked = df
       .select(col(key), col(valueCol).cast("double").as("v"))
       .withColumn("rn", row_number().over(byVal))
-      .withColumn("n", count(lit(1)).over(grp))
+      .withColumn("n", count(col("v")).over(grp))
     def pos(p: Double) = s"(cast($p as double) * (n - 1))"
     // Ties in v land on arbitrary rn among equal values, so the picked
     // boundary VALUE is deterministic even though the rank choice isn't.

@@ -40,6 +40,30 @@ object SimilarityQueries {
                          (a, y) -> a + cast(y as double) * cast(y as double))))""")
           .as("v"))
 
+  /** IVF coarse-quantizer assignment shared by q48 and q59: the first
+    * `k` vectors are the (deterministic) centroids; every vector joins
+    * the broadcast centroid table and keeps its best cell by
+    * (sim desc, cent_id asc). One definition so the two queries can
+    * never quantize differently.
+    *
+    * @return (vec_id, cell, v) — plus rank 1..k in `ranked` form for
+    *         callers that probe multiple cells
+    */
+  private def ivfRanked(e: org.apache.spark.sql.DataFrame, k: Int) = {
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    e.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), col("v"),
+        expr("dot_product(v, cv)").as("sim"))
+      .withColumn("rn", row_number().over(byVec))
+  }
+
+  private def ivfAssign(e: org.apache.spark.sql.DataFrame, k: Int) =
+    ivfRanked(e, k).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------
     // q26: brute-force cosine top-5 for the first 10 vectors as queries.
@@ -226,14 +250,7 @@ object SimilarityQueries {
       "q48_ann_ivf",
       (s, dir) => {
         val e = vectors(s, dir)
-        val cents = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-        val sims = e.join(broadcast(cents))
-          .select(col("vec_id"), col("cent_id"),
-            expr("dot_product(v, cv)").as("sim"))
-        val byVec = Window.partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("cent_id").asc)
-        val ranked = sims.withColumn("rn", row_number().over(byVec))
+        val ranked = ivfRanked(e, 16)
         val assign = ranked.filter(col("rn") === 1)
           .select(col("vec_id"), col("cent_id").as("cell"))
         val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)
@@ -307,17 +324,7 @@ object SimilarityQueries {
     QDef(
       "q59_semantic_dedup",
       (s, dir) => {
-        val e = vectors(s, dir)
-        val cents = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-        val byVec = Window.partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("cent_id").asc)
-        val assign = e.join(broadcast(cents))
-          .select(col("vec_id"), col("cent_id"), col("v"),
-            expr("dot_product(v, cv)").as("sim"))
-          .withColumn("rn", row_number().over(byVec))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+        val assign = ivfAssign(vectors(s, dir), 16)
         val a = assign.alias("a")
         val b = assign.alias("b")
         val pairs = a.join(b,

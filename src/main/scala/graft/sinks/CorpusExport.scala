@@ -37,7 +37,10 @@ object CorpusExport {
       maxRecordsPerFile: Int = 100000): Unit =
     docs
       .repartition(col("split"), col("lang"))
-      .sortWithinPartitions(col("doc_id"))
+      // the partition columns MUST lead the sort: the file writer
+      // requires child ordering by (split, lang), so a bare doc_id sort
+      // would be buried under a planner-inserted sort and eliminated
+      .sortWithinPartitions(col("split"), col("lang"), col("doc_id"))
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy("split", "lang")

@@ -26,33 +26,36 @@ object CorpusStreaming {
     * window, because the stream has no fixed corpus to rank), then the
     * q52 quality thresholds apply, then the q51 split is attached.
     */
-  def cleanStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+  def cleanStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    import graft.queries.PipelineQueries.{minStopRatio, minTokens,
+      splitExprSpark, stopRatioExprSpark}
     docs
       .withColumn("fp", graft.queries.Q.fingerprint(col("text")))
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("fp"))
       .withColumn("ws", expr(graft.queries.TextQueries.wordsExpr))
       .withColumn("n_tokens", expr("cast(size(ws) as bigint)"))
-      .withColumn("stop_ratio",
-        expr("size(filter(ws, x -> x = 'the' or x = 'a')) / size(ws)"))
-      .where(col("n_tokens") >= 30 && col("stop_ratio") >= 0.02)
-      .withColumn("split", expr(
-        """case when substring(md5(cast(concat('split|',
-             cast(doc_id as string)) as binary)), 1, 2) < 'cd'
-           then 'train' else 'held_out' end"""))
+      .withColumn("stop_ratio", expr(stopRatioExprSpark))
+      .where(col("n_tokens") >= minTokens && col("stop_ratio") >= minStopRatio)
+      .withColumn("split", expr(splitExprSpark))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_tokens"), col("split"))
+  }
 
-  /** Append each micro-batch to the hive-partitioned corpus tree via
-    * the batch export sink (same layout contract as [[CorpusExport]]).
-    * foreachBatch is the canonical streaming→batch-sink bridge: the
-    * batch DataFrame reuses the full batch writer, and the partitioned
-    * append is idempotent per (batch, file) under retries.
+  /** Append each micro-batch to the partitioned corpus tree via the
+    * batch export sink (same layout contract as [[CorpusExport]], with
+    * `batch=<id>` as the leading partition directory). foreachBatch is
+    * at-least-once — a replayed micro-batch would duplicate rows under
+    * a plain append — so each batch OVERWRITES its own batch-scoped
+    * subtree: replay rewrites the same `batch=<id>/split=…/lang=…`
+    * directories instead of adding a second copy, making the commit
+    * idempotent. Readers see batch/split/lang as ordinary hive
+    * partition columns on one recursive read.
     */
   def exportSink(clean: DataFrame, outDir: String): DataStreamWriter[Row] =
     clean.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        CorpusExport.write(batch, outDir, mode = "append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        CorpusExport.write(batch, s"$outDir/batch=$id", mode = "overwrite")
       }
 }

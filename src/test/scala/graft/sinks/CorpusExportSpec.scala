@@ -11,10 +11,8 @@ class CorpusExportSpec extends AnyFunSuite {
   test("export lays out split=/lang= partitions and the manifest is a receipt") {
     val out = TestSpark.tmpDir("corpus-export")
     val docs = Tables(spark, dir).documents
-      .withColumn("split", expr(
-        """case when substring(md5(cast(concat('split|',
-             cast(doc_id as string)) as binary)), 1, 2) < 'cd'
-           then 'train' else 'held_out' end"""))
+      .withColumn("split",
+        expr(graft.queries.PipelineQueries.splitExprSpark))
     val manifest = CorpusExport.export(docs, out).cache()
 
     // hive layout on disk
@@ -47,6 +45,15 @@ class CorpusExportSpec extends AnyFunSuite {
       .map(d => (d.values.getString(0), d.values.getString(1))).toSet
     assert(seen == Set(k), s"pruned listing saw partitions $seen")
     assert(pruned.count() == want(k))
+
+    // the in-file doc_id sort actually lands (a bare doc_id
+    // sortWithinPartitions would be eliminated by the planner's own
+    // partition-column sort — the sort must LEAD with split, lang)
+    val aFile = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get().toString
+    import spark.implicits._
+    val ids = spark.read.parquet(aFile).select("doc_id").as[Long].collect()
+    assert(ids.sameElements(ids.sorted), s"file $aFile not doc_id-sorted")
     manifest.unpersist()
   }
 }

@@ -46,10 +46,12 @@ class CorpusStreamingSpec extends AnyFunSuite {
 
       val got = spark.read.parquet(out)
       assert(got.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
-      // layout: split dirs exist and carry lang subdirs
+      // layout: batch-scoped subtrees (the idempotent-replay unit),
+      // each carrying the hive split=/lang= tree
       val dirs = new java.io.File(out).listFiles()
         .filter(_.isDirectory).map(_.getName).toSet
-      assert(dirs.forall(_.startsWith("split=")) && dirs.nonEmpty)
+      assert(dirs.forall(_.startsWith("batch=")) && dirs.nonEmpty)
+      assert(got.columns.contains("batch"))
       // survivors carry the deterministic split + token count
       assert(got.where(col("n_tokens") < 30).isEmpty)
       assert(got.select("split").as[String].collect()
