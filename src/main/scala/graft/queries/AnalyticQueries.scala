@@ -461,6 +461,47 @@ object AnalyticQueries {
                          ORDER BY ts, event_id) AS prev_ts
                 FROM events) t1) t2
         GROUP BY user_id, session_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q61: per-language quality-quantile filter — keep documents at or
+    // above their language's p25 of a lexical-diversity score. The
+    // aggregation deliberately calls Spark's own `percentile(...)`: the
+    // ScaleSafePercentiles optimizer rule rewrites it into the bounded
+    // window plan (ScaleSafePercentilesSpec asserts no holistic
+    // Percentile survives here), and THIS oracle puts that rewrite
+    // under the driver's DuckDB hash gate. Both quality and the cut are
+    // rounded to 9 digits before comparing — the two engines'
+    // interpolation formulas can differ by 1 ulp, and the cut equals a
+    // real data point whenever the rank position is integral.
+    QDef(
+      "q61_quality_quantile_filter",
+      (s, dir) => {
+        val scored = Tables(s, dir).documents
+          .withColumn("ws", expr(TextQueries.wordsExpr))
+          .select(col("doc_id"), col("lang"),
+            expr("cast(size(array_distinct(ws)) as double) / size(ws)")
+              .as("quality"))
+        val cuts = scored.groupBy(col("lang"))
+          .agg(expr("percentile(quality, 0.25D)").as("p25"))
+        scored.join(cuts, Seq("lang"))
+          .where(round(col("quality"), 9) >= round(col("p25"), 9))
+          .select(col("doc_id"), col("lang"),
+            round(col("quality"), 6).as("quality_r"),
+            round(col("p25"), 6).as("p25_r"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS quality
+          FROM (SELECT doc_id, lang, ${TextQueries.wordsExprDuck} AS ws
+                FROM documents) t),
+        cuts AS (SELECT lang, quantile_cont(quality, 0.25) AS p25
+                 FROM scored GROUP BY lang)
+        SELECT doc_id, s.lang,
+               ROUND(quality, 6) AS quality_r, ROUND(p25, 6) AS p25_r
+        FROM scored s JOIN cuts USING (lang)
+        WHERE ROUND(quality, 9) >= ROUND(p25, 9)
       """))
   )
 }

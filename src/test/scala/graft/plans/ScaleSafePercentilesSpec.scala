@@ -72,6 +72,14 @@ class ScaleSafePercentilesSpec extends AnyFunSuite {
     assert(rows(rewritten) == holistic(rows(spark.sql(sql))))
   }
 
+  test("q61 (driver inventory) plans through the rewrite, not the buffer") {
+    val df = graft.SparkEntry
+      .queries("q61_quality_quantile_filter")(spark, "/root/testdata/sf0.001")
+    assert(!hasPercentile(df),
+      "q61's percentile() call must be rewritten by the rule")
+    assert(df.count() > 0)
+  }
+
   test("out-of-scope shapes keep the holistic aggregate") {
     // mixed with a non-percentile aggregate → bail out
     val mixed = spark.sql(
