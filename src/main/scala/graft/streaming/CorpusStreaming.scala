@@ -42,6 +42,29 @@ object CorpusStreaming {
         col("n_tokens"), col("split"))
   }
 
+  /** Incremental ingest against an EXISTING corpus: documents whose
+    * fingerprint already appears in the historical index are dropped
+    * before the in-stream dedup/funnel run. Stream-static anti-join —
+    * stateless on the stream side (the static index is re-read per
+    * micro-batch, with its filters/pruning pushed down), so unlike
+    * [[cleanStream]]'s watermark state this dedups against the WHOLE
+    * history, not just the watermark horizon. The two compose: history
+    * handles everything already ingested, state handles dups arriving
+    * within the current horizon.
+    *
+    * @param historical any frame with a `fp` column (e.g. the corpus
+    *                   tree with `Q.fingerprint(text)` applied, or a
+    *                   precomputed fingerprint index)
+    */
+  def cleanStreamIncremental(docs: DataFrame, historical: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val fresh = docs
+      .withColumn("fp", graft.queries.Q.fingerprint(col("text")))
+      .join(historical.select(col("fp")), Seq("fp"), "left_anti")
+      .drop("fp")
+    cleanStream(fresh, watermark)
+  }
+
   /** Append each micro-batch to the partitioned corpus tree via the
     * batch export sink (same layout contract as [[CorpusExport]], with
     * `batch=<id>` as the leading partition directory). foreachBatch is

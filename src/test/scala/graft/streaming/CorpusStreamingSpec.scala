@@ -58,4 +58,28 @@ class CorpusStreamingSpec extends AnyFunSuite {
         .forall(s => s == "train" || s == "held_out"))
     } finally q.stop()
   }
+
+  test("incremental ingest anti-joins the historical fingerprint index") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // historical corpus already contains goodText
+    val historical = Seq(goodText, "some other old doc").toDF("text")
+      .select(graft.queries.Q.fingerprint(col("text")).as("fp"))
+    val ms = MemoryStream[StreamedDoc]
+    val q = CorpusStreaming
+      .cleanStreamIncremental(ms.toDF(), historical)
+      .writeStream.format("memory").queryName("inc").outputMode("append")
+      .start()
+    try {
+      ms.addData(
+        // dup of history → dropped by the static index, not state
+        StreamedDoc(10L, goodText, "en", "src0", ts("2024-01-01 00:00:00")),
+        // genuinely new → kept
+        StreamedDoc(11L, goodText + " fresh tail for the new corpus era",
+          "en", "src0", ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      assert(spark.table("inc").select("doc_id").as[Long].collect()
+        .toSet == Set(11L))
+    } finally q.stop()
+  }
 }
