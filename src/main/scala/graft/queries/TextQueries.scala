@@ -316,6 +316,48 @@ object TextQueries {
                           AND CAST(top_g AS DOUBLE) / n_grams > 0.07)
                     AS INT) AS repetitive
         FROM ws_ LEFT JOIN gs USING (doc_id)
+      """)),
+
+    // ------------------------------------------------------------------
+    // q62: boilerplate n-gram detection — the corpus-wide "which
+    // phrases repeat across documents" scan that precedes header/footer
+    // stripping: 5-grams ranked by document frequency (df >= 3), with
+    // source spread and a sample doc. The Shingles generator emits
+    // per-doc DISTINCT grams, so count(1) IS the document frequency —
+    // no DISTINCT aggregate on the hot path; the source spread comes
+    // from a separate pre-deduped aggregation (q32/q60 Expand lesson)
+    // joined on the 74-row result, not the gram stream.
+    QDef(
+      "q62_boilerplate_ngrams",
+      (s, dir) => {
+        val grams = Tables(s, dir).documents
+          .select(col("doc_id"), col("source"),
+            graft.functions.Shingles.shingles(col("text"), 5).as("gram"))
+        val byGram = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("df"), min(col("doc_id")).as("sample_doc"))
+          .where(col("df") >= 3)
+        val spread = grams.select(col("gram"), col("source")).distinct()
+          .groupBy(col("gram")).agg(count(lit(1)).as("n_sources"))
+        byGram.join(spread, Seq("gram"))
+          .select(col("gram"), col("df"), col("n_sources"), col("sample_doc"))
+          .orderBy(col("df").desc, col("gram").asc)
+          .limit(50)
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
+        g AS (SELECT doc_id, source, unnest(list_distinct(
+                CASE WHEN len(ws) < 5 THEN []::VARCHAR[]
+                     ELSE list_transform(range(1, len(ws) - 3),
+                            i -> list_aggregate(ws[i:i+4], 'string_agg', ' '))
+                END)) AS gram
+              FROM w)
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               MIN(doc_id) AS sample_doc
+        FROM g
+        GROUP BY gram HAVING COUNT(*) >= 3
+        ORDER BY df DESC, gram ASC
+        LIMIT 50
       """))
   )
 }
