@@ -521,6 +521,69 @@ object Relational {
                1 AS ok_median
         FROM lineitem
         GROUP BY l_returnflag
+      """)),
+
+    // ------------------------------------------------------------------
+    // q63: TPC-H Q21 shape (suppliers who kept orders waiting) adapted
+    // to this schema: in finished multi-supplier orders, count per
+    // supplier the orders where THEY shipped late (> 60 days after the
+    // order date) and no other supplier did — a semi-join AND an
+    // anti-join against the same derived relation, the hardest classic
+    // join tree in the TPC-H set.
+    //
+    // Scale: `late` is derived once; both the semi and the anti shuffle
+    // on l_orderkey (the natural co-partition key, so the three passes
+    // over lineitem can reuse one exchange), and the 100-row supplier
+    // dim broadcasts.
+    QDef(
+      "q63_sole_late_supplier",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val li = t.lineitem
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val late = li
+          .join(t.orders.where(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > date_add(col("o_orderdate"), 60))
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val hasOther = late.alias("l1")
+          .join(li.alias("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_suppkey") =!= col("l2.l_suppkey"), "leftsemi")
+        val sole = hasOther.alias("l1")
+          .join(late.alias("l3"),
+            col("l1.l_orderkey") === col("l3.l_orderkey") &&
+            col("l1.l_suppkey") =!= col("l3.l_suppkey"), "leftanti")
+        sole
+          .join(broadcast(t.supplier
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .limit(20)
+      },
+      Some("""
+        WITH late AS (
+          SELECT DISTINCT l.l_orderkey, l.l_suppkey
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+        sole AS (
+          SELECT l1.l_orderkey, l1.l_suppkey
+          FROM late l1
+          WHERE EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM late l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey))
+        SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20
       """))
   )
 }
