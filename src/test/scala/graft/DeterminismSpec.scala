@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Same-engine determinism net: every declared query, run twice at
+  * sf0.001, must produce identical normalized output. Catches unstable
+  * LIMIT tiebreaks, partition-order-dependent aggregates, and
+  * timing-dependent state — the failure class the DuckDB oracle can
+  * only catch when the two engines happen to break ties differently.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fingerprint(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    val cols = df.columns.sorted
+    df.select(cols.head, cols.tail: _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString(""))
+      .sorted.mkString("\n")
+  }
+
+  test("every query's output is identical across two runs") {
+    val diffs = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      if (fingerprint(name) == fingerprint(name)) None else Some(name)
+    }
+    assert(diffs.isEmpty, s"nondeterministic queries: ${diffs.mkString(", ")}")
+  }
+}
