@@ -502,6 +502,45 @@ object AnalyticQueries {
                ROUND(quality, 6) AS quality_r, ROUND(p25, 6) AS p25_r
         FROM scored s JOIN cuts USING (lang)
         WHERE ROUND(quality, 9) >= ROUND(p25, 9)
+      """)),
+
+    // ------------------------------------------------------------------
+    // q64: cross-metric correlation — pairwise Pearson correlation of
+    // the per-type hourly value series (which business metrics move
+    // together). The hourly sums go through dsum (exact decimal) so
+    // corr's INPUTS are bit-identical across engines; corr itself
+    // accumulates co-moments in engine-specific order, so the output is
+    // rounded to 6 digits. Self-join keyed by the hour bucket — at
+    // scale the series tables are tiny relative to events, and the
+    // expensive part (the hourly rollup) is one partial-agg pass.
+    QDef(
+      "q64_metric_correlation",
+      (s, dir) => {
+        val hourly = Tables(s, dir).events
+          .groupBy(date_trunc("hour", col("ts")).as("hour_ts"),
+            col("event_type"))
+          .agg(Q.dsum(col("value")).as("v"))
+        val a = hourly.alias("a")
+        val b = hourly.alias("b")
+        a.join(b,
+            col("a.hour_ts") === col("b.hour_ts") &&
+            col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(round(corr(col("a.v"), col("b.v")), 6).as("corr_r"),
+            count(lit(1)).as("n_hours"))
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               ROUND(corr(a.v, b.v), 6) AS corr_r,
+               COUNT(*) AS n_hours
+        FROM hourly a JOIN hourly b
+          ON a.hour_ts = b.hour_ts AND a.event_type < b.event_type
+        GROUP BY 1, 2
       """))
   )
 }
