@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 
 /** Optimizer guard: rewrites Spark's holistic `percentile` aggregate
   * into the bounded sort-based formulation (window rank + boundary-row
@@ -18,32 +18,32 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * per-task memory is bounded at any group size. Exact same semantics:
   * position p·(n−1), linear interpolation between the floor/ceil ranks.
   *
-  * Scope (bails out otherwise — correctness over coverage):
-  *   - every aggregate in the Aggregate is `percentile(col, lit)` with
-  *     frequency 1, no DISTINCT/FILTER, scalar literal fraction;
-  *   - the value expression is numeric and deterministic;
-  *   - grouping expressions are plain attributes.
+  * Scope: every `percentile(col, lit)` call must have frequency 1, no
+  * DISTINCT/FILTER, a scalar literal fraction, and a deterministic
+  * numeric value expression; grouping expressions must be plain
+  * attributes. Percentiles may appear INSIDE arbitrary output
+  * expressions (`round(percentile(x, 0.5), 6)`) and alongside other
+  * aggregates (`count`, `sum`, …) — the non-percentile aggregates ride
+  * along unchanged over the windowed rows, which carry exactly the
+  * original row multiset. Anything out of scope leaves the Aggregate
+  * untouched (correctness over coverage).
   *
   * Null handling matches `percentile`'s skip-nulls contract without a
   * filter (which would lose all-null groups): nulls sort LAST, so
   * non-null ranks stay 1..n with n = count(value) — an all-null or
   * empty group interpolates through null arithmetic to null.
   *
-  * Registered through `GraftExtensions` (injectOptimizerRule), so any
-  * `spark.sql("… percentile(x, 0.5) …")` on a graft session plans the
-  * scale-safe shape automatically; exclude via
-  * `spark.sql.optimizer.excludedRules` to compare against the holistic
-  * plan (the spec does exactly that).
+  * Registered through `GraftExtensions` (injectOptimizerRule); exclude
+  * via `spark.sql.optimizer.excludedRules` to compare against the
+  * holistic plan (the spec does exactly that).
   */
 object ScaleSafePercentiles extends Rule[LogicalPlan] {
 
-  /** (value expression, fraction, output alias) of an eligible call. */
-  private case class P(value: Expression, fraction: Double, alias: Alias)
-
   private def eligible(ae: AggregateExpression): Option[(Expression, Double)] =
     ae match {
-      case AggregateExpression(
-          p: Percentile, Complete | Final, false, None, _) =>
+      case AggregateExpression(p: Percentile, Complete | Final, false, None, _)
+          if p.child.dataType.isInstanceOf[NumericType] &&
+            p.child.deterministic =>
         (p.percentageExpression, p.frequencyExpression) match {
           case (Literal(f: Double, DoubleType), IntegerLiteral(1)) =>
             Some((p.child, f))
@@ -54,73 +54,59 @@ object ScaleSafePercentiles extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  private def hasPercentile(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[Percentile])
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groups, aggExprs, child, _)
         if groups.forall(_.isInstanceOf[Attribute]) &&
-          aggExprs.exists(_.exists(_.isInstanceOf[Percentile])) =>
-      // collect per output column: either a pass-through grouping attr
-      // or an eligible percentile; anything else → bail (None)
-      val classified: Option[Seq[Either[NamedExpression, P]]] =
-        traverse(aggExprs.map {
-          case a: Attribute if groups.exists(_.semanticEquals(a)) =>
-            Some(scala.util.Left(a))
-          case al @ Alias(ae: AggregateExpression, _) =>
-            eligible(ae).collect {
-              case (v, f) if v.dataType.isInstanceOf[
-                  org.apache.spark.sql.types.NumericType] && v.deterministic =>
-                scala.util.Right(P(v, f, al))
-            }
-          case _ => None
-        })
-      classified match {
-        case Some(cols) if cols.exists(_.isRight) =>
-          rewrite(groups.map(_.asInstanceOf[Attribute]),
-            cols, child, agg)
-        case _ => agg
-      }
+          aggExprs.exists(hasPercentile) =>
+      // every AggregateExpression that CONTAINS a Percentile must be an
+      // eligible standalone percentile call, or we leave the plan alone
+      val aggCalls = aggExprs.flatMap(_.collect {
+        case ae: AggregateExpression => ae
+      })
+      val pctls = aggCalls.filter(hasPercentile)
+      val parsed = pctls.map(eligible)
+      if (parsed.exists(_.isEmpty)) agg
+      else rewrite(groups.map(_.asInstanceOf[Attribute]), aggExprs,
+        pctls.zip(parsed.map(_.get)),
+        aggCalls.filterNot(hasPercentile), child)
   }
-
-  private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
-    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
   private def d(e: Expression): Expression = Cast(e, DoubleType)
 
   private def rewrite(groups: Seq[Attribute],
-      cols: Seq[Either[NamedExpression, P]],
-      child: LogicalPlan, original: Aggregate): LogicalPlan = {
-    val ps = cols.collect { case scala.util.Right(p) => p }
-    // one ranked value column per distinct value expression
-    val distinctVals = ps.map(_.value).foldLeft(Seq.empty[Expression]) {
+      aggExprs: Seq[NamedExpression],
+      pctls: Seq[(AggregateExpression, (Expression, Double))],
+      others: Seq[AggregateExpression],
+      child: LogicalPlan): LogicalPlan = {
+    // one ranked value column per distinct percentile value expression
+    val distinctVals = pctls.map(_._2._1).foldLeft(Seq.empty[Expression]) {
       (acc, v) => if (acc.exists(_.semanticEquals(v))) acc else acc :+ v
     }
     val vAliases = distinctVals.zipWithIndex.map { case (v, i) =>
       Alias(d(v), s"__pctl_v$i")()
     }
-    def vAttrFor(v: Expression): Attribute = {
-      val i = distinctVals.indexWhere(_.semanticEquals(v))
-      vAliases(i).toAttribute
-    }
+    def idxFor(v: Expression): Int =
+      distinctVals.indexWhere(_.semanticEquals(v))
     val projected = Project(child.output ++ vAliases, child)
 
-    // rank window per value column + one count window, all sharing the
-    // grouping partition (one exchange; Spark stacks the Window nodes)
+    // rank window per value column + per-value non-null count windows,
+    // all sharing the grouping partition (one exchange; the Window
+    // nodes stack). Nulls sort LAST so non-null ranks are dense from 1.
     val rowFrame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
       CurrentRow)
     val fullFrame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
       UnboundedFollowing)
     var windowed: LogicalPlan = projected
     val rnAliases = vAliases.map { va =>
-      // nulls LAST keeps non-null ranks dense from 1 (percentile skips
-      // nulls); rank windows and count windows share one partitioning
       val order = SortOrder(va.toAttribute, Ascending, NullsLast, Seq.empty)
       val spec = WindowSpecDefinition(groups, Seq(order), rowFrame)
       val rn = Alias(WindowExpression(RowNumber(), spec), s"__pctl_rn")()
       windowed = Window(Seq(rn), groups, Seq(order), windowed)
       rn
     }
-    def rnAttrFor(v: Expression): Attribute =
-      rnAliases(distinctVals.indexWhere(_.semanticEquals(v))).toAttribute
-    // per-value non-null counts (Count(v) skips nulls, like percentile)
     val nAliases = vAliases.map { va =>
       Alias(WindowExpression(
         AggregateExpression(Count(va.toAttribute), Complete,
@@ -128,46 +114,58 @@ object ScaleSafePercentiles extends Rule[LogicalPlan] {
         WindowSpecDefinition(groups, Nil, fullFrame)), "__pctl_n")()
     }
     windowed = Window(nAliases, groups, Nil, windowed)
-    def nAttrFor(v: Expression): Attribute =
-      nAliases(distinctVals.indexWhere(_.semanticEquals(v))).toAttribute
 
-    // boundary-row picks: only the floor/ceil-rank rows survive the agg
+    // boundary-row picks (two per percentile call) + per-value counts;
+    // non-percentile aggregates ride along over the same rows
     def pos(f: Double, n: Expression): Expression =
       Multiply(Literal(f, DoubleType), d(Subtract(n, Literal(1L))))
     def pick(cond: Expression, v: Attribute): Expression =
       AggregateExpression(Max(If(cond, v, Literal(null, DoubleType))),
         Complete, isDistinct = false)
-    val picks = ps.zipWithIndex.flatMap { case (p, i) =>
-      val rn = Cast(rnAttrFor(p.value), LongType)
-      val v = vAttrFor(p.value)
-      val po = pos(p.fraction, nAttrFor(p.value))
-      Seq(
-        Alias(pick(EqualTo(rn, Add(Floor(po), Literal(1L))), v),
-          s"__pctl_lo$i")(),
-        Alias(pick(EqualTo(rn, Add(Ceil(po), Literal(1L))), v),
+    val picks = pctls.zipWithIndex.map { case ((_, (v, f)), i) =>
+      val vi = idxFor(v)
+      val rn = Cast(rnAliases(vi).toAttribute, LongType)
+      val va = vAliases(vi).toAttribute
+      val po = pos(f, nAliases(vi).toAttribute)
+      (Alias(pick(EqualTo(rn, Add(Floor(po), Literal(1L))), va),
+        s"__pctl_lo$i")(),
+        Alias(pick(EqualTo(rn, Add(Ceil(po), Literal(1L))), va),
           s"__pctl_hi$i")())
     }
-    val nOuts = distinctVals.map { v =>
-      Alias(AggregateExpression(Max(nAttrFor(v)), Complete,
+    val nOuts = distinctVals.indices.map { i =>
+      Alias(AggregateExpression(Max(nAliases(i).toAttribute), Complete,
         isDistinct = false), "__pctl_nmax")()
     }
-    val agg2 = Aggregate(groups, groups ++ picks ++ nOuts, windowed)
+    val otherAliases = others.zipWithIndex.map { case (ae, i) =>
+      Alias(ae, s"__pctl_agg$i")()
+    }
+    val agg2 = Aggregate(groups,
+      groups ++ otherAliases ++ picks.flatMap(p => Seq(p._1, p._2)) ++ nOuts,
+      windowed)
 
-    // interpolate, restoring each original output name AND exprId
-    def nFinalFor(v: Expression): Attribute =
-      nOuts(distinctVals.indexWhere(_.semanticEquals(v))).toAttribute
-    var pi = -1
-    val outCols: Seq[NamedExpression] = cols.map {
-      case scala.util.Left(g) => g
-      case scala.util.Right(p) =>
-        pi += 1
-        val lo = picks(2 * pi).toAttribute
-        val hi = picks(2 * pi + 1).toAttribute
-        val po = pos(p.fraction, nFinalFor(p.value))
-        val interp = If(EqualTo(Floor(po), Ceil(po)), lo,
-          Add(Multiply(Subtract(d(Ceil(po)), po), lo),
-            Multiply(Subtract(po, d(Floor(po))), hi)))
-        Alias(interp, p.alias.name)(exprId = p.alias.exprId)
+    // substitute: each percentile call → its interpolation over the
+    // boundary picks; each other aggregate → its agg2 attribute. Output
+    // names AND exprIds are preserved so parent plans still resolve.
+    def interp(i: Int): Expression = {
+      val (v, f) = pctls(i)._2
+      val lo = picks(i)._1.toAttribute
+      val hi = picks(i)._2.toAttribute
+      val po = pos(f, nOuts(idxFor(v)).toAttribute)
+      If(EqualTo(Floor(po), Ceil(po)), lo,
+        Add(Multiply(Subtract(d(Ceil(po)), po), lo),
+          Multiply(Subtract(po, d(Floor(po))), hi)))
+    }
+    val outCols: Seq[NamedExpression] = aggExprs.map {
+      case a: Attribute => a
+      case al @ Alias(body, name) =>
+        val rebuilt = body.transformUp {
+          case ae: AggregateExpression =>
+            val pi = pctls.indexWhere(_._1 eq ae)
+            if (pi >= 0) interp(pi)
+            else otherAliases(others.indexWhere(_ eq ae)).toAttribute
+        }
+        Alias(rebuilt, name)(exprId = al.exprId)
+      case other => other
     }
     Project(outCols, agg2)
   }

@@ -541,6 +541,44 @@ object AnalyticQueries {
         FROM hourly a JOIN hourly b
           ON a.hour_ts = b.hour_ts AND a.event_type < b.event_type
         GROUP BY 1, 2
+      """)),
+
+    // ------------------------------------------------------------------
+    // q65: inter-event gap percentiles — per event type, the median/p90
+    // seconds between a user's consecutive events of that type (the
+    // cadence metric behind rate limiting and bot detection). A lag
+    // window per (user, type) feeds percentile() — which the
+    // ScaleSafePercentiles rule plans as the bounded sort shape, so
+    // this stacks window → rewritten percentile in one query. Gaps are
+    // exact micros/1e6 doubles (identical across engines); only the
+    // interpolated percentile needs the 6-digit output round.
+    QDef(
+      "q65_interevent_gaps",
+      (s, dir) => {
+        val gaps = Tables(s, dir).events
+          .withColumn("gap_s", expr("cast(unix_micros(ts) as double)")
+            .minus(expr(
+              "cast(unix_micros(lag(ts, 1) over (partition by user_id, event_type order by ts asc, event_id asc)) as double)"))
+            ./(lit(1e6)))
+          .where(col("gap_s").isNotNull)
+        gaps.groupBy(col("event_type"))
+          .agg(count(col("gap_s")).as("n_gaps"),
+            round(expr("percentile(gap_s, 0.5D)"), 6).as("p50_s"),
+            round(expr("percentile(gap_s, 0.9D)"), 6).as("p90_s"))
+      },
+      Some("""
+        WITH gaps AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts ASC, event_id ASC)) AS DOUBLE) / 1e6
+                   AS gap_s
+          FROM events)
+        SELECT event_type, CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+               ROUND(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+               ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_s
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY 1
       """))
   )
 }

@@ -72,28 +72,38 @@ class ScaleSafePercentilesSpec extends AnyFunSuite {
     assert(rows(rewritten) == holistic(rows(spark.sql(sql))))
   }
 
-  test("q61 (driver inventory) plans through the rewrite, not the buffer") {
-    val df = graft.SparkEntry
-      .queries("q61_quality_quantile_filter")(spark, "/root/testdata/sf0.001")
-    assert(!hasPercentile(df),
-      "q61's percentile() call must be rewritten by the rule")
-    assert(df.count() > 0)
+  test("q61/q65 (driver inventory) plan through the rewrite, not the buffer") {
+    Seq("q61_quality_quantile_filter", "q65_interevent_gaps").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      assert(!hasPercentile(df), s"$q's percentile() must be rewritten")
+      assert(df.count() > 0)
+    }
+  }
+
+  test("mixed aggregates and post-agg expressions rewrite with parity") {
+    val sql = """SELECT l_returnflag,
+                   round(percentile(l_quantity, 0.5D), 2) AS p50_r,
+                   sum(l_quantity) AS s, count(*) AS n
+                 FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`
+                 GROUP BY l_returnflag"""
+    val rewritten = spark.sql(sql)
+    assert(!hasPercentile(rewritten),
+      "count/sum must ride along; round(percentile) must substitute")
+    assert(rows(rewritten) == holistic(rows(spark.sql(sql))))
   }
 
   test("out-of-scope shapes keep the holistic aggregate") {
-    // mixed with a non-percentile aggregate → bail out
-    val mixed = spark.sql(
-      """SELECT l_returnflag, percentile(l_quantity, 0.5D) AS p50,
-           sum(l_quantity) AS s
-         FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`
-         GROUP BY l_returnflag""")
-    assert(hasPercentile(mixed))
     // array of fractions → bail out
     val arr = spark.sql(
       """SELECT percentile(l_quantity, array(0.5D, 0.9D)) AS ps
          FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`""")
     assert(hasPercentile(arr))
+    // DISTINCT percentile → bail out (different semantics)
+    val dist = spark.sql(
+      """SELECT percentile(DISTINCT l_quantity, 0.5D) AS p50
+         FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`""")
+    assert(hasPercentile(dist))
     // both still answer correctly
-    assert(mixed.count() > 0 && arr.count() == 1)
+    assert(arr.count() == 1 && dist.count() == 1)
   }
 }
