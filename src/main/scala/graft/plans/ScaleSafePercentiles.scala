@@ -57,6 +57,20 @@ object ScaleSafePercentiles extends Rule[LogicalPlan] {
   private def hasPercentile(e: Expression): Boolean =
     e.exists(_.isInstanceOf[Percentile])
 
+  /** Ride-along aggregates must be input-order-INSENSITIVE: the rewrite
+    * feeds them rows re-sorted by the rank windows, so an order-
+    * sensitive aggregate (first/last/collect_list, sketches with
+    * order-dependent merge) would silently change its answer vs the
+    * holistic plan. Whitelist of commutative aggregates only.
+    */
+  private def orderInsensitive(ae: AggregateExpression): Boolean =
+    ae.deterministic && (ae.aggregateFunction match {
+      case _: Min | _: Max | _: Count | _: Sum | _: Average |
+           _: BitAndAgg | _: BitOrAgg | _: BitXorAgg |
+           _: BoolAnd | _: BoolOr => true
+      case _ => false
+    })
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groups, aggExprs, child, _)
         if groups.forall(_.isInstanceOf[Attribute]) &&
@@ -68,10 +82,10 @@ object ScaleSafePercentiles extends Rule[LogicalPlan] {
       })
       val pctls = aggCalls.filter(hasPercentile)
       val parsed = pctls.map(eligible)
-      if (parsed.exists(_.isEmpty)) agg
+      val others = aggCalls.filterNot(hasPercentile)
+      if (parsed.exists(_.isEmpty) || !others.forall(orderInsensitive)) agg
       else rewrite(groups.map(_.asInstanceOf[Attribute]), aggExprs,
-        pctls.zip(parsed.map(_.get)),
-        aggCalls.filterNot(hasPercentile), child)
+        pctls.zip(parsed.map(_.get)), others, child)
   }
 
   private def d(e: Expression): Expression = Cast(e, DoubleType)

@@ -527,8 +527,18 @@ object AnalyticQueries {
             col("a.event_type") < col("b.event_type"))
           .groupBy(col("a.event_type").as("type_a"),
             col("b.event_type").as("type_b"))
-          .agg(round(corr(col("a.v"), col("b.v")), 6).as("corr_r"),
+          .agg(corr(col("a.v"), col("b.v")).as("c"),
+            stddev_samp(col("a.v")).as("sa"),
+            stddev_samp(col("b.v")).as("sb"),
             count(lit(1)).as("n_hours"))
+          // single-point or zero-variance series: Spark's corr yields
+          // NaN where DuckDB yields NULL — normalize both to NULL so
+          // the oracle can't diverge on a degenerate pair at some SF
+          .select(col("type_a"), col("type_b"),
+            expr("""case when n_hours < 2 or sa = 0D or sb = 0D
+                    then cast(null as double) else round(c, 6) end""")
+              .as("corr_r"),
+            col("n_hours"))
       },
       Some("""
         WITH hourly AS (
@@ -536,7 +546,10 @@ object AnalyticQueries {
                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
           FROM events GROUP BY 1, 2)
         SELECT a.event_type AS type_a, b.event_type AS type_b,
-               ROUND(corr(a.v, b.v), 6) AS corr_r,
+               CASE WHEN COUNT(*) < 2 OR stddev_samp(a.v) = 0
+                      OR stddev_samp(b.v) = 0
+                    THEN CAST(NULL AS DOUBLE)
+                    ELSE ROUND(corr(a.v, b.v), 6) END AS corr_r,
                COUNT(*) AS n_hours
         FROM hourly a JOIN hourly b
           ON a.hour_ts = b.hour_ts AND a.event_type < b.event_type

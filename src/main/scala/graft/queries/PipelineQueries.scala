@@ -264,12 +264,7 @@ object PipelineQueries {
       Some(s"""
         WITH w AS (SELECT doc_id, $splitExprDuck AS split, $WDuck AS ws
                    FROM documents),
-        sh AS (SELECT doc_id, split,
-                 unnest(list_distinct(
-                   CASE WHEN len(ws) < 13 THEN []::VARCHAR[]
-                        ELSE list_transform(range(1, len(ws) - 11),
-                          i -> list_aggregate(ws[i:i+12], 'string_agg', ' '))
-                   END)) AS g
+        sh AS (SELECT doc_id, split, unnest(${TextQueries.ngramsDuck(13)}) AS g
                FROM w),
         hits AS (SELECT h.doc_id,
                         CAST(COUNT(DISTINCT h.g) AS BIGINT) AS hit_grams,

@@ -31,6 +31,18 @@ object TextQueries {
   private val W = wordsExpr
   private val WDuck = wordsExprDuck
 
+  /** DuckDB restatement of [[graft.functions.Shingles]] for word
+    * n-grams over a `ws` word-list column — ONE definition of the
+    * slice offsets (they must mirror the generator exactly), shared by
+    * the q56 (n=13) and q62 (n=5) oracles.
+    */
+  def ngramsDuck(n: Int): String =
+    s"""list_distinct(
+         CASE WHEN len(ws) < $n THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(ws) - ${n - 2}),
+                     i -> list_aggregate(ws[i:i+${n - 1}], 'string_agg', ' '))
+         END)"""
+
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------
     // q17: word count gone native — vs the MR shim this gets map-side
@@ -345,11 +357,7 @@ object TextQueries {
       },
       Some(s"""
         WITH w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
-        g AS (SELECT doc_id, source, unnest(list_distinct(
-                CASE WHEN len(ws) < 5 THEN []::VARCHAR[]
-                     ELSE list_transform(range(1, len(ws) - 3),
-                            i -> list_aggregate(ws[i:i+4], 'string_agg', ' '))
-                END)) AS gram
+        g AS (SELECT doc_id, source, unnest(${ngramsDuck(5)}) AS gram
               FROM w)
         SELECT gram, CAST(COUNT(*) AS BIGINT) AS df,
                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,

@@ -29,8 +29,13 @@ object CorpusStreaming {
   def cleanStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
     import graft.queries.PipelineQueries.{minStopRatio, minTokens,
       splitExprSpark, stopRatioExprSpark}
-    docs
-      .withColumn("fp", graft.queries.Q.fingerprint(col("text")))
+    // reuse an fp column when the caller (cleanStreamIncremental)
+    // already paid for it — the md5+regex fingerprint is the hot-path
+    // per-row cost and must not run twice per document
+    val withFp =
+      if (docs.columns.contains("fp")) docs
+      else docs.withColumn("fp", graft.queries.Q.fingerprint(col("text")))
+    withFp
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("fp"))
       .withColumn("ws", expr(graft.queries.TextQueries.wordsExpr))
@@ -61,8 +66,7 @@ object CorpusStreaming {
     val fresh = docs
       .withColumn("fp", graft.queries.Q.fingerprint(col("text")))
       .join(historical.select(col("fp")), Seq("fp"), "left_anti")
-      .drop("fp")
-    cleanStream(fresh, watermark)
+    cleanStream(fresh, watermark) // reuses the fp column, no recompute
   }
 
   /** Append each micro-batch to the partitioned corpus tree via the

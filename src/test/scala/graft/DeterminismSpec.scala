@@ -15,8 +15,10 @@ class DeterminismSpec extends AnyFunSuite {
   private def fingerprint(name: String): String = {
     val df = SparkEntry.queries(name)(spark, dir)
     val cols = df.columns.sorted
+    // NUL separator: a bare concat would let adjacent-column splits
+    // ("ab","c" vs "a","bc") fingerprint identically
     df.select(cols.head, cols.tail: _*).collect()
-      .map(_.toSeq.map(String.valueOf).mkString(""))
+      .map(_.toSeq.map(String.valueOf).mkString("\u0000"))
       .sorted.mkString("\n")
   }
 

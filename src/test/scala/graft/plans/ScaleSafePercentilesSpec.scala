@@ -103,7 +103,15 @@ class ScaleSafePercentilesSpec extends AnyFunSuite {
       """SELECT percentile(DISTINCT l_quantity, 0.5D) AS p50
          FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`""")
     assert(hasPercentile(dist))
-    // both still answer correctly
-    assert(arr.count() == 1 && dist.count() == 1)
+    // order-sensitive ride-along (first) → bail out: the rewrite
+    // re-sorts rows, which would silently change first()'s answer
+    val ordered = spark.sql(
+      """SELECT l_returnflag, first(l_shipdate) AS f,
+           percentile(l_quantity, 0.5D) AS p50
+         FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`
+         GROUP BY l_returnflag""")
+    assert(hasPercentile(ordered))
+    // all still answer correctly
+    assert(arr.count() == 1 && dist.count() == 1 && ordered.count() > 0)
   }
 }
