@@ -20,7 +20,25 @@ object MRMain {
       "usage: MRMain <app> <outDir> <input...> [--seq] [--nreduce=N]")
     val app = MRApp.byName(pos(0))
     val outDir = pos(1)
-    val inputs = pos.drop(2).toSeq
+    // expand *-globs here: sbt's runner passes them through unexpanded,
+    // and while Spark's reader globs natively, the sequential oracle
+    // reads files directly — both paths must accept the documented
+    // `books/*.txt` form identically
+    val inputs = pos.drop(2).toSeq.flatMap { in =>
+      if (!in.contains("*")) Seq(in)
+      else {
+        val p = java.nio.file.Paths.get(in)
+        val dir = Option(p.getParent)
+          .getOrElse(java.nio.file.Paths.get("."))
+        val m = java.nio.file.FileSystems.getDefault
+          .getPathMatcher(s"glob:${p.getFileName}")
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(dir)
+        try s.filter(f => m.matches(f.getFileName)).sorted()
+          .iterator().asScala.map(_.toString).toSeq
+        finally s.close()
+      }
+    }
     val seq = flags.contains("--seq")
     val nReduce = flags.collectFirst {
       case f if f.startsWith("--nreduce=") => f.stripPrefix("--nreduce=").toInt
