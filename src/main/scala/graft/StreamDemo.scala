@@ -58,6 +58,18 @@ object StreamDemo {
 
     val out = spark.table("hourly")
     println(s"FINALIZED_WINDOWS ${out.count()}")
+    // self-verify: append mode emits exactly the windows whose END the
+    // final watermark (max event time - 2h) has passed — restate that
+    // in batch and compare
+    val evb = Tables(spark, sfDir).events
+    val maxTs = evb.agg(max($"ts")).head.getTimestamp(0)
+    val predicted = evb
+      .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type").count()
+      .where(col("h") + expr("INTERVAL 1 HOUR") <=
+        lit(maxTs) - expr("INTERVAL 2 HOURS"))
+      .count()
+    println(s"PREDICTED_FINALIZED $predicted " +
+      (if (predicted == out.count()) "MATCH" else "MISMATCH"))
     out.orderBy($"hour_ts", $"event_type").show(8, truncate = false)
     spark.stop()
   }
