@@ -592,6 +592,40 @@ object AnalyticQueries {
                ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_s
         FROM gaps WHERE gap_s IS NOT NULL
         GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q66: behavioral transition matrix — P(next event type | current)
+    // per user sequence, the first-order Markov model behind journey
+    // analysis and anomaly scoring. One lead window per user, one
+    // aggregation, one row-normalizing window over the 5×5 result.
+    // Probabilities are exact integer ratios, so both engines compute
+    // identical doubles.
+    QDef(
+      "q66_event_transitions",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val byFrom = Window.partitionBy(col("from_type"))
+        Tables(s, dir).events
+          .withColumn("nxt", lead(col("event_type"), 1).over(byUser))
+          .where(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            round(col("n").cast("double") / sum(col("n")).over(byFrom), 6))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS nxt
+          FROM events)
+        SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS p
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY 1, 2
       """))
   )
 }
