@@ -531,10 +531,10 @@ object Relational {
     // anti-join against the same derived relation, the hardest classic
     // join tree in the TPC-H set.
     //
-    // Scale: `late` is derived once; both the semi and the anti shuffle
-    // on l_orderkey (the natural co-partition key, so the three passes
-    // over lineitem can reuse one exchange), and the 100-row supplier
-    // dim broadcasts.
+    // Scale: `late` is derived once; the semi and the anti are both
+    // keyed on l_orderkey, the natural co-partition key (at test SF the
+    // planner broadcasts the small sides instead of shuffling), and the
+    // 100-row supplier dim broadcasts explicitly.
     QDef(
       "q63_sole_late_supplier",
       (s, dir) => {
