@@ -20,23 +20,35 @@ object MRMain {
       "usage: MRMain <app> <outDir> <input...> [--seq] [--nreduce=N]")
     val app = MRApp.byName(pos(0))
     val outDir = pos(1)
-    // expand *-globs here: sbt's runner passes them through unexpanded,
-    // and while Spark's reader globs natively, the sequential oracle
-    // reads files directly — both paths must accept the documented
-    // `books/*.txt` form identically
+    // expand filename *-globs on LOCAL paths: sbt's runner passes them
+    // through unexpanded, and while Spark's reader globs natively, the
+    // sequential oracle reads files directly — the documented
+    // `books/*.txt` form must work identically on both paths. Schemed
+    // URIs and directory-component wildcards pass through untouched
+    // (Hadoop globs those natively on the distributed path; --seq does
+    // not support them). A zero-match glob fails loudly — a silently
+    // empty input would produce a success-looking empty oracle output.
     val inputs = pos.drop(2).toSeq.flatMap { in =>
-      if (!in.contains("*")) Seq(in)
+      val schemed = in.contains("://")
+      val p = java.nio.file.Paths.get(if (schemed) "x" else in)
+      val nameGlob = !schemed && p.getFileName.toString.contains("*")
+      val dirGlob = !schemed &&
+        Option(p.getParent).exists(_.toString.contains("*"))
+      if (!nameGlob || dirGlob) Seq(in)
       else {
-        val p = java.nio.file.Paths.get(in)
         val dir = Option(p.getParent)
           .getOrElse(java.nio.file.Paths.get("."))
         val m = java.nio.file.FileSystems.getDefault
           .getPathMatcher(s"glob:${p.getFileName}")
         import scala.jdk.CollectionConverters._
         val s = java.nio.file.Files.list(dir)
-        try s.filter(f => m.matches(f.getFileName)).sorted()
-          .iterator().asScala.map(_.toString).toSeq
-        finally s.close()
+        val matched =
+          try s.filter(f => m.matches(f.getFileName) &&
+              java.nio.file.Files.isRegularFile(f))
+            .sorted().iterator().asScala.map(_.toString).toSeq
+          finally s.close()
+        require(matched.nonEmpty, s"glob matched no files: $in")
+        matched
       }
     }
     val seq = flags.contains("--seq")

@@ -26,16 +26,20 @@ object CorpusStreaming {
     * window, because the stream has no fixed corpus to rank), then the
     * q52 quality thresholds apply, then the q51 split is attached.
     */
-  def cleanStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+  def cleanStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    cleanWithFp(
+      docs.withColumn("fp", graft.queries.Q.fingerprint(col("text"))),
+      watermark)
+
+  /** Shared tail for streams that ALREADY carry the content
+    * fingerprint — private so the public contract stays "fp is always
+    * derived from text" (a caller-supplied column named fp with other
+    * semantics must not silently become the dedup key).
+    */
+  private def cleanWithFp(docs: DataFrame, watermark: String): DataFrame = {
     import graft.queries.PipelineQueries.{minStopRatio, minTokens,
       splitExprSpark, stopRatioExprSpark}
-    // reuse an fp column when the caller (cleanStreamIncremental)
-    // already paid for it — the md5+regex fingerprint is the hot-path
-    // per-row cost and must not run twice per document
-    val withFp =
-      if (docs.columns.contains("fp")) docs
-      else docs.withColumn("fp", graft.queries.Q.fingerprint(col("text")))
-    withFp
+    docs
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("fp"))
       .withColumn("ws", expr(graft.queries.TextQueries.wordsExpr))
@@ -66,7 +70,7 @@ object CorpusStreaming {
     val fresh = docs
       .withColumn("fp", graft.queries.Q.fingerprint(col("text")))
       .join(historical.select(col("fp")), Seq("fp"), "left_anti")
-    cleanStream(fresh, watermark) // reuses the fp column, no recompute
+    cleanWithFp(fresh, watermark) // reuses the fp column, no recompute
   }
 
   /** Append each micro-batch to the partitioned corpus tree via the
