@@ -28,4 +28,22 @@ class DeterminismSpec extends AnyFunSuite {
     }
     assert(diffs.isEmpty, s"nondeterministic queries: ${diffs.mkString(", ")}")
   }
+
+  test("every query's output is invariant to the shuffle partition count") {
+    // the 1000-executor property: answers must not depend on
+    // parallelism (catches raw double-sum ordering, per-partition
+    // limits, anything keyed on physical partition ids)
+    val conf = "spark.sql.shuffle.partitions"
+    val base = spark.conf.get(conf)
+    val diffs = try {
+      SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        spark.conf.set(conf, base)
+        val a = fingerprint(name)
+        spark.conf.set(conf, "7")
+        if (a == fingerprint(name)) None else Some(name)
+      }
+    } finally spark.conf.set(conf, base)
+    assert(diffs.isEmpty,
+      s"parallelism-dependent queries: ${diffs.mkString(", ")}")
+  }
 }
