@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle-budget regression net: every query's physical plan may use
+  * AT MOST its recorded number of ShuffleExchanges (fewer is fine — an
+  * optimization shouldn't fail the net). A silent extra shuffle is the
+  * classic scale regression: invisible at sf0.001, a new bottleneck at
+  * 100 TB. Regenerate budgets with `runMain graft.ShufBudget` after an
+  * intentional plan change.
+  */
+class ShuffleBudgetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val budget = Map(
+    "q10_distinct_counts" -> 2, "q11_rollup_suppliers" -> 1,
+    "q12_scalar_functions" -> 0, "q13_events_hourly" -> 2,
+    "q14_props_extract" -> 1, "q15_status_pivot" -> 1,
+    "q16_sessionize" -> 1, "q17_doc_wordcount" -> 2,
+    "q18_inverted_index" -> 1, "q19_text_stats" -> 0,
+    "q1_pricing_summary" -> 1, "q20_lang_id" -> 0,
+    "q21_fingerprint" -> 1, "q22_exact_dedup" -> 1,
+    "q23_minhash_lsh" -> 2, "q24_ngram_jaccard" -> 1,
+    "q25_simhash" -> 2, "q26_cosine_topk" -> 1,
+    "q27_ann_bucketed" -> 1, "q28_media_decode" -> 0,
+    "q29_asof_join" -> 1, "q2_forecast_revenue" -> 1,
+    "q30_range_join" -> 1, "q31_cube_lineitem" -> 1,
+    "q32_sketches" -> 4, "q33_embedding_neardup" -> 1,
+    "q34_percentiles" -> 2, "q35_window_frames" -> 1,
+    "q36_date_arith" -> 0, "q37_tfidf" -> 5,
+    "q38_fuzzy_part_names" -> 0, "q39_topk_aggregate" -> 1,
+    "q3_shipping_priority" -> 1, "q40_full_outer_calendar" -> 2,
+    "q41_array_functions" -> 0, "q42_mrapp_wordcount" -> 1,
+    "q43_mrapp_indexer" -> 1, "q44_correlated_subquery" -> 1,
+    "q45_json_parse" -> 1, "q46_grouping_sets" -> 1,
+    "q47_interval_overlap" -> 1, "q48_ann_ivf" -> 6,
+    "q49_winnowing" -> 1, "q4_supplier_by_region" -> 1,
+    "q50_session_windows" -> 1, "q51_train_test_split" -> 1,
+    "q52_clean_funnel" -> 2, "q53_length_buckets" -> 1,
+    "q54_dedup_clusters" -> 5, "q55_source_quota_mix" -> 1,
+    "q56_decontamination" -> 4, "q57_repetition_stats" -> 3,
+    "q58_simhash_neardup" -> 2, "q59_semantic_dedup" -> 4,
+    "q5_big_spenders" -> 0, "q60_corpus_build" -> 5,
+    "q61_quality_quantile_filter" -> 1, "q62_boilerplate_ngrams" -> 3,
+    "q63_sole_late_supplier" -> 5, "q64_metric_correlation" -> 2,
+    "q65_interevent_gaps" -> 2, "q66_event_transitions" -> 3,
+    "q6_customers_without_big_orders" -> 0,
+    "q7_top_orders_per_customer" -> 1, "q8_top100_lineitems" -> 0,
+    "q9_setops" -> 2)
+
+  test("no query exceeds its shuffle budget") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val over = try {
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val n = fn(spark, dir).queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }.size
+        val b = budget.getOrElse(name, 0)
+        if (n > b) Some(s"$name: $n > $b") else None
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(over.isEmpty, s"over budget (new shuffle?): ${over.mkString(", ")}")
+  }
+
+  test("every query has a recorded budget") {
+    assert(SparkEntry.queries.keySet == budget.keySet)
+  }
+}
