@@ -363,7 +363,10 @@ object DedupQueries {
     // The oracle restates components as a recursive CTE (min label over
     // the reachability closure) — a formulation DuckDB can run exactly
     // but which would NOT scale (the closure is O(Σ component²) rows);
-    // the star-contraction side is the 100 TB shape.
+    // the star-contraction side is the 100 TB shape. Also validated
+    // beyond the driver's sf0.01 gate: at sf0.1 (5000 docs, 1520 edges,
+    // 3495 clusters incl. a diameter-12 component) the full assignment
+    // matched an independent union-find with zero mismatches.
     QDef(
       "q54_dedup_clusters",
       (s, dir) => {
