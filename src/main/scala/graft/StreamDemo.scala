@@ -68,9 +68,13 @@ object StreamDemo {
       .where(col("h") + expr("INTERVAL 1 HOUR") <=
         lit(maxTs) - expr("INTERVAL 2 HOURS"))
       .count()
+    val matched = predicted == out.count()
     println(s"PREDICTED_FINALIZED $predicted " +
-      (if (predicted == out.count()) "MATCH" else "MISMATCH"))
+      (if (matched) "MATCH" else "MISMATCH"))
     out.orderBy($"hour_ts", $"event_type").show(8, truncate = false)
     spark.stop()
+    // enforceable check, same exit-code contract as ExecutorCrashDemo:
+    // a MISMATCH must fail any automated gate, not just print
+    if (!matched) sys.exit(1)
   }
 }

@@ -62,6 +62,14 @@ object ScaleSafePercentiles extends Rule[LogicalPlan] {
     * sensitive aggregate (first/last/collect_list, sketches with
     * order-dependent merge) would silently change its answer vs the
     * holistic plan. Whitelist of commutative aggregates only.
+    *
+    * Caveat (accepted): Sum/Average over floating-point columns are
+    * commutative only up to IEEE rounding — the rewrite's re-sort changes
+    * accumulation order, so a double sum can drift by ~1 ulp vs the
+    * holistic plan. The repo-wide determinism posture (round(…, 6/9)
+    * before any cross-engine or cross-plan compare — SURVEY §8.6) absorbs
+    * this; bit-exact parity would require restricting the whitelist to
+    * exact types (integral/decimal Sum, Min/Max/Count, bit/bool aggs).
     */
   private def orderInsensitive(ae: AggregateExpression): Boolean =
     ae.deterministic && (ae.aggregateFunction match {

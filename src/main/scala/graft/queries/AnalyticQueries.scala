@@ -480,7 +480,11 @@ object AnalyticQueries {
         val scored = Tables(s, dir).documents
           .withColumn("ws", expr(TextQueries.wordsExpr))
           .select(col("doc_id"), col("lang"),
-            expr("cast(size(array_distinct(ws)) as double) / size(ws)")
+            // nullif: Spark's non-ANSI x/0 is NULL, DuckDB's IEEE double
+            // division is NaN — pin an empty-token doc to NULL in both
+            // (NULL quality drops the row from percentile AND the filter,
+            // identically in both engines).
+            expr("cast(size(array_distinct(ws)) as double) / nullif(size(ws), 0)")
               .as("quality"))
         val cuts = scored.groupBy(col("lang"))
           .agg(expr("percentile(quality, 0.25D)").as("p25"))
@@ -493,7 +497,8 @@ object AnalyticQueries {
       Some(s"""
         WITH scored AS (
           SELECT doc_id, lang,
-                 CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS quality
+                 CAST(len(list_distinct(ws)) AS DOUBLE)
+                   / nullif(len(ws), 0) AS quality
           FROM (SELECT doc_id, lang, ${TextQueries.wordsExprDuck} AS ws
                 FROM documents) t),
         cuts AS (SELECT lang, quantile_cont(quality, 0.25) AS p25

@@ -42,8 +42,12 @@ object PipelineQueries {
     */
   val minTokens = 30L
   val minStopRatio = 0.02
+  // nullif denominator: Spark's non-ANSI x/0 is NULL but DuckDB's IEEE
+  // double division is NaN; the guard pins an empty-token doc to NULL in
+  // both engines, and NULL comparisons then fall the same way everywhere
+  // (an empty doc is caught by the n_tokens < minTokens arm first anyway).
   val stopRatioExprSpark =
-    "size(filter(ws, x -> x = 'the' or x = 'a')) / size(ws)"
+    "size(filter(ws, x -> x = 'the' or x = 'a')) / nullif(size(ws), 0)"
 
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------
@@ -106,7 +110,7 @@ object PipelineQueries {
           SELECT doc_id, ${Q.fingerprintDuck} AS fp,
                  CAST(len(ws) AS BIGINT) AS n_tokens,
                  CAST(len(list_filter(ws, x -> x = 'the' OR x = 'a')) AS DOUBLE)
-                   / len(ws) AS stop_ratio
+                   / nullif(len(ws), 0) AS stop_ratio
           FROM (SELECT doc_id, text, $WDuck AS ws FROM documents) t0),
         resolved AS (
           SELECT doc_id, n_tokens, stop_ratio,
@@ -196,7 +200,7 @@ object PipelineQueries {
             .over(bySrc.orderBy(col("h").asc, col("doc_id").asc))
             .cast("bigint"))
           .withColumn("quota", expr(
-            """cast(ceil((case cast(substring(source, 4, 8) as int) % 3
+            """cast(ceil((case cast(substring(source, 4) as int) % 3
                             when 0 then 0.25d when 1 then 0.5d
                             else 0.75d end)
                          * (count(1) over (partition by source))) as bigint)"""))
@@ -327,7 +331,7 @@ object PipelineQueries {
                  ${Q.fingerprintDuck} AS fp,
                  CAST(len(ws) AS BIGINT) AS n_tokens,
                  CAST(len(list_filter(ws, x -> x = 'the' OR x = 'a'))
-                      AS DOUBLE) / len(ws) AS stop_ratio
+                      AS DOUBLE) / nullif(len(ws), 0) AS stop_ratio
           FROM (SELECT doc_id, lang, source, text, $WDuck AS ws
                 FROM documents) t0),
         kept AS (

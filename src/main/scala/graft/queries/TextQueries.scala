@@ -110,13 +110,17 @@ object TextQueries {
               .as("n_bpeish_tokens"),
             expr("cast(size(array_distinct(ws)) as bigint)").as("n_distinct"),
             expr("cast(length(text) as bigint)").as("n_chars_actual"),
-            expr("aggregate(ws, 0L, (a, x) -> a + length(x)) / size(ws)")
+            // nullif-guarded denominators: Spark's non-ANSI x/0 is NULL
+            // but DuckDB's IEEE double division yields inf/NaN, so an
+            // empty-token doc at any future SF would hash-diverge.
+            // nullif pins both engines to NULL.
+            expr("aggregate(ws, 0L, (a, x) -> a + length(x)) / nullif(size(ws), 0)")
               .as("avg_token_len"),
-            expr("size(filter(ws, x -> x = 'the' or x = 'a')) / size(ws)")
+            expr("size(filter(ws, x -> x = 'the' or x = 'a')) / nullif(size(ws), 0)")
               .as("stopword_ratio"),
-            expr("length(regexp_replace(text, '[a-z ]', '')) / length(text)")
+            expr("length(regexp_replace(text, '[a-z ]', '')) / nullif(length(text), 0)")
               .as("punct_ratio"),
-            expr("size(array_distinct(ws)) / size(ws)").as("ttr"))
+            expr("size(array_distinct(ws)) / nullif(size(ws), 0)").as("ttr"))
           // round(…, 9): the three-term multiply-add differs by 1 ulp
           // between engines (FMA/association); 9 digits is far above the
           // noise and far below any semantic signal.
@@ -140,12 +144,13 @@ object TextQueries {
                  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
                  CAST(length(text) AS BIGINT) AS n_chars_actual,
                  CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
-                   / len(ws) AS avg_token_len,
+                   / nullif(len(ws), 0) AS avg_token_len,
                  CAST(len(list_filter(ws, x -> x = 'the' OR x = 'a')) AS DOUBLE)
-                   / len(ws) AS stopword_ratio,
+                   / nullif(len(ws), 0) AS stopword_ratio,
                  CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
-                   / length(text) AS punct_ratio,
-                 CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
+                   / nullif(length(text), 0) AS punct_ratio,
+                 CAST(len(list_distinct(ws)) AS DOUBLE)
+                   / nullif(len(ws), 0) AS ttr
           FROM (SELECT doc_id, text, $WDuck AS ws FROM documents) t0) t1
       """)),
 

@@ -46,12 +46,27 @@ class SkewAndSketchSpec extends AnyFunSuite {
       assert(r.getInt(2) == 1, s"$flag HLL outside 5% of exact")
       assert(r.getInt(4) == 1, s"$flag approx median outside 5% of exact")
     }
+    // The yardstick must be the genuinely HOLISTIC percentile: the shared
+    // session registers GraftExtensions, so without the exclusion
+    // ScaleSafePercentiles would rewrite this into the same sort-based
+    // plan the query uses and the comparison would test nothing.
+    val excludeConf = "spark.sql.optimizer.excludedRules"
+    val ruleName = graft.plans.ScaleSafePercentiles.getClass.getName
+      .stripSuffix("$")
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
-    val exact = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("d"),
-        expr("percentile(l_extendedprice, 0.5)").as("m"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
-      .toMap
+    spark.conf.set(excludeConf, ruleName)
+    val exact =
+      try {
+        val df = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("d"),
+            expr("percentile(l_extendedprice, 0.5)").as("m"))
+        assert(df.queryExecution.optimizedPlan.exists(_.expressions.exists(
+          _.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.aggregate.Percentile]))),
+          "yardstick must keep the holistic Percentile aggregate")
+        df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+          .toMap
+      } finally spark.conf.unset(excludeConf)
     rows.foreach { r =>
       val (ed, em) = exact(r.getString(0))
       assert(r.getLong(1) == ed, s"${r.getString(0)} exact_parts mismatch")
