@@ -70,14 +70,57 @@ object ConnectedComponents {
     *         is cached (it is both the loop fixpoint and what callers
     *         re-execute downstream plans against).
     */
-  def run(edges: DataFrame): DataFrame = {
+  def run(edges: DataFrame,
+      smallGraphEdges: Long = 2L * 1000 * 1000): DataFrame = {
     // localCheckpoint (not persist): each round references its input ~4×,
     // so without RDD-level lineage truncation the analyzed plan grows
     // 4^rounds and PLANNING, not execution, dominates (observed 21 s at
     // sf0.1 with persist vs ~2 s with checkpoint truncation).
     var e = edges.select(col("u"), col("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
-    if (e.isEmpty) return e
+    val nEdges = e.count()
+    if (nEdges == 0) return e
+    // Small-graph endgame (the standard hybrid in distributed CC):
+    // star contraction shrinks the surviving graph geometrically, so the
+    // closing rounds always run on a graph that fits one task — at which
+    // point O(log²) more Catalyst plans are pure planning/job overhead
+    // (measured ~2 s for a 1.5k-edge graph at sf0.1, ALL of it
+    // control-plane). Below the threshold, fold the edge list into one
+    // partition and run exact min-label union-find in a single narrow
+    // mapPartitions job: same answer (min-union keeps every root the
+    // component minimum), deterministic for any edge order, one job.
+    // 2M edges ≈ 32 MB — far under a task's working memory; larger
+    // graphs take the shuffled star-contraction loop below (tests pin
+    // smallGraphEdges = 0 to exercise it at any size).
+    if (nEdges <= smallGraphEdges) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      return e.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = new scala.collection.mutable.LongMap[Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != r) {
+              val nx = parent(c); parent.update(c, r); c = nx
+            }
+            r
+          }
+          it.foreach { case (u, v) =>
+            val ru = find(u); val rv = find(v)
+            if (ru != rv) parent.update(math.max(ru, rv), math.min(ru, rv))
+          }
+          // snapshot keys first: find() path-compresses (mutates) and
+          // LongMap iteration is not mutation-safe
+          val nodes = parent.keysIterator.toArray
+          nodes.iterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
+        }
+        .toDF("u", "v")
+        .localCheckpoint()
+    }
     var fp: Option[Seq[Any]] = None
     var converged = false
     var rounds = 0
@@ -87,8 +130,12 @@ object ConnectedComponents {
     // control-plane jobs dominate q54's wall time — at production SF the
     // per-round shuffles dominate and the job overhead amortizes.
     while (!converged && rounds < 25) {
-      val next = round(e).localCheckpoint()
-      // fingerprint job is a cheap scan of the checkpointed blocks
+      // lazy checkpoint: the fingerprint aggregation below is the action
+      // that materializes the round, so checkpoint + fingerprint cost
+      // ONE job per round instead of two (at test SF the loop is pure
+      // job overhead, so this is a 3-job saving; at scale it halves the
+      // control-plane passes over each round's edge set).
+      val next = round(e).localCheckpoint(eager = false)
       val nfp = Some(next.agg(count(lit(1)), sum(col("u")), sum(col("v")))
         .head.toSeq)
       converged = fp == nfp &&

@@ -51,10 +51,16 @@ object DedupQueries {
     * zero overlap never materialize.
     */
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    // localCheckpoint: the shingle relation feeds BOTH sides of the
+    // self-join; without materialization the planner re-runs the
+    // shingle Generate + window for the second side (measured ~1.5×
+    // this stage). The materialized form is the posting-list shape a
+    // 100 TB dedup pass would persist anyway before pair generation.
     val ex = shingleRows(s, dir)
       .withColumn("n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))))
+      .localCheckpoint()
     val a = ex.alias("a")
     val b = ex.alias("b")
     a.join(b,
@@ -128,9 +134,13 @@ object DedupQueries {
             md5(concat(lit(seed), col("shingle")).cast("binary")), lo, 8))
             .as(s"sig_$j")
         }
+        // localCheckpoint: one signature row per doc feeds both sides of
+        // the bucket self-join — without it the shingle+md5+min pipeline
+        // runs again for the build side (same call as q58's sig table).
         val sigs = shingleRows(s, dir)
           .groupBy(col("doc_id"), col("source"))
           .agg(minhashes.head, minhashes.tail: _*)
+          .localCheckpoint()
         val bands = sigs.withColumn("bucket",
           explode(array((0 until 4).map(b =>
             md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
@@ -281,13 +291,21 @@ object DedupQueries {
           .groupBy(col("doc_id"), col("word"))
           .agg(count(lit(1)).as("c"))
           .withColumn("h", md5(col("word").cast("binary")))
-        // vote s_k_b: band k (hex digits 4k+1..4k+4 of md5), bit b
+          // decode each 16-bit band ONCE per row (4 convs) instead of
+          // re-extracting a hex digit inside all 64 vote cases — the
+          // vote sums below are then pure shifts on these ints
+          .withColumns((0 until 4).map(k => s"h_$k" ->
+            expr(s"cast(conv(substring(h, ${4 * k + 1}, 4), 16, 10) as int)"))
+            .toMap)
+        // vote s_k_b: band k (hex digits 4k+1..4k+4 of md5), bit b.
+        // Digit b/4 of band k is bits 4*(3 - b/4).. of h_k (leftmost hex
+        // char is most significant), bit b%4 within the digit — same
+        // bit the substring/instr formulation (and the oracle) reads.
         val votes = (0 until 4).flatMap { k =>
           (0 until 16).map { b =>
-            val hexPos = 4 * k + b / 4 + 1
+            val shift = 4 * (3 - b / 4) + (b % 4)
             sum(expr(
-              s"""case when (shiftright(instr('0123456789abcdef',
-                    substring(h, $hexPos, 1)) - 1, ${b % 4}) & 1) = 1
+              s"""case when (shiftright(h_$k, $shift) & 1) = 1
                   then c else -c end""")).as(s"s_${k}_$b")
           }
         }
@@ -296,9 +314,17 @@ object DedupQueries {
             .map(b => s"(case when s_${k}_$b >= 0 then ${1L << b} else 0 end)")
             .mkString("cast(", " + ", s" as bigint) as sh_$k")
         }
+        // localCheckpoint: the signature table (one row per doc, four
+        // longs) feeds BOTH sides of the band self-join; without
+        // materialization the planner recomputes the whole explode +
+        // md5 + 64-sum pipeline for the second side (measured ~2× the
+        // query). At scale this is the same call: sigs are ~1e-4 of
+        // corpus bytes, and materializing the contracted table before a
+        // self-join is the standard shape (cf. the CC checkpoint).
         val sh = exploded.groupBy(col("doc_id"))
           .agg(votes.head, votes.tail: _*)
           .selectExpr("doc_id" +: bandExprs: _*)
+          .localCheckpoint()
         val banded = sh.withColumn("band",
           explode(array((0 until 4).map(k =>
             struct(lit(k).as("i"), col(s"sh_$k").as("v"))): _*)))
@@ -379,9 +405,13 @@ object DedupQueries {
           .join(assign, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("cid"), col("doc_id")).as("cluster_id"))
-        val sizes = labeled.groupBy(col("cluster_id"))
-          .agg(count(lit(1)).as("n_members"))
-        labeled.join(sizes, Seq("cluster_id"))
+        // window, not groupBy+rejoin: one shuffle on cluster_id and one
+        // pass over `labeled` (the rejoin recomputed the documents join
+        // for the second reference)
+        labeled
+          .withColumn("n_members", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster_id"))))
           .select(col("doc_id"), col("cluster_id"), col("n_members"),
             (col("doc_id") === col("cluster_id")).as("is_survivor"))
       },

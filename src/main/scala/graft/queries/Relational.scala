@@ -531,31 +531,38 @@ object Relational {
     // anti-join against the same derived relation, the hardest classic
     // join tree in the TPC-H set.
     //
-    // Scale: `late` is derived once; the semi and the anti are both
-    // keyed on l_orderkey, the natural co-partition key (at test SF the
-    // planner broadcasts the small sides instead of shuffling), and the
-    // 100-row supplier dim broadcasts explicitly.
+    // The classic formulation is a semi-join AND an anti-join against a
+    // derived `late` relation — which Spark (no CTE materialization)
+    // would compute twice, scanning lineitem three times. Instead the
+    // whole EXISTS/NOT-EXISTS pair collapses into one two-level
+    // aggregation: per (orderkey, suppkey) fold lineitems to one row
+    // with a was-late flag, then per orderkey count suppliers and late
+    // suppliers — "sole late supplier" is exactly n_late = 1 AND
+    // n_supp >= 2, and MIN over the late flag recovers who it was.
+    //
+    // Scale: one scan of lineitem, one join keyed on l_orderkey (the
+    // natural co-partition key), two partial-agg-friendly aggregations
+    // (no countDistinct Expand), and the 100-row supplier dim
+    // broadcasts explicitly.
     QDef(
       "q63_sole_late_supplier",
       (s, dir) => {
         val t = Tables(s, dir)
-        val li = t.lineitem
+        val perSupp = t.lineitem
           .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-        val late = li
           .join(t.orders.where(col("o_orderstatus") === "F")
             .select(col("o_orderkey"), col("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))
-          .where(col("l_shipdate") > date_add(col("o_orderdate"), 60))
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val hasOther = late.alias("l1")
-          .join(li.alias("l2"),
-            col("l1.l_orderkey") === col("l2.l_orderkey") &&
-            col("l1.l_suppkey") =!= col("l2.l_suppkey"), "leftsemi")
-        val sole = hasOther.alias("l1")
-          .join(late.alias("l3"),
-            col("l1.l_orderkey") === col("l3.l_orderkey") &&
-            col("l1.l_suppkey") =!= col("l3.l_suppkey"), "leftanti")
-        sole
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max((col("l_shipdate") > date_add(col("o_orderdate"), 60))
+            .cast("int")).as("was_late"))
+        val perOrder = perSupp
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_supp"),
+            sum(col("was_late")).as("n_late"),
+            min(when(col("was_late") === 1, col("l_suppkey"))).as("l_suppkey"))
+          .where(col("n_late") === 1 && col("n_supp") >= 2)
+        perOrder
           .join(broadcast(t.supplier
             .select(col("s_suppkey"), col("s_name"))),
             col("l_suppkey") === col("s_suppkey"))

@@ -324,7 +324,13 @@ object SimilarityQueries {
     QDef(
       "q59_semantic_dedup",
       (s, dir) => {
-        val assign = ivfAssign(vectors(s, dir), 16)
+        // localCheckpoint: the assignment table feeds both sides of the
+        // within-cell self-join AND the final left join — three
+        // recomputes of the centroid-probe pipeline without it. Same
+        // materialize-the-contracted-table call as q54/q58; SemDeDup's
+        // cluster assignment is persisted state in the reference design
+        // too (Abbas et al. 2023 §3).
+        val assign = ivfAssign(vectors(s, dir), 16).localCheckpoint()
         val a = assign.alias("a")
         val b = assign.alias("b")
         val pairs = a.join(b,

@@ -340,22 +340,24 @@ object TextQueries {
     // phrases repeat across documents" scan that precedes header/footer
     // stripping: 5-grams ranked by document frequency (df >= 3), with
     // source spread and a sample doc. The Shingles generator emits
-    // per-doc DISTINCT grams, so count(1) IS the document frequency —
-    // no DISTINCT aggregate on the hot path; the source spread comes
-    // from a separate pre-deduped aggregation (q32/q60 Expand lesson)
-    // joined on the 74-row result, not the gram stream.
+    // per-doc DISTINCT grams, so counting rows IS counting documents —
+    // and stacking groupBy(gram, source) under groupBy(gram) computes
+    // df, the source spread, and the sample doc in ONE pass over the
+    // gram stream: no DISTINCT aggregate (q32/q60 Expand lesson), no
+    // second scan, and both levels are partial-agg friendly.
     QDef(
       "q62_boilerplate_ngrams",
       (s, dir) => {
         val grams = Tables(s, dir).documents
           .select(col("doc_id"), col("source"),
             graft.functions.Shingles.shingles(col("text"), 5).as("gram"))
-        val byGram = grams.groupBy(col("gram"))
-          .agg(count(lit(1)).as("df"), min(col("doc_id")).as("sample_doc"))
+        grams.groupBy(col("gram"), col("source"))
+          .agg(count(lit(1)).as("n_docs_src"), min(col("doc_id")).as("m"))
+          .groupBy(col("gram"))
+          .agg(sum(col("n_docs_src")).as("df"),
+            count(lit(1)).as("n_sources"),
+            min(col("m")).as("sample_doc"))
           .where(col("df") >= 3)
-        val spread = grams.select(col("gram"), col("source")).distinct()
-          .groupBy(col("gram")).agg(count(lit(1)).as("n_sources"))
-        byGram.join(spread, Seq("gram"))
           .select(col("gram"), col("df"), col("n_sources"), col("sample_doc"))
           .orderBy(col("df").desc, col("gram").asc)
           .limit(50)

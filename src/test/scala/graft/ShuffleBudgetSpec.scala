@@ -21,7 +21,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q18_inverted_index" -> 1, "q19_text_stats" -> 0,
     "q1_pricing_summary" -> 1, "q20_lang_id" -> 0,
     "q21_fingerprint" -> 1, "q22_exact_dedup" -> 1,
-    "q23_minhash_lsh" -> 2, "q24_ngram_jaccard" -> 1,
+    // q23/q24/q54/q58: the localCheckpoint in the sig/shingle pipeline
+    // truncates the visible plan, so these budgets only cover the
+    // post-checkpoint stages (the checkpointed sub-plan's shuffles run
+    // once at materialization — exactly the point of the checkpoint)
+    "q23_minhash_lsh" -> 1, "q24_ngram_jaccard" -> 0,
     "q25_simhash" -> 2, "q26_cosine_topk" -> 1,
     "q27_ann_bucketed" -> 1, "q28_media_decode" -> 0,
     "q29_asof_join" -> 1, "q2_forecast_revenue" -> 1,
@@ -38,12 +42,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q49_winnowing" -> 1, "q4_supplier_by_region" -> 1,
     "q50_session_windows" -> 1, "q51_train_test_split" -> 1,
     "q52_clean_funnel" -> 2, "q53_length_buckets" -> 1,
-    "q54_dedup_clusters" -> 5, "q55_source_quota_mix" -> 1,
+    "q54_dedup_clusters" -> 3, "q55_source_quota_mix" -> 1,
     "q56_decontamination" -> 4, "q57_repetition_stats" -> 3,
-    "q58_simhash_neardup" -> 2, "q59_semantic_dedup" -> 4,
+    "q58_simhash_neardup" -> 0, "q59_semantic_dedup" -> 5,
     "q5_big_spenders" -> 0, "q60_corpus_build" -> 5,
-    "q61_quality_quantile_filter" -> 1, "q62_boilerplate_ngrams" -> 3,
-    "q63_sole_late_supplier" -> 5, "q64_metric_correlation" -> 2,
+    "q61_quality_quantile_filter" -> 1, "q62_boilerplate_ngrams" -> 2,
+    "q63_sole_late_supplier" -> 3, "q64_metric_correlation" -> 2,
     "q65_interevent_gaps" -> 2, "q66_event_transitions" -> 3,
     "q6_customers_without_big_orders" -> 0,
     "q7_top_orders_per_customer" -> 1, "q8_top100_lineitems" -> 0,

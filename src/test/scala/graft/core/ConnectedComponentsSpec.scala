@@ -27,33 +27,41 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     par.keys.map(k => k -> find(k)).filter { case (k, r) => k != r }.toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  // smallGraphEdges = 0 pins the distributed star-contraction loop;
+  // the default takes the single-task union-find endgame. Both paths
+  // must agree with the sequential oracle on every shape.
+  private def run(edges: Seq[(Long, Long)], small: Long): Map[Long, Long] = {
     import spark.implicits._
-    ConnectedComponents.run(edges.toDF("u", "v"))
+    ConnectedComponents.run(edges.toDF("u", "v"), smallGraphEdges = small)
       .as[(Long, Long)].collect().toMap
   }
 
-  test("random graphs match the union-find oracle") {
-    val rnd = new scala.util.Random(42)
-    for (trial <- 0 until 5) {
-      val n = 30 + rnd.nextInt(50)
-      val m = n / 2 + rnd.nextInt(2 * n)
-      val edges = Seq.fill(m)(
-        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-      assert(run(edges) == unionFind(edges.filter(e => e._1 != e._2)),
-        s"trial $trial n=$n m=$m")
+  private val paths = Seq(
+    "star-contraction" -> 0L, "union-find endgame" -> Long.MaxValue)
+
+  for ((label, small) <- paths) {
+    test(s"random graphs match the union-find oracle [$label]") {
+      val rnd = new scala.util.Random(42)
+      for (trial <- 0 until 5) {
+        val n = 30 + rnd.nextInt(50)
+        val m = n / 2 + rnd.nextInt(2 * n)
+        val edges = Seq.fill(m)(
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        assert(run(edges, small) == unionFind(edges.filter(e => e._1 != e._2)),
+          s"trial $trial n=$n m=$m")
+      }
     }
-  }
 
-  test("a 60-node path needs far more hops than contraction rounds") {
-    val edges = (0L until 59L).map(i => (i, i + 1))
-    val got = run(edges)
-    assert(got == (1L to 59L).map(_ -> 0L).toMap)
-  }
+    test(s"a 60-node path needs far more hops than contraction rounds [$label]") {
+      val edges = (0L until 59L).map(i => (i, i + 1))
+      val got = run(edges, small)
+      assert(got == (1L to 59L).map(_ -> 0L).toMap)
+    }
 
-  test("duplicate, reversed, and self-loop edges are harmless") {
-    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (2L, 4L),
-      (4L, 2L), (5L, 5L))
-    assert(run(edges) == Map(2L -> 1L, 4L -> 1L))
+    test(s"duplicate, reversed, and self-loop edges are harmless [$label]") {
+      val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (2L, 4L),
+        (4L, 2L), (5L, 5L))
+      assert(run(edges, small) == Map(2L -> 1L, 4L -> 1L))
+    }
   }
 }
