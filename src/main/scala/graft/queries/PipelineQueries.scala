@@ -347,6 +347,143 @@ object PipelineQueries {
                MIN(doc_id) AS min_doc
         FROM kept
         GROUP BY 1, 2
+      """)),
+
+    // ------------------------------------------------------------------
+    // q67: stratified sampling with per-stratum rates — downsample
+    // over-represented languages (en keeps 1/2, es 1/4, the rest 1/8)
+    // the same way q51 splits: a salted md5 of the doc id compared
+    // against a fixed-width hex threshold, so membership is a pure map,
+    // reproducible at any scale, and independent of the rest of the
+    // corpus. Rates are binary fractions so the hex cutoffs ('8000',
+    // '4000', '2000' of 0x10000) are EXACT — no float rounding can
+    // disagree across engines.
+    QDef(
+      "q67_stratified_sample",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .withColumn("h4", expr(
+            """substring(md5(cast(concat('strat|', cast(doc_id as string))
+                 as binary)), 1, 4)"""))
+          .withColumn("rate", expr(
+            """case lang when 'en' then 0.5d
+                         when 'es' then 0.25d else 0.125d end"""))
+          .where(col("h4") < expr(
+            """case lang when 'en' then '8000'
+                         when 'es' then '4000' else '2000' end"""))
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("rate"), col("h4"))
+      },
+      Some("""
+        SELECT doc_id, lang, source,
+               CASE lang WHEN 'en' THEN 0.5
+                         WHEN 'es' THEN 0.25 ELSE 0.125 END AS rate,
+               substring(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 4) AS h4
+        FROM documents
+        WHERE substring(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 4)
+              < CASE lang WHEN 'en' THEN '8000'
+                          WHEN 'es' THEN '4000' ELSE '2000' END
+      """)),
+
+    // ------------------------------------------------------------------
+    // q68: sequence packing for pretraining — concatenate each source's
+    // documents in doc_id order and cut the stream every 4096 BPE-ish
+    // tokens (GPT-style concat-then-chunk packing). Each doc's shard id
+    // and offset derive from the running token count BEFORE it, so the
+    // whole layout is one window cumsum per source — the partition key
+    // a 1000-executor writer would shard on — and every number is exact
+    // integer arithmetic.
+    QDef(
+      "q68_pack_sequences",
+      (s, dir) => {
+        val bySrc = Window.partitionBy(col("source"))
+          .orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("source"),
+            expr("""cast(size(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0)) as bigint)""")
+              .as("n_tokens"))
+          .withColumn("start_tok",
+            sum(col("n_tokens")).over(bySrc) - col("n_tokens"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            expr("cast(floor(start_tok / 4096.0d) as bigint)").as("shard_id"),
+            (col("start_tok") % 4096L).as("shard_offset"))
+      },
+      Some("""
+        SELECT doc_id, source, n_tokens,
+               CAST(FLOOR(start_tok / 4096.0) AS BIGINT) AS shard_id,
+               start_tok % 4096 AS shard_offset
+        FROM (
+          SELECT doc_id, source, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) - n_tokens AS start_tok
+          FROM (
+            SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS n_tokens
+            FROM documents) t0) t1
+      """)),
+      // (plain triple-quote: \s above reaches DuckDB verbatim — an
+      // s-interpolated string would need \\s like the q19 oracle)
+
+    // ------------------------------------------------------------------
+    // q69: FUZZY decontamination — q56 flags held-out docs sharing exact
+    // 13-grams with train; this catches the near-duplicate leak those
+    // misses: document-level Jaccard over 8-gram shingles between the
+    // two splits, reported for pairs at >= 0.5. Same sparse
+    // explode-join-count shape as q24 (zero-overlap pairs never
+    // materialize; the shingle is the shuffle key), but ACROSS two
+    // relations — the train×held case no within-corpus blocking key
+    // covers. The single division is one exact double op, so 0.5
+    // compares identically across engines.
+    QDef(
+      "q69_fuzzy_decontamination",
+      (s, dir) => {
+        // localCheckpoint: the shingle relation feeds both the held-out
+        // and train sides of the join (same call as jaccardPairs)
+        val sh8 = Tables(s, dir).documents
+          .withColumn("split", expr(splitExprSpark))
+          .select(col("doc_id"), col("split"),
+            graft.functions.Shingles.shingles(col("text"), 8).as("g"))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("doc_id"))))
+          .localCheckpoint()
+        val held = sh8.where(col("split") === "held_out").alias("h")
+        val train = sh8.where(col("split") === "train").alias("t")
+        held.join(train, col("h.g") === col("t.g"))
+          .groupBy(col("h.doc_id").as("doc_held"),
+            col("t.doc_id").as("doc_train"),
+            col("h.n").as("n_h"), col("t.n").as("n_t"))
+          .agg(count(lit(1)).as("n_common"))
+          .withColumn("jaccard",
+            expr("cast(n_common as double) / (n_h + n_t - n_common)"))
+          .where(col("jaccard") >= 0.5)
+          .select(col("doc_held"), col("doc_train"), col("n_common"),
+            round(col("jaccard"), 6).as("jaccard_r"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, $splitExprDuck AS split, $WDuck AS ws
+                   FROM documents),
+        sh AS (SELECT doc_id, split, g,
+                      COUNT(*) OVER (PARTITION BY doc_id) AS n
+               FROM (SELECT doc_id, split,
+                            unnest(${TextQueries.ngramsDuck(8)}) AS g
+                     FROM w) t0),
+        pairs AS (
+          SELECT h.doc_id AS doc_held, t.doc_id AS doc_train,
+                 h.n AS n_h, t.n AS n_t,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM sh h JOIN sh t ON h.g = t.g
+          WHERE h.split = 'held_out' AND t.split = 'train'
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_held, doc_train, n_common,
+               ROUND(CAST(n_common AS DOUBLE) / (n_h + n_t - n_common), 6)
+                 AS jaccard_r
+        FROM pairs
+        WHERE CAST(n_common AS DOUBLE) / (n_h + n_t - n_common) >= 0.5
       """))
   )
 }

@@ -373,6 +373,54 @@ object TextQueries {
         GROUP BY gram HAVING COUNT(*) >= 3
         ORDER BY df DESC, gram ASC
         LIMIT 50
+      """)),
+
+    // ------------------------------------------------------------------
+    // q70: vocabulary coverage / OOV rate — the tokenizer-QA pass: build
+    // the corpus top-16 vocabulary by document frequency (ties broken by
+    // word, so the cut is deterministic), then score every document's
+    // out-of-vocabulary token ratio. The vocab derives from a
+    // partial-agg-friendly count over per-doc DISTINCT words (no
+    // corpus-wide DISTINCT shuffle), collapses to ONE broadcast row
+    // holding the vocab array, and the per-doc scoring is a pure
+    // scan-side lambda — at 100 TB the only shuffle is the tiny word-df
+    // aggregation.
+    QDef(
+      "q70_vocab_coverage",
+      (s, dir) => {
+        val wsDf = Tables(s, dir).documents
+          .select(col("doc_id"), expr(W).as("ws"))
+        val vocabArr = wsDf
+          .select(explode(array_distinct(col("ws"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("w").asc).limit(16)
+          .agg(sort_array(collect_list(col("w"))).as("vocab"))
+        wsDf.crossJoin(broadcast(vocabArr))
+          .select(col("doc_id"),
+            expr("cast(size(ws) as bigint)").as("n_tokens"),
+            expr("""cast(size(filter(ws, x -> not array_contains(vocab, x)))
+                    as bigint)""").as("n_oov"))
+          .withColumn("oov_ratio", expr(
+            "cast(n_oov as double) / nullif(n_tokens, 0)"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, $WDuck AS ws FROM documents),
+        df AS (SELECT word, COUNT(*) AS df
+               FROM (SELECT doc_id, unnest(list_distinct(ws)) AS word
+                     FROM w) t0
+               GROUP BY word),
+        vocab AS (SELECT list(word ORDER BY word) AS vocab
+                  FROM (SELECT word FROM df
+                        ORDER BY df DESC, word ASC LIMIT 16) t1)
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(ws,
+                    x -> NOT list_contains(vocab.vocab, x))) AS BIGINT)
+                 AS n_oov,
+               CAST(len(list_filter(ws,
+                    x -> NOT list_contains(vocab.vocab, x))) AS DOUBLE)
+                 / nullif(len(ws), 0) AS oov_ratio
+        FROM w, vocab
       """))
   )
 }

@@ -19,9 +19,11 @@ class PlanQualitySpec extends AnyFunSuite {
   // crossJoin broadcasts exactly ONE aggregated row. q33 is NOT
   // allowed: its LSH candidate join must stay an equi-join.
   // q59's centroid assignment broadcasts the same 16-row table as q48.
+  // q70's vocab crossJoin broadcasts exactly ONE aggregated array row
+  // (the q37 corpus-size pattern).
   private val nlAllowed = Set("q26_cosine_topk",
     "q30_range_join", "q37_tfidf", "q47_interval_overlap", "q48_ann_ivf",
-    "q59_semantic_dedup")
+    "q59_semantic_dedup", "q70_vocab_coverage")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

@@ -49,6 +49,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q61_quality_quantile_filter" -> 1, "q62_boilerplate_ngrams" -> 2,
     "q63_sole_late_supplier" -> 3, "q64_metric_correlation" -> 2,
     "q65_interevent_gaps" -> 2, "q66_event_transitions" -> 3,
+    "q67_stratified_sample" -> 0, "q68_pack_sequences" -> 1,
+    "q69_fuzzy_decontamination" -> 0, "q70_vocab_coverage" -> 1,
     "q6_customers_without_big_orders" -> 0,
     "q7_top_orders_per_customer" -> 1, "q8_top100_lineitems" -> 0,
     "q9_setops" -> 2)
