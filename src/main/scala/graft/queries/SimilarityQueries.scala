@@ -385,6 +385,96 @@ object SimilarityQueries {
                     THEN 1 ELSE 0 END AS INT) AS keep,
                COALESCE(ROUND(max_cos, 6), 0.0) AS max_cos_r
         FROM assign a LEFT JOIN stats ON stats.vec_id = a.vec_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q71: product quantization (the PQ in IVF-PQ, Jégou et al. 2011) —
+    // the compression that makes billion-vector ANN feasible: the 64-dim
+    // vector splits into 8 subspaces of 8 dims; each subvector is coded
+    // as its nearest of 16 per-subspace centroids (here the first 16
+    // vectors' slices — the deterministic stand-in this suite uses for
+    // trained centroids, cf. q48), compressing 512 bytes to 8. Output is
+    // every vector's 8-byte code plus its reconstruction error.
+    //
+    // Scale: the codebook is 128 tiny rows — broadcast; assignment is a
+    // scan-side map over (vector × subspace) rows, partial-agg folds the
+    // 8 codes back per vector; nothing shuffles except the final 40k-row
+    // regroup on vec_id. Determinism: squared distances are rounded to
+    // 9 digits BEFORE the argmin (1-ulp fold-order guard) and the
+    // tiebreak is centroid id; the error sum re-rounds at 6.
+    QDef(
+      "q71_pq_codes",
+      (s, dir) => {
+        // ‖sub‖² hoisted per row (40k interpreted folds) so the 640k-row
+        // hot path below runs ONE codegen'd dot_product plus scalar
+        // arithmetic — an interpreted zip_with fold there was the
+        // whole query's cost
+        val subbed = vectors(s, dir)
+          .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"),
+            col("v"))
+          .select(col("vec_id"), col("j"),
+            expr("slice(v, j * 8 + 1, 8)").as("sub"))
+          .withColumn("sub2", expr(
+            "aggregate(sub, 0D, (a, x) -> a + x * x)"))
+        val cents = subbed.where(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("cent_id"), col("j"),
+            col("sub").as("csub"), col("sub2").as("csub2"))
+        // d2 = ‖sub‖² + ‖csub‖² − 2·sub·csub (same decomposition in the
+        // oracle); greatest(…, 0) pins the −1e-16 cancellation residue
+        // of identical subvectors away from −0.0 (repr-level hash
+        // divergence). argmin as min(struct(d2r, cent_id)) — partial-agg
+        // folds the 16 candidates map-side instead of sorting 640k rows
+        // under a window; the struct order (distance, then centroid id)
+        // is the same tiebreak the oracle's ROW_NUMBER uses.
+        val assigned = subbed.join(broadcast(cents), Seq("j"))
+          .withColumn("d2r", expr(
+            """round(greatest(sub2 + csub2 - 2.0d * dot_product(sub, csub),
+                 0D), 9)"""))
+          .groupBy(col("vec_id"), col("j"))
+          .agg(min(struct(col("d2r"), col("cent_id"))).as("b"))
+          .select(col("vec_id"), col("j"),
+            col("b.cent_id").as("cent_id"), col("b.d2r").as("d2r"))
+        val codeCols = (0 until 8).map(k =>
+          sum(when(col("j") === k, col("cent_id"))).cast("int")
+            .as(s"code_$k"))
+        assigned.groupBy(col("vec_id"))
+          .agg(codeCols.head, (codeCols.tail :+
+            round(sqrt(sum(col("d2r"))), 6).as("recon_err_r")): _*)
+      },
+      Some("""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        subbed AS (SELECT vec_id, j, sub,
+                          list_sum(list_transform(sub, x -> x * x)) AS sub2
+                   FROM (SELECT vec_id, j, v[(j*8 + 1):(j*8 + 8)] AS sub
+                         FROM e, (SELECT unnest(range(0, 8)) AS j) js) t),
+        cents AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, j,
+                         sub AS csub, sub2 AS csub2
+                  FROM subbed WHERE vec_id < 16),
+        scored AS (SELECT s.vec_id, s.j, c.cent_id,
+                          ROUND(GREATEST(s.sub2 + c.csub2
+                            - 2.0 * list_sum(list_transform(range(1, 9),
+                                i -> s.sub[i] * c.csub[i])), 0), 9) AS d2r
+                   FROM subbed s JOIN cents c ON s.j = c.j),
+        assigned AS (SELECT * FROM (
+                       SELECT vec_id, j, cent_id, d2r,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                ORDER BY d2r ASC, cent_id ASC) AS rn
+                       FROM scored) t WHERE rn = 1)
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN j = 0 THEN cent_id END) AS INTEGER) AS code_0,
+               CAST(SUM(CASE WHEN j = 1 THEN cent_id END) AS INTEGER) AS code_1,
+               CAST(SUM(CASE WHEN j = 2 THEN cent_id END) AS INTEGER) AS code_2,
+               CAST(SUM(CASE WHEN j = 3 THEN cent_id END) AS INTEGER) AS code_3,
+               CAST(SUM(CASE WHEN j = 4 THEN cent_id END) AS INTEGER) AS code_4,
+               CAST(SUM(CASE WHEN j = 5 THEN cent_id END) AS INTEGER) AS code_5,
+               CAST(SUM(CASE WHEN j = 6 THEN cent_id END) AS INTEGER) AS code_6,
+               CAST(SUM(CASE WHEN j = 7 THEN cent_id END) AS INTEGER) AS code_7,
+               ROUND(SQRT(SUM(d2r)), 6) AS recon_err_r
+        FROM assigned
+        GROUP BY vec_id
       """))
   )
 }

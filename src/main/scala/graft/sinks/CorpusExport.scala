@@ -47,6 +47,28 @@ object CorpusExport {
       .mode(mode)
       .parquet(outDir)
 
+  /** JSONL export — the interchange format training stacks actually
+    * consume (one JSON object per line, gzip-compressed shards). Same
+    * layout contract as the parquet write: hive `split=…/lang=…`
+    * directories for partition-pruned reads, `maxRecordsPerFile` shard
+    * bound, in-file doc_id sort for deterministic shard contents.
+    * Spark's json writer IS JSON Lines, and gzip'd JSONL stays
+    * per-file-parallel (one task per shard — which is why the shard
+    * bound matters more here than for parquet: gzip is not splittable
+    * WITHIN a file).
+    */
+  def writeJsonl(docs: DataFrame, outDir: String,
+      maxRecordsPerFile: Int = 100000): Unit =
+    docs
+      .repartition(col("split"), col("lang"))
+      .sortWithinPartitions(col("split"), col("lang"), col("doc_id"))
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .option("compression", "gzip")
+      .partitionBy("split", "lang")
+      .mode("overwrite")
+      .json(outDir)
+
   /** One row per (split, lang) partition of an exported corpus:
     * doc/token counts plus file count and bytes from the filesystem.
     */

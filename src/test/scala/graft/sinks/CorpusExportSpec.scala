@@ -56,4 +56,34 @@ class CorpusExportSpec extends AnyFunSuite {
     assert(ids.sameElements(ids.sorted), s"file $aFile not doc_id-sorted")
     manifest.unpersist()
   }
+
+  test("jsonl export round-trips rows, partitions, and gzips shards") {
+    val out = TestSpark.tmpDir("corpus-jsonl")
+    val docs = Tables(spark, dir).documents
+      .withColumn("split",
+        expr(graft.queries.PipelineQueries.splitExprSpark))
+      .select(col("doc_id"), col("text"), col("lang"), col("split"))
+    CorpusExport.writeJsonl(docs, out)
+
+    // hive layout + gzip'd JSONL shards on disk
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("split=train", "split=held_out"))
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .toArray.map(_.toString)
+    assert(files.nonEmpty && files.forall(_.endsWith(".json.gz")), files.head)
+
+    // read back: every row survives with identical content (the json
+    // reader recovers the hive partition columns)
+    val back = spark.read.json(out)
+      .select(col("doc_id"), col("text"), col("lang"), col("split"))
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+
+    // and a split+lang predicate partition-prunes the jsonl scan too
+    val pruned = back.where(col("split") === "train" && col("lang") === "en")
+    assert(pruned.count() ==
+      docs.where(col("split") === "train" && col("lang") === "en").count())
+  }
 }
