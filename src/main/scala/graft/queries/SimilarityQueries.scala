@@ -64,6 +64,74 @@ object SimilarityQueries {
     ivfRanked(e, k).filter(col("rn") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
 
+  /** Product-quantization building blocks shared by q71 (codes) and q72
+    * (ADC search): 8 subspaces of 8 dims, codebook = the first 16
+    * vectors' slices (the suite's deterministic stand-in for trained
+    * centroids, cf. q48).
+    *
+    * ‖sub‖² is hoisted per (vector, subspace) row (40k interpreted
+    * folds) so the 640k-row scoring path runs ONE codegen'd dot_product
+    * plus scalar arithmetic — an interpreted zip_with fold there was
+    * the whole pipeline's cost. d2 = ‖sub‖² + ‖csub‖² − 2·sub·csub
+    * (same decomposition in the oracles); greatest(…, 0) pins the
+    * −1e-16 cancellation residue of identical subvectors away from
+    * −0.0 (repr-level hash divergence). The argmin folds map-side as
+    * min(struct(d2r, cent_id)) instead of sorting under a window; the
+    * struct order (distance, then centroid id) is the same tiebreak the
+    * oracles' ROW_NUMBER uses.
+    *
+    * @return (subbed, cents, assigned): per-(vec, j) subvectors with
+    *         norms; the 128-row codebook; the per-(vec, j) chosen
+    *         (cent_id, d2r)
+    */
+  private def pqParts(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val subbed = vectors(s, dir)
+      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"),
+        col("v"))
+      .select(col("vec_id"), col("j"),
+        expr("slice(v, j * 8 + 1, 8)").as("sub"))
+      .withColumn("sub2", expr(
+        "aggregate(sub, 0D, (a, x) -> a + x * x)"))
+    val cents = subbed.where(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cent_id"), col("j"),
+        col("sub").as("csub"), col("sub2").as("csub2"))
+    val assigned = subbed.join(broadcast(cents), Seq("j"))
+      .withColumn("d2r", expr(
+        """round(greatest(sub2 + csub2 - 2.0d * dot_product(sub, csub),
+             0D), 9)"""))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d2r"), col("cent_id"))).as("b"))
+      .select(col("vec_id"), col("j"),
+        col("b.cent_id").as("cent_id"), col("b.d2r").as("d2r"))
+    (subbed, cents, assigned)
+  }
+
+  /** DuckDB restatement of [[pqParts]] — the shared CTE prefix of the
+    * q71/q72 oracles (`e` → `subbed` → `cents` → `scored` → `assigned`).
+    */
+  private val pqDuckCtes = """
+    e AS (SELECT vec_id,
+            list_transform(embedding::DOUBLE[],
+              x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+          FROM embeddings),
+    subbed AS (SELECT vec_id, j, sub,
+                      list_sum(list_transform(sub, x -> x * x)) AS sub2
+               FROM (SELECT vec_id, j, v[(j*8 + 1):(j*8 + 8)] AS sub
+                     FROM e, (SELECT unnest(range(0, 8)) AS j) js) t),
+    cents AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, j,
+                     sub AS csub, sub2 AS csub2
+              FROM subbed WHERE vec_id < 16),
+    scored AS (SELECT s.vec_id, s.j, c.cent_id,
+                      ROUND(GREATEST(s.sub2 + c.csub2
+                        - 2.0 * list_sum(list_transform(range(1, 9),
+                            i -> s.sub[i] * c.csub[i])), 0), 9) AS d2r
+               FROM subbed s JOIN cents c ON s.j = c.j),
+    assigned AS (SELECT * FROM (
+                   SELECT vec_id, j, cent_id, d2r,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                            ORDER BY d2r ASC, cent_id ASC) AS rn
+                   FROM scored) t WHERE rn = 1)"""
+
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------
     // q26: brute-force cosine top-5 for the first 10 vectors as queries.
@@ -405,35 +473,7 @@ object SimilarityQueries {
     QDef(
       "q71_pq_codes",
       (s, dir) => {
-        // ‖sub‖² hoisted per row (40k interpreted folds) so the 640k-row
-        // hot path below runs ONE codegen'd dot_product plus scalar
-        // arithmetic — an interpreted zip_with fold there was the
-        // whole query's cost
-        val subbed = vectors(s, dir)
-          .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"),
-            col("v"))
-          .select(col("vec_id"), col("j"),
-            expr("slice(v, j * 8 + 1, 8)").as("sub"))
-          .withColumn("sub2", expr(
-            "aggregate(sub, 0D, (a, x) -> a + x * x)"))
-        val cents = subbed.where(col("vec_id") < 16)
-          .select(col("vec_id").cast("int").as("cent_id"), col("j"),
-            col("sub").as("csub"), col("sub2").as("csub2"))
-        // d2 = ‖sub‖² + ‖csub‖² − 2·sub·csub (same decomposition in the
-        // oracle); greatest(…, 0) pins the −1e-16 cancellation residue
-        // of identical subvectors away from −0.0 (repr-level hash
-        // divergence). argmin as min(struct(d2r, cent_id)) — partial-agg
-        // folds the 16 candidates map-side instead of sorting 640k rows
-        // under a window; the struct order (distance, then centroid id)
-        // is the same tiebreak the oracle's ROW_NUMBER uses.
-        val assigned = subbed.join(broadcast(cents), Seq("j"))
-          .withColumn("d2r", expr(
-            """round(greatest(sub2 + csub2 - 2.0d * dot_product(sub, csub),
-                 0D), 9)"""))
-          .groupBy(col("vec_id"), col("j"))
-          .agg(min(struct(col("d2r"), col("cent_id"))).as("b"))
-          .select(col("vec_id"), col("j"),
-            col("b.cent_id").as("cent_id"), col("b.d2r").as("d2r"))
+        val (_, _, assigned) = pqParts(s, dir)
         val codeCols = (0 until 8).map(k =>
           sum(when(col("j") === k, col("cent_id"))).cast("int")
             .as(s"code_$k"))
@@ -441,28 +481,8 @@ object SimilarityQueries {
           .agg(codeCols.head, (codeCols.tail :+
             round(sqrt(sum(col("d2r"))), 6).as("recon_err_r")): _*)
       },
-      Some("""
-        WITH e AS (SELECT vec_id,
-                     list_transform(embedding::DOUBLE[],
-                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
-                   FROM embeddings),
-        subbed AS (SELECT vec_id, j, sub,
-                          list_sum(list_transform(sub, x -> x * x)) AS sub2
-                   FROM (SELECT vec_id, j, v[(j*8 + 1):(j*8 + 8)] AS sub
-                         FROM e, (SELECT unnest(range(0, 8)) AS j) js) t),
-        cents AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, j,
-                         sub AS csub, sub2 AS csub2
-                  FROM subbed WHERE vec_id < 16),
-        scored AS (SELECT s.vec_id, s.j, c.cent_id,
-                          ROUND(GREATEST(s.sub2 + c.csub2
-                            - 2.0 * list_sum(list_transform(range(1, 9),
-                                i -> s.sub[i] * c.csub[i])), 0), 9) AS d2r
-                   FROM subbed s JOIN cents c ON s.j = c.j),
-        assigned AS (SELECT * FROM (
-                       SELECT vec_id, j, cent_id, d2r,
-                              ROW_NUMBER() OVER (PARTITION BY vec_id, j
-                                ORDER BY d2r ASC, cent_id ASC) AS rn
-                       FROM scored) t WHERE rn = 1)
+      Some(s"""
+        WITH $pqDuckCtes
         SELECT vec_id,
                CAST(SUM(CASE WHEN j = 0 THEN cent_id END) AS INTEGER) AS code_0,
                CAST(SUM(CASE WHEN j = 1 THEN cent_id END) AS INTEGER) AS code_1,
@@ -475,6 +495,69 @@ object SimilarityQueries {
                ROUND(SQRT(SUM(d2r)), 6) AS recon_err_r
         FROM assigned
         GROUP BY vec_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q72: PQ asymmetric-distance search (the ADC in IVF-PQ) — the read
+    // side of q71's codes: each query vector precomputes an 8×16 lookup
+    // table of subspace distances to the codebook, and every corpus
+    // vector's approximate distance is just 8 table lookups summed —
+    // the codes table is never decompressed. Top-3 per query by
+    // approximate distance.
+    //
+    // Scale: the LUT is (queries × 128) rows — broadcast; the scoring
+    // join is codes ⋈ LUT on (subspace, code), a pure map over the
+    // codes stream; per-(query, vector) sums partial-agg before the
+    // only shuffle. Determinism: LUT entries are rounded at 9 (same
+    // guard as q71); ranks compare the SUM rounded at 6 with vec_id
+    // tiebreak, so a 1-ulp fold-order difference cannot reorder.
+    QDef(
+      "q72_pq_adc_search",
+      (s, dir) => {
+        val (subbed, cents, assigned) = pqParts(s, dir)
+        val codes = assigned
+          .select(col("vec_id"), col("j"), col("cent_id"))
+        val lut = subbed.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("j"),
+            col("sub").as("qsub"), col("sub2").as("qsub2"))
+          .join(broadcast(cents), Seq("j"))
+          .select(col("qid"), col("j"), col("cent_id"),
+            expr("""round(greatest(qsub2 + csub2
+                      - 2.0d * dot_product(qsub, csub), 0D), 9)""")
+              .as("qd2r"))
+        val byQ = Window.partitionBy(col("qid"))
+          .orderBy(col("ad6").asc, col("vec_id").asc)
+        codes.join(broadcast(lut), Seq("j", "cent_id"))
+          .where(col("qid") =!= col("vec_id"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(round(sum(col("qd2r")), 6).as("ad6"))
+          .withColumn("rk", row_number().over(byQ))
+          .where(col("rk") <= 3)
+          .select(col("qid"), col("vec_id").as("neighbor_id"), col("rk"),
+            col("ad6").as("adist_r"))
+      },
+      Some(s"""
+        WITH $pqDuckCtes,
+        codes AS (SELECT vec_id, j, cent_id FROM assigned),
+        lut AS (SELECT s.vec_id AS qid, s.j, c.cent_id,
+                       ROUND(GREATEST(s.sub2 + c.csub2
+                         - 2.0 * list_sum(list_transform(range(1, 9),
+                             i -> s.sub[i] * c.csub[i])), 0), 9) AS qd2r
+                FROM subbed s JOIN cents c ON s.j = c.j
+                WHERE s.vec_id < 10),
+        sc AS (SELECT l.qid, co.vec_id,
+                      ROUND(SUM(qd2r), 6) AS ad6
+               FROM codes co JOIN lut l
+                 ON co.j = l.j AND co.cent_id = l.cent_id
+               WHERE l.qid <> co.vec_id
+               GROUP BY 1, 2),
+        ranked AS (SELECT qid, vec_id, ad6,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY ad6 ASC, vec_id ASC) AS rk
+                   FROM sc)
+        SELECT qid, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rk,
+               ad6 AS adist_r
+        FROM ranked WHERE rk <= 3
       """))
   )
 }
