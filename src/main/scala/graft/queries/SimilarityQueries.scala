@@ -558,6 +558,64 @@ object SimilarityQueries {
         SELECT qid, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rk,
                ad6 AS adist_r
         FROM ranked WHERE rk <= 3
+      """)),
+
+    // ------------------------------------------------------------------
+    // q73: embedding outlier detection — the drift/QA pass over a
+    // labeled embedding corpus: per-label centroid (dimension-wise
+    // mean), then the 5 vectors farthest from their own centroid. The
+    // shape is fully exploded — (vec, dim) rows join the broadcast
+    // (label, dim) centroid and the squared deltas partial-agg back per
+    // vector — so nothing ever materializes a per-group array and the
+    // only real shuffle is keyed by vec_id.
+    //
+    // Determinism: the dimension means are averages of ~N doubles in
+    // engine/partition-dependent order, so they are rounded at 9 before
+    // any distance math; ranks compare the distance rounded at 6 with a
+    // vec_id tiebreak (the q72 rule), so fold-order ulp noise cannot
+    // reorder.
+    QDef(
+      "q73_embedding_outliers",
+      (s, dir) => {
+        // localCheckpoint: dims feeds the centroid aggregation AND the
+        // distance join (the repo's standard materialize-once call for
+        // a twice-consumed subtree)
+        val dims = vectors(s, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("v")).as(Seq("p", "x")))
+          .localCheckpoint()
+        val centroid = dims.groupBy(col("label"), col("p"))
+          .agg(round(avg(col("x")), 9).as("c"))
+        val byLabel = Window.partitionBy(col("label"))
+          .orderBy(col("dist_r").desc, col("vec_id").asc)
+        dims.join(broadcast(centroid), Seq("label", "p"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(round(sqrt(sum((col("x") - col("c")) * (col("x") - col("c")))),
+            6).as("dist_r"))
+          .withColumn("rk", row_number().over(byLabel))
+          .where(col("rk") <= 5)
+          .select(col("label"), col("vec_id"), col("rk"), col("dist_r"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        dims AS (SELECT vec_id, label, p.p AS p, v[p.p + 1] AS x
+                 FROM e, (SELECT unnest(range(0, 64)) AS p) p),
+        centroid AS (SELECT label, p, ROUND(AVG(x), 9) AS c
+                     FROM dims GROUP BY label, p),
+        dist AS (SELECT vec_id, d.label,
+                        ROUND(SQRT(SUM((x - c) * (x - c))), 6) AS dist_r
+                 FROM dims d JOIN centroid ct
+                   ON d.label = ct.label AND d.p = ct.p
+                 GROUP BY 1, 2),
+        ranked AS (SELECT label, vec_id, dist_r,
+                          ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dist_r DESC, vec_id ASC) AS rk
+                   FROM dist)
+        SELECT label, vec_id, CAST(rk AS INTEGER) AS rk, dist_r
+        FROM ranked WHERE rk <= 5
       """))
   )
 }
