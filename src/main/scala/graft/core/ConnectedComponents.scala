@@ -63,7 +63,9 @@ object ConnectedComponents {
   // 4.3 s vs 3.3 s: the deeper per-action plan costs more than the
   // saved checkpoint round. Two alternations is the sweet spot.)
 
-  /** @param edges two columns `u`, `v` (undirected, any orientation)
+  /** @param edges two columns `u`, `v` of numeric node ids (undirected,
+    *               any orientation); both are cast to LONG, so the
+    *               result schema is (u LONG, v LONG) on every path
     * @return one row `(u, v)` per NON-ROOT node: u = node, v = the
     *         minimum node id of u's component. Component minima (roots)
     *         and isolated nodes do not appear on the u side. The result
@@ -71,12 +73,17 @@ object ConnectedComponents {
     *         re-execute downstream plans against).
     */
   def run(edges: DataFrame,
-      smallGraphEdges: Long = 2L * 1000 * 1000): DataFrame = {
+      smallGraphEdges: Long = 1000 * 1000): DataFrame = {
+    // Node ids normalize to LONG up front so BOTH paths below emit the
+    // same (u, v): LongType schema regardless of edge count — a
+    // path-dependent schema from one utility would be a trap for any
+    // caller that pins a schema or crosses the threshold as data grows.
+    //
     // localCheckpoint (not persist): each round references its input ~4×,
     // so without RDD-level lineage truncation the analyzed plan grows
     // 4^rounds and PLANNING, not execution, dominates (observed 21 s at
     // sf0.1 with persist vs ~2 s with checkpoint truncation).
-    var e = edges.select(col("u"), col("v"))
+    var e = edges.select(col("u").cast("long"), col("v").cast("long"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
     val nEdges = e.count()
     if (nEdges == 0) return e
@@ -89,14 +96,17 @@ object ConnectedComponents {
     // partition and run exact min-label union-find in a single narrow
     // mapPartitions job: same answer (min-union keeps every root the
     // component minimum), deterministic for any edge order, one job.
-    // 2M edges ≈ 32 MB — far under a task's working memory; larger
-    // graphs take the shuffled star-contraction loop below (tests pin
-    // smallGraphEdges = 0 to exercise it at any size).
+    // Sizing is bounded by the NODE map, not the edge bytes: 1M edges
+    // can touch 2M distinct nodes, and the LongMap's two long arrays at
+    // the next power-of-two capacity are ~64 MB (transiently more while
+    // rehashing) — comfortably inside a task's working memory, an order
+    // under the ~1 GB where a single narrow task would become the OOM
+    // risk. Larger graphs take the shuffled star-contraction loop below
+    // (tests pin smallGraphEdges = 0 to exercise it at any size).
     if (nEdges <= smallGraphEdges) {
       val spark = e.sparkSession
       import spark.implicits._
-      return e.select(col("u").cast("long"), col("v").cast("long"))
-        .as[(Long, Long)]
+      return e.as[(Long, Long)]
         .coalesce(1)
         .mapPartitions { it =>
           val parent = new scala.collection.mutable.LongMap[Long]()

@@ -138,9 +138,7 @@ object PipelineQueries {
       "q53_length_buckets",
       (s, dir) => {
         Tables(s, dir).documents
-          .withColumn("n_tok", expr(
-            """cast(size(regexp_extract_all(lower(text),
-               '[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0)) as bigint)"""))
+          .withColumn("n_tok", expr(TextQueries.bpeCountExpr))
           .withColumn("bucket_top", expr(
             """cast(case when n_tok <= 16 then 16
                          when n_tok <= 32 then 32
@@ -155,7 +153,7 @@ object PipelineQueries {
             sum(greatest(col("bucket_top") - col("n_tok"), lit(0L)))
               .as("pad_waste"))
       },
-      Some("""
+      Some(s"""
         SELECT bucket_top, COUNT(*) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
                CAST(SUM(GREATEST(bucket_top - n_tok, 0)) AS BIGINT)
@@ -167,8 +165,7 @@ object PipelineQueries {
                            WHEN n_tok <= 64 THEN 64
                            WHEN n_tok <= 128 THEN 128
                            ELSE 256 END AS BIGINT) AS bucket_top
-          FROM (SELECT CAST(len(regexp_extract_all(lower(text),
-                  '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS n_tok
+          FROM (SELECT ${TextQueries.bpeCountExprDuck} AS n_tok
                 FROM documents) t0) t1
         GROUP BY bucket_top
       """)),
@@ -401,16 +398,14 @@ object PipelineQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables(s, dir).documents
           .select(col("doc_id"), col("source"),
-            expr("""cast(size(regexp_extract_all(lower(text),
-                    '[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0)) as bigint)""")
-              .as("n_tokens"))
+            expr(TextQueries.bpeCountExpr).as("n_tokens"))
           .withColumn("start_tok",
             sum(col("n_tokens")).over(bySrc) - col("n_tokens"))
           .select(col("doc_id"), col("source"), col("n_tokens"),
             expr("cast(floor(start_tok / 4096.0d) as bigint)").as("shard_id"),
             (col("start_tok") % 4096L).as("shard_offset"))
       },
-      Some("""
+      Some(s"""
         SELECT doc_id, source, n_tokens,
                CAST(FLOOR(start_tok / 4096.0) AS BIGINT) AS shard_id,
                start_tok % 4096 AS shard_offset
@@ -422,12 +417,9 @@ object PipelineQueries {
                       AS BIGINT) - n_tokens AS start_tok
           FROM (
             SELECT doc_id, source,
-                   CAST(len(regexp_extract_all(lower(text),
-                        '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS n_tokens
+                   ${TextQueries.bpeCountExprDuck} AS n_tokens
             FROM documents) t0) t1
       """)),
-      // (plain triple-quote: \s above reaches DuckDB verbatim — an
-      // s-interpolated string would need \\s like the q19 oracle)
 
     // ------------------------------------------------------------------
     // q69: FUZZY decontamination — q56 flags held-out docs sharing exact

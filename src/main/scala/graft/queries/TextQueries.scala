@@ -43,6 +43,22 @@ object TextQueries {
                      i -> list_aggregate(ws[i:i+${n - 1}], 'string_agg', ' '))
          END)"""
 
+  /** BPE-ish token count over `text` (letter runs, digit runs,
+    * punctuation runs — the GPT-2 pretokenizer shape), ONE definition
+    * per engine shared by q19/q53/q68 so the tokenizer cannot drift
+    * between queries. Escaping: both vals are PLAIN triple-quoted.
+    * Spark's SQL string parser processes backslash escapes, so its side
+    * spells `\\s`; DuckDB's does not, so its side spells `\s`.
+    * Interpolating these into s-interpolated oracle strings is safe —
+    * interpolation inserts the finished value verbatim.
+    */
+  val bpeCountExpr =
+    """cast(size(regexp_extract_all(lower(text),
+       '[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0)) as bigint)"""
+  val bpeCountExprDuck =
+    """CAST(len(regexp_extract_all(lower(text),
+       '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT)"""
+
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------
     // q17: word count gone native — vs the MR shim this gets map-side
@@ -105,9 +121,7 @@ object TextQueries {
             // shape), both countable identically in RE2 and Java regex
             expr("""cast(size(filter(split(text, '\\s+'), x -> x != ''))
                     as bigint)""").as("n_ws_tokens"),
-            expr("""cast(size(regexp_extract_all(lower(text),
-                    '[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0)) as bigint)""")
-              .as("n_bpeish_tokens"),
+            expr(bpeCountExpr).as("n_bpeish_tokens"),
             expr("cast(size(array_distinct(ws)) as bigint)").as("n_distinct"),
             expr("cast(length(text) as bigint)").as("n_chars_actual"),
             // nullif-guarded denominators: Spark's non-ANSI x/0 is NULL
@@ -139,8 +153,7 @@ object TextQueries {
                  CAST(len(ws) AS BIGINT) AS n_tokens,
                  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
                    x -> x <> '')) AS BIGINT) AS n_ws_tokens,
-                 CAST(len(regexp_extract_all(lower(text),
-                   '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS BIGINT) AS n_bpeish_tokens,
+                 $bpeCountExprDuck AS n_bpeish_tokens,
                  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
                  CAST(length(text) AS BIGINT) AS n_chars_actual,
                  CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)

@@ -33,19 +33,24 @@ object CorpusExport {
     * foreachBatch bridge uses — each micro-batch adds files under the
     * same hive tree).
     */
-  def write(docs: DataFrame, outDir: String, mode: String,
-      maxRecordsPerFile: Int = 100000): Unit =
+  /** The shared layout pipeline: partition-keyed repartition, the
+    * in-file doc_id sort (the partition columns MUST lead the sort: the
+    * file writer requires child ordering by (split, lang), so a bare
+    * doc_id sort would be buried under a planner-inserted sort and
+    * eliminated), the shard bound, and the hive partitioning — one
+    * definition so the parquet and jsonl writers cannot drift.
+    */
+  private def layout(docs: DataFrame, maxRecordsPerFile: Int) =
     docs
       .repartition(col("split"), col("lang"))
-      // the partition columns MUST lead the sort: the file writer
-      // requires child ordering by (split, lang), so a bare doc_id sort
-      // would be buried under a planner-inserted sort and eliminated
       .sortWithinPartitions(col("split"), col("lang"), col("doc_id"))
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy("split", "lang")
-      .mode(mode)
-      .parquet(outDir)
+
+  def write(docs: DataFrame, outDir: String, mode: String,
+      maxRecordsPerFile: Int = 100000): Unit =
+    layout(docs, maxRecordsPerFile).mode(mode).parquet(outDir)
 
   /** JSONL export — the interchange format training stacks actually
     * consume (one JSON object per line, gzip-compressed shards). Same
@@ -58,15 +63,11 @@ object CorpusExport {
     * WITHIN a file).
     */
   def writeJsonl(docs: DataFrame, outDir: String,
+      mode: String = "overwrite",
       maxRecordsPerFile: Int = 100000): Unit =
-    docs
-      .repartition(col("split"), col("lang"))
-      .sortWithinPartitions(col("split"), col("lang"), col("doc_id"))
-      .write
-      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+    layout(docs, maxRecordsPerFile)
       .option("compression", "gzip")
-      .partitionBy("split", "lang")
-      .mode("overwrite")
+      .mode(mode)
       .json(outDir)
 
   /** One row per (split, lang) partition of an exported corpus:
