@@ -390,21 +390,31 @@ object AnalyticQueries {
     // ------------------------------------------------------------------
     // q47: temporal interval self-join — for each error event, how many
     // same-user events (any type) occurred within the preceding 5
-    // minutes. Non-equi time predicate on top of the user equi-key, so
-    // the join shuffles on user_id only; at 100 TB the standard upgrade
-    // is time-bucket blocking (join on (user, 5-min bucket) ± 1) to
-    // bound the per-key scan.
+    // minutes. Time-bucket blocking makes the join a pure EQUI join:
+    // the probe side carries its 5-minute bucket, the error side
+    // explodes to (bucket, bucket−1) — a 5-minute look-back can only
+    // span those two — and the exact time predicate filters residually.
+    // Each qualifying pair matches on exactly one bucket (the other
+    // event has ONE bucket), so no dedup is needed. At 100 TB the
+    // (user, bucket) key is the shuffle key and the per-key scan is
+    // bounded by the bucket width, not the user's history.
     QDef(
       "q47_interval_overlap",
       (s, dir) => {
+        val bucket = (c: org.apache.spark.sql.Column) =>
+          floor(unix_micros(c) / lit(300L * 1000 * 1000))
         val ev = Tables(s, dir).events
         val err = ev.filter(col("event_type") === "error")
           .select(col("event_id").as("error_id"), col("user_id"),
             col("ts").as("ets"))
+          .withColumn("bkt", explode(array(bucket(col("ets")),
+            bucket(col("ets")) - 1)))
         val all = ev.select(col("event_id").as("oid"),
           col("user_id").as("ouser"), col("ts").as("ots"))
-        err.join(all,
+          .withColumn("bkt", bucket(col("ots")))
+        err.alias("e").join(all.alias("o"),
             col("user_id") === col("ouser") &&
+            col("e.bkt") === col("o.bkt") &&
             col("oid") =!= col("error_id") &&
             col("ots") <= col("ets") &&
             col("ots") >= col("ets") - expr("INTERVAL 5 MINUTES"))

@@ -20,9 +20,10 @@ class PlanQualitySpec extends AnyFunSuite {
   // allowed: its LSH candidate join must stay an equi-join.
   // q59's centroid assignment broadcasts the same 16-row table as q48.
   // q70's vocab crossJoin broadcasts exactly ONE aggregated array row
-  // (the q37 corpus-size pattern).
+  // (the q37 corpus-size pattern). q47 left this list when its interval
+  // join became time-bucket-blocked (pure equi-join + residual).
   private val nlAllowed = Set("q26_cosine_topk",
-    "q30_range_join", "q37_tfidf", "q47_interval_overlap", "q48_ann_ivf",
+    "q30_range_join", "q37_tfidf", "q48_ann_ivf",
     "q59_semantic_dedup", "q70_vocab_coverage")
 
   test("every query codegens and avoids accidental nested-loop joins") {
