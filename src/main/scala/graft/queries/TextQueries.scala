@@ -434,6 +434,50 @@ object TextQueries {
                     x -> NOT list_contains(vocab.vocab, x))) AS DOUBLE)
                  / nullif(len(ws), 0) AS oov_ratio
         FROM w, vocab
+      """)),
+
+    // ------------------------------------------------------------------
+    // q74: heavy hitters — the corpus top-10 words by occurrence, with
+    // the estimate from Spark's approx_top_k sketch verified IN-QUERY
+    // against the exact count (the q32 pattern: the flag's exact
+    // restatement is DuckDB-expressible, so an engine-specific sketch
+    // still gets a hash-checked oracle row). At this vocabulary size the
+    // sketch tracks every item exactly; at web scale the same plan
+    // stands — one sketch aggregate instead of a full word shuffle —
+    // and the flags would expose any estimate drifting past 5%.
+    QDef(
+      "q74_heavy_hitters",
+      (s, dir) => {
+        val words = Tables(s, dir).documents
+          .select(explode(expr(W)).as("w"))
+        val exact = words.groupBy(col("w"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("w").asc)))
+          .where(col("rk") <= 10)
+        val approx = words
+          .agg(expr("approx_top_k(w, 64)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("w"), col("e.count").as("est"))
+        exact.join(approx, Seq("w"), "left")
+          .select(col("rk"), col("w"), col("cnt"),
+            expr("""cast(case when est is not null
+                         and abs(est - cnt) <= 0.05d * cnt
+                         then 1 else 0 end as int)""").as("ok_est"))
+      },
+      Some(s"""
+        WITH counts AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(ws) AS w
+                FROM (SELECT $WDuck AS ws FROM documents) t0) t1
+          GROUP BY w)
+        SELECT rk, w, cnt, 1 AS ok_est
+        FROM (SELECT w, cnt,
+                     CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC)
+                          AS INTEGER) AS rk
+              FROM counts) t2
+        WHERE rk <= 10
       """))
   )
 }
