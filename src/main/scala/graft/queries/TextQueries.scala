@@ -456,8 +456,11 @@ object TextQueries {
             org.apache.spark.sql.expressions.Window
               .orderBy(col("cnt").desc, col("w").asc)))
           .where(col("rk") <= 10)
+        // maxItemsTracked pinned explicitly (not the version-dependent
+        // default) — the estimate is exact while distinct words fit the
+        // budget, and SkewAndSketchSpec asserts the flags in-suite
         val approx = words
-          .agg(expr("approx_top_k(w, 64)").as("tk"))
+          .agg(expr("approx_top_k(w, 64, 65536)").as("tk"))
           .select(explode(col("tk")).as("e"))
           .select(col("e.item").as("w"), col("e.count").as("est"))
         exact.join(approx, Seq("w"), "left")

@@ -14,8 +14,8 @@ class PlanQualitySpec extends AnyFunSuite {
 
   // all-pairs by design (q26 brute-force baseline, q48's 16-centroid
   // assignment); broadcast non-equi joins plan as
-  // BroadcastNestedLoopJoin by construction (q30 banded range, q47
-  // interval — both with a broadcast side); q37's corpus-size
+  // BroadcastNestedLoopJoin by construction (q30's banded range join
+  // against a 4-row broadcast tier table); q37's corpus-size
   // crossJoin broadcasts exactly ONE aggregated row. q33 is NOT
   // allowed: its LSH candidate join must stay an equi-join.
   // q59's centroid assignment broadcasts the same 16-row table as q48.

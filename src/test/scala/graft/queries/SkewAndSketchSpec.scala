@@ -74,4 +74,17 @@ class SkewAndSketchSpec extends AnyFunSuite {
         s"${r.getString(0)} sort-based exact median != holistic percentile")
     }
   }
+
+  test("q74 approx_top_k flags hold in-suite, not just at the oracle gate") {
+    // the DuckDB oracle hard-codes ok_est = 1 (the sketch is
+    // engine-specific), so this spec is what actually fails fast if a
+    // Spark upgrade or data change pushes the estimate outside 5%
+    val rows = graft.SparkEntry.queries("q74_heavy_hitters")(spark, dir)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getInt(3) == 1,
+        s"approx_top_k estimate for '${r.getString(1)}' outside 5% of exact")
+    }
+  }
 }
