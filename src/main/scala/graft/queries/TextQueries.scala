@@ -481,6 +481,47 @@ object TextQueries {
                           AS INTEGER) AS rk
               FROM counts) t2
         WHERE rk <= 10
+      """)),
+
+    // ------------------------------------------------------------------
+    // q75: unigram language-model scoring — the CCNet/C4-style quality
+    // filter: train corpus unigram probabilities, score every document
+    // by its mean token log-probability (high = stereotypical prose,
+    // low = rare-token noise). The LM is the corpus itself, so no
+    // smoothing is needed (every token has mass). Scale shape: the
+    // probability table aggregates to vocabulary size and broadcasts;
+    // scoring is one equi-join on the word + a per-doc partial agg.
+    // Determinism: ln() is rounded at 9 per word (both engines compute
+    // the same correctly-rounded double almost everywhere; the round
+    // guards the residual ulp), and the per-doc mean re-rounds at 6 so
+    // accumulation order cannot show.
+    QDef(
+      "q75_unigram_logprob",
+      (s, dir) => {
+        val toks = Tables(s, dir).documents
+          .select(col("doc_id"), explode(expr(W)).as("w"))
+        val probs = toks.groupBy(col("w"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("t", sum(col("c")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .select(col("w"),
+            expr("round(ln(cast(c as double) / t), 9)").as("lp"))
+        toks.join(broadcast(probs), Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(avg(col("lp")), 6).as("avg_logprob_r"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, unnest(ws) AS w
+                      FROM (SELECT doc_id, $WDuck AS ws FROM documents) t0),
+        probs AS (SELECT w,
+                         ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+                           / SUM(COUNT(*)) OVER ()), 9) AS lp
+                  FROM toks GROUP BY w)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(lp), 6) AS avg_logprob_r
+        FROM toks JOIN probs USING (w)
+        GROUP BY doc_id
       """))
   )
 }

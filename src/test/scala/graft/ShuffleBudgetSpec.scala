@@ -53,6 +53,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q69_fuzzy_decontamination" -> 0, "q70_vocab_coverage" -> 1,
     "q71_pq_codes" -> 2, "q72_pq_adc_search" -> 3,
     "q73_embedding_outliers" -> 3, "q74_heavy_hitters" -> 2,
+    "q75_unigram_logprob" -> 3,
     "q6_customers_without_big_orders" -> 0,
     "q7_top_orders_per_customer" -> 1, "q8_top100_lineitems" -> 0,
     "q9_setops" -> 2)
