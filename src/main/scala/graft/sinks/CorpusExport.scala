@@ -70,6 +70,25 @@ object CorpusExport {
       .mode(mode)
       .json(outDir)
 
+  /** Compaction — the small-files remedy every long-lived corpus tree
+    * needs: streaming appends (CorpusStreaming commits one file set per
+    * micro-batch) and incremental loads accrete shards far below the
+    * target size, and at 100 TB an over-sharded tree taxes both the
+    * namenode listing and every downstream scan's task count. Reads the
+    * hive tree back (split/lang recovered as partition columns) and
+    * rewrites it through the SAME layout pipeline into `dstDir` —
+    * consolidated shards, identical rows, identical partitioning and
+    * in-file sort. Writes to a separate directory: the swap is the
+    * caller's (atomic-rename) concern, not buried in here.
+    *
+    * @return the manifest of the compacted tree (the receipt, read back)
+    */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+      maxRecordsPerFile: Int = 100000): DataFrame = {
+    write(spark.read.parquet(srcDir), dstDir, "overwrite", maxRecordsPerFile)
+    manifest(spark, dstDir)
+  }
+
   /** One row per (split, lang) partition of an exported corpus:
     * doc/token counts plus file count and bytes from the filesystem.
     */

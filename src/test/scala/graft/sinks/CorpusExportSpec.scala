@@ -57,6 +57,34 @@ class CorpusExportSpec extends AnyFunSuite {
     manifest.unpersist()
   }
 
+  test("compaction consolidates shards without changing rows or layout") {
+    val frag = TestSpark.tmpDir("corpus-frag")
+    val compacted = TestSpark.tmpDir("corpus-compact")
+    val docs = Tables(spark, dir).documents
+      .withColumn("split",
+        expr(graft.queries.PipelineQueries.splitExprSpark))
+    // fragment: tiny shard bound → many small files per partition
+    CorpusExport.write(docs, frag, "overwrite", maxRecordsPerFile = 20)
+    def files(root: String) = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(root))
+      .filter(_.toString.endsWith(".parquet")).count()
+    val nFrag = files(frag)
+    val manifest = CorpusExport.compact(spark, frag, compacted)
+    val nCompact = files(compacted)
+    assert(nFrag > nCompact,
+      s"expected consolidation, got $nFrag -> $nCompact files")
+    // same rows, same hive layout, receipt matches the input recount
+    val back = spark.read.parquet(compacted)
+      .select(docs.columns.map(col): _*)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    val want = docs.groupBy("split", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = manifest.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
   test("jsonl export round-trips rows, partitions, and gzips shards") {
     val out = TestSpark.tmpDir("corpus-jsonl")
     val docs = Tables(spark, dir).documents
