@@ -25,7 +25,12 @@ object TextQueries {
     * tokenizer, `/root/reference/mrapps/wc.go:21-27`). Shared with
     * DedupQueries.
     */
-  val wordsExpr = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
+  // regexp_extract_all of the letter runs — provably the same array as
+  // filter(split(lower(text), '[^a-z]+'), x -> x != ''), but fully
+  // codegen'd: ArrayFilter is a HigherOrderFunction with NO codegen, so
+  // the filter formulation paid an interpreted pass over every token of
+  // every document in the ~20 queries that tokenize.
+  val wordsExpr = "regexp_extract_all(lower(text), '[a-z]+', 0)"
   val wordsExprDuck =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
   private val W = wordsExpr
