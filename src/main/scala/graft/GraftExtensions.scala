@@ -31,6 +31,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "dot_product takes exactly two arguments")
         graft.functions.DotProduct(children.head, children(1))
       }))
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // internal runtime-filter rewrite but does not register them as SQL
+    // functions; exposing them lets a pipeline build an explicit bloom
+    // prefilter (q77) — the manual form of the same broadcast-a-sketch
+    // pattern InjectRuntimeFilter plans automatically.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "bloom_filter_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, n)
+        case Seq(c, n, b) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          "bloom_filter_agg takes 1-3 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "might_contain takes exactly two arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
     // scale guard: holistic percentile → bounded sort-based plan
     ext.injectOptimizerRule(_ => graft.plans.ScaleSafePercentiles)
   }

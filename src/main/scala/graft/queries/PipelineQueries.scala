@@ -476,6 +476,59 @@ object PipelineQueries {
                  AS jaccard_r
         FROM pairs
         WHERE CAST(n_common AS DOUBLE) / (n_h + n_t - n_common) >= 0.5
+      """)),
+
+    // ------------------------------------------------------------------
+    // q77: BLOOM-prefiltered decontamination — the q56 probe from the
+    // training side, restructured the way a 100 TB corpus forces: build
+    // a bloom filter over the held-out 13-grams (bloom_filter_agg, a
+    // scalar subquery so it's computed once and broadcast into every
+    // scan task), drop non-matching train grams AT THE SCAN with
+    // might_contain, and only ship the surviving candidates into the
+    // exact semi-join verify. False positives die in the verify step, so
+    // the result is exact — the oracle is the plain join — while the
+    // shuffle carries ~FPP·N rows instead of every gram in the corpus.
+    // This is Spark's InjectRuntimeFilter pattern made explicit and
+    // user-steerable (sized here for 64k grams / 1 Mbit ≈ 128 KB).
+    // Output: per train doc, how many distinct held-out grams it leaks.
+    QDef(
+      "q77_bloom_decontamination",
+      (s, dir) => {
+        // localCheckpoint: the shingle relation feeds the bloom build,
+        // the candidate scan, and the verify join
+        val sh = Tables(s, dir).documents
+          .withColumn("split", expr(splitExprSpark))
+          .select(col("doc_id"), col("split"),
+            graft.functions.Shingles.shingles(col("text"), 13).as("g"))
+          .localCheckpoint()
+        sh.createOrReplaceTempView("q77_sh")
+        s.sql("""
+          WITH held AS (SELECT DISTINCT g FROM q77_sh
+                        WHERE split = 'held_out'),
+          cand AS (SELECT doc_id, g FROM q77_sh
+                   WHERE split = 'train'
+                     AND might_contain(
+                           (SELECT bloom_filter_agg(xxhash64(g),
+                                     CAST(65536 AS BIGINT),
+                                     CAST(1048576 AS BIGINT))
+                            FROM held),
+                           xxhash64(g)))
+          SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_leaked
+          FROM cand
+          WHERE EXISTS (SELECT 1 FROM held h WHERE h.g = cand.g)
+          GROUP BY doc_id
+        """)
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, $splitExprDuck AS split, $WDuck AS ws
+                   FROM documents),
+        sh AS (SELECT doc_id, split, unnest(${TextQueries.ngramsDuck(13)}) AS g
+               FROM w),
+        held AS (SELECT DISTINCT g FROM sh WHERE split = 'held_out')
+        SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_leaked
+        FROM sh
+        WHERE split = 'train' AND g IN (SELECT g FROM held)
+        GROUP BY doc_id
       """))
   )
 }

@@ -616,6 +616,103 @@ object SimilarityQueries {
                    FROM dist)
         SELECT label, vec_id, CAST(rk AS INTEGER) AS rk, dist_r
         FROM ranked WHERE rk <= 5
+      """)),
+
+    // ------------------------------------------------------------------
+    // q76: k-means, two Lloyd rounds, k = 8 — the trained-centroid step
+    // that q48's IVF and q71's PQ stand in for with "first k vectors"
+    // (cf. reference's clustering-free pipeline; this is the Spark-side
+    // trainer a user would run before either). Everything stays in the
+    // exploded (vec, dim) layout q73 established: assignment is a join
+    // against the BROADCAST (cent, dim) table + two partial-aggable
+    // shuffles (sum d² per (vec, cent), then argmin per vec); centroid
+    // recompute is one avg keyed by (cent, dim). Nothing ever holds a
+    // per-cluster array, so the plan scales linearly in corpus size and
+    // the centroid state stays k×64 rows regardless of N.
+    //
+    // Determinism (the q71-q73 rules): init centroids are the first 8
+    // vectors; d² = ‖v‖² + ‖c‖² − 2·v·c (the q71 decomposition, so the
+    // hot loop is ONE codegen'd dot_product per (vec, cent) instead of
+    // 64 aggregated dim rows), greatest(…, 0)-pinned and rounded at 9
+    // before the argmin, whose tiebreak is min(struct(d2r, cent_id)) =
+    // the oracle's ROW_NUMBER order; recomputed centroid dims are
+    // rounded at 9 and reassembled in p order before round-2 math; the
+    // reported mean d² is rounded at 6.
+    QDef(
+      "q76_kmeans",
+      (s, dir) => {
+        // vecs feeds both assignment rounds and the centroid recompute
+        // — the standard materialize-once localCheckpoint
+        val vecs = vectors(s, dir)
+          .select(col("vec_id"), col("v"),
+            expr("aggregate(v, 0D, (a, x) -> a + x * x)").as("v2"))
+          .localCheckpoint()
+        def assign(cents: org.apache.spark.sql.DataFrame) =
+          vecs.join(broadcast(cents))
+            .withColumn("d2r", expr(
+              """round(greatest(v2 + c2 - 2.0d * dot_product(v, cv), 0D),
+                   9)"""))
+            .groupBy(col("vec_id"))
+            .agg(min(struct(col("d2r"), col("cent_id"))).as("b"))
+            .select(col("vec_id"), col("b.cent_id").as("cent_id"),
+              col("b.d2r").as("d2r"))
+        val cents0 = vecs.where(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cent_id"),
+            col("v").as("cv"), col("v2").as("c2"))
+        val cents1 = vecs
+          .join(assign(cents0).select("vec_id", "cent_id"), "vec_id")
+          .select(col("cent_id"), posexplode(col("v")).as(Seq("p", "x")))
+          .groupBy(col("cent_id"), col("p"))
+          .agg(round(avg(col("x")), 9).as("c"))
+          .groupBy(col("cent_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(p, c))), " +
+            "s -> s.c)").as("cv"))
+          .withColumn("c2", expr("aggregate(cv, 0D, (a, x) -> a + x * x)"))
+        assign(cents1)
+          .groupBy(col("cent_id"))
+          .agg(count(lit(1)).as("n"), round(avg(col("d2r")), 6).as("avg_d2"))
+          .select(col("cent_id"), col("n"), col("avg_d2"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        ev AS (SELECT vec_id, v,
+                      list_sum(list_transform(v, x -> x * x)) AS v2
+               FROM e),
+        c0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, v AS cv, v2 AS c2
+               FROM ev WHERE vec_id < 8),
+        s1 AS (SELECT vec_id, cent_id,
+                      ROUND(GREATEST(v2 + c2
+                        - 2.0 * list_sum(list_transform(range(1, 65),
+                            i -> v[i] * cv[i])), 0), 9) AS d2r
+               FROM ev, c0),
+        a1 AS (SELECT vec_id, cent_id FROM (
+                 SELECT vec_id, cent_id,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY d2r ASC, cent_id ASC) AS rn
+                 FROM s1) t WHERE rn = 1),
+        c1d AS (SELECT a.cent_id, p.p AS p, ROUND(AVG(v[p.p + 1]), 9) AS c
+                FROM ev d JOIN a1 a ON d.vec_id = a.vec_id,
+                     (SELECT unnest(range(0, 64)) AS p) p
+                GROUP BY 1, 2),
+        c1 AS (SELECT cent_id, cv,
+                      list_sum(list_transform(cv, x -> x * x)) AS c2
+               FROM (SELECT cent_id, list(c ORDER BY p) AS cv
+                     FROM c1d GROUP BY cent_id) t),
+        s2 AS (SELECT vec_id, cent_id,
+                      ROUND(GREATEST(v2 + c2
+                        - 2.0 * list_sum(list_transform(range(1, 65),
+                            i -> v[i] * cv[i])), 0), 9) AS d2r
+               FROM ev, c1),
+        a2 AS (SELECT vec_id, cent_id, d2r FROM (
+                 SELECT vec_id, cent_id, d2r,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY d2r ASC, cent_id ASC) AS rn
+                 FROM s2) t WHERE rn = 1)
+        SELECT cent_id, COUNT(*) AS n, ROUND(AVG(d2r), 6) AS avg_d2
+        FROM a2 GROUP BY 1
       """))
   )
 }

@@ -22,9 +22,12 @@ class PlanQualitySpec extends AnyFunSuite {
   // q70's vocab crossJoin broadcasts exactly ONE aggregated array row
   // (the q37 corpus-size pattern). q47 left this list when its interval
   // join became time-bucket-blocked (pure equi-join + residual).
+  // q76's Lloyd assignment crosses against the 8-row broadcast centroid
+  // table (the q48/q59 shape — every vector scores every centroid by
+  // definition).
   private val nlAllowed = Set("q26_cosine_topk",
     "q30_range_join", "q37_tfidf", "q48_ann_ivf",
-    "q59_semantic_dedup", "q70_vocab_coverage")
+    "q59_semantic_dedup", "q70_vocab_coverage", "q76_kmeans")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

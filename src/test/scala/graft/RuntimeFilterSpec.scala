@@ -48,4 +48,27 @@ class RuntimeFilterSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("user-facing bloom_filter_agg/might_contain: no false negatives, " +
+    "low FPP at the sized capacity") {
+    import spark.implicits._
+    (0L until 2000L).toDF("k").createOrReplaceTempView("bloom_keys")
+    // every inserted key MUST hit (bloom filters cannot false-negative);
+    // disjoint probes [100000, 102000) should almost all miss at
+    // 64k-capacity / 1 Mbit sizing (q77's parameters)
+    val row = spark.sql("""
+      WITH b AS (SELECT bloom_filter_agg(xxhash64(k),
+                          CAST(65536 AS BIGINT), CAST(1048576 AS BIGINT))
+                   AS bf
+                 FROM bloom_keys)
+      SELECT sum(CASE WHEN might_contain((SELECT bf FROM b), xxhash64(k))
+                      THEN 1 ELSE 0 END) AS hits,
+             sum(CASE WHEN might_contain((SELECT bf FROM b),
+                                         xxhash64(k + CAST(100000 AS BIGINT)))
+                      THEN 1 ELSE 0 END) AS fp
+      FROM bloom_keys""").head()
+    assert(row.getLong(0) == 2000L, "bloom filter dropped an inserted key")
+    assert(row.getLong(1) < 100L,
+      s"false-positive count ${row.getLong(1)} out of 2000 disjoint probes")
+  }
 }

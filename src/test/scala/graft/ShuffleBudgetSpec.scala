@@ -54,6 +54,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q71_pq_codes" -> 2, "q72_pq_adc_search" -> 3,
     "q73_embedding_outliers" -> 3, "q74_heavy_hitters" -> 2,
     "q75_unigram_logprob" -> 3,
+    // q76: two Lloyd rounds = 2× (per-(vec,cent) sum + per-vec argmin)
+    // + centroid recompute + final per-cluster agg; dims itself is
+    // checkpoint-truncated
+    "q76_kmeans" -> 6,
+    // q77: exact-verify semi join + per-doc distinct count; the bloom
+    // build is a scalar subquery (not counted), the prefilter scan-side
+    "q77_bloom_decontamination" -> 2,
     "q6_customers_without_big_orders" -> 0,
     "q7_top_orders_per_customer" -> 1, "q8_top100_lineitems" -> 0,
     "q9_setops" -> 2)
