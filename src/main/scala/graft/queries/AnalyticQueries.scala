@@ -641,6 +641,92 @@ object AnalyticQueries {
                  / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS p
         FROM seq WHERE nxt IS NOT NULL
         GROUP BY 1, 2
+      """)),
+
+    // ------------------------------------------------------------------
+    // q78: column profiler — the ANALYZE-TABLE pass every ingest runs
+    // before planning a pipeline: per column, non-null count, EXACT
+    // distinct count, min and max, as one long-format relation.
+    //
+    // Deliberately NOT one multi-distinct aggregate: that plans an
+    // Expand (×7) whose first level groups by every profiled column at
+    // once — min(string) buffers force SortAggregate, so the engine
+    // sorts N×7 wide rows (measured 4 s at sf0.1; and at 100 TB the
+    // Expand re-materializes the whole table seven times). Instead each
+    // COUNT(DISTINCT) is its own single-column aggregate — columnar
+    // scans prune to exactly that column, so the seven parallel passes
+    // together read each byte once, every distinct is a 2-level HASH
+    // aggregate, and the no-distinct count/min/max pass streams without
+    // sorting. The seven one-row results crossJoin (trivial) and stack.
+    // min/max stringify through engine-stable formats only (bigint
+    // verbatim, doubles rounded into DECIMAL(18,2), timestamps
+    // date_format'ed — the suite's timestamp rule), so the long schema
+    // stays uniform without repr divergence.
+    QDef(
+      "q78_profile",
+      (s, dir) => {
+        val str = (e: String) => s"cast($e as string)"
+        val dec = (e: String) => s"cast(cast($e as decimal(18,2)) as string)"
+        val ts = (e: String) => s"date_format($e, 'yyyy-MM-dd HH:mm:ss')"
+        val cols = Seq(
+          "o_orderkey" -> str, "o_custkey" -> str,
+          "o_orderstatus" -> str, "o_totalprice" -> dec,
+          "o_orderdate" -> ts, "o_orderpriority" -> str)
+        val t = Tables(s, dir).orders
+        val base = t.groupBy().agg(
+          expr(s"cast(count(${cols.head._1}) as bigint)").as("c0"),
+          cols.zipWithIndex.flatMap { case ((c, fmt), i) =>
+            (if (i == 0) Nil
+             else Seq(expr(s"cast(count($c) as bigint)").as(s"c$i"))) ++
+              Seq(expr(fmt(s"min($c)")).as(s"mn$i"),
+                expr(fmt(s"max($c)")).as(s"mx$i"))
+          }: _*)
+        val one = cols.zipWithIndex.foldLeft(base) { case (acc, ((c, _), i)) =>
+          acc.crossJoin(
+            t.groupBy().agg(expr(s"cast(count(distinct $c) as bigint)")
+              .as(s"d$i")))
+        }
+        val stacked = cols.zipWithIndex
+          .map { case ((c, _), i) => s"'$c', c$i, d$i, mn$i, mx$i" }
+          .mkString(", ")
+        one.selectExpr(
+          s"""stack(${cols.size}, $stacked)
+              as (column_name, n_nonnull, n_distinct, min_s, max_s)""")
+      },
+      Some("""
+        WITH a AS (SELECT
+          CAST(COUNT(o_orderkey) AS BIGINT) AS c1,
+          CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d1,
+          CAST(MIN(o_orderkey) AS VARCHAR) AS mn1,
+          CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+          CAST(COUNT(o_custkey) AS BIGINT) AS c2,
+          CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d2,
+          CAST(MIN(o_custkey) AS VARCHAR) AS mn2,
+          CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+          CAST(COUNT(o_orderstatus) AS BIGINT) AS c3,
+          CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d3,
+          CAST(MIN(o_orderstatus) AS VARCHAR) AS mn3,
+          CAST(MAX(o_orderstatus) AS VARCHAR) AS mx3,
+          CAST(COUNT(o_totalprice) AS BIGINT) AS c4,
+          CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS d4,
+          CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn4,
+          CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx4,
+          CAST(COUNT(o_orderdate) AS BIGINT) AS c5,
+          CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d5,
+          strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn5,
+          strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx5,
+          CAST(COUNT(o_orderpriority) AS BIGINT) AS c6,
+          CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d6,
+          CAST(MIN(o_orderpriority) AS VARCHAR) AS mn6,
+          CAST(MAX(o_orderpriority) AS VARCHAR) AS mx6
+          FROM orders)
+        SELECT 'o_orderkey' AS column_name, c1 AS n_nonnull,
+               d1 AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM a
+        UNION ALL SELECT 'o_custkey', c2, d2, mn2, mx2 FROM a
+        UNION ALL SELECT 'o_orderstatus', c3, d3, mn3, mx3 FROM a
+        UNION ALL SELECT 'o_totalprice', c4, d4, mn4, mx4 FROM a
+        UNION ALL SELECT 'o_orderdate', c5, d5, mn5, mx5 FROM a
+        UNION ALL SELECT 'o_orderpriority', c6, d6, mn6, mx6 FROM a
       """))
   )
 }

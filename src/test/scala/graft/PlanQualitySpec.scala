@@ -24,10 +24,12 @@ class PlanQualitySpec extends AnyFunSuite {
   // join became time-bucket-blocked (pure equi-join + residual).
   // q76's Lloyd assignment crosses against the 8-row broadcast centroid
   // table (the q48/q59 shape — every vector scores every centroid by
-  // definition).
+  // definition). q78 crossJoins seven ONE-row aggregate results (the
+  // q37 corpus-size pattern, seven-fold).
   private val nlAllowed = Set("q26_cosine_topk",
     "q30_range_join", "q37_tfidf", "q48_ann_ivf",
-    "q59_semantic_dedup", "q70_vocab_coverage", "q76_kmeans")
+    "q59_semantic_dedup", "q70_vocab_coverage", "q76_kmeans",
+    "q78_profile")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

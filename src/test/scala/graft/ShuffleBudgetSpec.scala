@@ -61,6 +61,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q77: exact-verify semi join + per-doc distinct count; the bloom
     // build is a scalar subquery (not counted), the prefilter scan-side
     "q77_bloom_decontamination" -> 2,
+    // q78: seven independent one-row aggregates (6 × 2-exchange distinct
+    // + 1 streaming count/min/max) — 13 tiny exchanges by design, each
+    // over a single pruned column, instead of one Expand that re-sorts
+    // the whole table ×7
+    "q78_profile" -> 13,
     "q6_customers_without_big_orders" -> 0,
     "q7_top_orders_per_customer" -> 1, "q8_top100_lineitems" -> 0,
     "q9_setops" -> 2)
