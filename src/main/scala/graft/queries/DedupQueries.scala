@@ -436,6 +436,62 @@ object DedupQueries {
         JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM assign
               GROUP BY cluster_id) n
           ON a.cluster_id = n.cluster_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q80: cross-SOURCE overlap matrix — the corpus-curation question
+    // one level up from q24's per-document pairs: how much does feed A
+    // duplicate feed B? Distinct (source, 8-gram) postings self-join on
+    // the shingle (the shuffle key; zero-overlap source pairs never
+    // materialize, exactly the q24 sparse-join argument), count common
+    // grams per ordered pair, and report containment = common / the
+    // smaller side's vocabulary. At 100 TB the postings relation is the
+    // same inverted index q56 builds, and the pair aggregate is 20×20.
+    QDef(
+      "q80_source_overlap",
+      (s, dir) => {
+        // localCheckpoint: the postings relation feeds both join sides
+        // and the per-source totals
+        val postings = Tables(s, dir).documents
+          .select(col("source"),
+            graft.functions.Shingles.shingles(col("text"), 8).as("g"))
+          .distinct()
+          .localCheckpoint()
+        val totals = postings.groupBy(col("source"))
+          .agg(count(lit(1)).as("tot"))
+        postings.alias("a")
+          .join(postings.alias("b"),
+            col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_common"))
+          .join(totals.select(col("source").as("source_a"),
+            col("tot").as("tot_a")), "source_a")
+          .join(totals.select(col("source").as("source_b"),
+            col("tot").as("tot_b")), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_common"),
+            round(col("n_common").cast("double") /
+              least(col("tot_a"), col("tot_b")), 6).as("containment"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
+        postings AS (SELECT DISTINCT source, g
+                     FROM (SELECT source,
+                                  unnest(${TextQueries.ngramsDuck(8)}) AS g
+                           FROM w) t),
+        totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS tot
+                   FROM postings GROUP BY source),
+        pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                         CAST(COUNT(*) AS BIGINT) AS n_common
+                  FROM postings a JOIN postings b
+                    ON a.g = b.g AND a.source < b.source
+                  GROUP BY 1, 2)
+        SELECT source_a, source_b, n_common,
+               ROUND(CAST(n_common AS DOUBLE)
+                 / LEAST(ta.tot, tb.tot), 6) AS containment
+        FROM pairs
+        JOIN totals ta ON ta.source = pairs.source_a
+        JOIN totals tb ON tb.source = pairs.source_b
       """))
   )
 }

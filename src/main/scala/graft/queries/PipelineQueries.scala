@@ -479,6 +479,114 @@ object PipelineQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // q79: boilerplate-chunk removal WITH document reconstruction — the
+    // CCNet "drop duplicated lines, keep the rest of the document" pass
+    // (the corpus has no line breaks, so a line = a disjoint 10-token
+    // chunk). Chunks are fingerprinted, a chunk appearing in more than 3
+    // distinct docs is boilerplate, and each document is reassembled
+    // from its surviving chunks in order. The chunk fingerprint is the
+    // only shuffle key (df count + the join back), per-doc reassembly
+    // partial-aggs collect_list keyed by doc_id, and document text
+    // leaves the result as an md5 so the output stays narrow.
+    QDef(
+      "q79_chunk_dedup_rebuild",
+      (s, dir) => {
+        // localCheckpoint: chunks feeds the df count AND the join back
+        val chunks = Tables(s, dir).documents
+          .withColumn("ws", expr(W))
+          .select(col("doc_id"),
+            posexplode(expr(
+              """case when size(ws) = 0 then array()
+                 else transform(
+                   sequence(0, cast((size(ws) + 9) div 10 as int) - 1),
+                   i -> concat_ws(' ', slice(ws, i * 10 + 1, 10)))
+                 end""")).as(Seq("i", "ctext")))
+          .withColumn("fp", md5(col("ctext")))
+          .localCheckpoint()
+        val df = chunks.groupBy(col("fp"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        val rebuilt = chunks.join(df, "fp")
+          .where(col("n_docs") <= 3)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            md5(expr("""concat_ws(' ',
+              transform(array_sort(collect_list(struct(i, ctext))),
+                s -> s.ctext))""")).as("clean_fp"))
+        Tables(s, dir).documents
+          .withColumn("ws", expr(W))
+          .select(col("doc_id"),
+            expr("cast((size(ws) + 9) div 10 as bigint)").as("n_chunks"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+            (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
+              .as("n_dropped"),
+            coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, $WDuck AS ws FROM documents),
+        base AS (SELECT doc_id,
+                        CAST((len(ws) + 9) // 10 AS BIGINT) AS n_chunks,
+                        ws
+                 FROM w),
+        chunks AS (SELECT doc_id, i.i AS i,
+                          array_to_string(ws[(i.i*10 + 1):(i.i*10 + 10)],
+                            ' ') AS ctext
+                   FROM base,
+                        (SELECT unnest(range(0, 1000)) AS i) i
+                   WHERE i.i < n_chunks),
+        fps AS (SELECT doc_id, i, ctext, md5(ctext) AS fp FROM chunks),
+        df AS (SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+               FROM fps GROUP BY fp),
+        rebuilt AS (SELECT doc_id,
+                           CAST(COUNT(*) AS BIGINT) AS n_kept,
+                           md5(string_agg(ctext, ' ' ORDER BY i))
+                             AS clean_fp
+                    FROM fps JOIN df USING (fp)
+                    WHERE n_docs <= 3
+                    GROUP BY doc_id)
+        SELECT b.doc_id, b.n_chunks,
+               b.n_chunks - COALESCE(n_kept, 0) AS n_dropped,
+               COALESCE(clean_fp, md5('')) AS clean_fp
+        FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q81: weighted sampling without replacement (Efraimidis-Spirakis)
+    // — draw 50 documents with probability proportional to n_chars, but
+    // DETERMINISTICALLY: the uniform draw is md5-derived (first 6 hex
+    // chars + 0.5, over 2^24), the E-S key is ln(u)/w, and the sample
+    // is the top 50 keys. One scan + TakeOrderedAndProject — no global
+    // sort, no RNG, identical on any engine, any partitioning, any
+    // rerun; the same seed-free reproducibility contract as q51/q55.
+    // Keys are rounded at 9 before ranking (ln is correctly-rounded in
+    // ANSI engines; the round keeps any ulp slack away from the
+    // boundary) and the limit tiebreaks on doc_id.
+    QDef(
+      "q81_weighted_sample",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("n_chars"),
+            expr("""round(
+                ln((cast(conv(substring(md5(cast(concat('wsample|',
+                            cast(doc_id as string)) as binary)), 1, 6),
+                          16, 10) as bigint)
+                    + 0.5d) / 16777216.0d)
+                / cast(n_chars as double), 9)""").as("key_r"))
+          .orderBy(col("key_r").desc, col("doc_id").asc)
+          .limit(50)
+      },
+      Some("""
+        SELECT doc_id, n_chars,
+               ROUND(LN((('0x' || substring(md5('wsample|'
+                            || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                         + 0.5) / 16777216.0)
+                     / CAST(n_chars AS DOUBLE), 9) AS key_r
+        FROM documents
+        ORDER BY key_r DESC, doc_id ASC
+        LIMIT 50
+      """)),
+
+    // ------------------------------------------------------------------
     // q77: BLOOM-prefiltered decontamination — the q56 probe from the
     // training side, restructured the way a 100 TB corpus forces: build
     // a bloom filter over the held-out 13-grams (bloom_filter_agg, a

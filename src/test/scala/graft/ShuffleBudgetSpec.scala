@@ -66,6 +66,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // over a single pruned column, instead of one Expand that re-sorts
     // the whole table ×7
     "q78_profile" -> 13,
+    // q79: df count keyed by fp + join back + per-doc reassembly; the
+    // chunk relation is checkpoint-truncated
+    "q79_chunk_dedup_rebuild" -> 3,
+    // q80: postings self-join on the shingle + pair agg + totals join
+    "q80_source_overlap" -> 3,
+    // q81: one scan into TakeOrderedAndProject — no exchange at all
+    "q81_weighted_sample" -> 0,
     "q6_customers_without_big_orders" -> 0,
     "q7_top_orders_per_customer" -> 1, "q8_top100_lineitems" -> 0,
     "q9_setops" -> 2)
