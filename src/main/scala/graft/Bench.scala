@@ -43,10 +43,21 @@ object Bench {
     // min of the two passes; any failure in either pass poisons the
     // query's entry to the -1 sentinel.
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def ms3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Full-name per-query timings go to stderr for humans; stdout gets ONE
+    // compact JSON line. The consumer keeps only the last 2000 chars of
+    // stdout, so the line must stay well under that budget even as the
+    // suite grows: keys are the qNN prefix (unique by construction) and
+    // durations are rounded to milliseconds.
+    results.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      System.err.println(f"[bench] $k%-32s ${ms3(v)}%8s s")
+    }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

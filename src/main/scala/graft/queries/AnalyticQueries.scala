@@ -727,6 +727,53 @@ object AnalyticQueries {
         UNION ALL SELECT 'o_totalprice', c4, d4, mn4, mx4 FROM a
         UNION ALL SELECT 'o_orderdate', c5, d5, mn5, mx5 FROM a
         UNION ALL SELECT 'o_orderpriority', c6, d6, mn6, mx6 FROM a
+      """)),
+
+    // ------------------------------------------------------------------
+    // q86: sequence-model training examples — slide a 3-event context
+    // window over each user's event stream and count (context → next
+    // event) pairs, i.e. the 4-gram statistics a next-event predictor
+    // trains on. The context is built by collect_list over an explicit
+    // ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING frame (order pinned by
+    // (ts, event_id), so the list content is deterministic) and joined
+    // to a '>' path string so both engines hash the same value shape.
+    //
+    // Scale: one hash exchange on user_id for the window, then a
+    // partial-agg-friendly groupBy on (context, label) whose cardinality
+    // is bounded by |event_type|^4, and a TakeOrdered(100) — no
+    // per-user skew risk beyond the window itself (a power-user's events
+    // still stream through one sort spill, never an in-memory array of
+    // the whole corpus).
+    QDef(
+      "q86_event_context_examples",
+      (s, dir) => {
+        val byTs = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-3, -1)
+        Tables(s, dir).events
+          .withColumn("ctx", collect_list(col("event_type")).over(byTs))
+          .where(size(col("ctx")) === 3)
+          .select(concat_ws(">", col("ctx")).as("context"),
+            col("event_type").as("label"))
+          .groupBy(col("context"), col("label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("context").asc, col("label").asc)
+          .limit(100)
+      },
+      Some("""
+        WITH seq AS (
+          SELECT event_type,
+                 list(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
+          FROM events)
+        SELECT array_to_string(ctx, '>') AS context, event_type AS label,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq
+        WHERE len(ctx) = 3
+        GROUP BY context, label
+        ORDER BY n DESC, context ASC, label ASC
+        LIMIT 100
       """))
   )
 }

@@ -492,6 +492,115 @@ object DedupQueries {
         FROM pairs
         JOIN totals ta ON ta.source = pairs.source_a
         JOIN totals tb ON tb.source = pairs.source_b
+      """)),
+
+    // ------------------------------------------------------------------
+    // q83: incremental dedup — the ingest-time variant every continuously
+    // fed corpus needs: a NEW batch (the newest 10% of doc ids, boundary
+    // computed in-query so it is SF-independent) is checked against the
+    // EXISTING corpus, never against itself. Each new doc is classified
+    // exact_dup (fingerprint already in the corpus), near_dup (≥6/8
+    // MinHash signature agreement with a corpus doc via band buckets), or
+    // unique, with the smallest matching corpus doc as evidence.
+    //
+    // Scale: this is the shape that makes dedup O(batch), not O(corpus):
+    // the exact probe is a fingerprint equi-join (at 100 TB: against the
+    // persisted fingerprint index, batch side broadcast), and the fuzzy
+    // probe joins band buckets new×corpus only — no corpus self-join ever
+    // runs. Signatures are the same map-side-combinable 8-MIN aggregate
+    // as q23 (2 md5 digests per shingle, 4 fields each).
+    QDef(
+      "q83_incremental_dedup",
+      (s, dir) => {
+        // (max+1)*9: integer-exact "newest 10%" boundary — doc_id*10 >= c9
+        val cut = Tables(s, dir).documents
+          .agg(((max(col("doc_id")) + 1) * 9).as("c9"))
+        // localCheckpoint: fp+flag feeds the exact probe's both sides,
+        // the sig flag join, and the final left joins
+        val base = Tables(s, dir).documents
+          .select(col("doc_id"), Q.fingerprint(col("text")).as("fp"))
+          .crossJoin(broadcast(cut))
+          .withColumn("is_new", expr("doc_id * 10 >= c9"))
+          .select(col("doc_id"), col("fp"), col("is_new"))
+          .localCheckpoint()
+        val exact = base.where(col("is_new")).alias("n")
+          .join(base.where(!col("is_new")).alias("c"),
+            col("n.fp") === col("c.fp"))
+          .groupBy(col("n.doc_id").as("doc_id"))
+          .agg(min(col("c.doc_id")).as("exact_match"))
+        val minhashes = (0 until 8).map { j =>
+          val seed = if (j < 4) "A|" else "B|"
+          val lo = (j % 4) * 8 + 1
+          min(substring(
+            md5(concat(lit(seed), col("shingle")).cast("binary")), lo, 8))
+            .as(s"sig_$j")
+        }
+        // localCheckpoint: the banded sig table feeds both join sides
+        val bands = shingleRows(s, dir)
+          .groupBy(col("doc_id"))
+          .agg(minhashes.head, minhashes.tail: _*)
+          .join(base.select(col("doc_id"), col("is_new")), Seq("doc_id"))
+          .withColumn("bucket",
+            explode(array((0 until 4).map(b =>
+              md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
+                .cast("binary"))): _*)))
+          .localCheckpoint()
+        val agree = (0 until 8)
+          .map(j => s"(case when a.sig_$j = b.sig_$j then 1 else 0 end)")
+          .mkString(" + ")
+        val near = bands.where(col("is_new")).alias("a")
+          .join(bands.where(!col("is_new")).alias("b"),
+            col("a.bucket") === col("b.bucket"))
+          .where(expr(s"($agree) >= 6"))
+          .groupBy(col("a.doc_id").as("doc_id"))
+          .agg(min(col("b.doc_id")).as("near_match"))
+        base.where(col("is_new")).select(col("doc_id"))
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            expr("""case when exact_match is not null then 'exact_dup'
+                         when near_match is not null then 'near_dup'
+                         else 'unique' end""").as("status"),
+            coalesce(col("exact_match"), col("near_match"), lit(-1L))
+              .as("match_id"))
+      },
+      Some(s"""
+        WITH cut AS (SELECT (MAX(doc_id) + 1) * 9 AS c9 FROM documents),
+        base AS (SELECT doc_id, ${Q.fingerprintDuck} AS fp,
+                        doc_id * 10 >= (SELECT c9 FROM cut) AS is_new
+                 FROM documents),
+        exact AS (SELECT n.doc_id, MIN(c.doc_id) AS exact_match
+                  FROM base n JOIN base c
+                    ON n.fp = c.fp AND n.is_new AND NOT c.is_new
+                  GROUP BY n.doc_id),
+        w AS (SELECT doc_id, $WDuck AS ws FROM documents),
+        sh AS (SELECT doc_id, $SGDuck AS sg FROM w),
+        sig AS (SELECT doc_id,
+                  list_transform(range(0, 8),
+                    j -> list_min(list_transform(sg,
+                      s -> substring(md5(CASE WHEN j < 4 THEN 'A|' ELSE 'B|' END || s),
+                                     (j % 4) * 8 + 1, 8)))) AS sig
+                FROM sh),
+        bands AS (SELECT s.doc_id, s.sig, b.is_new,
+                    unnest(list_transform(range(0, 4),
+                      k -> md5(sig[2*k + 1] || sig[2*k + 2]))) AS bucket
+                  FROM sig s JOIN base b USING (doc_id)),
+        near AS (SELECT a.doc_id, MIN(b.doc_id) AS near_match
+                 FROM bands a JOIN bands b
+                   ON a.bucket = b.bucket AND a.is_new AND NOT b.is_new
+                 WHERE len(list_filter(range(1, 9),
+                         j -> a.sig[j] = b.sig[j])) >= 6
+                 GROUP BY a.doc_id)
+        SELECT n.doc_id,
+               CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+                    WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+                    ELSE 'unique' END AS status,
+               CAST(COALESCE(e.exact_match, nr.near_match, -1) AS BIGINT)
+                 AS match_id
+        FROM base n
+        LEFT JOIN exact e ON n.doc_id = e.doc_id
+        LEFT JOIN near nr ON n.doc_id = nr.doc_id
+        WHERE n.is_new
       """))
   )
 }

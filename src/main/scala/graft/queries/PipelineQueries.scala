@@ -637,6 +637,48 @@ object PipelineQueries {
         FROM sh
         WHERE split = 'train' AND g IN (SELECT g FROM held)
         GROUP BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q85: deterministic epoch shuffle — the training-order generator.
+    // Each epoch re-orders the whole corpus by an epoch-salted md5, and
+    // every document lands in a hash shard (first hex nibble → 16 here)
+    // with a dense position inside its shard. Readers stream shards in
+    // nibble order, positions in rank order, and two runs of any engine
+    // produce byte-identical epochs — the reproducibility contract a
+    // resumable training job needs (no RNG state to checkpoint).
+    //
+    // Scale: the per-shard row_number is a window keyed by (epoch,
+    // shard) — at 100 TB you widen the shard key to 4 hex chars (65,536
+    // partitions) and the same plan holds: hash exchange + in-partition
+    // sort, no global total-order bottleneck (contrast a single
+    // row_number over the corpus, which serializes on one partition).
+    QDef(
+      "q85_epoch_shuffle",
+      (s, dir) => {
+        val byRank = Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+        Tables(s, dir).documents
+          .select(col("doc_id"),
+            explode(expr("sequence(1, 2)")).as("epoch"))
+          .withColumn("h", md5(concat(
+            lit("epoch"), col("epoch").cast("string"), lit("|"),
+            col("doc_id").cast("string")).cast("binary")))
+          .withColumn("shard", substring(col("h"), 1, 1))
+          .select(col("doc_id"), col("epoch").cast("int").as("epoch"),
+            col("shard"),
+            row_number().over(byRank).cast("bigint").as("pos"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT doc_id, CAST(epoch.epoch AS INTEGER) AS epoch,
+                 md5('epoch' || CAST(epoch.epoch AS VARCHAR) || '|'
+                     || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents, (SELECT unnest(range(1, 3)) AS epoch) epoch)
+        SELECT doc_id, epoch, substring(h, 1, 1) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY epoch, substring(h, 1, 1)
+                      ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+        FROM e
       """))
   )
 }

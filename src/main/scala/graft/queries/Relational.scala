@@ -591,6 +591,44 @@ object Relational {
         GROUP BY 1, 2
         ORDER BY numwait DESC, s_name ASC
         LIMIT 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // q84: UNPIVOT — wide per-flag metrics rotated into long
+    // (key, metric, value) form via `stack`, the shape metric stores and
+    // plotting layers ingest. The rotation is a zero-shuffle projection
+    // over the (tiny) aggregated relation: stack() is a Generate, so the
+    // plan is scan → partial/final agg → generate, and would stay exactly
+    // that at 100 TB (the explode multiplies rows only AFTER the
+    // aggregation has collapsed them). Metric casts mirror q1's proven
+    // exact-decimal-sum-as-double rule.
+    QDef(
+      "q84_unpivot_metrics",
+      (s, dir) => {
+        Tables(s, dir).lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            (dsum(col("l_discount"), 4) / count(lit(1))).as("avg_disc"))
+          .selectExpr("l_returnflag",
+            """stack(3,
+                 'sum_qty', sum_qty,
+                 'sum_base_price', sum_base_price,
+                 'avg_disc', avg_disc) as (metric, value)""")
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+            CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM m
+        UNION ALL
+        SELECT l_returnflag, 'sum_base_price', sum_base_price FROM m
+        UNION ALL
+        SELECT l_returnflag, 'avg_disc', avg_disc FROM m
       """))
   )
 }

@@ -527,6 +527,67 @@ object TextQueries {
                ROUND(AVG(lp), 6) AS avg_logprob_r
         FROM toks JOIN probs USING (w)
         GROUP BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q82: PII scrubbing — the redaction pass every training-corpus build
+    // runs before text leaves the ingest tier. The synthetic tables carry
+    // no raw PII, so the query first derives a contact ledger from
+    // `customer` (name + reconstructable email + phone), then runs the
+    // actual operator under test: class-based regex masking (emails, then
+    // phone-shaped digit runs on the already-email-masked text) plus
+    // per-row match counts from the pre-masked text.
+    //
+    // Scale: a pure narrow map over the scan — no shuffle at all; the
+    // regexes are codegen'd `RegExpReplace`/`RegExpExtractAll`, and both
+    // patterns are RE2-compatible so the DuckDB oracle runs them verbatim
+    // (Spark replaces globally by default; DuckDB needs the 'g' flag).
+    QDef(
+      "q82_pii_scrub",
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "[0-9]{3}-[0-9]{4}"
+        Tables(s, dir).customer
+          .withColumn("ledger", concat(
+            col("c_name"), lit(" <"),
+            regexp_replace(lower(col("c_name")), lit("customer#"), lit("user")),
+            lit("@example.com> tel "),
+            substring(lpad(col("c_custkey").cast("string"), 7, "0"), 1, 3),
+            lit("-"),
+            substring(lpad(col("c_custkey").cast("string"), 7, "0"), 4, 4)))
+          .select(
+            col("c_custkey"),
+            size(regexp_extract_all(col("ledger"), lit(email), lit(0)))
+              .cast("bigint").as("n_emails"),
+            size(regexp_extract_all(col("ledger"), lit(phone), lit(0)))
+              .cast("bigint").as("n_phones"),
+            regexp_replace(
+              regexp_replace(col("ledger"), lit(email), lit("<EMAIL>")),
+              lit(phone), lit("<PHONE>")).as("masked"))
+      },
+      Some("""
+        WITH led AS (
+          SELECT c_custkey,
+                 c_name || ' <'
+                   || regexp_replace(lower(c_name), 'customer#', 'user')
+                   || '@example.com> tel '
+                   || substring(lpad(CAST(c_custkey AS VARCHAR), 7, '0'), 1, 3)
+                   || '-'
+                   || substring(lpad(CAST(c_custkey AS VARCHAR), 7, '0'), 4, 4)
+                   AS ledger
+          FROM customer)
+        SELECT c_custkey,
+               CAST(len(regexp_extract_all(ledger,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(ledger, '[0-9]{3}-[0-9]{4}'))
+                 AS BIGINT) AS n_phones,
+               regexp_replace(
+                 regexp_replace(ledger,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked
+        FROM led
       """))
   )
 }

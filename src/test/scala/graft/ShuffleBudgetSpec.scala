@@ -75,7 +75,18 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q81_weighted_sample" -> 0,
     "q6_customers_without_big_orders" -> 0,
     "q7_top_orders_per_customer" -> 1, "q8_top100_lineitems" -> 0,
-    "q9_setops" -> 2)
+    "q9_setops" -> 2,
+    // q82: pure narrow map — no exchange at all
+    "q82_pii_scrub" -> 0,
+    // q83: post-checkpoint stages only (base + banded sigs are
+    // checkpointed): exact-probe agg, band-probe agg, final assembly
+    "q83_incremental_dedup" -> 3,
+    // q84: one agg exchange; the stack() Generate adds none
+    "q84_unpivot_metrics" -> 1,
+    // q85: one hash exchange for the (epoch, shard) window
+    "q85_epoch_shuffle" -> 1,
+    // q86: user_id window exchange + (context, label) agg exchange
+    "q86_event_context_examples" -> 2)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
