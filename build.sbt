@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked program's stdout/stderr through unchanged instead of
+// routing them via sbt's logger: the logger prefixes every stdout line
+// with "[info] " (and re-echoes stderr as "[error] " with
+// nondeterministic interleaving), which corrupts the one-line JSON
+// contract Bench/Verify print for the driver.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
