@@ -774,6 +774,86 @@ object AnalyticQueries {
         GROUP BY context, label
         ORDER BY n DESC, context ASC, label ASC
         LIMIT 100
+      """)),
+
+    // ------------------------------------------------------------------
+    // q89: weekly retention cohorts — the classic growth-analytics
+    // matrix: users bucketed by their FIRST active week, then counted
+    // distinct per (cohort week, weeks-since-cohort offset). Two
+    // shuffles that share a key: the per-user min-week aggregation and
+    // the events↔cohort join both hash on user_id (Catalyst reuses the
+    // partitioning, so the join adds no exchange on the aggregated
+    // side), then one partial-agg-friendly distinct count on the tiny
+    // (cohort, offset) grid. Weeks are date_trunc boundaries (Monday in
+    // both engines); the offset is exact integer day arithmetic.
+    QDef(
+      "q89_retention_cohorts",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val cohorts = ev.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort_wk"))
+        ev.join(cohorts, "user_id")
+          .groupBy(col("cohort_wk"),
+            expr("cast(datediff(wk, cohort_wk) div 7 as int)")
+              .as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .select(date_format(col("cohort_wk"), "yyyy-MM-dd")
+              .as("cohort_week"),
+            col("week_offset"), col("n_users"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        cohorts AS (
+          SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id)
+        SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', cohort_wk, wk) // 7 AS INTEGER)
+                 AS week_offset,
+               CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        FROM ev JOIN cohorts ON ev.user_id = cohorts.user_id
+        GROUP BY cohort_wk, week_offset
+      """)),
+
+    // ------------------------------------------------------------------
+    // q90: argmax per group — max_by/arg_max, the "which row holds the
+    // group's maximum" aggregate that replaces a window + filter with
+    // ONE partial-agg pass (max_by merges like any min/max, so the
+    // map side already discards non-winners — at 100 TB this is an
+    // exchange of one row per group, vs the window formulation's full
+    // sort). Determinism: arg_max ties are engine-arbitrary, so the
+    // ordering key is (value, event_id) packed into one BIGINT —
+    // value is 2-decimal money (exact in cents), event_id the unique
+    // tiebreak. Both engines compute the identical key, so the winner
+    // is unique and the oracle can hash-match.
+    QDef(
+      "q90_argmax_events",
+      (s, dir) => {
+        val packed = expr(
+          "cast(round(value * 100) as bigint) * 1000000000000L + event_id")
+        Tables(s, dir).events
+          .groupBy(col("event_type"),
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+              .as("day"))
+          .agg(
+            max_by(col("user_id"), packed).as("top_user"),
+            max_by(col("event_id"), packed).as("top_event"),
+            max(col("value")).as("max_value"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               arg_max(user_id,
+                 CAST(round(value * 100) AS BIGINT) * 1000000000000
+                   + event_id) AS top_user,
+               arg_max(event_id,
+                 CAST(round(value * 100) AS BIGINT) * 1000000000000
+                   + event_id) AS top_event,
+               MAX(value) AS max_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
       """))
   )
 }

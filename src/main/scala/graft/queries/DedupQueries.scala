@@ -601,6 +601,64 @@ object DedupQueries {
         LEFT JOIN exact e ON n.doc_id = e.doc_id
         LEFT JOIN near nr ON n.doc_id = nr.doc_id
         WHERE n.is_new
+      """)),
+
+    // ------------------------------------------------------------------
+    // q92: asymmetric containment — the quote/subset detector Jaccard
+    // misses: a short document wholly quoted inside a long one has
+    // containment |A∩B|/|A| ≈ 1 while its Jaccard stays tiny (the union
+    // is dominated by the long doc). Same sparse source-blocked
+    // shingle-join shape as q24 (zero-overlap pairs never materialize;
+    // the shingle is the shard key at 100 TB); the only new math is
+    // dividing the common count by EACH side's shingle count instead of
+    // the union. Top-50 by the larger containment, total-order
+    // tiebreaks, int/int division producing identical doubles in both
+    // engines.
+    QDef(
+      "q92_containment",
+      (s, dir) => {
+        val ex = shingleRows(s, dir)
+          .withColumn("n",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id"))))
+          .localCheckpoint()
+        val a = ex.alias("a")
+        val b = ex.alias("b")
+        a.join(b,
+            col("a.source") === col("b.source") &&
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.n").as("n_a"), col("b.n").as("n_b"))
+          .agg(count(lit(1)).as("common"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("common / n_a").as("cont_a"),
+            expr("common / n_b").as("cont_b"),
+            expr("common / (n_a + n_b - common)").as("jaccard"))
+          .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
+          .orderBy(col("containment").desc, col("doc_a").asc,
+            col("doc_b").asc)
+          .limit(50)
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
+        sh AS (SELECT doc_id, source, $SGDuck AS sg FROM w),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.sg, b.sg)) AS BIGINT) AS common,
+                 CAST(len(a.sg) AS BIGINT) AS n_a,
+                 CAST(len(b.sg) AS BIGINT) AS n_b
+          FROM sh a JOIN sh b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sg, b.sg)) > 0)
+        SELECT doc_a, doc_b,
+               common / n_a AS cont_a,
+               common / n_b AS cont_b,
+               common / (n_a + n_b - common) AS jaccard,
+               greatest(common / n_a, common / n_b) AS containment
+        FROM pairs
+        ORDER BY containment DESC, doc_a ASC, doc_b ASC
+        LIMIT 50
       """))
   )
 }

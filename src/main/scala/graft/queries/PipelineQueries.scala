@@ -679,6 +679,101 @@ object PipelineQueries {
                CAST(ROW_NUMBER() OVER (PARTITION BY epoch, substring(h, 1, 1)
                       ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
         FROM e
+      """)),
+
+    // ------------------------------------------------------------------
+    // q93: context-window chunking — slide a 64-token window with
+    // stride 48 (16-token overlap) over each document and emit one row
+    // per chunk with its position and content fingerprint: the
+    // RAG-index / training-example builder. Pure narrow map + one
+    // Generate per document — ZERO shuffles at any scale; chunk count
+    // is ceil((n-64)/48)+1 ≡ (n-1) div 48 + 1 in exact integer
+    // arithmetic, identical in both engines, and the trailing chunk is
+    // naturally short (slice clamps). The fingerprint is md5 of the
+    // space-joined chunk, so downstream chunk-level dedup (q79's shape)
+    // can run directly on this output.
+    QDef(
+      "q93_doc_chunks",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .select(col("doc_id"), expr(W).as("ws"))
+          .where(size(col("ws")) > 0)
+          .select(col("doc_id"), size(col("ws")).as("doc_tokens"),
+            explode(expr(
+              """transform(sequence(0, (size(ws) - 1) div 48),
+                   i -> struct(i as chunk_id,
+                               slice(ws, i * 48 + 1, 64) as chunk))"""))
+              .as("c"))
+          .select(col("doc_id"),
+            // div yields LONG, so the sequence elements (and the struct
+            // field) are BIGINT — narrow to the INT the oracle emits
+            col("c.chunk_id").cast("int").as("chunk_id"),
+            size(col("c.chunk")).as("n_tokens"),
+            md5(array_join(col("c.chunk"), " ").cast("binary"))
+              .as("chunk_fp"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, $WDuck AS ws FROM documents),
+        c AS (SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_id,
+                     ws[(u.i * 48 + 1):(u.i * 48 + 64)] AS chunk
+              FROM w, LATERAL (SELECT unnest(
+                       range(0, (len(ws) - 1) // 48 + 1)) AS i) u
+              WHERE len(ws) > 0)
+        SELECT doc_id, chunk_id,
+               CAST(len(chunk) AS INTEGER) AS n_tokens,
+               md5(list_aggregate(chunk, 'string_agg', ' ')) AS chunk_fp
+        FROM c
+      """)),
+
+    // ------------------------------------------------------------------
+    // q94: CDC latest-wins upsert — MERGE-compaction semantics without
+    // a table format: a re-crawl batch (every 7th document, with
+    // changed text) is unioned against the standing corpus and each
+    // doc_id keeps its highest-version row. The window row_number over
+    // (doc_id, version DESC) is exactly how Delta/Iceberg compaction
+    // resolves multiple snapshots of a key; at 100 TB the exchange
+    // hashes on doc_id (the natural partition key) and each group is
+    // 2 rows, so there is no skew surface. Output: the merged corpus
+    // state aggregated per (source, version) so the result stays
+    // hash-checkable and version mix is visible.
+    QDef(
+      "q94_cdc_upsert",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val corpus = docs.select(col("doc_id"), col("source"), col("text"),
+          lit(1).as("version"))
+        // the re-crawl: every 7th doc arrives again with edited text
+        val batch = docs.where(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("source"),
+            concat(col("text"), lit(" [recrawled]")).as("text"),
+            lit(2).as("version"))
+        val byDoc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("version").desc)
+        corpus.unionByName(batch)
+          .withColumn("rn", row_number().over(byDoc))
+          .where(col("rn") === 1)
+          .groupBy(col("source"), col("version"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("bigint")).as("n_chars"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      },
+      Some("""
+        WITH merged AS (
+          SELECT doc_id, source, text, version FROM (
+            SELECT doc_id, source, text, version,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY version DESC) AS rn
+            FROM (
+              SELECT doc_id, source, text, 1 AS version FROM documents
+              UNION ALL
+              SELECT doc_id, source, text || ' [recrawled]', 2
+              FROM documents WHERE doc_id % 7 = 0)) t
+          WHERE rn = 1)
+        SELECT source, version, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM merged
+        GROUP BY source, version
       """))
   )
 }

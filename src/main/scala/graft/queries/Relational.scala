@@ -629,6 +629,132 @@ object Relational {
         SELECT l_returnflag, 'sum_base_price', sum_base_price FROM m
         UNION ALL
         SELECT l_returnflag, 'avg_disc', avg_disc FROM m
+      """)),
+
+    // ------------------------------------------------------------------
+    // q87: product-profit by nation and year — the TPC-H Q9 shape: a
+    // fact scan joined to THREE dimensions (part with a name predicate,
+    // supplier, nation), then a two-key rollup of a derived money
+    // expression. The join-order stress test of the suite: Catalyst
+    // must push the p_name filter into the part scan, broadcast all
+    // three dims (each orders of magnitude smaller than lineitem even
+    // at 100 TB — part/supplier grow with SF but stay <1% of the fact),
+    // and leave exactly ONE shuffle: the final partial-agg exchange on
+    // (nation, year). Profit = revenue minus retail cost; each term is
+    // a product of two 2-decimal factors, so DECIMAL scale 4 keeps the
+    // sum exact (the suite-wide 2k rule).
+    QDef(
+      "q87_profit_by_nation",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .join(broadcast(t.part
+              .where(col("p_name").contains("red"))
+              .select(col("p_partkey"), col("p_retailprice"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t.supplier
+              .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t.nation
+              .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("l_shipdate")).as("o_year"))
+          .agg(
+            dsum(expr("l_extendedprice * (1 - l_discount)"), 4)
+              .as("revenue"),
+            dsum(expr("p_retailprice * l_quantity"), 4).as("retail_cost"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""
+        SELECT n_name AS nation,
+               CAST(year(l_shipdate) AS INTEGER) AS o_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(p_retailprice * l_quantity
+                             AS DECIMAL(18,4))) AS DOUBLE) AS retail_cost,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+      """)),
+
+    // ------------------------------------------------------------------
+    // q88: data-quality audit — declarative constraint validation
+    // (deequ/Great-Expectations shape). All six rules — five per-column
+    // range/null checks plus a referential-integrity check — are
+    // sum(case) counters over ONE pass of the fact: the orphan rule
+    // rides the same scan by LEFT-joining orders on the natural key and
+    // counting null probes, so no separate anti-join job exists. The
+    // one counter row is rotated into (check_name, n_violations) rows
+    // by the q84 stack pattern — a Generate AFTER the aggregation.
+    // At 100 TB: scan → co-keyed left join → partial/final agg (one
+    // row) → generate; every rule added costs one counter, never a
+    // new pass.
+    QDef(
+      "q88_dq_audit",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .join(t.orders.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_outer")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("l_quantity") <= 0 || col("l_quantity") > 100, 1L)
+              .otherwise(0L)).as("qty_range"),
+            sum(when(col("l_discount") < 0 || col("l_discount") > 0.5, 1L)
+              .otherwise(0L)).as("disc_range"),
+            sum(when(col("l_tax") < 0, 1L).otherwise(0L)).as("tax_neg"),
+            sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+              .as("shipdate_null"),
+            sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+              .as("price_nonpos"),
+            sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+              .as("orderkey_orphan"))
+          .selectExpr(
+            """stack(6,
+                 'qty_range', qty_range,
+                 'disc_range', disc_range,
+                 'tax_neg', tax_neg,
+                 'shipdate_null', shipdate_null,
+                 'price_nonpos', price_nonpos,
+                 'orderkey_orphan', orderkey_orphan)
+               as (check_name, n_violations)""",
+            "n_rows")
+          .select(col("check_name"), col("n_violations"), col("n_rows"),
+            when(col("n_violations") === 0, 1).otherwise(0).as("ok"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 100
+                          THEN 1 ELSE 0 END) AS BIGINT) AS qty_range,
+            CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                          THEN 1 ELSE 0 END) AS BIGINT) AS disc_range,
+            CAST(SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS tax_neg,
+            CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS shipdate_null,
+            CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS price_nonpos,
+            CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS orderkey_orphan
+          FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey),
+        rules AS (
+          SELECT 'qty_range' AS check_name, qty_range AS n_violations,
+                 n_rows FROM c
+          UNION ALL SELECT 'disc_range', disc_range, n_rows FROM c
+          UNION ALL SELECT 'tax_neg', tax_neg, n_rows FROM c
+          UNION ALL SELECT 'shipdate_null', shipdate_null, n_rows FROM c
+          UNION ALL SELECT 'price_nonpos', price_nonpos, n_rows FROM c
+          UNION ALL SELECT 'orderkey_orphan', orderkey_orphan, n_rows
+            FROM c)
+        SELECT check_name, n_violations, n_rows,
+               CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS ok
+        FROM rules
       """))
   )
 }

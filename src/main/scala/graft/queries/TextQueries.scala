@@ -588,6 +588,65 @@ object TextQueries {
                    '<EMAIL>', 'g'),
                  '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked
         FROM led
+      """)),
+
+    // ------------------------------------------------------------------
+    // q91: bigram language model — add-k-smoothed conditional
+    // probabilities P(w2|w1) estimated from the corpus, the n-gram LM
+    // construction behind classic perplexity filters (and the bigram
+    // big sibling of q75's unigram scorer). Three bounded stages:
+    // (1) one Generate per document emits adjacent word pairs (pure
+    // scan-side, no shuffle); (2) groupBy(w1,w2) with map-side partial
+    // agg — cardinality is bounded by vocab², reached only
+    // asymptotically; (3) the w1 marginal via a window over the
+    // ALREADY-AGGREGATED bigram relation (a shuffle of vocab²-bounded
+    // rows, not corpus rows). The conditioning-vocab size V arrives by
+    // the q37 pattern: a one-row aggregate crossJoin-broadcast into the
+    // plan, not a driver-side count. Top-100 by count with total-order
+    // tiebreaks; ln computed on identical exact-integer inputs in both
+    // engines, rounded to 6.
+    QDef(
+      "q91_bigram_lm",
+      (s, dir) => {
+        val bg = Tables(s, dir).documents
+          .select(expr(W).as("ws"))
+          .where(size(col("ws")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(ws) - 1),
+                 i -> struct(element_at(ws, i) as w1,
+                             element_at(ws, i + 1) as w2))""")).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val vocab = bg.agg(
+          countDistinct(col("w1")).as("v"))
+        val byW1 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w1"))
+        bg.withColumn("c1", sum(col("c12")).over(byW1))
+          .crossJoin(broadcast(vocab))
+          .select(col("w1"), col("w2"), col("c12"), col("c1"),
+            round(expr("ln((c12 + 0.5D) / (c1 + 0.5D * v))"), 6)
+              .as("logp"))
+          .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+          .limit(100)
+      },
+      Some(s"""
+        WITH w AS (SELECT $WDuck AS ws FROM documents),
+        bg AS (
+          SELECT ws[u.i] AS w1, ws[u.i + 1] AS w2,
+                 CAST(COUNT(*) AS BIGINT) AS c12
+          FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) u
+          WHERE len(ws) >= 2
+          GROUP BY 1, 2),
+        v AS (SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM bg),
+        m AS (SELECT w1, w2, c12,
+                     CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+              FROM bg)
+        SELECT w1, w2, c12, c1,
+               ROUND(ln((c12 + 0.5) / (c1 + 0.5 * v)), 6) AS logp
+        FROM m, v
+        ORDER BY c12 DESC, w1 ASC, w2 ASC
+        LIMIT 100
       """))
   )
 }

@@ -26,10 +26,12 @@ class PlanQualitySpec extends AnyFunSuite {
   // table (the q48/q59 shape — every vector scores every centroid by
   // definition). q78 crossJoins seven ONE-row aggregate results (the
   // q37 corpus-size pattern, seven-fold).
+  // q91's conditioning-vocab size joins in as a ONE-row broadcast
+  // aggregate (the q37 corpus-size pattern).
   private val nlAllowed = Set("q26_cosine_topk",
     "q30_range_join", "q37_tfidf", "q48_ann_ivf",
     "q59_semantic_dedup", "q70_vocab_coverage", "q76_kmeans",
-    "q78_profile")
+    "q78_profile", "q91_bigram_lm")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

@@ -86,7 +86,26 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q85: one hash exchange for the (epoch, shard) window
     "q85_epoch_shuffle" -> 1,
     // q86: user_id window exchange + (context, label) agg exchange
-    "q86_event_context_examples" -> 2)
+    "q86_event_context_examples" -> 2,
+    // q87: all three dims broadcast — only the (nation, year) agg
+    // exchanges
+    "q87_profit_by_nation" -> 1,
+    // q88: one counter-row agg; the orders probe join broadcasts at
+    // this SF (co-keyed shuffle join at scale would add 2)
+    "q88_dq_audit" -> 1,
+    // q89: per-user min-week agg + cohort join + distinct-count expand
+    "q89_retention_cohorts" -> 3,
+    // q90: single partial-agg exchange on (type, day)
+    "q90_argmax_events" -> 1,
+    // q91: bigram agg + w1 window + the 2-exchange one-row vocab agg
+    "q91_bigram_lm" -> 4,
+    // q92: post-checkpoint stages only (shingle postings checkpointed,
+    // q24's shape); pair agg folds into the checkpoint-adjacent stage
+    "q92_containment" -> 0,
+    // q93: pure scan-side Generate — no exchange at all
+    "q93_doc_chunks" -> 0,
+    // q94: doc_id window for latest-wins + (source, version) agg
+    "q94_cdc_upsert" -> 2)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
