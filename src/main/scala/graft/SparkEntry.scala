@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticQueries, DedupQueries, MRQueries, MultimodalQueries, OrderedQueries, PipelineQueries, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticQueries, DedupQueries, GraphQueries, MRQueries, MultimodalQueries, OrderedQueries, PipelineQueries, Relational, SeriesQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ object SparkEntry {
   private lazy val all: Seq[QDef] =
     Relational.defs ++ OrderedQueries.defs ++ AnalyticQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      MultimodalQueries.defs ++ MRQueries.defs ++ PipelineQueries.defs
+      MultimodalQueries.defs ++ MRQueries.defs ++ PipelineQueries.defs ++
+      SeriesQueries.defs ++ GraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

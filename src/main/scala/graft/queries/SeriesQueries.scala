@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series operators over `events`/`lineitem`: calendar-spine
+  * gap-fill with forward-fill, robust (median/MAD) outlier flagging, and
+  * truncated-EWMA smoothing.
+  *
+  * All three follow the suite's scale rules: aggregations are
+  * partial-agg-friendly, every window is partitioned by the series key
+  * (never a global sort), and the tiny derived relations (calendar
+  * bounds, per-group medians) are broadcast back instead of collected
+  * driver-side.
+  */
+object SeriesQueries {
+
+  /** q99's truncated-EWMA weights a*(1-a)^j for a = 0.3 as EXACT decimal
+    * strings (0.3 * 0.7^j has j+1 decimal digits, exactly representable
+    * in BigDecimal). Both engines parse the same literal into the same
+    * nearest-double, so every term — and therefore the left-to-right sum
+    * — is bit-identical cross-engine; computing pow(0.7, j) at runtime
+    * instead lets a 1-ulp libm difference flip a round-half boundary
+    * (observed: one row in 7494 at sf0.01).
+    */
+  private val ewmaWeights: IndexedSeq[String] = (0 until 10).map(j =>
+    (BigDecimal("0.3") * BigDecimal("0.7").pow(j)).bigDecimal.toPlainString)
+
+  val defs: Seq[QDef] = Seq(
+    // ------------------------------------------------------------------
+    // q95: calendar gap-fill + forward-fill — the canonical time-series
+    // densification operator (metrics dashboards, feature windows over
+    // sparse signals). A deterministically thinned daily series
+    // (event_id % 37) is re-densified against a calendar spine built
+    // IN-PLAN from the observed min/max day (sequence + explode over a
+    // broadcast 1-row bounds aggregate — no driver collect), then
+    // forward-filled with last(ignoreNulls) over a per-series window.
+    // At 100 TB the spine is |series| x |days| (tiny vs the fact table)
+    // and the fill window is partitioned by series key, so state per
+    // task is one series' days.
+    QDef(
+      "q95_gap_fill",
+      (s, dir) => {
+        val sparse = Tables(s, dir).events
+          .where(col("event_id") % 37 === 0)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(round(sum(col("value")), 6).as("v"))
+        val bounds = sparse.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        val spine = sparse.select(col("event_type")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        val fill = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(sparse, Seq("event_type", "day"), "left")
+          .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(fill))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("v_filled"),
+            when(col("v").isNull, 1).otherwise(0).as("was_gap"))
+      },
+      Some("""
+        WITH sparse AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, round(SUM(value), 6) AS v
+          FROM events WHERE event_id % 37 = 0 GROUP BY 1, 2),
+        bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM sparse),
+        spine AS (
+          SELECT t.event_type, CAST(d.day AS DATE) AS day
+          FROM (SELECT DISTINCT event_type FROM sparse) t, bounds b,
+               LATERAL (SELECT unnest(generate_series(b.lo, b.hi,
+                                INTERVAL 1 DAY)) AS day) d),
+        filled AS (
+          SELECT s.event_type, s.day, sp.v,
+                 last_value(sp.v IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+          FROM spine s LEFT JOIN sparse sp
+            ON s.event_type = sp.event_type AND s.day = sp.day)
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, v_filled,
+               CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+        FROM filled
+      """)),
+
+    // ------------------------------------------------------------------
+    // q98: robust outlier detection via median/MAD — the
+    // contamination-resistant alternative to mean/stddev z-scores
+    // (one corrupt batch can shift a mean arbitrarily; the median
+    // moves only past 50% contamination). Both medians go through
+    // `percentile(...)`, which the ScaleSafePercentiles rule rewrites
+    // into the bounded sort-based plan, so no holistic per-group buffer
+    // exists at any scale; the per-group medians (|event_type| rows)
+    // broadcast back onto the fact rows. Threshold: |x - med| >
+    // 3 * 1.4826 * MAD (1.4826 = consistency constant vs sigma for
+    // normal data); both sides round at 9 before comparing so a 1-ulp
+    // quantile-interpolation difference between engines cannot flip a
+    // boundary row.
+    QDef(
+      "q98_mad_outliers",
+      (s, dir) => {
+        val ev = Tables(s, dir).events.select(col("event_type"), col("value"))
+        val med = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"))
+          .agg(
+            round(max(col("med")), 6).as("med"),
+            round(max(col("mad")), 6).as("mad"),
+            sum(when(round(col("adev"), 9) >
+                round(lit(3.0) * lit(1.4826) * col("mad"), 9), 1)
+              .otherwise(0)).cast("bigint").as("n_outliers"),
+            count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                     FROM events GROUP BY 1),
+        dev AS (SELECT e.event_type, e.value, m.med,
+                       abs(e.value - m.med) AS adev
+                FROM events e JOIN med m ON e.event_type = m.event_type),
+        mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                FROM dev GROUP BY 1)
+        SELECT d.event_type, round(MAX(d.med), 6) AS med,
+               round(MAX(m.mad), 6) AS mad,
+               CAST(SUM(CASE WHEN round(d.adev, 9) >
+                    round(3.0 * 1.4826 * m.mad, 9) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_outliers,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+        GROUP BY d.event_type
+      """)),
+
+    // ------------------------------------------------------------------
+    // q99: truncated-EWMA smoothing of daily revenue per returnflag.
+    // The EWMA recurrence y_t = a*x_t + (1-a)*y_{t-1} is inherently
+    // sequential; the 10-term truncation y_t ~= a * sum_{j<10}
+    // (1-a)^j * x_{t-j} makes it a bounded window computation (relative
+    // error (1-a)^10 ~= 2.8%, constant and deterministic) that both
+    // engines express identically as a lag() chain — no unbounded
+    // running state, no pow() of an unbounded row number (which would
+    // overflow doubles on long series). Window is partitioned by the
+    // series key; day strings sort chronologically (yyyy-MM-dd).
+    QDef(
+      "q99_ewma",
+      (s, dir) => {
+        val daily = Tables(s, dir).lineitem
+          .groupBy(col("l_returnflag"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+          .agg(Q.dsum(col("l_extendedprice")).as("rev"))
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("day"))
+        val terms = (0 until 10).map(j =>
+          coalesce(lag(col("rev"), j).over(w), lit(0.0)) *
+            lit(java.lang.Double.parseDouble(ewmaWeights(j))))
+        daily.withColumn("ewma", round(terms.reduce(_ + _), 6))
+      },
+      Some {
+        val terms = (0 until 10)
+          .map(j => s"COALESCE(lag(rev, $j) OVER w, 0) * " +
+            s"CAST('${ewmaWeights(j)}' AS DOUBLE)")
+          .mkString(" + ")
+        s"""
+        WITH daily AS (
+          SELECT l_returnflag,
+                 strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag, day, rev, round($terms, 6) AS ewma
+        FROM daily
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY day)
+        """
+      })
+  )
+}

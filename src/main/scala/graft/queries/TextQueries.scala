@@ -647,6 +647,50 @@ object TextQueries {
         FROM m, v
         ORDER BY c12 DESC, w1 ASC, w2 ASC
         LIMIT 100
+      """)),
+
+    // ------------------------------------------------------------------
+    // q97: per-document word-distribution entropy — the information-
+    // theoretic repetition signal (low entropy = chant-like/boilerplate
+    // text; complements q57's top-word fractions). Two-level aggregation
+    // keyed by (doc_id, word) then doc_id: both partial-agg friendly,
+    // sharded by doc at scale. norm_entropy = H / ln(n_distinct)
+    // (the max-entropy bound), nullif-guarded for single-word docs;
+    // `0 -` (not unary minus) so an exactly-zero H cannot surface as
+    // IEEE -0.0 in one engine and +0.0 in the other.
+    QDef(
+      "q97_word_entropy",
+      (s, dir) => {
+        val cnt = Tables(s, dir).documents
+          .select(col("doc_id"), explode(expr(W)).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+        cnt.join(tot, "doc_id")
+          .groupBy(col("doc_id"), col("n"), col("n_distinct"))
+          .agg(round(lit(0.0) -
+            sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
+            .as("entropy"))
+          .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+            col("entropy"),
+            round(col("entropy") /
+              nullif(log(col("n_distinct").cast("double")), lit(0.0)), 6)
+              .as("norm_entropy"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, unnest($WDuck) AS word FROM documents),
+        cnt AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+        tot AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct
+                FROM cnt GROUP BY 1)
+        SELECT c.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+               CAST(t.n_distinct AS BIGINT) AS n_distinct,
+               round(0.0 - SUM((c.c / t.n) * ln(c.c / t.n)), 6) AS entropy,
+               round(round(0.0 - SUM((c.c / t.n) * ln(c.c / t.n)), 6) /
+                     nullif(ln(CAST(t.n_distinct AS DOUBLE)), 0), 6)
+                 AS norm_entropy
+        FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+        GROUP BY c.doc_id, t.n, t.n_distinct
       """))
   )
 }

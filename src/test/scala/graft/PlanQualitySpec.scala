@@ -28,10 +28,13 @@ class PlanQualitySpec extends AnyFunSuite {
   // q37 corpus-size pattern, seven-fold).
   // q91's conditioning-vocab size joins in as a ONE-row broadcast
   // aggregate (the q37 corpus-size pattern).
+  // q95's calendar spine crossJoins the ONE-row min/max bounds
+  // aggregate into the distinct-series relation (q37 pattern); q100
+  // crossJoins four ONE-row summary aggregates (the q78 shape).
   private val nlAllowed = Set("q26_cosine_topk",
     "q30_range_join", "q37_tfidf", "q48_ann_ivf",
     "q59_semantic_dedup", "q70_vocab_coverage", "q76_kmeans",
-    "q78_profile", "q91_bigram_lm")
+    "q78_profile", "q91_bigram_lm", "q95_gap_fill", "q100_triangles")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

@@ -105,7 +105,21 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q93: pure scan-side Generate — no exchange at all
     "q93_doc_chunks" -> 0,
     // q94: doc_id window for latest-wins + (source, version) agg
-    "q94_cdc_upsert" -> 2)
+    "q94_cdc_upsert" -> 2,
+    // q95: sparse (type, day) agg + spine distinct + fill window
+    "q95_gap_fill" -> 3,
+    // q96: bucket agg + the tiny bucket-table window + the bucket
+    // windows on the fact side (thresholds broadcast back)
+    "q96_skyline" -> 3,
+    // q97: (doc, word) agg + doc_id totals join (partial-agg both)
+    "q97_word_entropy" -> 2,
+    // q98: two percentile rounds (medians broadcast back) + final agg
+    "q98_mad_outliers" -> 3,
+    // q99: (flag, day) agg + the flag-partitioned lag window
+    "q99_ewma" -> 2,
+    // q100: post-checkpoint stages (edges/deg/oriented checkpointed):
+    // wedge self-join on s + closing join + the 1-row summary aggs
+    "q100_triangles" -> 6)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
