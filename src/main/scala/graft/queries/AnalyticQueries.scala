@@ -854,6 +854,44 @@ object AnalyticQueries {
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM events
         GROUP BY 1, 2
+      """)),
+
+    // ------------------------------------------------------------------
+    // q104: equi-width histogram of order totals with IN-PLAN bin
+    // bounds: min/max arrive as a broadcast 1-row aggregate (the q37
+    // corpus-size pattern), the bucket index is a pure scan-side map,
+    // and the histogram itself is a 20-group partial-agg — two passes
+    // over the data, zero driver participation, the shape a profiler
+    // uses at any scale. Bucket arithmetic is identical IEEE double
+    // ops on identical inputs in both engines (no libm), so the floor
+    // is exact cross-engine; the top value clamps into the last bucket.
+    QDef(
+      "q104_histogram",
+      (s, dir) => {
+        val o = Tables(s, dir).orders.select(col("o_totalprice"))
+        val b = o.agg(min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        o.crossJoin(broadcast(b))
+          .select(least(floor((col("o_totalprice") - col("lo")) /
+              (col("hi") - col("lo")) * 20).cast("bigint"), lit(19L))
+            .as("bucket"), col("lo"), col("hi"))
+          .groupBy(col("bucket"), col("lo"), col("hi"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("bucket"),
+            round(col("lo") + (col("hi") - col("lo")) * col("bucket") / 20, 6)
+              .as("bucket_lo"),
+            col("n"))
+      },
+      Some("""
+        WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+                   FROM orders),
+        h AS (SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo) /
+                       (b.hi - b.lo) * 20) AS BIGINT), 19) AS bucket,
+                     b.lo, b.hi
+              FROM orders, b)
+        SELECT bucket, round(lo + (hi - lo) * bucket / 20, 6) AS bucket_lo,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM h GROUP BY bucket, lo, hi
       """))
   )
 }

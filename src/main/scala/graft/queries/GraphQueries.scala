@@ -12,6 +12,34 @@ import org.apache.spark.sql.expressions.Window
   */
 object GraphQueries {
 
+  /** Canonical undirected co-occurrence edges (x < y): two parts are
+    * linked when they ship in the same order, thinned to high-quantity
+    * lines. Shared by q100 (triangles) and q101 (PageRank);
+    * localCheckpoint because every consumer feeds it into multiple
+    * joins — a 100 TB pass would persist the edge list anyway.
+    */
+  private def coEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = Tables(s, dir).lineitem
+      .where(col("l_quantity") >= 40)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** The DuckDB restatement of [[coEdges]]. */
+  private val coEdgesDuck =
+    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+             WHERE l_quantity >= 40),
+       edges AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+                 FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+                 GROUP BY 1, 2)"""
+
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------
     // q96: 2-D skyline (Pareto frontier) over part: minimize
@@ -89,19 +117,7 @@ object GraphQueries {
     QDef(
       "q100_triangles",
       (s, dir) => {
-        val li = Tables(s, dir).lineitem
-          .where(col("l_quantity") >= 40)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        // canonical undirected edges x < y; localCheckpoint: feeds the
-        // degree count, the orientation join, and the wedge-closing
-        // join — a 100 TB pass would persist the edge list anyway.
-        val edges = li.as("a")
-          .join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
-          .distinct()
-          .localCheckpoint()
+        val edges = coEdges(s, dir)
         val deg = edges.select(col("x").as("v"))
           .unionByName(edges.select(col("y").as("v")))
           .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -131,13 +147,8 @@ object GraphQueries {
             round(lit(3.0) * col("n_triangles") /
               nullif(col("n_wedges"), lit(0L)), 6).as("clustering"))
       },
-      Some("""
-        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-                    WHERE l_quantity >= 40),
-        edges AS (SELECT a.l_partkey AS x, b.l_partkey AS y
-                  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-                   AND a.l_partkey < b.l_partkey
-                  GROUP BY 1, 2),
+      Some(s"""
+        WITH $coEdgesDuck,
         deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
                 FROM (SELECT x AS v FROM edges
                       UNION ALL SELECT y FROM edges) u GROUP BY 1),
@@ -157,6 +168,74 @@ object GraphQueries {
                (SELECT n_triangles FROM tri) AS n_triangles,
                round(3.0 * (SELECT n_triangles FROM tri) /
                      nullif((SELECT n_wedges FROM wd), 0), 6) AS clustering
+      """)),
+
+    // ------------------------------------------------------------------
+    // q101: PageRank, 3 fixed power iterations with damping 0.85, on the
+    // symmetric co-occurrence graph — the canonical iterative-dataflow
+    // operator. Each iteration is one shuffle keyed by the destination
+    // vertex (the partition key at scale) after mapping each vertex's
+    // mass over its out-edges; degrees and ranks ride along the edge
+    // join, the vertex count enters as a broadcast 1-row aggregate.
+    // Determinism: every iteration rounds to 9 digits, so the ~1e-15
+    // summation-order drift (between engines AND between Spark
+    // partition counts) never reaches the next iteration's inputs, and
+    // the fixed iteration count keeps the plan finite (no driver-side
+    // convergence loop). Symmetric edges mean no dangling mass. Top-20
+    // with full-order tiebreak.
+    QDef(
+      "q101_pagerank",
+      (s, dir) => {
+        val e0 = coEdges(s, dir)
+        val edges = e0.select(col("x").as("src"), col("y").as("dst"))
+          .unionByName(e0.select(col("y").as("src"), col("x").as("dst")))
+          .localCheckpoint()
+        val deg = edges.groupBy(col("src").as("v"))
+          .agg(count(lit(1)).as("d")).localCheckpoint()
+        val n1 = deg.agg(count(lit(1)).as("n"))
+        val p0 = deg.crossJoin(broadcast(n1))
+          .select(col("v"), col("d"), col("n"),
+            round(lit(1.0) / col("n"), 9).as("p"))
+        val p3 = (1 to 3).foldLeft(p0) { (p, _) =>
+          edges
+            .join(p.select(col("v").as("src"),
+              (col("p") / col("d")).as("w")), "src")
+            .groupBy(col("dst").as("v"))
+            .agg(sum(col("w")).as("acc"))
+            .join(deg, "v")
+            .crossJoin(broadcast(n1))
+            .select(col("v"), col("d"), col("n"),
+              round(lit(0.15) / col("n") + lit(0.85) * col("acc"), 9)
+                .as("p"))
+        }
+        p3.orderBy(col("p").desc, col("v").asc).limit(20)
+          .select(col("v").as("part"), col("p").as("rank"))
+      },
+      Some(s"""
+        WITH $coEdgesDuck,
+        sym AS (SELECT x AS src, y AS dst FROM edges
+                UNION ALL SELECT y, x FROM edges),
+        deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d
+                FROM sym GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+        p0 AS (SELECT v, d, round(1.0 / n.n, 9) AS p FROM deg, n),
+        p1 AS (SELECT d2.v, d2.d,
+                      round(0.15 / n.n + 0.85 * SUM(p0.p / p0.d), 9) AS p
+               FROM sym e JOIN p0 ON p0.v = e.src
+                          JOIN deg d2 ON d2.v = e.dst, n
+               GROUP BY d2.v, d2.d, n.n),
+        p2 AS (SELECT d2.v, d2.d,
+                      round(0.15 / n.n + 0.85 * SUM(p1.p / p1.d), 9) AS p
+               FROM sym e JOIN p1 ON p1.v = e.src
+                          JOIN deg d2 ON d2.v = e.dst, n
+               GROUP BY d2.v, d2.d, n.n),
+        p3 AS (SELECT d2.v,
+                      round(0.15 / n.n + 0.85 * SUM(p2.p / p2.d), 9) AS p
+               FROM sym e JOIN p2 ON p2.v = e.src
+                          JOIN deg d2 ON d2.v = e.dst, n
+               GROUP BY d2.v, n.n)
+        SELECT v AS part, p AS rank FROM p3
+        ORDER BY p DESC, v ASC LIMIT 20
       """))
   )
 }

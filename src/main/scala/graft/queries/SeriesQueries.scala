@@ -172,6 +172,135 @@ object SeriesQueries {
         FROM daily
         WINDOW w AS (PARTITION BY l_returnflag ORDER BY day)
         """
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q102: islands detection / SCD2 compaction — collapse each user's
+    // consecutive same-tier event runs into validity intervals
+    // [from_ts, to_ts], the same operator that compacts a
+    // slowly-changing-dimension change stream into versioned rows. The
+    // gaps-and-islands trick (difference of two row_numbers is constant
+    // exactly within a run) turns an inherently sequential scan into
+    // two per-user windows + one aggregation — all partitioned by
+    // user, nothing global. Ties on ts break by event_id so the
+    // numbering is total in both engines.
+    QDef(
+      "q102_tier_islands",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") / 50).cast("bigint").as("tier"))
+        val byU = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val byUT = Window.partitionBy(col("user_id"), col("tier"))
+          .orderBy(col("ts"), col("event_id"))
+        ev.withColumn("grp",
+            row_number().over(byU) - row_number().over(byUT))
+          .groupBy(col("user_id"), col("tier"), col("grp"))
+          .agg(
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("from_ts"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("to_ts"),
+            count(lit(1)).as("n_events"))
+          .where(col("n_events") >= 3)
+          .drop("grp")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, ts, event_id,
+                           CAST(FLOOR(value / 50) AS BIGINT) AS tier
+                    FROM events),
+        r AS (SELECT user_id, ts, event_id, tier,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) -
+                     ROW_NUMBER() OVER (PARTITION BY user_id, tier
+                       ORDER BY ts, event_id) AS grp
+              FROM ev)
+        SELECT user_id, tier,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS from_ts,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS to_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM r GROUP BY user_id, tier, grp
+        HAVING COUNT(*) >= 3
+      """)),
+
+    // ------------------------------------------------------------------
+    // q103: rolling 7-day distinct active users. Exact sliding-window
+    // distinct counts don't compose from daily distincts (users repeat),
+    // and a day-range theta-join is a nested loop; instead each
+    // (day, user) pair EXPLODES into the <= 7 target days it
+    // contributes to (a pure scan-side Generate), clipped at the
+    // corpus max day (broadcast 1-row aggregate), and the answer is a
+    // plain distinct count keyed by target day — partial-agg friendly,
+    // sharded by day at scale.
+    QDef(
+      "q103_rolling_dau",
+      (s, dir) => {
+        val du = Tables(s, dir).events
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val mx = du.agg(max(col("day")).as("mxd"))
+        du.crossJoin(broadcast(mx))
+          .select(col("user_id"), explode(
+            expr("sequence(day, least(date_add(day, 6), mxd))")).as("tday"))
+          .groupBy(date_format(col("tday"), "yyyy-MM-dd").as("day"))
+          .agg(countDistinct(col("user_id")).as("rolling_7d_users"))
+      },
+      Some("""
+        WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                    FROM events),
+        mx AS (SELECT MAX(day) AS mxd FROM du),
+        contrib AS (SELECT CAST(u.t AS DATE) AS tday, du.user_id
+                    FROM du, mx,
+                    LATERAL (SELECT unnest(generate_series(du.day,
+                      LEAST(du.day + INTERVAL 6 DAY, mx.mxd),
+                      INTERVAL 1 DAY)) AS t) u)
+        SELECT strftime(tday, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS rolling_7d_users
+        FROM contrib GROUP BY tday
+      """)),
+
+    // ------------------------------------------------------------------
+    // q105: last-touch attribution — each purchase attributes to the
+    // same user's most recent PRECEDING click within 24h. The running
+    // "last click" is an ignoreNulls last() over the per-user ordered
+    // window (frame ends at 1 PRECEDING so a click never attributes to
+    // itself at equal timestamps); the 24h test compares exact
+    // microsecond longs (unix_micros vs epoch_us — both truncate the
+    // source nanos identically), never float seconds. One user-keyed
+    // window + one day-keyed aggregation; no self-join, no as-of range
+    // scan.
+    QDef(
+      "q105_attribution",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, dir).events
+          .withColumn("last_click",
+            last(when(col("event_type") === "click", col("ts")),
+              ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(when(col("last_click").isNotNull &&
+                unix_micros(col("ts")) - unix_micros(col("last_click")) <=
+                  86400000000L, 1).otherwise(0))
+              .cast("bigint").as("n_attributed"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT user_id, ts, event_type,
+                 last_value(CASE WHEN event_type = 'click' THEN ts END
+                   IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS last_click
+          FROM events)
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CASE WHEN last_click IS NOT NULL
+                    AND epoch_us(ts) - epoch_us(last_click) <= 86400000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+        FROM w WHERE event_type = 'purchase'
+        GROUP BY 1
+      """))
   )
 }

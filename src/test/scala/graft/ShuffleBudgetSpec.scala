@@ -119,7 +119,19 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q99_ewma" -> 2,
     // q100: post-checkpoint stages (edges/deg/oriented checkpointed):
     // wedge self-join on s + closing join + the 1-row summary aggs
-    "q100_triangles" -> 6)
+    "q100_triangles" -> 6,
+    // q101: post-checkpoint: 3 power iterations (mass agg keyed by dst
+    // + deg ride-along) + the top-20 order; vertex count broadcast
+    "q101_pagerank" -> 8,
+    // q102: ONE user_id exchange — hash(user_id) already clusters the
+    // (user_id, tier) window and the island agg
+    "q102_tier_islands" -> 1,
+    // q103: (day, user) distinct + max-day agg + distinct-count expand
+    "q103_rolling_dau" -> 4,
+    // q104: the 1-row min/max agg + the 20-bucket agg
+    "q104_histogram" -> 2,
+    // q105: user_id window exchange + per-day agg
+    "q105_attribution" -> 2)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
