@@ -774,6 +774,76 @@ object PipelineQueries {
                MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         FROM merged
         GROUP BY source, version
+      """)),
+
+    // ------------------------------------------------------------------
+    // q107: DSIR-style importance-weighted data selection (Xie et al.,
+    // "Data Selection for Language Models via Importance Resampling"):
+    // score every non-target document by the mean per-token
+    // log-likelihood ratio between a target-domain unigram LM (src1)
+    // and the whole-corpus LM, add-1 smoothed over the shared
+    // vocabulary, and keep the top-50 most target-like. The two LMs
+    // are word-keyed aggregates joined back onto the token stream by
+    // word (the shard key); corpus totals ride in as a broadcast
+    // 1-row aggregate. Both engines compute each token's ratio from
+    // identical exact integers with identical IEEE ops; the per-doc
+    // mean rounds at 6; top-50 under a total-order tiebreak.
+    QDef(
+      "q107_dsir",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val w = docs
+          .select(col("doc_id"), col("source"), explode(expr(W)).as("word"))
+          .localCheckpoint()
+        val corpus = w.groupBy(col("word")).agg(count(lit(1)).as("cc"))
+        val tgt = w.where(col("source") === "src1")
+          .groupBy(col("word")).agg(count(lit(1)).as("ct"))
+        val tot = w.agg(count(lit(1)).as("nc"),
+          sum(when(col("source") === "src1", 1).otherwise(0))
+            .cast("bigint").as("nt"),
+          countDistinct(col("word")).as("v"))
+        val scored = w
+          .join(corpus, "word")
+          .join(tgt, Seq("word"), "left")
+          .crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(log(
+              ((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+                (col("nt") + col("v"))) /
+                ((col("cc") + lit(1.0)) / (col("nc") + col("v"))))) /
+              count(lit(1)), 6).as("weight"))
+        scored.join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .where(col("source") =!= "src1")
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("weight"))
+          .orderBy(col("weight").desc, col("doc_id").asc)
+          .limit(50)
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, source, unnest($WDuck) AS word
+                   FROM documents),
+        corpus AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cc
+                   FROM w GROUP BY 1),
+        tgt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS ct
+                FROM w WHERE source = 'src1' GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+                       CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS nt,
+                       CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+                FROM w),
+        scored AS (
+          SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 round(SUM(ln(((COALESCE(t.ct, 0) + 1.0) / (tot.nt + tot.v)) /
+                              ((c.cc + 1.0) / (tot.nc + tot.v)))) /
+                       COUNT(*), 6) AS weight
+          FROM w JOIN corpus c ON c.word = w.word
+                 LEFT JOIN tgt t ON t.word = w.word, tot
+          GROUP BY w.doc_id)
+        SELECT s.doc_id, d.source, s.n_tokens, s.weight
+        FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+        WHERE d.source <> 'src1'
+        ORDER BY s.weight DESC, s.doc_id ASC LIMIT 50
       """))
   )
 }

@@ -301,6 +301,58 @@ object SeriesQueries {
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
         FROM w WHERE event_type = 'purchase'
         GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q106: rolling 7-day users via MERGEABLE HLL sketch algebra — the
+    // scale path for q103. q103 explodes (day, user) PAIRS to target
+    // days (data-sized: 7x the distinct-pair relation); here each day
+    // collapses to ONE ~KB sketch first, and only sketches explode
+    // (7 rows/day regardless of user count) before hll_union_agg
+    // merges each window — the union of per-partition sketches is the
+    // sketch of the union, so the plan is exact-shuffle-minimal at any
+    // scale. Engine-specific estimates can't hash-match an oracle, so
+    // the q32/q74 pattern applies: the query emits the EXACT rolling
+    // count plus an in-query error-bound flag (HLL default error
+    // ~1.6% << the 5% gate), and the oracle restates the exact count
+    // with a literal pass flag.
+    QDef(
+      "q106_rolling_hll",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val mx = ev.agg(max(col("day")).as("mxd"))
+        val spread = "sequence(day, least(date_add(day, 6), mxd))"
+        val est = ev.groupBy(col("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .crossJoin(broadcast(mx))
+          .select(explode(expr(spread)).as("tday"), col("sk"))
+          .groupBy(col("tday"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = ev.distinct()
+          .crossJoin(broadcast(mx))
+          .select(col("user_id"), explode(expr(spread)).as("tday"))
+          .groupBy(col("tday"))
+          .agg(countDistinct(col("user_id")).as("rolling_7d_users"))
+        est.join(exact, "tday")
+          .select(date_format(col("tday"), "yyyy-MM-dd").as("day"),
+            col("rolling_7d_users"),
+            when(abs(col("est") - col("rolling_7d_users")) /
+              col("rolling_7d_users") <= 0.05, 1).otherwise(0).as("ok_est"))
+      },
+      Some("""
+        WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                    FROM events),
+        mx AS (SELECT MAX(day) AS mxd FROM du),
+        contrib AS (SELECT CAST(u.t AS DATE) AS tday, du.user_id
+                    FROM du, mx,
+                    LATERAL (SELECT unnest(generate_series(du.day,
+                      LEAST(du.day + INTERVAL 6 DAY, mx.mxd),
+                      INTERVAL 1 DAY)) AS t) u)
+        SELECT strftime(tday, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS rolling_7d_users,
+               1 AS ok_est
+        FROM contrib GROUP BY tday
       """))
   )
 }

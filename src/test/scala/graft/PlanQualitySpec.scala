@@ -31,13 +31,15 @@ class PlanQualitySpec extends AnyFunSuite {
   // q95's calendar spine crossJoins the ONE-row min/max bounds
   // aggregate into the distinct-series relation (q37 pattern); q100
   // crossJoins four ONE-row summary aggregates (the q78 shape).
-  // q101/q103/q104 broadcast ONE-row aggregates (vertex count,
-  // max day, histogram bounds) — the q37 pattern again.
+  // q101/q103/q104/q106/q107 broadcast ONE-row aggregates (vertex
+  // count, max day, histogram bounds, corpus totals) — the q37
+  // pattern again.
   private val nlAllowed = Set("q26_cosine_topk",
     "q30_range_join", "q37_tfidf", "q48_ann_ivf",
     "q59_semantic_dedup", "q70_vocab_coverage", "q76_kmeans",
     "q78_profile", "q91_bigram_lm", "q95_gap_fill", "q100_triangles",
-    "q101_pagerank", "q103_rolling_dau", "q104_histogram")
+    "q101_pagerank", "q103_rolling_dau", "q104_histogram",
+    "q106_rolling_hll", "q107_dsir")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

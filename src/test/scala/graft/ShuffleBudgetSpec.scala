@@ -131,7 +131,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q104: the 1-row min/max agg + the 20-bucket agg
     "q104_histogram" -> 2,
     // q105: user_id window exchange + per-day agg
-    "q105_attribution" -> 2)
+    "q105_attribution" -> 2,
+    // q106: sketch path (day agg + window union) + exact yardstick
+    // path (distinct + distinct-count expand) + the join of the two
+    "q106_rolling_hll" -> 6,
+    // q107: post-checkpoint: corpus/target word aggs + word-keyed
+    // score join + per-doc agg + source join (1-row totals broadcast)
+    "q107_dsir" -> 5)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
