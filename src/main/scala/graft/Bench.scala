@@ -57,11 +57,29 @@ object Bench {
       results.toSeq.sortBy(_._1).foreach { case (k, v) =>
         System.err.println(f"[bench] $k%-32s ${ms3(v)}%8s s")
       }
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms3(v) }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Growth guard: the consumer reads only the LAST 2000 chars of
+    // stdout (plus sbt's trailing [success] line, ~70 chars), so if the
+    // full per-query map would push the line past ~1850 chars, keep
+    // only the slowest entries and say how many were elided — a
+    // truncated-but-parseable line beats the silent parsed:null failure
+    // this suite hit once before.
+    def render(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.sortBy(_._1)
+        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms3(v) }
+        .mkString("{", ",", "}")
+      val total = results.values.filter(_ >= 0).sum
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+    }
+    val all = results.toSeq
+    var line = render(all, 0)
+    if (line.length > 1850) {
+      // failed queries (-1 sentinel) always survive the cut, then slowest
+      val keep = all.sortBy { case (_, v) =>
+        if (v < 0) Double.NegativeInfinity else -v }.take(60)
+      line = render(keep, all.size - keep.size)
+    }
+    println(line)
     spark.stop()
   }
 }
