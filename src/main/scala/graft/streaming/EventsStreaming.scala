@@ -93,6 +93,54 @@ object EventsStreaming {
     * Only closed sessions are emitted (append semantics); the open
     * session stays in state across triggers.
     */
+  final case class Attribution(
+      user_id: Long,
+      ts: java.sql.Timestamp,
+      attributed: Boolean)
+
+  /** Streaming twin of q105_attribution: each purchase attributes to the
+    * same user's most recent PRECEDING click within `horizonSeconds`.
+    * State per user is ONE long (the latest click's exact microseconds),
+    * so state size is O(users) regardless of event volume. Events are
+    * processed in (ts, event_id) order inside each micro-batch, matching
+    * the batch window's ordering; parity with q105 holds exactly when
+    * batches arrive time-ordered (the replay/backfill case — out-of-order
+    * delivery needs the batch formulation or a watermark-delayed
+    * emission). Timestamps compare as exact microsecond longs, exactly
+    * like the batch query's unix_micros test.
+    */
+  def attribute(
+      events: Dataset[Event],
+      horizonSeconds: Long = 86400): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+    def fold(
+        userId: Long,
+        it: Iterator[Event],
+        state: GroupState[Long]): Iterator[Attribution] = {
+      val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var lastClick: Long = state.getOption.getOrElse(Long.MinValue)
+      val out = Seq.newBuilder[Attribution]
+      sorted.foreach { e =>
+        if (e.event_type == "purchase")
+          out += Attribution(userId, e.ts,
+            lastClick != Long.MinValue &&
+              micros(e.ts) - lastClick <= horizonSeconds * 1000000L)
+        if (e.event_type == "click") lastClick = micros(e.ts)
+      }
+      if (lastClick != Long.MinValue) state.update(lastClick)
+      out.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fold)
+  }
+
   def sessionize(
       events: Dataset[Event],
       gapSeconds: Long = 1800): Dataset[Session] = {

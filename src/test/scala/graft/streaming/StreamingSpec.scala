@@ -108,6 +108,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming attribution matches batch q105 on the real events table") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // the full table, time-ordered (the replay/backfill contract the
+    // operator documents), split into 3 micro-batches
+    val all = graft.Tables(spark, dir).events
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Event]
+    val q = EventsStreaming.attribute(ms.toDS())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("attr")
+        .groupBy(org.apache.spark.sql.functions.date_format($"ts", "yyyy-MM-dd").as("day"))
+        .agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_purchases"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when($"attributed", 1).otherwise(0))
+            .cast("bigint").as("n_attributed"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val batch = graft.SparkEntry.queries("q105_attribution")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(streamed == batch,
+        "streaming attribution diverged from the batch window formulation")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
