@@ -844,6 +844,62 @@ object PipelineQueries {
         FROM scored s JOIN documents d ON d.doc_id = s.doc_id
         WHERE d.source <> 'src1'
         ORDER BY s.weight DESC, s.doc_id ASC LIMIT 50
+      """)),
+
+    // ------------------------------------------------------------------
+    // q108: canary-scan decontamination audit — the direct-substring
+    // complement to q56's n-gram probe: deterministic 40-char canaries
+    // are cut from a sample of held-out documents (same q51 split
+    // expression, same whitespace normalization as the dedup
+    // fingerprint) and scanned for verbatim leakage into the train
+    // split. The canary list is tiny BY CONSTRUCTION (a fixed sample of
+    // one split), so it broadcasts and the containment test runs
+    // scan-side over train — the one theta join in the suite whose
+    // small side cannot grow with the corpus.
+    QDef(
+      "q108_canary_scan",
+      (s, dir) => {
+        val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+        val split = Tables(s, dir).documents
+          .select(col("doc_id"), norm.as("norm"),
+            expr(splitExprSpark).as("split"))
+        val canaries = split
+          .where(col("split") === "held_out" && col("doc_id") % 5 === 0 &&
+            length(col("norm")) >= 50)
+          .select(col("doc_id").as("canary_doc"),
+            substring(col("norm"), 11, 40).as("canary"))
+        val hits = split.where(col("split") === "train")
+          .select(col("doc_id").as("hit_doc"), col("norm"))
+          .join(broadcast(canaries), instr(col("norm"), col("canary")) > 0)
+          .select(col("canary_doc"), col("hit_doc"))
+        canaries.join(hits, Seq("canary_doc"), "left")
+          .groupBy(col("canary_doc"), col("canary"))
+          .agg(count(col("hit_doc")).as("n_hits"),
+            coalesce(min(col("hit_doc")), lit(-1L)).as("first_hit"))
+          .select(col("canary_doc"),
+            length(col("canary")).cast("bigint").as("canary_len"),
+            col("n_hits"), col("first_hit"))
+      },
+      Some(s"""
+        WITH split AS (
+          SELECT doc_id,
+                 regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+                 $splitExprDuck AS split
+          FROM documents),
+        canaries AS (
+          SELECT doc_id AS canary_doc, substring(norm, 11, 40) AS canary
+          FROM split
+          WHERE split = 'held_out' AND doc_id % 5 = 0
+            AND length(norm) >= 50),
+        hits AS (
+          SELECT c.canary_doc, t.doc_id AS hit_doc
+          FROM canaries c JOIN split t
+            ON t.split = 'train' AND position(c.canary IN t.norm) > 0)
+        SELECT c.canary_doc, CAST(length(c.canary) AS BIGINT) AS canary_len,
+               CAST(COUNT(h.hit_doc) AS BIGINT) AS n_hits,
+               COALESCE(MIN(h.hit_doc), -1) AS first_hit
+        FROM canaries c LEFT JOIN hits h ON h.canary_doc = c.canary_doc
+        GROUP BY c.canary_doc, c.canary
       """))
   )
 }

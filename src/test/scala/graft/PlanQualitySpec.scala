@@ -34,12 +34,15 @@ class PlanQualitySpec extends AnyFunSuite {
   // q101/q103/q104/q106/q107 broadcast ONE-row aggregates (vertex
   // count, max day, histogram bounds, corpus totals) — the q37
   // pattern again.
+  // q108's canary containment scan broadcasts a small-BY-CONSTRUCTION
+  // canary list (a fixed sample of one split) into a substring theta
+  // join — the canonical canary-scan shape.
   private val nlAllowed = Set("q26_cosine_topk",
     "q30_range_join", "q37_tfidf", "q48_ann_ivf",
     "q59_semantic_dedup", "q70_vocab_coverage", "q76_kmeans",
     "q78_profile", "q91_bigram_lm", "q95_gap_fill", "q100_triangles",
     "q101_pagerank", "q103_rolling_dau", "q104_histogram",
-    "q106_rolling_hll", "q107_dsir")
+    "q106_rolling_hll", "q107_dsir", "q108_canary_scan")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

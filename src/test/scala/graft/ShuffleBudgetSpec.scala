@@ -137,7 +137,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q106_rolling_hll" -> 6,
     // q107: post-checkpoint: corpus/target word aggs + word-keyed
     // score join + per-doc agg + source join (1-row totals broadcast)
-    "q107_dsir" -> 5)
+    "q107_dsir" -> 5,
+    // q108: canary-hit agg + the final left-join agg (canaries
+    // broadcast into the containment scan)
+    "q108_canary_scan" -> 2)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
