@@ -66,5 +66,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // scale guard: holistic percentile → bounded sort-based plan
     ext.injectOptimizerRule(_ => graft.plans.ScaleSafePercentiles)
+    // whole-operator extension: native backward as-of join (merge-scan
+    // exec behind graft.plans.AsofJoinPlan / Asof.join)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
   }
 }

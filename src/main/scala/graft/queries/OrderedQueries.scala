@@ -55,6 +55,48 @@ object OrderedQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // q109: the SAME as-of semantics as q29, but through the NATIVE
+    // whole-operator path — graft.plans.AsofJoinExec (custom
+    // LogicalPlan + SparkStrategy + merge-scan SparkPlan, injected via
+    // GraftExtensions). Per-task probe state is ONE buffered right row
+    // (the window form materializes a running struct per row); the only
+    // shuffles are the two key co-partitions. The time key packs
+    // (micros, event_id) into one long so tie resolution is total and
+    // identical to q29's (ts, event_id) window ordering — and the
+    // DuckDB oracle is therefore the same ASOF JOIN as q29's.
+    QDef(
+      "q109_asof_native",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val packed = (unix_micros(col("ts")) - lit(1704067200000000L)) *
+          lit(1048576L) + col("event_id")
+        val errors = t.events.where(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"),
+            col("ts").as("ets"), packed.as("et"))
+        val clicks = Tables(s, dir).events // fresh plan: distinct attr ids
+          .where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("cuser"), col("ts").as("cts"),
+            packed.as("ct"))
+        graft.plans.Asof
+          .join(errors, clicks, "user_id", "cuser", "et", "ct")
+          .select(col("error_id"), col("user_id"),
+            date_format(col("ets"), "yyyy-MM-dd HH:mm:ss").as("error_ts"),
+            col("click_id"),
+            ((unix_micros(col("ets")) - unix_micros(col("cts")))
+              / 1000000.0).as("gap_seconds"))
+      },
+      Some("""
+        SELECT e.event_id AS error_id, e.user_id,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+               c.event_id AS click_id,
+               (epoch_us(e.ts) - epoch_us(c.ts)) / 1000000.0 AS gap_seconds
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+      """)),
+
+    // ------------------------------------------------------------------
     // q30: banded RANGE (theta) join — orders against a tiny literal
     // tier table on BETWEEN bounds. The tier side broadcasts, so the
     // non-equi predicate never forces a shuffle of orders.

@@ -140,7 +140,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q107_dsir" -> 5,
     // q108: canary-hit agg + the final left-join agg (canaries
     // broadcast into the containment scan)
-    "q108_canary_scan" -> 2)
+    "q108_canary_scan" -> 2,
+    // q109: exactly the two key co-partitions AsofJoinExec requires
+    "q109_asof_native" -> 2)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
