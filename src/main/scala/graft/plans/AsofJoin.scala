@@ -33,7 +33,8 @@ import org.apache.spark.sql.graftglue.Bridge
   * At 100 TB: one shuffle per side, two external sorts, constant-memory
   * probe — the plan shape stays identical at any click:error ratio.
   * Ties on (key, time) resolve to the last row in sort order; pass a
-  * total-order time (e.g. packed time+id) when tie determinism matters.
+  * total-order time (e.g. a (time, id) STRUCT — struct ordering is
+  * positional) when tie determinism matters.
   */
 final case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -138,8 +139,19 @@ object Asof {
     def attr(p: LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column '$n' in ${p.output}"))
-    Bridge.ofRows(left.sparkSession, AsofJoinPlan(lp, rp,
-      attr(lp, leftKey), attr(rp, rightKey),
-      attr(lp, leftTime), attr(rp, rightTime)))
+    val (lk, rk) = (attr(lp, leftKey), attr(rp, rightKey))
+    val (lt, rt) = (attr(lp, leftTime), attr(rp, rightTime))
+    // the merge-scan compares left values against right values with the
+    // LEFT side's ordering, so the sides must agree structurally (field
+    // names may differ — struct comparison is positional)
+    def sameShape(a: org.apache.spark.sql.types.DataType,
+        b: org.apache.spark.sql.types.DataType) =
+      org.apache.spark.sql.types.DataType.equalsStructurally(
+        a, b, ignoreNullability = true)
+    require(sameShape(lk.dataType, rk.dataType),
+      s"key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(sameShape(lt.dataType, rt.dataType),
+      s"time types differ: ${lt.dataType} vs ${rt.dataType}")
+    Bridge.ofRows(left.sparkSession, AsofJoinPlan(lp, rp, lk, rk, lt, rt))
   }
 }

@@ -60,24 +60,25 @@ object OrderedQueries {
     // LogicalPlan + SparkStrategy + merge-scan SparkPlan, injected via
     // GraftExtensions). Per-task probe state is ONE buffered right row
     // (the window form materializes a running struct per row); the only
-    // shuffles are the two key co-partitions. The time key packs
-    // (micros, event_id) into one long so tie resolution is total and
-    // identical to q29's (ts, event_id) window ordering — and the
-    // DuckDB oracle is therefore the same ASOF JOIN as q29's.
+    // shuffles are the two key co-partitions. The time key is the
+    // STRUCT (ts, event_id) — struct ordering is positional, so tie
+    // resolution is total and identical to q29's (ts, event_id) window
+    // ordering at ANY time span (a packed micros*2^20+id long would
+    // overflow past ~100 days) — and the DuckDB oracle is therefore
+    // the same ASOF JOIN as q29's.
     QDef(
       "q109_asof_native",
       (s, dir) => {
         val t = Tables(s, dir)
-        val packed = (unix_micros(col("ts")) - lit(1704067200000000L)) *
-          lit(1048576L) + col("event_id")
+        val tkey = struct(col("ts"), col("event_id"))
         val errors = t.events.where(col("event_type") === "error")
           .select(col("event_id").as("error_id"), col("user_id"),
-            col("ts").as("ets"), packed.as("et"))
+            col("ts").as("ets"), tkey.as("et"))
         val clicks = Tables(s, dir).events // fresh plan: distinct attr ids
           .where(col("event_type") === "click")
           .select(col("event_id").as("click_id"),
             col("user_id").as("cuser"), col("ts").as("cts"),
-            packed.as("ct"))
+            tkey.as("ct"))
         graft.plans.Asof
           .join(errors, clicks, "user_id", "cuser", "et", "ct")
           .select(col("error_id"), col("user_id"),
