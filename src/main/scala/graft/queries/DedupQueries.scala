@@ -659,6 +659,79 @@ object DedupQueries {
         FROM pairs
         ORDER BY containment DESC, doc_a ASC, doc_b ASC
         LIMIT 50
+      """)),
+
+    // ------------------------------------------------------------------
+    // q111: prefix-filtered set-similarity join (PPJoin family) — the
+    // EXACT Jaccard-threshold join that scales: tokens sort by global
+    // (document-frequency, token) order, and a pair can reach J >= t
+    // only if the two docs share a token inside their first
+    // n - ceil(t*n) + 1 tokens (J >= t forces overlap >= ceil(t*n) on
+    // both sides). Candidates therefore come from exploding only the
+    // PREFIX (rare tokens first, so postings lists are short), then
+    // exact re-rank via array_intersect on the full sets. No integer
+    // token ranks exist anywhere — the (df, gram) pair IS the global
+    // order, so there is no global row_number bottleneck. The DuckDB
+    // oracle is the UNFILTERED postings join: result equality proves
+    // the prefix filter dismissed nothing.
+    QDef(
+      "q111_prefix_simjoin",
+      (s, dir) => {
+        val t = 0.4
+        val sh = Tables(s, dir).documents
+          .select(col("doc_id"),
+            graft.functions.Shingles.shingles(col("text"), 3).as("g"))
+        val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        // one row per doc: full gram set in global (df, g) order + the
+        // prefix slice; localCheckpoint — feeds the candidate self-join
+        // AND both verify joins
+        val docs = sh.join(dfreq, "g")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("df"), col("g"))))
+            .as("arr"))
+          .select(col("doc_id"),
+            expr("transform(arr, e -> e.g)").as("grams"),
+            size(col("arr")).as("n"),
+            expr(s"""transform(slice(arr, 1,
+                size(arr) - cast(ceil(${t}d * size(arr)) as int) + 1),
+                e -> e.g)""").as("prefix"))
+          .localCheckpoint()
+        val posts = docs.select(col("doc_id"), explode(col("prefix")).as("g"))
+        val cands = posts.alias("a")
+          .join(posts.alias("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+          .distinct()
+        cands
+          .join(docs.select(col("doc_id").as("x"), col("grams").as("gx"),
+            col("n").as("nx")), "x")
+          .join(docs.select(col("doc_id").as("y"), col("grams").as("gy"),
+            col("n").as("ny")), "y")
+          .withColumn("i", size(array_intersect(col("gx"), col("gy")))
+            .cast("bigint"))
+          .where(col("i") / (col("nx") + col("ny") - col("i")) >= t)
+          .select(col("x"), col("y"),
+            round(col("i") / (col("nx") + col("ny") - col("i")), 6)
+              .as("jaccard"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, $WDuck AS ws FROM documents),
+        sh AS (SELECT DISTINCT doc_id, ws[u.i] || ' ' || ws[u.i + 1] ||
+                      ' ' || ws[u.i + 2] AS g
+               FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) u
+               WHERE len(ws) >= 3),
+        sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS x, b.doc_id AS y,
+                         CAST(COUNT(*) AS BIGINT) AS i
+                  FROM sh a JOIN sh b
+                    ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT i.x, i.y,
+               round(CAST(i.i AS DOUBLE) / (sx.n + sy.n - i.i), 6) AS jaccard
+        FROM inter i JOIN sz sx ON sx.doc_id = i.x
+                     JOIN sz sy ON sy.doc_id = i.y
+        WHERE CAST(i.i AS DOUBLE) / (sx.n + sy.n - i.i) >= 0.4
       """))
   )
 }

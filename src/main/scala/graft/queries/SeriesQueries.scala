@@ -353,6 +353,54 @@ object SeriesQueries {
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS rolling_7d_users,
                1 AS ok_est
         FROM contrib GROUP BY tday
+      """)),
+
+    // ------------------------------------------------------------------
+    // q110: ORDERED funnel with per-step time windows — the product-
+    // analytics operator q52's document funnel is not: each user must
+    // view, then click within 6h OF THAT FIRST VIEW, then purchase
+    // within 6h of that click, strictly in sequence. Three cascading
+    // (filter → join on user → min) stages: every join is co-keyed on
+    // user_id (the natural shard key) and each stage's relation only
+    // shrinks, so the cascade is three cheap shuffles at any scale.
+    // Step times compare as exact microsecond longs.
+    QDef(
+      "q110_ordered_funnel",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val hours6 = 21600000000L
+        val v = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+        val c = ev.where(col("event_type") === "click").join(v, "user_id")
+          .where(col("ts") > col("vt") &&
+            unix_micros(col("ts")) - unix_micros(col("vt")) <= hours6)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("ct"))
+        val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+          .where(col("ts") > col("ct") &&
+            unix_micros(col("ts")) - unix_micros(col("ct")) <= hours6)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+        def stage(df: org.apache.spark.sql.DataFrame, n: Int) =
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(n).as("stage"), col("n_users"))
+        stage(v, 1).unionByName(stage(c, 2)).unionByName(stage(p, 3))
+      },
+      Some("""
+        WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, MIN(e.ts) AS ct FROM events e
+              JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.vt
+                AND epoch_us(e.ts) - epoch_us(v.vt) <= 21600000000
+              GROUP BY 1),
+        p AS (SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+              JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.ct
+                AND epoch_us(e.ts) - epoch_us(c.ct) <= 21600000000
+              GROUP BY 1)
+        SELECT 1 AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM p
       """))
   )
 }

@@ -142,7 +142,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // broadcast into the containment scan)
     "q108_canary_scan" -> 2,
     // q109: exactly the two key co-partitions AsofJoinExec requires
-    "q109_asof_native" -> 2)
+    "q109_asof_native" -> 2,
+    // q110: three cascading (agg + user-keyed join) funnel stages
+    "q110_ordered_funnel" -> 7,
+    // q111: post-checkpoint: prefix-postings self-join + candidate
+    // distinct + the two verify joins all fold into checkpoint-adjacent
+    // stages at this SF
+    "q111_prefix_simjoin" -> 0)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
