@@ -900,6 +900,94 @@ object PipelineQueries {
                COALESCE(MIN(h.hit_doc), -1) AS first_hit
         FROM canaries c LEFT JOIN hits h ON h.canary_doc = c.canary_doc
         GROUP BY c.canary_doc, c.canary
+      """)),
+
+    // ------------------------------------------------------------------
+    // q112: per-source KL divergence from the corpus word distribution —
+    // the drift monitor for a multi-source ingest (which feed's language
+    // model diverged this week?). Proper KL needs mass on the FULL
+    // shared vocabulary (absent words carry add-1 mass), so the grid is
+    // sources x vocab: the tiny per-source totals broadcast into a
+    // cross join against the vocab aggregate — bounded by |vocab|, not
+    // corpus size — then source counts left-join in by (source, word).
+    // Identical exact-integer inputs feed identical IEEE ops in both
+    // engines; the per-source sum rounds at 6.
+    QDef(
+      "q112_kl_drift",
+      (s, dir) => {
+        val w = Tables(s, dir).documents
+          .select(col("source"), explode(expr(W)).as("word"))
+          .localCheckpoint() // feeds corpus counts, totals, and source counts
+        val corpus = w.groupBy(col("word")).agg(count(lit(1)).as("cc"))
+        val tot = w.agg(count(lit(1)).as("nc"),
+          countDistinct(col("word")).as("v"))
+        val src = w.groupBy(col("source"), col("word"))
+          .agg(count(lit(1)).as("cs"))
+        val stot = src.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+        corpus.crossJoin(broadcast(stot))
+          .join(src, Seq("source", "word"), "left")
+          .na.fill(0L, Seq("cs"))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("source"))
+          .agg(max(col("ns")).as("n_tokens"),
+            // 1.0D, not 1.0: a bare decimal literal drags the whole
+            // term into DECIMAL arithmetic with engine-specific scales
+            // (the q23 bug class); explicit doubles keep both engines
+            // on identical IEEE ops
+            round(sum(
+              expr("""((cast(cs as double) + 1.0D) / (ns + v)) *
+                      ln(((cast(cs as double) + 1.0D) / (ns + v)) /
+                         ((cast(cc as double) + 1.0D) / (nc + v)))""")), 6)
+              .as("kl_divergence"))
+      },
+      Some(s"""
+        WITH w AS (SELECT source, unnest($WDuck) AS word FROM documents),
+        corpus AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cc
+                   FROM w GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+                       CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM w),
+        src AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cs
+                FROM w GROUP BY 1, 2),
+        stot AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns
+                 FROM src GROUP BY 1),
+        grid AS (SELECT st.source, c.word, c.cc, st.ns,
+                        COALESCE(s.cs, 0) AS cs
+                 FROM stot st CROSS JOIN corpus c
+                 LEFT JOIN src s ON s.source = st.source
+                                AND s.word = c.word)
+        SELECT g.source, MAX(g.ns) AS n_tokens,
+               round(SUM(((CAST(g.cs AS DOUBLE) + 1.0) / (g.ns + t.v)) *
+                         ln(((CAST(g.cs AS DOUBLE) + 1.0) / (g.ns + t.v)) /
+                            ((CAST(g.cc AS DOUBLE) + 1.0) / (t.nc + t.v)))),
+                     6) AS kl_divergence
+        FROM grid g, tot t
+        GROUP BY g.source
+      """)),
+
+    // ------------------------------------------------------------------
+    // q113: exact-k stratified sample — exactly 5 documents per
+    // language, chosen by salted-md5 rank (q67 samples by RATE; audits
+    // and eval sets need fixed counts). Seed-free and reproducible like
+    // every sampler in the suite; the window is partitioned by stratum
+    // so no global ordering exists, and row_number streams.
+    QDef(
+      "q113_stratified_k",
+      (s, dir) => {
+        val byLang = Window.partitionBy(col("lang")).orderBy(
+          md5(concat(lit("strat|"), col("doc_id").cast("string"))
+            .cast("binary")),
+          col("doc_id"))
+        Tables(s, dir).documents
+          .withColumn("rank", row_number().over(byLang).cast("bigint"))
+          .where(col("rank") <= 5)
+          .select(col("doc_id"), col("lang"), col("rank"))
+      },
+      Some("""
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS rank FROM (
+          SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents) t
+        WHERE rk <= 5
       """))
   )
 }

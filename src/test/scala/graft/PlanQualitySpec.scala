@@ -42,7 +42,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "q59_semantic_dedup", "q70_vocab_coverage", "q76_kmeans",
     "q78_profile", "q91_bigram_lm", "q95_gap_fill", "q100_triangles",
     "q101_pagerank", "q103_rolling_dau", "q104_histogram",
-    "q106_rolling_hll", "q107_dsir", "q108_canary_scan")
+    "q106_rolling_hll", "q107_dsir", "q108_canary_scan",
+    // q112's sources x vocab grid crosses the broadcast per-source
+    // totals (bounded by |vocab| x |sources|) + the 1-row corpus totals
+    "q112_kl_drift")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

@@ -148,7 +148,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q111: post-checkpoint: prefix-postings self-join + candidate
     // distinct + the two verify joins all fold into checkpoint-adjacent
     // stages at this SF
-    "q111_prefix_simjoin" -> 0)
+    "q111_prefix_simjoin" -> 0,
+    // q112: post-checkpoint: vocab agg + the 2-exchange 1-row totals +
+    // per-(source, word) agg + grid join + final per-source agg
+    "q112_kl_drift" -> 7,
+    // q113: one lang-partitioned rank window
+    "q113_stratified_k" -> 1)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
