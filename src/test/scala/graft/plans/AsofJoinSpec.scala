@@ -72,6 +72,32 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == want, "native as-of exec diverged from the window form")
   }
 
+  test("matches a brute-force as-of on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    // duplicate (k, t) pairs on both sides, sparse keys, unmatched rows
+    val left = Seq.fill(400)((rnd.nextInt(12).toLong,
+      rnd.nextInt(50).toLong, rnd.nextInt(100000)))
+      .toDF("k", "t", "id")
+    val rightRows = Seq.fill(250)((rnd.nextInt(15).toLong,
+      rnd.nextInt(50).toLong, rnd.alphanumeric.take(6).mkString))
+    val right = rightRows.toDF("rk", "rt", "name")
+    val got = graft.plans.Asof.join(left, right, "k", "rk", "t", "rt")
+      .groupBy(col("k"), col("t"), col("id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // brute force: a left row matches iff ANY right row with the same
+    // key is at-or-before it (which right row wins is tie-dependent, so
+    // compare the matched left-row set, and that each appears once)
+    val byKey = rightRows.groupBy(_._1)
+    val want = left.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (k, t, _) =>
+        byKey.getOrElse(k, Nil).exists(_._2 <= t) }.toSet
+    assert(got == want)
+  }
+
   test("answer is invariant to the shuffle partition count") {
     import spark.implicits._
     val left = Seq.tabulate(500)(i => (i % 7L, i.toLong, i))
