@@ -677,7 +677,11 @@ object DedupQueries {
     QDef(
       "q111_prefix_simjoin",
       (s, dir) => {
-        val t = 0.4
+        // 0.6, not lower: the prefix length is n - ceil(t*n) + 1, so
+        // pruning power comes FROM the threshold (at t=0.4 the prefix
+        // is 60% of every doc and candidates blow up ~8x for the same
+        // 25-pair answer — prefix filtering is a high-threshold tool)
+        val t = 0.6
         val sh = Tables(s, dir).documents
           .select(col("doc_id"),
             graft.functions.Shingles.shingles(col("text"), 3).as("g"))
@@ -696,10 +700,24 @@ object DedupQueries {
                 size(arr) - cast(ceil(${t}d * size(arr)) as int) + 1),
                 e -> e.g)""").as("prefix"))
           .localCheckpoint()
-        val posts = docs.select(col("doc_id"), explode(col("prefix")).as("g"))
+        // PPJoin's two candidate prunes ride the postings join (both
+        // SAFE supersets of the true result — the oracle equality and
+        // SimJoinSpec's brute-force net prove nothing is dismissed):
+        //   length: J >= t forces t*nx <= ny;
+        //   positional: a pair first meeting at prefix positions
+        //   (pa, pb) can overlap at most 1 + min(nx-pa, ny-pb), which
+        //   must reach ceil(t/(1+t)*(nx+ny)).
+        val posts = docs.select(col("doc_id"), col("n"),
+          posexplode(col("prefix")).as(Seq("pos", "g")))
         val cands = posts.alias("a")
           .join(posts.alias("b"),
-            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+            col("a.g") === col("b.g") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              col("b.n") * lit(1.0) >= lit(t) * col("a.n") &&
+              col("a.n") * lit(1.0) >= lit(t) * col("b.n") &&
+              (lit(1) + least(col("a.n") - col("a.pos"),
+                col("b.n") - col("b.pos"))) * lit(1.0 + t) >=
+                lit(t) * (col("a.n") + col("b.n")))
           .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
           .distinct()
         cands
@@ -731,7 +749,7 @@ object DedupQueries {
                round(CAST(i.i AS DOUBLE) / (sx.n + sy.n - i.i), 6) AS jaccard
         FROM inter i JOIN sz sx ON sx.doc_id = i.x
                      JOIN sz sy ON sy.doc_id = i.y
-        WHERE CAST(i.i AS DOUBLE) / (sx.n + sy.n - i.i) >= 0.4
+        WHERE CAST(i.i AS DOUBLE) / (sx.n + sy.n - i.i) >= 0.6
       """))
   )
 }

@@ -39,10 +39,19 @@ class SimJoinSpec extends AnyFunSuite {
         expr(s"""transform(slice(arr, 1,
             size(arr) - cast(ceil(${t}d * size(arr)) as int) + 1),
             e -> e.g)""").as("prefix"))
-    val posts = docs.select(col("doc_id"), explode(col("prefix")).as("g"))
+    // mirrors q111's candidate generation INCLUDING the length and
+    // positional prunes — the random net must cover the filters that
+    // could dismiss a true pair
+    val posts = docs.select(col("doc_id"), col("n"),
+      posexplode(col("prefix")).as(Seq("pos", "g")))
     val cands = posts.alias("a")
       .join(posts.alias("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * lit(1.0) >= lit(t) * col("a.n") &&
+          col("a.n") * lit(1.0) >= lit(t) * col("b.n") &&
+          (lit(1) + least(col("a.n") - col("a.pos"),
+            col("b.n") - col("b.pos"))) * lit(1.0 + t) >=
+            lit(t) * (col("a.n") + col("b.n")))
       .select(col("a.doc_id").as("x"), col("b.doc_id").as("y")).distinct()
     cands
       .join(docs.select(col("doc_id").as("x"), col("grams").as("gx"),
