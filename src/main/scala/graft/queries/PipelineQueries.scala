@@ -373,8 +373,8 @@ object PipelineQueries {
       },
       Some("""
         SELECT doc_id, lang, source,
-               CASE lang WHEN 'en' THEN 0.5
-                         WHEN 'es' THEN 0.25 ELSE 0.125 END AS rate,
+               CAST(CASE lang WHEN 'en' THEN 0.5
+                         WHEN 'es' THEN 0.25 ELSE 0.125 END AS DOUBLE) AS rate,
                substring(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 4) AS h4
         FROM documents
         WHERE substring(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 4)

@@ -22,6 +22,25 @@ def canon(v):
         return repr(v)
     return str(v)
 
+def type_class(duck_type):
+    """Collapse a DuckDB column_type to the class the driver's hash
+    compare distinguishes. DECIMAL vs DOUBLE is the q23/q67 bug class:
+    fetchdf() silently coerces DECIMAL to float64, so the value compare
+    alone cannot see it."""
+    t = duck_type.upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    return t
+
+def col_types(con, sql):
+    return {r[0]: r[1] for r in
+            con.execute(f"DESCRIBE {sql}").fetchall()}
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -50,12 +69,20 @@ def main(sf_dir, out_dir):
             continue
         dt = [(c, str(sdf[c].dtype), str(odf[c].dtype)) for c in scols
               if str(sdf[c].dtype) != str(odf[c].dtype)]
+        # DuckDB-level type classes: catches DECIMAL-vs-DOUBLE that the
+        # pandas conversion hides (round-1 q23, round-3 q67).
+        stypes = col_types(con, "SELECT * FROM read_parquet("
+                           + repr(files) + ")")
+        otypes = col_types(con, sql)
+        dt += [(c, stypes[c], otypes[c]) for c in scols
+               if type_class(stypes[c]) != type_class(otypes[c])]
         if dt:
             print(f"[DTYPE] {name}: {dt}")
             # dtype divergence is a warning-level finding (the driver may
             # or may not compare types) — still count it as bad so it
             # gets fixed.
             n_bad += 1
+            continue
         srows = sorted([tuple(canon(v) for v in r)
                         for r in sdf[scols].itertuples(index=False)])
         orows = sorted([tuple(canon(v) for v in r)
