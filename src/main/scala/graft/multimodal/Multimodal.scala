@@ -94,6 +94,41 @@ object Multimodal {
   def fakeDims(nBytes: Long): (Int, Int) =
     (16 + (nBytes % 64).toInt, 16 + ((nBytes / 64) % 64).toInt)
 
+  final case class HashedMedia(media_id: Long, ahash: Int)
+
+  /** Average-hash (aHash) perceptual fingerprint over the payload: split
+    * the byte stream into 16 equal segments (the stand-ins for pixel
+    * blocks; a real kernel hashes the decoded, downscaled luma plane)
+    * and set bit b when segment b's mean byte exceeds the whole-payload
+    * mean. The compare is EXACT integer arithmetic — `seg_sum * n >
+    * total * seg_len` — so no float rounding can flip a bit between
+    * engines or platforms. Narrow map: payloads never leave their
+    * partition; only the 4-byte hash flows downstream into the
+    * near-dup join.
+    */
+  def perceptualHash(media: Dataset[MediaRecord]): Dataset[HashedMedia] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val bs = r.bytes
+      val n = bs.length
+      var total = 0L
+      var i = 0
+      while (i < n) { total += (bs(i) & 0xff); i += 1 }
+      var h = 0
+      var b = 0
+      while (b < 16) {
+        val lo = (b.toLong * n / 16).toInt
+        val hi = ((b + 1).toLong * n / 16).toInt
+        var s = 0L
+        var j = lo
+        while (j < hi) { s += (bs(j) & 0xff); j += 1 }
+        if (s * n > total * (hi - lo)) h |= 1 << b
+        b += 1
+      }
+      HashedMedia(r.media_id, h)
+    }
+  }
+
   /** "Resize": metadata transform + deterministic payload truncation —
     * stands in for a real scaling kernel; stays a narrow map.
     */

@@ -45,6 +45,35 @@ object DedupQueries {
       .select(col("doc_id"), col("source"),
         graft.functions.Shingles.shingles(col("text"), 3).as("shingle"))
 
+  /** One MinHash signature row per doc (sig_0..sig_7) — shared by q23
+    * (4×2 banded LSH) and q121 (the band-config sweep), so the tuner
+    * measures exactly the signatures q23 ships.
+    *
+    * 8 minhashes as 8 MIN aggregates over shingle rows — pure
+    * map-side-combinable aggregation, no per-doc arrays, no UDFs.
+    * md5 is the dominant cost, so each digest yields FOUR 32-bit
+    * minhash fields (disjoint 8-hex-char substrings; fixed-width
+    * hex compares lexicographically == numerically): 2 digests per
+    * shingle instead of 8.
+    *
+    * localCheckpoint: one signature row per doc feeds both sides of
+    * the bucket self-join — without it the shingle+md5+min pipeline
+    * runs again for the build side (same call as q58's sig table).
+    */
+  private def minhashSigs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val minhashes = (0 until 8).map { j =>
+      val seed = if (j < 4) "A|" else "B|"
+      val lo = (j % 4) * 8 + 1
+      min(substring(
+        md5(concat(lit(seed), col("shingle")).cast("binary")), lo, 8))
+        .as(s"sig_$j")
+    }
+    shingleRows(s, dir)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(minhashes.head, minhashes.tail: _*)
+      .localCheckpoint()
+  }
+
   /** (doc_a, doc_b, jaccard) for source-blocked pairs with at least one
     * common shingle — the sparse explode-join-count formulation shared
     * by q24 (top-k verification) and q54 (cluster formation). Pairs with
@@ -121,26 +150,7 @@ object DedupQueries {
     QDef(
       "q23_minhash_lsh",
       (s, dir) => {
-        // 8 minhashes as 8 MIN aggregates over shingle rows — pure
-        // map-side-combinable aggregation, no per-doc arrays, no UDFs.
-        // md5 is the dominant cost, so each digest yields FOUR 32-bit
-        // minhash fields (disjoint 8-hex-char substrings; fixed-width
-        // hex compares lexicographically == numerically): 2 digests per
-        // shingle instead of 8.
-        val minhashes = (0 until 8).map { j =>
-          val seed = if (j < 4) "A|" else "B|"
-          val lo = (j % 4) * 8 + 1
-          min(substring(
-            md5(concat(lit(seed), col("shingle")).cast("binary")), lo, 8))
-            .as(s"sig_$j")
-        }
-        // localCheckpoint: one signature row per doc feeds both sides of
-        // the bucket self-join — without it the shingle+md5+min pipeline
-        // runs again for the build side (same call as q58's sig table).
-        val sigs = shingleRows(s, dir)
-          .groupBy(col("doc_id"), col("source"))
-          .agg(minhashes.head, minhashes.tail: _*)
-          .localCheckpoint()
+        val sigs = minhashSigs(s, dir)
         val bands = sigs.withColumn("bucket",
           explode(array((0 until 4).map(b =>
             md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
@@ -750,6 +760,109 @@ object DedupQueries {
         FROM inter i JOIN sz sx ON sx.doc_id = i.x
                      JOIN sz sy ON sy.doc_id = i.y
         WHERE CAST(i.i AS DOUBLE) / (sx.n + sy.n - i.i) >= 0.6
+      """)),
+
+    // ------------------------------------------------------------------
+    // q121: LSH band-config TUNER — the precision/recall sweep an
+    // operator runs before picking q23's banding: for each (bands ×
+    // rows-per-band) split of the SAME 8 signatures q23 ships
+    // (minhashSigs — one definition, the tuner can't measure a
+    // different index), count candidate pairs, hits against the exact
+    // Jaccard ≥ 0.5 ground truth, and the derived precision/recall.
+    // All four configs ride ONE union relation through ONE bucket
+    // self-join — the per-config fan-out is 8+4+2+1 bucket rows per
+    // doc, and the expensive stage (exact ground truth) is computed
+    // once, not per config. Counts are exact integers; the ratios are
+    // single divisions rounded at 6 — nothing engine-specific.
+    QDef(
+      "q121_lsh_tuning",
+      (s, dir) => {
+        import s.implicits._
+        val configs = Seq(("8x1", 8, 1), ("4x2", 4, 2),
+          ("2x4", 2, 4), ("1x8", 1, 8))
+        val sigs = minhashSigs(s, dir)
+        val bands = configs.map { case (label, nb, r) =>
+          sigs.withColumn("bucket", explode(array((0 until nb).map { bd =>
+              md5(concat((0 until r).map(i => col(s"sig_${bd * r + i}"))
+                : _*).cast("binary"))
+            }: _*)))
+            .select(lit(label).as("config"), col("doc_id"),
+              col("source"), col("bucket"))
+        }.reduce(_ unionByName _)
+        val a = bands.alias("a")
+        val b = bands.alias("b")
+        val cand = a.join(b,
+            col("a.config") === col("b.config") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.config").as("config"),
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .localCheckpoint() // feeds the per-config count AND the hit join
+        val gt = jaccardPairs(s, dir).where(col("jaccard") >= 0.5d)
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint() // feeds n_true AND the hit join
+        val nTrue = gt.agg(count(lit(1)).as("n_true"))
+        val nCand = cand.groupBy(col("config"))
+          .agg(count(lit(1)).as("n_cand"))
+        val nHits = cand.join(gt, Seq("doc_a", "doc_b"), "left_semi")
+          .groupBy(col("config")).agg(count(lit(1)).as("n_hits"))
+        configs.map(_._1).toDF("config")
+          .join(nCand, Seq("config"), "left").na.fill(0L, Seq("n_cand"))
+          .join(nHits, Seq("config"), "left").na.fill(0L, Seq("n_hits"))
+          .crossJoin(broadcast(nTrue))
+          .select(col("config"), col("n_cand"), col("n_hits"),
+            col("n_true"),
+            round(col("n_hits").cast("double") /
+              nullif(col("n_cand"), lit(0L)), 6).as("precision_r"),
+            round(col("n_hits").cast("double") /
+              nullif(col("n_true"), lit(0L)), 6).as("recall_r"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
+        sh AS (SELECT doc_id, source, $SGDuck AS sg FROM w),
+        sig AS (SELECT doc_id, source,
+                  list_transform(range(0, 8),
+                    j -> list_min(list_transform(sg,
+                      s -> substring(md5(CASE WHEN j < 4 THEN 'A|' ELSE 'B|' END || s),
+                                     (j % 4) * 8 + 1, 8)))) AS sig
+                FROM sh),
+        cfg AS (SELECT * FROM (VALUES ('8x1', 8, 1), ('4x2', 4, 2),
+                               ('2x4', 2, 4), ('1x8', 1, 8))
+                t(config, nb, r)),
+        bands AS (SELECT c.config, s.doc_id, s.source,
+                    unnest(list_transform(range(0, c.nb),
+                      b -> md5(array_to_string(
+                        sig[CAST(b * c.r AS INTEGER) + 1 :
+                            CAST((b + 1) * c.r AS INTEGER)], ''))))
+                      AS bucket
+                  FROM sig s, cfg c),
+        cand AS (SELECT DISTINCT a.config, a.doc_id AS doc_a,
+                        b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.config = b.config AND a.bucket = b.bucket
+                  AND a.source = b.source AND a.doc_id < b.doc_id),
+        gt AS (SELECT doc_a, doc_b FROM ($jaccardPairsDuck) j
+               WHERE jaccard >= 0.5),
+        ncand AS (SELECT config, CAST(COUNT(*) AS BIGINT) AS n_cand
+                  FROM cand GROUP BY 1),
+        nhits AS (SELECT c.config, CAST(COUNT(*) AS BIGINT) AS n_hits
+                  FROM cand c JOIN gt g
+                    ON g.doc_a = c.doc_a AND g.doc_b = c.doc_b
+                  GROUP BY 1),
+        ntrue AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM gt)
+        SELECT cfg.config,
+               COALESCE(nc.n_cand, 0) AS n_cand,
+               COALESCE(nh.n_hits, 0) AS n_hits,
+               nt.n_true,
+               ROUND(CAST(COALESCE(nh.n_hits, 0) AS DOUBLE)
+                     / nullif(COALESCE(nc.n_cand, 0), 0), 6) AS precision_r,
+               ROUND(CAST(COALESCE(nh.n_hits, 0) AS DOUBLE)
+                     / nullif(nt.n_true, 0), 6) AS recall_r
+        FROM cfg
+        LEFT JOIN ncand nc ON nc.config = cfg.config
+        LEFT JOIN nhits nh ON nh.config = cfg.config, ntrue nt
       """))
   )
 }

@@ -30,6 +30,65 @@ object MultimodalQueries {
                CAST(16 + (strlen(text) // 64) % 64 AS INTEGER) AS height,
                CAST(strlen(text) AS BIGINT) AS n_bytes
         FROM documents
+      """)),
+
+    // ------------------------------------------------------------------
+    // q118: perceptual-hash near-duplicate detection over the image
+    // subset — the multimodal analog of q58's SimHash join. The aHash
+    // kernel (Multimodal.perceptualHash) runs in the typed decode path
+    // (payloads stay partition-local; only 4-byte hashes shuffle), then
+    // the pair stage is the pigeonhole band join: two 8-bit halves, a
+    // pair at hamming ≤ 1 must agree on at least one half, so candidates
+    // come from two equi-joins on band keys — the shard keys at scale —
+    // never an all-pairs scan. Exact bit_count(xor) re-rank keeps only
+    // true hamming ≤ 1 pairs. The oracle restates the kernel's
+    // exact-integer bit rule in SQL (same contract-level check as q28)
+    // and closes pairs with the unfiltered theta join, so hash equality
+    // proves the band join dismissed nothing.
+    QDef(
+      "q118_phash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromDocuments(Tables(s, dir).documents)
+          .filter(_.kind == "image")
+        val hashed = Multimodal.perceptualHash(media).toDF()
+        val a = hashed.select(col("media_id").as("id_a"),
+          col("ahash").as("ha"))
+        val b = hashed.select(col("media_id").as("id_b"),
+          col("ahash").as("hb"))
+        val lo = a.join(b, expr("(ha & 255) = (hb & 255) and id_a < id_b"))
+        val hi = a.join(b,
+          expr("(shiftright(ha, 8) & 255) = (shiftright(hb, 8) & 255) " +
+            "and id_a < id_b"))
+        lo.union(hi).distinct()
+          .where(expr("bit_count(ha ^ hb) <= 1"))
+          .select(col("id_a"), col("id_b"), col("ha"), col("hb"),
+            expr("cast(bit_count(ha ^ hb) as int)").as("hamming"))
+      },
+      Some("""
+        WITH img AS (
+          SELECT doc_id,
+                 list_transform(range(1, strlen(text) + 1),
+                   i -> ascii(substring(text, i, 1))) AS cs,
+                 CAST(strlen(text) AS BIGINT) AS n
+          FROM documents WHERE doc_id % 3 = 0),
+        hashed AS (
+          SELECT doc_id AS media_id,
+                 CAST(list_sum(list_transform(range(0, 16), b ->
+                   CASE WHEN list_sum(cs[CAST(b * n // 16 AS INTEGER) + 1 :
+                                        CAST((b + 1) * n // 16 AS INTEGER)])
+                             * n >
+                             list_sum(cs) *
+                             ((b + 1) * n // 16 - b * n // 16)
+                        THEN 1 << CAST(b AS INTEGER) ELSE 0 END))
+                   AS INTEGER) AS ahash
+          FROM img)
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               a.ahash AS ha, b.ahash AS hb,
+               CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+        FROM hashed a JOIN hashed b
+          ON a.media_id < b.media_id
+         AND bit_count(xor(a.ahash, b.ahash)) <= 1
       """))
   )
 }

@@ -401,6 +401,139 @@ object SeriesQueries {
         SELECT 1 AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
         UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM c
         UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM p
+      """)),
+
+    // ------------------------------------------------------------------
+    // q114: sketch SET ALGEBRA — audience-overlap matrix between event
+    // types via HLL inclusion-exclusion: |A∩B| ≈ est(A) + est(B) −
+    // est(A∪B), where est(A∪B) comes from the scalar hll_union of two
+    // PRE-AGGREGATED per-type sketches. The pair stage touches only 5
+    // KB-sized sketch rows (one per type), never the user stream — at
+    // 100 TB the per-type sketches are the only thing that crosses the
+    // wire, and any pair/rollup algebra runs on the driver-sized sketch
+    // table. The exact overlap (the oracle-checked answer) is a user-
+    // keyed self-join — co-partitioned on the same key the distinct
+    // already shuffled on. q32/q74/q106 flag pattern: the estimate is
+    // verified IN-QUERY against the exact count, so the driver's hash
+    // gate enforces the sketch's accuracy contract (±5%).
+    QDef(
+      "q114_sketch_overlap",
+      (s, dir) => {
+        val ut = Tables(s, dir).events
+          .select(col("event_type").as("t"), col("user_id").as("u"))
+          .distinct()
+        val sk = ut.groupBy(col("t"))
+          .agg(hll_sketch_agg(col("u")).as("sk"))
+        val a = sk.select(col("t").as("type_a"), col("sk").as("ska"))
+        val b = sk.select(col("t").as("type_b"), col("sk").as("skb"))
+        val est = a.join(b, col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            (hll_sketch_estimate(col("ska")) +
+              hll_sketch_estimate(col("skb")) -
+              hll_sketch_estimate(hll_union(col("ska"), col("skb"))))
+              .as("est"))
+        val exact = ut.as("x")
+          .join(ut.as("y"),
+            col("x.u") === col("y.u") && col("x.t") < col("y.t"))
+          .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
+          .agg(count(lit(1)).as("overlap"))
+        exact.join(est, Seq("type_a", "type_b"))
+          .select(col("type_a"), col("type_b"), col("overlap"),
+            when(abs(col("est") - col("overlap")) <=
+              lit(0.05) * col("overlap"), 1).otherwise(0).as("ok_est"))
+      },
+      Some("""
+        WITH ut AS (SELECT DISTINCT event_type AS t, user_id AS u
+                    FROM events)
+        SELECT x.t AS type_a, y.t AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS overlap, 1 AS ok_est
+        FROM ut x JOIN ut y ON x.u = y.u AND x.t < y.t
+        GROUP BY 1, 2
+      """)),
+
+    // ------------------------------------------------------------------
+    // q117: PSI drift monitor — weekly Population Stability Index of the
+    // event `value` distribution against the whole-history distribution,
+    // the standard ML-ops check for "did this feature's distribution
+    // move?". Bins are 10 EQUI-WIDTH buckets from a broadcast 1-row
+    // min/max (q104's histogram pattern) — not quantiles: fixed edges
+    // are how production PSI pins a reference snapshot, and they keep
+    // the whole query partial-agg + broadcast (no global sort at any
+    // scale; the weekly×bin grid is weeks×10 rows). Laplace +1
+    // smoothing keeps empty cells finite. q112's parity recipe: exact
+    // integer counts cast to DOUBLE before any arithmetic (bare decimal
+    // literals are the q23 bug class), identical IEEE expressions both
+    // engines, round the ln-sum at 6.
+    QDef(
+      "q117_psi_drift",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+          .where(col("value").isNotNull)
+          .select(date_trunc("week", col("ts")).as("wk"), col("value"))
+        val bounds = ev.agg(min(col("value")).as("mn"),
+          max(col("value")).as("mx"))
+        val binned = ev.crossJoin(broadcast(bounds))
+          .select(col("wk"), expr(
+            """cast(least(9L, floor((value - mn) * 10.0D /
+                 nullif(mx - mn, 0.0D))) as int)""").as("bin"))
+          .where(col("bin").isNotNull)
+        val wb = binned.groupBy(col("wk"), col("bin"))
+          .agg(count(lit(1)).as("n_wb"))
+        val wtot = wb.groupBy(col("wk")).agg(sum(col("n_wb")).as("n_w"))
+        val btot = wb.groupBy(col("bin")).agg(sum(col("n_wb")).as("n_b"))
+        val tot = wb.agg(sum(col("n_wb")).as("n"))
+        val bins = wtot.sparkSession.range(1)
+          .select(explode(sequence(lit(0), lit(9))).as("bin"))
+        wtot.crossJoin(broadcast(bins))
+          .join(wb, Seq("wk", "bin"), "left").na.fill(0L, Seq("n_wb"))
+          .join(broadcast(btot), Seq("bin"), "left").na.fill(0L, Seq("n_b"))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("wk"))
+          .agg(max(col("n_w")).as("n_events"),
+            round(sum(expr(
+              """((cast(n_wb as double) + 1.0D) / (n_w + 10.0D) -
+                  (cast(n_b as double) + 1.0D) / (n + 10.0D)) *
+                 ln(((cast(n_wb as double) + 1.0D) / (n_w + 10.0D)) /
+                    ((cast(n_b as double) + 1.0D) / (n + 10.0D)))""")),
+              6).as("psi"))
+          .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+            col("n_events"), col("psi"))
+      },
+      Some("""
+        WITH ev AS (SELECT date_trunc('week', ts) AS wk, value
+                    FROM events WHERE value IS NOT NULL),
+        b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev),
+        binned AS (SELECT wk,
+                     CAST(LEAST(9, FLOOR((value - mn) * 10.0 /
+                       nullif(mx - mn, 0.0))) AS INTEGER) AS bin
+                   FROM ev, b
+                   WHERE FLOOR((value - mn) * 10.0 /
+                     nullif(mx - mn, 0.0)) IS NOT NULL),
+        wb AS (SELECT wk, bin, CAST(COUNT(*) AS BIGINT) AS n_wb
+               FROM binned GROUP BY 1, 2),
+        wtot AS (SELECT wk, CAST(SUM(n_wb) AS BIGINT) AS n_w
+                 FROM wb GROUP BY 1),
+        btot AS (SELECT bin, CAST(SUM(n_wb) AS BIGINT) AS n_b
+                 FROM wb GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_wb) AS BIGINT) AS n FROM wb),
+        grid AS (SELECT wt.wk, wt.n_w, bi.bin
+                 FROM wtot wt CROSS JOIN
+                      (SELECT unnest(range(0, 10)) AS bin) bi),
+        j AS (SELECT g.wk, g.n_w, g.bin,
+                     COALESCE(wb.n_wb, 0) AS n_wb,
+                     COALESCE(bt.n_b, 0) AS n_b
+              FROM grid g
+              LEFT JOIN wb ON wb.wk = g.wk AND wb.bin = g.bin
+              LEFT JOIN btot bt ON bt.bin = g.bin)
+        SELECT strftime(j.wk, '%Y-%m-%d') AS week,
+               MAX(j.n_w) AS n_events,
+               round(SUM(((CAST(n_wb AS DOUBLE) + 1.0) / (n_w + 10.0) -
+                          (CAST(n_b AS DOUBLE) + 1.0) / (t.n + 10.0)) *
+                     ln(((CAST(n_wb AS DOUBLE) + 1.0) / (n_w + 10.0)) /
+                        ((CAST(n_b AS DOUBLE) + 1.0) / (t.n + 10.0)))),
+                     6) AS psi
+        FROM j, tot t
+        GROUP BY j.wk
       """))
   )
 }

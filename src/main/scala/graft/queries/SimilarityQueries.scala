@@ -713,6 +713,226 @@ object SimilarityQueries {
                  FROM s2) t WHERE rn = 1)
         SELECT cent_id, COUNT(*) AS n, ROUND(AVG(d2r), 6) AS avg_d2
         FROM a2 GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q115: contrastive HARD-NEGATIVE mining — for each query vector,
+    // the top-3 most similar vectors with a DIFFERENT label (the
+    // near-miss negatives a contrastive/embedding trainer pairs with
+    // each anchor). Same bounded shape as q26: |queries| × corpus, not
+    // corpus², so the candidate stage is a broadcast of the 10-row
+    // query set against a scan of the corpus — at 100 TB the corpus
+    // side stays partition-local and only 30 result rows leave. The
+    // label inequality ALSO excludes self-pairs (an anchor shares its
+    // own label), so no explicit id filter is needed.
+    QDef(
+      "q115_hard_negatives",
+      (s, dir) => {
+        val e = vectors(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("v").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("neg_id").asc)
+        broadcast(q).join(e, col("label") =!= col("qlabel"))
+          .select(col("qid"), col("qlabel"),
+            col("vec_id").as("neg_id"), col("label").as("neg_label"),
+            expr(COS).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("qlabel"), col("neg_id"),
+            col("neg_label"), col("rk"), round(col("cos"), 6).as("cos_r"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+              FROM e WHERE vec_id < 10),
+        scored AS (
+          SELECT qid, qlabel, e.vec_id AS neg_id, e.label AS neg_label,
+                 list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) AS cos
+          FROM q JOIN e ON e.label <> qlabel),
+        ranked AS (
+          SELECT qid, qlabel, neg_id, neg_label, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, neg_id ASC) AS rk
+          FROM scored)
+        SELECT qid, qlabel, neg_id, neg_label,
+               CAST(rk AS INTEGER) AS rk, ROUND(cos, 6) AS cos_r
+        FROM ranked WHERE rk <= 3
+      """)),
+
+    // ------------------------------------------------------------------
+    // q119: model-eval at scale — one-vs-rest AUC for each label, where
+    // the "model" scores every vector by cosine to that label's centroid
+    // (the retrieval-quality readout an embedding pipeline runs after
+    // (re)training). AUC is the tie-corrected Mann-Whitney statistic:
+    //   AUC = Σ_s pos(s) · (negBelow(s) + ½·neg(s)) / (n_pos · n_neg)
+    // computed over the DISTINCT-SCORE aggregate, never a global
+    // row_number over raw rows: scores round at 6 first, so the rank
+    // window's input is bounded by the distinct rounded scores per
+    // label (≤10⁶ rows at ANY corpus size), and every product/sum in
+    // the statistic is exact half-integer arithmetic — bit-identical
+    // across engines, no float drift to absorb. Centroids broadcast;
+    // the score matrix is a partial agg over (vec, dim) rows.
+    QDef(
+      "q119_auc_eval",
+      (s, dir) => {
+        val dims = vectors(s, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("v")).as(Seq("p", "x")))
+          .localCheckpoint() // feeds the centroid agg AND the score join
+        val centroid = dims.groupBy(col("label").as("clabel"), col("p"))
+          .agg(round(avg(col("x")), 9).as("c"))
+        val scores = dims.join(broadcast(centroid), Seq("p"))
+          .groupBy(col("vec_id"), col("label"), col("clabel"))
+          .agg(round(sum(col("x") * col("c")), 6).as("score"))
+        val sc = scores.groupBy(col("clabel"), col("score"))
+          .agg(sum(when(col("label") === col("clabel"), 1).otherwise(0))
+            .as("pc"),
+            sum(when(col("label") =!= col("clabel"), 1).otherwise(0))
+              .as("nc"))
+        val below = Window.partitionBy(col("clabel"))
+          .orderBy(col("score").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = sc.withColumn("cumneg",
+          coalesce(sum(col("nc")).over(below), lit(0L)))
+        cum.groupBy(col("clabel"))
+          .agg(sum(col("pc")).as("n_pos"), sum(col("nc")).as("n_neg"),
+            round(sum(col("pc") *
+              (col("cumneg").cast("double") +
+                lit(0.5d) * col("nc").cast("double"))) /
+              (sum(col("pc")) * sum(col("nc"))), 6).as("auc"))
+          .select(col("clabel").as("label"), col("n_pos"), col("n_neg"),
+            col("auc"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        dims AS (SELECT vec_id, label, p.p AS p, v[p.p + 1] AS x
+                 FROM e, (SELECT unnest(range(0, 64)) AS p) p),
+        centroid AS (SELECT label AS clabel, p, ROUND(AVG(x), 9) AS c
+                     FROM dims GROUP BY 1, 2),
+        scores AS (SELECT d.vec_id, d.label, ct.clabel,
+                          ROUND(SUM(x * c), 6) AS score
+                   FROM dims d JOIN centroid ct ON d.p = ct.p
+                   GROUP BY 1, 2, 3),
+        sc AS (SELECT clabel, score,
+                      CAST(SUM(CASE WHEN label = clabel
+                               THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+                      CAST(SUM(CASE WHEN label <> clabel
+                               THEN 1 ELSE 0 END) AS BIGINT) AS nc
+               FROM scores GROUP BY 1, 2),
+        cum AS (SELECT clabel, score, pc, nc,
+                       COALESCE(SUM(nc) OVER (PARTITION BY clabel
+                         ORDER BY score ASC ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND 1 PRECEDING), 0) AS cumneg
+                FROM sc)
+        SELECT clabel AS label,
+               CAST(SUM(pc) AS BIGINT) AS n_pos,
+               CAST(SUM(nc) AS BIGINT) AS n_neg,
+               ROUND(SUM(pc * (CAST(cumneg AS DOUBLE)
+                               + 0.5 * CAST(nc AS DOUBLE)))
+                     / (SUM(pc) * SUM(nc)), 6) AS auc
+        FROM cum GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q120: ANN recall AUDIT — q48's claim ("IVF 2-probe recall@3") as a
+    // driver-gated relation instead of a spec assertion: per query, how
+    // many of the brute-force top-3 did the IVF index return? The
+    // ground-truth side is q26's bounded shape (10 anchors × corpus);
+    // the ANN side is q48's exact pipeline via the SAME ivfRanked
+    // helper, so the audit measures the index that actually ships.
+    // Recall is exact thirds — integer hit counts over a left-semi
+    // join on (qid, neighbor) — so no float can drift; an index
+    // regression (recall dropping) flips hash/rows and fails the gate.
+    QDef(
+      "q120_ann_recall",
+      (s, dir) => {
+        val e = vectors(s, dir)
+        // ground truth: brute-force top-3 (q26's shape, k=3)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        val gt = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor_id"),
+            expr(COS).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("neighbor_id"))
+        // ANN: q48's IVF 2-probe top-3 (same ivfRanked helper)
+        val ranked = ivfRanked(e, 16)
+        val assign = ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell"))
+        val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+        val cand = probes.join(assign, "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor_id"))
+          .distinct()
+        val n = e.select(col("vec_id").as("neighbor_id"), col("v"))
+        val ann = cand.join(q, "qid").join(n, "neighbor_id")
+          .select(col("qid"), col("neighbor_id"), expr(COS).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("neighbor_id"))
+        val hits = gt.join(ann, Seq("qid", "neighbor_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+        q.select(col("qid"))
+          .join(hits, Seq("qid"), "left").na.fill(0L, Seq("n_hits"))
+          .select(col("qid"), col("n_hits"),
+            round(col("n_hits").cast("double") / lit(3.0d), 6)
+              .as("recall_r"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        gts AS (SELECT qid, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                         list_sum(list_transform(range(1, 65),
+                           i -> qv[i] * v[i])) DESC, e.vec_id ASC) AS rk
+                FROM q JOIN e ON e.vec_id <> qid),
+        gt AS (SELECT qid, neighbor_id FROM gts WHERE rk <= 3),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+        sims AS (SELECT e.vec_id, c.cent_id,
+                   list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i])) AS sim
+                 FROM e, cents c),
+        ranked AS (SELECT vec_id, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, cent_id ASC) AS rn
+                   FROM sims),
+        assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+        probes AS (SELECT vec_id AS qid, cent_id AS cell
+                   FROM ranked WHERE rn <= 2 AND vec_id < 10),
+        cand AS (SELECT DISTINCT p.qid, a.vec_id AS neighbor_id
+                 FROM probes p JOIN assign a ON a.cell = p.cell
+                 WHERE a.vec_id <> p.qid),
+        anns AS (SELECT c.qid, c.neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+                          list_sum(list_transform(range(1, 65),
+                            i -> qe.v[i] * ne.v[i])) DESC,
+                          c.neighbor_id ASC) AS rk
+                 FROM cand c
+                 JOIN e qe ON qe.vec_id = c.qid
+                 JOIN e ne ON ne.vec_id = c.neighbor_id),
+        ann AS (SELECT qid, neighbor_id FROM anns WHERE rk <= 3),
+        hits AS (SELECT g.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+                 FROM gt g JOIN ann a
+                   ON a.qid = g.qid AND a.neighbor_id = g.neighbor_id
+                 GROUP BY 1)
+        SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+               ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 3.0, 6)
+                 AS recall_r
+        FROM q LEFT JOIN hits h ON h.qid = q.qid
       """))
   )
 }

@@ -691,6 +691,49 @@ object TextQueries {
                  AS norm_entropy
         FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
         GROUP BY c.doc_id, t.n, t.n_distinct
+      """)),
+
+    // ------------------------------------------------------------------
+    // q116: BPE merge-candidate statistics — the first step of byte-pair-
+    // encoding tokenizer training: count adjacent symbol pairs across
+    // every word OCCURRENCE (frequency-weighted, as BPE requires — not
+    // per distinct word) and rank the top merge candidates. The pair
+    // stream is a scan-side Generate (sequence + substring, codegen'd,
+    // no shuffle); the global count is partial-agg friendly; and the
+    // final ranking window runs over the DISTINCT PAIR table, which is
+    // bounded by the symbol alphabet squared (≤676 for [a-z]²) — a
+    // driver-sized relation no matter how many petabytes of text fed it.
+    // A full BPE trainer iterates this exact query, merging the winner
+    // into the symbol stream each round.
+    QDef(
+      "q116_bpe_pairs",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("pair").asc)
+        Tables(s, dir).documents
+          .select(explode(expr(W)).as("w"))
+          .where(length(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 20)
+          .select(col("rk"), col("pair"), col("cnt"))
+      },
+      Some(s"""
+        WITH words AS (SELECT unnest($WDuck) AS w FROM documents),
+        prs AS (SELECT unnest(list_transform(range(1, length(w)),
+                  i -> substring(w, i, 2))) AS pair
+                FROM words WHERE length(w) >= 2),
+        cnt AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM prs GROUP BY pair)
+        SELECT CAST(rk AS INTEGER) AS rk, pair, cnt
+        FROM (SELECT pair, cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS rk
+              FROM cnt) t
+        WHERE rk <= 20
       """))
   )
 }

@@ -141,6 +141,88 @@ object EventsStreaming {
         GroupStateTimeout.NoTimeout)(fold)
   }
 
+  /** q117's bin rule, shared verbatim by the reference builder and the
+    * stream side so the two can never bin differently.
+    */
+  private val binExpr =
+    "cast(least(9L, floor((value - mn) * 10.0D / nullif(mx - mn, 0.0D))) as int)"
+
+  /** Static reference histogram for [[psiDrift]] — the "training
+    * snapshot" a production drift monitor pins: 10 equi-width bins over
+    * the reference values (q117's binning), each row carrying the
+    * bounds so the stream side bins identically, with +1-smoothed
+    * shares so empty reference bins still carry mass. 10 rows total.
+    */
+  def referenceHistogram(reference: DataFrame): DataFrame = {
+    val vals = reference.where(col("value").isNotNull).select(col("value"))
+    val bounds = vals.agg(min(col("value")).as("mn"),
+      max(col("value")).as("mx"))
+    val counts = vals.crossJoin(broadcast(bounds))
+      .select(expr(binExpr).as("bin"))
+      .where(col("bin").isNotNull)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    val tot = counts.agg(sum(col("n_b")).as("n"))
+    val bins = reference.sparkSession.range(1)
+      .select(explode(sequence(lit(0), lit(9))).as("bin"))
+    bins.join(counts, Seq("bin"), "left").na.fill(0L, Seq("n_b"))
+      .crossJoin(broadcast(bounds)).crossJoin(broadcast(tot))
+      .select(col("bin"), col("mn"), col("mx"),
+        expr("(cast(n_b as double) + 1.0D) / (n + 10.0D)").as("q_share"))
+  }
+
+  /** Streaming twin of q117_psi_drift: finalized per-(1-day window,
+    * bin) counts of the value stream, binned against the STATIC
+    * reference bounds. The reference is a 10-row broadcast joined on a
+    * constant key (stream-static equi-join — legal in append mode,
+    * unlike a stream-side aggregate over history); the only stateful
+    * op is one watermarked windowed count keyed by (window, bin), so
+    * state is O(open windows × 10) at any stream rate. A window's
+    * counts emit once the watermark passes its end; [[psiOf]] collapses
+    * finalized counts into the per-window PSI.
+    */
+  def psiDrift(
+      events: DataFrame,
+      ref: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val bounds = ref.select(col("mn"), col("mx")).distinct()
+      .withColumn("k", lit(1))
+    events.withWatermark("ts", watermark)
+      .where(col("value").isNotNull)
+      .withColumn("k", lit(1))
+      .join(broadcast(bounds), "k")
+      .select(col("ts"), expr(binExpr).as("bin"))
+      .where(col("bin").isNotNull)
+      .groupBy(window(col("ts"), "1 day"), col("bin"))
+      .agg(count(lit(1)).as("n_wb"))
+      .select(col("window.start").as("day_ts"), col("bin"), col("n_wb"))
+  }
+
+  /** Batch finisher over [[psiDrift]]'s finalized counts: q117's exact
+    * PSI formula — (p−q)·ln(p/q) with +1 smoothing — against the
+    * reference shares. Runs on the append sink (or in foreachBatch);
+    * the full 0..9 spine comes from the reference, so stream-empty
+    * bins still contribute their smoothed term.
+    */
+  def psiOf(finalized: DataFrame, ref: DataFrame): DataFrame = {
+    // distinct names on the grid side: the left-join back onto
+    // `finalized` is a self-join (wtot derives from it), and shared
+    // attribute ids would make the join condition ambiguous
+    val wtot = finalized.groupBy(col("day_ts").as("w_day"))
+      .agg(sum(col("n_wb")).as("n_w"))
+    wtot.crossJoin(broadcast(ref.select(col("bin").as("s_bin"),
+        col("q_share"))))
+      .join(finalized,
+        col("w_day") === col("day_ts") && col("s_bin") === col("bin"),
+        "left")
+      .na.fill(0L, Seq("n_wb"))
+      .groupBy(col("w_day"))
+      .agg(round(sum(expr(
+        """((cast(n_wb as double) + 1.0D) / (n_w + 10.0D) - q_share) *
+           ln(((cast(n_wb as double) + 1.0D) / (n_w + 10.0D)) / q_share)""")),
+        6).as("psi"))
+      .select(col("w_day").as("day_ts"), col("psi"))
+  }
+
   def sessionize(
       events: Dataset[Event],
       gapSeconds: Long = 1800): Dataset[Session] = {

@@ -45,7 +45,24 @@ class PlanQualitySpec extends AnyFunSuite {
     "q106_rolling_hll", "q107_dsir", "q108_canary_scan",
     // q112's sources x vocab grid crosses the broadcast per-source
     // totals (bounded by |vocab| x |sources|) + the 1-row corpus totals
-    "q112_kl_drift")
+    "q112_kl_drift",
+    // q114's pair stage theta-joins the per-event-type SKETCH table
+    // against itself — bounded by |event types| (5 KB-sized rows) at
+    // any corpus size; the user stream never enters a nested loop
+    "q114_sketch_overlap",
+    // q115 is q26's brute-force shape: the 10-row anchor set broadcasts
+    // into a label-inequality theta join against the corpus scan
+    "q115_hard_negatives",
+    // q117 crossJoins the ONE-row min/max bounds + totals aggregates
+    // (q104's histogram pattern) and the 10-row bin spine
+    "q117_psi_drift",
+    // q120's ground-truth side is q26's brute-force shape (10-row
+    // anchor broadcast × corpus) plus q48's 16-row centroid cross;
+    // its ONE-row n_true-style joins are the q37 pattern
+    "q120_ann_recall",
+    // q121 crossJoins the ONE-row exact-ground-truth count (q37
+    // pattern); its candidate stage is a pure equi-join
+    "q121_lsh_tuning")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

@@ -153,7 +153,31 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // per-(source, word) agg + grid join + final per-source agg
     "q112_kl_drift" -> 7,
     // q113: one lang-partitioned rank window
-    "q113_stratified_k" -> 1)
+    "q113_stratified_k" -> 1,
+    // q114: (type, user) distinct + per-type sketch agg + the exact
+    // user-keyed self-join pair agg + est/exact join (sketch pair
+    // stage itself is 5 KB-rows crossed)
+    "q114_sketch_overlap" -> 5,
+    // q115: q26's bounded shape — query set broadcast, one top-k window
+    "q115_hard_negatives" -> 1,
+    // q116: one pair agg; the ranking window runs over ≤676 pair rows
+    "q116_bpe_pairs" -> 1,
+    // q117: per-(week, bin) agg + the tiny week/bin/total rollups and
+    // grid joins — every post-scan relation is weeks×10 rows
+    "q117_psi_drift" -> 6,
+    // q118: the two 8-bit band equi-joins + pair distinct; hashes are
+    // 4 bytes/row, payloads never shuffle
+    "q118_phash_neardup" -> 1,
+    // q119: post-checkpoint: centroid agg + score partial agg + the
+    // distinct-score agg + per-label rank window/final agg
+    "q119_auc_eval" -> 4,
+    // q120: the GT top-k window + the full q48 IVF pipeline (assign/
+    // probe/candidate/re-rank) + the hit agg and spine join — every
+    // exchange moves a 10-anchor-bounded relation
+    "q120_ann_recall" -> 11,
+    // q121: post-checkpoint (cand + gt checkpointed): per-config count,
+    // hit semi-join + count, and the 4-row spine/ntrue assembly
+    "q121_lsh_tuning" -> 6)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -67,6 +67,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.map(_.n_bytes).sorted.sameElements(lens))
   }
 
+  test("perceptualHash: exact-integer bit rule, sequential oracle parity") {
+    // crafted payload: 32 bytes, first half 0x10, second half 0x30 —
+    // segments 0-7 sit below the mean (0x20), 8-15 above, so the hash
+    // must be exactly 0xFF00
+    import spark.implicits._
+    val crafted = Seq(MediaRecord(1L,
+      "image", Array.fill(16)(0x10.toByte) ++ Array.fill(16)(0x30.toByte),
+      "t")).toDS()
+    assert(perceptualHash(crafted).collect().head.ahash == 0xFF00)
+
+    // whole corpus: distributed kernel == sequential restatement
+    val dist = perceptualHash(media).collect()
+      .map(h => h.media_id -> h.ahash).toMap
+    media.collect().foreach { r =>
+      val bs = r.bytes
+      val n = bs.length
+      val total = bs.map(b => (b & 0xff).toLong).sum
+      var h = 0
+      for (b <- 0 until 16) {
+        val lo = (b.toLong * n / 16).toInt
+        val hi = ((b + 1).toLong * n / 16).toInt
+        val s = bs.slice(lo, hi).map(x => (x & 0xff).toLong).sum
+        if (s * n > total * (hi - lo)) h |= 1 << b
+      }
+      assert(dist(r.media_id) == h, s"media ${r.media_id}")
+    }
+    // hashes must actually discriminate (not all equal / all distinct)
+    val uniq = dist.values.toSet.size
+    assert(uniq > 50, s"aHash collapsed: $uniq distinct of ${dist.size}")
+  }
+
   test("frameSample emits every stride-th 64-byte chunk of videos only") {
     val frames = frameSample(media, stride = 2).collect()
     assert(frames.nonEmpty)

@@ -172,4 +172,58 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("sess").count() == 1)
     } finally q.stop()
   }
+
+  test("streaming PSI drift matches the batch restatement on real events") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = graft.Tables(spark, dir).events
+    val ref = EventsStreaming.referenceHistogram(batchEvents)
+    val refRows = ref.collect()
+    assert(refRows.length == 10 &&
+      math.abs(refRows.map(_.getDouble(3)).sum - 1.0) < 1e-9,
+      "reference shares must cover all 10 bins and sum to 1")
+
+    val all = batchEvents
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Event]
+    val q = EventsStreaming.psiDrift(ms.toDF(), ref)
+      .writeStream.format("memory").queryName("psi")
+      .outputMode("append").start()
+    try {
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // sentinel far past the data finalizes every real day window
+      val maxTs = all.map(_.ts.getTime).max
+      ms.addData(Event(-1, new Timestamp(maxTs + 10L * 86400000L),
+        0, "click", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("psi")
+        .select($"day_ts", $"bin", $"n_wb").collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2))).toSet
+      // batch restatement: same binning, same day windows, full data
+      val bounds = ref.select($"mn", $"mx").distinct()
+      val expected = batchEvents.where($"value".isNotNull)
+        .crossJoin(broadcast(bounds))
+        .select(date_trunc("day", $"ts").as("day_ts"), expr(
+          "cast(least(9L, floor((value - mn) * 10.0D / " +
+            "nullif(mx - mn, 0.0D))) as int)").as("bin"))
+        .where($"bin".isNotNull)
+        .groupBy($"day_ts", $"bin").agg(count(lit(1)).as("n_wb"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2))).toSet
+      assert(streamed == expected,
+        "finalized streaming counts diverged from the batch binning")
+
+      // the finisher yields one PSI row per day, all finite
+      val psi = EventsStreaming.psiOf(spark.table("psi"), ref).collect()
+      assert(psi.length == expected.map(_._1).size)
+      assert(psi.forall(r => !r.getDouble(1).isNaN))
+    } finally q.stop()
+  }
 }
