@@ -892,6 +892,108 @@ object AnalyticQueries {
         SELECT bucket, round(lo + (hi - lo) * bucket / 20, 6) AS bucket_lo,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM h GROUP BY bucket, lo, hi
+      """)),
+
+    // ------------------------------------------------------------------
+    // q122: the full ranking-function surface in one partitioned window
+    // — row_number / rank / dense_rank / percent_rank / cume_dist /
+    // ntile share ONE WindowExec pass (one ordering, one frame scan).
+    // The ORDER BY ends in the unique (orderkey, linenumber) pair, so
+    // ranks are total and percent_rank's (rank−1)/(n−1) is the same
+    // exact division in both engines (round-at-9 absorbs nothing — it's
+    // belt-and-braces). Partitioned by supplier: no global sort; the
+    // post-window rn filter bounds output without breaking the
+    // full-partition statistics percent_rank/cume_dist need.
+    QDef(
+      "q122_rank_functions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+        Tables(s, dir).lineitem
+          .where(col("l_suppkey") < 50)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("pr", round(percent_rank().over(w), 9))
+          .withColumn("cd", round(cume_dist().over(w), 9))
+          .withColumn("tile", ntile(4).over(w))
+          .where(col("rn") <= 8)
+          .drop("l_extendedprice")
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk,
+               CAST(drnk AS INTEGER) AS drnk, pr, cd,
+               CAST(tile AS INTEGER) AS tile
+        FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+                ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+                DENSE_RANK() OVER w AS drnk,
+                ROUND(PERCENT_RANK() OVER w, 9) AS pr,
+                ROUND(CUME_DIST() OVER w, 9) AS cd,
+                NTILE(4) OVER w AS tile
+              FROM lineitem WHERE l_suppkey < 50
+              WINDOW w AS (PARTITION BY l_suppkey
+                ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                         l_linenumber ASC)) t
+        WHERE rn <= 8
+      """)),
+
+    // ------------------------------------------------------------------
+    // q124: incremental-maintenance AUDIT — the mergeable-state algebra
+    // behind every warehouse incremental rollup, made explicit and
+    // driver-gated: per-status states (count / exact-decimal sum / min
+    // / max) computed over two date halves of `orders`, merged with
+    // the aggregate-specific combine (＋, ＋, least, greatest), and
+    // compared IN-QUERY against the direct full recompute. Every
+    // combine is exact arithmetic (counts, DECIMAL(18,2) sums, double
+    // min/max compare — no accumulation), so the flags are
+    // deterministic; a broken merge (double-count, missed half, wrong
+    // combine) fails the hash gate. The full-outer status join keeps
+    // a status that appears in only one half honest.
+    QDef(
+      "q124_state_merge",
+      (s, dir) => {
+        val o = Tables(s, dir).orders
+        val cutoff = lit("1998-01-01").cast("timestamp")
+        def state(df: org.apache.spark.sql.DataFrame, sfx: String) =
+          df.groupBy(col("o_orderstatus").as("status"))
+            .agg(count(lit(1)).as(s"cnt_$sfx"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2)))
+                .as(s"s_$sfx"),
+              min(col("o_totalprice")).as(s"mn_$sfx"),
+              max(col("o_totalprice")).as(s"mx_$sfx"))
+        val a = state(o.where(col("o_orderdate") < cutoff), "a")
+        val b = state(o.where(col("o_orderdate") >= cutoff), "b")
+        val direct = state(o, "d")
+        val merged = a.join(b, Seq("status"), "full_outer")
+          .select(col("status"),
+            (coalesce(col("cnt_a"), lit(0L)) +
+              coalesce(col("cnt_b"), lit(0L))).as("cnt_m"),
+            (coalesce(col("s_a"), lit(0).cast(DecimalType(18, 2))) +
+              coalesce(col("s_b"), lit(0).cast(DecimalType(18, 2))))
+              .as("s_m"),
+            least(col("mn_a"), col("mn_b")).as("mn_m"),
+            greatest(col("mx_a"), col("mx_b")).as("mx_m"))
+        direct.join(merged, Seq("status"))
+          .select(col("status"), col("cnt_d").as("cnt"),
+            col("s_d").cast("double").as("total"),
+            col("mn_d").as("mn"), col("mx_d").as("mx"),
+            when(col("cnt_m") === col("cnt_d"), 1).otherwise(0)
+              .as("ok_cnt"),
+            when(col("s_m") === col("s_d"), 1).otherwise(0).as("ok_sum"),
+            when(col("mn_m") === col("mn_d"), 1).otherwise(0).as("ok_min"),
+            when(col("mx_m") === col("mx_d"), 1).otherwise(0).as("ok_max"))
+      },
+      Some("""
+        SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+               1 AS ok_cnt, 1 AS ok_sum, 1 AS ok_min, 1 AS ok_max
+        FROM orders GROUP BY 1
       """))
   )
 }

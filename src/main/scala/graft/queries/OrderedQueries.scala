@@ -130,6 +130,63 @@ object OrderedQueries {
                      ('T4_premium', 300000.0, 1000000.0)) AS t(tier, lo, hi)
           ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY tier
+      """)),
+
+    // ------------------------------------------------------------------
+    // q123: SCD2 POINT-IN-TIME lookup — the "which dimension version was
+    // valid when the fact happened" join every versioned-dimension
+    // warehouse runs. The dimension is built in-plan from the change
+    // stream (a row whenever a user's value tier CHANGES — q102's tier,
+    // detected with one lag window); the lookup is the native
+    // AsofJoinExec (q109's operator, second consumer): latest change
+    // at-or-before each purchase, struct (ts, event_id) time key for
+    // total tie order — a purchase that is itself a change row matches
+    // itself, exactly like the oracle's <= rule. Both inputs shuffle
+    // once on user_id; no BETWEEN explosion, no validity-interval
+    // materialization. Output aggregates to per-tier purchase stats.
+    QDef(
+      "q123_scd2_lookup",
+      (s, dir) => {
+        val byU = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val changes = Tables(s, dir).events
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") / 50).cast("bigint").as("tier"))
+          .withColumn("prev", lag(col("tier"), 1).over(byU))
+          .where(col("prev").isNull || col("prev") =!= col("tier"))
+          .select(col("user_id").as("duser"),
+            struct(col("ts"), col("event_id")).as("dt"), col("tier"))
+        val purchases = Tables(s, dir).events
+          .where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            struct(col("ts"), col("event_id")).as("pt"))
+        graft.plans.Asof
+          .join(purchases, changes, "user_id", "duser", "pt", "dt")
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n_purchases"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, ts, event_id,
+                           CAST(FLOOR(value / 50) AS BIGINT) AS tier
+                    FROM events),
+        ch AS (SELECT user_id, ts, event_id, tier
+               FROM (SELECT user_id, ts, event_id, tier,
+                            LAG(tier) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+                     FROM ev) t
+               WHERE prev IS NULL OR prev <> tier),
+        pt AS (SELECT event_id AS purchase_id, user_id, ts
+               FROM events WHERE event_type = 'purchase'),
+        j AS (SELECT p.purchase_id, p.user_id, c.tier,
+                     ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+              FROM pt p JOIN ch c ON c.user_id = p.user_id
+               AND (c.ts < p.ts OR (c.ts = p.ts
+                    AND c.event_id <= p.purchase_id)))
+        SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM j WHERE rn = 1 GROUP BY tier
       """))
   )
 }

@@ -177,7 +177,16 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q120_ann_recall" -> 11,
     // q121: post-checkpoint (cand + gt checkpointed): per-config count,
     // hit semi-join + count, and the 4-row spine/ntrue assembly
-    "q121_lsh_tuning" -> 6)
+    "q121_lsh_tuning" -> 6,
+    // q122: one hash partition on l_suppkey feeds the single shared
+    // WindowExec pass for all six ranking functions
+    "q122_rank_functions" -> 1,
+    // q123: change-detect window + the as-of merge scan co-partition on
+    // user_id; final tier agg
+    "q123_scd2_lookup" -> 3,
+    // q124: three status-keyed partial aggs (two halves + direct); the
+    // merge/compare joins reuse the status partitioning
+    "q124_state_merge" -> 3)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
