@@ -994,6 +994,132 @@ object AnalyticQueries {
                MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
                1 AS ok_cnt, 1 AS ok_sum, 1 AS ok_min, 1 AS ok_max
         FROM orders GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q126: per-group closed-form OLS (price ~ quantity per return
+    // flag) — distributed linear regression as pure partial-aggregable
+    // moment sums, the pattern every scale-out ML-on-SQL system uses:
+    // one map-side-combinable pass collects (n, Σx, Σy, Σxy, Σx²,
+    // Σy²), the slope/intercept/correlation fall out of the normal
+    // equations on the 3-row result. Determinism across engines is the
+    // whole trick: the inputs are exact 2-decimal values, so every
+    // moment is accumulated in DECIMAL (exact, order-independent —
+    // products of two 2-decimal values are exact 4-decimal values) and
+    // only the final closed-form arithmetic runs in double, as the
+    // SAME IEEE expression tree in both engines, rounded at 6.
+    QDef(
+      "q126_ols_by_group",
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem
+          .select(col("l_returnflag"),
+            col("l_quantity").cast(DecimalType(18, 2)).as("x"),
+            col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+        li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum((col("x") * col("y")).cast(DecimalType(38, 4))).as("sxy"),
+            sum((col("x") * col("x")).cast(DecimalType(38, 4))).as("sxx"),
+            sum((col("y") * col("y")).cast(DecimalType(38, 4))).as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            round((col("n") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")), 6)
+              .as("slope"),
+            round((col("sy").cast("double") -
+              ((col("n") * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")) /
+                (col("n") * col("sxx").cast("double") -
+                  col("sx").cast("double") * col("sx").cast("double"))) *
+                col("sx").cast("double")) / col("n"), 6).as("intercept"),
+            round((col("n") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              sqrt((col("n") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))), 6)
+              .as("corr_xy"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sy,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))
+                   AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))
+                   AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))
+                   AS DECIMAL(38,4))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, n,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                     / n, 6) AS intercept,
+               ROUND((n * sxy - sx * sy)
+                     / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                 AS corr_xy
+        FROM m
+      """)),
+
+    // ------------------------------------------------------------------
+    // q128: weight-of-evidence decile binning — the classic credit-/
+    // quality-scoring feature transform, and the supervised cousin of
+    // q104's histogram: decile-bin orders by price (NTILE over a
+    // TOTAL order — l_orderkey tiebreak makes the bin assignment
+    // identical in both engines), label 'F' orders as bad, and emit
+    // per-bin WOE = ln(good%/bad%) plus the bin's information-value
+    // contribution. One window pass + one partial-aggregable groupBy;
+    // the global NTILE sort is the documented cost (rank-then-bin over
+    // a pre-aggregated price histogram is the 100 TB variant, same
+    // shape as q96's bucket trick). ln() runs on exact integer-count
+    // ratios — identical IEEE input in both engines — so round-at-6
+    // absorbs any libm ulp (the q112/q117 recipe).
+    QDef(
+      "q128_woe_binning",
+      (s, dir) => {
+        val o = Tables(s, dir).orders
+          .withColumn("bin", ntile(10).over(Window.orderBy(
+            col("o_totalprice").asc, col("o_orderkey").asc)))
+          .withColumn("bad", when(col("o_orderstatus") === "F", 1L)
+            .otherwise(0L))
+        val per = o.groupBy(col("bin"))
+          .agg(sum(lit(1L) - col("bad")).as("good_n"),
+            sum(col("bad")).as("bad_n"))
+        val tot = per.agg(sum(col("good_n")).as("g"), sum(col("bad_n")).as("b"))
+        per.crossJoin(broadcast(tot))
+          .select(col("bin"), col("good_n"), col("bad_n"),
+            round(log((col("good_n").cast("double") / col("g")) /
+              (col("bad_n").cast("double") / col("b"))), 6).as("woe"),
+            round((col("good_n").cast("double") / col("g") -
+              col("bad_n").cast("double") / col("b")) *
+              log((col("good_n").cast("double") / col("g")) /
+                (col("bad_n").cast("double") / col("b"))), 6).as("iv_part"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT CAST(NTILE(10) OVER (ORDER BY o_totalprice ASC,
+                   o_orderkey ASC) AS INTEGER) AS bin,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+          FROM orders),
+        per AS (SELECT bin, CAST(SUM(1 - bad) AS BIGINT) AS good_n,
+                       CAST(SUM(bad) AS BIGINT) AS bad_n
+                FROM b GROUP BY 1),
+        tot AS (SELECT CAST(SUM(good_n) AS BIGINT) AS g,
+                       CAST(SUM(bad_n) AS BIGINT) AS b FROM per)
+        SELECT bin, good_n, bad_n,
+               ROUND(LN((CAST(good_n AS DOUBLE) / g)
+                        / (CAST(bad_n AS DOUBLE) / b)), 6) AS woe,
+               ROUND((CAST(good_n AS DOUBLE) / g - CAST(bad_n AS DOUBLE) / b)
+                     * LN((CAST(good_n AS DOUBLE) / g)
+                          / (CAST(bad_n AS DOUBLE) / b)), 6) AS iv_part
+        FROM per, tot
       """))
   )
 }

@@ -236,6 +236,63 @@ object GraphQueries {
                GROUP BY d2.v, n.n)
         SELECT v AS part, p AS rank FROM p3
         ORDER BY p DESC, v ASC LIMIT 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // q125: multi-source BFS (hop-distance histogram) on the part
+    // co-occurrence graph — the reachability primitive behind
+    // contamination spread ("every doc within k dedup-hops of a flagged
+    // doc") and graph feature extraction. The engine runs true FRONTIER
+    // expansion: each round joins only the rows discovered in the
+    // previous round against the (checkpointed) symmetric edge list,
+    // left-anti-drops already-visited vertices, and unions the new
+    // layer in — per-round work is O(edges touched by the frontier),
+    // not O(visited × edges), and every operation shuffles on the
+    // vertex id, the natural shard key at 100 TB (a cluster run would
+    // pre-partition sym and dist once on that key and reuse the
+    // layout). The oracle states the same fixpoint declaratively with
+    // a recursive CTE: enumerate all (v, depth<=3) walks from the
+    // seeds, take MIN(depth) per vertex — correct because a BFS
+    // distance is by definition that minimum.
+    QDef(
+      "q125_bfs_reach",
+      (s, dir) => {
+        val e0 = coEdges(s, dir)
+        val sym = e0.select(col("x").as("src"), col("y").as("dst"))
+          .unionByName(e0.select(col("y").as("src"), col("x").as("dst")))
+          .localCheckpoint()
+        val seeds = sym.select(col("src").as("v")).distinct()
+          .where(col("v") % 50 === 0)
+          .select(col("v"), lit(0).as("d"))
+        val visited = (1 to 3).foldLeft(seeds.localCheckpoint()) { (dist, i) =>
+          val frontier = dist.where(col("d") === i - 1)
+            .select(col("v").as("src"))
+          val layer = sym.join(frontier, "src")
+            .select(col("dst").as("v")).distinct()
+            .join(dist, Seq("v"), "left_anti")
+            .select(col("v"), lit(i).as("d"))
+          // checkpoint per round: truncates the growing lineage exactly
+          // like an iterative cluster job would persist each layer
+          dist.unionByName(layer).localCheckpoint()
+        }
+        visited.groupBy(col("d"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      },
+      Some(s"""
+        WITH RECURSIVE $coEdgesDuck,
+        sym AS (SELECT x AS src, y AS dst FROM edges
+                UNION ALL SELECT y, x FROM edges),
+        bfs AS (
+          SELECT v, 0 AS d
+          FROM (SELECT DISTINCT src AS v FROM sym) n WHERE v % 50 = 0
+          UNION
+          SELECT s.dst, b.d + 1 FROM bfs b JOIN sym s ON s.src = b.v
+          WHERE b.d < 3)
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MIN(v) AS min_v, MAX(v) AS max_v
+        FROM (SELECT v, MIN(d) AS d FROM bfs GROUP BY v) t
+        GROUP BY d
       """))
   )
 }

@@ -534,6 +534,140 @@ object SeriesQueries {
                      6) AS psi
         FROM j, tot t
         GROUP BY j.wk
+      """)),
+
+    // ------------------------------------------------------------------
+    // q129: pointwise mutual information over per-user event-type
+    // pairs — the association mining behind co-occurrence embeddings
+    // (word2vec-style PMI matrices) and market-basket lift. The
+    // user×type incidence relation is deduped once (one shuffle on
+    // user_id, the scale key), checkpointed, then self-joined on
+    // user_id to count pair supports — with only T event types the
+    // pair space is T², tiny, while the join itself stays co-
+    // partitioned on user_id with no skew amplification. Marginals
+    // ride the same incidence relation and broadcast back. PMI's
+    // ln() consumes exact integer-count ratios — identical IEEE
+    // inputs in both engines — so round-at-6 is decisive.
+    QDef(
+      "q129_pmi_pairs",
+      (s, dir) => {
+        val inc = Tables(s, dir).events
+          .select(col("user_id"), col("event_type")).distinct()
+          .localCheckpoint() // feeds pair join, marginals, and N
+        val nUsers = inc.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n"))
+        val marg = inc.groupBy(col("event_type")).agg(count(lit(1)).as("m"))
+        val pairs = inc.as("a")
+          .join(inc.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("et_a"),
+            col("b.event_type").as("et_b"))
+          .agg(count(lit(1)).as("c_ab"))
+        pairs
+          .join(broadcast(marg.select(col("event_type").as("et_a"),
+            col("m").as("c_a"))), "et_a")
+          .join(broadcast(marg.select(col("event_type").as("et_b"),
+            col("m").as("c_b"))), "et_b")
+          .crossJoin(broadcast(nUsers))
+          .select(col("et_a"), col("et_b"), col("c_ab"), col("c_a"),
+            col("c_b"),
+            round(log(col("c_ab").cast("double") * col("n") /
+              (col("c_a").cast("double") * col("c_b"))), 6).as("pmi"))
+      },
+      Some("""
+        WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),
+        n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM inc),
+        marg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m
+                 FROM inc GROUP BY 1),
+        pairs AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
+                         CAST(COUNT(*) AS BIGINT) AS c_ab
+                  FROM inc a JOIN inc b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+        SELECT et_a, et_b, c_ab, ma.m AS c_a, mb.m AS c_b,
+               ROUND(LN(CAST(c_ab AS DOUBLE) * n.n
+                        / (CAST(ma.m AS DOUBLE) * mb.m)), 6) AS pmi
+        FROM pairs
+        JOIN marg ma ON ma.event_type = et_a
+        JOIN marg mb ON mb.event_type = et_b, n
+      """)),
+
+    // ------------------------------------------------------------------
+    // q130: A/B experiment readout — per-cohort two-proportion z-test
+    // on conversion (any purchase), with a deterministic hash
+    // assignment (user_id parity = arm, user_id mod 5 = cohort) so
+    // both engines derive identical arms with no stored assignment
+    // table. Everything up to the test statistic is exact integers
+    // computed in ONE partial-aggregable pass over a per-user
+    // conversion relation (itself one shuffle on user_id); the z
+    // formula (pooled-variance) is the same IEEE expression tree in
+    // both engines over those integers, rounded at 6. This is the
+    // exact shape of a 10^10-user experiment scorecard: no windows,
+    // no joins wider than the per-user rollup.
+    QDef(
+      "q130_ab_ztest",
+      (s, dir) => {
+        val users = Tables(s, dir).events
+          .groupBy(col("user_id"))
+          // "converted" = any big-ticket purchase; a bare any-purchase
+          // flag is degenerate here (every user buys → pooled p = 1 and
+          // the z denominator collapses to 0)
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 180.0d, 1L).otherwise(0L))
+            .as("converted"))
+          .select(col("user_id") % 5 as "cohort",
+            (col("user_id") % 2).as("arm"), col("converted"))
+        users.groupBy(col("cohort"))
+          .agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 0, col("converted")).otherwise(0L))
+              .as("c0"),
+            sum(when(col("arm") === 1, col("converted")).otherwise(0L))
+              .as("c1"))
+          .select(col("cohort"), col("n0"), col("n1"), col("c0"), col("c1"),
+            round(col("c0").cast("double") / col("n0"), 6).as("p0"),
+            round(col("c1").cast("double") / col("n1"), 6).as("p1"),
+            // nullif: a degenerate cohort (pooled p of 0 or 1) pins z
+            // to NULL in both engines instead of ANSI-erroring here
+            // and inf-ing in DuckDB
+            round((col("c1").cast("double") / col("n1") -
+              col("c0").cast("double") / col("n0")) /
+              nullif(sqrt(((col("c0") + col("c1")).cast("double") /
+                (col("n0") + col("n1"))) *
+                (lit(1.0d) - (col("c0") + col("c1")).cast("double") /
+                  (col("n0") + col("n1"))) *
+                (lit(1.0d) / col("n0") + lit(1.0d) / col("n1"))),
+                lit(0.0d)), 6)
+              .as("z"))
+      },
+      Some("""
+        WITH u AS (SELECT user_id,
+                          CAST(MAX(CASE WHEN event_type = 'purchase'
+                                    AND value > 180
+                               THEN 1 ELSE 0 END) AS BIGINT) AS converted
+                   FROM events GROUP BY 1),
+        g AS (SELECT user_id % 5 AS cohort, user_id % 2 AS arm, converted
+              FROM u),
+        agg AS (SELECT cohort,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+                 CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                   AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                   AS BIGINT) AS c1
+                FROM g GROUP BY 1)
+        SELECT cohort, n0, n1, c0, c1,
+               ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+               ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+               ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                     / nullif(SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                            * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                            * (1.0 / n0 + 1.0 / n1)), 0), 6) AS z
+        FROM agg
       """))
   )
 }

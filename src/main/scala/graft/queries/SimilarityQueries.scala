@@ -933,6 +933,86 @@ object SimilarityQueries {
                ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 3.0, 6)
                  AS recall_r
         FROM q LEFT JOIN hits h ON h.qid = q.qid
+      """)),
+
+    // ------------------------------------------------------------------
+    // q127: threshold-sweep classifier evaluation — the operating-curve
+    // companion to q119's AUC: score every vector against the label-0
+    // centroid (one broadcast join + partial-aggregable dot product),
+    // then evaluate the binary classifier "label = 0 iff score >= t"
+    // at a fixed grid of thresholds, emitting the confusion matrix and
+    // precision/recall/F1 per threshold. The sweep is a broadcast
+    // cross join against a 7-row literal grid — each of the N·7 rows
+    // contributes to ONE (threshold) group, so the whole evaluation is
+    // a single map-side-combinable aggregation, the shape that holds
+    // at 10^11 scored rows. All matrix cells are exact integers;
+    // the P/R/F1 divisions are the same IEEE expressions in both
+    // engines, nullif-guarded, rounded at 6.
+    QDef(
+      "q127_threshold_eval",
+      (s, dir) => {
+        val dims = vectors(s, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("v")).as(Seq("p", "x")))
+        val centroid = dims.where(col("label") === 0)
+          .groupBy(col("p")).agg(round(avg(col("x")), 9).as("c"))
+        val scored = dims.join(broadcast(centroid), Seq("p"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(round(sum(col("x") * col("c")), 6).as("score"))
+        val grid = expr(
+          "explode(array(-0.25D, 0D, 0.1D, 0.2D, 0.3D, 0.4D, 0.5D))")
+        scored.select(col("label"), col("score"), grid.as("t"))
+          .groupBy(col("t"))
+          .agg(
+            sum(when(col("score") >= col("t") && col("label") === 0, 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("score") >= col("t") && col("label") =!= 0, 1L)
+              .otherwise(0L)).as("fp"),
+            sum(when(col("score") < col("t") && col("label") === 0, 1L)
+              .otherwise(0L)).as("fn"),
+            sum(when(col("score") < col("t") && col("label") =!= 0, 1L)
+              .otherwise(0L)).as("tn"))
+          .select(col("t"), col("tp"), col("fp"), col("fn"), col("tn"),
+            round(col("tp").cast("double") /
+              nullif(col("tp") + col("fp"), lit(0L)), 6).as("precision_"),
+            round(col("tp").cast("double") /
+              nullif(col("tp") + col("fn"), lit(0L)), 6).as("recall_"),
+            round(lit(2.0d) * col("tp").cast("double") /
+              nullif(lit(2L) * col("tp") + col("fp") + col("fn"), lit(0L)),
+              6).as("f1"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        dims AS (SELECT vec_id, label, p.p AS p, v[p.p + 1] AS x
+                 FROM e, (SELECT unnest(range(0, 64)) AS p) p),
+        centroid AS (SELECT p, ROUND(AVG(x), 9) AS c
+                     FROM dims WHERE label = 0 GROUP BY 1),
+        scored AS (SELECT d.vec_id, d.label, ROUND(SUM(x * c), 6) AS score
+                   FROM dims d JOIN centroid ct ON d.p = ct.p
+                   GROUP BY 1, 2),
+        m AS (SELECT t.t,
+                CAST(SUM(CASE WHEN score >= t.t AND label = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN score >= t.t AND label <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN score < t.t AND label = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(SUM(CASE WHEN score < t.t AND label <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM scored, (SELECT unnest([CAST(-0.25 AS DOUBLE), 0.0, 0.1,
+                                           0.2, 0.3, 0.4, 0.5]) AS t) t
+              GROUP BY 1)
+        SELECT t, tp, fp, fn, tn,
+               ROUND(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6)
+                 AS precision_,
+               ROUND(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall_,
+               ROUND(2.0 * CAST(tp AS DOUBLE)
+                     / nullif(2 * tp + fp + fn, 0), 6) AS f1
+        FROM m
       """))
   )
 }

@@ -62,7 +62,13 @@ class PlanQualitySpec extends AnyFunSuite {
     "q120_ann_recall",
     // q121 crossJoins the ONE-row exact-ground-truth count (q37
     // pattern); its candidate stage is a pure equi-join
-    "q121_lsh_tuning")
+    "q121_lsh_tuning",
+    // q128 crossJoins the ONE-row good/bad totals aggregate into the
+    // 10-row bin table (q37 pattern)
+    "q128_woe_binning",
+    // q129 crossJoins the ONE-row distinct-user count into the
+    // |event-types|^2-bounded pair table (q37 pattern)
+    "q129_pmi_pairs")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

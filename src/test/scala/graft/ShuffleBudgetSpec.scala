@@ -186,7 +186,24 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q123_scd2_lookup" -> 3,
     // q124: three status-keyed partial aggs (two halves + direct); the
     // merge/compare joins reuse the status partitioning
-    "q124_state_merge" -> 3)
+    "q124_state_merge" -> 3,
+    // q125: post-checkpoint (each BFS layer checkpointed): the final
+    // per-depth agg; per-layer joins live behind the checkpoints
+    "q125_bfs_reach" -> 1,
+    // q126: one map-side-combinable moment-sum pass; the closed form is
+    // a projection on 3 rows
+    "q126_ols_by_group" -> 1,
+    // q127: per-(vec,label) dot-product agg, then the 7-row threshold
+    // grid agg; centroid rides the broadcast
+    "q127_threshold_eval" -> 3,
+    // q128: one global NTILE sort-exchange; per-bin agg and totals ride
+    // broadcast
+    "q128_woe_binning" -> 1,
+    // q129: post-checkpoint incidence: pair self-join co-partitioned on
+    // user_id + pair agg + marginal/N aggs
+    "q129_pmi_pairs" -> 5,
+    // q130: per-user conversion rollup, then the 5-row cohort agg
+    "q130_ab_ztest" -> 2)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
