@@ -1120,6 +1120,88 @@ object AnalyticQueries {
                      * LN((CAST(good_n AS DOUBLE) / g)
                           / (CAST(bad_n AS DOUBLE) / b)), 6) AS iv_part
         FROM per, tot
+      """)),
+
+    // ------------------------------------------------------------------
+    // q132: BM25 retrieval scoring (k1=1.2, b=0.75, Robertson +1 idf)
+    // for a fixed 3-term query — the ranking function a corpus search
+    // layer needs beyond q37's tf-idf, with per-document length
+    // normalization against the corpus mean. Every statistic is a
+    // partial-aggregable integer count; the token stream is scanned
+    // ONCE (checkpointed) and feeds doc lengths, totals, tf, and df.
+    // The tf relation is pre-filtered to the query terms BEFORE any
+    // shuffle, so the heavy groupBys move only matching postings —
+    // the inverted-index access path, not a corpus-wide join. df and
+    // the one-row corpus totals broadcast; dl joins co-keyed on
+    // doc_id. The float score is one IEEE expression over exact
+    // integers (q112/q117 recipe): ranked at round-9, emitted at
+    // round-6, doc_id tiebreak.
+    QDef(
+      "q132_bm25",
+      (s, dir) => {
+        val toks = Tables(s, dir).documents
+          .select(col("doc_id"), explode(expr(TextQueries.wordsExpr))
+            .as("word"))
+          .localCheckpoint() // feeds dl/totals AND tf/df
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val totals = dl.agg(count(lit(1)).as("nn"),
+          sum(col("dl")).as("toktot"))
+        val tf = toks.where(col("word").isin("spark", "window", "merge"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(df), "word")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(totals))
+          .withColumn("avgdl", col("toktot").cast("double") / col("nn"))
+          .withColumn("part",
+            log(lit(1.0d) + (col("nn").cast("double") - col("df") +
+              lit(0.5d)) / (col("df").cast("double") + lit(0.5d))) *
+              (col("tf").cast("double") * lit(2.2d)) /
+              (col("tf").cast("double") + lit(1.2d) *
+                (lit(0.25d) + lit(0.75d) *
+                  col("dl").cast("double") / col("avgdl"))))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("part")).as("score_raw"),
+            count(lit(1)).as("n_terms"))
+        scored
+          .withColumn("rk", row_number().over(Window.orderBy(
+            round(col("score_raw"), 9).desc, col("doc_id").asc)))
+          .where(col("rk") <= 15)
+          .select(col("rk"), col("doc_id"), col("n_terms"),
+            round(col("score_raw"), 6).as("score"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id,
+                        unnest(${TextQueries.wordsExprDuck}) AS word
+                      FROM documents),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                       CAST(SUM(dl) AS BIGINT) AS toktot FROM dl),
+        tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks WHERE word IN ('spark', 'window', 'merge')
+               GROUP BY 1, 2),
+        df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+               FROM tf GROUP BY 1),
+        sc AS (SELECT t.doc_id,
+                      SUM(LN(1.0 + (CAST(nn AS DOUBLE) - f.df + 0.5)
+                             / (CAST(f.df AS DOUBLE) + 0.5))
+                          * (CAST(t.tf AS DOUBLE) * 2.2)
+                          / (CAST(t.tf AS DOUBLE) + 1.2
+                             * (0.25 + 0.75 * CAST(d.dl AS DOUBLE)
+                                / (CAST(toktot AS DOUBLE) / nn))))
+                        AS score_raw,
+                      CAST(COUNT(*) AS BIGINT) AS n_terms
+               FROM tf t JOIN df f ON f.word = t.word
+               JOIN dl d ON d.doc_id = t.doc_id, tot
+               GROUP BY 1)
+        SELECT CAST(rk AS INTEGER) AS rk, doc_id, n_terms,
+               ROUND(score_raw, 6) AS score
+        FROM (SELECT doc_id, n_terms, score_raw,
+                     ROW_NUMBER() OVER (ORDER BY ROUND(score_raw, 9) DESC,
+                       doc_id ASC) AS rk
+              FROM sc) t
+        WHERE rk <= 15
       """))
   )
 }

@@ -187,6 +187,84 @@ object OrderedQueries {
         SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_purchases,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM j WHERE rn = 1 GROUP BY tier
+      """)),
+
+    // ------------------------------------------------------------------
+    // q133: spatial radius join via grid bucketing — the distributed
+    // "find everything within r km" primitive. Points are derived
+    // deterministically from keys (a 20°×20° region, lat/lon ∈
+    // [-10, 10), exact integer modular arithmetic, so both engines
+    // agree to the bit — a dense-enough cloud that the radius join is
+    // non-trivial at every SF). The oracle is the all-pairs haversine
+    // theta join; the engine never runs it: each supplier explodes
+    // into its 3×3 neighborhood of 1°×1° grid cells, the join is a
+    // pure EQUI-join on the cell id — the shard key at planetary
+    // scale (add antimeridian wrap when the domain touches ±180°) —
+    // and the haversine runs only on co-cell candidates. Correct
+    // because r = 50 km is under the minimum cell width in range
+    // (109 km at 10° lat), so any within-r pair shares a cell or
+    // touches adjacent ones. Distances
+    // are ranked/filtered at round-9 and emitted at round-6 (the
+    // suite's cut-vs-ulp rule for libm trig).
+    QDef(
+      "q133_spatial_join",
+      (s, dir) => {
+        val cust = Tables(s, dir).customer.select(col("c_custkey"),
+          expr("cast((cast(c_custkey as bigint) * 7919) % 2000 as double)" +
+            " / 100.0D - 10.0D").as("lat_c"),
+          expr("cast((cast(c_custkey as bigint) * 104729) % 2000" +
+            " as double) / 100.0D - 10.0D").as("lon_c"))
+          .withColumn("cl", floor(col("lat_c")).cast("int"))
+          .withColumn("cg", floor(col("lon_c")).cast("int"))
+        val supp = Tables(s, dir).supplier.select(col("s_suppkey"),
+          expr("cast((cast(s_suppkey as bigint) * 7919 + 4999) % 2000" +
+            " as double) / 100.0D - 10.0D").as("lat_s"),
+          expr("cast((cast(s_suppkey as bigint) * 104729 + 911) % 2000" +
+            " as double) / 100.0D - 10.0D").as("lon_s"))
+          .withColumn("dl", explode(expr("array(-1, 0, 1)")))
+          .withColumn("dg", explode(expr("array(-1, 0, 1)")))
+          .select(col("s_suppkey"), col("lat_s"), col("lon_s"),
+            (floor(col("lat_s")).cast("int") + col("dl")).as("cl"),
+            (floor(col("lon_s")).cast("int") + col("dg")).as("cg"))
+        val dist =
+          "round(2.0D * 6371.0D * asin(sqrt(" +
+            "sin(radians((lat_c - lat_s) / 2)) *" +
+            " sin(radians((lat_c - lat_s) / 2)) +" +
+            " cos(radians(lat_s)) * cos(radians(lat_c)) *" +
+            " sin(radians((lon_c - lon_s) / 2)) *" +
+            " sin(radians((lon_c - lon_s) / 2)))), 9)"
+        supp.join(cust, Seq("cl", "cg"))
+          .withColumn("d_km", expr(dist))
+          .where(col("d_km") < 50.0d)
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_within"),
+            round(min(col("d_km")), 6).as("min_km"))
+      },
+      Some("""
+        WITH c AS (SELECT c_custkey,
+                     CAST((CAST(c_custkey AS BIGINT) * 7919) % 2000
+                       AS DOUBLE) / 100.0 - 10.0 AS lat_c,
+                     CAST((CAST(c_custkey AS BIGINT) * 104729) % 2000
+                       AS DOUBLE) / 100.0 - 10.0 AS lon_c
+                   FROM customer),
+        s AS (SELECT s_suppkey,
+                     CAST((CAST(s_suppkey AS BIGINT) * 7919 + 4999) % 2000
+                       AS DOUBLE) / 100.0 - 10.0 AS lat_s,
+                     CAST((CAST(s_suppkey AS BIGINT) * 104729 + 911) % 2000
+                       AS DOUBLE) / 100.0 - 10.0 AS lon_s
+                   FROM supplier),
+        d AS (SELECT s_suppkey,
+                     ROUND(2.0 * 6371.0 * ASIN(SQRT(
+                       SIN(RADIANS((lat_c - lat_s) / 2))
+                         * SIN(RADIANS((lat_c - lat_s) / 2))
+                       + COS(RADIANS(lat_s)) * COS(RADIANS(lat_c))
+                         * SIN(RADIANS((lon_c - lon_s) / 2))
+                         * SIN(RADIANS((lon_c - lon_s) / 2)))), 9) AS d_km
+              FROM s, c)
+        SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_within,
+               ROUND(MIN(d_km), 6) AS min_km
+        FROM d WHERE d_km < 50.0
+        GROUP BY 1
       """))
   )
 }

@@ -988,6 +988,54 @@ object PipelineQueries {
             ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
           FROM documents) t
         WHERE rk <= 5
+      """)),
+
+    // ------------------------------------------------------------------
+    // q135: k-fold cross-validation audit — hash-assign every document
+    // to one of 5 folds (salted md5, the q51/q81 idiom: no stored
+    // assignment table, any engine derives identical folds) and audit
+    // stratification: per (fold, lang) doc/char counts, the fold's
+    // share of its language, and a balance flag (within ±0.08 of the
+    // ideal 1/5). Disjointness is by construction (a doc hashes to ONE
+    // fold); the share check is what catches a skewed hash or a
+    // filtered corpus. One partial-aggregable pass + a broadcast
+    // per-lang totals join — the 10^10-doc shape. The flag compares
+    // the same IEEE expression in both engines (exact-int ratio vs
+    // literal), share is emitted at round-6.
+    QDef(
+      "q135_fold_audit",
+      (s, dir) => {
+        val folds = Tables(s, dir).documents
+          .withColumn("fold", expr(
+            """cast(conv(substring(md5(cast(concat('fold|',
+                 cast(doc_id as string)) as binary)), 1, 4), 16, 10)
+               as int) % 5"""))
+          .groupBy(col("fold"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"))
+        val langTot = folds.groupBy(col("lang"))
+          .agg(sum(col("n_docs")).as("lang_n"))
+        folds.join(broadcast(langTot), "lang")
+          .select(col("fold"), col("lang"), col("n_docs"), col("n_chars"),
+            round(col("n_docs").cast("double") / col("lang_n"), 6)
+              .as("share"),
+            when(abs(col("n_docs").cast("double") / col("lang_n") -
+              lit(0.2d)) < lit(0.08d), 1).otherwise(0).as("balanced"))
+      },
+      Some("""
+        WITH f AS (SELECT (('0x' || substring(md5('fold|'
+                     || CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER) % 5
+                     AS fold, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars
+                   FROM documents GROUP BY 1, 2),
+        lt AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_n
+               FROM f GROUP BY 1)
+        SELECT fold, f.lang, n_docs, n_chars,
+               ROUND(CAST(n_docs AS DOUBLE) / lang_n, 6) AS share,
+               CASE WHEN ABS(CAST(n_docs AS DOUBLE) / lang_n - 0.2) < 0.08
+                    THEN 1 ELSE 0 END AS balanced
+        FROM f JOIN lt ON lt.lang = f.lang
       """))
   )
 }

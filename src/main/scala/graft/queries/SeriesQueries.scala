@@ -668,6 +668,117 @@ object SeriesQueries {
                             * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                             * (1.0 / n0 + 1.0 / n1)), 0), 6) AS z
         FROM agg
+      """)),
+
+    // ------------------------------------------------------------------
+    // q131: sweep-line interval concurrency — peak simultaneous
+    // "sessions" per hour, where each event holds a resource for
+    // `value` seconds. The textbook algorithm is a GLOBAL running sum
+    // over +1/-1 deltas, which on a cluster is a single-partition
+    // sort; the engine instead runs the distributed two-phase prefix
+    // sum (q96's bucket trick, applied to time): (1) per-hour net
+    // deltas — a tiny partial-aggregable relation — get cumulative
+    // offsets via a window over hundreds of rows; (2) the within-hour
+    // running sum is a window PARTITIONED BY hour, so the heavy sort
+    // shards on the time bucket. Offset + within-sum reconstructs the
+    // exact global sweep. Tie order (t, delta, eid) is total and makes
+    // a zero-length hold never count as concurrent (its -1 sorts
+    // first). All arithmetic is integer — hash-exact by construction.
+    QDef(
+      "q131_concurrency",
+      (s, dir) => {
+        val iv = Tables(s, dir).events
+          .select(col("event_id").as("eid"), col("ts").as("st"),
+            // floor, not a bare int cast: DuckDB rounds double→int
+            // casts while Spark truncates — FLOOR agrees everywhere
+            expr("timestampadd(SECOND, cast(floor(value) as int), ts)")
+              .as("en"))
+        val deltas = iv.select(col("st").as("t"), lit(1).as("delta"),
+          col("eid"))
+          .unionByName(iv.select(col("en").as("t"), lit(-1).as("delta"),
+            col("eid")))
+          .withColumn("bucket", date_trunc("hour", col("t")))
+          .localCheckpoint() // feeds the bucket-net agg AND the sweep
+        val prevBuckets = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = deltas.groupBy(col("bucket"))
+          .agg(sum(col("delta")).as("net"))
+          .withColumn("off", coalesce(sum(col("net")).over(prevBuckets),
+            lit(0L)))
+          .select(col("bucket"), col("off"))
+        val wIn = Window.partitionBy(col("bucket"))
+          .orderBy(col("t"), col("delta"), col("eid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas.join(broadcast(offsets), "bucket")
+          .withColumn("conc", col("off") + sum(col("delta")).over(wIn))
+          .groupBy(col("bucket"))
+          .agg(max(col("conc")).as("max_conc"),
+            count(lit(1)).as("n_deltas"))
+          .select(date_format(col("bucket"), "yyyy-MM-dd HH:00").as("hour"),
+            col("max_conc"), col("n_deltas"))
+      },
+      Some("""
+        WITH iv AS (SELECT event_id AS eid, ts AS st,
+                           ts + CAST(FLOOR(value) AS INTEGER)
+                             * INTERVAL 1 SECOND AS en
+                    FROM events),
+        d AS (SELECT st AS t, 1 AS delta, eid FROM iv
+              UNION ALL SELECT en, -1, eid FROM iv),
+        r AS (SELECT date_trunc('hour', t) AS bucket,
+                     SUM(delta) OVER (ORDER BY t, delta, eid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS conc
+              FROM d)
+        SELECT strftime(bucket, '%Y-%m-%d %H:00') AS hour,
+               CAST(MAX(conc) AS BIGINT) AS max_conc,
+               CAST(COUNT(*) AS BIGINT) AS n_deltas
+        FROM r GROUP BY bucket
+      """)),
+
+    // ------------------------------------------------------------------
+    // q136: seasonal profile decomposition — the additive
+    // profile-plus-residual split behind every traffic anomaly
+    // detector: per (day, hour-of-day) counts, an hour-of-day profile
+    // (mean across days), and the residual envelope (min/max deviation
+    // from profile). Two partial-aggregable passes — the second over
+    // the already-tiny daily grid — plus a broadcast profile join;
+    // nothing here sorts or shuffles the raw stream more than once on
+    // the (day, hod) key it would shard by at 10^12 events. Counts are
+    // exact; profile and residual are single divisions/subtractions of
+    // exact integers — the same IEEE expressions both engines, round 6.
+    QDef(
+      "q136_seasonal_profile",
+      (s, dir) => {
+        val grid = Tables(s, dir).events
+          .groupBy(date_trunc("day", col("ts")).as("d"),
+            hour(col("ts")).as("hod"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // feeds the profile agg AND the residuals
+        val prof = grid.groupBy(col("hod"))
+          .agg((sum(col("n")).cast("double") / count(lit(1))).as("avg_raw"),
+            count(lit(1)).as("n_days"))
+        grid.join(broadcast(prof), "hod")
+          .withColumn("resid", col("n").cast("double") - col("avg_raw"))
+          .groupBy(col("hod"), col("n_days"), col("avg_raw"))
+          .agg(round(max(col("resid")), 6).as("max_resid"),
+            round(min(col("resid")), 6).as("min_resid"))
+          .select(col("hod"), col("n_days"), round(col("avg_raw"), 6)
+            .as("avg_n"), col("max_resid"), col("min_resid"))
+      },
+      Some("""
+        WITH grid AS (SELECT date_trunc('day', ts) AS d,
+                             CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM events GROUP BY 1, 2),
+        prof AS (SELECT hod,
+                        CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_raw,
+                        CAST(COUNT(*) AS BIGINT) AS n_days
+                 FROM grid GROUP BY 1)
+        SELECT g.hod, p.n_days, ROUND(p.avg_raw, 6) AS avg_n,
+               ROUND(MAX(CAST(g.n AS DOUBLE) - p.avg_raw), 6) AS max_resid,
+               ROUND(MIN(CAST(g.n AS DOUBLE) - p.avg_raw), 6) AS min_resid
+        FROM grid g JOIN prof p ON p.hod = g.hod
+        GROUP BY g.hod, p.n_days, p.avg_raw
       """))
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators over the `documents` table — the reference's
   * wc/indexer apps re-expressed as declarative Spark queries (SURVEY.md
@@ -734,6 +735,60 @@ object TextQueries {
                      ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS rk
               FROM cnt) t
         WHERE rk <= 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // q134: skip-gram co-occurrence pair extraction (window ≤ 2) — the
+    // training-pair generator for word2vec-style embeddings. The
+    // crucial scale decision: a positional self-join (explode positions,
+    // join doc to itself on |pb−pa| ≤ 2) would shuffle the token stream
+    // twice and explode the join; instead the pairs are built ARRAY-
+    // LOCALLY inside one projection — two transform() passes over the
+    // token array (gap 1 and gap 2) concatenated and exploded — so the
+    // only shuffle is the final pair-count aggregation, which is
+    // partial-aggregable and sharded on the pair key. Counts are exact
+    // integers; ranking is (cnt, wa, wb, gap) — total, no floats
+    // anywhere.
+    QDef(
+      "q134_skipgram_pairs",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .select(expr(W).as("ws"))
+          .where(expr("size(ws) >= 3"))
+          .select(explode(expr(
+            """concat(
+                 transform(sequence(0, size(ws) - 2),
+                   i -> named_struct('wa', ws[i], 'wb', ws[i + 1],
+                                     'gap', 1)),
+                 transform(sequence(0, size(ws) - 3),
+                   i -> named_struct('wa', ws[i], 'wb', ws[i + 2],
+                                     'gap', 2)))""")).as("pr"))
+          .select(col("pr.wa").as("wa"), col("pr.wb").as("wb"),
+            col("pr.gap").as("gap"))
+          .groupBy(col("wa"), col("wb"), col("gap"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(Window.orderBy(
+            col("cnt").desc, col("wa").asc, col("wb").asc, col("gap").asc)))
+          .where(col("rk") <= 25)
+      },
+      Some(s"""
+        WITH t AS (SELECT $WDuck AS ws FROM documents),
+        p AS (SELECT unnest(list_concat(
+                list_transform(range(len(ws) - 1),
+                  i -> {'wa': ws[i + 1], 'wb': ws[i + 2], 'gap': 1}),
+                list_transform(range(len(ws) - 2),
+                  i -> {'wa': ws[i + 1], 'wb': ws[i + 3], 'gap': 2})))
+                AS pr
+              FROM t WHERE len(ws) >= 3),
+        c AS (SELECT pr.wa AS wa, pr.wb AS wb, pr.gap AS gap,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM p GROUP BY 1, 2, 3)
+        SELECT wa, wb, gap, cnt, CAST(rk AS INTEGER) AS rk
+        FROM (SELECT wa, wb, gap, cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, wa ASC, wb ASC,
+                       gap ASC) AS rk
+              FROM c) t
+        WHERE rk <= 25
       """))
   )
 }

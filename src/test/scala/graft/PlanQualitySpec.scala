@@ -68,7 +68,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "q128_woe_binning",
     // q129 crossJoins the ONE-row distinct-user count into the
     // |event-types|^2-bounded pair table (q37 pattern)
-    "q129_pmi_pairs")
+    "q129_pmi_pairs",
+    // q132 crossJoins the ONE-row corpus totals (N, token total) into
+    // the query-term postings (q37 pattern)
+    "q132_bm25")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

@@ -203,7 +203,24 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // user_id + pair agg + marginal/N aggs
     "q129_pmi_pairs" -> 5,
     // q130: per-user conversion rollup, then the 5-row cohort agg
-    "q130_ab_ztest" -> 2)
+    "q130_ab_ztest" -> 2,
+    // q131: post-checkpoint deltas: bucket-net agg + its tiny global
+    // window, and the hour-partitioned sweep window
+    "q131_concurrency" -> 3,
+    // q132: post-checkpoint postings: dl/totals aggs, term-filtered
+    // tf/df aggs, the dl join, and the top-15 rank
+    "q132_bm25" -> 7,
+    // q133: the supplier side broadcasts into the cell equi-join; one
+    // exchange for the per-supplier agg
+    "q133_spatial_join" -> 1,
+    // q134: pairs are array-local; the single shuffle is the pair-count
+    // agg feeding the global top-25
+    "q134_skipgram_pairs" -> 1,
+    // q135: fold×lang agg, lang totals agg, and the final broadcast-join
+    // exchange
+    "q135_fold_audit" -> 3,
+    // q136: post-checkpoint grid: profile agg + residual-envelope agg
+    "q136_seasonal_profile" -> 2)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
