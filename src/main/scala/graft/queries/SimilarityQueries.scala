@@ -775,20 +775,28 @@ object SimilarityQueries {
     // window's input is bounded by the distinct rounded scores per
     // label (≤10⁶ rows at ANY corpus size), and every product/sum in
     // the statistic is exact half-integer arithmetic — bit-identical
-    // across engines, no float drift to absorb. Centroids broadcast;
-    // the score matrix is a partial agg over (vec, dim) rows.
+    // across engines, no float drift to absorb. Centroid arrays
+    // broadcast; each vector scores with an array-local dot product.
     QDef(
       "q119_auc_eval",
       (s, dir) => {
-        val dims = vectors(s, dir)
-          .select(col("vec_id"), col("label"),
-            posexplode(col("v")).as(Seq("p", "x")))
-          .localCheckpoint() // feeds the centroid agg AND the score join
+        val vecs = vectors(s, dir).localCheckpoint() // centroids + scoring
+        // centroids via the (vec, dim) explode — a partial agg on
+        // (label, p); but SCORING never re-explodes: the per-label
+        // centroid is packed back into an array (10 rows) and each
+        // vector takes an array-local zip_with dot against the
+        // broadcast pack — N×10 rows instead of an N×64×10 join
+        val dims = vecs.select(col("vec_id"), col("label"),
+          posexplode(col("v")).as(Seq("p", "x")))
         val centroid = dims.groupBy(col("label").as("clabel"), col("p"))
           .agg(round(avg(col("x")), 9).as("c"))
-        val scores = dims.join(broadcast(centroid), Seq("p"))
-          .groupBy(col("vec_id"), col("label"), col("clabel"))
-          .agg(round(sum(col("x") * col("c")), 6).as("score"))
+        val packs = centroid.groupBy(col("clabel"))
+          .agg(expr("transform(array_sort(collect_list(struct(p, c)))," +
+            " s -> s.c)").as("cv"))
+        val scores = vecs.join(broadcast(packs))
+          .select(col("vec_id"), col("label"), col("clabel"),
+            round(expr("aggregate(zip_with(v, cv, (x, y) -> x * y)," +
+              " 0D, (a, b) -> a + b)"), 6).as("score"))
         val sc = scores.groupBy(col("clabel"), col("score"))
           .agg(sum(when(col("label") === col("clabel"), 1).otherwise(0))
             .as("pc"),
@@ -951,14 +959,20 @@ object SimilarityQueries {
     QDef(
       "q127_threshold_eval",
       (s, dir) => {
-        val dims = vectors(s, dir)
-          .select(col("vec_id"), col("label"),
-            posexplode(col("v")).as(Seq("p", "x")))
-        val centroid = dims.where(col("label") === 0)
+        val vecs = vectors(s, dir)
+        // centroid from the label-0 slice only (explode is 50×64 rows);
+        // scoring is an array-local zip_with dot against the ONE-row
+        // broadcast centroid pack — the corpus is never exploded
+        val centroid = vecs.where(col("label") === 0)
+          .select(col("vec_id"), posexplode(col("v")).as(Seq("p", "x")))
           .groupBy(col("p")).agg(round(avg(col("x")), 9).as("c"))
-        val scored = dims.join(broadcast(centroid), Seq("p"))
-          .groupBy(col("vec_id"), col("label"))
-          .agg(round(sum(col("x") * col("c")), 6).as("score"))
+        val pack = centroid
+          .agg(expr("transform(array_sort(collect_list(struct(p, c)))," +
+            " s -> s.c)").as("cv"))
+        val scored = vecs.crossJoin(broadcast(pack))
+          .select(col("vec_id"), col("label"),
+            round(expr("aggregate(zip_with(v, cv, (x, y) -> x * y)," +
+              " 0D, (a, b) -> a + b)"), 6).as("score"))
         val grid = expr(
           "explode(array(-0.25D, 0D, 0.1D, 0.2D, 0.3D, 0.4D, 0.5D))")
         scored.select(col("label"), col("score"), grid.as("t"))

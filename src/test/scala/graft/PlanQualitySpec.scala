@@ -71,7 +71,12 @@ class PlanQualitySpec extends AnyFunSuite {
     "q129_pmi_pairs",
     // q132 crossJoins the ONE-row corpus totals (N, token total) into
     // the query-term postings (q37 pattern)
-    "q132_bm25")
+    "q132_bm25",
+    // q119 crosses the 10-row centroid-array pack into the corpus for
+    // array-local dot scoring (replaced the N×64×10 dim join)
+    "q119_auc_eval",
+    // q127 crossJoins the ONE-row centroid-array pack (same rewrite)
+    "q127_threshold_eval")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan
