@@ -1202,6 +1202,49 @@ object AnalyticQueries {
                        doc_id ASC) AS rk
               FROM sc) t
         WHERE rk <= 15
+      """)),
+
+    // ------------------------------------------------------------------
+    // q138: leave-one-out target encoding — the leakage-safe
+    // categorical encoder: each order's priority is encoded as the
+    // mean total price of all OTHER orders sharing that priority,
+    // (S_g − x_i) / (n_g − 1). The group sums accumulate in
+    // DECIMAL(18,2) — exact, order-independent — and broadcast back
+    // (|priorities| rows), so the per-row encode is a map-side
+    // subtraction: one partial-aggregable pass + one broadcast join,
+    // nothing resembling the per-row correlated subquery the textbook
+    // definition implies. Output is a deterministic key-sampled slice
+    // (orderkey % 997 = 0) so rows stay bounded while S/n still cover
+    // the full table; the single division runs on exact decimal-
+    // difference inputs, rounded at 6.
+    QDef(
+      "q138_target_encoding",
+      (s, dir) => {
+        val o = Tables(s, dir).orders
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("x"))
+        val g = o.groupBy(col("o_orderpriority"))
+          .agg(sum(col("x")).as("sg"), count(lit(1)).as("ng"))
+        o.join(broadcast(g), "o_orderpriority")
+          .where(col("o_orderkey") % 997 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("x").cast("double").as("price"),
+            col("ng"),
+            round((col("sg") - col("x")).cast("double") /
+              (col("ng") - lit(1L)), 6).as("loo_mean"))
+      },
+      Some("""
+        WITH o AS (SELECT o_orderkey, o_orderpriority,
+                          CAST(o_totalprice AS DECIMAL(18,2)) AS x
+                   FROM orders),
+        g AS (SELECT o_orderpriority,
+                     SUM(x) AS sg, CAST(COUNT(*) AS BIGINT) AS ng
+              FROM o GROUP BY 1)
+        SELECT o_orderkey, o.o_orderpriority,
+               CAST(x AS DOUBLE) AS price, ng,
+               ROUND(CAST(sg - x AS DOUBLE) / (ng - 1), 6) AS loo_mean
+        FROM o JOIN g ON g.o_orderpriority = o.o_orderpriority
+        WHERE o_orderkey % 997 = 0
       """))
   )
 }

@@ -1036,6 +1036,53 @@ object PipelineQueries {
                CASE WHEN ABS(CAST(n_docs AS DOUBLE) / lang_n - 0.2) < 0.08
                     THEN 1 ELSE 0 END AS balanced
         FROM f JOIN lt ON lt.lang = f.lang
+      """)),
+
+    // ------------------------------------------------------------------
+    // q144: overlapping sliding-window chunking (window 48, stride 32,
+    // 16-token overlap) — the RAG/embedding chunker, as opposed to
+    // q93's disjoint chunks. Chunk starts and slices are built ARRAY-
+    // LOCALLY in one projection (transform over the start grid +
+    // slice), exploded, fingerprinted, and folded back to a per-doc
+    // audit: chunk count, distinct fingerprints (catches pathological
+    // repetition where overlapping windows collapse), and total
+    // chunked tokens (48/32 oversampling makes it ≈ 1.5× the doc
+    // length — the audit makes that amplification visible). One
+    // explode + one doc-keyed aggregation; no token ever crosses the
+    // wire un-chunked.
+    QDef(
+      "q144_overlap_chunks",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .select(col("doc_id"), expr(
+            "regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+          .where(expr("size(ws) >= 1"))
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, cast((size(ws) - 1) div 32 as int)),
+                 i -> slice(ws, i * 32 + 1, 48))""")).as("c"))
+          .select(col("doc_id"), md5(concat_ws(" ", col("c")).cast("binary"))
+            .as("fp"), size(col("c")).as("ctoks"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("fp")).as("n_distinct_fp"),
+            sum(col("ctoks").cast("bigint")).as("chunk_tokens"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z]+'), x -> x <> '') AS ws
+                   FROM documents),
+        ch AS (SELECT doc_id,
+                 unnest(list_transform(range((len(ws) - 1) // 32 + 1),
+                   i -> ws[i * 32 + 1 : i * 32 + 48])) AS c
+               FROM t WHERE len(ws) >= 1),
+        f AS (SELECT doc_id, md5(array_to_string(c, ' ')) AS fp,
+                     len(c) AS ctoks
+              FROM ch)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+               CAST(SUM(ctoks) AS BIGINT) AS chunk_tokens
+        FROM f GROUP BY 1
       """))
   )
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Time-series operators over `events`/`lineitem`: calendar-spine
   * gap-fill with forward-fill, robust (median/MAD) outlier flagging, and
@@ -779,6 +780,59 @@ object SeriesQueries {
                ROUND(MIN(CAST(g.n AS DOUBLE) - p.avg_raw), 6) AS min_resid
         FROM grid g JOIN prof p ON p.hod = g.hod
         GROUP BY g.hod, p.n_days, p.avg_raw
+      """)),
+
+    // ------------------------------------------------------------------
+    // q137: point-in-time trailing-window features — the feature-store
+    // backfill shape: for every purchase, the user's activity profile
+    // over the PRECEDING 7 days (event count, click count, exact spend),
+    // with zero self-joins: one shuffle on user_id and a RANGE frame
+    // over epoch seconds computes every trailing aggregate in a single
+    // sorted pass — the plan shape that holds when the event stream is
+    // 10^12 rows (contrast with the events×events interval join, which
+    // explodes). The [-7d, -1s] frame is value-based, so same-second
+    // peers are excluded identically in both engines no matter how
+    // ties shuffle; spend accumulates in DECIMAL (order-exact), counts
+    // are integers — the whole row is hash-exact.
+    QDef(
+      "q137_trailing_features",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("unix_micros(ts) div 1000000").as("tsec"),
+            col("value"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+          .rangeBetween(-7L * 86400L, -1L)
+        ev.withColumn("cnt_7d", count(lit(1)).over(w))
+          .withColumn("clicks_7d",
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .over(w))
+          .withColumn("spend_7d",
+            sum(when(col("event_type") === "purchase",
+              col("value").cast(DecimalType(18, 2)))).over(w))
+          .where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("cnt_7d"),
+            col("clicks_7d"),
+            coalesce(col("spend_7d").cast("double"), lit(0.0d))
+              .as("spend_7d"))
+      },
+      Some("""
+        WITH ev AS (SELECT event_id, user_id, event_type,
+                           epoch_us(ts) // 1000000 AS tsec,
+                           CAST(value AS DECIMAL(18,2)) AS v
+                    FROM events),
+        f AS (SELECT event_id, user_id, event_type,
+                CAST(COUNT(*) OVER w AS BIGINT) AS cnt_7d,
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  OVER w AS BIGINT) AS clicks_7d,
+                SUM(CASE WHEN event_type = 'purchase' THEN v END) OVER w
+                  AS spend_7d
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+                RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING))
+        SELECT event_id, user_id, cnt_7d, clicks_7d,
+               COALESCE(CAST(spend_7d AS DOUBLE), 0.0) AS spend_7d
+        FROM f WHERE event_type = 'purchase'
       """))
   )
 }

@@ -789,6 +789,52 @@ object TextQueries {
                        gap ASC) AS rk
               FROM c) t
         WHERE rk <= 25
+      """)),
+
+    // ------------------------------------------------------------------
+    // q150: hashing-trick featurization through the NATIVE fnv1a
+    // Catalyst expression (graft.functions.Fnv1aHash, the codegen'd
+    // reference shuffle hash) — vocabulary hashed into 64 buckets,
+    // reporting per-bucket vocabulary size, total occurrences, and the
+    // collision-aware top word (exact argmax via max(struct)). The
+    // oracle RESTATES FNV-1a 32-bit byte-for-byte in DuckDB SQL
+    // (list_reduce over ascii codes with wrapping-multiply emulated in
+    // BIGINT mod 2^32), so the driver's hash gate now covers the
+    // custom expression's arithmetic itself — not just Scala-side
+    // known-answer tests. Vocab agg is partial-aggregable; the bucket
+    // rollup runs on the |vocab| relation, never the token stream.
+    QDef(
+      "q150_feature_hashing",
+      (s, dir) => {
+        val vocab = Tables(s, dir).documents
+          .select(explode(expr(W)).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+          .withColumn("bucket", expr("fnv1a(word) % 64"))
+        vocab.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_occ")).as("n_occurrences"),
+            max(struct(col("n_occ"), col("word"))).getField("word")
+              .as("top_word"))
+      },
+      Some("""
+        WITH vocab AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occ
+          FROM (SELECT unnest(list_filter(regexp_split_to_array(
+                  lower(text), '[^a-z]+'), x -> x <> '')) AS word
+                FROM documents) t
+          GROUP BY 1),
+        b AS (SELECT word, n_occ,
+                CAST((list_reduce(list_prepend(2166136261::BIGINT,
+                  list_transform(range(length(word)),
+                    i -> ascii(substring(word, CAST(i + 1 AS INT), 1))
+                           ::BIGINT)),
+                  (acc, x) -> (xor(acc, x) * 16777619) % 4294967296)
+                  % 2147483648) % 64 AS INTEGER) AS bucket
+              FROM vocab)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_occ) AS BIGINT) AS n_occurrences,
+               (MAX({'n': n_occ, 'w': word})).w AS top_word
+        FROM b GROUP BY 1
       """))
   )
 }

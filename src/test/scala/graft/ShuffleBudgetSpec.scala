@@ -220,7 +220,16 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // exchange
     "q135_fold_audit" -> 3,
     // q136: post-checkpoint grid: profile agg + residual-envelope agg
-    "q136_seasonal_profile" -> 2)
+    "q136_seasonal_profile" -> 2,
+    // q137: one user_id exchange feeds all three trailing RANGE frames
+    "q137_trailing_features" -> 1,
+    // q138: one priority-keyed moment agg; the encode is a broadcast
+    // join
+    "q138_target_encoding" -> 1,
+    // q144: chunks are array-local; per-doc agg (+ distinct-fp expand)
+    "q144_overlap_chunks" -> 2,
+    // q150: vocab agg + the 64-row bucket rollup
+    "q150_feature_hashing" -> 2)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
