@@ -1245,6 +1245,59 @@ object AnalyticQueries {
                ROUND(CAST(sg - x AS DOUBLE) / (ng - 1), 6) AS loo_mean
         FROM o JOIN g ON g.o_orderpriority = o.o_orderpriority
         WHERE o_orderkey % 997 = 0
+      """)),
+
+    // ------------------------------------------------------------------
+    // q140: join-key skew audit — the diagnostic a 100 TB operator
+    // runs BEFORE choosing a join strategy: per-key frequencies of
+    // lineitem.l_suppkey, top-key share, and the Gini coefficient of
+    // the key distribution (the salting decision input). The heavy
+    // pass is one partial-aggregable count; everything after —
+    // including the Gini rank window — runs on the |distinct keys|
+    // relation, which is already bounded (keys, not rows). Gini uses
+    // the exact rank identity G = 2·Σ(i·cᵢ)/(n·Σc) − (n+1)/n over
+    // counts sorted ascending: all integer sums, one final IEEE
+    // division per engine, round 6.
+    QDef(
+      "q140_skew_audit",
+      (s, dir) => {
+        val freq = Tables(s, dir).lineitem
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+        val ranked = freq.withColumn("i", row_number().over(
+          Window.orderBy(col("c").asc, col("l_suppkey").asc)))
+        ranked.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_c"),
+          max(struct(col("c"), col("l_suppkey"))).getField("l_suppkey")
+            .as("top_key"),
+          sum(col("i").cast("long") * col("c")).as("ic"))
+          .select(col("n_keys"), col("n_rows"), col("top_key"),
+            round(col("max_c").cast("double") / col("n_rows"), 6)
+              .as("top_share"),
+            round(lit(2.0d) * col("ic") /
+              (col("n_keys").cast("double") * col("n_rows")) -
+              (col("n_keys") + lit(1L)).cast("double") / col("n_keys"), 6)
+              .as("gini"))
+      },
+      Some("""
+        WITH freq AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM lineitem GROUP BY 1),
+        ranked AS (SELECT l_suppkey, c,
+                          ROW_NUMBER() OVER (ORDER BY c ASC, l_suppkey ASC)
+                            AS i
+                   FROM freq),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                       CAST(SUM(c) AS BIGINT) AS n_rows,
+                       CAST(MAX(c) AS BIGINT) AS max_c,
+                       (MAX({'c': c, 'k': l_suppkey})).k AS top_key,
+                       CAST(SUM(i * c) AS BIGINT) AS ic
+                FROM ranked)
+        SELECT n_keys, n_rows, top_key,
+               ROUND(CAST(max_c AS DOUBLE) / n_rows, 6) AS top_share,
+               ROUND(2.0 * ic / (CAST(n_keys AS DOUBLE) * n_rows)
+                     - CAST(n_keys + 1 AS DOUBLE) / n_keys, 6) AS gini
+        FROM agg
       """))
   )
 }

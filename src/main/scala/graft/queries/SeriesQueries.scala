@@ -833,6 +833,66 @@ object SeriesQueries {
         SELECT event_id, user_id, cnt_7d, clicks_7d,
                COALESCE(CAST(spend_7d AS DOUBLE), 0.0) AS spend_7d
         FROM f WHERE event_type = 'purchase'
+      """)),
+
+    // ------------------------------------------------------------------
+    // q141: leakage-safe churn label generation — the supervised-
+    // learning front door: split the stream at an IN-PLAN cutoff
+    // (max ts − 14 days, a broadcast one-row aggregate — no wall
+    // clock, no driver collect), compute features STRICTLY BEFORE the
+    // cutoff (event/purchase counts, exact decimal spend, distinct
+    // active days) and the churn label (zero activity at-or-after it)
+    // from disjoint time ranges, so no feature can see the label
+    // window. One pass over events with conditional aggregation — the
+    // cutoff predicate splits inside the aggregate, not via two scans.
+    // Users whose activity is entirely post-cutoff yield NULL-free
+    // zero features and label 0 in both engines.
+    QDef(
+      "q141_churn_labels",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val bounds = ev.agg(
+          expr("timestampadd(DAY, -14, max(ts))").as("cutoff"))
+        ev.crossJoin(broadcast(bounds))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("ts") < col("cutoff"), 1L).otherwise(0L))
+              .as("n_events"),
+            sum(when(col("ts") < col("cutoff") &&
+              col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_purchases"),
+            coalesce(sum(when(col("ts") < col("cutoff") &&
+              col("event_type") === "purchase",
+              col("value").cast(DecimalType(18, 2)))),
+              lit(0).cast(DecimalType(18, 2))).cast("double").as("spend"),
+            countDistinct(when(col("ts") < col("cutoff"),
+              date_trunc("day", col("ts")))).as("days_active"),
+            max(when(col("ts") >= col("cutoff"), 1L).otherwise(0L))
+              .as("active_after"))
+          .select(col("user_id"), col("n_events"), col("n_purchases"),
+            col("spend"), col("days_active"),
+            (lit(1L) - col("active_after")).as("churned"))
+      },
+      Some("""
+        WITH b AS (SELECT MAX(ts) - INTERVAL 14 DAY AS cutoff FROM events),
+        u AS (SELECT user_id,
+                CAST(SUM(CASE WHEN ts < cutoff THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_events,
+                CAST(SUM(CASE WHEN ts < cutoff AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+                CAST(COALESCE(SUM(CASE WHEN ts < cutoff
+                         AND event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(18,2)) END),
+                       0) AS DOUBLE) AS spend,
+                CAST(COUNT(DISTINCT CASE WHEN ts < cutoff
+                         THEN date_trunc('day', ts) END) AS BIGINT)
+                  AS days_active,
+                CAST(MAX(CASE WHEN ts >= cutoff THEN 1 ELSE 0 END)
+                  AS BIGINT) AS active_after
+              FROM events, b GROUP BY 1)
+        SELECT user_id, n_events, n_purchases, spend, days_active,
+               1 - active_after AS churned
+        FROM u
       """))
   )
 }

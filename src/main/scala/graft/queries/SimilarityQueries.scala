@@ -1027,6 +1027,97 @@ object SimilarityQueries {
                ROUND(2.0 * CAST(tp AS DOUBLE)
                      / nullif(2 * tp + fp + fn, 0), 6) AS f1
         FROM m
+      """)),
+
+    // ------------------------------------------------------------------
+    // q149: distributed k-NN classification eval — leave-one-out
+    // 5-NN over the IVF index (q48's quantizer via the SAME ivfRanked
+    // helper), majority vote, per-label accuracy. Every vector is a
+    // query; its candidates come from its 2 probe cells through a pure
+    // EQUI-join on the cell id (the shard key), never an all-pairs
+    // scan — this is the eval loop a 10^9-vector embedding table can
+    // actually run. The vote argmax folds map-side as
+    // max(struct(votes, -label)) (count desc, label asc — no window
+    // over the vote table); accuracy is exact integer counts with one
+    // rounded division. The oracle restates the identical pipeline
+    // (q120's idiom), so index assignment, probing, ranking, and
+    // voting are all under the hash gate.
+    QDef(
+      "q149_knn_eval",
+      (s, dir) => {
+        val e = vectors(s, dir).localCheckpoint() // quantizer + both sides
+        val rk = ivfRanked(e, 16)
+        val assign = rk.filter(col("rn") === 1)
+          .select(col("vec_id").as("nid"), col("cent_id").as("cell"),
+            col("v").as("nv"))
+          .join(e.select(col("vec_id").as("nid"), col("label")
+            .as("nlabel")), "nid")
+        val probes = rk.filter(col("rn") <= 2)
+          .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+        val top5 = probes.join(assign, "cell")
+          .where(col("nid") =!= col("qid"))
+          .join(e.select(col("vec_id").as("qid"), col("v").as("qv")),
+            "qid")
+          .withColumn("sim", expr("dot_product(nv, qv)"))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(col("sim").desc, col("nid").asc)))
+          .where(col("rk") <= 5)
+        val pred = top5.groupBy(col("qid"), col("nlabel"))
+          .agg(count(lit(1)).as("votes"))
+          .groupBy(col("qid"))
+          .agg(max(struct(col("votes"), (-col("nlabel")).as("nl")))
+            .getField("nl").as("neg_pred"))
+          .select(col("qid"), (-col("neg_pred")).as("plabel"))
+        pred.join(e.select(col("vec_id").as("qid"), col("label")), "qid")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("plabel") === col("label"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(col("label"), col("n"), col("n_correct"),
+            round(col("n_correct").cast("double") / col("n"), 6).as("acc"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                  WHERE vec_id < 16),
+        sims AS (SELECT a.vec_id, c.cent_id,
+                        list_sum(list_transform(range(1, 65),
+                          i -> a.v[i] * c.cv[i])) AS sim
+                 FROM e a, cents c),
+        ranked AS (SELECT vec_id, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, cent_id ASC) AS rn
+                   FROM sims),
+        assign AS (SELECT r.vec_id AS nid, r.cent_id AS cell, ne.label
+                     AS nlabel
+                   FROM ranked r JOIN e ne ON ne.vec_id = r.vec_id
+                   WHERE r.rn = 1),
+        probes AS (SELECT vec_id AS qid, cent_id AS cell
+                   FROM ranked WHERE rn <= 2),
+        scored AS (SELECT p.qid, a.nid, a.nlabel,
+                     ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                       list_sum(list_transform(range(1, 65),
+                         i -> qe.v[i] * ne.v[i])) DESC, a.nid ASC) AS rk
+                   FROM probes p JOIN assign a ON a.cell = p.cell
+                    AND a.nid <> p.qid
+                   JOIN e qe ON qe.vec_id = p.qid
+                   JOIN e ne ON ne.vec_id = a.nid),
+        votes AS (SELECT qid, nlabel, CAST(COUNT(*) AS BIGINT) AS votes
+                  FROM scored WHERE rk <= 5 GROUP BY 1, 2),
+        pred AS (SELECT qid,
+                   -((MAX({'v': votes, 'nl': -nlabel})).nl) AS plabel
+                 FROM votes GROUP BY 1)
+        SELECT qe.label, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN p.plabel = qe.label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct,
+               ROUND(CAST(SUM(CASE WHEN p.plabel = qe.label
+                        THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS acc
+        FROM pred p JOIN e qe ON qe.vec_id = p.qid
+        GROUP BY 1
       """))
   )
 }

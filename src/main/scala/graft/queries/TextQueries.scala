@@ -835,6 +835,63 @@ object TextQueries {
                CAST(SUM(n_occ) AS BIGINT) AS n_occurrences,
                (MAX({'n': n_occ, 'w': word})).w AS top_word
         FROM b GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q139: boolean AND retrieval — postings-list intersection, the
+    // conjunctive complement to q132's ranked BM25: documents that
+    // contain ALL THREE query terms, with per-term frequencies. The
+    // intersection is counting, not joining: term-filtered postings
+    // (filtered BEFORE the shuffle, the inverted-index access path)
+    // aggregate per doc with a HAVING count(distinct term) = 3 —
+    // one partial-aggregable pass, no k-way self-join, the plan an
+    // inverted index would execute. Per-term tfs pivot out as
+    // conditional sums in the same aggregate. Top-20 by total tf,
+    // doc_id tiebreak — all integers.
+    QDef(
+      "q139_boolean_retrieval",
+      (s, dir) => {
+        val hits = Tables(s, dir).documents
+          .select(col("doc_id"), explode(expr(W)).as("word"))
+          .where(col("word").isin("spark", "window", "merge"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("word")).as("n_terms"),
+            sum(when(col("word") === "spark", 1L).otherwise(0L))
+              .as("tf_spark"),
+            sum(when(col("word") === "window", 1L).otherwise(0L))
+              .as("tf_window"),
+            sum(when(col("word") === "merge", 1L).otherwise(0L))
+              .as("tf_merge"))
+          .where(col("n_terms") === 3)
+          .withColumn("tf_total",
+            col("tf_spark") + col("tf_window") + col("tf_merge"))
+        hits.withColumn("rk", row_number().over(Window.orderBy(
+          col("tf_total").desc, col("doc_id").asc)))
+          .where(col("rk") <= 20)
+          .select(col("rk"), col("doc_id"), col("tf_spark"),
+            col("tf_window"), col("tf_merge"), col("tf_total"))
+      },
+      Some(s"""
+        WITH hits AS (
+          SELECT doc_id,
+                 CAST(COUNT(DISTINCT word) AS BIGINT) AS n_terms,
+                 CAST(SUM(CASE WHEN word = 'spark' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tf_spark,
+                 CAST(SUM(CASE WHEN word = 'window' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tf_window,
+                 CAST(SUM(CASE WHEN word = 'merge' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tf_merge
+          FROM (SELECT doc_id, unnest($WDuck) AS word FROM documents) t
+          WHERE word IN ('spark', 'window', 'merge')
+          GROUP BY 1 HAVING COUNT(DISTINCT word) = 3)
+        SELECT CAST(rk AS INTEGER) AS rk, doc_id, tf_spark, tf_window,
+               tf_merge, tf_total
+        FROM (SELECT doc_id, tf_spark, tf_window, tf_merge,
+                     tf_spark + tf_window + tf_merge AS tf_total,
+                     ROW_NUMBER() OVER (ORDER BY tf_spark + tf_window
+                       + tf_merge DESC, doc_id ASC) AS rk
+              FROM hits) t
+        WHERE rk <= 20
       """))
   )
 }

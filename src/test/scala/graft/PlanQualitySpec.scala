@@ -76,7 +76,13 @@ class PlanQualitySpec extends AnyFunSuite {
     // array-local dot scoring (replaced the N×64×10 dim join)
     "q119_auc_eval",
     // q127 crossJoins the ONE-row centroid-array pack (same rewrite)
-    "q127_threshold_eval")
+    "q127_threshold_eval",
+    // q141 crossJoins the ONE-row in-plan cutoff aggregate (q37
+    // pattern)
+    "q141_churn_labels",
+    // q149's quantizer is q48's 16-row broadcast centroid cross
+    // (ivfRanked); candidate generation itself is a cell equi-join
+    "q149_knn_eval")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

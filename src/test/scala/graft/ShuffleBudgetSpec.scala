@@ -229,7 +229,18 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q144: chunks are array-local; per-doc agg (+ distinct-fp expand)
     "q144_overlap_chunks" -> 2,
     // q150: vocab agg + the 64-row bucket rollup
-    "q150_feature_hashing" -> 2)
+    "q150_feature_hashing" -> 2,
+    // q139: term-filtered postings agg (+ distinct-term expand); the
+    // top-20 rank is a TakeOrdered, not an exchange
+    "q139_boolean_retrieval" -> 2,
+    // q140: key-frequency agg + the tiny ranked-keys window/final agg
+    "q140_skew_audit" -> 2,
+    // q141: cutoff bounds agg + per-user conditional agg (+ its
+    // distinct-days expand)
+    "q141_churn_labels" -> 3,
+    // q149: post-checkpoint: probe/assign ranks, cell equi-join, qid
+    // top-5 window, vote + accuracy aggs
+    "q149_knn_eval" -> 6)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
