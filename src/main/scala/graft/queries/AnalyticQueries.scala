@@ -1298,6 +1298,89 @@ object AnalyticQueries {
                ROUND(2.0 * ic / (CAST(n_keys AS DOUBLE) * n_rows)
                      - CAST(n_keys + 1 AS DOUBLE) / n_keys, 6) AS gini
         FROM agg
+      """)),
+
+    // ------------------------------------------------------------------
+    // q145: range-partition split planning — the exact version of what
+    // RangePartitioner samples for: 32 balanced split points of the
+    // (o_totalprice, o_orderkey) sort key, each with its row count and
+    // upper boundary. NTILE over the total order assigns buckets
+    // identically in both engines (equal sizes, remainder to the
+    // leading buckets); the per-bucket rollup is partial-aggregable.
+    // The global sort is the documented cost — it IS the operator
+    // (split planning happens once per layout job, on the key
+    // projection only, never the full row). Boundaries are exact
+    // 2-decimal doubles; counts are integers.
+    QDef(
+      "q145_range_splits",
+      (s, dir) => {
+        Tables(s, dir).orders
+          .select(col("o_totalprice"), col("o_orderkey"))
+          .withColumn("bucket", ntile(32).over(Window.orderBy(
+            col("o_totalprice").asc, col("o_orderkey").asc)))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            max(col("o_totalprice")).as("hi_price"),
+            max(col("o_orderkey")).as("hi_key"))
+      },
+      Some("""
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MAX(o_totalprice) AS hi_price, MAX(o_orderkey) AS hi_key
+        FROM (SELECT o_totalprice, o_orderkey,
+                     CAST(NTILE(32) OVER (ORDER BY o_totalprice ASC,
+                       o_orderkey ASC) AS INTEGER) AS bucket
+              FROM orders) t
+        GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q147: week-over-week growth — period-over-period comparison, the
+    // reporting primitive behind every growth dashboard: weekly
+    // revenue per customer nation (orders ⋈ broadcast-able customer
+    // dimension is deliberately exercised as a shuffle join on
+    // custkey — the dimension is NOT small at warehouse scale), then
+    // one lag() over the tiny (nation × week) rollup. Revenue
+    // accumulates in DECIMAL (exact, order-free); growth divides two
+    // exact decimals cast to double, nullif-guarded for the first
+    // week, round 6. date_trunc('week') is ISO-Monday in both
+    // engines.
+    QDef(
+      "q147_wow_growth",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val weekly = t.orders
+          .join(t.customer.select(col("c_custkey").as("o_custkey"),
+            col("c_nationkey")), "o_custkey")
+          .groupBy(col("c_nationkey"),
+            date_trunc("week", col("o_orderdate")).as("wk"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .as("rev"))
+        val byNation = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("wk"))
+        weekly
+          .withColumn("prev", lag(col("rev"), 1).over(byNation))
+          .select(col("c_nationkey"),
+            date_format(col("wk"), "yyyy-MM-dd").as("week"),
+            col("rev").cast("double").as("rev"),
+            round((col("rev") - col("prev")).cast("double") /
+              nullif(col("prev").cast("double"), lit(0.0d)), 6)
+              .as("wow_growth"))
+      },
+      Some("""
+        WITH w AS (SELECT c_nationkey, date_trunc('week', o_orderdate)
+                     AS wk,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                   FROM orders JOIN customer ON c_custkey = o_custkey
+                   GROUP BY 1, 2),
+        g AS (SELECT c_nationkey, wk, rev,
+                     LAG(rev, 1) OVER (PARTITION BY c_nationkey
+                       ORDER BY wk) AS prev
+              FROM w)
+        SELECT c_nationkey, strftime(wk, '%Y-%m-%d') AS week,
+               CAST(rev AS DOUBLE) AS rev,
+               ROUND(CAST(rev - prev AS DOUBLE)
+                     / nullif(CAST(prev AS DOUBLE), 0), 6) AS wow_growth
+        FROM g
       """))
   )
 }

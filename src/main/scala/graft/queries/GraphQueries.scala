@@ -293,6 +293,111 @@ object GraphQueries {
                MIN(v) AS min_v, MAX(v) AS max_v
         FROM (SELECT v, MIN(d) AS d FROM bfs GROUP BY v) t
         GROUP BY d
+      """)),
+
+    // ------------------------------------------------------------------
+    // q142: hash-min label propagation (3 supersteps) — the Pregel-
+    // style connected-components kernel: every vertex starts labeled
+    // with its own id and repeatedly takes the min label over itself
+    // and its neighbors. BOUNDED ROUNDS is the honest distributed
+    // formulation (each superstep is one co-partitioned join + one
+    // partial-aggregable min — exactly what a 10^10-edge cluster job
+    // runs until a convergence check); the oracle unrolls the SAME
+    // three steps declaratively, so the gate pins every intermediate
+    // label exactly, not just the fixpoint. Labels after round k =
+    // min vertex id within k hops; the output histogram (label →
+    // vertex count) exposes the component structure that has formed
+    // by round 3. Pure integer arithmetic throughout.
+    QDef(
+      "q142_cc_labelprop",
+      (s, dir) => {
+        val e0 = coEdges(s, dir)
+        val sym = e0.select(col("x").as("src"), col("y").as("dst"))
+          .unionByName(e0.select(col("y").as("src"), col("x").as("dst")))
+          .localCheckpoint()
+        val init = sym.select(col("src").as("v")).distinct()
+          .select(col("v"), col("v").as("m"))
+        val lab = (1 to 3).foldLeft(init.localCheckpoint()) { (l, _) =>
+          val fromNbr = sym
+            .join(l.select(col("v").as("src"), col("m")), "src")
+            .select(col("dst").as("v"), col("m"))
+          fromNbr.unionByName(l)
+            .groupBy(col("v")).agg(min(col("m")).as("m"))
+            .localCheckpoint()
+        }
+        lab.groupBy(col("m").as("comp"))
+          .agg(count(lit(1)).as("n_nodes"), max(col("v")).as("max_v"))
+      },
+      Some(s"""
+        WITH $coEdgesDuck,
+        sym AS (SELECT x AS src, y AS dst FROM edges
+                UNION ALL SELECT y, x FROM edges),
+        l0 AS (SELECT v, v AS m
+               FROM (SELECT DISTINCT src AS v FROM sym) n),
+        l1 AS (SELECT v, MIN(m) AS m FROM (
+                 SELECT s.dst AS v, l.m FROM sym s JOIN l0 l ON l.v = s.src
+                 UNION ALL SELECT v, m FROM l0) u GROUP BY v),
+        l2 AS (SELECT v, MIN(m) AS m FROM (
+                 SELECT s.dst AS v, l.m FROM sym s JOIN l1 l ON l.v = s.src
+                 UNION ALL SELECT v, m FROM l1) u GROUP BY v),
+        l3 AS (SELECT v, MIN(m) AS m FROM (
+                 SELECT s.dst AS v, l.m FROM sym s JOIN l2 l ON l.v = s.src
+                 UNION ALL SELECT v, m FROM l2) u GROUP BY v)
+        SELECT m AS comp, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MAX(v) AS max_v
+        FROM l3 GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q146: market-basket pair mining with support — the association-
+    // rule front end (and the generalization of [[coEdges]] from a
+    // graph input to a metric report). The pair join is co-partitioned
+    // on the basket key (l_orderkey) and each basket holds a handful
+    // of parts, so the blowup is Σ k_b² over per-basket sizes — the
+    // bounded shape that shards at 10^10 baskets, never an all-pairs
+    // product over parts. Supports divide exact integers by the
+    // one-row broadcast basket count, round 6; top-20 with full
+    // (count, pair) tiebreak.
+    QDef(
+      "q146_basket_pairs",
+      (s, dir) => {
+        val items = Tables(s, dir).lineitem
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .localCheckpoint() // feeds the pair join AND the basket count
+        val nb = items.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        val pairs = items.as("a")
+          .join(items.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("cnt"))
+        pairs.crossJoin(broadcast(nb))
+          .withColumn("rk", row_number().over(Window.orderBy(
+            col("cnt").desc, col("pa").asc, col("pb").asc)))
+          .where(col("rk") <= 20)
+          .select(col("rk"), col("pa"), col("pb"), col("cnt"),
+            round(col("cnt").cast("double") / col("n_baskets"), 6)
+              .as("support"))
+      },
+      Some("""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+        nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                 AS n_baskets FROM items),
+        pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM items a JOIN items b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2)
+        SELECT CAST(rk AS INTEGER) AS rk, pa, pb, cnt,
+               ROUND(CAST(cnt AS DOUBLE) / n_baskets, 6) AS support
+        FROM (SELECT pa, pb, cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, pa ASC, pb ASC)
+                       AS rk
+              FROM pairs, nb) t, nb
+        WHERE rk <= 20
       """))
   )
 }

@@ -893,6 +893,100 @@ object SeriesQueries {
         SELECT user_id, n_events, n_purchases, spend, days_active,
                1 - active_after AS churned
         FROM u
+      """)),
+
+    // ------------------------------------------------------------------
+    // q143: frequent-prefix path mining — each user's first five event
+    // types as an ordered path string, counted across users (the
+    // clickstream-motif report behind onboarding-funnel analysis).
+    // The path is assembled ARRAY-LOCALLY: one per-user aggregation
+    // collects (ts, event_id, type) structs, array_sort orders them by
+    // the total (ts, event_id) key inside the row, and a slice+
+    // concat_ws builds the prefix — no per-user window pass, no
+    // second shuffle; the only exchanges are the user rollup and the
+    // tiny path-count agg. (collect_list order is shuffle-dependent;
+    // array_sort on the struct makes the result order-independent,
+    // which is what makes this plan legal at all.) Top-15 by count
+    // with full tiebreak; all integers and strings.
+    QDef(
+      "q143_path_mining",
+      (s, dir) => {
+        val paths = Tables(s, dir).events
+          .groupBy(col("user_id"))
+          .agg(concat_ws(">", expr(
+            """slice(transform(
+                 array_sort(collect_list(struct(ts, event_id, event_type))),
+                 s -> s.event_type), 1, 5)""")).as("path"))
+        paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+          .withColumn("rk", row_number().over(Window.orderBy(
+            col("n_users").desc, col("path").asc)))
+          .where(col("rk") <= 15)
+          .select(col("rk"), col("path"), col("n_users"))
+      },
+      Some("""
+        WITH p AS (SELECT user_id,
+                     array_to_string(
+                       (list(event_type ORDER BY ts, event_id))[1:5], '>')
+                       AS path
+                   FROM events GROUP BY 1),
+        c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM p GROUP BY 1)
+        SELECT CAST(rk AS INTEGER) AS rk, path, n_users
+        FROM (SELECT path, n_users,
+                     ROW_NUMBER() OVER (ORDER BY n_users DESC, path ASC)
+                       AS rk
+              FROM c) t
+        WHERE rk <= 15
+      """)),
+
+    // ------------------------------------------------------------------
+    // q148: time-to-convert distribution — per-user signup→first-
+    // purchase lag, summarized as p50/p90 via `percentile(...)` (the
+    // ScaleSafePercentiles rule rewrites both into the bounded
+    // sort-based plan — no holistic buffer even over 10^9 converting
+    // users). The first-purchase-after-signup lookup is one
+    // conditional rollup per side co-partitioned on user_id — no
+    // events×events join: min(signup ts) per user joins back onto
+    // that user's purchases with a plain >= filter before the min.
+    // Lags are exact integer seconds; the two quantile interpolations
+    // are the only floats, emitted at round 6 (the q34 idiom).
+    QDef(
+      "q148_conversion_lag",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val signups = ev.where(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(min(expr("unix_micros(ts) div 1000000")).as("s0"))
+        val conv = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 1000000").as("pt"))
+          .join(signups, "user_id")
+          .where(col("pt") >= col("s0"))
+          .groupBy(col("user_id"))
+          .agg((min(col("pt")) - first(col("s0"))).as("lag_s"))
+        val nAll = signups.agg(count(lit(1)).as("n_signup"))
+        conv.agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(lag_s, 0.5D)"), 6).as("p50_s"),
+          round(expr("percentile(lag_s, 0.9D)"), 6).as("p90_s"))
+          .crossJoin(broadcast(nAll))
+          .select(col("n_signup"), col("n_converted"), col("p50_s"),
+            col("p90_s"))
+      },
+      Some("""
+        WITH s AS (SELECT user_id, MIN(epoch_us(ts) // 1000000) AS s0
+                   FROM events WHERE event_type = 'signup' GROUP BY 1),
+        c AS (SELECT e.user_id,
+                     MIN(epoch_us(e.ts) // 1000000) - MIN(s.s0) AS lag_s
+              FROM events e JOIN s ON s.user_id = e.user_id
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) // 1000000 >= s.s0
+              GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signup FROM s)
+        SELECT n_signup,
+               CAST(COUNT(*) AS BIGINT) AS n_converted,
+               ROUND(quantile_cont(lag_s, 0.5), 6) AS p50_s,
+               ROUND(quantile_cont(lag_s, 0.9), 6) AS p90_s
+        FROM c, n GROUP BY n_signup
       """))
   )
 }

@@ -82,7 +82,13 @@ class PlanQualitySpec extends AnyFunSuite {
     "q141_churn_labels",
     // q149's quantizer is q48's 16-row broadcast centroid cross
     // (ivfRanked); candidate generation itself is a cell equi-join
-    "q149_knn_eval")
+    "q149_knn_eval",
+    // q146 crossJoins the ONE-row basket count into the top-20 pair
+    // table (q37 pattern)
+    "q146_basket_pairs",
+    // q148 crossJoins the ONE-row signup count into the one-row
+    // quantile summary (q37 pattern)
+    "q148_conversion_lag")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

@@ -240,7 +240,24 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q141_churn_labels" -> 3,
     // q149: post-checkpoint: probe/assign ranks, cell equi-join, qid
     // top-5 window, vote + accuracy aggs
-    "q149_knn_eval" -> 6)
+    "q149_knn_eval" -> 6,
+    // q142: post-checkpoint (each superstep checkpointed): the final
+    // component histogram
+    "q142_cc_labelprop" -> 1,
+    // q143: per-user path rollup + the tiny path-count agg (top-15 is
+    // a TakeOrdered)
+    "q143_path_mining" -> 2,
+    // q145: one global NTILE sort-exchange; bucket rollup rides it
+    "q145_range_splits" -> 1,
+    // q146: post-checkpoint items: basket-keyed pair join + pair agg +
+    // basket-count agg
+    "q146_basket_pairs" -> 3,
+    // q147: custkey join + (nation, week) agg; the lag window rides
+    // the rollup's partitioning
+    "q147_wow_growth" -> 2,
+    // q148: signup rollup, the user_id join, conversion rollup, the
+    // quantile rewrite's exchanges, and the signup-count agg
+    "q148_conversion_lag" -> 5)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
