@@ -1381,6 +1381,58 @@ object AnalyticQueries {
                ROUND(CAST(rev - prev AS DOUBLE)
                      / nullif(CAST(prev AS DOUBLE), 0), 6) AS wow_growth
         FROM g
+      """)),
+
+    // ------------------------------------------------------------------
+    // q152: exact weighted median — the quantity-weighted median price
+    // per return flag, the weighted quantile neither engine has as a
+    // builtin. Formulation: cumulative weight along the (price,
+    // orderkey, linenumber) total order within each flag partition,
+    // then min price whose cumulative weight reaches half the
+    // partition total. Everything is INTEGER: weights become exact
+    // cents (round(q·100)), the half-total test is 2·cumw ≥ tot
+    // (no division), so the answer is bit-exact with zero float
+    // anywhere. Both windows (cumsum + partition total) share one
+    // flag-partitioned sort; the final rollup is partial-aggregable.
+    // At 100 TB the same plan holds — the sort shards on the flag,
+    // and a two-phase bucket prefix sum (q131's trick) would drop the
+    // per-flag sort if flags were few and huge.
+    QDef(
+      "q152_weighted_median",
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            round(col("l_quantity") * 100).cast("bigint").as("w"),
+            col("l_orderkey"), col("l_linenumber"))
+        val ord = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy(col("l_returnflag"))
+        li.withColumn("cumw", sum(col("w")).over(ord))
+          .withColumn("tot", sum(col("w")).over(all))
+          .groupBy(col("l_returnflag"))
+          .agg(max(col("tot")).as("total_w"),
+            min(when(lit(2L) * col("cumw") >= col("tot"),
+              col("l_extendedprice"))).as("w_median"))
+      },
+      Some("""
+        WITH li AS (SELECT l_returnflag, l_extendedprice,
+                      CAST(ROUND(l_quantity * 100) AS BIGINT) AS w,
+                      l_orderkey, l_linenumber
+                    FROM lineitem),
+        c AS (SELECT l_returnflag, l_extendedprice,
+                SUM(w) OVER (PARTITION BY l_returnflag
+                  ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                           l_linenumber ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cumw,
+                SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+              FROM li)
+        SELECT l_returnflag, CAST(MAX(tot) AS BIGINT) AS total_w,
+               MIN(CASE WHEN 2 * cumw >= tot THEN l_extendedprice END)
+                 AS w_median
+        FROM c GROUP BY 1
       """))
   )
 }

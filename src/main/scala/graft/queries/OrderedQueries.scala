@@ -265,6 +265,75 @@ object OrderedQueries {
                ROUND(MIN(d_km), 6) AS min_km
         FROM d WHERE d_km < 50.0
         GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q153: weekly snapshot materialization (time travel) — rebuild
+    // "state as of each week end" for every user: per-event running
+    // state (event count + current value tier) attaches to the stream
+    // in one window pass, then the NATIVE AsofJoinExec (q109/q123's
+    // operator, third consumer) probes it with a GENERATED spine —
+    // weekly instants derived in-plan from the observed time bounds,
+    // crossed with the user universe. Probe time key struct(snap_ts,
+    // Long.MaxValue) makes every event at-or-before the instant
+    // eligible, ties impossible by construction. This is the snapshot-
+    // fact-table build pattern: no validity intervals materialized, no
+    // BETWEEN join — both sides shuffle once on user_id. The oracle is
+    // DuckDB's own ASOF JOIN against the same generated spine.
+    QDef(
+      "q153_weekly_snapshots",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val byU = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val stated = ev
+          .withColumn("run_cnt", count(lit(1)).over(
+            byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("user_id").as("suser"),
+            struct(col("ts"), col("event_id")).as("st"),
+            col("run_cnt"),
+            floor(col("value") / 50).cast("bigint").as("tier"))
+        val bounds = ev.agg(
+          date_trunc("day", min(col("ts"))).as("t0"),
+          max(col("ts")).as("t1"))
+        val spine = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            explode(expr("sequence(t0 + interval 7 days, t1," +
+              " interval 7 days)")).as("snap_ts"))
+          .select(col("user_id"), col("snap_ts"),
+            struct(col("snap_ts").as("ts"),
+              lit(Long.MaxValue).as("event_id")).as("pt"))
+        graft.plans.Asof
+          .join(spine, stated, "user_id", "suser", "pt", "st")
+          .groupBy(date_format(col("snap_ts"), "yyyy-MM-dd").as("snap"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("run_cnt")).as("total_events"),
+            round(avg(col("tier")), 6).as("avg_tier"))
+      },
+      Some("""
+        WITH b AS (SELECT date_trunc('day', MIN(ts)) AS t0, MAX(ts) AS t1
+                   FROM events),
+        spine AS (SELECT u.user_id, s.snap_ts
+                  FROM (SELECT DISTINCT user_id FROM events) u, b,
+                  LATERAL (SELECT unnest(generate_series(
+                             b.t0 + INTERVAL 7 DAY, b.t1,
+                             INTERVAL 7 DAY)) AS snap_ts) s),
+        stated AS (SELECT user_id, ts, event_id,
+                     CAST(COUNT(*) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS run_cnt,
+                     CAST(FLOOR(value / 50) AS BIGINT) AS tier
+                   FROM events)
+        SELECT strftime(p.snap_ts, '%Y-%m-%d') AS snap,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(e.run_cnt) AS BIGINT) AS total_events,
+               ROUND(AVG(e.tier), 6) AS avg_tier
+        FROM spine p
+        ASOF JOIN stated e
+          ON p.user_id = e.user_id AND p.snap_ts >= e.ts
+        GROUP BY 1
       """))
   )
 }

@@ -987,6 +987,55 @@ object SeriesQueries {
                ROUND(quantile_cont(lag_s, 0.5), 6) AS p50_s,
                ROUND(quantile_cont(lag_s, 0.9), 6) AS p90_s
         FROM c, n GROUP BY n_signup
+      """)),
+
+    // ------------------------------------------------------------------
+    // q151: telemetry burst dedup — collapse rapid-fire duplicates
+    // (same user, same event type, < 5 s after the previous raw
+    // event), the ingest-side debounce every telemetry pipeline runs
+    // before counting anything. One lag() over the (user_id,
+    // event_type) partition decides keep/drop — exact integer
+    // microsecond arithmetic, no self-join, no state beyond one row —
+    // and the audit rollup reports kept/dropped/drop-rate per type.
+    // This is the batch restatement of the streaming dedup the
+    // extension's watermarked dedup performs; at 10^12 events it is
+    // one shuffle on the (user, type) key.
+    QDef(
+      "q151_burst_dedup",
+      (s, dir) => {
+        val byKey = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("tus"), col("event_id"))
+        Tables(s, dir).events
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("tus"), col("event_id"))
+          .withColumn("prev", lag(col("tus"), 1).over(byKey))
+          .withColumn("kept", when(col("prev").isNull ||
+            col("tus") - col("prev") >= 5000000L, 1L).otherwise(0L))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("kept")).as("n_kept"),
+            sum(lit(1L) - col("kept")).as("n_dropped"))
+          .withColumn("drop_rate",
+            round((col("n_total") - col("n_kept")).cast("double") /
+              col("n_total"), 6))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
+                          event_id,
+                          LAG(epoch_us(ts), 1) OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS prev
+                   FROM events),
+        k AS (SELECT event_type,
+                     CASE WHEN prev IS NULL OR tus - prev >= 5000000
+                          THEN 1 ELSE 0 END AS kept
+              FROM e)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               CAST(SUM(1 - kept) AS BIGINT) AS n_dropped,
+               ROUND(CAST(COUNT(*) - SUM(kept) AS DOUBLE) / COUNT(*), 6)
+                 AS drop_rate
+        FROM k GROUP BY 1
       """))
   )
 }

@@ -892,6 +892,74 @@ object TextQueries {
                        + tf_merge DESC, doc_id ASC) AS rk
               FROM hits) t
         WHERE rk <= 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // q154: language-ID confusion matrix — q20's stopword-marker
+    // classifier evaluated against the labeled lang column as a full
+    // cross-tab (labeled × predicted, with per-cell share of the
+    // labeled row). The classifier is the IDENTICAL CASE/filter
+    // expression q20 ships, so this is the eval harness for an
+    // operator already under the gate: a pure map + one partial-
+    // aggregable count + a broadcast row-total join. Shares divide
+    // exact integers, round 6.
+    QDef(
+      "q154_langid_confusion",
+      (s, dir) => {
+        val cells = Tables(s, dir).documents
+          .withColumn("ws", expr(W))
+          .withColumn("s_en", expr(
+            "cast(size(filter(ws, x -> x in ('the','a','of','and'))) as bigint)"))
+          .withColumn("s_de", expr(
+            "cast(size(filter(ws, x -> x in ('der','die','das','und'))) as bigint)"))
+          .withColumn("s_es", expr(
+            "cast(size(filter(ws, x -> x in ('el','la','los','que'))) as bigint)"))
+          .withColumn("s_fr", expr(
+            "cast(size(filter(ws, x -> x in ('le','les','et','une'))) as bigint)"))
+          .withColumn("pred_lang", expr(
+            """CASE
+               WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END"""))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+        val rowTot = cells.groupBy(col("lang"))
+          .agg(sum(col("n")).as("lang_n"))
+        cells.join(broadcast(rowTot), "lang")
+          .select(col("lang"), col("pred_lang"), col("n"),
+            round(col("n").cast("double") / col("lang_n"), 6).as("share"),
+            when(col("lang") === col("pred_lang"), 1).otherwise(0)
+              .as("correct"))
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT lang,
+                 CASE
+                   WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                     THEN 'en'
+                   WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                   WHEN s_es >= s_fr THEN 'es'
+                   ELSE 'fr' END AS pred_lang
+          FROM (
+            SELECT lang,
+              CAST(len(list_filter(ws, x -> x IN ('the','a','of','and')))
+                AS BIGINT) AS s_en,
+              CAST(len(list_filter(ws, x -> x IN ('der','die','das','und')))
+                AS BIGINT) AS s_de,
+              CAST(len(list_filter(ws, x -> x IN ('el','la','los','que')))
+                AS BIGINT) AS s_es,
+              CAST(len(list_filter(ws, x -> x IN ('le','les','et','une')))
+                AS BIGINT) AS s_fr
+            FROM (SELECT lang, $WDuck AS ws FROM documents) t0) t1),
+        cells AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM p GROUP BY 1, 2),
+        rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_n
+               FROM cells GROUP BY 1)
+        SELECT c.lang, c.pred_lang, c.n,
+               ROUND(CAST(c.n AS DOUBLE) / r.lang_n, 6) AS share,
+               CASE WHEN c.lang = c.pred_lang THEN 1 ELSE 0 END AS correct
+        FROM cells c JOIN rt r ON r.lang = c.lang
       """))
   )
 }

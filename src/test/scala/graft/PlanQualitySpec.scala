@@ -88,7 +88,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "q146_basket_pairs",
     // q148 crossJoins the ONE-row signup count into the one-row
     // quantile summary (q37 pattern)
-    "q148_conversion_lag")
+    "q148_conversion_lag",
+    // q153 crossJoins the ONE-row time bounds into the user universe
+    // to generate the snapshot spine (q95's calendar pattern)
+    "q153_weekly_snapshots")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

@@ -257,7 +257,19 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q147_wow_growth" -> 2,
     // q148: signup rollup, the user_id join, conversion rollup, the
     // quantile rewrite's exchanges, and the signup-count agg
-    "q148_conversion_lag" -> 5)
+    "q148_conversion_lag" -> 5,
+    // q151: one (user, type)-partitioned lag window + the 5-row type
+    // rollup
+    "q151_burst_dedup" -> 2,
+    // q152: one flag-partitioned sort serves both windows and the
+    // final rollup
+    "q152_weighted_median" -> 1,
+    // q153: running-state window, spine distinct, the as-of
+    // co-partition pair, and the snapshot rollup
+    "q153_weekly_snapshots" -> 4,
+    // q154: cell counts + row totals (the broadcast join adds one
+    // exchange)
+    "q154_langid_confusion" -> 2)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
