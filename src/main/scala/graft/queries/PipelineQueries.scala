@@ -1083,6 +1083,146 @@ object PipelineQueries {
                CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
                CAST(SUM(ctoks) AS BIGINT) AS chunk_tokens
         FROM f GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q155: right-to-be-forgotten erasure audit — apply a deterministic
+    // deletion list (user_id % 37 = 0, the stand-in for a DSAR batch)
+    // to the event stream as a hash anti-join (the shape that scales:
+    // the deletion list shards with the stream key; at 10^12 rows the
+    // list side is a bloom-filter broadcast and the anti-join stays
+    // one pass) and emit the compliance scorecard: before/after
+    // volumes plus an IN-QUERY residue check — rows surviving the
+    // erasure that still hit the deletion predicate (must be 0; a
+    // broken anti-join flips ok_no_residue and fails the hash gate).
+    QDef(
+      "q155_erasure_audit",
+      (s, dir) => {
+        val ev = Tables(s, dir).events.select(col("user_id"))
+        val kept = ev.where(col("user_id") % 37 =!= 0)
+        val before = ev.agg(count(lit(1)).as("n_events_before"),
+          countDistinct(col("user_id")).as("n_users_before"))
+        val after = kept.agg(count(lit(1)).as("n_events_after"),
+          countDistinct(col("user_id")).as("n_users_after"),
+          sum(when(col("user_id") % 37 === 0, 1L).otherwise(0L))
+            .as("residue"))
+        before.crossJoin(broadcast(after))
+          .select(col("n_events_before"), col("n_users_before"),
+            col("n_events_after"), col("n_users_after"),
+            when(col("residue") === 0, 1).otherwise(0)
+              .as("ok_no_residue"))
+      },
+      Some("""
+        WITH b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events_before,
+                          CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                            AS n_users_before
+                   FROM events),
+        a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events_after,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                       AS n_users_after,
+                     CAST(SUM(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS residue
+              FROM events WHERE user_id % 37 <> 0)
+        SELECT n_events_before, n_users_before, n_events_after,
+               n_users_after,
+               CASE WHEN residue = 0 THEN 1 ELSE 0 END AS ok_no_residue
+        FROM b, a
+      """)),
+
+    // ------------------------------------------------------------------
+    // q156: largest-remainder quota apportionment — divide a fixed
+    // 1000-doc sampling budget across sources EXACTLY proportionally
+    // (Hamilton's method): integer floor shares, then the leftover
+    // seats go to the largest remainders. Every quantity is integer
+    // arithmetic — the remainder comparison is (B·n) mod N, never a
+    // float fraction — so the allocation is bit-exact and
+    // reproducible, which is what makes a sampling manifest auditable.
+    // One partial-aggregable count + two windows over the |sources|
+    // relation (tiny by construction); Σalloc = B is enforced by the
+    // method itself.
+    QDef(
+      "q156_quota_apportion",
+      (s, dir) => {
+        val B = 1000L
+        val counts = Tables(s, dir).documents
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val tot = counts.agg(sum(col("n_docs")).as("nn"))
+        val based = counts.crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"($B * n_docs) div nn"))
+          .withColumn("rem", expr(s"($B * n_docs) % nn"))
+        val deficit = based.agg((lit(B) - sum(col("base")))
+          .as("deficit"))
+        based.crossJoin(broadcast(deficit))
+          .withColumn("rk", row_number().over(Window.orderBy(
+            col("rem").desc, col("source").asc)))
+          .select(col("source"), col("n_docs"), col("base"),
+            when(col("rk") <= col("deficit"), 1L).otherwise(0L)
+              .as("extra"))
+          .withColumn("alloc", col("base") + col("extra"))
+      },
+      Some("""
+        WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM documents GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn FROM c),
+        b AS (SELECT source, n_docs,
+                     (1000 * n_docs) // nn AS base,
+                     (1000 * n_docs) % nn AS rem
+              FROM c, t),
+        d AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS deficit FROM b),
+        r AS (SELECT source, n_docs, base, rem,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+                       AS rk
+              FROM b)
+        SELECT source, n_docs, CAST(base AS BIGINT) AS base,
+               CAST(CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+                 AS extra,
+               CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+                 AS BIGINT) AS alloc
+        FROM r, d
+      """)),
+
+    // ------------------------------------------------------------------
+    // q158: corpus concentration curve (Lorenz points) — how much of
+    // the corpus the top-k sources account for, the diversity report a
+    // dataset card publishes. The heavy pass is the per-source count;
+    // the ranked cumulative-share window runs on the |sources|
+    // relation only. Shares divide exact integers by the grand total,
+    // round 6; the top-80% membership flag compares the same IEEE
+    // ratio in both engines.
+    QDef(
+      "q158_source_concentration",
+      (s, dir) => {
+        val counts = Tables(s, dir).documents
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val tot = counts.agg(sum(col("n_docs")).as("nn"))
+        val cum = Window.orderBy(col("n_docs").desc, col("source").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        counts.crossJoin(broadcast(tot))
+          .withColumn("rk", row_number().over(Window.orderBy(
+            col("n_docs").desc, col("source").asc)))
+          .withColumn("cum_docs", sum(col("n_docs")).over(cum))
+          .select(col("rk"), col("source"), col("n_docs"),
+            round(col("cum_docs").cast("double") / col("nn"), 6)
+              .as("cum_share"),
+            when(col("cum_docs").cast("double") / col("nn") <= 0.8d, 1)
+              .otherwise(0).as("in_top80"))
+      },
+      Some("""
+        WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM documents GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn FROM c),
+        r AS (SELECT source, n_docs,
+                     ROW_NUMBER() OVER (ORDER BY n_docs DESC, source ASC)
+                       AS rk,
+                     SUM(n_docs) OVER (ORDER BY n_docs DESC, source ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_docs
+              FROM c)
+        SELECT CAST(rk AS INTEGER) AS rk, source, n_docs,
+               ROUND(CAST(cum_docs AS DOUBLE) / nn, 6) AS cum_share,
+               CASE WHEN CAST(cum_docs AS DOUBLE) / nn <= 0.8 THEN 1
+                    ELSE 0 END AS in_top80
+        FROM r, t
       """))
   )
 }

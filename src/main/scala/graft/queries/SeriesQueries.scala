@@ -1036,6 +1036,148 @@ object SeriesQueries {
                ROUND(CAST(COUNT(*) - SUM(kept) AS DOUBLE) / COUNT(*), 6)
                  AS drop_rate
         FROM k GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q157: chi-square test of independence — is event type independent
+    // of hour-of-day? The contingency table is one partial-aggregable
+    // count over (type, hod); expected counts and cell contributions
+    // compute from the broadcast marginals — row totals, column totals,
+    // and the grand total all derive from the SAME observed relation,
+    // so the statistic is self-consistent by construction. Per-type
+    // rollup emits the chi² contribution and cell count (df = cells−1
+    // per row under fixed columns). Observed/marginals are exact
+    // integers; e = rt·ct/N and (o−e)²/e are the same IEEE expressions
+    // in both engines, cell-rounded at 9 and sum-rounded at 6.
+    QDef(
+      "q157_chi_square",
+      (s, dir) => {
+        val obs = Tables(s, dir).events
+          .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+          .agg(count(lit(1)).as("o"))
+          .localCheckpoint() // feeds marginals AND the cell pass
+        val rowT = obs.groupBy(col("event_type"))
+          .agg(sum(col("o")).as("rt"))
+        val colT = obs.groupBy(col("hod")).agg(sum(col("o")).as("ct"))
+        val nn = obs.agg(sum(col("o")).as("nn"))
+        obs.join(broadcast(rowT), "event_type")
+          .join(broadcast(colT), "hod")
+          .crossJoin(broadcast(nn))
+          .withColumn("e", col("rt").cast("double") * col("ct") / col("nn"))
+          .withColumn("cell", round((col("o") - col("e")) *
+            (col("o") - col("e")) / col("e"), 9))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_cells"),
+            max(col("rt")).as("n_events"),
+            round(sum(col("cell")), 6).as("chi2"))
+      },
+      Some("""
+        WITH obs AS (SELECT event_type,
+                       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+                       CAST(COUNT(*) AS BIGINT) AS o
+                     FROM events GROUP BY 1, 2),
+        rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+               FROM obs GROUP BY 1),
+        ct AS (SELECT hod, CAST(SUM(o) AS BIGINT) AS ct
+               FROM obs GROUP BY 1),
+        n AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM obs),
+        cells AS (SELECT obs.event_type,
+                    ROUND((obs.o - CAST(rt.rt AS DOUBLE) * ct.ct / n.nn)
+                          * (obs.o - CAST(rt.rt AS DOUBLE) * ct.ct / n.nn)
+                          / (CAST(rt.rt AS DOUBLE) * ct.ct / n.nn), 9)
+                      AS cell,
+                    rt.rt
+                  FROM obs
+                  JOIN rt ON rt.event_type = obs.event_type
+                  JOIN ct ON ct.hod = obs.hod, n)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(MAX(rt) AS BIGINT) AS n_events,
+               ROUND(SUM(cell), 6) AS chi2
+        FROM cells GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q159: point-biserial feature screening — which activity features
+    // correlate with the label "no big-ticket purchase in the label
+    // window" (q130's conversion event, q141's cutoff split — a bare
+    // any-activity churn label is degenerate here: nobody fully
+    // lapses, so its variance is 0 and r is undefined)? Each
+    // user's (n_events, n_purchases, days_active) unpivots via stack()
+    // into (feature, x, y) rows, and one moment pass per feature
+    // computes r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) — q126's
+    // closed form with a binary y. EVERY moment is an exact integer
+    // (features and label are counts/flags), so only the final r is
+    // IEEE — the same expression tree in both engines, round 6. Two
+    // partial-aggregable passes (user rollup, then 3-row moments);
+    // the unpivot is array-local.
+    QDef(
+      "q159_feature_screen",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val bounds = ev.agg(
+          expr("timestampadd(DAY, -14, max(ts))").as("cutoff"))
+        val users = ev.crossJoin(broadcast(bounds))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("ts") < col("cutoff"), 1L).otherwise(0L))
+              .as("n_events"),
+            sum(when(col("ts") < col("cutoff") &&
+              col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_purchases"),
+            countDistinct(when(col("ts") < col("cutoff"),
+              date_trunc("day", col("ts")))).as("days_active"),
+            (lit(1L) - max(when(col("ts") >= col("cutoff") &&
+              col("event_type") === "purchase" && col("value") > 180.0d,
+              1L).otherwise(0L))).as("y"))
+        users.select(col("y"), expr(
+          """stack(3, 'n_events', n_events, 'n_purchases', n_purchases,
+                      'days_active', days_active)""")
+          .as(Seq("feature", "x")))
+          .groupBy(col("feature"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("feature"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              nullif(sqrt(((col("n") * col("sxx") - col("sx") * col("sx"))
+                * (col("n") * col("syy") - col("sy") * col("sy")))
+                .cast("double")), lit(0.0d)), 6).as("r_pb"))
+      },
+      Some("""
+        WITH b AS (SELECT MAX(ts) - INTERVAL 14 DAY AS cutoff FROM events),
+        u AS (SELECT user_id,
+                CAST(SUM(CASE WHEN ts < cutoff THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_events,
+                CAST(SUM(CASE WHEN ts < cutoff AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+                CAST(COUNT(DISTINCT CASE WHEN ts < cutoff
+                         THEN date_trunc('day', ts) END) AS BIGINT)
+                  AS days_active,
+                1 - CAST(MAX(CASE WHEN ts >= cutoff
+                         AND event_type = 'purchase' AND value > 180
+                         THEN 1 ELSE 0 END) AS BIGINT) AS y
+              FROM events, b GROUP BY 1),
+        l AS (SELECT y, f.feature, f.x
+              FROM u, LATERAL (VALUES ('n_events', n_events),
+                                      ('n_purchases', n_purchases),
+                                      ('days_active', days_active))
+                        AS f(feature, x)),
+        m AS (SELECT feature, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy
+              FROM l GROUP BY 1)
+        SELECT feature, n,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / nullif(SQRT(CAST((n * sxx - sx * sx)
+                                 * (n * syy - sy * sy) AS DOUBLE)), 0), 6)
+                 AS r_pb
+        FROM m
       """))
   )
 }

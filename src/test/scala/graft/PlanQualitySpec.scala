@@ -91,7 +91,11 @@ class PlanQualitySpec extends AnyFunSuite {
     "q148_conversion_lag",
     // q153 crossJoins the ONE-row time bounds into the user universe
     // to generate the snapshot spine (q95's calendar pattern)
-    "q153_weekly_snapshots")
+    "q153_weekly_snapshots",
+    // q155-q159 each cross ONE-row aggregates (totals/cutoffs/
+    // deficits) into tiny derived relations (q37 pattern)
+    "q155_erasure_audit", "q156_quota_apportion", "q157_chi_square",
+    "q158_source_concentration", "q159_feature_screen")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

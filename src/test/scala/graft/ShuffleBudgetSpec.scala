@@ -269,7 +269,22 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q153_weekly_snapshots" -> 4,
     // q154: cell counts + row totals (the broadcast join adds one
     // exchange)
-    "q154_langid_confusion" -> 2)
+    "q154_langid_confusion" -> 2,
+    // q155: before/after one-row aggs (each with a distinct-users
+    // expand)
+    "q155_erasure_audit" -> 4,
+    // q156: source counts, totals, deficit agg, and the tiny
+    // remainder-rank window
+    "q156_quota_apportion" -> 4,
+    // q157: post-checkpoint contingency table: row/col/grand marginal
+    // aggs + the per-type rollup
+    "q157_chi_square" -> 4,
+    // q158: source counts, totals, and the tiny ranked-cumulative
+    // window
+    "q158_source_concentration" -> 3,
+    // q159: cutoff agg, per-user rollup (+ distinct-days expand), and
+    // the 3-row moment agg
+    "q159_feature_screen" -> 4)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
