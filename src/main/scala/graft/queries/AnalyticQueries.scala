@@ -1433,6 +1433,114 @@ object AnalyticQueries {
                MIN(CASE WHEN 2 * cumw >= tot THEN l_extendedprice END)
                  AS w_median
         FROM c GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q160: Benford first-digit audit — the fraud/synthetic-data
+    // screen: the leading-digit distribution of order totals against
+    // Benford's log₁₀(1+1/d) expectation. The digit extracts EXACTLY
+    // via string-of-integer-part (no log10 at runtime — a libm log of
+    // the value itself could mis-digit a boundary case; the expected
+    // probabilities are 9-decimal literals both engines parse to the
+    // same doubles, the q99 exact-literal recipe). One partial-
+    // aggregable count + a broadcast total; shares and deviations are
+    // single IEEE ops, round 6.
+    QDef(
+      "q160_benford_audit",
+      (s, dir) => {
+        val digits = Tables(s, dir).orders
+          .select(expr(
+            "substring(cast(cast(floor(o_totalprice) as bigint) as string)," +
+              " 1, 1)").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val tot = digits.agg(sum(col("n")).as("nn"))
+        val expected =
+          """CASE digit WHEN '1' THEN 0.301029996D WHEN '2' THEN 0.176091259D
+             WHEN '3' THEN 0.124938737D WHEN '4' THEN 0.096910013D
+             WHEN '5' THEN 0.079181246D WHEN '6' THEN 0.066946790D
+             WHEN '7' THEN 0.057991947D WHEN '8' THEN 0.051152522D
+             ELSE 0.045757491D END"""
+        digits.crossJoin(broadcast(tot))
+          .withColumn("expected", expr(expected))
+          .select(col("digit"), col("n"),
+            round(col("n").cast("double") / col("nn"), 6).as("share"),
+            col("expected"),
+            round(col("n").cast("double") / col("nn") - col("expected"), 6)
+              .as("deviation"))
+      },
+      Some("""
+        WITH d AS (SELECT substring(CAST(CAST(FLOOR(o_totalprice)
+                     AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+                     CAST(COUNT(*) AS BIGINT) AS n
+                   FROM orders GROUP BY 1),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM d)
+        SELECT digit, n,
+               ROUND(CAST(n AS DOUBLE) / nn, 6) AS share,
+               CASE digit WHEN '1' THEN CAST(0.301029996 AS DOUBLE)
+                 WHEN '2' THEN 0.176091259 WHEN '3' THEN 0.124938737
+                 WHEN '4' THEN 0.096910013 WHEN '5' THEN 0.079181246
+                 WHEN '6' THEN 0.066946790 WHEN '7' THEN 0.057991947
+                 WHEN '8' THEN 0.051152522 ELSE 0.045757491 END
+                 AS expected,
+               ROUND(CAST(n AS DOUBLE) / nn
+                     - CASE digit WHEN '1' THEN CAST(0.301029996 AS DOUBLE)
+                         WHEN '2' THEN 0.176091259
+                         WHEN '3' THEN 0.124938737
+                         WHEN '4' THEN 0.096910013
+                         WHEN '5' THEN 0.079181246
+                         WHEN '6' THEN 0.066946790
+                         WHEN '7' THEN 0.057991947
+                         WHEN '8' THEN 0.051152522
+                         ELSE 0.045757491 END, 6) AS deviation
+        FROM d, t
+      """)),
+
+    // ------------------------------------------------------------------
+    // q161: maximum drawdown — the peak-to-trough loss metric, over
+    // daily revenue per return flag: running peak via a cumulative max
+    // window (DECIMAL — exact, order-free), drawdown = (peak − v)/peak
+    // rounded at 9 per day, then the per-flag max. The daily rollup is
+    // partial-aggregable; both windows and the final agg share the
+    // flag partitioning (one exchange). The only floats are the
+    // per-day division and the final round — same IEEE both engines.
+    QDef(
+      "q161_max_drawdown",
+      (s, dir) => {
+        val daily = Tables(s, dir).lineitem
+          .groupBy(col("l_returnflag"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .as("rev"))
+        val runPeak = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("peak", max(col("rev")).over(runPeak))
+          .withColumn("dd", round((col("peak") - col("rev")).cast("double")
+            / col("peak").cast("double"), 9))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_days"),
+            round(max(col("dd")), 6).as("max_drawdown"),
+            max(col("peak")).cast("double").as("peak_rev"))
+      },
+      Some("""
+        WITH daily AS (SELECT l_returnflag,
+                         strftime(l_shipdate, '%Y-%m-%d') AS day,
+                         SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                           AS rev
+                       FROM lineitem GROUP BY 1, 2),
+        p AS (SELECT l_returnflag, rev,
+                     MAX(rev) OVER (PARTITION BY l_returnflag
+                       ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS peak
+              FROM daily)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(MAX(ROUND(CAST(peak - rev AS DOUBLE)
+                               / CAST(peak AS DOUBLE), 9)), 6)
+                 AS max_drawdown,
+               CAST(MAX(peak) AS DOUBLE) AS peak_rev
+        FROM p GROUP BY 1
       """))
   )
 }

@@ -863,6 +863,42 @@ object DedupQueries {
         FROM cfg
         LEFT JOIN ncand nc ON nc.config = cfg.config
         LEFT JOIN nhits nh ON nh.config = cfg.config, ntrue nt
+      """)),
+
+    // ------------------------------------------------------------------
+    // q162: duplication profile — the cluster-SIZE histogram of q22's
+    // exact-dedup clusters (how much of the corpus is singletons vs
+    // 2-dup vs k-dup), plus each size's share of documents: the
+    // corpus-health panel a dedup run reports. Two partial-aggregable
+    // rollups (fingerprint → size, size → clusters) — the second runs
+    // on the |clusters| relation — and a broadcast doc total. Pure
+    // integers plus one rounded division.
+    QDef(
+      "q162_dup_profile",
+      (s, dir) => {
+        val sizes = Tables(s, dir).documents
+          .withColumn("fp", Q.fingerprint(col("text")))
+          .groupBy(col("fp")).agg(count(lit(1)).as("sz"))
+        val tot = sizes.agg(sum(col("sz")).as("n_docs"))
+        sizes.groupBy(col("sz"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .crossJoin(broadcast(tot))
+          .select(col("sz").as("cluster_size"), col("n_clusters"),
+            (col("sz") * col("n_clusters")).as("docs_covered"),
+            round((col("sz") * col("n_clusters")).cast("double") /
+              col("n_docs"), 6).as("doc_share"))
+      },
+      Some(s"""
+        WITH sizes AS (SELECT CAST(COUNT(*) AS BIGINT) AS sz
+                       FROM (SELECT doc_id, ${Q.fingerprintDuck} AS fp
+                             FROM documents) t
+                       GROUP BY fp),
+        tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS n_docs FROM sizes)
+        SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(sz * COUNT(*) AS BIGINT) AS docs_covered,
+               ROUND(CAST(sz * COUNT(*) AS DOUBLE) / n_docs, 6)
+                 AS doc_share
+        FROM sizes, tot GROUP BY sz, n_docs
       """))
   )
 }

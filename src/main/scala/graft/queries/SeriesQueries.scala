@@ -1178,6 +1178,47 @@ object SeriesQueries {
                                  * (n * syy - sy * sy) AS DOUBLE)), 0), 6)
                  AS r_pb
         FROM m
+      """)),
+
+    // ------------------------------------------------------------------
+    // q163: co-arrival burst detection — minutes in which a single
+    // user fired 2+ events (bot/retry signatures; at this stream's
+    // density sub-second co-arrival never happens, so the minute is
+    // the telling grain). One partial-aggregable count on the (user,
+    // minute) key — the natural shard key; no windows, no self-joins —
+    // then a per-user rollup of burst minutes, max burst size, and
+    // events inside bursts, ranked by burstiness. All integer.
+    QDef(
+      "q163_burst_arrivals",
+      (s, dir) => {
+        val secs = Tables(s, dir).events
+          .groupBy(col("user_id"),
+            expr("unix_micros(ts) div 60000000").as("tmin"))
+          .agg(count(lit(1)).as("n"))
+        secs.where(col("n") >= 2)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("burst_mins"),
+            max(col("n")).as("max_burst"),
+            sum(col("n")).as("events_in_bursts"))
+          .withColumn("rk", row_number().over(Window.orderBy(
+            col("events_in_bursts").desc, col("user_id").asc)))
+          .where(col("rk") <= 20)
+      },
+      Some("""
+        WITH s AS (SELECT user_id, epoch_us(ts) // 60000000 AS tmin,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+        b AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS burst_mins,
+                     CAST(MAX(n) AS BIGINT) AS max_burst,
+                     CAST(SUM(n) AS BIGINT) AS events_in_bursts
+              FROM s WHERE n >= 2 GROUP BY 1)
+        SELECT user_id, burst_mins, max_burst, events_in_bursts,
+               CAST(rk AS INTEGER) AS rk
+        FROM (SELECT user_id, burst_mins, max_burst, events_in_bursts,
+                     ROW_NUMBER() OVER (ORDER BY events_in_bursts DESC,
+                       user_id ASC) AS rk
+              FROM b) t
+        WHERE rk <= 20
       """))
   )
 }

@@ -95,7 +95,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // q155-q159 each cross ONE-row aggregates (totals/cutoffs/
     // deficits) into tiny derived relations (q37 pattern)
     "q155_erasure_audit", "q156_quota_apportion", "q157_chi_square",
-    "q158_source_concentration", "q159_feature_screen")
+    "q158_source_concentration", "q159_feature_screen",
+    // q160/q162 cross the ONE-row grand total into 9-row digit /
+    // |cluster-sizes| tables (q37 pattern)
+    "q160_benford_audit", "q162_dup_profile")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

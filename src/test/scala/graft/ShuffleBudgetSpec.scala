@@ -284,7 +284,16 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q158_source_concentration" -> 3,
     // q159: cutoff agg, per-user rollup (+ distinct-days expand), and
     // the 3-row moment agg
-    "q159_feature_screen" -> 4)
+    "q159_feature_screen" -> 4,
+    // q160: digit counts + the one-row total agg
+    "q160_benford_audit" -> 2,
+    // q161: daily rollup; peak window + final agg ride the flag
+    // partitioning
+    "q161_max_drawdown" -> 2,
+    // q162: fingerprint sizes, the size histogram, and the doc total
+    "q162_dup_profile" -> 3,
+    // q163: (user, minute) counts + the per-user burst rollup
+    "q163_burst_arrivals" -> 2)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
