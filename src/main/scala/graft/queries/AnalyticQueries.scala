@@ -1541,6 +1541,75 @@ object AnalyticQueries {
                  AS max_drawdown,
                CAST(MAX(peak) AS DOUBLE) AS peak_rev
         FROM p GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q164: autocorrelation (ACF at lags 1 and 7) of daily revenue per
+    // return flag — the seasonality diagnostic feeding q136's profile
+    // choice. Pairs (day, day−k) come from a self-join of the TINY
+    // daily rollup on the exact date offset (never the fact table);
+    // every moment accumulates in DECIMAL — products of two exact
+    // 2-decimal sums are exact 4-decimal values — so r is one IEEE
+    // expression over exact inputs (q126's recipe), nullif-guarded,
+    // round 6.
+    QDef(
+      "q164_autocorrelation",
+      (s, dir) => {
+        val daily = Tables(s, dir).lineitem
+          .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("d"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .as("rev"))
+          .localCheckpoint() // both sides of both lag joins
+        val lagged = daily.select(col("l_returnflag"), col("d"),
+          col("rev").as("prev"))
+        def acf(k: Int) = daily.as("c")
+          .join(lagged.as("p"),
+            col("c.l_returnflag") === col("p.l_returnflag") &&
+              col("c.d") === expr(s"p.d + interval $k days"))
+          .groupBy(col("c.l_returnflag").as("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c.rev")).as("sx"), sum(col("p.prev")).as("sy"),
+            sum((col("c.rev") * col("p.prev")).cast(DecimalType(38, 4)))
+              .as("sxy"),
+            sum((col("c.rev") * col("c.rev")).cast(DecimalType(38, 4)))
+              .as("sxx"),
+            sum((col("p.prev") * col("p.prev")).cast(DecimalType(38, 4)))
+              .as("syy"))
+          .select(col("l_returnflag"), lit(k).as("lag_d"), col("n"),
+            round((col("n") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              nullif(sqrt((col("n") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))),
+                lit(0.0d)), 6).as("acf"))
+        acf(1).unionByName(acf(7))
+      },
+      Some("""
+        WITH daily AS (SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+                         SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                           AS rev
+                       FROM lineitem GROUP BY 1, 2),
+        m AS (SELECT c.l_returnflag, k.lag_d,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(c.rev) AS DOUBLE) AS sx,
+                     CAST(SUM(p.rev) AS DOUBLE) AS sy,
+                     CAST(SUM(CAST(c.rev * p.rev AS DECIMAL(38,4)))
+                       AS DOUBLE) AS sxy,
+                     CAST(SUM(CAST(c.rev * c.rev AS DECIMAL(38,4)))
+                       AS DOUBLE) AS sxx,
+                     CAST(SUM(CAST(p.rev * p.rev AS DECIMAL(38,4)))
+                       AS DOUBLE) AS syy
+              FROM (VALUES (1), (7)) k(lag_d),
+                   daily c JOIN daily p
+                ON c.l_returnflag = p.l_returnflag
+               AND c.d = p.d + lag_d * INTERVAL 1 DAY
+              GROUP BY 1, 2)
+        SELECT l_returnflag, CAST(lag_d AS INTEGER) AS lag_d, n,
+               ROUND((n * sxy - sx * sy)
+                     / nullif(SQRT((n * sxx - sx * sx)
+                                   * (n * syy - sy * sy)), 0), 6) AS acf
+        FROM m
       """))
   )
 }

@@ -293,7 +293,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q162: fingerprint sizes, the size histogram, and the doc total
     "q162_dup_profile" -> 3,
     // q163: (user, minute) counts + the per-user burst rollup
-    "q163_burst_arrivals" -> 2)
+    "q163_burst_arrivals" -> 2,
+    // q164: post-checkpoint daily rollup: the two lag-join moment aggs
+    "q164_autocorrelation" -> 2)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
