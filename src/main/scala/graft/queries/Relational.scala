@@ -755,6 +755,125 @@ object Relational {
         SELECT check_name, n_violations, n_rows,
                CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS ok
         FROM rules
+      """)),
+
+    // ------------------------------------------------------------------
+    // q165: small-quantity revenue by brand (TPC-H Q17 shape) — revenue
+    // locked up in lineitems ordering less than half the part's average
+    // quantity. The per-part average is an aggregate of lineitem keyed
+    // by l_partkey, so the decorrelated join back is CO-PARTITIONED:
+    // one l_partkey shuffle feeds both the agg and the join at any
+    // scale; `part` is the broadcast dim. avg = exact decimal sum /
+    // exact count in double, so the 0.5x cut compares identically in
+    // both engines.
+    QDef(
+      "q165_small_qty_revenue",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val li = t.lineitem
+        val avgq = li.groupBy(col("l_partkey"))
+          .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+        li.join(avgq, "l_partkey")
+          .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(dsum(col("l_extendedprice")).as("small_qty_revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_qty
+          FROM lineitem GROUP BY 1)
+        SELECT p_brand,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS small_qty_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN a USING (l_partkey)
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity < 0.5 * avg_qty
+        GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q166: large-volume orders (TPC-H Q18 shape) — orders whose total
+    // quantity exceeds 300, with their customer. The HAVING-style cut
+    // runs on the l_orderkey aggregate BEFORE any join, so only the
+    // ~1% surviving orders join onward (semi-reduction first, the Q18
+    // plan you want at 100 TB); orders→aggregate is co-keyed on the
+    // order key, the customer join shuffles only the survivors, and the
+    // top-100 is a TakeOrderedAndProject with a total-order tiebreak.
+    QDef(
+      "q166_large_volume_orders",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val big = t.lineitem.groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"))
+          .where(col("sum_qty") > 300.0d)
+        big.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      Some("""
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+               o_totalprice, sum_qty
+        FROM (SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty
+              FROM lineitem GROUP BY 1) b
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE sum_qty > 300.0
+        ORDER BY sum_qty DESC, o_orderkey ASC
+        LIMIT 100
+      """)),
+
+    // ------------------------------------------------------------------
+    // q167: dormant high-balance customers (TPC-H Q22 shape) — per
+    // market segment, customers whose balance beats the positive-balance
+    // average but who never placed a big-ticket (> $400k) order. The
+    // global average is a ONE-ROW aggregate broadcast into the scan
+    // (crossJoin(broadcast(...)), no driver collect); the "never" is a
+    // left-anti join keyed on the customer key, with the $400k filter
+    // pushed into the orders scan so the anti side ships only
+    // big-ticket orders.
+    QDef(
+      "q167_dormant_customers",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val avgbal = t.customer.where(col("c_acctbal") > 0.0d)
+          .agg((dsum(col("c_acctbal")) / count(lit(1))).as("ab"))
+        t.customer.crossJoin(broadcast(avgbal))
+          .where(col("c_acctbal") > col("ab"))
+          .join(t.orders.where(col("o_totalprice") > 400000.0d)
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"),
+            dsum(col("c_acctbal")).as("totacctbal"))
+      },
+      Some("""
+        WITH ab AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS ab
+          FROM customer WHERE c_acctbal > 0.0)
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS totacctbal
+        FROM customer, ab
+        WHERE c_acctbal > ab
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c_custkey
+                            AND o.o_totalprice > 400000.0)
+        GROUP BY 1
       """))
   )
 }
