@@ -1223,6 +1223,54 @@ object PipelineQueries {
                CASE WHEN CAST(cum_docs AS DOUBLE) / nn <= 0.8 THEN 1
                     ELSE 0 END AS in_top80
         FROM r, t
+      """)),
+
+    // ------------------------------------------------------------------
+    // q169: quantile-shift (Q-Q) profile of document length per source
+    // against a fixed reference source — the quantile-space companion to
+    // q117's PSI and q112's KL: histogram methods miss a pure location
+    // shift inside one wide bin; the decile table localizes WHERE in the
+    // distribution two sources diverge. Per-source deciles come from
+    // Q.exactPercentiles (external window sort partitioned BY SOURCE —
+    // bounded per task at any corpus size, never a global order), the
+    // 9-decile wide row unpivots through a zero-shuffle stack Generate,
+    // and the reference deciles (9 rows) broadcast into the compare.
+    QDef(
+      "q169_quantile_shift",
+      (s, dir) => {
+        val ps = (1 to 9).map(i => (i / 10.0, s"d$i"))
+        val wide = Q.exactPercentiles(
+          Tables(s, dir).documents.select(col("source"), col("n_chars")),
+          "source", "n_chars", ps)
+        // round-at-9 BEFORE any derived column: the two engines'
+        // interpolation formulas (a·lo + b·hi vs lo + b·(hi−lo)) differ
+        // by 1 ulp off-grid, and a shift computed from rounded inputs
+        // can never produce the −0.0-vs-0.0 hash split either.
+        val long = wide.selectExpr("source",
+          s"""stack(9, ${(1 to 9).map(i => s"${i * 10}, round(d$i, 9)")
+            .mkString(", ")}) as (p, v)""")
+        val ref = long.where(col("source") === "src0")
+          .select(col("p"), col("v").as("ref_v"))
+        long.join(broadcast(ref), "p")
+          .select(col("source"), col("p"), col("v"), col("ref_v"),
+            round(col("v") - col("ref_v"), 9).as("shift"),
+            round(col("v") / nullif(col("ref_v"), lit(0.0d)), 9)
+              .as("ratio"))
+      },
+      Some(s"""
+        WITH s AS (SELECT source,
+                     ${(1 to 9).map(i =>
+                       s"quantile_cont(n_chars, 0.${i}) AS d$i")
+                       .mkString(", ")}
+                   FROM documents GROUP BY 1),
+        long AS (${(1 to 9).map(i =>
+                   s"SELECT source, ${i * 10} AS p, ROUND(d$i, 9) AS v FROM s")
+                   .mkString(" UNION ALL ")}),
+        ref AS (SELECT p, v AS ref_v FROM long WHERE source = 'src0')
+        SELECT source, p, v, ref_v,
+               ROUND(v - ref_v, 9) AS shift,
+               ROUND(v / nullif(ref_v, 0.0), 9) AS ratio
+        FROM long JOIN ref USING (p)
       """))
   )
 }

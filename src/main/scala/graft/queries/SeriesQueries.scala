@@ -1219,6 +1219,74 @@ object SeriesQueries {
                        user_id ASC) AS rk
               FROM b) t
         WHERE rk <= 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // q168: CUSUM level-shift detection on daily event volume — the
+    // streaming-health monitor shape (did a source start over-emitting?).
+    // The textbook recursion S_t = max(0, S_{t-1} + x_t − k) is not a
+    // window function, but it has a closed form over prefix sums:
+    // S_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of
+    // deviations — two cumulative windows per series key, no recursion,
+    // no driver loop. Every deviation is EXACT integer arithmetic
+    // (dev = 10·n_days·n − 11·sum_n, i.e. count minus 1.1× the mean,
+    // scaled by 10·n_days to clear both divisions), so the prefix sums
+    // are order-exact bigints and the only float is the final
+    // normalization. Per-series stats ride in via a broadcast join of a
+    // tiny aggregate (q136 pattern); everything shuffles once on
+    // event_type.
+    QDef(
+      "q168_cusum_shift",
+      (s, dir) => {
+        val daily = Tables(s, dir).events
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val stats = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"), sum(col("n")).as("sum_n"))
+        val cum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(broadcast(stats), "event_type")
+          .withColumn("dev",
+            lit(10L) * col("n_days") * col("n") - lit(11L) * col("sum_n"))
+          .withColumn("p", sum(col("dev")).over(cum))
+          .withColumn("s",
+            col("p") - least(min(col("p")).over(cum), lit(0L)))
+          .groupBy(col("event_type"), col("n_days"), col("sum_n"))
+          .agg(
+            sum(when(col("s") > lit(5L) * col("sum_n"), 1L).otherwise(0L))
+              .as("n_flagged"),
+            min(when(col("s") > lit(5L) * col("sum_n"), col("day")))
+              .as("first_flag_day"),
+            round(max(col("s")).cast("double")
+              / (lit(10.0d) * col("sum_n").cast("double")), 9)
+              .as("max_ratio"))
+      },
+      Some("""
+        WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+        st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                      CAST(SUM(n) AS BIGINT) AS sum_n
+               FROM daily GROUP BY 1),
+        dev AS (SELECT d.event_type, day, n, n_days, sum_n,
+                       10 * n_days * n - 11 * sum_n AS dv
+                FROM daily d JOIN st USING (event_type)),
+        pre AS (SELECT *, SUM(dv) OVER (PARTITION BY event_type
+                  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS p
+                FROM dev),
+        cu AS (SELECT *, p - LEAST(MIN(p) OVER (PARTITION BY event_type
+                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW), 0) AS s
+               FROM pre)
+        SELECT event_type, n_days, sum_n,
+               CAST(SUM(CASE WHEN s > 5 * sum_n THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_flagged,
+               MIN(CASE WHEN s > 5 * sum_n THEN day END) AS first_flag_day,
+               ROUND(CAST(MAX(s) AS DOUBLE)
+                     / (10.0 * CAST(sum_n AS DOUBLE)), 9) AS max_ratio
+        FROM cu GROUP BY 1, 2, 3
       """))
   )
 }
