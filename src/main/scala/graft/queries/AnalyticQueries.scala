@@ -10,6 +10,68 @@ import org.apache.spark.sql.types.DecimalType
   */
 object AnalyticQueries {
 
+  /** BM25 scored relation (doc_id, score_raw, n_terms) for the fixed
+    * 3-term query — q132's core, shared with q171's hybrid fusion so
+    * the lexical ranker can never drift between the two. See q132's
+    * comment for the plan-shape rationale.
+    */
+  private[queries] def bm25Scored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = Tables(s, dir).documents
+      .select(col("doc_id"), explode(expr(TextQueries.wordsExpr))
+        .as("word"))
+      .localCheckpoint() // feeds dl/totals AND tf/df
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("nn"),
+      sum(col("dl")).as("toktot"))
+    val tf = toks.where(col("word").isin("spark", "window", "merge"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("avgdl", col("toktot").cast("double") / col("nn"))
+      .withColumn("part",
+        log(lit(1.0d) + (col("nn").cast("double") - col("df") +
+          lit(0.5d)) / (col("df").cast("double") + lit(0.5d))) *
+          (col("tf").cast("double") * lit(2.2d)) /
+          (col("tf").cast("double") + lit(1.2d) *
+            (lit(0.25d) + lit(0.75d) *
+              col("dl").cast("double") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("part")).as("score_raw"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  /** DuckDB CTE chain ending in `sc(doc_id, score_raw, n_terms)` — the
+    * restatement of [[bm25Scored]], shared by the q132 and q171 oracles.
+    */
+  private[queries] val bm25ScoredDuck: String = s"""
+        toks AS (SELECT doc_id,
+                        unnest(${TextQueries.wordsExprDuck}) AS word
+                 FROM documents),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                       CAST(SUM(dl) AS BIGINT) AS toktot FROM dl),
+        tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks WHERE word IN ('spark', 'window', 'merge')
+               GROUP BY 1, 2),
+        df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+               FROM tf GROUP BY 1),
+        sc AS (SELECT t.doc_id,
+                      SUM(LN(1.0 + (CAST(nn AS DOUBLE) - f.df + 0.5)
+                             / (CAST(f.df AS DOUBLE) + 0.5))
+                          * (CAST(t.tf AS DOUBLE) * 2.2)
+                          / (CAST(t.tf AS DOUBLE) + 1.2
+                             * (0.25 + 0.75 * CAST(d.dl AS DOUBLE)
+                                / (CAST(toktot AS DOUBLE) / nn))))
+                        AS score_raw,
+                      CAST(COUNT(*) AS BIGINT) AS n_terms
+               FROM tf t JOIN df f ON f.word = t.word
+               JOIN dl d ON d.doc_id = t.doc_id, tot
+               GROUP BY 1)"""
+
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------
     // q34: exact interpolated percentiles (sort-based, not sketches —
@@ -1139,31 +1201,7 @@ object AnalyticQueries {
     QDef(
       "q132_bm25",
       (s, dir) => {
-        val toks = Tables(s, dir).documents
-          .select(col("doc_id"), explode(expr(TextQueries.wordsExpr))
-            .as("word"))
-          .localCheckpoint() // feeds dl/totals AND tf/df
-        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val totals = dl.agg(count(lit(1)).as("nn"),
-          sum(col("dl")).as("toktot"))
-        val tf = toks.where(col("word").isin("spark", "window", "merge"))
-          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-        val scored = tf.join(broadcast(df), "word")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(totals))
-          .withColumn("avgdl", col("toktot").cast("double") / col("nn"))
-          .withColumn("part",
-            log(lit(1.0d) + (col("nn").cast("double") - col("df") +
-              lit(0.5d)) / (col("df").cast("double") + lit(0.5d))) *
-              (col("tf").cast("double") * lit(2.2d)) /
-              (col("tf").cast("double") + lit(1.2d) *
-                (lit(0.25d) + lit(0.75d) *
-                  col("dl").cast("double") / col("avgdl"))))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("part")).as("score_raw"),
-            count(lit(1)).as("n_terms"))
-        scored
+        bm25Scored(s, dir)
           .withColumn("rk", row_number().over(Window.orderBy(
             round(col("score_raw"), 9).desc, col("doc_id").asc)))
           .where(col("rk") <= 15)
@@ -1171,30 +1209,7 @@ object AnalyticQueries {
             round(col("score_raw"), 6).as("score"))
       },
       Some(s"""
-        WITH toks AS (SELECT doc_id,
-                        unnest(${TextQueries.wordsExprDuck}) AS word
-                      FROM documents),
-        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-               FROM toks GROUP BY 1),
-        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
-                       CAST(SUM(dl) AS BIGINT) AS toktot FROM dl),
-        tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
-               FROM toks WHERE word IN ('spark', 'window', 'merge')
-               GROUP BY 1, 2),
-        df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
-               FROM tf GROUP BY 1),
-        sc AS (SELECT t.doc_id,
-                      SUM(LN(1.0 + (CAST(nn AS DOUBLE) - f.df + 0.5)
-                             / (CAST(f.df AS DOUBLE) + 0.5))
-                          * (CAST(t.tf AS DOUBLE) * 2.2)
-                          / (CAST(t.tf AS DOUBLE) + 1.2
-                             * (0.25 + 0.75 * CAST(d.dl AS DOUBLE)
-                                / (CAST(toktot AS DOUBLE) / nn))))
-                        AS score_raw,
-                      CAST(COUNT(*) AS BIGINT) AS n_terms
-               FROM tf t JOIN df f ON f.word = t.word
-               JOIN dl d ON d.doc_id = t.doc_id, tot
-               GROUP BY 1)
+        WITH $bm25ScoredDuck
         SELECT CAST(rk AS INTEGER) AS rk, doc_id, n_terms,
                ROUND(score_raw, 6) AS score
         FROM (SELECT doc_id, n_terms, score_raw,

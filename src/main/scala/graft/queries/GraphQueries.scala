@@ -398,6 +398,73 @@ object GraphQueries {
                        AS rk
               FROM pairs, nb) t, nb
         WHERE rk <= 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // q170: k-core peeling (k = 6) on the part co-occurrence graph —
+    // the community-density filter that complements q100's clustering
+    // coefficient and q142's components: iteratively drop nodes with
+    // degree < k until (here) 3 fixed supersteps, the q101/q142 bounded-
+    // iteration discipline (no driver-side convergence loop; each round
+    // is one degree aggregate + two semi-join-shaped edge filters, all
+    // keyed on node id). Round sizes are exact integers; the oracle
+    // unrolls the identical 3 rounds.
+    QDef(
+      "q170_kcore",
+      (s, dir) => {
+        val e0 = coEdges(s, dir)
+        def sizesOf(e: org.apache.spark.sql.DataFrame, round: Int) = {
+          val nn = e.select(col("x").as("v"))
+            .unionByName(e.select(col("y").as("v")))
+            .agg(countDistinct(col("v")).as("n_nodes"))
+          nn.crossJoin(e.agg(count(lit(1)).as("n_edges")))
+            .select(lit(round).as("round"), col("n_nodes"), col("n_edges"))
+        }
+        def peel(e: org.apache.spark.sql.DataFrame) = {
+          val surv = e.select(col("x").as("v"))
+            .unionByName(e.select(col("y").as("v")))
+            .groupBy(col("v")).agg(count(lit(1)).as("d"))
+            .where(col("d") >= 6).select(col("v"))
+          e.join(surv.withColumnRenamed("v", "x"), "x")
+            .join(surv.withColumnRenamed("v", "y"), "y")
+            .select(col("x"), col("y")).localCheckpoint()
+        }
+        val e1 = peel(e0); val e2 = peel(e1); val e3 = peel(e2)
+        sizesOf(e0, 0).unionByName(sizesOf(e1, 1))
+          .unionByName(sizesOf(e2, 2)).unionByName(sizesOf(e3, 3))
+      },
+      Some(s"""
+        WITH $coEdgesDuck,
+        d1 AS (SELECT v, COUNT(*) AS d FROM (SELECT x AS v FROM edges
+                 UNION ALL SELECT y FROM edges) u GROUP BY 1),
+        s1 AS (SELECT v FROM d1 WHERE d >= 6),
+        e1 AS (SELECT x, y FROM edges
+               WHERE x IN (SELECT v FROM s1) AND y IN (SELECT v FROM s1)),
+        d2 AS (SELECT v, COUNT(*) AS d FROM (SELECT x AS v FROM e1
+                 UNION ALL SELECT y FROM e1) u GROUP BY 1),
+        s2 AS (SELECT v FROM d2 WHERE d >= 6),
+        e2 AS (SELECT x, y FROM e1
+               WHERE x IN (SELECT v FROM s2) AND y IN (SELECT v FROM s2)),
+        d3 AS (SELECT v, COUNT(*) AS d FROM (SELECT x AS v FROM e2
+                 UNION ALL SELECT y FROM e2) u GROUP BY 1),
+        s3 AS (SELECT v FROM d3 WHERE d >= 6),
+        e3 AS (SELECT x, y FROM e2
+               WHERE x IN (SELECT v FROM s3) AND y IN (SELECT v FROM s3))
+        SELECT 0 AS round,
+               CAST((SELECT COUNT(DISTINCT v) FROM d1) AS BIGINT) AS n_nodes,
+               CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges
+        UNION ALL SELECT 1,
+               CAST((SELECT COUNT(DISTINCT v) FROM (SELECT x AS v FROM e1
+                       UNION ALL SELECT y FROM e1) u) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM e1) AS BIGINT)
+        UNION ALL SELECT 2,
+               CAST((SELECT COUNT(DISTINCT v) FROM (SELECT x AS v FROM e2
+                       UNION ALL SELECT y FROM e2) u) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM e2) AS BIGINT)
+        UNION ALL SELECT 3,
+               CAST((SELECT COUNT(DISTINCT v) FROM (SELECT x AS v FROM e3
+                       UNION ALL SELECT y FROM e3) u) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM e3) AS BIGINT)
       """))
   )
 }

@@ -1118,6 +1118,191 @@ object SimilarityQueries {
                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS acc
         FROM pred p JOIN e qe ON qe.vec_id = p.qid
         GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q171: hybrid retrieval — reciprocal-rank fusion (k = 60) of the
+    // BM25 lexical ranking (q132's scorer, shared helper — the two
+    // queries cannot drift) and a semantic cosine ranking against one
+    // query vector, the lexical+vector hybrid every RAG stack runs.
+    // Embeddings are document vectors (vec_id = doc_id). Both ranks are
+    // computed on round-9 scores with doc_id tiebreaks; every RRF term
+    // is an exact rational 1/(60+rank) evaluated identically in both
+    // engines, so the fused ordering is bit-deterministic. The semantic
+    // side is capped at top-50 BEFORE fusion — at scale those
+    // candidates come from the IVF index (q48) instead of a full rank;
+    // the fusion itself only ever touches the two bounded candidate
+    // lists (full-outer join on doc_id, missing side contributes 0).
+    QDef(
+      "q171_rrf_hybrid",
+      (s, dir) => {
+        val e = vectors(s, dir).localCheckpoint() // query vec + corpus
+        val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+        val sem = e.where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"), expr(COS).as("cos"))
+          .withColumn("sem_rk", row_number().over(Window.orderBy(
+            round(col("cos"), 9).desc, col("doc_id").asc)))
+          .where(col("sem_rk") <= 50)
+          .select(col("doc_id"), col("sem_rk"))
+        val lex = AnalyticQueries.bm25Scored(s, dir)
+          .withColumn("lex_rk", row_number().over(Window.orderBy(
+            round(col("score_raw"), 9).desc, col("doc_id").asc)))
+          .select(col("doc_id"), col("lex_rk"))
+        sem.join(lex, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("lex_rk"), col("sem_rk"),
+            round(
+              coalesce(lit(1.0d) / (lit(60) + col("lex_rk")), lit(0.0d)) +
+              coalesce(lit(1.0d) / (lit(60) + col("sem_rk")), lit(0.0d)),
+              9).as("rrf"))
+          .withColumn("rk", row_number().over(Window.orderBy(
+            col("rrf").desc, col("doc_id").asc)))
+          .where(col("rk") <= 20)
+          .select(col("rk"), col("doc_id"), col("lex_rk"), col("sem_rk"),
+            col("rrf"))
+      },
+      Some(s"""
+        WITH ${graft.queries.AnalyticQueries.bm25ScoredDuck},
+        e AS (SELECT vec_id,
+                list_transform(embedding::DOUBLE[],
+                  x -> x / sqrt(list_sum(list_transform(
+                    embedding::DOUBLE[], y -> y * y)))) AS v
+              FROM embeddings),
+        qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        sem AS (SELECT vec_id AS doc_id,
+                       list_sum(list_transform(range(1, 65),
+                         i -> qv[i] * v[i])) AS cos
+                FROM e, qv WHERE vec_id <> 0),
+        semr AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY ROUND(cos, 9) DESC,
+                     doc_id ASC) AS INTEGER) AS sem_rk
+                 FROM sem),
+        sem50 AS (SELECT doc_id, sem_rk FROM semr WHERE sem_rk <= 50),
+        lexr AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY ROUND(score_raw, 9)
+                     DESC, doc_id ASC) AS INTEGER) AS lex_rk
+                 FROM sc),
+        fused AS (SELECT COALESCE(s.doc_id, l.doc_id) AS doc_id,
+                         l.lex_rk, s.sem_rk,
+                         ROUND(COALESCE(CAST(1.0 AS DOUBLE)
+                                 / (60 + l.lex_rk), 0)
+                             + COALESCE(CAST(1.0 AS DOUBLE)
+                                 / (60 + s.sem_rk), 0), 9) AS rrf
+                  FROM sem50 s FULL OUTER JOIN lexr l
+                    ON s.doc_id = l.doc_id)
+        SELECT CAST(rk AS INTEGER) AS rk, doc_id, lex_rk, sem_rk, rrf
+        FROM (SELECT doc_id, lex_rk, sem_rk, rrf,
+                     ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC)
+                       AS rk
+              FROM fused) t
+        WHERE rk <= 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // q172: NDCG@10 of the IVF retrieval (graded ranking quality — the
+    // metric that sees WHERE the relevant hits land, where q120's
+    // recall and q149's accuracy only count them): every vector queries
+    // the 2-probe IVF index (the SAME ivfRanked quantizer q48 ships),
+    // relevance = same label, DCG discounts 1/log2(pos+1) are rounded
+    // at 9 (libm log2 may differ by 1 ulp), ideal DCG comes from the
+    // per-query relevant-candidate count via a bounded 10-term
+    // sequence fold, and per-label means absorb summation-order ulps
+    // at round-6. Candidate generation is the bucketed cell join —
+    // never an all-pairs product.
+    QDef(
+      "q172_ndcg_eval",
+      (s, dir) => {
+        val e = vectors(s, dir).localCheckpoint()
+        val rk = ivfRanked(e, 16)
+        val assign = rk.filter(col("rn") === 1)
+          .select(col("vec_id").as("nid"), col("cent_id").as("cell"),
+            col("v").as("nv"))
+          .join(e.select(col("vec_id").as("nid"),
+            col("label").as("nlabel")), "nid")
+        val probes = rk.filter(col("rn") <= 2)
+          .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+        val cand = probes.join(assign, "cell")
+          .where(col("nid") =!= col("qid"))
+          .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("label").as("qlabel")), "qid")
+          .withColumn("sim", expr("dot_product(nv, qv)"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(round(col("sim"), 9).desc, col("nid").asc)))
+          .withColumn("rel",
+            when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+        val perQ = cand.groupBy(col("qid"), col("qlabel"))
+          .agg(
+            sum(when(col("pos") <= 10 && col("rel") === 1L,
+              expr("round(1.0d / log2(cast(pos as double) + 1.0d), 9)"))
+              .otherwise(lit(0.0d))).as("dcg"),
+            sum(col("rel")).as("r_tot"))
+          .withColumn("idcg", expr(
+            """case when r_tot = 0 then null
+               else aggregate(sequence(1, cast(least(10L, r_tot) as int)),
+                 0D, (a, i) ->
+                   a + round(1.0d / log2(cast(i as double) + 1.0d), 9))
+               end"""))
+          .withColumn("ndcg", round(col("dcg") / col("idcg"), 6))
+        perQ.groupBy(col("qlabel"))
+          .agg(count(col("ndcg")).as("n_eval"),
+            round(sum(col("ndcg")) / count(col("ndcg")), 6)
+              .as("mean_ndcg"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                  WHERE vec_id < 16),
+        sims AS (SELECT a.vec_id, c.cent_id,
+                        list_sum(list_transform(range(1, 65),
+                          i -> a.v[i] * c.cv[i])) AS sim
+                 FROM e a, cents c),
+        ranked AS (SELECT vec_id, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, cent_id ASC) AS rn
+                   FROM sims),
+        assign AS (SELECT r.vec_id AS nid, r.cent_id AS cell,
+                          ne.label AS nlabel, ne.v AS nv
+                   FROM ranked r JOIN e ne ON ne.vec_id = r.vec_id
+                   WHERE r.rn = 1),
+        probes AS (SELECT vec_id AS qid, cent_id AS cell
+                   FROM ranked WHERE rn <= 2),
+        cand AS (SELECT p.qid, qe.label AS qlabel, a.nid, a.nlabel,
+                        list_sum(list_transform(range(1, 65),
+                          i -> a.nv[i] * qe.v[i])) AS sim
+                 FROM probes p
+                 JOIN assign a ON a.cell = p.cell AND a.nid <> p.qid
+                 JOIN e qe ON qe.vec_id = p.qid),
+        pos AS (SELECT qid, qlabel, nid, nlabel, sim,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY ROUND(sim, 9) DESC, nid ASC) AS pos
+                FROM cand),
+        perq AS (SELECT qid, qlabel,
+                        SUM(CASE WHEN pos <= 10 AND nlabel = qlabel
+                              THEN ROUND(CAST(1.0 AS DOUBLE)
+                                / log2(CAST(pos AS DOUBLE) + 1.0), 9)
+                              ELSE CAST(0.0 AS DOUBLE) END) AS dcg,
+                        CAST(SUM(CASE WHEN nlabel = qlabel THEN 1
+                                      ELSE 0 END) AS BIGINT) AS r_tot
+                 FROM pos GROUP BY 1, 2),
+        scored AS (SELECT qid, qlabel, dcg, r_tot,
+                     CASE WHEN r_tot = 0 THEN NULL
+                       ELSE list_sum(list_transform(
+                              range(1, CAST(LEAST(10, r_tot) AS INTEGER)
+                                       + 1),
+                              i -> ROUND(CAST(1.0 AS DOUBLE)
+                                / log2(CAST(i AS DOUBLE) + 1.0), 9)))
+                       END AS idcg
+                   FROM perq)
+        SELECT qlabel, CAST(COUNT(ROUND(dcg / idcg, 6)) AS BIGINT)
+                 AS n_eval,
+               ROUND(SUM(ROUND(dcg / idcg, 6))
+                     / COUNT(ROUND(dcg / idcg, 6)), 6) AS mean_ndcg
+        FROM scored GROUP BY 1
       """))
   )
 }
