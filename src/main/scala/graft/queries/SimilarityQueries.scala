@@ -1303,6 +1303,89 @@ object SimilarityQueries {
                ROUND(SUM(ROUND(dcg / idcg, 6))
                      / COUNT(ROUND(dcg / idcg, 6)), 6) AS mean_ndcg
         FROM scored GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q173: calibration (reliability) bins for the centroid classifier —
+    // is a confidence of 0.8 right 80% of the time? Score = logistic of
+    // the margin between own-label and best-other-label centroid
+    // cosine; ten confidence bins report empirical accuracy, mean
+    // confidence, and the Brier term. Everything runs in the exploded
+    // (vec, dim) layout q73/q76 established: centroids are a broadcast
+    // (label, dim) table, per-(vec, label) dots are one partial-agg
+    // shuffle, and no array ever crosses an exchange. Dots and the
+    // logistic are round-9 (summation order / libm exp); accuracy is
+    // exact integer arithmetic; the means absorb ulps at round-6.
+    QDef(
+      "q173_calibration_bins",
+      (s, dir) => {
+        val dims = vectors(s, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("v")).as(Seq("p", "x")))
+          .localCheckpoint() // feeds centroids AND the scoring join
+        val centroid = dims.groupBy(col("label").as("clabel"), col("p"))
+          .agg(round(avg(col("x")), 9).as("c"))
+        val dots = dims.join(broadcast(centroid), "p")
+          .groupBy(col("vec_id"), col("label"), col("clabel"))
+          .agg(round(sum(col("x") * col("c")), 9).as("dot"))
+        val per = dots.groupBy(col("vec_id"), col("label"))
+          .agg(
+            max(when(col("clabel") === col("label"), col("dot")))
+              .as("own"),
+            max(when(col("clabel") =!= col("label"), col("dot")))
+              .as("best_other"))
+          .withColumn("margin", round(col("own") - col("best_other"), 9))
+          .withColumn("conf",
+            round(lit(1.0d) / (lit(1.0d) + exp(-col("margin"))), 9))
+          .withColumn("correct",
+            when(col("margin") > 0.0d, 1L).otherwise(0L))
+          .withColumn("bin",
+            least(lit(9), floor(col("conf") * 10.0d).cast("int")))
+        per.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("conf")) / count(lit(1)), 6).as("mean_conf"),
+            round(sum(col("correct")).cast("double") / count(lit(1)), 6)
+              .as("frac_correct"),
+            round(sum((col("conf") - col("correct"))
+              * (col("conf") - col("correct"))) / count(lit(1)), 6)
+              .as("brier"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        dims AS (SELECT vec_id, label, p.p AS p, v[p.p + 1] AS x
+                 FROM e, (SELECT unnest(range(0, 64)) AS p) p),
+        centroid AS (SELECT label AS clabel, p, ROUND(AVG(x), 9) AS c
+                     FROM dims GROUP BY 1, 2),
+        dots AS (SELECT vec_id, d.label, ct.clabel,
+                        ROUND(SUM(x * c), 9) AS dot
+                 FROM dims d JOIN centroid ct ON ct.p = d.p
+                 GROUP BY 1, 2, 3),
+        per AS (SELECT vec_id, label,
+                       MAX(CASE WHEN clabel = label THEN dot END) AS own,
+                       MAX(CASE WHEN clabel <> label THEN dot END)
+                         AS best_other
+                FROM dots GROUP BY 1, 2),
+        sc AS (SELECT vec_id, label,
+                      ROUND(own - best_other, 9) AS margin
+               FROM per),
+        pr AS (SELECT vec_id,
+                      ROUND(CAST(1.0 AS DOUBLE)
+                            / (1.0 + exp(-margin)), 9) AS conf,
+                      CASE WHEN margin > 0.0 THEN 1 ELSE 0 END AS correct
+               FROM sc)
+        SELECT CAST(LEAST(9, CAST(FLOOR(conf * 10.0) AS INTEGER))
+                 AS INTEGER) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(conf) / COUNT(*), 6) AS mean_conf,
+               ROUND(CAST(SUM(correct) AS DOUBLE) / COUNT(*), 6)
+                 AS frac_correct,
+               ROUND(SUM((conf - correct) * (conf - correct))
+                     / COUNT(*), 6) AS brier
+        FROM pr GROUP BY 1
       """))
   )
 }

@@ -960,6 +960,71 @@ object TextQueries {
                ROUND(CAST(c.n AS DOUBLE) / r.lang_n, 6) AS share,
                CASE WHEN c.lang = c.pred_lang THEN 1 ELSE 0 END AS correct
         FROM cells c JOIN rt r ON r.lang = c.lang
+      """)),
+
+    // ------------------------------------------------------------------
+    // q174: Zipf rank–frequency fit per language — the corpus-health
+    // diagnostic (natural text slopes ≈ −1; template/boilerplate text
+    // flattens or steepens). Per-lang word counts partial-aggregate,
+    // the ranking window runs over the DISTINCT-word table partitioned
+    // by lang (bounded by vocabulary, q116's discipline — never the
+    // token stream), and the OLS slope/intercept over the top-100
+    // (ln rank, ln count) points comes from per-lang moment sums:
+    // each ln is round-9 (libm), the ≤100-term moment sums round-6
+    // before the closed form, so summation order can't leak into the
+    // hash.
+    QDef(
+      "q174_zipf_slope",
+      (s, dir) => {
+        val counts = Tables(s, dir).documents
+          .select(col("lang"), explode(expr(W)).as("word"))
+          .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+        val byLang = Window.partitionBy(col("lang"))
+          .orderBy(col("c").desc, col("word").asc)
+        val pts = counts
+          .withColumn("rk", row_number().over(byLang))
+          .where(col("rk") <= 100)
+          .select(col("lang"),
+            expr("round(ln(cast(rk as double)), 9)").as("x"),
+            expr("round(ln(cast(c as double)), 9)").as("y"))
+        pts.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("x")), 6).as("sx"),
+            round(sum(col("y")), 6).as("sy"),
+            round(sum(col("x") * col("x")), 6).as("sxx"),
+            round(sum(col("x") * col("y")), 6).as("sxy"))
+          .select(col("lang"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              / (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("slope"),
+            round((col("sy") - (col("n") * col("sxy") - col("sx")
+              * col("sy")) / (col("n") * col("sxx") - col("sx")
+              * col("sx")) * col("sx")) / col("n"), 6).as("intercept"))
+      },
+      Some(s"""
+        WITH counts AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM (SELECT lang, unnest($WDuck) AS word
+                              FROM documents) t
+                        GROUP BY 1, 2),
+        pts AS (SELECT lang,
+                       ROUND(LN(CAST(rk AS DOUBLE)), 9) AS x,
+                       ROUND(LN(CAST(c AS DOUBLE)), 9) AS y
+                FROM (SELECT lang, c,
+                             ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY c DESC, word ASC) AS rk
+                      FROM counts) r
+                WHERE rk <= 100),
+        m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(SUM(x), 6) AS sx, ROUND(SUM(y), 6) AS sy,
+                     ROUND(SUM(x * x), 6) AS sxx,
+                     ROUND(SUM(x * y), 6) AS sxy
+              FROM pts GROUP BY 1)
+        SELECT lang, n,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                 AS slope,
+               ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                      * sx) / n, 6) AS intercept
+        FROM m
       """))
   )
 }
