@@ -692,9 +692,13 @@ object DedupQueries {
         // is 60% of every doc and candidates blow up ~8x for the same
         // 25-pair answer — prefix filtering is a high-threshold tool)
         val t = 0.6
+        // localCheckpoint: the shingle scan (regex tokenize + md5 per
+        // gram — the dominant per-row cost) feeds BOTH the df count and
+        // the (df, g) join; without it the corpus is re-shingled twice
         val sh = Tables(s, dir).documents
           .select(col("doc_id"),
             graft.functions.Shingles.shingles(col("text"), 3).as("g"))
+          .localCheckpoint()
         val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
         // one row per doc: full gram set in global (df, g) order + the
         // prefix slice; localCheckpoint — feeds the candidate self-join

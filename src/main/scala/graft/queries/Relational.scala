@@ -874,6 +874,137 @@ object Relational {
                           WHERE o.o_custkey = c_custkey
                             AND o.o_totalprice > 400000.0)
         GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q175: disjunctive-predicate pricing (TPC-H Q19 shape) — revenue
+    // under three OR'd brand/size/quantity clauses. The point is the
+    // OPTIMIZER test: the common conjuncts (p_size >= 1, quantity
+    // bounds) must still reach the scans as pushed filters even though
+    // the brand-specific arms are disjunctive, and the join stays a
+    // broadcast hash join on partkey — never a nested-loop over the OR.
+    QDef(
+      "q175_disjunctive_pricing",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .where(
+            (col("p_brand") === "Brand#12" &&
+              col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#23" &&
+              col("p_size").between(1, 30) &&
+              col("l_quantity").between(10, 35)) ||
+            (col("p_brand") === "Brand#34" &&
+              col("p_size").between(1, 50) &&
+              col("l_quantity").between(20, 50)))
+          .groupBy(col("p_brand"))
+          .agg(
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""
+        SELECT p_brand,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+               AND l_quantity BETWEEN 10 AND 35)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
+        GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q176: returned-item reporting (TPC-H Q10 shape) — which customers
+    // returned the most revenue in 1997H1. The returnflag filter pushes
+    // to the lineitem scan; lineitem→orders is the co-keyed fact join
+    // (both sides hash by order key); the per-customer aggregate then
+    // joins customer and the broadcast nation dim; top-20 is a
+    // TakeOrderedAndProject with the custkey tiebreak.
+    QDef(
+      "q176_returned_items",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val rev = t.lineitem.where(col("l_returnflag") === "R")
+          .join(t.orders.where(
+              col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+              col("o_orderdate") < lit("1997-07-01").cast("timestamp_ntz")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+        rev.join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            col("c_acctbal"), col("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some("""
+        SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+        FROM (SELECT o_custkey,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1997-07-01'
+              GROUP BY 1) r
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // q177: local-supplier volume (TPC-H Q5 shape) — revenue from
+    // lineitems where the customer and the supplier sit in the SAME
+    // nation, per nation of one region. The nation/region dims broadcast
+    // into both sides; the customer-side and supplier-side nationkeys
+    // meet in an equi-condition, so the whole query is hash joins on
+    // the fact keys plus one tiny dim chain — no theta join anywhere.
+    QDef(
+      "q177_local_supplier_volume",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val asiaNations = t.nation
+          .join(broadcast(t.region.where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.supplier.select(col("s_suppkey"),
+              col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(asiaNations),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1
       """))
   )
 }
