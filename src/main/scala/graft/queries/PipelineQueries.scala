@@ -1271,6 +1271,118 @@ object PipelineQueries {
                ROUND(v - ref_v, 9) AS shift,
                ROUND(v / nullif(ref_v, 0.0), 9) AS ratio
         FROM long JOIN ref USING (p)
+      """)),
+
+    // ------------------------------------------------------------------
+    // q178: T5-style span-corruption example generation — the denoising
+    // objective's (input, target) pairs, built DETERMINISTICALLY (fixed
+    // mask schedule: a 3-token span starting at every 20th position ≈
+    // 15% noise, the schedule a seeded RNG would produce but replayable
+    // on any engine/partitioning): input replaces each span with a
+    // numbered sentinel, target is the sentinel-prefixed masked
+    // tokens. Pure narrow map — one flatten(transform(sequence...))
+    // per doc, no shuffle at all; outputs ship as md5 fingerprints so
+    // the relation stays row-small at any corpus scale. The oracle
+    // rebuilds both streams with the identical arithmetic.
+    QDef(
+      "q178_span_corruption",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .withColumn("ws", expr(TextQueries.wordsExpr))
+          .where(size(col("ws")) >= 1)
+          .select(col("doc_id"),
+            size(col("ws")).cast("bigint").as("n_tokens"),
+            expr("""size(filter(sequence(0, size(ws) - 1),
+                      i -> i % 20 = 5)) """).cast("bigint").as("n_spans"),
+            expr("""size(filter(sequence(0, size(ws) - 1),
+                      i -> i % 20 between 5 and 7))""").cast("bigint")
+              .as("n_masked"),
+            expr("""md5(cast(concat_ws(' ',
+                flatten(transform(sequence(0, size(ws) - 1), i ->
+                  case when i % 20 = 5
+                         then array(concat('<extra_id_',
+                                cast(i div 20 as string), '>'))
+                       when i % 20 between 6 and 7 then array()
+                       else array(element_at(ws, i + 1)) end)))
+              as binary))""").as("input_fp"),
+            expr("""md5(cast(concat_ws(' ',
+                flatten(transform(sequence(0, size(ws) - 1), i ->
+                  case when i % 20 = 5
+                         then array(concat('<extra_id_',
+                                cast(i div 20 as string), '>'),
+                              element_at(ws, i + 1))
+                       when i % 20 between 6 and 7
+                         then array(element_at(ws, i + 1))
+                       else array() end)))
+              as binary))""").as("target_fp"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, ${TextQueries.wordsExprDuck} AS ws
+                   FROM documents),
+        f AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) >= 1)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(range(0, n), i -> i % 20 = 5))
+                 AS BIGINT) AS n_spans,
+               CAST(len(list_filter(range(0, n),
+                 i -> i % 20 BETWEEN 5 AND 7)) AS BIGINT) AS n_masked,
+               md5(array_to_string(flatten(list_transform(range(0, n),
+                 i -> CASE WHEN i % 20 = 5
+                        THEN ['<extra_id_' || CAST(i // 20 AS VARCHAR)
+                              || '>']
+                      WHEN i % 20 BETWEEN 6 AND 7 THEN []
+                      ELSE [ws[CAST(i AS INTEGER) + 1]] END)), ' '))
+                 AS input_fp,
+               md5(array_to_string(flatten(list_transform(range(0, n),
+                 i -> CASE WHEN i % 20 = 5
+                        THEN ['<extra_id_' || CAST(i // 20 AS VARCHAR)
+                              || '>', ws[CAST(i AS INTEGER) + 1]]
+                      WHEN i % 20 BETWEEN 6 AND 7
+                        THEN [ws[CAST(i AS INTEGER) + 1]]
+                      ELSE [] END)), ' ')) AS target_fp
+        FROM f
+      """)),
+
+    // ------------------------------------------------------------------
+    // q179: temperature-scaled source mixing (α = 0.7, the mT5/Pile
+    // upsampling rule) — sampling probabilities p_i ∝ w_i^α over the
+    // per-source token mass, with the boost factor each source gets vs
+    // its natural share. One partial-agg pass builds the 20-row source
+    // table; the α-power is round-9 (libm pow), the normalizer is a
+    // broadcast one-row sum of those rounded terms, and the final
+    // shares round at 6 — the q112/q117 float-parity recipe. At 100 TB
+    // this is the same tiny-relation plan: the fact scan aggregates
+    // once, everything downstream is broadcast arithmetic.
+    QDef(
+      "q179_temperature_mix",
+      (s, dir) => {
+        val src = Tables(s, dir).documents
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("w"))
+          .withColumn("wa", round(expr("pow(cast(w as double), 0.7d)"), 9))
+          .localCheckpoint() // feeds the totals AND the per-source rows
+        val tot = src.agg(sum(col("w")).as("tw"), sum(col("wa")).as("twa"))
+        src.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("w"),
+            round(col("wa") / col("twa"), 6).as("p_sample"),
+            round(col("w").cast("double") / col("tw"), 6).as("p_natural"),
+            round((col("wa") / col("twa"))
+              / (col("w").cast("double") / col("tw")), 6).as("boost"))
+      },
+      Some("""
+        WITH src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                            CAST(SUM(n_chars) AS BIGINT) AS w,
+                            ROUND(POW(CAST(SUM(n_chars) AS DOUBLE), 0.7), 9)
+                              AS wa
+                     FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, SUM(wa) AS twa
+                FROM src)
+        SELECT source, n_docs, w,
+               ROUND(wa / twa, 6) AS p_sample,
+               ROUND(CAST(w AS DOUBLE) / tw, 6) AS p_natural,
+               ROUND((wa / twa) / (CAST(w AS DOUBLE) / tw), 6) AS boost
+        FROM src, tot
       """))
   )
 }
