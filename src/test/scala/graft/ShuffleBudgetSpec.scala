@@ -295,7 +295,37 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q163: (user, minute) counts + the per-user burst rollup
     "q163_burst_arrivals" -> 2,
     // q164: post-checkpoint daily rollup: the two lag-join moment aggs
-    "q164_autocorrelation" -> 2)
+    "q164_autocorrelation" -> 2,
+    // q165: per-part avg agg + the co-keyed join-back/brand agg
+    "q165_small_qty_revenue" -> 2,
+    "q166_large_volume_orders" -> 1,
+    "q167_dormant_customers" -> 2,
+    // q168: daily rollup, the per-type stats agg, and the cusum window
+    "q168_cusum_shift" -> 3,
+    // q169: the source-partitioned decile sort + final agg (ref join
+    // broadcasts)
+    "q169_quantile_shift" -> 2,
+    // q170: 3 peel rounds x (degree agg + 2 node-keyed joins) + the
+    // 4 round-size aggregates; e1-e3 are checkpoint-truncated, this is
+    // the LAST round + sizes. Node-keyed joins stay shuffles by design:
+    // the survivor set is node-sized at scale, never broadcastable.
+    "q170_kcore" -> 12,
+    // q171: two bounded ranking windows (lex/sem) + the full-outer
+    // fusion join + bm25's postings aggs
+    "q171_rrf_hybrid" -> 8,
+    // q172: IVF cell join + per-query position window + perq/label aggs
+    "q172_ndcg_eval" -> 6,
+    // q173: post-checkpoint (vec,clabel) dot agg + per-vec margin agg +
+    // bin agg (centroids broadcast)
+    "q173_calibration_bins" -> 4,
+    // q174: (lang,word) counts + the vocab-bounded ranking window/agg
+    "q174_zipf_slope" -> 2,
+    "q175_disjunctive_pricing" -> 1,
+    "q176_returned_items" -> 1,
+    "q177_local_supplier_volume" -> 1,
+    // q178: pure narrow map — zero shuffles at any scale
+    "q178_span_corruption" -> 0,
+    "q179_temperature_mix" -> 1)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
