@@ -325,7 +325,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q177_local_supplier_volume" -> 1,
     // q178: pure narrow map — zero shuffles at any scale
     "q178_span_corruption" -> 0,
-    "q179_temperature_mix" -> 1)
+    "q179_temperature_mix" -> 1,
+    // q180: post-checkpoint histogram agg + 1000-row cum window; the
+    // bucket-refine window rides the bin partitioning
+    "q180_global_percentiles" -> 2)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
