@@ -98,7 +98,23 @@ class PlanQualitySpec extends AnyFunSuite {
     "q158_source_concentration", "q159_feature_screen",
     // q160/q162 cross the ONE-row grand total into 9-row digit /
     // |cluster-sizes| tables (q37 pattern)
-    "q160_benford_audit", "q162_dup_profile")
+    "q160_benford_audit", "q162_dup_profile",
+    // q167 crossJoins the ONE-row positive-balance average (q37
+    // pattern); the anti-join itself is a pure equi-join
+    "q167_dormant_customers",
+    // q170's per-round size summary crossJoins two ONE-row aggregates
+    // (node count x edge count, q37 pattern); peeling is equi-joins
+    "q170_kcore",
+    // q171's semantic arm broadcasts the ONE-row query vector into the
+    // corpus scan (q26's bounded brute-force shape); the RRF fusion is
+    // a full-outer equi-join of two <=50-row candidate lists
+    "q171_rrf_hybrid",
+    // q172's quantizer is q48's 16-row broadcast centroid cross
+    // (ivfRanked); candidate generation is a cell equi-join
+    "q172_ndcg_eval",
+    // q179 crossJoins the ONE-row corpus weight totals into the
+    // |sources|-bounded mix table (q37 pattern)
+    "q179_temperature_mix")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan
