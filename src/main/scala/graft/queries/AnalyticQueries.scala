@@ -1702,6 +1702,78 @@ object AnalyticQueries {
         UNION ALL
         SELECT 'p99', ROUND(quantile_cont(l_extendedprice, 0.99), 6)
         FROM lineitem
+      """)),
+
+    // ------------------------------------------------------------------
+    // q186: Welch's unequal-variance t-test — do urgent-priority orders
+    // have a different mean value than the rest? The experiment-analysis
+    // primitive for continuous metrics (q130's z-test covers
+    // proportions). ONE partial-aggregable pass computes both arms'
+    // exact decimal moments (n, sum, sum-of-squares — the q126
+    // discipline: order-independent bigint/decimal partials, doubles
+    // only in the final closed form), so there is no join at all; the
+    // Welch t statistic and Satterthwaite df come out of the one-row
+    // aggregate. Identical arithmetic text on both sides keeps the
+    // double expression bit-aligned; round at 6.
+    QDef(
+      "q186_welch_ttest",
+      (s, dir) => {
+        val o = Tables(s, dir).orders.select(
+          (col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH").as("hi"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("x"))
+        val m = o.agg(
+          sum(when(col("hi"), 1L).otherwise(0L)).cast("bigint").as("n1"),
+          sum(when(!col("hi"), 1L).otherwise(0L)).cast("bigint").as("n2"),
+          sum(when(col("hi"), col("x"))).as("s1d"),
+          sum(when(!col("hi"), col("x"))).as("s2d"),
+          sum(when(col("hi"), (col("x") * col("x"))
+            .cast(DecimalType(38, 4)))).as("ss1d"),
+          sum(when(!col("hi"), (col("x") * col("x"))
+            .cast(DecimalType(38, 4)))).as("ss2d"))
+        m.selectExpr(
+            "n1", "n2",
+            "cast(s1d as double) as s1", "cast(s2d as double) as s2",
+            "cast(ss1d as double) as ss1", "cast(ss2d as double) as ss2")
+          .selectExpr(
+            "n1", "n2",
+            "s1 / n1 as m1", "s2 / n2 as m2",
+            "(ss1 - s1 * s1 / n1) / (n1 - 1) / n1 as se1",
+            "(ss2 - s2 * s2 / n2) / (n2 - 1) / n2 as se2")
+          .selectExpr(
+            "n1", "n2",
+            "round(m1, 6) as mean_hi", "round(m2, 6) as mean_lo",
+            "round((m1 - m2) / sqrt(se1 + se2), 6) as t_stat",
+            "round((se1 + se2) * (se1 + se2) / " +
+              "(se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6) as df",
+            "cast(abs((m1 - m2) / sqrt(se1 + se2)) > 1.96d as boolean)" +
+              " as significant")
+      },
+      Some("""
+        WITH m AS (
+          SELECT CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2,
+                 CAST(SUM(CASE WHEN hi THEN x END) AS DOUBLE) AS s1,
+                 CAST(SUM(CASE WHEN NOT hi THEN x END) AS DOUBLE) AS s2,
+                 CAST(SUM(CASE WHEN hi THEN CAST(x * x AS DECIMAL(38,4))
+                   END) AS DOUBLE) AS ss1,
+                 CAST(SUM(CASE WHEN NOT hi
+                   THEN CAST(x * x AS DECIMAL(38,4)) END) AS DOUBLE) AS ss2
+          FROM (SELECT o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS x
+                FROM orders)),
+        d AS (SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+                     (ss1 - s1 * s1 / n1) / (n1 - 1) / n1 AS se1,
+                     (ss2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2
+              FROM m)
+        SELECT n1, n2,
+               ROUND(m1, 6) AS mean_hi, ROUND(m2, 6) AS mean_lo,
+               ROUND((m1 - m2) / SQRT(se1 + se2), 6) AS t_stat,
+               ROUND((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6) AS df,
+               ABS((m1 - m2) / SQRT(se1 + se2)) > 1.96 AS significant
+        FROM d
       """))
   )
 }

@@ -465,6 +465,70 @@ object GraphQueries {
                CAST((SELECT COUNT(DISTINCT v) FROM (SELECT x AS v FROM e3
                        UNION ALL SELECT y FROM e3) u) AS BIGINT),
                CAST((SELECT COUNT(*) FROM e3) AS BIGINT)
+      """)),
+
+    // ------------------------------------------------------------------
+    // q185: Adamic-Adar link prediction — score NON-adjacent part pairs
+    // by their shared neighborhood, down-weighting hub neighbors:
+    // score(x,y) = sum over common neighbors n of 1/ln(deg(n)). The
+    // recommender-system complement to q100 (closed triangles) and
+    // q142 (components): it ranks the triangles that are MISSING one
+    // edge. Same wedge machinery as q100 — candidate pairs exist only
+    // where a wedge exists (sparse explode-join keyed by the center
+    // vertex; zero-overlap pairs never materialize), work bounded by
+    // sum(deg^2), and existing edges leave via an equi anti-join. Each
+    // 1/ln(d) term is rounded at 9 (q101 discipline); the per-pair sum
+    // rounds at 6 so summation order never shows; ranking ties break on
+    // the pair itself. Top-20 via sort+limit (TakeOrderedAndProject —
+    // never a global row_number over all candidate pairs).
+    QDef(
+      "q185_adamic_adar",
+      (s, dir) => {
+        val edges = coEdges(s, dir)
+        val sym = edges.select(col("x").as("c"), col("y").as("nb"))
+          .unionByName(edges.select(col("y").as("c"), col("x").as("nb")))
+          .localCheckpoint() // feeds degrees AND both wedge sides
+        val deg = sym.groupBy(col("c")).agg(count(lit(1)).as("d"))
+        val wed = sym.as("a")
+          .join(sym.as("b"),
+            col("a.c") === col("b.c") && col("a.nb") < col("b.nb"))
+          .select(col("a.c").as("c"),
+            col("a.nb").as("x"), col("b.nb").as("y"))
+          .join(deg, "c")
+          .select(col("x"), col("y"),
+            expr("round(1.0d / ln(cast(d as double)), 9)").as("term"))
+        val scored = wed.groupBy(col("x"), col("y"))
+          .agg(round(sum(col("term")), 6).as("score"),
+            count(lit(1)).as("n_common"))
+          .join(edges, Seq("x", "y"), "left_anti")
+          .orderBy(col("score").desc, col("x").asc, col("y").asc)
+          .limit(20)
+        scored
+          .withColumn("rk", row_number().over(Window.orderBy(
+            col("score").desc, col("x").asc, col("y").asc)))
+          .select(col("rk").cast("int").as("rk"), col("x"), col("y"),
+            col("n_common"), col("score"))
+      },
+      Some(s"""
+        WITH $coEdgesDuck,
+        sym AS (SELECT x AS c, y AS nb FROM edges
+                UNION ALL SELECT y, x FROM edges),
+        deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d
+                FROM sym GROUP BY 1),
+        wed AS (SELECT a.nb AS x, b.nb AS y,
+                       ROUND(1.0 / LN(CAST(d.d AS DOUBLE)), 9) AS term
+                FROM sym a JOIN sym b ON a.c = b.c AND a.nb < b.nb
+                JOIN deg d ON d.c = a.c),
+        sc AS (SELECT x, y, ROUND(SUM(term), 6) AS score,
+                      CAST(COUNT(*) AS BIGINT) AS n_common
+               FROM wed GROUP BY 1, 2),
+        ne AS (SELECT sc.* FROM sc
+               WHERE NOT EXISTS (SELECT 1 FROM edges e
+                                 WHERE e.x = sc.x AND e.y = sc.y)),
+        top AS (SELECT *, ROW_NUMBER() OVER
+                  (ORDER BY score DESC, x ASC, y ASC) AS rk FROM ne)
+        SELECT CAST(rk AS INTEGER) AS rk, x, y, n_common, score
+        FROM top WHERE rk <= 20
       """))
   )
 }

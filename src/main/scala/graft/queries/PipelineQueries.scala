@@ -1383,6 +1383,96 @@ object PipelineQueries {
                ROUND(CAST(w AS DOUBLE) / tw, 6) AS p_natural,
                ROUND((wa / twa) / (CAST(w AS DOUBLE) / tw), 6) AS boost
         FROM src, tot
+      """)),
+
+    // ------------------------------------------------------------------
+    // q182: Bloom-filter membership probe for cross-split
+    // decontamination — the sketch-based complement to q56 (13-gram
+    // inverted index) and q108 (canary scan): build a 512-bit / 4-hash
+    // Bloom filter over the held-out fingerprints (the q51 split rule,
+    // Q.fingerprint contract), probe every train document, and AUDIT
+    // the sketch against exact membership — flagged = all 4 bits set,
+    // exact = a real fingerprint match, false positives = the
+    // difference; the per-source false-positive rate is the query's
+    // deliverable (the number you'd use to size the filter before
+    // shipping it). Every hash is md5-derived (the cross-engine rule),
+    // so bit positions — and therefore the sketch itself — are
+    // bit-identical in both engines; all outputs are exact integers or
+    // one final rounded ratio. Scale shape: the bit set is ≤512 rows
+    // regardless of corpus size and joins by bit position (an
+    // equi-join); probes are 4 narrow rows per train doc; the exact
+    // check is a fingerprint equi semi-join. Width is a demo constant —
+    // production sizes bits ~ 1.44·|held_out|·k; the plan is unchanged.
+    QDef(
+      "q182_bloom_probe",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+          .withColumn("split", expr(splitExprSpark))
+          .withColumn("fp", Q.fingerprint(col("text")))
+          .localCheckpoint() // feeds build, probe, and the exact audit
+        val posExpr = "cast(conv(substring(md5(cast(concat('bf', " +
+          "cast(i as string), '|', fp) as binary)), 1, 4), 16, 10) " +
+          "as int) % 512"
+        val bits = docs.where(col("split") === "held_out")
+          .select(col("fp"), explode(expr("sequence(0, 3)")).as("i"))
+          .select(expr(posExpr).as("pos")).distinct()
+        val train = docs.where(col("split") === "train")
+        val hits = train
+          .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("i"),
+            col("fp"))
+          .select(col("doc_id"), expr(posExpr).as("pos"))
+          .join(bits, "pos")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("nbits"))
+        val exact = docs.where(col("split") === "held_out")
+          .select(col("fp")).distinct().withColumn("is_exact", lit(1L))
+        train
+          .join(hits, Seq("doc_id"), "left")
+          .join(exact, Seq("fp"), "left")
+          .select(col("source"),
+            when(coalesce(col("nbits"), lit(0L)) === 4L, 1L)
+              .otherwise(0L).as("flagged"),
+            coalesce(col("is_exact"), lit(0L)).as("exact"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_train"),
+            sum(col("flagged")).cast("bigint").as("n_flagged"),
+            sum(col("exact")).cast("bigint").as("n_exact"),
+            sum(col("flagged") * (lit(1L) - col("exact")))
+              .cast("bigint").as("n_false_pos"))
+          .withColumn("fp_rate", round(col("n_false_pos").cast("double")
+            / (col("n_train") - col("n_exact")), 6))
+      },
+      Some(s"""
+        WITH docs AS (SELECT doc_id, source, $splitExprDuck AS split,
+                             ${Q.fingerprintDuck} AS fp
+                      FROM documents),
+        bits AS (SELECT DISTINCT
+                   ('0x' || substring(md5('bf' || CAST(i AS VARCHAR)
+                     || '|' || fp), 1, 4))::INT % 512 AS pos
+                 FROM docs, (SELECT unnest(range(4)) AS i) js
+                 WHERE split = 'held_out'),
+        train AS (SELECT * FROM docs WHERE split = 'train'),
+        hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nbits
+                 FROM (SELECT t.doc_id,
+                         ('0x' || substring(md5('bf' || CAST(i AS VARCHAR)
+                           || '|' || fp), 1, 4))::INT % 512 AS pos
+                       FROM train t, (SELECT unnest(range(4)) AS i) js) p
+                 JOIN bits USING (pos) GROUP BY 1),
+        exact AS (SELECT DISTINCT fp, 1 AS is_exact FROM docs
+                  WHERE split = 'held_out'),
+        per AS (SELECT t.source,
+                  CASE WHEN COALESCE(h.nbits, 0) = 4 THEN 1 ELSE 0 END
+                    AS flagged,
+                  COALESCE(e.is_exact, 0) AS exact
+                FROM train t
+                LEFT JOIN hits h ON h.doc_id = t.doc_id
+                LEFT JOIN exact e ON e.fp = t.fp)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train,
+               CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+               CAST(SUM(exact) AS BIGINT) AS n_exact,
+               CAST(SUM(flagged * (1 - exact)) AS BIGINT) AS n_false_pos,
+               ROUND(CAST(SUM(flagged * (1 - exact)) AS DOUBLE)
+                 / (COUNT(*) - SUM(exact)), 6) AS fp_rate
+        FROM per GROUP BY 1
       """))
   )
 }

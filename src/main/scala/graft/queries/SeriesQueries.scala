@@ -1287,6 +1287,100 @@ object SeriesQueries {
                ROUND(CAST(MAX(s) AS DOUBLE)
                      / (10.0 * CAST(sum_n AS DOUBLE)), 9) AS max_ratio
         FROM cu GROUP BY 1, 2, 3
+      """)),
+
+    // ------------------------------------------------------------------
+    // q181: Kaplan-Meier survival curve for time-to-first-error per
+    // user — the censoring-aware reliability estimator (naive "fraction
+    // errored by hour t" is biased: users whose observation window ends
+    // before t haven't had t hours to fail). A user's clock starts at
+    // their first event; the EVENT is their first 'error'
+    // (t = whole hours to it, d = 1), and a user with no error is
+    // right-CENSORED at their last observed event. At each event time:
+    // S(t) = prod_{t'<=t} (1 - d/n_at_risk), computed as exp(cum-sum of
+    // ln terms). Scale shape: the per-user span is one
+    // partial-aggregable pass (the error-arm min rides the same
+    // aggregate via a conditional min — no second scan or join);
+    // everything after runs on the per-DURATION table, bounded by the
+    // hour range (like q96's bucket table), so the global window orders
+    // hundreds of rows, never users. The user total rides in as a
+    // ONE-row broadcast (q37 pattern). Determinism: d and n_at_risk are
+    // exact integers, each ln term is rounded at 9 (the q101
+    // per-iteration discipline), the cum-sum order is the duration
+    // order in both engines, and a d = n_at_risk tail (S hits exactly
+    // 0) is handled by a sticky integer flag instead of letting ln(0)
+    // produce -inf.
+    QDef(
+      "q181_kaplan_meier",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val spans = ev.groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("t0"),
+            max(unix_micros(col("ts"))).as("tl"),
+            min(when(col("event_type") === "error",
+              unix_micros(col("ts")))).as("te"))
+        val users = spans.select(
+          expr("(coalesce(te, tl) - t0) div 3600000000")
+            .cast("bigint").as("t"),
+          when(col("te").isNotNull, 1L).otherwise(0L).as("churn"))
+        val byT = users.groupBy(col("t"))
+          .agg(sum(col("churn")).cast("bigint").as("d"),
+            sum(lit(1L) - col("churn")).cast("bigint").as("c"))
+        val nTot = users.agg(count(lit(1)).as("n_total"))
+        val prev = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byT.crossJoin(broadcast(nTot))
+          .withColumn("at_risk", col("n_total")
+            - coalesce(sum(col("d") + col("c")).over(prev), lit(0L)))
+          .withColumn("term", when(col("d") > 0 && col("d") < col("at_risk"),
+            expr("round(ln(1.0d - cast(d as double)" +
+              " / cast(at_risk as double)), 9)")).otherwise(lit(0.0d)))
+          .withColumn("zf",
+            when(col("d") === col("at_risk"), 1L).otherwise(0L))
+          .withColumn("lsum", sum(col("term")).over(cum))
+          .withColumn("zflag", max(col("zf")).over(cum))
+          .where(col("d") > 0)
+          .select(col("t").as("t_days"), col("at_risk"),
+            col("d").as("n_events"),
+            when(col("zflag") === 1L, lit(0.0d))
+              .otherwise(round(exp(col("lsum")), 6)).as("survival"))
+      },
+      Some("""
+        WITH spans AS (SELECT user_id, MIN(epoch_us(ts)) AS t0,
+                              MAX(epoch_us(ts)) AS tl,
+                              MIN(CASE WHEN event_type = 'error'
+                                  THEN epoch_us(ts) END) AS te
+                       FROM events GROUP BY 1),
+        users AS (SELECT CAST((COALESCE(te, tl) - t0) // 3600000000
+                           AS BIGINT) AS t,
+                         CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END
+                           AS churn
+                  FROM spans),
+        byt AS (SELECT t, CAST(SUM(churn) AS BIGINT) AS d,
+                       CAST(SUM(1 - churn) AS BIGINT) AS c
+                FROM users GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM users),
+        r AS (SELECT t, d, n_total - COALESCE(CAST(SUM(d + c) OVER
+                 (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING) AS BIGINT), 0) AS at_risk
+              FROM byt, n),
+        trm AS (SELECT *,
+                  CASE WHEN d > 0 AND d < at_risk
+                       THEN ROUND(LN(1.0 - CAST(d AS DOUBLE) / at_risk), 9)
+                       ELSE CAST(0.0 AS DOUBLE) END AS term,
+                  CASE WHEN d = at_risk THEN 1 ELSE 0 END AS zf
+                FROM r),
+        cu AS (SELECT *, SUM(term) OVER (ORDER BY t ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum,
+               MAX(zf) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS zflag
+               FROM trm)
+        SELECT t AS t_days, at_risk, d AS n_events,
+               CASE WHEN zflag = 1 THEN CAST(0.0 AS DOUBLE)
+                    ELSE ROUND(EXP(lsum), 6) END AS survival
+        FROM cu WHERE d > 0
       """))
   )
 }
