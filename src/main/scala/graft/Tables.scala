@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables
   * (see /root/repo/TESTDATA.md). Schemas are introspected from the
@@ -25,17 +25,24 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads with
-    * spark.sql.legacy.parquet.nanosAsLong=true (set by [[Sessions]]) as a
-    * raw nanosecond long; normalize to a microsecond TIMESTAMP here (same
-    * truncation DuckDB applies when it narrows nanos to its micro
-    * resolution, so oracle comparisons agree).
+  /** events.ts has been generated with different parquet encodings across
+    * testdata regenerations; normalize every known one to a microsecond
+    * TIMESTAMP (with timezone) so downstream `unix_micros`/window queries
+    * analyze regardless of which file is on disk:
+    *  - TIMESTAMP(NANOS): read as a raw nanos long (via
+    *    spark.sql.legacy.parquet.nanosAsLong=true, set by [[Sessions]]);
+    *    truncate to micros — the same narrowing DuckDB applies.
+    *  - timestamp[us] (TIMESTAMP_NTZ): session TZ is pinned UTC in
+    *    [[Sessions]], so a cast to TimestampType is lossless and matches
+    *    DuckDB's reading of the same file.
     */
   def events: DataFrame = {
     val raw = t("events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

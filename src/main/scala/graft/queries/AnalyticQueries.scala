@@ -72,6 +72,55 @@ object AnalyticQueries {
                JOIN dl d ON d.doc_id = t.doc_id, tot
                GROUP BY 1)"""
 
+  /** Exact global rank over the total order (`v` asc, `tie` asc)
+    * WITHOUT a global sort — the q180 two-phase histogram rank: bin
+    * each row into 1000 equi-width buckets from a broadcast one-row
+    * min/max, cumulate the ≤1000-row histogram (the only global
+    * window), then rank WITHIN each bucket (partitioned window) and
+    * add the bucket's cumulative offset. No task ever sorts more than
+    * one bucket, so the plan survives a fact-table input at 100 TB
+    * where a single-partition NTILE/row_number sort cannot.
+    *
+    * Input df must carry numeric `v` and a tiebreaking column `tie`
+    * making the order total; output keeps every input column and adds
+    * `r` (1-based bigint global rank) and `n` (total row count) —
+    * exactly what the NTILE bucket formula needs.
+    */
+  private[queries] def histRank(df: org.apache.spark.sql.DataFrame,
+      tie: String): org.apache.spark.sql.DataFrame = {
+    val b = df.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n"))
+      .localCheckpoint() // one-row bounds: feeds binning AND rank math
+    val binned = df.crossJoin(broadcast(b))
+      .withColumn("hb", least(lit(999),
+        floor((col("v") - col("lo"))
+          / nullif((col("hi") - col("lo")) / 1000.0d, lit(0.0d)))
+          .cast("int")))
+      .na.fill(0, Seq("hb"))
+      .localCheckpoint() // feeds the histogram AND the rank pass
+    val cume = binned.groupBy(col("hb")).agg(count(lit(1)).as("c"))
+      .withColumn("cume0", coalesce(
+        sum(col("c")).over(Window.orderBy(col("hb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("hb"), col("cume0"))
+    binned.join(broadcast(cume), "hb")
+      .withColumn("r", col("cume0") + row_number().over(
+        Window.partitionBy(col("hb"))
+          .orderBy(col("v").asc, col(tie).asc)))
+      .drop("hb", "lo", "hi", "cume0")
+  }
+
+  /** SQL expression assigning NTILE(`k`)'s bucket from the exact global
+    * rank `r` out of `n` rows, in pure integer arithmetic: the first
+    * (n mod k) buckets hold (n div k)+1 rows, the rest (n div k).
+    */
+  private[queries] def ntileFromRank(k: Int): String =
+    s"""cast(case when r <= (n div $k + 1) * (n % $k)
+        then (r + n div $k) div (n div $k + 1)
+        else n % $k + (r - (n div $k + 1) * (n % $k)
+                       + n div $k - 1) div (n div $k)
+        end as int)"""
+
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------
     // q34: exact interpolated percentiles (sort-based, not sketches —
@@ -1133,25 +1182,31 @@ object AnalyticQueries {
     // ------------------------------------------------------------------
     // q128: weight-of-evidence decile binning — the classic credit-/
     // quality-scoring feature transform, and the supervised cousin of
-    // q104's histogram: decile-bin orders by price (NTILE over a
-    // TOTAL order — l_orderkey tiebreak makes the bin assignment
-    // identical in both engines), label 'F' orders as bad, and emit
-    // per-bin WOE = ln(good%/bad%) plus the bin's information-value
-    // contribution. One window pass + one partial-aggregable groupBy;
-    // the global NTILE sort is the documented cost (rank-then-bin over
-    // a pre-aggregated price histogram is the 100 TB variant, same
-    // shape as q96's bucket trick). ln() runs on exact integer-count
-    // ratios — identical IEEE input in both engines — so round-at-6
-    // absorbs any libm ulp (the q112/q117 recipe).
+    // q104's histogram: decile-bin orders by price (a TOTAL order —
+    // the o_orderkey tiebreak makes the bin assignment identical in
+    // both engines), label 'F' orders as bad, and emit per-bin
+    // WOE = ln(good%/bad%) plus the bin's information-value
+    // contribution. The decile assignment is the q180 two-phase
+    // histogram rank, NOT a global NTILE sort (which moves the whole
+    // fact table to one task): phase 1 bins each order into 1000
+    // equi-width price buckets from a broadcast one-row min/max and
+    // cumulates the ≤1000-row histogram (the only global window);
+    // phase 2 ranks WITHIN each bucket (partitioned window) and adds
+    // the bucket's cumulative offset — an exact global rank with no
+    // task sorting more than one bucket. The NTILE(10) bucket-size
+    // formula then maps rank→decile in exact integer arithmetic.
+    // ln() runs on exact integer-count ratios — identical IEEE input
+    // in both engines — so round-at-6 absorbs any libm ulp (the
+    // q112/q117 recipe).
     QDef(
       "q128_woe_binning",
       (s, dir) => {
-        val o = Tables(s, dir).orders
-          .withColumn("bin", ntile(10).over(Window.orderBy(
-            col("o_totalprice").asc, col("o_orderkey").asc)))
-          .withColumn("bad", when(col("o_orderstatus") === "F", 1L)
-            .otherwise(0L))
-        val per = o.groupBy(col("bin"))
+        val o = Tables(s, dir).orders.select(
+          col("o_totalprice").as("v"), col("o_orderkey"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("bad"))
+        val per = histRank(o, "o_orderkey")
+          .withColumn("bin", expr(ntileFromRank(10)))
+          .groupBy(col("bin"))
           .agg(sum(lit(1L) - col("bad")).as("good_n"),
             sum(col("bad")).as("bad_n"))
         val tot = per.agg(sum(col("good_n")).as("g"), sum(col("bad_n")).as("b"))
@@ -1197,14 +1252,19 @@ object AnalyticQueries {
     // the one-row corpus totals broadcast; dl joins co-keyed on
     // doc_id. The float score is one IEEE expression over exact
     // integers (q112/q117 recipe): ranked at round-9, emitted at
-    // round-6, doc_id tiebreak.
+    // round-6, doc_id tiebreak. Top-15 via sort+limit
+    // (TakeOrderedAndProject, O(k) per partition) with rk assigned
+    // over the 15 survivors — never a global row_number over every
+    // scored document (the q185 shape).
     QDef(
       "q132_bm25",
       (s, dir) => {
         bm25Scored(s, dir)
+          .withColumn("key", round(col("score_raw"), 9))
+          .orderBy(col("key").desc, col("doc_id").asc)
+          .limit(15)
           .withColumn("rk", row_number().over(Window.orderBy(
-            round(col("score_raw"), 9).desc, col("doc_id").asc)))
-          .where(col("rk") <= 15)
+            col("key").desc, col("doc_id").asc)))
           .select(col("rk"), col("doc_id"), col("n_terms"),
             round(col("score_raw"), 6).as("score"))
       },
@@ -1319,23 +1379,23 @@ object AnalyticQueries {
     // q145: range-partition split planning — the exact version of what
     // RangePartitioner samples for: 32 balanced split points of the
     // (o_totalprice, o_orderkey) sort key, each with its row count and
-    // upper boundary. NTILE over the total order assigns buckets
-    // identically in both engines (equal sizes, remainder to the
-    // leading buckets); the per-bucket rollup is partial-aggregable.
-    // The global sort is the documented cost — it IS the operator
-    // (split planning happens once per layout job, on the key
-    // projection only, never the full row). Boundaries are exact
+    // upper boundary. Bucket assignment follows NTILE's contract
+    // (equal sizes, remainder to the leading buckets) but is computed
+    // from the q180 two-phase histogram rank ([[histRank]]) — no task
+    // ever sorts more than one of the 1000 price buckets, where a
+    // global NTILE sort would move every order to one task. The
+    // per-bucket rollup is partial-aggregable; boundaries are exact
     // 2-decimal doubles; counts are integers.
     QDef(
       "q145_range_splits",
       (s, dir) => {
-        Tables(s, dir).orders
-          .select(col("o_totalprice"), col("o_orderkey"))
-          .withColumn("bucket", ntile(32).over(Window.orderBy(
-            col("o_totalprice").asc, col("o_orderkey").asc)))
+        val o = Tables(s, dir).orders
+          .select(col("o_totalprice").as("v"), col("o_orderkey"))
+        histRank(o, "o_orderkey")
+          .withColumn("bucket", expr(ntileFromRank(32)))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n_rows"),
-            max(col("o_totalprice")).as("hi_price"),
+            max(col("v")).as("hi_price"),
             max(col("o_orderkey")).as("hi_key"))
       },
       Some("""
@@ -1738,14 +1798,15 @@ object AnalyticQueries {
           .selectExpr(
             "n1", "n2",
             "s1 / n1 as m1", "s2 / n2 as m2",
-            "(ss1 - s1 * s1 / n1) / (n1 - 1) / n1 as se1",
-            "(ss2 - s2 * s2 / n2) / (n2 - 1) / n2 as se2")
+            "(ss1 - s1 * s1 / n1) / nullif(n1 - 1, 0) / n1 as se1",
+            "(ss2 - s2 * s2 / n2) / nullif(n2 - 1, 0) / n2 as se2")
           .selectExpr(
             "n1", "n2",
             "round(m1, 6) as mean_hi", "round(m2, 6) as mean_lo",
             "round((m1 - m2) / sqrt(se1 + se2), 6) as t_stat",
             "round((se1 + se2) * (se1 + se2) / " +
-              "(se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6) as df",
+              "(se1 * se1 / nullif(n1 - 1, 0)" +
+              " + se2 * se2 / nullif(n2 - 1, 0)), 6) as df",
             "cast(abs((m1 - m2) / sqrt(se1 + se2)) > 1.96d as boolean)" +
               " as significant")
       },
@@ -1764,14 +1825,15 @@ object AnalyticQueries {
                        CAST(o_totalprice AS DECIMAL(18,2)) AS x
                 FROM orders)),
         d AS (SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
-                     (ss1 - s1 * s1 / n1) / (n1 - 1) / n1 AS se1,
-                     (ss2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2
+                     (ss1 - s1 * s1 / n1) / NULLIF(n1 - 1, 0) / n1 AS se1,
+                     (ss2 - s2 * s2 / n2) / NULLIF(n2 - 1, 0) / n2 AS se2
               FROM m)
         SELECT n1, n2,
                ROUND(m1, 6) AS mean_hi, ROUND(m2, 6) AS mean_lo,
                ROUND((m1 - m2) / SQRT(se1 + se2), 6) AS t_stat,
                ROUND((se1 + se2) * (se1 + se2)
-                 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6) AS df,
+                 / (se1 * se1 / NULLIF(n1 - 1, 0)
+                    + se2 * se2 / NULLIF(n2 - 1, 0)), 6) AS df,
                ABS((m1 - m2) / SQRT(se1 + se2)) > 1.96 AS significant
         FROM d
       """))

@@ -357,7 +357,10 @@ object GraphQueries {
     // bounded shape that shards at 10^10 baskets, never an all-pairs
     // product over parts. Supports divide exact integers by the
     // one-row broadcast basket count, round 6; top-20 with full
-    // (count, pair) tiebreak.
+    // (count, pair) tiebreak via sort+limit (TakeOrderedAndProject,
+    // O(k) per partition — never a global row_number over the
+    // quadratic-ish pair-counts table), rk assigned over the 20
+    // survivors only (the q185 shape).
     QDef(
       "q146_basket_pairs",
       (s, dir) => {
@@ -372,10 +375,11 @@ object GraphQueries {
               col("a.l_partkey") < col("b.l_partkey"))
           .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
           .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pa").asc, col("pb").asc)
+          .limit(20)
         pairs.crossJoin(broadcast(nb))
           .withColumn("rk", row_number().over(Window.orderBy(
             col("cnt").desc, col("pa").asc, col("pb").asc)))
-          .where(col("rk") <= 20)
           .select(col("rk"), col("pa"), col("pb"), col("cnt"),
             round(col("cnt").cast("double") / col("n_baskets"), 6)
               .as("support"))

@@ -1439,7 +1439,7 @@ object PipelineQueries {
             sum(col("flagged") * (lit(1L) - col("exact")))
               .cast("bigint").as("n_false_pos"))
           .withColumn("fp_rate", round(col("n_false_pos").cast("double")
-            / (col("n_train") - col("n_exact")), 6))
+            / nullif(col("n_train") - col("n_exact"), lit(0L)), 6))
       },
       Some(s"""
         WITH docs AS (SELECT doc_id, source, $splitExprDuck AS split,
@@ -1471,7 +1471,7 @@ object PipelineQueries {
                CAST(SUM(exact) AS BIGINT) AS n_exact,
                CAST(SUM(flagged * (1 - exact)) AS BIGINT) AS n_false_pos,
                ROUND(CAST(SUM(flagged * (1 - exact)) AS DOUBLE)
-                 / (COUNT(*) - SUM(exact)), 6) AS fp_rate
+                 / NULLIF(COUNT(*) - SUM(exact), 0), 6) AS fp_rate
         FROM per GROUP BY 1
       """))
   )

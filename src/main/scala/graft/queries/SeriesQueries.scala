@@ -907,7 +907,10 @@ object SeriesQueries {
     // tiny path-count agg. (collect_list order is shuffle-dependent;
     // array_sort on the struct makes the result order-independent,
     // which is what makes this plan legal at all.) Top-15 by count
-    // with full tiebreak; all integers and strings.
+    // with full tiebreak via sort+limit (TakeOrderedAndProject, O(k)
+    // per partition — never a global row_number over the users-sized
+    // path-count table), rk assigned over the 15 survivors (the q185
+    // shape); all integers and strings.
     QDef(
       "q143_path_mining",
       (s, dir) => {
@@ -918,9 +921,10 @@ object SeriesQueries {
                  array_sort(collect_list(struct(ts, event_id, event_type))),
                  s -> s.event_type), 1, 5)""")).as("path"))
         paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path").asc)
+          .limit(15)
           .withColumn("rk", row_number().over(Window.orderBy(
             col("n_users").desc, col("path").asc)))
-          .where(col("rk") <= 15)
           .select(col("rk"), col("path"), col("n_users"))
       },
       Some("""
@@ -1187,7 +1191,10 @@ object SeriesQueries {
     // the telling grain). One partial-aggregable count on the (user,
     // minute) key — the natural shard key; no windows, no self-joins —
     // then a per-user rollup of burst minutes, max burst size, and
-    // events inside bursts, ranked by burstiness. All integer.
+    // events inside bursts, ranked by burstiness. Top-20 via
+    // sort+limit (TakeOrderedAndProject, O(k) per partition — never a
+    // global row_number over the users-sized rollup), rk assigned
+    // over the 20 survivors (the q185 shape). All integer.
     QDef(
       "q163_burst_arrivals",
       (s, dir) => {
@@ -1200,9 +1207,10 @@ object SeriesQueries {
           .agg(count(lit(1)).as("burst_mins"),
             max(col("n")).as("max_burst"),
             sum(col("n")).as("events_in_bursts"))
+          .orderBy(col("events_in_bursts").desc, col("user_id").asc)
+          .limit(20)
           .withColumn("rk", row_number().over(Window.orderBy(
             col("events_in_bursts").desc, col("user_id").asc)))
-          .where(col("rk") <= 20)
       },
       Some("""
         WITH s AS (SELECT user_id, epoch_us(ts) // 60000000 AS tmin,
@@ -1342,7 +1350,7 @@ object SeriesQueries {
           .withColumn("lsum", sum(col("term")).over(cum))
           .withColumn("zflag", max(col("zf")).over(cum))
           .where(col("d") > 0)
-          .select(col("t").as("t_days"), col("at_risk"),
+          .select(col("t").as("t_hours"), col("at_risk"),
             col("d").as("n_events"),
             when(col("zflag") === 1L, lit(0.0d))
               .otherwise(round(exp(col("lsum")), 6)).as("survival"))
@@ -1377,7 +1385,7 @@ object SeriesQueries {
                MAX(zf) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                  AND CURRENT ROW) AS zflag
                FROM trm)
-        SELECT t AS t_days, at_risk, d AS n_events,
+        SELECT t AS t_hours, at_risk, d AS n_events,
                CASE WHEN zflag = 1 THEN CAST(0.0 AS DOUBLE)
                     ELSE ROUND(EXP(lsum), 6) END AS survival
         FROM cu WHERE d > 0

@@ -1128,11 +1128,15 @@ object SimilarityQueries {
     // Embeddings are document vectors (vec_id = doc_id). Both ranks are
     // computed on round-9 scores with doc_id tiebreaks; every RRF term
     // is an exact rational 1/(60+rank) evaluated identically in both
-    // engines, so the fused ordering is bit-deterministic. The semantic
-    // side is capped at top-50 BEFORE fusion — at scale those
-    // candidates come from the IVF index (q48) instead of a full rank;
-    // the fusion itself only ever touches the two bounded candidate
-    // lists (full-outer join on doc_id, missing side contributes 0).
+    // engines, so the fused ordering is bit-deterministic. BOTH arms
+    // are capped at top-50 BEFORE fusion (standard RRF candidate
+    // lists) — at scale the semantic candidates come from the IVF
+    // index (q48) and the lexical ones from the inverted index; each
+    // cap is a sort+limit (TakeOrderedAndProject, O(k) per partition)
+    // with ranks assigned over the ≤50 survivors, never a global
+    // row_number over a corpus-sized relation. The fusion itself only
+    // ever touches the two bounded candidate lists (full-outer join
+    // on doc_id, missing side contributes 0).
     QDef(
       "q171_rrf_hybrid",
       (s, dir) => {
@@ -1140,14 +1144,19 @@ object SimilarityQueries {
         val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
         val sem = e.where(col("vec_id") =!= 0)
           .crossJoin(broadcast(qv))
-          .select(col("vec_id").as("doc_id"), expr(COS).as("cos"))
+          .select(col("vec_id").as("doc_id"),
+            round(expr(COS), 9).as("cos_r"))
+          .orderBy(col("cos_r").desc, col("doc_id").asc)
+          .limit(50)
           .withColumn("sem_rk", row_number().over(Window.orderBy(
-            round(col("cos"), 9).desc, col("doc_id").asc)))
-          .where(col("sem_rk") <= 50)
+            col("cos_r").desc, col("doc_id").asc)))
           .select(col("doc_id"), col("sem_rk"))
         val lex = AnalyticQueries.bm25Scored(s, dir)
+          .withColumn("key", round(col("score_raw"), 9))
+          .orderBy(col("key").desc, col("doc_id").asc)
+          .limit(50)
           .withColumn("lex_rk", row_number().over(Window.orderBy(
-            round(col("score_raw"), 9).desc, col("doc_id").asc)))
+            col("key").desc, col("doc_id").asc)))
           .select(col("doc_id"), col("lex_rk"))
         sem.join(lex, Seq("doc_id"), "full_outer")
           .select(col("doc_id"), col("lex_rk"), col("sem_rk"),
@@ -1182,13 +1191,14 @@ object SimilarityQueries {
                    CAST(ROW_NUMBER() OVER (ORDER BY ROUND(score_raw, 9)
                      DESC, doc_id ASC) AS INTEGER) AS lex_rk
                  FROM sc),
+        lex50 AS (SELECT doc_id, lex_rk FROM lexr WHERE lex_rk <= 50),
         fused AS (SELECT COALESCE(s.doc_id, l.doc_id) AS doc_id,
                          l.lex_rk, s.sem_rk,
                          ROUND(COALESCE(CAST(1.0 AS DOUBLE)
                                  / (60 + l.lex_rk), 0)
                              + COALESCE(CAST(1.0 AS DOUBLE)
                                  / (60 + s.sem_rk), 0), 9) AS rrf
-                  FROM sem50 s FULL OUTER JOIN lexr l
+                  FROM sem50 s FULL OUTER JOIN lex50 l
                     ON s.doc_id = l.doc_id)
         SELECT CAST(rk AS INTEGER) AS rk, doc_id, lex_rk, sem_rk, rrf
         FROM (SELECT doc_id, lex_rk, sem_rk, rrf,

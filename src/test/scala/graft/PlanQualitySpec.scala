@@ -63,9 +63,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // q121 crossJoins the ONE-row exact-ground-truth count (q37
     // pattern); its candidate stage is a pure equi-join
     "q121_lsh_tuning",
-    // q128 crossJoins the ONE-row good/bad totals aggregate into the
-    // 10-row bin table (q37 pattern)
+    // q128 crossJoins the ONE-row histRank bounds + the ONE-row
+    // good/bad totals aggregate (q37 pattern)
     "q128_woe_binning",
+    // q145 crossJoins the ONE-row histRank bounds aggregate (q104's
+    // histogram pattern)
+    "q145_range_splits",
     // q129 crossJoins the ONE-row distinct-user count into the
     // |event-types|^2-bounded pair table (q37 pattern)
     "q129_pmi_pairs",
@@ -114,7 +117,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "q172_ndcg_eval",
     // q179 crossJoins the ONE-row corpus weight totals into the
     // |sources|-bounded mix table (q37 pattern)
-    "q179_temperature_mix")
+    "q179_temperature_mix",
+    // q181 crossJoins the ONE-row initial-cohort count into the
+    // per-interval event table (q37 pattern)
+    "q181_kaplan_meier")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

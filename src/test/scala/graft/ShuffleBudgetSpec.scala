@@ -57,7 +57,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q76: two Lloyd rounds = 2× (per-(vec,cent) sum + per-vec argmin)
     // + centroid recompute + final per-cluster agg; dims itself is
     // checkpoint-truncated
-    "q76_kmeans" -> 6,
+    "q76_kmeans" -> 5,
     // q77: exact-verify semi join + per-doc distinct count; the bloom
     // build is a scalar subquery (not counted), the prefilter scan-side
     "q77_bloom_decontamination" -> 2,
@@ -196,9 +196,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q127: per-(vec,label) dot-product agg, then the 7-row threshold
     // grid agg; centroid rides the broadcast
     "q127_threshold_eval" -> 3,
-    // q128: one global NTILE sort-exchange; per-bin agg and totals ride
-    // broadcast
-    "q128_woe_binning" -> 1,
+    // q128: the histRank two-phase rank (histogram agg + 1000-row cum
+    // window + bucket-partitioned rank) + per-bin agg — small hash
+    // exchanges replacing the old single-partition NTILE sort
+    "q128_woe_binning" -> 5,
     // q129: post-checkpoint incidence: pair self-join co-partitioned on
     // user_id + pair agg + marginal/N aggs
     "q129_pmi_pairs" -> 5,
@@ -247,8 +248,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q143: per-user path rollup + the tiny path-count agg (top-15 is
     // a TakeOrdered)
     "q143_path_mining" -> 2,
-    // q145: one global NTILE sort-exchange; bucket rollup rides it
-    "q145_range_splits" -> 1,
+    // q145: histRank's histogram/cum/bucket-rank exchanges + the
+    // 32-bucket rollup (no global sort)
+    "q145_range_splits" -> 4,
     // q146: post-checkpoint items: basket-keyed pair join + pair agg +
     // basket-count agg
     "q146_basket_pairs" -> 3,
@@ -310,9 +312,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // the LAST round + sizes. Node-keyed joins stay shuffles by design:
     // the survivor set is node-sized at scale, never broadcastable.
     "q170_kcore" -> 12,
-    // q171: two bounded ranking windows (lex/sem) + the full-outer
-    // fusion join + bm25's postings aggs
-    "q171_rrf_hybrid" -> 8,
+    // q171: two TakeOrdered candidate caps + ≤50-row rank windows +
+    // the full-outer fusion join + bm25's postings aggs
+    "q171_rrf_hybrid" -> 7,
     // q172: IVF cell join + per-query position window + perq/label aggs
     "q172_ndcg_eval" -> 6,
     // q173: post-checkpoint (vec,clabel) dot agg + per-vec margin agg +
@@ -328,7 +330,18 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q179_temperature_mix" -> 1,
     // q180: post-checkpoint histogram agg + 1000-row cum window; the
     // bucket-refine window rides the bin partitioning
-    "q180_global_percentiles" -> 2)
+    "q180_global_percentiles" -> 2,
+    // q181: per-user span agg + the duration-bounded byT agg/windows +
+    // the 2-exchange one-row user total
+    "q181_kaplan_meier" -> 5,
+    // q182: post-checkpoint fingerprints: bit-set distinct, the
+    // bit-position probe join, per-doc hit agg, per-source rollup
+    "q182_bloom_probe" -> 4,
+    // q185: post-checkpoint sym: degree agg + wedge self-join on the
+    // center + pair agg (top-20 is a TakeOrdered)
+    "q185_adamic_adar" -> 3,
+    // q186: one moment-sum pass; the closed form projects one row
+    "q186_welch_ttest" -> 1)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -47,6 +47,20 @@ class SourcesSpec extends AnyFunSuite {
       df.collect().toSeq)
   }
 
+  test("events.ts normalizes to TimestampType whatever the file encodes") {
+    // the driver has regenerated events.parquet with different physical
+    // encodings across rounds (TIMESTAMP(NANOS) → nanos-as-long,
+    // timestamp[us] → TIMESTAMP_NTZ); Tables.events must absorb all of
+    // them, or every unix_micros()/window query breaks at analysis
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val ev = Tables(spark, s"/root/testdata/$sf").events
+      assert(ev.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"$sf: events.ts is ${ev.schema("ts").dataType}")
+      assert(ev.select(unix_micros(col("ts"))).limit(1).count() == 1)
+    }
+  }
+
   test("text sink writes the reference's 'key value' line format") {
     val out = TestSpark.tmpDir("text-rt")
     wordCounts
