@@ -100,7 +100,7 @@ object AnalyticQueries {
       .localCheckpoint() // feeds the histogram AND the rank pass
     val cume = binned.groupBy(col("hb")).agg(count(lit(1)).as("c"))
       .withColumn("cume0", coalesce(
-        sum(col("c")).over(Window.orderBy(col("hb"))
+        sum(col("c")).over(Q.bounded.orderBy(col("hb"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("hb"), col("cume0"))
     binned.join(broadcast(cume), "hb")
@@ -1263,7 +1263,7 @@ object AnalyticQueries {
           .withColumn("key", round(col("score_raw"), 9))
           .orderBy(col("key").desc, col("doc_id").asc)
           .limit(15)
-          .withColumn("rk", row_number().over(Window.orderBy(
+          .withColumn("rk", row_number().over(Q.bounded.orderBy(
             col("key").desc, col("doc_id").asc)))
           .select(col("rk"), col("doc_id"), col("n_terms"),
             round(col("score_raw"), 6).as("score"))
@@ -1338,8 +1338,9 @@ object AnalyticQueries {
       (s, dir) => {
         val freq = Tables(s, dir).lineitem
           .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+        // dim-bounded: distinct join keys, not fact rows
         val ranked = freq.withColumn("i", row_number().over(
-          Window.orderBy(col("c").asc, col("l_suppkey").asc)))
+          Q.bounded.orderBy(col("c").asc, col("l_suppkey").asc)))
         ranked.agg(
           count(lit(1)).as("n_keys"),
           sum(col("c")).as("n_rows"),
@@ -1717,7 +1718,7 @@ object AnalyticQueries {
           .na.fill(0, Seq("bin"))
           .localCheckpoint() // feeds the histogram AND the refine scan
         val cum = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
-          .withColumn("cume", sum(col("c")).over(Window.orderBy(col("bin"))
+          .withColumn("cume", sum(col("c")).over(Q.bounded.orderBy(col("bin"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         val targets = b.select(explode(array(
             Seq(("p50", 0.5d), ("p90", 0.9d), ("p99", 0.99d)).map {

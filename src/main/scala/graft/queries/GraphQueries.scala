@@ -70,7 +70,7 @@ object GraphQueries {
           .withColumn("bucket", (col("cents") / lit(10000L)).cast("bigint"))
         val bmax = p.groupBy(col("bucket")).agg(max(col("p_size")).as("bsize"))
         // tiny relation: one row per $100 price bucket
-        val prevBuckets = Window.orderBy(col("bucket"))
+        val prevBuckets = Q.bounded.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val bthr = bmax
           .withColumn("prev_max", max(col("bsize")).over(prevBuckets))
@@ -378,7 +378,7 @@ object GraphQueries {
           .orderBy(col("cnt").desc, col("pa").asc, col("pb").asc)
           .limit(20)
         pairs.crossJoin(broadcast(nb))
-          .withColumn("rk", row_number().over(Window.orderBy(
+          .withColumn("rk", row_number().over(Q.bounded.orderBy(
             col("cnt").desc, col("pa").asc, col("pb").asc)))
           .select(col("rk"), col("pa"), col("pb"), col("cnt"),
             round(col("cnt").cast("double") / col("n_baskets"), 6)
@@ -508,7 +508,7 @@ object GraphQueries {
           .orderBy(col("score").desc, col("x").asc, col("y").asc)
           .limit(20)
         scored
-          .withColumn("rk", row_number().over(Window.orderBy(
+          .withColumn("rk", row_number().over(Q.bounded.orderBy(
             col("score").desc, col("x").asc, col("y").asc)))
           .select(col("rk").cast("int").as("rk"), col("x"), col("y"),
             col("n_common"), col("score"))

@@ -1153,7 +1153,7 @@ object PipelineQueries {
         val deficit = based.agg((lit(B) - sum(col("base")))
           .as("deficit"))
         based.crossJoin(broadcast(deficit))
-          .withColumn("rk", row_number().over(Window.orderBy(
+          .withColumn("rk", row_number().over(Q.bounded.orderBy(
             col("rem").desc, col("source").asc)))
           .select(col("source"), col("n_docs"), col("base"),
             when(col("rk") <= col("deficit"), 1L).otherwise(0L)
@@ -1195,10 +1195,10 @@ object PipelineQueries {
         val counts = Tables(s, dir).documents
           .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         val tot = counts.agg(sum(col("n_docs")).as("nn"))
-        val cum = Window.orderBy(col("n_docs").desc, col("source").asc)
+        val cum = Q.bounded.orderBy(col("n_docs").desc, col("source").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         counts.crossJoin(broadcast(tot))
-          .withColumn("rk", row_number().over(Window.orderBy(
+          .withColumn("rk", row_number().over(Q.bounded.orderBy(
             col("n_docs").desc, col("source").asc)))
           .withColumn("cum_docs", sum(col("n_docs")).over(cum))
           .select(col("rk"), col("source"), col("n_docs"),

@@ -28,6 +28,20 @@ object Q {
   val fingerprintDuck: String =
     """md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"""
 
+  /** Window base for a relation the CALLER asserts is bounded (at most
+    * a few thousand rows regardless of input scale: survivor lists from
+    * sort+limit, histograms, rollups over enum-sized keys). The constant
+    * partition key routes all rows to one partition exactly like an
+    * empty partition spec — SinglePartition satisfies the clustered
+    * distribution, so no extra exchange appears — but it (a) documents
+    * the bounded-input assertion at the call site and (b) avoids
+    * WindowExec's "No Partition Defined" warning, so any warning that
+    * DOES surface in a bench log is an unreviewed data-sized global
+    * window, i.e. a real scale bug.
+    */
+  def bounded: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(lit(0))
+
   /** Exact interpolated percentiles via sort + window-rank interpolation.
     *
     * Spark's holistic `percentile` buffers EVERY group value in one

@@ -1005,6 +1005,47 @@ object Relational {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q183: salted skew join — the MITIGATION for what q140's skew
+    // audit diagnoses: when a shuffle join's build side has hot keys,
+    // hash(l_suppkey) sends every matching fact row to one task.
+    // Salting splits each hot key's rows across 8 sub-partitions: the
+    // fact side derives salt = l_orderkey % 8 (deterministic, already
+    // in hand — no rand(), so the plan is replayable and the oracle
+    // exact), the dim side explodes ×8 so every (suppkey, salt) pair
+    // exists, and the join key becomes (suppkey, salt) — same rows,
+    // 8× the parallelism on the hottest key. The shuffle_hash hint
+    // pins the shuffle-join path this technique exists for (a
+    // broadcastable dim wouldn't need salting; at warehouse scale the
+    // dim side is NOT broadcastable, which is the scenario modeled).
+    // The per-nation rollup re-aggregates across salts, proving the
+    // salt never leaks into results: the oracle is the PLAIN join.
+    QDef(
+      "q183_salted_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val li = t.lineitem
+          .select(col("l_suppkey"), col("l_orderkey"),
+            col("l_extendedprice").cast(DecimalType(18, 2)).as("rev"))
+          .withColumn("salt", pmod(col("l_orderkey"), lit(8)).cast("int"))
+        val sup = t.supplier
+          .select(col("s_suppkey"), col("s_nationkey"))
+          .withColumn("salt", explode(expr("sequence(0, 7)")))
+        li.join(sup.hint("shuffle_hash"),
+            col("l_suppkey") === col("s_suppkey") &&
+              li("salt") === sup("salt"))
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("rev")).cast("double").as("revenue"))
+      },
+      Some("""
+        SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY 1
       """))
   )
 }

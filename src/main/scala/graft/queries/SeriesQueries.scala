@@ -700,7 +700,7 @@ object SeriesQueries {
             col("eid")))
           .withColumn("bucket", date_trunc("hour", col("t")))
           .localCheckpoint() // feeds the bucket-net agg AND the sweep
-        val prevBuckets = Window.orderBy(col("bucket"))
+        val prevBuckets = Q.bounded.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val offsets = deltas.groupBy(col("bucket"))
           .agg(sum(col("delta")).as("net"))
@@ -923,7 +923,7 @@ object SeriesQueries {
         paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
           .orderBy(col("n_users").desc, col("path").asc)
           .limit(15)
-          .withColumn("rk", row_number().over(Window.orderBy(
+          .withColumn("rk", row_number().over(Q.bounded.orderBy(
             col("n_users").desc, col("path").asc)))
           .select(col("rk"), col("path"), col("n_users"))
       },
@@ -1209,7 +1209,7 @@ object SeriesQueries {
             sum(col("n")).as("events_in_bursts"))
           .orderBy(col("events_in_bursts").desc, col("user_id").asc)
           .limit(20)
-          .withColumn("rk", row_number().over(Window.orderBy(
+          .withColumn("rk", row_number().over(Q.bounded.orderBy(
             col("events_in_bursts").desc, col("user_id").asc)))
       },
       Some("""
@@ -1335,9 +1335,9 @@ object SeriesQueries {
           .agg(sum(col("churn")).cast("bigint").as("d"),
             sum(lit(1L) - col("churn")).cast("bigint").as("c"))
         val nTot = users.agg(count(lit(1)).as("n_total"))
-        val prev = Window.orderBy(col("t"))
+        val prev = Q.bounded.orderBy(col("t"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        val cum = Window.orderBy(col("t"))
+        val cum = Q.bounded.orderBy(col("t"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         byT.crossJoin(broadcast(nTot))
           .withColumn("at_risk", col("n_total")

@@ -1148,14 +1148,14 @@ object SimilarityQueries {
             round(expr(COS), 9).as("cos_r"))
           .orderBy(col("cos_r").desc, col("doc_id").asc)
           .limit(50)
-          .withColumn("sem_rk", row_number().over(Window.orderBy(
+          .withColumn("sem_rk", row_number().over(Q.bounded.orderBy(
             col("cos_r").desc, col("doc_id").asc)))
           .select(col("doc_id"), col("sem_rk"))
         val lex = AnalyticQueries.bm25Scored(s, dir)
           .withColumn("key", round(col("score_raw"), 9))
           .orderBy(col("key").desc, col("doc_id").asc)
           .limit(50)
-          .withColumn("lex_rk", row_number().over(Window.orderBy(
+          .withColumn("lex_rk", row_number().over(Q.bounded.orderBy(
             col("key").desc, col("doc_id").asc)))
           .select(col("doc_id"), col("lex_rk"))
         sem.join(lex, Seq("doc_id"), "full_outer")
@@ -1164,7 +1164,7 @@ object SimilarityQueries {
               coalesce(lit(1.0d) / (lit(60) + col("lex_rk")), lit(0.0d)) +
               coalesce(lit(1.0d) / (lit(60) + col("sem_rk")), lit(0.0d)),
               9).as("rrf"))
-          .withColumn("rk", row_number().over(Window.orderBy(
+          .withColumn("rk", row_number().over(Q.bounded.orderBy(
             col("rrf").desc, col("doc_id").asc)))
           .where(col("rk") <= 20)
           .select(col("rk"), col("doc_id"), col("lex_rk"), col("sem_rk"),

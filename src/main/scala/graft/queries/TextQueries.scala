@@ -508,8 +508,8 @@ object TextQueries {
           .select(col("doc_id"), explode(expr(W)).as("w"))
         val probs = toks.groupBy(col("w"))
           .agg(count(lit(1)).as("c"))
-          .withColumn("t", sum(col("c")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy()))
+          // vocab-bounded (Heaps-law growth), asserted via Q.bounded
+          .withColumn("t", sum(col("c")).over(Q.bounded))
           .select(col("w"),
             expr("round(ln(cast(c as double) / t), 9)").as("lp"))
         toks.join(broadcast(probs), Seq("w"))
@@ -1025,6 +1025,75 @@ object TextQueries {
                ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
                       * sx) / n, 6) AS intercept
         FROM m
+      """)),
+
+    // ------------------------------------------------------------------
+    // q184: bigram-perplexity quality filter — the CCNet-style second
+    // half of q75's unigram scorer: train an add-one-smoothed bigram
+    // LM on the corpus itself and score every document by perplexity
+    // exp(−mean ln p(w_i | w_{i−1})); high perplexity = text the
+    // corpus's own statistics find surprising (noise, boilerplate
+    // soup, wrong-language shards) — the classic pretraining-data
+    // quality gate. Scale shape: bigrams are extracted ARRAY-LOCALLY
+    // (transform over the token array — no positional self-join), the
+    // bigram stream is scanned once (checkpoint) and feeds history
+    // counts, pair counts, and scoring; the probability lookup is a
+    // co-keyed (w1, w2) equi-join — the bigram table is vocab²-bounded
+    // and NOT broadcastable at scale, unlike q75's unigram table. The
+    // vocab size rides in as a ONE-row broadcast (q37 pattern).
+    // Determinism: each ln term rounds at 9 over exact integer counts
+    // (q75's discipline); the per-doc mean and final exp round at 6 so
+    // accumulation order never shows.
+    QDef(
+      "q184_perplexity_filter",
+      (s, dir) => {
+        val toks = Tables(s, dir).documents
+          .select(col("doc_id"), expr(W).as("ws"))
+          .where(size(col("ws")) >= 2)
+        val big = toks.select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(ws) - 1),
+               i -> struct(element_at(ws, i) as w1,
+                           element_at(ws, i + 1) as w2))""")).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .localCheckpoint() // feeds c12, c1, AND the scoring join
+        val c12 = big.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val v = toks.select(explode(col("ws")).as("w"))
+          .agg(countDistinct(col("w")).as("v"))
+        val lp = c12.join(c1, "w1").crossJoin(broadcast(v))
+          .select(col("w1"), col("w2"), expr(
+            """round(ln((cast(c12 as double) + 1.0d)
+               / (cast(c1 as double) + cast(v as double))), 9)""").as("lp"))
+        big.join(lp, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(exp(-avg(col("lp"))), 6).as("ppl"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ws
+                      FROM (SELECT doc_id, $WDuck AS ws FROM documents) t0
+                      WHERE len(ws) >= 2),
+        big AS (SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2
+                FROM (SELECT doc_id,
+                        unnest(list_transform(range(1, len(ws)),
+                          i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS bg
+                      FROM toks) t1),
+        c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                FROM big GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+               FROM big GROUP BY 1),
+        vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+               FROM (SELECT unnest(ws) AS w FROM toks) t2),
+        lp AS (SELECT w1, w2,
+                      ROUND(LN((CAST(c12 AS DOUBLE) + 1.0)
+                        / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))), 9)
+                        AS lp
+               FROM c12 JOIN c1 USING (w1), vv)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(EXP(-AVG(lp)), 6) AS ppl
+        FROM big JOIN lp USING (w1, w2)
+        GROUP BY 1
       """))
   )
 }

@@ -120,7 +120,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "q179_temperature_mix",
     // q181 crossJoins the ONE-row initial-cohort count into the
     // per-interval event table (q37 pattern)
-    "q181_kaplan_meier")
+    "q181_kaplan_meier",
+    // q184 crossJoins the ONE-row vocab-size aggregate into the
+    // bigram probability table (q37 pattern)
+    "q184_perplexity_filter")
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

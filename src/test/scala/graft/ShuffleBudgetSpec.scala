@@ -341,7 +341,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // center + pair agg (top-20 is a TakeOrdered)
     "q185_adamic_adar" -> 3,
     // q186: one moment-sum pass; the closed form projects one row
-    "q186_welch_ttest" -> 1)
+    "q186_welch_ttest" -> 1,
+    // q183: both sides shuffle on (suppkey, salt) — the pinned
+    // shuffle-hash path salting exists for — + the nation rollup
+    "q183_salted_join" -> 3,
+    // q184: post-checkpoint bigrams: c12/c1 aggs, their w1 join, the
+    // (w1, w2) scoring join, and the per-doc agg
+    "q184_perplexity_filter" -> 5)
 
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
