@@ -30,14 +30,17 @@ object Q {
 
   /** Window base for a relation the CALLER asserts is bounded (at most
     * a few thousand rows regardless of input scale: survivor lists from
-    * sort+limit, histograms, rollups over enum-sized keys). The constant
-    * partition key routes all rows to one partition exactly like an
-    * empty partition spec — SinglePartition satisfies the clustered
-    * distribution, so no extra exchange appears — but it (a) documents
-    * the bounded-input assertion at the call site and (b) avoids
-    * WindowExec's "No Partition Defined" warning, so any warning that
-    * DOES surface in a bench log is an unreviewed data-sized global
-    * window, i.e. a real scale bug.
+    * sort+limit, histograms, rollups over enum-sized keys).
+    *
+    * This is a source-level ASSERTION MARKER, not a plan change:
+    * Catalyst's EliminateWindowPartitions folds the constant partition
+    * key away, so the physical plan is the standard single-partition
+    * window either way (including its "No Partition Defined" log line).
+    * The teeth live in PlanQualitySpec's `globalWindowBudget`: every
+    * query whose plan contains an unpartitioned WindowExec must carry a
+    * reviewed bounded-input justification there, so an UNREVIEWED
+    * data-sized global window — the real 100 TB scale bug — fails the
+    * gate.
     */
   def bounded: org.apache.spark.sql.expressions.WindowSpec =
     Window.partitionBy(lit(0))

@@ -767,9 +767,14 @@ object TextQueries {
             col("pr.gap").as("gap"))
           .groupBy(col("wa"), col("wb"), col("gap"))
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("rk", row_number().over(Window.orderBy(
+          // top-25 via sort+limit (TakeOrderedAndProject) — the pair-
+          // count table is vocab²-ish, never rank it globally; rk is
+          // assigned over the 25 survivors (the q185 shape)
+          .orderBy(col("cnt").desc, col("wa").asc, col("wb").asc,
+            col("gap").asc)
+          .limit(25)
+          .withColumn("rk", row_number().over(Q.bounded.orderBy(
             col("cnt").desc, col("wa").asc, col("wb").asc, col("gap").asc)))
-          .where(col("rk") <= 25)
       },
       Some(s"""
         WITH t AS (SELECT $WDuck AS ws FROM documents),
@@ -865,9 +870,12 @@ object TextQueries {
           .where(col("n_terms") === 3)
           .withColumn("tf_total",
             col("tf_spark") + col("tf_window") + col("tf_merge"))
-        hits.withColumn("rk", row_number().over(Window.orderBy(
-          col("tf_total").desc, col("doc_id").asc)))
-          .where(col("rk") <= 20)
+        // top-20 via sort+limit — the hit set is data-sized (every doc
+        // matching all three terms); rk ranks only the 20 survivors
+        hits.orderBy(col("tf_total").desc, col("doc_id").asc)
+          .limit(20)
+          .withColumn("rk", row_number().over(Q.bounded.orderBy(
+            col("tf_total").desc, col("doc_id").asc)))
           .select(col("rk"), col("doc_id"), col("tf_spark"),
             col("tf_window"), col("tf_merge"), col("tf_total"))
       },

@@ -125,6 +125,37 @@ class PlanQualitySpec extends AnyFunSuite {
     // bigram probability table (q37 pattern)
     "q184_perplexity_filter")
 
+  // Queries whose plans legitimately contain unpartitioned WindowExec
+  // nodes, with the REVIEWED bound on the window's input (Spark folds
+  // Q.bounded's constant partition key away, so the physical check
+  // cannot distinguish asserted-bounded from accidental — this map is
+  // the review). Value = max allowed count of such windows.
+  //  - survivor ranks: rk over ≤k rows that already passed a
+  //    sort+limit (q132/q134/q139/q143/q146/q163/q185 ≤25; q171 has
+  //    two ≤50 candidate caps + the ≤100 fused list)
+  //  - histogram cums: q128/q145 (histRank's ≤1000-bucket cum),
+  //    q96 ($100 price buckets), q131 (hour buckets), q116 (≤676
+  //    symbol pairs), q181 (whole-hour durations)
+  //  - enum/dim-bounded rollups: q156/q158 (|sources|), q140
+  //    (distinct join keys of a dimension), q74/q75 (vocabulary,
+  //    Heaps-law growth)
+  //  - q148: the ScaleSafePercentiles rewrite of two GLOBAL
+  //    percentiles — memory-bounded external-sort rank (vs the
+  //    holistic buffer), documented single-sort cost of a global
+  //    order statistic; the histogram path (q180) is the avoidance
+  //    when an approximation budget exists
+  private val globalWindowBudget = Map(
+    "q116_bpe_pairs" -> 1, "q128_woe_binning" -> 1,
+    "q131_concurrency" -> 1, "q132_bm25" -> 1,
+    "q134_skipgram_pairs" -> 1, "q139_boolean_retrieval" -> 1,
+    "q140_skew_audit" -> 1, "q143_path_mining" -> 1,
+    "q145_range_splits" -> 1, "q146_basket_pairs" -> 1,
+    "q148_conversion_lag" -> 2, "q156_quota_apportion" -> 1,
+    "q158_source_concentration" -> 1, "q163_burst_arrivals" -> 1,
+    "q171_rrf_hybrid" -> 3, "q181_kaplan_meier" -> 2,
+    "q185_adamic_adar" -> 1, "q74_heavy_hitters" -> 1,
+    "q75_unigram_logprob" -> 1, "q96_skyline" -> 1)
+
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan
     // string (AQE annotates them per stage at execution time)
@@ -136,6 +167,13 @@ class PlanQualitySpec extends AnyFunSuite {
         val codegenSpans = physical.collect {
           case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
         }
+        // an EMPTY window partition spec moves all data to one task
+        // silently; only reviewed-bounded inputs (globalWindowBudget)
+        // may do that — anything else is an unreviewed scale bug
+        val globalWindows = physical.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExecBase
+              if w.partitionSpec.isEmpty => w
+        }
         val errs = Seq.newBuilder[String]
         if (codegenSpans.isEmpty)
           errs += s"$name: no WholeStageCodegen span"
@@ -143,6 +181,10 @@ class PlanQualitySpec extends AnyFunSuite {
           errs += s"$name: CartesianProduct"
         if (plan.contains("BroadcastNestedLoopJoin") && !nlAllowed(name))
           errs += s"$name: unexpected BroadcastNestedLoopJoin"
+        if (globalWindows.size > globalWindowBudget.getOrElse(name, 0))
+          errs += s"$name: ${globalWindows.size} unpartitioned WindowExec" +
+            s" (reviewed budget ${globalWindowBudget.getOrElse(name, 0)}" +
+            " — rewrite scale-safe or review into globalWindowBudget)"
         errs.result()
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
