@@ -251,7 +251,11 @@ object AnalyticQueries {
         val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score_r").desc, col("word").asc)
-        tf.join(broadcast(df), "word")
+        // df is VOCAB-sized (grows with the corpus): no broadcast hint —
+        // the planner broadcasts it while it fits and falls back to the
+        // co-keyed word join at warehouse scale, where forcing a
+        // multi-GB broadcast would be the bug
+        tf.join(df, "word")
           .crossJoin(broadcast(nDf))
           .withColumn("score_r",
             round(col("tf") * log(col("n_docs") / col("df")), 9))

@@ -495,8 +495,9 @@ object TextQueries {
     // by its mean token log-probability (high = stereotypical prose,
     // low = rare-token noise). The LM is the corpus itself, so no
     // smoothing is needed (every token has mass). Scale shape: the
-    // probability table aggregates to vocabulary size and broadcasts;
-    // scoring is one equi-join on the word + a per-doc partial agg.
+    // probability table aggregates to vocabulary size; scoring is one
+    // equi-join on the word (auto-broadcast while the vocab fits, a
+    // co-keyed shuffle join once it doesn't) + a per-doc partial agg.
     // Determinism: ln() is rounded at 9 per word (both engines compute
     // the same correctly-rounded double almost everywhere; the round
     // guards the residual ulp), and the per-doc mean re-rounds at 6 so
@@ -512,7 +513,9 @@ object TextQueries {
           .withColumn("t", sum(col("c")).over(Q.bounded))
           .select(col("w"),
             expr("round(ln(cast(c as double) / t), 9)").as("lp"))
-        toks.join(broadcast(probs), Seq("w"))
+        // probs is VOCAB-sized (Heaps-law growth): no broadcast hint —
+        // auto-broadcast while small, co-keyed word join at scale
+        toks.join(probs, Seq("w"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
             round(avg(col("lp")), 6).as("avg_logprob_r"))
