@@ -21,8 +21,11 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Scale notes (100 TB): every query is fully declarative DataFrame API —
   * filters/projections push to the parquet scan, aggregates get map-side
-  * partial aggregation, small dims (region/nation/supplier) are broadcast,
-  * and AQE can re-plan skewed shuffles. No collect(), no driver loops.
+  * partial aggregation, FIXED-size dims (region 5 rows / nation 25 rows)
+  * carry explicit broadcast hints while SF-scaling dims (part, supplier,
+  * customer) are planner-chosen joins — auto-broadcast while they fit,
+  * shuffle joins at warehouse scale — and AQE re-plans skewed shuffles.
+  * No collect(), no driver loops.
   */
 object Relational {
 
@@ -562,9 +565,11 @@ object Relational {
             sum(col("was_late")).as("n_late"),
             min(when(col("was_late") === 1, col("l_suppkey"))).as("l_suppkey"))
           .where(col("n_late") === 1 && col("n_supp") >= 2)
+        // supplier GROWS with SF (10k rows per SF unit): no broadcast
+        // hint — auto-broadcast while it fits, shuffle join at scale
         perOrder
-          .join(broadcast(t.supplier
-            .select(col("s_suppkey"), col("s_name"))),
+          .join(t.supplier
+            .select(col("s_suppkey"), col("s_name")),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_suppkey"), col("s_name"))
           .agg(count(lit(1)).as("numwait"))
@@ -647,13 +652,15 @@ object Relational {
       "q87_profit_by_nation",
       (s, dir) => {
         val t = Tables(s, dir)
+        // part/supplier GROW with SF: no broadcast hints (nation keeps
+        // its hint — fixed 25 rows at any scale)
         t.lineitem
-          .join(broadcast(t.part
+          .join(t.part
               .where(col("p_name").contains("red"))
-              .select(col("p_partkey"), col("p_retailprice"))),
+              .select(col("p_partkey"), col("p_retailprice")),
             col("l_partkey") === col("p_partkey"))
-          .join(broadcast(t.supplier
-              .select(col("s_suppkey"), col("s_nationkey"))),
+          .join(t.supplier
+              .select(col("s_suppkey"), col("s_nationkey")),
             col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(t.nation
               .select(col("n_nationkey"), col("n_name"))),
@@ -775,7 +782,8 @@ object Relational {
           .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
         li.join(avgq, "l_partkey")
           .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
-          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          // part grows with SF: planner-chosen join, no forced broadcast
+          .join(t.part, col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(dsum(col("l_extendedprice")).as("small_qty_revenue"),
             count(lit(1)).as("n_lines"))
@@ -882,13 +890,14 @@ object Relational {
     // OPTIMIZER test: the common conjuncts (p_size >= 1, quantity
     // bounds) must still reach the scans as pushed filters even though
     // the brand-specific arms are disjunctive, and the join stays a
-    // broadcast hash join on partkey — never a nested-loop over the OR.
+    // hash equi-join on partkey — never a nested-loop over the OR
+    // (planner-chosen broadcast vs shuffle; part grows with SF).
     QDef(
       "q175_disjunctive_pricing",
       (s, dir) => {
         val t = Tables(s, dir)
         t.lineitem
-          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .join(t.part, col("l_partkey") === col("p_partkey"))
           .where(
             (col("p_brand") === "Brand#12" &&
               col("p_size").between(1, 15) &&
@@ -980,8 +989,9 @@ object Relational {
         t.lineitem
           .join(t.orders, col("l_orderkey") === col("o_orderkey"))
           .join(t.customer, col("o_custkey") === col("c_custkey"))
-          .join(broadcast(t.supplier.select(col("s_suppkey"),
-              col("s_nationkey"))),
+          // supplier grows with SF: planner-chosen join, no forced hint
+          .join(t.supplier.select(col("s_suppkey"),
+              col("s_nationkey")),
             col("l_suppkey") === col("s_suppkey") &&
               col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(asiaNations),
