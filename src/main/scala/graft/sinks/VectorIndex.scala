@@ -1,0 +1,107 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (inverted-file) vector index — q48's in-query index as
+  * a durable LIBRARY artifact: build once, write the coarse quantizer
+  * and the cell-partitioned postings to parquet, then serve any number
+  * of query batches without touching the raw corpus again.
+  *
+  * Layout:
+  * {{{
+  *   <dir>/centroids/            (cent_id, cv)  — k rows, broadcastable
+  *   <dir>/postings/cell=<c>/    (vec_id, v)    — hive-partitioned
+  * }}}
+  *
+  * Scale shape: `search` joins the tiny (qid, cell) probe relation into
+  * the postings on the PARTITION column, so the probed cells are the
+  * only ones read (static pruning when the probe side folds, dynamic
+  * partition pruning when it doesn't) — the nprobe-cells-of-N access
+  * path an IVF index exists for. Each cell splits further across
+  * parquet files via `maxRecordsPerFile`, so a hot cell still scans in
+  * parallel. All similarity math runs through the codegen'd
+  * `dot_product` over vectors normalized once at BUILD time — queries
+  * pay one normalization of the query batch, never of the corpus.
+  *
+  * The quantizer convention (first k vectors are the centroids —
+  * deterministic stand-in for trained k-means) and every tiebreak match
+  * q48 exactly; VectorIndexSpec pins byte-for-byte parity between a
+  * search over the persisted index and the in-query q48 plan, so the
+  * two formulations cannot drift.
+  */
+object VectorIndex {
+
+  /** Unit-normalized double vectors from a raw (vec_id, embedding)
+    * relation — the same normalization q48's `vectors` helper applies
+    * (restated here; the spec's parity gate keeps them in sync).
+    */
+  private def normalized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("""transform(embedding,
+                x -> cast(x as double) /
+                     sqrt(aggregate(embedding, 0D,
+                       (a, y) -> a + cast(y as double) * cast(y as double))))""")
+        .as("v"))
+
+  /** Build the index: nearest-centroid assignment (sim desc, cent_id
+    * asc tiebreak — q48's rule) and a cell-partitioned postings write.
+    * `maxRecordsPerFile` bounds each file so a skewed cell still yields
+    * parallel scan splits.
+    */
+  def build(emb: DataFrame, outDir: String, k: Int,
+      maxRecordsPerFile: Int = 1 << 20): Unit = {
+    val e = normalized(emb)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/centroids")
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    e.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        expr("dot_product(v, cv)").as("sim"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("cell")
+      .parquet(s"$outDir/postings")
+  }
+
+  /** Probe the persisted index: rank centroids per query, take the top
+    * `nprobe` cells, scan ONLY those postings partitions, exact-score
+    * the candidates, and return the top `topK` neighbors per query as
+    * (qid, neighbor_id, rk, cos_r) — q48's output contract (self-match
+    * excluded, round-6 cosines, neighbor_id tiebreak).
+    */
+  def search(spark: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int, topK: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val q = normalized(queries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    val probes = q.join(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cent_id"),
+        expr("dot_product(qv, cv)").as("sim"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cent_id").as("cell"))
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    // join on the partition column: only probed cells are scanned (a
+    // vector lives in exactly one cell, so no cross-probe duplicates)
+    probes.join(postings, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        expr("dot_product(qv, v)").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("qid"), col("neighbor_id"),
+        col("rk").cast("int").as("rk"), round(col("cos"), 6).as("cos_r"))
+  }
+}
