@@ -1,0 +1,100 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted dedup index — q83's incremental-dedup probe structures as
+  * durable LIBRARY artifacts, so each ingest batch is checked against
+  * the corpus WITHOUT rescanning it: build once over the corpus, then
+  * `classify` any number of new batches in O(batch).
+  *
+  * Layout:
+  * {{{
+  *   <dir>/fingerprints/  (doc_id, fp)                    exact probe
+  *   <dir>/bands/         (doc_id, bucket, sig_0..sig_7)  fuzzy probe
+  * }}}
+  *
+  * The exact probe is a fingerprint equi-join (batch side small → the
+  * planner broadcasts it into the index scan); the fuzzy probe joins
+  * MinHash band buckets new×corpus only — the bucket hash is the
+  * shuffle key at scale, and no corpus self-join ever runs. Hashing
+  * (md5 fingerprint, 8 MinHash fields from 2 md5 digests per shingle,
+  * 4×2 band buckets) restates q23/q83's exact arithmetic;
+  * DedupIndexSpec pins classify-over-the-persisted-index byte-for-byte
+  * to the in-query q83 classification, so the two cannot drift.
+  */
+object DedupIndex {
+
+  /** 8 MinHash fields as MIN aggregates over the shingle Generator —
+    * map-side combinable, no per-doc arrays (q23's recipe: 2 digests
+    * per shingle, 4 disjoint 8-hex-char fields each; fixed-width hex
+    * compares lexicographically == numerically).
+    */
+  private def sigs(docs: DataFrame): DataFrame = {
+    val minhashes = (0 until 8).map { j =>
+      val seed = if (j < 4) "A|" else "B|"
+      val lo = (j % 4) * 8 + 1
+      min(substring(
+        md5(concat(lit(seed), col("shingle")).cast("binary")), lo, 8))
+        .as(s"sig_$j")
+    }
+    docs.select(col("doc_id"),
+        graft.functions.Shingles.shingles(col("text"), 3).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(minhashes.head, minhashes.tail: _*)
+  }
+
+  /** 4 band buckets (2 signature fields each) per signature row. */
+  private def banded(sig: DataFrame): DataFrame =
+    sig.withColumn("bucket",
+      explode(array((0 until 4).map(b =>
+        md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
+          .cast("binary"))): _*)))
+
+  /** Index a (doc_id, text) corpus: exact-dup fingerprints + banded
+    * MinHash signatures.
+    */
+  def build(docs: DataFrame, outDir: String): Unit = {
+    docs.select(col("doc_id"),
+        graft.queries.Q.fingerprint(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(s"$outDir/fingerprints")
+    banded(sigs(docs))
+      .write.mode("overwrite").parquet(s"$outDir/bands")
+  }
+
+  /** Classify a (doc_id, text) batch against the persisted corpus
+    * index: exact_dup (fingerprint present), near_dup (≥6/8 signature
+    * agreement with a corpus doc sharing a band bucket), or unique —
+    * with the smallest matching corpus doc_id as evidence (q83's
+    * output contract).
+    */
+  def classify(spark: SparkSession, indexDir: String,
+      batch: DataFrame): DataFrame = {
+    val fps = spark.read.parquet(s"$indexDir/fingerprints")
+    val bfp = batch.select(col("doc_id"),
+        graft.queries.Q.fingerprint(col("text")).as("fp"))
+      .localCheckpoint() // feeds the exact probe AND the final assembly
+    val exact = bfp.alias("n")
+      .join(fps.alias("c"), col("n.fp") === col("c.fp"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("c.doc_id")).as("exact_match"))
+    val idx = spark.read.parquet(s"$indexDir/bands")
+    val agree = (0 until 8)
+      .map(j => s"(case when a.sig_$j = b.sig_$j then 1 else 0 end)")
+      .mkString(" + ")
+    val near = banded(sigs(batch)).alias("a")
+      .join(idx.alias("b"), col("a.bucket") === col("b.bucket"))
+      .where(expr(s"($agree) >= 6"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(min(col("b.doc_id")).as("near_match"))
+    bfp.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        expr("""case when exact_match is not null then 'exact_dup'
+                     when near_match is not null then 'near_dup'
+                     else 'unique' end""").as("status"),
+        coalesce(col("exact_match"), col("near_match"), lit(-1L))
+          .as("match_id"))
+  }
+}
