@@ -1,0 +1,44 @@
+package graft.sinks
+
+import graft.{SparkEntry, Tables, TestSpark}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted inverted index must (a) serve EXACTLY the answers the
+  * in-query q132 BM25 plan computes for the same terms — the index
+  * round-trip can't change a rank, count, or rounded score — and
+  * (b) push the term filter into the postings scan so a lookup reads
+  * only word-range-matching files, not the whole postings relation.
+  */
+class TextIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val indexDir = {
+    val out = TestSpark.tmpDir("text-index")
+    TextIndex.build(
+      Tables(spark, dir).documents.select(col("doc_id"), col("text")), out)
+    out
+  }
+
+  test("BM25 over the persisted index == the in-query q132 answers") {
+    val got = TextIndex
+      .searchBm25(spark, indexDir, Seq("spark", "window", "merge"), 15)
+      .orderBy(col("rk")).collect().toSeq
+    val want = SparkEntry.queries("q132_bm25")(spark, dir)
+      .orderBy(col("rk")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("term filters push down into the postings scan") {
+    val scan = spark.read.parquet(s"$indexDir/postings")
+      .where(col("word").isin("spark", "merge"))
+      .queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s
+      }.get
+    assert(scan.dataFilters.nonEmpty, "term filter must reach the scan")
+    assert(scan.metadata("PushedFilters").contains("In(word"),
+      s"expected In(word, ...) pushed, got ${scan.metadata("PushedFilters")}")
+  }
+}
