@@ -82,4 +82,30 @@ class CorpusStreamingSpec extends AnyFunSuite {
         .toSet == Set(11L))
     } finally q.stop()
   }
+
+  test("a persisted DedupIndex serves as the historical side directly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // index a tiny corpus with the LIBRARY artifact, then hand its
+    // fingerprints/ relation to the incremental stream unchanged — the
+    // batch index and the streaming ingest share one dedup contract
+    val idx = TestSpark.tmpDir("stream-dedup-idx")
+    graft.sinks.DedupIndex.build(
+      Seq((100L, goodText)).toDF("doc_id", "text"), idx)
+    val historical = spark.read.parquet(s"$idx/fingerprints")
+    val ms = MemoryStream[StreamedDoc]
+    val q = CorpusStreaming
+      .cleanStreamIncremental(ms.toDF(), historical)
+      .writeStream.format("memory").queryName("incidx").outputMode("append")
+      .start()
+    try {
+      ms.addData(
+        StreamedDoc(20L, goodText, "en", "src0", ts("2024-01-01 00:00:00")),
+        StreamedDoc(21L, goodText + " beyond the indexed history entirely",
+          "en", "src0", ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      assert(spark.table("incidx").select("doc_id").as[Long].collect()
+        .toSet == Set(21L))
+    } finally q.stop()
+  }
 }
