@@ -71,6 +71,32 @@ object VectorIndex {
       .parquet(s"$outDir/postings")
   }
 
+  /** Incrementally index a new batch of vectors against the EXISTING
+    * quantizer: assign each to its nearest persisted centroid (same
+    * tiebreak as build) and append to the cell partitions — O(batch),
+    * no corpus rescan, centroids untouched. This is the ingest path at
+    * scale; VectorIndexSpec pins append-then-search byte-for-byte to a
+    * full rebuild over the union. (Quantizer drift — re-training
+    * centroids as the distribution moves — is a rebuild, by design:
+    * reassignment invalidates every cell.)
+    */
+  def append(spark: SparkSession, indexDir: String,
+      emb: DataFrame, maxRecordsPerFile: Int = 1 << 20): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    normalized(emb).join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        expr("dot_product(v, cv)").as("sim"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("cell")
+      .parquet(s"$indexDir/postings")
+  }
+
   /** Probe the persisted index: rank centroids per query, take the top
     * `nprobe` cells, scan ONLY those postings partitions, exact-score
     * the candidates, and return the top `topK` neighbors per query as

@@ -34,6 +34,23 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("incremental append serves the same answers as a full rebuild") {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val out = TestSpark.tmpDir("ivf-index-inc")
+    // the first 300 ids include all 16 centroid vectors, so the
+    // quantizer is identical to the full build's
+    VectorIndex.build(emb.where(col("vec_id") < 300), out, k = 16)
+    VectorIndex.append(spark, out, emb.where(col("vec_id") >= 300))
+    val queries = emb.where(col("vec_id") < 10)
+    val got = VectorIndex.search(spark, out, queries, nprobe = 2, topK = 3)
+      .orderBy(col("qid"), col("rk")).collect().toSeq
+    val want = VectorIndex
+      .search(spark, indexDir, queries, nprobe = 2, topK = 3)
+      .orderBy(col("qid"), col("rk")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("postings are cell-partitioned and a cell filter prunes the scan") {
     val cells = new java.io.File(s"$indexDir/postings").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
