@@ -62,6 +62,21 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$outDir/bands")
   }
 
+  /** Incrementally index a (doc_id, text) batch — the post-classify
+    * step of a continuous ingest: docs accepted into the corpus append
+    * their fingerprints and banded signatures so the NEXT batch dedups
+    * against them too. O(batch), no corpus rescan; hashing is
+    * identical to build, so append-then-classify equals a full rebuild
+    * (DedupIndexSpec pins it).
+    */
+  def append(docs: DataFrame, indexDir: String): Unit = {
+    docs.select(col("doc_id"),
+        graft.queries.Q.fingerprint(col("text")).as("fp"))
+      .write.mode("append").parquet(s"$indexDir/fingerprints")
+    banded(sigs(docs))
+      .write.mode("append").parquet(s"$indexDir/bands")
+  }
+
   /** Classify a (doc_id, text) batch against the persisted corpus
     * index: exact_dup (fingerprint present), near_dup (≥6/8 signature
     * agreement with a corpus doc sharing a band bucket), or unique —

@@ -35,6 +35,21 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("incremental append classifies like a full rebuild") {
+    // split the corpus in half, build on the first half, append the
+    // second — classifying the batch must match the one-shot index
+    val mid = corpus.agg(((max(col("doc_id")) + 1) / 2).cast("bigint"))
+      .head().getLong(0)
+    val out = TestSpark.tmpDir("dedup-index-inc")
+    DedupIndex.build(corpus.where(col("doc_id") < mid), out)
+    DedupIndex.append(corpus.where(col("doc_id") >= mid), out)
+    val got = DedupIndex.classify(spark, out, batch)
+      .orderBy(col("doc_id")).collect().toSeq
+    val want = DedupIndex.classify(spark, indexDir, batch)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("indexed docs re-classify as exact duplicates of themselves") {
     val statuses = DedupIndex.classify(spark, indexDir, corpus.limit(50))
       .select(col("status")).distinct().collect().map(_.getString(0)).toSet
