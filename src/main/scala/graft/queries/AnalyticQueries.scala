@@ -1696,66 +1696,28 @@ object AnalyticQueries {
     // q180: GLOBAL exact percentiles by 2-phase histogram selection —
     // the order-statistic technique q34's per-group window sort cannot
     // give you when there is no group key: a global sort of the fact
-    // table is the one plan that never survives 100 TB. Phase 1 bins
-    // every value into 1000 equi-width buckets from a broadcast one-row
-    // min/max (q104's pattern) and cumulates the ≤1000-row histogram
-    // (the only global window, over 1000 rows). Phase 2 locates each
-    // target rank's bucket, semi-joins the fact scan down to just those
-    // buckets (~0.1% of rows), and ranks WITHIN the bucket — no task
-    // ever sorts more than one bucket. The interpolated result equals
-    // quantile_cont at round-6 (q34's established contract); ranks and
-    // bucket arithmetic are driver-free, everything rides broadcast
-    // one-row/6-row relations.
+    // table is the one plan that never survives 100 TB. The machinery
+    // lives in Q.globalExactPercentiles (generalized from this query;
+    // q148 shares it): phase 1 bins every value into 1000 equi-width
+    // buckets from a broadcast one-row min/max (q104's pattern) and
+    // cumulates the ≤1000-row histogram (the only global window);
+    // phase 2 locates each target rank's bucket, semi-joins the fact
+    // scan down to just those buckets (~0.1% of rows), and ranks
+    // WITHIN the bucket — no task ever sorts more than one bucket.
+    // The interpolated result equals quantile_cont at round-6 (q34's
+    // established contract); ranks and bucket arithmetic are
+    // driver-free, everything rides broadcast one-row/6-row relations.
     QDef(
       "q180_global_percentiles",
       (s, dir) => {
-        val li = Tables(s, dir).lineitem.select(col("l_extendedprice")
-          .as("v"))
-        val b = li.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
-          count(lit(1)).as("n"))
-          .localCheckpoint() // one-row bounds: feeds binning AND targets
-        val binned = li.crossJoin(broadcast(b))
-          .withColumn("bin", least(lit(999),
-            floor((col("v") - col("lo"))
-              / nullif((col("hi") - col("lo")) / 1000.0d, lit(0.0d)))
-              .cast("int")))
-          .na.fill(0, Seq("bin"))
-          .localCheckpoint() // feeds the histogram AND the refine scan
-        val cum = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
-          .withColumn("cume", sum(col("c")).over(Q.bounded.orderBy(col("bin"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val targets = b.select(explode(array(
-            Seq(("p50", 0.5d), ("p90", 0.9d), ("p99", 0.99d)).map {
-              case (nm, p) => struct(lit(nm).as("pct"), lit(p).as("p"))
-            }: _*)).as("t"), col("n"))
-          .select(col("t.pct").as("pct"), col("t.p").as("p"), col("n"))
-          .withColumn("pos", col("p") * (col("n") - lit(1L)).cast("double"))
-          .select(col("pct"), col("pos"), explode(array(
-            struct(lit("lo").as("side"),
-              (floor(col("pos")).cast("bigint") + 1L).as("rk")),
-            struct(lit("hi").as("side"),
-              (ceil(col("pos")).cast("bigint") + 1L).as("rk")))).as("t2"))
-          .select(col("pct"), col("pos"), col("t2.side").as("side"),
-            col("t2.rk").as("rk"))
-        val tloc = targets.join(cum,
-            col("cume") >= col("rk") && col("cume") - col("c") < col("rk"))
-          .select(col("pct"), col("pos"), col("side"), col("bin"),
-            (col("rk") - (col("cume") - col("c"))).as("within"))
-          .localCheckpoint() // tiny (6 rows); feeds the semi-join + pick
-        val cand = binned.join(broadcast(
-            tloc.select(col("bin")).distinct()), Seq("bin"), "left_semi")
-          .withColumn("rn", row_number().over(Window.partitionBy(col("bin"))
-            .orderBy(col("v").asc)))
-        val vals = cand.join(broadcast(tloc),
-            cand("bin") === tloc("bin") && col("rn") === col("within"))
-          .select(col("pct"), col("pos"), col("side"), col("v"))
-        vals.groupBy(col("pct"), col("pos"))
-          .agg(max(when(col("side") === "lo", col("v"))).as("vlo"),
-            max(when(col("side") === "hi", col("v"))).as("vhi"))
-          .select(col("pct"), round(expr(
-            """case when floor(pos) = ceil(pos) then vlo
-               else (ceil(pos) - pos) * vlo + (pos - floor(pos)) * vhi
-               end"""), 6).as("value_r"))
+        val li = Tables(s, dir).lineitem
+        val wide = Q.globalExactPercentiles(li, "l_extendedprice",
+          Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
+        // unpivot the one wide row into the (pct, value_r) long shape
+        wide.select(explode(array(Seq("p50", "p90", "p99").map { nm =>
+            struct(lit(nm).as("pct"), round(col(nm), 6).as("value_r"))
+          }: _*)).as("t"))
+          .select(col("t.pct").as("pct"), col("t.value_r").as("value_r"))
       },
       Some("""
         SELECT 'p50' AS pct,

@@ -89,6 +89,51 @@ object MultimodalQueries {
         FROM hashed a JOIN hashed b
           ON a.media_id < b.media_id
          AND bit_count(xor(a.ahash, b.ahash)) <= 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q187: REAL image decode, oracle-pinned end-to-end. The fixture
+    // closes the loop the stub never could: each image-kind doc_id gets
+    // an ACTUAL PNG (Multimodal.syntheticPng — dims and every pixel are
+    // pure integer functions of doc_id), the real javax.imageio kernel
+    // in Multimodal.decode parses those bytes, and the output exposes
+    // the decoded width/height plus a pixel checksum (Σ bin·count over
+    // the 16-bin luma histogram, recovered exactly from the normalized
+    // features). DuckDB restates dims + checksum from the generator
+    // formula — so a decoder that mis-parses dimensions, drops rows on
+    // any payload, or corrupts a single pixel's high nibble hash-fails.
+    // Scale shape: pure narrow map (encode+decode never leave the
+    // partition); only ~30 bytes/record of metadata survive.
+    QDef(
+      "q187_image_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir).documents
+          .where(col("doc_id") % 3 === 0)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = 1 + (id % 16).toInt
+            val h = 1 + ((id / 16) % 16).toInt
+            Multimodal.MediaRecord(id, "image",
+              Multimodal.syntheticPng(id, w, h), "synthetic")
+          }
+        Multimodal.decode(media).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            expr("""cast(round(aggregate(
+                     zip_with(features, sequence(0, 15), (f, j) -> f * j),
+                     cast(0.0 as double), (a, x) -> a + x)
+                   * width * height, 0) as bigint)""").as("luma_chk"))
+      },
+      Some("""
+        WITH img AS (SELECT doc_id,
+                            CAST(1 + doc_id % 16 AS INTEGER) AS w,
+                            CAST(1 + (doc_id // 16) % 16 AS INTEGER) AS h
+                     FROM documents WHERE doc_id % 3 = 0)
+        SELECT doc_id AS media_id, w AS width, h AS height,
+               CAST(list_sum(list_transform(range(0, w * h),
+                    i -> ((doc_id * 37 + (i % w) * 3 + (i // w) * 5) % 256)
+                         // 16)) AS BIGINT) AS luma_chk
+        FROM img
       """))
   )
 }

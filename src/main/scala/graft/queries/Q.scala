@@ -94,6 +94,90 @@ object Q {
     agg.select(col(key) +: outs: _*)
   }
 
+  /** GLOBAL exact interpolated percentiles by 2-phase histogram
+    * selection — the order-statistic technique [[exactPercentiles]]'s
+    * per-group window sort cannot give you when there is no group key:
+    * a single-task sort (or rank window) of the fact table is the one
+    * plan that never survives 100 TB.
+    *
+    * Phase 1 bins every non-null value into 1000 equi-width buckets
+    * from a broadcast one-row min/max and cumulates the ≤1000-row
+    * histogram (the only global window, over ≤1000 rows). Phase 2
+    * locates each target rank's bucket, semi-joins the scan down to
+    * just those buckets (~0.1% of rows), and ranks WITHIN the bucket —
+    * no task ever sorts more than one bucket. Matches `percentile` /
+    * DuckDB `quantile_cont` semantics (skip nulls, position p*(n-1),
+    * linear interpolation); callers round the float result (the q34
+    * round-6 contract).
+    *
+    * NOTE the two `localCheckpoint()`s eagerly execute the bounds and
+    * binning stages at construction time — PlanQualitySpec's
+    * global-window gate therefore never sees the ≤1000-row histogram
+    * cum (documented blind spot next to `globalWindowBudget`).
+    *
+    * @param ps (fraction, output column name) pairs
+    * @return ONE row: bigint `n` (non-null count) + one unrounded
+    *         double column per entry of ps (null when n = 0)
+    */
+  def globalExactPercentiles(df: DataFrame, valueCol: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val b = vals.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n"))
+      .localCheckpoint() // one-row bounds: feeds binning AND targets
+    val binned = vals.crossJoin(broadcast(b))
+      .withColumn("bin", least(lit(999),
+        floor((col("v") - col("lo"))
+          / nullif((col("hi") - col("lo")) / 1000.0d, lit(0.0d)))
+          .cast("int")))
+      .na.fill(0, Seq("bin"))
+      .localCheckpoint() // feeds the histogram AND the refine scan
+    val cum = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .withColumn("cume", sum(col("c")).over(bounded.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // each target fraction → its interpolation position, then the two
+    // boundary ranks (floor/ceil + 1) that bracket it
+    val targets = b.select(explode(array(ps.map { case (p, nm) =>
+        struct(lit(nm).as("pct"), lit(p).as("p"))
+      }: _*)).as("t"), col("n"))
+      .select(col("t.pct").as("pct"), col("t.p").as("p"), col("n"))
+      .withColumn("pos", col("p") * (col("n") - lit(1L)).cast("double"))
+      .select(col("pct"), col("pos"), explode(array(
+        struct(lit("lo").as("side"),
+          (floor(col("pos")).cast("bigint") + 1L).as("rk")),
+        struct(lit("hi").as("side"),
+          (ceil(col("pos")).cast("bigint") + 1L).as("rk")))).as("t2"))
+      .select(col("pct"), col("pos"), col("t2.side").as("side"),
+        col("t2.rk").as("rk"))
+    val tloc = targets.join(cum,
+        col("cume") >= col("rk") && col("cume") - col("c") < col("rk"))
+      .select(col("pct"), col("pos"), col("side"), col("bin"),
+        (col("rk") - (col("cume") - col("c"))).as("within"))
+      .localCheckpoint() // tiny (2·|ps| rows); feeds semi-join + pick
+    val cand = binned.join(broadcast(
+        tloc.select(col("bin")).distinct()), Seq("bin"), "left_semi")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("bin"))
+        .orderBy(col("v").asc)))
+    val picked = cand.join(broadcast(tloc),
+        cand("bin") === tloc("bin") && col("rn") === col("within"))
+      .select(col("pct"), col("pos"), col("side"), col("v"))
+      .groupBy(col("pct"), col("pos"))
+      .agg(max(when(col("side") === "lo", col("v"))).as("vlo"),
+        max(when(col("side") === "hi", col("v"))).as("vhi"))
+      .select(col("pct"), expr(
+        """case when floor(pos) = ceil(pos) then vlo
+           else (ceil(pos) - pos) * vlo + (pos - floor(pos)) * vhi
+           end""").as("value"))
+    // always exactly one row, even on empty input (agg w/o groupBy)
+    val wide = picked.agg(
+      max(when(col("pct") === ps.head._2, col("value"))).as(ps.head._2),
+      ps.tail.map { case (_, nm) =>
+        max(when(col("pct") === nm, col("value"))).as(nm)
+      }: _*)
+    b.select(col("n")).crossJoin(broadcast(wide))
+  }
+
   /** Shared oracle for the per-customer top-3 orders — q7 (window
     * formulation) and q39 (bounded top-k aggregate) implement the SAME
     * semantics; one oracle string encodes that.

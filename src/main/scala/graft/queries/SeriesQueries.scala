@@ -945,15 +945,16 @@ object SeriesQueries {
 
     // ------------------------------------------------------------------
     // q148: time-to-convert distribution — per-user signup→first-
-    // purchase lag, summarized as p50/p90 via `percentile(...)` (the
-    // ScaleSafePercentiles rule rewrites both into the bounded
-    // sort-based plan — no holistic buffer even over 10^9 converting
-    // users). The first-purchase-after-signup lookup is one
-    // conditional rollup per side co-partitioned on user_id — no
-    // events×events join: min(signup ts) per user joins back onto
-    // that user's purchases with a plain >= filter before the min.
-    // Lags are exact integer seconds; the two quantile interpolations
-    // are the only floats, emitted at round 6 (the q34 idiom).
+    // purchase lag, summarized as p50/p90 via Q.globalExactPercentiles
+    // (the q180 two-phase histogram selection: bounded histogram cum +
+    // within-bucket ranks — no single-task sort or rank window over
+    // the users-sized lag table even at 10^9 converting users). The
+    // first-purchase-after-signup lookup is one conditional rollup per
+    // side co-partitioned on user_id — no events×events join: min(
+    // signup ts) per user joins back onto that user's purchases with a
+    // plain >= filter before the min. Lags are exact integer seconds;
+    // the two quantile interpolations are the only floats, emitted at
+    // round 6 (the q34 idiom).
     QDef(
       "q148_conversion_lag",
       (s, dir) => {
@@ -969,12 +970,12 @@ object SeriesQueries {
           .groupBy(col("user_id"))
           .agg((min(col("pt")) - first(col("s0"))).as("lag_s"))
         val nAll = signups.agg(count(lit(1)).as("n_signup"))
-        conv.agg(count(lit(1)).as("n_converted"),
-          round(expr("percentile(lag_s, 0.5D)"), 6).as("p50_s"),
-          round(expr("percentile(lag_s, 0.9D)"), 6).as("p90_s"))
+        Q.globalExactPercentiles(conv, "lag_s",
+            Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw"))
           .crossJoin(broadcast(nAll))
-          .select(col("n_signup"), col("n_converted"), col("p50_s"),
-            col("p90_s"))
+          .select(col("n_signup"), col("n").as("n_converted"),
+            round(col("p50_raw"), 6).as("p50_s"),
+            round(col("p90_raw"), 6).as("p90_s"))
       },
       Some("""
         WITH s AS (SELECT user_id, MIN(epoch_us(ts) // 1000000) AS s0

@@ -456,12 +456,16 @@ object TextQueries {
       (s, dir) => {
         val words = Tables(s, dir).documents
           .select(explode(expr(W)).as("w"))
+        // top-10 via sort+limit (TakeOrderedAndProject, O(k) per
+        // partition) — the word-count table is vocabulary-sized
+        // (Heaps-law growth), never rank it globally; rk is assigned
+        // over the 10 survivors (the q185 shape)
         val exact = words.groupBy(col("w"))
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("cnt").desc, col("w").asc)))
-          .where(col("rk") <= 10)
+          .orderBy(col("cnt").desc, col("w").asc)
+          .limit(10)
+          .withColumn("rk", row_number().over(Q.bounded.orderBy(
+            col("cnt").desc, col("w").asc)))
         // maxItemsTracked pinned explicitly (not the version-dependent
         // default) — the estimate is exact while distinct words fit the
         // budget, and SkewAndSketchSpec asserts the flags in-suite
@@ -507,10 +511,14 @@ object TextQueries {
       (s, dir) => {
         val toks = Tables(s, dir).documents
           .select(col("doc_id"), explode(expr(W)).as("w"))
-        val probs = toks.groupBy(col("w"))
+        val counts = toks.groupBy(col("w"))
           .agg(count(lit(1)).as("c"))
-          // vocab-bounded (Heaps-law growth), asserted via Q.bounded
-          .withColumn("t", sum(col("c")).over(Q.bounded))
+        // corpus token total as a ONE-ROW aggregate crossJoined
+        // broadcast (the q37 pattern) — never a single-task window
+        // over the vocabulary-sized count table
+        val total = counts.agg(sum(col("c")).as("t"))
+        val probs = counts
+          .crossJoin(broadcast(total))
           .select(col("w"),
             expr("round(ln(cast(c as double) / t), 9)").as("lp"))
         // probs is VOCAB-sized (Heaps-law growth): no broadcast hint —

@@ -90,8 +90,16 @@ class PlanQualitySpec extends AnyFunSuite {
     // table (q37 pattern)
     "q146_basket_pairs",
     // q148 crossJoins the ONE-row signup count into the one-row
-    // quantile summary (q37 pattern)
+    // quantile summary (q37 pattern); its percentile machinery is
+    // Q.globalExactPercentiles' one-row n × one-row wide cross
     "q148_conversion_lag",
+    // q180's final one-row n × one-row wide-percentiles cross
+    // (Q.globalExactPercentiles; earlier crosses execute eagerly
+    // inside its localCheckpoints)
+    "q180_global_percentiles",
+    // q75 crossJoins the ONE-row corpus token total into the
+    // vocab-sized probability table (q37 pattern)
+    "q75_unigram_logprob",
     // q153 crossJoins the ONE-row time bounds into the user universe
     // to generate the snapshot spine (q95's calendar pattern)
     "q153_weekly_snapshots",
@@ -131,30 +139,34 @@ class PlanQualitySpec extends AnyFunSuite {
   // cannot distinguish asserted-bounded from accidental — this map is
   // the review). Value = max allowed count of such windows.
   //  - survivor ranks: rk over ≤k rows that already passed a
-  //    sort+limit (q132/q134/q139/q143/q146/q163/q185 ≤25; q171 has
-  //    two ≤50 candidate caps + the ≤100 fused list)
+  //    sort+limit (q74 ≤10; q132/q134/q139/q143/q146/q163/q185 ≤25;
+  //    q171 has two ≤50 candidate caps + the ≤100 fused list)
   //  - histogram cums: q128/q145 (histRank's ≤1000-bucket cum),
   //    q96 ($100 price buckets), q131 (hour buckets), q116 (≤676
   //    symbol pairs), q181 (whole-hour durations)
   //  - enum/dim-bounded rollups: q156/q158 (|sources|), q140
-  //    (distinct join keys of a dimension), q74/q75 (vocabulary,
-  //    Heaps-law growth)
-  //  - q148: the ScaleSafePercentiles rewrite of two GLOBAL
-  //    percentiles — memory-bounded external-sort rank (vs the
-  //    holistic buffer), documented single-sort cost of a global
-  //    order statistic; the histogram path (q180) is the avoidance
-  //    when an approximation budget exists
+  //    (distinct join keys of a dimension)
+  //
+  // KNOWN BLIND SPOT: windows executed EAGERLY during query
+  // construction — inside a localCheckpoint() (e.g. q180's histogram
+  // cum) — materialize before the inspected physical plan exists and
+  // so never appear in it. A data-sized global window hidden behind a
+  // checkpoint would NOT trip this gate; reviewers must check the
+  // pre-checkpoint construction code of any query using
+  // localCheckpoint. Budgets are also counts, not identities: swapping
+  // a reviewed bounded window for a different one of the same arity
+  // passes — the review lives in the query's own comments.
   private val globalWindowBudget = Map(
     "q116_bpe_pairs" -> 1, "q128_woe_binning" -> 1,
     "q131_concurrency" -> 1, "q132_bm25" -> 1,
     "q134_skipgram_pairs" -> 1, "q139_boolean_retrieval" -> 1,
     "q140_skew_audit" -> 1, "q143_path_mining" -> 1,
     "q145_range_splits" -> 1, "q146_basket_pairs" -> 1,
-    "q148_conversion_lag" -> 2, "q156_quota_apportion" -> 1,
+    "q156_quota_apportion" -> 1,
     "q158_source_concentration" -> 1, "q163_burst_arrivals" -> 1,
     "q171_rrf_hybrid" -> 3, "q181_kaplan_meier" -> 2,
     "q185_adamic_adar" -> 1, "q74_heavy_hitters" -> 1,
-    "q75_unigram_logprob" -> 1, "q96_skyline" -> 1)
+    "q96_skyline" -> 1)
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

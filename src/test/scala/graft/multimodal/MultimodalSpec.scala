@@ -22,6 +22,52 @@ class MultimodalSpec extends AnyFunSuite {
       r.kind == Seq("image", "audio", "video")((r.media_id % 3).toInt)))
   }
 
+  test("decode: real ImageIO kernel recovers PNG dims and exact pixels") {
+    import spark.implicits._
+    // grayscale PNG roundtrip is lossless and the kernel reads
+    // single-band rasters raw, so the 16-bin luma histogram must equal
+    // the generator formula's bin counts exactly
+    val fixtures = Seq((7L, 5, 3), (42L, 16, 16), (0L, 1, 1)).map {
+      case (seed, w, h) =>
+        MediaRecord(seed, "image", Multimodal.syntheticPng(seed, w, h), "t")
+    }
+    val decoded = decode(fixtures.toDS()).collect()
+      .map(d => d.media_id -> d).toMap
+    Seq((7L, 5, 3), (42L, 16, 16), (0L, 1, 1)).foreach { case (seed, w, h) =>
+      val d = decoded(seed)
+      assert((d.width, d.height) == (w, h), s"seed $seed: real dims")
+      assert((d.width, d.height) != fakeDims(d.n_bytes)
+        || w * h == 1, s"seed $seed: must not be the stand-in path")
+      val counts = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w)
+        counts((((seed * 37 + x * 3 + y * 5) % 256).toInt & 0xff) >> 4) += 1
+      val npx = w.toLong * h
+      d.features.zipWithIndex.foreach { case (f, j) =>
+        assert(math.abs(f - counts(j).toFloat / npx) < 1e-6,
+          s"seed $seed bin $j: luma histogram must match the generator")
+      }
+    }
+  }
+
+  test("decode: corrupt image bytes degrade to the stand-in, never throw") {
+    import spark.implicits._
+    val pngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val corrupt = Seq(
+      // PNG magic + garbage body: sniffs as image, ImageIO fails
+      MediaRecord(1L, "image", pngMagic ++ Array.fill(64)(0x5a.toByte), "t"),
+      // truncated real PNG: header parses, pixel data missing
+      MediaRecord(2L, "image", Multimodal.syntheticPng(9L, 8, 8).take(40), "t"),
+      // empty payload
+      MediaRecord(3L, "image", Array.empty[Byte], "t"))
+    val out = decode(corrupt.toDS()).collect().sortBy(_.media_id)
+    assert(out.length == 3, "poison rows must survive decode")
+    out.foreach { d =>
+      assert((d.width, d.height) == fakeDims(d.n_bytes),
+        s"media ${d.media_id}: corrupt bytes must take the stand-in path")
+    }
+  }
+
   test("decode: stub kernel is deterministic with the documented contract") {
     val d1 = decode(media).collect().sortBy(_.media_id)
     val d2 = decode(media).collect().sortBy(_.media_id)
