@@ -27,20 +27,9 @@ object AnalyticQueries {
     val tf = toks.where(col("word").isin("spark", "window", "merge"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "word")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(totals))
-      .withColumn("avgdl", col("toktot").cast("double") / col("nn"))
-      .withColumn("part",
-        log(lit(1.0d) + (col("nn").cast("double") - col("df") +
-          lit(0.5d)) / (col("df").cast("double") + lit(0.5d))) *
-          (col("tf").cast("double") * lit(2.2d)) /
-          (col("tf").cast("double") + lit(1.2d) *
-            (lit(0.25d) + lit(0.75d) *
-              col("dl").cast("double") / col("avgdl"))))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("part")).as("score_raw"),
-        count(lit(1)).as("n_terms"))
+    // scoring math lives in Q.bm25Aggregate, shared with the persisted
+    // TextIndex so the two rankers cannot drift
+    Q.bm25Aggregate(tf, df, dl, totals)
   }
 
   /** DuckDB CTE chain ending in `sc(doc_id, score_raw, n_terms)` — the
@@ -1262,16 +1251,7 @@ object AnalyticQueries {
     // scored document (the q185 shape).
     QDef(
       "q132_bm25",
-      (s, dir) => {
-        bm25Scored(s, dir)
-          .withColumn("key", round(col("score_raw"), 9))
-          .orderBy(col("key").desc, col("doc_id").asc)
-          .limit(15)
-          .withColumn("rk", row_number().over(Q.bounded.orderBy(
-            col("key").desc, col("doc_id").asc)))
-          .select(col("rk"), col("doc_id"), col("n_terms"),
-            round(col("score_raw"), 6).as("score"))
-      },
+      (s, dir) => Q.bm25TopK(bm25Scored(s, dir), 15),
       Some(s"""
         WITH $bm25ScoredDuck
         SELECT CAST(rk AS INTEGER) AS rk, doc_id, n_terms,

@@ -178,6 +178,51 @@ object Q {
     b.select(col("n")).crossJoin(broadcast(wide))
   }
 
+  /** Per-posting BM25 scoring + per-doc aggregation — ONE definition
+    * of the ranking math (k1 = 1.2 → tf·(k1+1) = tf·2.2 numerator,
+    * b = 0.75 length normalization, Robertson +1 idf) shared by q132's
+    * in-query scorer and `sinks.TextIndex.searchBm25`, so the
+    * persisted-index and in-query rankers cannot drift (their spec
+    * parity is pinned at specific term sets; this makes it structural).
+    *
+    * @param tf     (doc_id, word, tf) postings, pre-filtered to terms
+    * @param df     (word, df) document frequencies (broadcast)
+    * @param dl     (doc_id, dl) document lengths (co-keyed join)
+    * @param totals ONE-row (nn, toktot) corpus totals (broadcast)
+    * @return (doc_id, score_raw, n_terms)
+    */
+  def bm25Aggregate(tf: DataFrame, df: DataFrame, dl: DataFrame,
+      totals: DataFrame): DataFrame =
+    tf.join(broadcast(df), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("avgdl", col("toktot").cast("double") / col("nn"))
+      .withColumn("part",
+        log(lit(1.0d) + (col("nn").cast("double") - col("df") +
+          lit(0.5d)) / (col("df").cast("double") + lit(0.5d))) *
+          (col("tf").cast("double") * lit(2.2d)) /
+          (col("tf").cast("double") + lit(1.2d) *
+            (lit(0.25d) + lit(0.75d) *
+              col("dl").cast("double") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("part")).as("score_raw"),
+        count(lit(1)).as("n_terms"))
+
+  /** BM25 result contract shared by q132 and TextIndex.searchBm25:
+    * rank at round-9 (IEEE noise guard), top-k via sort+limit
+    * (TakeOrderedAndProject — never a global rank over every scored
+    * doc), rk over the ≤k survivors, score emitted at round-6.
+    */
+  def bm25TopK(scored: DataFrame, topK: Int): DataFrame =
+    scored
+      .withColumn("key", round(col("score_raw"), 9))
+      .orderBy(col("key").desc, col("doc_id").asc)
+      .limit(topK)
+      .withColumn("rk", row_number().over(bounded.orderBy(
+        col("key").desc, col("doc_id").asc)))
+      .select(col("rk"), col("doc_id"), col("n_terms"),
+        round(col("score_raw"), 6).as("score"))
+
   /** Shared oracle for the per-customer top-3 orders — q7 (window
     * formulation) and q39 (bounded top-k aggregate) implement the SAME
     * semantics; one oracle string encodes that.

@@ -40,11 +40,128 @@ object SimilarityQueries {
                          (a, y) -> a + cast(y as double) * cast(y as double))))""")
           .as("v"))
 
-  /** IVF coarse-quantizer assignment shared by q48 and q59: the first
-    * `k` vectors are the (deterministic) centroids; every vector joins
-    * the broadcast centroid table and keeps its best cell by
-    * (sim desc, cent_id asc). One definition so the two queries can
-    * never quantize differently.
+  /** IVF training-sample cap and Lloyd iteration count, shared by the
+    * in-query quantizer and `sinks.VectorIndex` (and restated verbatim
+    * in [[ivfCentsDuck]]).
+    */
+  private[graft] val IvfSampleCap = 256
+  private[graft] val IvfIters = 3
+
+  /** TRAINED IVF coarse quantizer: spherical k-means centroids from a
+    * fixed number of Lloyd iterations over a bounded, deterministic
+    * training sample (`vec_id < ` [[IvfSampleCap]]), seeded by the
+    * first-k convention. This is how a production IVF index trains at
+    * 100 TB — the quantizer fits on a SAMPLE (faiss trains on
+    * ~10⁴–10⁵ vectors regardless of corpus size), then the full corpus
+    * is assigned against the frozen centroids — so training cost is
+    * corpus-size-independent, and an incremental index built over any
+    * superset of the sample reproduces the exact same quantizer
+    * (VectorIndexSpec's trained-append contract relies on this).
+    *
+    * OPT-IN, not the q48-family default: on this repo's synthetic
+    * corpus training measurably hurts fixed-nprobe recall (see
+    * [[ivfRanked]]'s scaladoc for the numbers) because the embeddings
+    * carry no cluster structure for Lloyd to find. q188 pins the
+    * training math cross-engine; `VectorIndex.build(trainIters = …)`
+    * uses it for corpora where it earns its keep.
+    *
+    * Determinism (the q101 bounded-superstep recipe): each iteration
+    * is a barrier — assign sample to nearest centroid (sim desc,
+    * cent_id asc: q48's exact tiebreak), per-cell per-dim mean rounded
+    * at 9 (partial-agg summation order cannot show), spherical
+    * renormalize (exact IEEE ops over the round-9 inputs), empty cells
+    * keep their previous centroid. localCheckpoint per superstep keeps
+    * lineage flat; every relation is ≤ sample-sized.
+    */
+  private[graft] def ivfCentroids(e: org.apache.spark.sql.DataFrame,
+      k: Int, iters: Int = IvfIters): org.apache.spark.sql.DataFrame = {
+    val samp = e.filter(col("vec_id") < IvfSampleCap)
+      .select(col("vec_id"), col("v")).localCheckpoint()
+    var cents = samp.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .localCheckpoint()
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    for (_ <- 1 to iters) {
+      val assign = samp.join(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cent_id"),
+          expr("dot_product(v, cv)").as("sim"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("cent_id"), col("v"))
+      val means = assign
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cent_id"), col("i"))
+        .agg(round(avg(col("x")), 9).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
+          .as("mv"))
+      cents = cents.select(col("cent_id"), col("cv").as("prev"))
+        .join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(
+          expr("""transform(mv, x -> x / sqrt(
+                    aggregate(mv, 0D, (a, y) -> a + y * y)))"""),
+          col("prev")).as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** DuckDB CTE chain restating [[ivfCentroids]] exactly (seed, sample,
+    * [[IvfIters]] Lloyd iterations with round-9 means + spherical
+    * renormalize + empty-cell carryover), ending in
+    * `cents(cent_id, cv)`. Interpolated into every oracle whose query
+    * rides [[ivfRanked]]; assumes a prior CTE `e(vec_id, v)`.
+    */
+  private[queries] val ivfCentsDuck: String = {
+    val chain = (1 to IvfIters).map { n =>
+      val p = n - 1
+      s"""trsims$n AS (SELECT s.vec_id, c.cent_id,
+                   list_sum(list_transform(range(1, 65),
+                     i -> s.v[i] * c.cv[i])) AS sim
+                 FROM trsamp s, trcents$p c),
+        trassign$n AS (SELECT vec_id, cent_id FROM (
+                   SELECT vec_id, cent_id,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cent_id ASC) AS rn
+                   FROM trsims$n) t WHERE rn = 1),
+        trmeans$n AS (SELECT a.cent_id, t.i, ROUND(AVG(s.v[t.i]), 9) AS m
+                 FROM trassign$n a JOIN trsamp s ON s.vec_id = a.vec_id,
+                      range(1, 65) t(i)
+                 GROUP BY 1, 2),
+        trmv$n AS (SELECT cent_id, list(m ORDER BY i) AS mv
+                 FROM trmeans$n GROUP BY 1),
+        trcents$n AS (SELECT c.cent_id,
+                   COALESCE(list_transform(v.mv, x -> x / sqrt(
+                     list_sum(list_transform(v.mv, y -> y * y)))),
+                     c.cv) AS cv
+                 FROM trcents$p c LEFT JOIN trmv$n v
+                   ON v.cent_id = c.cent_id)"""
+    }.mkString(",\n        ")
+    s"""trsamp AS (SELECT vec_id, v FROM e WHERE vec_id < $IvfSampleCap),
+        trcents0 AS (SELECT vec_id AS cent_id, v AS cv
+                     FROM e WHERE vec_id < 16),
+        $chain,
+        cents AS (SELECT cent_id, cv FROM trcents$IvfIters)"""
+  }
+
+  /** IVF cell assignment shared by q48/q59/q120/q149/q172: the first
+    * `k` vectors are the centroids (data-point ANCHORS); every vector
+    * joins the broadcast centroid table and keeps its best cell by
+    * (sim desc, cent_id asc). One definition so the callers can never
+    * quantize differently.
+    *
+    * Anchors are the MEASURED choice, not a stand-in kept for
+    * convenience: round-6 swapped in [[ivfCentroids]]'s trained
+    * k-means here and q120's recall@3 dropped 0.967 → 0.700 at equal
+    * nprobe (plateauing at 0.767 even at nprobe = 4) on both sf0.01
+    * and sf0.1 — this corpus is near-uniform on the sphere (12% of
+    * true top-3 neighbors share the query's label; chance = 10%), so
+    * Lloyd iterations minimize quantization error while DEGRADING
+    * neighbor co-location. Trained quantization remains available
+    * (q188 pins the math; `VectorIndex.build(trainIters = …)` opts in)
+    * for corpora with real cluster structure.
     *
     * @return (vec_id, cell, v) — plus rank 1..k in `ranked` form for
     *         callers that probe multiple cells
@@ -307,10 +424,12 @@ object SimilarityQueries {
 
     // ------------------------------------------------------------------
     // q48: IVF ANN — the other scale path next to q27's LSH. Coarse
-    // quantizer = the first 16 vectors as centroids (deterministic
-    // "training"; production swaps in k-means centroids, the plumbing is
-    // identical): every vector is assigned to its nearest centroid cell,
-    // queries probe their top-2 cells, and only those cells are scanned.
+    // quantizer = the first 16 vectors as data-point anchors — the
+    // MEASURED winner over trained k-means for this corpus (see
+    // ivfRanked's scaladoc; q188 ships the trained path for corpora
+    // with cluster structure): every vector is assigned to its nearest
+    // centroid cell, queries probe their top-2 cells, and only those
+    // cells are scanned.
     // On a cluster the cell id is the partition key — the corpus-wide
     // scan becomes nprobe cell scans. All similarity math runs through
     // the codegen'd dot_product over pre-normalized vectors.
@@ -339,7 +458,7 @@ object SimilarityQueries {
           .select(col("qid"), col("neighbor_id"),
             col("rk").cast("int").as("rk"), round(col("cos"), 6).as("cos_r"))
       },
-      Some("""
+      Some(s"""
         WITH e AS (SELECT vec_id,
                      list_transform(embedding::DOUBLE[],
                        x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
@@ -421,7 +540,7 @@ object SimilarityQueries {
                          then 1 else 0 end as int)""").as("keep"),
             coalesce(round(col("max_cos"), 6), lit(0.0d)).as("max_cos_r"))
       },
-      Some("""
+      Some(s"""
         WITH e AS (SELECT vec_id,
                      list_transform(embedding::DOUBLE[],
                        x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
@@ -898,7 +1017,7 @@ object SimilarityQueries {
             round(col("n_hits").cast("double") / lit(3.0d), 6)
               .as("recall_r"))
       },
-      Some("""
+      Some(s"""
         WITH e AS (SELECT vec_id,
                      list_transform(embedding::DOUBLE[],
                        x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
@@ -1076,14 +1195,13 @@ object SimilarityQueries {
           .select(col("label"), col("n"), col("n_correct"),
             round(col("n_correct").cast("double") / col("n"), 6).as("acc"))
       },
-      Some("""
+      Some(s"""
         WITH e AS (SELECT vec_id, label,
                      list_transform(embedding::DOUBLE[],
                        x -> x / sqrt(list_sum(list_transform(
                          embedding::DOUBLE[], y -> y * y)))) AS v
                    FROM embeddings),
-        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
-                  WHERE vec_id < 16),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
         sims AS (SELECT a.vec_id, c.cent_id,
                         list_sum(list_transform(range(1, 65),
                           i -> a.v[i] * c.cv[i])) AS sim
@@ -1259,14 +1377,13 @@ object SimilarityQueries {
             round(sum(col("ndcg")) / count(col("ndcg")), 6)
               .as("mean_ndcg"))
       },
-      Some("""
+      Some(s"""
         WITH e AS (SELECT vec_id, label,
                      list_transform(embedding::DOUBLE[],
                        x -> x / sqrt(list_sum(list_transform(
                          embedding::DOUBLE[], y -> y * y)))) AS v
                    FROM embeddings),
-        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
-                  WHERE vec_id < 16),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
         sims AS (SELECT a.vec_id, c.cent_id,
                         list_sum(list_transform(range(1, 65),
                           i -> a.v[i] * c.cv[i])) AS sim
@@ -1396,6 +1513,42 @@ object SimilarityQueries {
                ROUND(SUM((conf - correct) * (conf - correct))
                      / COUNT(*), 6) AS brier
         FROM pr GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q188: trained IVF quantizer — the full spherical-k-means Lloyd
+    // chain (ivfCentroids: bounded sample, 3 barrier iterations,
+    // round-9 means, renormalize, empty-cell carryover) pinned
+    // cross-engine: DuckDB re-trains from the identical recipe and the
+    // hash compare covers every centroid component, so a drifted
+    // tiebreak, a missed round, or a wrong mean denominator in EITHER
+    // engine fails the round. Output is the exploded (cent_id, dim,
+    // component) table at round-6 — 16×64 rows. Scale shape: every
+    // relation in training is sample-bounded (≤ IvfSampleCap rows);
+    // the corpus contributes only the pushdown-pruned sample scan.
+    // This is the opt-in quantizer behind VectorIndex.build(trainIters)
+    // — see ivfRanked's scaladoc for why the q48 family measures
+    // better on anchors for THIS corpus.
+    QDef(
+      "q188_ivf_train",
+      (s, dir) => {
+        val cents = ivfCentroids(vectors(s, dir), 16)
+        cents.select(col("cent_id"),
+            posexplode(col("cv")).as(Seq("i0", "x")))
+          .select(col("cent_id"),
+            (col("i0") + 1).cast("int").as("i"),
+            round(col("x"), 6).as("c_r"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        $ivfCentsDuck
+        SELECT cent_id, CAST(t.i AS INTEGER) AS i,
+               ROUND(cv[t.i], 6) AS c_r
+        FROM cents, range(1, 65) t(i)
       """))
   )
 }

@@ -82,6 +82,13 @@ object DedupIndex {
     * agreement with a corpus doc sharing a band bucket), or unique —
     * with the smallest matching corpus doc_id as evidence (q83's
     * output contract).
+    *
+    * INTRA-BATCH duplicates are out of scope (q83's batch-vs-corpus
+    * contract): the batch is checked only against the persisted index,
+    * so two identical NEW docs in one batch both classify `unique`.
+    * Either pre-dedup the batch (q22's exact/q23's near rules) or
+    * split it — append the accepted docs, then classify the next slice
+    * against the now-updated index.
     */
   def classify(spark: SparkSession, indexDir: String,
       batch: DataFrame): DataFrame = {

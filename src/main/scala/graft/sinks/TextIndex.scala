@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted inverted text index — the postings/statistics structures
@@ -15,38 +15,73 @@ import org.apache.spark.sql.functions._
   *                                        prune non-matching files and
   *                                        row groups at the scan
   *   <dir>/doclens/   (doc_id, dl)        per-doc token counts
-  *   <dir>/stats/     (nn, toktot)        one row: corpus totals
+  *   <dir>/stats/     (nn, toktot)        one row PER build/append
+  *                                        delta; readers SUM
   * }}}
+  *
+  * Incremental maintenance ([[append]]) is O(batch): each batch writes
+  * its own range-clustered postings delta files (their min/max stats
+  * prune independently — a term lookup reads only word-range-matching
+  * files from EVERY generation), appends its doclens rows, and appends
+  * a one-row (nn, toktot) delta to stats. Readers merge at read time:
+  * parquet unions delta files natively and [[readTotals]] sums the
+  * stats log — the DedupIndex.append contract, and TextIndexSpec pins
+  * append-then-search ≡ full rebuild. Contract: appended doc_ids must
+  * be NEW (dedup/ingest upstream decides admission — same as
+  * DedupIndex); re-appending an indexed doc would double-count it.
+  * Many small appends accumulate delta files; compaction is re-running
+  * [[build]] over the full corpus (mode Overwrite).
   *
   * Scale shape: a term lookup pushes `word IN (...)` into the parquet
   * scan (PushedFilters — the spec asserts it), so only the files whose
   * word range covers a query term are read: the inverted-index access
   * path, file-pruned instead of B-tree-walked. Scoring then touches
   * only matching postings; doc lengths join co-keyed on doc_id and the
-  * one-row stats broadcast. BM25 constants and every tiebreak match
-  * q132 (k1 = 1.2, b = 0.75, Robertson +1 idf, round-9 rank key,
-  * doc_id tiebreak, round-6 emitted score); TextIndexSpec pins search
-  * over the persisted index byte-for-byte to the in-query q132 plan.
+  * one-row summed stats broadcast. The BM25 math and result contract
+  * are `Q.bm25Aggregate`/`Q.bm25TopK` — the SAME definitions q132
+  * executes, so the persisted and in-query rankers cannot drift;
+  * TextIndexSpec additionally pins search over the persisted index
+  * byte-for-byte to the in-query q132 plan.
   */
 object TextIndex {
 
-  /** Tokenize and index a (doc_id, text) corpus. */
-  def build(docs: DataFrame, outDir: String): Unit = {
+  private def write(docs: DataFrame, outDir: String,
+      mode: SaveMode): Unit = {
     val toks = docs.select(col("doc_id"),
         explode(expr(graft.queries.TextQueries.wordsExpr)).as("word"))
       .localCheckpoint() // feeds postings AND doclens/stats
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint() // feeds doclens AND the stats delta
     toks.groupBy(col("word"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       // range-cluster + sort by word: every file covers a tight word
       // range, so a term filter prunes files via parquet min/max stats
+      // (per append generation — deltas prune independently)
       .repartitionByRange(col("word"))
       .sortWithinPartitions(col("word"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$outDir/postings")
-    dl.write.mode("overwrite").parquet(s"$outDir/doclens")
+      .write.mode(mode).parquet(s"$outDir/postings")
+    dl.write.mode(mode).parquet(s"$outDir/doclens")
     dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("toktot"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
+      .coalesce(1).write.mode(mode).parquet(s"$outDir/stats")
   }
+
+  /** Tokenize and index a (doc_id, text) corpus from scratch. */
+  def build(docs: DataFrame, outDir: String): Unit =
+    write(docs, outDir, SaveMode.Overwrite)
+
+  /** Incrementally index a (doc_id, text) batch of NEW docs — O(batch),
+    * no corpus rescan: postings/doclens deltas + a one-row stats delta
+    * (merged at read; see the object scaladoc for the contract).
+    */
+  def append(docs: DataFrame, indexDir: String): Unit =
+    write(docs, indexDir, SaveMode.Append)
+
+  /** Corpus totals merged across build/append generations: one row
+    * (nn, toktot).
+    */
+  private def readTotals(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/stats")
+      .agg(sum(col("nn")).as("nn"), sum(col("toktot")).as("toktot"))
 
   /** BM25 top-k over the persisted index for a bag of query terms —
     * q132's scorer and output contract: (rk, doc_id, n_terms, score).
@@ -57,29 +92,8 @@ object TextIndex {
       .where(col("word").isin(terms: _*))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val dl = spark.read.parquet(s"$indexDir/doclens")
-    val totals = spark.read.parquet(s"$indexDir/stats")
-    val scored = tf.join(broadcast(df), "word")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(totals))
-      .withColumn("avgdl", col("toktot").cast("double") / col("nn"))
-      .withColumn("part",
-        log(lit(1.0d) + (col("nn").cast("double") - col("df") +
-          lit(0.5d)) / (col("df").cast("double") + lit(0.5d))) *
-          (col("tf").cast("double") * lit(2.2d)) /
-          (col("tf").cast("double") + lit(1.2d) *
-            (lit(0.25d) + lit(0.75d) *
-              col("dl").cast("double") / col("avgdl"))))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("part")).as("score_raw"),
-        count(lit(1)).as("n_terms"))
-    scored
-      .withColumn("key", round(col("score_raw"), 9))
-      .orderBy(col("key").desc, col("doc_id").asc)
-      .limit(topK)
-      .withColumn("rk", row_number().over(
-        graft.queries.Q.bounded.orderBy(
-          col("key").desc, col("doc_id").asc)))
-      .select(col("rk"), col("doc_id"), col("n_terms"),
-        round(col("score_raw"), 6).as("score"))
+    val scored = graft.queries.Q.bm25Aggregate(
+      tf, df, dl, readTotals(spark, indexDir))
+    graft.queries.Q.bm25TopK(scored, topK)
   }
 }

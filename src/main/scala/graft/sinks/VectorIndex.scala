@@ -25,11 +25,19 @@ import org.apache.spark.sql.functions._
   * `dot_product` over vectors normalized once at BUILD time — queries
   * pay one normalization of the query batch, never of the corpus.
   *
-  * The quantizer convention (first k vectors are the centroids —
-  * deterministic stand-in for trained k-means) and every tiebreak match
-  * q48 exactly; VectorIndexSpec pins byte-for-byte parity between a
-  * search over the persisted index and the in-query q48 plan, so the
-  * two formulations cannot drift.
+  * The default quantizer (first-k data-point anchors) and every
+  * tiebreak match q48 exactly; VectorIndexSpec pins byte-for-byte
+  * parity between a search over the persisted index and the in-query
+  * q48 plan, so the two formulations cannot drift. TRAINED spherical
+  * k-means (`build(trainIters = …)` → `SimilarityQueries.ivfCentroids`,
+  * the q188-pinned Lloyd chain) is the opt-in for corpora with real
+  * cluster structure — on this repo's unstructured synthetic corpus it
+  * measurably lowers fixed-nprobe recall, so it is not the default
+  * (numbers in ivfRanked's scaladoc). Either way the quantizer derives
+  * only from the fixed training sample (`vec_id < IvfSampleCap`), so
+  * any build whose corpus contains that sample produces the identical
+  * quantizer — which is what makes [[append]]-then-search ≡ rebuild
+  * provable rather than approximate.
   */
 object VectorIndex {
 
@@ -45,16 +53,30 @@ object VectorIndex {
                        (a, y) -> a + cast(y as double) * cast(y as double))))""")
         .as("v"))
 
-  /** Build the index: nearest-centroid assignment (sim desc, cent_id
-    * asc tiebreak — q48's rule) and a cell-partitioned postings write.
-    * `maxRecordsPerFile` bounds each file so a skewed cell still yields
-    * parallel scan splits.
+  /** Build the index: quantizer selection, then nearest-centroid
+    * assignment (sim desc, cent_id asc tiebreak — q48's rule) and a
+    * cell-partitioned postings write. `maxRecordsPerFile` bounds each
+    * file so a skewed cell still yields parallel scan splits.
+    *
+    * `trainIters = 0` (default) uses the first-k data-point anchors —
+    * q48's quantizer, the measured winner on unstructured corpora.
+    * `trainIters > 0` runs that many deterministic Lloyd iterations
+    * over the bounded training sample (`ivfCentroids`, the q188-pinned
+    * math) — opt in for corpora with real cluster structure. Both
+    * train/seed from the fixed sample, so any corpus containing the
+    * sample yields the identical quantizer and [[append]] stays exact.
+    *
+    * Fails fast if the corpus can't seed k centroids (vec_ids 0..k-1
+    * absent → a degenerate or empty quantizer that would silently skew
+    * every cell — a mismatched corpus must not build).
     */
   def build(emb: DataFrame, outDir: String, k: Int,
-      maxRecordsPerFile: Int = 1 << 20): Unit = {
+      maxRecordsPerFile: Int = 1 << 20, trainIters: Int = 0): Unit = {
     val e = normalized(emb)
-    val cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cents = graft.queries.SimilarityQueries.ivfCentroids(
+      e, k, iters = trainIters)
+    require(cents.count() == k,
+      s"quantizer needs seed vec_ids 0..${k - 1} present in the corpus")
     cents.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/centroids")
     val byVec = Window.partitionBy(col("vec_id"))

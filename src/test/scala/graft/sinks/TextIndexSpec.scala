@@ -31,6 +31,29 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("append-then-search == full rebuild (O(batch) incremental index)") {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    // two ingest generations: build on the first half, append the rest
+    val incDir = TestSpark.tmpDir("text-index-inc")
+    TextIndex.build(docs.where(col("doc_id") % 2 === 0), incDir)
+    TextIndex.append(docs.where(col("doc_id") % 2 === 1), incDir)
+    val fullDir = TestSpark.tmpDir("text-index-full")
+    TextIndex.build(docs, fullDir)
+    // a different term set than the q132 parity case — the scorer is
+    // shared code (Q.bm25Aggregate), but this exercises it at a second
+    // (terms, k) point over merged delta generations
+    val terms = Seq("shuffle", "parquet", "join")
+    val got = TextIndex.searchBm25(spark, incDir, terms, 20)
+      .orderBy(col("rk")).collect().toSeq
+    val want = TextIndex.searchBm25(spark, fullDir, terms, 20)
+      .orderBy(col("rk")).collect().toSeq
+    assert(got.nonEmpty && got == want,
+      "append deltas must be indistinguishable from a rebuild")
+    // the stats log really is one delta row per generation, summed at read
+    assert(spark.read.parquet(s"$incDir/stats").count() == 2)
+  }
+
   test("term filters push down into the postings scan") {
     val scan = spark.read.parquet(s"$indexDir/postings")
       .where(col("word").isin("spark", "merge"))

@@ -38,8 +38,10 @@ class VectorIndexSpec extends AnyFunSuite {
     val emb = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
     val out = TestSpark.tmpDir("ivf-index-inc")
-    // the first 300 ids include all 16 centroid vectors, so the
-    // quantizer is identical to the full build's
+    // the first 300 ids contain the ENTIRE Lloyd training sample
+    // (vec_id < IvfSampleCap = 256), so the trained quantizer is
+    // identical to the full build's — the sample-bounded-training
+    // contract that makes append ≡ rebuild exact
     VectorIndex.build(emb.where(col("vec_id") < 300), out, k = 16)
     VectorIndex.append(spark, out, emb.where(col("vec_id") >= 300))
     val queries = emb.where(col("vec_id") < 10)
@@ -49,6 +51,48 @@ class VectorIndexSpec extends AnyFunSuite {
       .search(spark, indexDir, queries, nprobe = 2, topK = 3)
       .orderBy(col("qid"), col("rk")).collect().toSeq
     assert(got.nonEmpty && got == want)
+  }
+
+  test("trained build: deterministic quantizer, append == rebuild") {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    // trained full rebuild, twice — Lloyd must be run-deterministic
+    val t1 = TestSpark.tmpDir("ivf-trained-1")
+    val t2 = TestSpark.tmpDir("ivf-trained-2")
+    VectorIndex.build(emb, t1, k = 16, trainIters = 3)
+    VectorIndex.build(emb, t2, k = 16, trainIters = 3)
+    val c1 = spark.read.parquet(s"$t1/centroids")
+      .orderBy(col("cent_id")).collect().toSeq
+    val c2 = spark.read.parquet(s"$t2/centroids")
+      .orderBy(col("cent_id")).collect().toSeq
+    assert(c1.length == 16 && c1 == c2,
+      "trained centroids must be byte-identical across builds")
+    // trained centroids must actually have moved off the seed anchors
+    val anchors = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cent_id")).collect().toSeq
+    assert(c1 != anchors, "trainIters = 3 must not be a no-op")
+    // append contract holds under training too: base ⊇ the training
+    // sample (vec_id < 256) → identical quantizer → exact parity
+    val inc = TestSpark.tmpDir("ivf-trained-inc")
+    VectorIndex.build(emb.where(col("vec_id") < 300), inc,
+      k = 16, trainIters = 3)
+    VectorIndex.append(spark, inc, emb.where(col("vec_id") >= 300))
+    val queries = emb.where(col("vec_id") < 10)
+    val got = VectorIndex.search(spark, inc, queries, nprobe = 2, topK = 3)
+      .orderBy(col("qid"), col("rk")).collect().toSeq
+    val want = VectorIndex.search(spark, t1, queries, nprobe = 2, topK = 3)
+      .orderBy(col("qid"), col("rk")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("degenerate corpus (missing seed ids) fails fast at build") {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") >= 8) // seeds 0..7 missing
+    val out = TestSpark.tmpDir("ivf-degenerate")
+    intercept[IllegalArgumentException] {
+      VectorIndex.build(emb, out, k = 16)
+    }
   }
 
   test("postings are cell-partitioned and a cell filter prunes the scan") {
