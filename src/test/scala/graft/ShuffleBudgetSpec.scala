@@ -53,7 +53,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q69_fuzzy_decontamination" -> 0, "q70_vocab_coverage" -> 1,
     "q71_pq_codes" -> 2, "q72_pq_adc_search" -> 3,
     "q73_embedding_outliers" -> 3, "q74_heavy_hitters" -> 2,
-    "q75_unigram_logprob" -> 3,
+    // q75: the round-6 de-globalization trades the vocab-sized
+    // single-task window for a 2-exchange one-row corpus-total
+    // aggregate crossJoin(broadcast) — one more (tiny) exchange, no
+    // single-task sort
+    "q75_unigram_logprob" -> 4,
     // q76: two Lloyd rounds = 2× (per-(vec,cent) sum + per-vec argmin)
     // + centroid recompute + final per-cluster agg; dims itself is
     // checkpoint-truncated
@@ -328,9 +332,14 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q178: pure narrow map — zero shuffles at any scale
     "q178_span_corruption" -> 0,
     "q179_temperature_mix" -> 1,
-    // q180: post-checkpoint histogram agg + 1000-row cum window; the
-    // bucket-refine window rides the bin partitioning
-    "q180_global_percentiles" -> 2,
+    // q187/q188: narrow decode map / sample-bounded Lloyd chain — the
+    // training shuffles hide behind ivfCentroids' localCheckpoints
+    "q187_image_decode" -> 0,
+    "q188_ivf_train" -> 0,
+    // q180: post-checkpoint histogram agg + 1000-row cum window + the
+    // Q.globalExactPercentiles survivor-refine exchange (all three over
+    // ≤1000-bucket relations; the users-sized scan shuffles once)
+    "q180_global_percentiles" -> 3,
     // q181: per-user span agg + the duration-bounded byT agg/windows +
     // the 2-exchange one-row user total
     "q181_kaplan_meier" -> 5,
