@@ -1341,7 +1341,9 @@ object SimilarityQueries {
       "q172_ndcg_eval",
       (s, dir) => {
         val e = vectors(s, dir).localCheckpoint()
-        val rk = ivfRanked(e, 16)
+        // checkpoint: rk feeds BOTH assign and probes — without it the
+        // centroid join + per-vec window runs twice
+        val rk = ivfRanked(e, 16).localCheckpoint()
         val assign = rk.filter(col("rn") === 1)
           .select(col("vec_id").as("nid"), col("cent_id").as("cell"),
             col("v").as("nv"))
@@ -1349,10 +1351,17 @@ object SimilarityQueries {
             col("label").as("nlabel")), "nid")
         val probes = rk.filter(col("rn") <= 2)
           .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
-        val cand = probes.join(assign, "cell")
+        // broadcast the EVAL-BATCH sides (probe list + query vectors):
+        // a shuffle join on "cell" has only |centroids| distinct keys —
+        // a 16-task parallelism ceiling with per-cell skew — while the
+        // probe/query relations are bounded by the evaluation batch
+        // (here the corpus stands in; production recall audits sample).
+        // Postings (assign) stay partitioned — the corpus-sized side
+        // never moves, matching VectorIndex's probe-time pruning story.
+        val cand = assign.join(broadcast(probes), "cell")
           .where(col("nid") =!= col("qid"))
-          .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
-            col("label").as("qlabel")), "qid")
+          .join(broadcast(e.select(col("vec_id").as("qid"),
+            col("v").as("qv"), col("label").as("qlabel"))), "qid")
           .withColumn("sim", expr("dot_product(nv, qv)"))
           .withColumn("pos", row_number().over(
             Window.partitionBy(col("qid"))
@@ -1437,24 +1446,36 @@ object SimilarityQueries {
     // is a confidence of 0.8 right 80% of the time? Score = logistic of
     // the margin between own-label and best-other-label centroid
     // cosine; ten confidence bins report empirical accuracy, mean
-    // confidence, and the Brier term. Everything runs in the exploded
-    // (vec, dim) layout q73/q76 established: centroids are a broadcast
-    // (label, dim) table, per-(vec, label) dots are one partial-agg
-    // shuffle, and no array ever crosses an exchange. Dots and the
-    // logistic are round-9 (summation order / libm exp); accuracy is
-    // exact integer arithmetic; the means absorb ulps at round-6.
+    // confidence, and the Brier term. Centroid DERIVATION runs in the
+    // exploded (vec, dim) layout q73/q76 established (per-(label, dim)
+    // means are one partial-agg shuffle); the result is |labels|×|dims|
+    // — bounded, not corpus-sized — so SCORING repacks it to arrays,
+    // broadcasts the 10-row centroid table, and computes one codegen'd
+    // dot_product per (vec, label) as a narrow map. Round-6 restructure
+    // (bench: 1.73 s → see commit): the previous form joined the
+    // exploded dims table against centroids on p (|corpus|·|dims|·
+    // |labels| rows) and folded the dots back through a 3-key shuffle
+    // agg; the array form materializes |corpus|·|labels| rows and
+    // shuffles nothing until the 10-row bin rollup. Dots and the
+    // logistic stay round-9 (index-ordered summation vs the oracle's
+    // group sum / libm exp); accuracy is exact integer arithmetic; the
+    // means absorb ulps at round-6.
     QDef(
       "q173_calibration_bins",
       (s, dir) => {
-        val dims = vectors(s, dir)
-          .select(col("vec_id"), col("label"),
-            posexplode(col("v")).as(Seq("p", "x")))
-          .localCheckpoint() // feeds centroids AND the scoring join
-        val centroid = dims.groupBy(col("label").as("clabel"), col("p"))
+        val e = vectors(s, dir)
+          .localCheckpoint() // feeds centroid derivation AND scoring
+        val centroid = e
+          .select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
+          .groupBy(col("label").as("clabel"), col("p"))
           .agg(round(avg(col("x")), 9).as("c"))
-        val dots = dims.join(broadcast(centroid), "p")
-          .groupBy(col("vec_id"), col("label"), col("clabel"))
-          .agg(round(sum(col("x") * col("c")), 9).as("dot"))
+        val centArr = centroid.groupBy(col("clabel"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(p, c))), s -> s.c)")
+            .as("cv"))
+        val dots = e.join(broadcast(centArr))
+          .select(col("vec_id"), col("label"), col("clabel"),
+            round(expr("dot_product(v, cv)"), 9).as("dot"))
         val per = dots.groupBy(col("vec_id"), col("label"))
           .agg(
             max(when(col("clabel") === col("label"), col("dot")))

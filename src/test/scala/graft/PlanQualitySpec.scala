@@ -63,6 +63,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // q121 crossJoins the ONE-row exact-ground-truth count (q37
     // pattern); its candidate stage is a pure equi-join
     "q121_lsh_tuning",
+    // q173 crossJoins the |labels|-row (10) broadcast centroid-array
+    // table into the corpus scan — the scoring fan-out is bounded by
+    // the label alphabet, never corpus × corpus
+    "q173_calibration_bins",
     // q128 crossJoins the ONE-row histRank bounds + the ONE-row
     // good/bad totals aggregate (q37 pattern)
     "q128_woe_binning",

@@ -319,10 +319,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q171: two TakeOrdered candidate caps + ≤50-row rank windows +
     // the full-outer fusion join + bm25's postings aggs
     "q171_rrf_hybrid" -> 7,
-    // q172: IVF cell join + per-query position window + perq/label aggs
-    "q172_ndcg_eval" -> 6,
-    // q173: post-checkpoint (vec,clabel) dot agg + per-vec margin agg +
-    // bin agg (centroids broadcast)
+    // q172: per-query position window + perq agg (checkpoint-truncated
+    // rk; probe/query sides broadcast — the cell join shuffles nothing)
+    "q172_ndcg_eval" -> 2,
+    // q173: per-(label,dim) centroid agg + array repack + per-vec
+    // margin agg + bin agg (centroid table broadcast; scoring narrow)
     "q173_calibration_bins" -> 4,
     // q174: (lang,word) counts + the vocab-bounded ranking window/agg
     "q174_zipf_slope" -> 2,
