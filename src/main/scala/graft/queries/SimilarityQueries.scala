@@ -993,13 +993,21 @@ object SimilarityQueries {
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select(col("qid"), col("neighbor_id"))
-        // ANN: q48's IVF 2-probe top-3 (same ivfRanked helper)
+        // ANN: q48's IVF 2-probe top-3 (same ivfRanked helper).
+        // checkpoint + broadcast shape shared with q172 (see there):
+        // ranked feeds assign AND probes; the 20-row probe batch
+        // broadcasts so the cell join never shuffles on 16 keys.
+        // PRUNE before checkpointing — neither consumer needs the
+        // 64-double vectors, and a checkpoint materializes every
+        // column it is handed.
         val ranked = ivfRanked(e, 16)
+          .select(col("vec_id"), col("cent_id"), col("rn"))
+          .localCheckpoint()
         val assign = ranked.filter(col("rn") === 1)
           .select(col("vec_id"), col("cent_id").as("cell"))
         val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
-        val cand = probes.join(assign, "cell")
+        val cand = assign.join(broadcast(probes), "cell")
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("neighbor_id"))
           .distinct()
@@ -1165,18 +1173,24 @@ object SimilarityQueries {
       "q149_knn_eval",
       (s, dir) => {
         val e = vectors(s, dir).localCheckpoint() // quantizer + both sides
+        // checkpoint + broadcast shape shared with q172 (see there):
+        // rk feeds assign AND probes; the cell join must not shuffle on
+        // a |centroids|-key column, so the eval-batch sides broadcast
+        // and the corpus-sized postings stay put. Pruned checkpoint;
+        // neighbor vectors re-enter via the e join.
         val rk = ivfRanked(e, 16)
+          .select(col("vec_id"), col("cent_id"), col("rn"))
+          .localCheckpoint()
         val assign = rk.filter(col("rn") === 1)
-          .select(col("vec_id").as("nid"), col("cent_id").as("cell"),
-            col("v").as("nv"))
+          .select(col("vec_id").as("nid"), col("cent_id").as("cell"))
           .join(e.select(col("vec_id").as("nid"), col("label")
-            .as("nlabel")), "nid")
+            .as("nlabel"), col("v").as("nv")), "nid")
         val probes = rk.filter(col("rn") <= 2)
           .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
-        val top5 = probes.join(assign, "cell")
+        val top5 = assign.join(broadcast(probes), "cell")
           .where(col("nid") =!= col("qid"))
-          .join(e.select(col("vec_id").as("qid"), col("v").as("qv")),
-            "qid")
+          .join(broadcast(e.select(col("vec_id").as("qid"),
+            col("v").as("qv"))), "qid")
           .withColumn("sim", expr("dot_product(nv, qv)"))
           .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
             .orderBy(col("sim").desc, col("nid").asc)))
@@ -1342,13 +1356,16 @@ object SimilarityQueries {
       (s, dir) => {
         val e = vectors(s, dir).localCheckpoint()
         // checkpoint: rk feeds BOTH assign and probes — without it the
-        // centroid join + per-vec window runs twice
-        val rk = ivfRanked(e, 16).localCheckpoint()
+        // centroid join + per-vec window runs twice. Pruned to the
+        // 3-int projection first: the neighbor vectors re-enter via the
+        // e join below instead of riding the window + checkpoint 16×.
+        val rk = ivfRanked(e, 16)
+          .select(col("vec_id"), col("cent_id"), col("rn"))
+          .localCheckpoint()
         val assign = rk.filter(col("rn") === 1)
-          .select(col("vec_id").as("nid"), col("cent_id").as("cell"),
-            col("v").as("nv"))
+          .select(col("vec_id").as("nid"), col("cent_id").as("cell"))
           .join(e.select(col("vec_id").as("nid"),
-            col("label").as("nlabel")), "nid")
+            col("label").as("nlabel"), col("v").as("nv")), "nid")
         val probes = rk.filter(col("rn") <= 2)
           .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
         // broadcast the EVAL-BATCH sides (probe list + query vectors):

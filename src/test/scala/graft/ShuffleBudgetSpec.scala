@@ -175,10 +175,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q119: post-checkpoint: centroid agg + score partial agg + the
     // distinct-score agg + per-label rank window/final agg
     "q119_auc_eval" -> 4,
-    // q120: the GT top-k window + the full q48 IVF pipeline (assign/
-    // probe/candidate/re-rank) + the hit agg and spine join — every
-    // exchange moves a 10-anchor-bounded relation
-    "q120_ann_recall" -> 11,
+    // q120: the GT top-k window + the post-checkpoint IVF re-rank/hit
+    // agg/spine join — every exchange moves a 10-anchor-bounded
+    // relation (the assign/probe ranking hides behind the pruned
+    // checkpoint; the probe batch broadcasts into the cell join)
+    "q120_ann_recall" -> 6,
     // q121: post-checkpoint (cand + gt checkpointed): per-config count,
     // hit semi-join + count, and the 4-row spine/ntrue assembly
     "q121_lsh_tuning" -> 6,
@@ -243,9 +244,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q141: cutoff bounds agg + per-user conditional agg (+ its
     // distinct-days expand)
     "q141_churn_labels" -> 3,
-    // q149: post-checkpoint: probe/assign ranks, cell equi-join, qid
-    // top-5 window, vote + accuracy aggs
-    "q149_knn_eval" -> 6,
+    // q149: post-checkpoint: qid top-5 window + vote/accuracy aggs
+    // (probe batch broadcasts into the cell join; ranking behind the
+    // pruned checkpoint)
+    "q149_knn_eval" -> 2,
     // q142: post-checkpoint (each superstep checkpointed): the final
     // component histogram
     "q142_cc_labelprop" -> 1,
