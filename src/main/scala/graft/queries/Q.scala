@@ -223,6 +223,42 @@ object Q {
       .select(col("rk"), col("doc_id"), col("n_terms"),
         round(col("score_raw"), 6).as("score"))
 
+  /** Positional phrase scorer shared by q189 and TextIndex.searchPhrase
+    * — ONE definition of the anchor-vote matcher so the in-query and
+    * persisted-index formulations cannot drift. A token (pos, w)
+    * matching phrase slot idx votes for anchor = pos - idx; an anchor
+    * with all |phrase| DISTINCT slots present is a contiguous
+    * occurrence. The phrase-slot relation is |phrase| rows (broadcast);
+    * the vote aggregation is keyed (doc_id, anchor) — nothing global.
+    *
+    * @param toks   (doc_id, pos, w) — 0-based token positions; callers
+    *               may pre-filter to phrase words (postings path) or
+    *               pass the raw stream (the broadcast join drops
+    *               non-phrase tokens either way)
+    * @param phrase the token sequence, in order
+    * @return (doc_id, n_hits, first_pos) — one row per matching doc
+    */
+  def phraseHits(toks: DataFrame, phrase: Seq[String]): DataFrame = {
+    // a 64-slot bound covers any realistic quoted query and buys the
+    // slot-completeness check as ONE bit_or aggregate (map-side
+    // partial) instead of a COUNT(DISTINCT idx) — which Spark expands
+    // into a second keyed aggregation, a whole extra shuffle
+    require(phrase.nonEmpty && phrase.length <= 64,
+      s"phrase must have 1..64 tokens, got ${phrase.length}")
+    val slots = toks.sparkSession.range(1)
+      .select(posexplode(array(phrase.map(lit): _*)).as(Seq("idx", "w")))
+    val full = (phrase.indices.map(1L << _)).reduce(_ | _)
+    toks.join(broadcast(slots), "w")
+      .select(col("doc_id"), (col("pos") - col("idx")).as("anchor"),
+        expr("shiftleft(cast(1 as bigint), idx)").as("bit"))
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(bit_or(col("bit")).as("slots"))
+      .where(col("slots") === full)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("anchor")).cast("int").as("first_pos"))
+  }
+
   /** Shared oracle for the per-customer top-3 orders — q7 (window
     * formulation) and q39 (bounded top-k aggregate) implement the SAME
     * semantics; one oracle string encodes that.

@@ -202,17 +202,40 @@ object SimilarityQueries {
     *         (cent_id, d2r)
     */
   private def pqParts(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val subbed = vectors(s, dir)
-      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"),
+    val subbed = pqSub(vectors(s, dir))
+    val cents = pqCodebook(subbed)
+    (subbed, cents, pqAssign(subbed, cents))
+  }
+
+  /** Per-(vec, j) subvectors with hoisted norms from unit-normalized
+    * (vec_id, v) rows — the split step of [[pqParts]], shared with
+    * `sinks.VectorIndex`'s persisted PQ path so the two formulations
+    * cannot drift (ONE definition of the subspace slicing).
+    */
+  private[graft] def pqSub(e: org.apache.spark.sql.DataFrame) =
+    e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"),
         col("v"))
       .select(col("vec_id"), col("j"),
         expr("slice(v, j * 8 + 1, 8)").as("sub"))
       .withColumn("sub2", expr(
         "aggregate(sub, 0D, (a, x) -> a + x * x)"))
-    val cents = subbed.where(col("vec_id") < 16)
+
+  /** The 128-row codebook: the first 16 vectors' subspace slices (the
+    * fixed-sample convention that keeps PQ append ≡ rebuild exact,
+    * cf. q48's quantizer).
+    */
+  private[graft] def pqCodebook(subbed: org.apache.spark.sql.DataFrame) =
+    subbed.where(col("vec_id") < 16)
       .select(col("vec_id").cast("int").as("cent_id"), col("j"),
         col("sub").as("csub"), col("sub2").as("csub2"))
-    val assigned = subbed.join(broadcast(cents), Seq("j"))
+
+  /** Nearest-codeword assignment per (vec, j): map-side argmin over
+    * min(struct(d2r, cent_id)) — distance-then-centroid-id, the same
+    * tiebreak the oracles' ROW_NUMBER uses.
+    */
+  private[graft] def pqAssign(subbed: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame) =
+    subbed.join(broadcast(cents), Seq("j"))
       .withColumn("d2r", expr(
         """round(greatest(sub2 + csub2 - 2.0d * dot_product(sub, csub),
              0D), 9)"""))
@@ -220,7 +243,46 @@ object SimilarityQueries {
       .agg(min(struct(col("d2r"), col("cent_id"))).as("b"))
       .select(col("vec_id"), col("j"),
         col("b.cent_id").as("cent_id"), col("b.d2r").as("d2r"))
-    (subbed, cents, assigned)
+
+  /** Per-query ADC lookup table — (qid, j, cent_id, qd2r), the
+    * subspace distance of each query slice to each codeword, rounded
+    * at 9 (the q71/q72 fold-order guard). queries × 128 rows —
+    * broadcast by callers.
+    */
+  private[graft] def pqLut(qsubbed: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame) =
+    qsubbed
+      .select(col("vec_id").as("qid"), col("j"),
+        col("sub").as("qsub"), col("sub2").as("qsub2"))
+      .join(broadcast(cents), Seq("j"))
+      .select(col("qid"), col("j"), col("cent_id"),
+        expr("""round(greatest(qsub2 + csub2
+                  - 2.0d * dot_product(qsub, csub), 0D), 9)""")
+          .as("qd2r"))
+
+  /** ADC scoring over exploded (vec_id, j, cent_id) codes against a
+    * broadcast LUT: approximate distance = 8 lookups summed (rounded
+    * at 6), self-match excluded, top-k per query with vec_id tiebreak
+    * — q72's scorer and output contract (qid, neighbor_id, rk,
+    * adist_r), shared with `sinks.VectorIndex.searchAdc`.
+    */
+  private[graft] def pqAdcTopK(codes: org.apache.spark.sql.DataFrame,
+      lut: org.apache.spark.sql.DataFrame, topK: Int) = {
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("ad6").asc, col("vec_id").asc)
+    // codes without a qid column (q72) score against EVERY query in
+    // the LUT; IVF-pruned candidates (VectorIndex.searchAdc) carry
+    // their qid, so the join scores each candidate for its query only
+    val keys = if (codes.columns.contains("qid"))
+      Seq("qid", "j", "cent_id") else Seq("j", "cent_id")
+    codes.join(broadcast(lut), keys)
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("qd2r")), 6).as("ad6"))
+      .withColumn("rk", row_number().over(byQ))
+      .where(col("rk") <= topK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rk"),
+        col("ad6").as("adist_r"))
   }
 
   /** DuckDB restatement of [[pqParts]] — the shared CTE prefix of the
@@ -636,24 +698,11 @@ object SimilarityQueries {
         val (subbed, cents, assigned) = pqParts(s, dir)
         val codes = assigned
           .select(col("vec_id"), col("j"), col("cent_id"))
-        val lut = subbed.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("j"),
-            col("sub").as("qsub"), col("sub2").as("qsub2"))
-          .join(broadcast(cents), Seq("j"))
-          .select(col("qid"), col("j"), col("cent_id"),
-            expr("""round(greatest(qsub2 + csub2
-                      - 2.0d * dot_product(qsub, csub), 0D), 9)""")
-              .as("qd2r"))
-        val byQ = Window.partitionBy(col("qid"))
-          .orderBy(col("ad6").asc, col("vec_id").asc)
-        codes.join(broadcast(lut), Seq("j", "cent_id"))
-          .where(col("qid") =!= col("vec_id"))
-          .groupBy(col("qid"), col("vec_id"))
-          .agg(round(sum(col("qd2r")), 6).as("ad6"))
-          .withColumn("rk", row_number().over(byQ))
-          .where(col("rk") <= 3)
-          .select(col("qid"), col("vec_id").as("neighbor_id"), col("rk"),
-            col("ad6").as("adist_r"))
+        // LUT + scorer are the SAME definitions sinks.VectorIndex's
+        // persisted ADC path executes (pqLut/pqAdcTopK) — the spec's
+        // parity gate keeps the two formulations in sync
+        pqAdcTopK(codes,
+          pqLut(subbed.where(col("vec_id") < 10), cents), 3)
       },
       Some(s"""
         WITH $pqDuckCtes,

@@ -1113,6 +1113,48 @@ object TextQueries {
                ROUND(EXP(-AVG(lp)), 6) AS ppl
         FROM big JOIN lp USING (w1, w2)
         GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q189: positional phrase search — find every document containing
+    // the exact token sequence "table hash" and count its occurrences,
+    // the positional-postings operation under quoted-query retrieval
+    // (and the exact-span probe decontamination pipelines run when a
+    // benchmark prompt must match CONTIGUOUSLY, not as a bag of grams).
+    //
+    // The anchor trick makes it one aggregation instead of an n-way
+    // self-join: token (pos, w) matching phrase slot idx votes for
+    // anchor = pos - idx; an anchor with all |phrase| DISTINCT slots
+    // present is a contiguous occurrence. Repeated phrase words are
+    // handled for free (a token votes once per slot it matches).
+    //
+    // Scale: the broadcast phrase-slot join keeps ONLY tokens whose
+    // word occurs in the phrase — the token stream collapses at the
+    // scan; the anchor aggregation is keyed (doc_id, anchor), fully
+    // distributed; nothing global anywhere. Over a persisted index the
+    // same scorer starts from file-pruned positional postings instead
+    // of a corpus scan (TextIndex.searchPhrase — the spec pins the two
+    // formulations to each other).
+    QDef(
+      "q189_phrase_search",
+      (s, dir) => {
+        val toks = Tables(s, dir).documents
+          .select(col("doc_id"), posexplode(expr(W)).as(Seq("pos", "w")))
+        Q.phraseHits(toks, Seq("table", "hash"))
+      },
+      Some(s"""
+        WITH ws AS (SELECT doc_id, $WDuck AS ws FROM documents),
+        t AS (SELECT doc_id, unnest(ws) AS w,
+                     unnest(range(len(ws))) AS pos
+              FROM ws),
+        p(idx, w) AS (VALUES (0, 'table'), (1, 'hash')),
+        a AS (SELECT t.doc_id, t.pos - p.idx AS anchor
+              FROM t JOIN p ON t.w = p.w
+              GROUP BY t.doc_id, t.pos - p.idx
+              HAVING COUNT(DISTINCT p.idx) = 2)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+               CAST(MIN(anchor) AS INTEGER) AS first_pos
+        FROM a GROUP BY doc_id
       """))
   )
 }

@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * Layout:
   * {{{
-  *   <dir>/postings/  (word, doc_id, tf)  range-clustered + sorted by
-  *                                        word → parquet min/max stats
+  *   <dir>/postings/  (word, doc_id, tf,  range-clustered + sorted by
+  *                     positions[])       word → parquet min/max stats
   *                                        prune non-matching files and
-  *                                        row groups at the scan
+  *                                        row groups at the scan;
+  *                                        positions are 0-based per doc
+  *                                        (phrase search reads them,
+  *                                        bag-of-words scorers skip the
+  *                                        column via parquet projection)
   *   <dir>/doclens/   (doc_id, dl)        per-doc token counts
   *   <dir>/stats/     (nn, toktot)        one row PER build/append
   *                                        delta; readers SUM
@@ -48,12 +52,18 @@ object TextIndex {
   private def write(docs: DataFrame, outDir: String,
       mode: SaveMode): Unit = {
     val toks = docs.select(col("doc_id"),
-        explode(expr(graft.queries.TextQueries.wordsExpr)).as("word"))
+        posexplode(expr(graft.queries.TextQueries.wordsExpr))
+          .as(Seq("pos", "word")))
       .localCheckpoint() // feeds postings AND doclens/stats
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .localCheckpoint() // feeds doclens AND the stats delta
     toks.groupBy(col("word"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+      // positions ride along sorted (0-based, per doc) — the
+      // positional-postings payload phrase search reads; bag-of-words
+      // scorers (BM25, boolean) never deserialize the column thanks to
+      // parquet's columnar projection
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       // range-cluster + sort by word: every file covers a tight word
       // range, so a term filter prunes files via parquet min/max stats
       // (per append generation — deltas prune independently)
@@ -90,10 +100,28 @@ object TextIndex {
       terms: Seq[String], topK: Int): DataFrame = {
     val tf = spark.read.parquet(s"$indexDir/postings")
       .where(col("word").isin(terms: _*))
+      .select(col("word"), col("doc_id"), col("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val dl = spark.read.parquet(s"$indexDir/doclens")
     val scored = graft.queries.Q.bm25Aggregate(
       tf, df, dl, readTotals(spark, indexDir))
     graft.queries.Q.bm25TopK(scored, topK)
+  }
+
+  /** Exact phrase search over the positional postings — q189's matcher
+    * (`Q.phraseHits`, the shared anchor-vote scorer) and output
+    * contract (doc_id, n_hits, first_pos), but starting from the
+    * word-pruned postings scan instead of a corpus re-tokenization:
+    * only files whose word range covers a phrase word are read, then
+    * each surviving posting explodes back to (pos, w) votes. The spec
+    * pins parity with the in-query q189 plan over the same corpus.
+    */
+  def searchPhrase(spark: SparkSession, indexDir: String,
+      phrase: Seq[String]): DataFrame = {
+    val toks = spark.read.parquet(s"$indexDir/postings")
+      .where(col("word").isin(phrase.distinct: _*))
+      .select(col("doc_id"), col("word").as("w"),
+        explode(col("positions")).as("pos"))
+    graft.queries.Q.phraseHits(toks, phrase)
   }
 }

@@ -53,6 +53,21 @@ object VectorIndex {
                        (a, y) -> a + cast(y as double) * cast(y as double))))""")
         .as("v"))
 
+  /** Nearest-centroid cell assignment (sim desc, cent_id asc tiebreak —
+    * q48's rule), shared by [[build]]/[[append]]/[[buildPq]]/
+    * [[appendPq]] so the assignment rule has ONE definition.
+    */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    e.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        expr("dot_product(v, cv)").as("sim"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+  }
+
   /** Build the index: quantizer selection, then nearest-centroid
     * assignment (sim desc, cent_id asc tiebreak — q48's rule) and a
     * cell-partitioned postings write. `maxRecordsPerFile` bounds each
@@ -79,14 +94,7 @@ object VectorIndex {
       s"quantizer needs seed vec_ids 0..${k - 1} present in the corpus")
     cents.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/centroids")
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cent_id").asc)
-    e.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        expr("dot_product(v, cv)").as("sim"))
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    assignCells(e, cents)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy("cell")
@@ -105,14 +113,7 @@ object VectorIndex {
   def append(spark: SparkSession, indexDir: String,
       emb: DataFrame, maxRecordsPerFile: Int = 1 << 20): Unit = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cent_id").asc)
-    normalized(emb).join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        expr("dot_product(v, cv)").as("sim"))
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    assignCells(normalized(emb), cents)
       .write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy("cell")
@@ -151,5 +152,113 @@ object VectorIndex {
       .filter(col("rk") <= topK)
       .select(col("qid"), col("neighbor_id"),
         col("rk").cast("int").as("rk"), round(col("cos"), 6).as("cos_r"))
+  }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ: the compressed-postings variant (Jégou et al. 2011) — the
+  // same coarse quantizer routes probes to cells, but each cell stores
+  // 8-byte PQ codes instead of raw vectors, and search scores by
+  // asymmetric distance (per-query LUT, 8 lookups summed). 64× smaller
+  // postings, no decompression at scan time — the layout that makes
+  // billion-vector serving fit a cluster's disks. Codes quantize the
+  // RAW vector (q71's math), not the IVF residual: it keeps codes
+  // independent of cell assignment (append never re-encodes, ONE
+  // codebook serves every cell) and stays byte-pinned to the in-query
+  // q71/q72 twins; residual encoding is the classical refinement and
+  // would need a per-build residual codebook — a rebuild-only variant.
+  //
+  // Layout (alongside [[build]]'s):
+  //   <dir>/codebook/            (j, cent_id, csub, csub2) — 128 rows
+  //   <dir>/pq_postings/cell=<c>/ (vec_id, codes[8])
+  // ------------------------------------------------------------------
+
+  /** Per-vector PQ codes (codes[j] = chosen codeword of subspace j)
+    * from normalized vectors — `SimilarityQueries.pqSub/pqAssign`, the
+    * q71-pinned math, folded back to one array row per vector.
+    */
+  private def pqCodes(e: DataFrame, codebook: DataFrame): DataFrame =
+    graft.queries.SimilarityQueries.pqAssign(
+        graft.queries.SimilarityQueries.pqSub(e), codebook)
+      .groupBy(col("vec_id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(j, cent_id))), s -> s.cent_id)")
+        .as("codes"))
+
+  /** Build the IVF-PQ index: the [[build]] coarse quantizer + cell
+    * assignment, but postings carry PQ codes, and the 128-row codebook
+    * (first-16-vectors' slices — the fixed-sample convention that makes
+    * [[appendPq]] ≡ rebuild exact) persists alongside the centroids.
+    */
+  def buildPq(emb: DataFrame, outDir: String, k: Int,
+      maxRecordsPerFile: Int = 1 << 20, trainIters: Int = 0): Unit = {
+    val e = normalized(emb).localCheckpoint() // quantizer + cells + codes
+    val cents = graft.queries.SimilarityQueries.ivfCentroids(
+      e, k, iters = trainIters)
+    require(cents.count() == k,
+      s"quantizer needs seed vec_ids 0..${k - 1} present in the corpus")
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/centroids")
+    val codebook = graft.queries.SimilarityQueries.pqCodebook(
+      graft.queries.SimilarityQueries.pqSub(e))
+    require(codebook.count() == 128,
+      "codebook needs seed vec_ids 0..15 present in the corpus")
+    codebook.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/codebook")
+    assignCells(e, cents).select(col("vec_id"), col("cell"))
+      .join(pqCodes(e, codebook), "vec_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("cell")
+      .parquet(s"$outDir/pq_postings")
+  }
+
+  /** Incrementally PQ-index a new batch against the EXISTING quantizer
+    * and codebook — O(batch), no re-encoding of indexed cells (codes
+    * are cell-independent by the raw-vector convention above).
+    */
+  def appendPq(spark: SparkSession, indexDir: String,
+      emb: DataFrame, maxRecordsPerFile: Int = 1 << 20): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val e = normalized(emb).localCheckpoint() // cells + codes
+    assignCells(e, cents).select(col("vec_id"), col("cell"))
+      .join(pqCodes(e, codebook), "vec_id")
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("cell")
+      .parquet(s"$indexDir/pq_postings")
+  }
+
+  /** ADC search over the persisted IVF-PQ index: rank centroids per
+    * query, scan ONLY the top-`nprobe` cells' code partitions, score
+    * candidates by summed LUT lookups (never decompressing a code),
+    * and return the top `topK` per query as (qid, neighbor_id, rk,
+    * adist_r) — q72's scorer (`SimilarityQueries.pqLut`/`pqAdcTopK`)
+    * and output contract; with `nprobe = k` the answers are exactly
+    * the in-query q72 ranking (the spec pins it).
+    */
+  def searchAdc(spark: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int, topK: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val q = normalized(queries).localCheckpoint() // probes + LUT
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    val probes = q.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .join(broadcast(cents))
+      .select(col("qid"), col("cent_id"),
+        expr("dot_product(qv, cv)").as("sim"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cent_id").as("cell"))
+    val lut = graft.queries.SimilarityQueries.pqLut(
+      graft.queries.SimilarityQueries.pqSub(q), codebook)
+    // join on the partition column prunes the scan to probed cells;
+    // candidates carry qid, so the shared scorer joins per query
+    val cand = probes
+      .join(spark.read.parquet(s"$indexDir/pq_postings"), "cell")
+      .select(col("qid"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "cent_id")))
+    graft.queries.SimilarityQueries.pqAdcTopK(cand, lut, topK)
   }
 }

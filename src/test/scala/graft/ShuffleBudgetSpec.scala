@@ -339,6 +339,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // training shuffles hide behind ivfCentroids' localCheckpoints
     "q187_image_decode" -> 0,
     "q188_ivf_train" -> 0,
+    // q189: anchor-vote agg keyed (doc_id, anchor) + the per-doc hit
+    // rollup; the slot-completeness check is a bit_or bitmask folded
+    // into the first aggregate (a COUNT DISTINCT here would be a third
+    // exchange)
+    "q189_phrase_search" -> 2,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)

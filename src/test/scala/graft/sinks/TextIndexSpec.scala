@@ -31,6 +31,23 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("phrase search over positional postings == the in-query q189 answers") {
+    val got = TextIndex
+      .searchPhrase(spark, indexDir, Seq("table", "hash"))
+      .orderBy(col("doc_id")).collect().toSeq
+    val want = SparkEntry.queries("q189_phrase_search")(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // a repeated-word phrase exercises the distinct-slot anchor rule:
+    // "batch batch" must demand batch at BOTH adjacent positions, not
+    // count one token twice (doc 0's "batch batch batch" run has 2
+    // overlapping occurrences)
+    val rep = TextIndex
+      .searchPhrase(spark, indexDir, Seq("batch", "batch"))
+      .where(col("doc_id") === 0).collect().toSeq
+    assert(rep.map(_.getLong(1)) == Seq(2L))
+  }
+
   test("append-then-search == full rebuild (O(batch) incremental index)") {
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("text"))

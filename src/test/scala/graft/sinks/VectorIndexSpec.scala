@@ -95,6 +95,48 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("ADC search over the persisted IVF-PQ index == in-query q72 at full probe") {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val out = TestSpark.tmpDir("ivfpq-index")
+    VectorIndex.buildPq(emb, out, k = 16)
+    val queries = emb.where(col("vec_id") < 10)
+    // nprobe = k scans every cell, so the IVF routing is a no-op and
+    // the persisted ADC path must reproduce the in-query q72 ranking
+    // byte-for-byte (same LUT, scorer, rounding, tiebreaks)
+    val got = VectorIndex
+      .searchAdc(spark, out, queries, nprobe = 16, topK = 3)
+      .orderBy(col("qid"), col("rk")).collect().toSeq
+    val want = SparkEntry.queries("q72_pq_adc_search")(spark, dir)
+      .orderBy(col("qid"), col("rk")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // pruned probe still returns a full top-k per query (candidates
+    // shrink, the contract doesn't)
+    val pruned = VectorIndex
+      .searchAdc(spark, out, queries, nprobe = 2, topK = 3)
+      .collect().toSeq
+    assert(pruned.size == 30)
+  }
+
+  test("incremental PQ append serves the same answers as a full rebuild") {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val full = TestSpark.tmpDir("ivfpq-full")
+    VectorIndex.buildPq(emb, full, k = 16)
+    // base ⊇ both fixed samples (IVF quantizer: vec_id < 256 Lloyd
+    // sample; PQ codebook: vec_id < 16 slices) → identical quantizer
+    // AND codebook → append must be exact, not approximate
+    val inc = TestSpark.tmpDir("ivfpq-inc")
+    VectorIndex.buildPq(emb.where(col("vec_id") < 300), inc, k = 16)
+    VectorIndex.appendPq(spark, inc, emb.where(col("vec_id") >= 300))
+    val queries = emb.where(col("vec_id") < 10)
+    val got = VectorIndex.searchAdc(spark, inc, queries, nprobe = 3, topK = 3)
+      .orderBy(col("qid"), col("rk")).collect().toSeq
+    val want = VectorIndex.searchAdc(spark, full, queries, nprobe = 3, topK = 3)
+      .orderBy(col("qid"), col("rk")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("postings are cell-partitioned and a cell filter prunes the scan") {
     val cells = new java.io.File(s"$indexDir/postings").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
