@@ -903,6 +903,82 @@ object DedupQueries {
                ROUND(CAST(sz * COUNT(*) AS DOUBLE) / n_docs, 6)
                  AS doc_share
         FROM sizes, tot GROUP BY sz, n_docs
+      """)),
+
+    // ------------------------------------------------------------------
+    // q190: cross-document shared spans — for every doc pair sharing at
+    // least one verbatim 8-token run, the length of the LONGEST shared
+    // run and the number of distinct maximal runs. This is the
+    // exact-substring dedup signal (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): near-dup metrics
+    // like Jaccard (q24) miss a long verbatim quote inside otherwise
+    // different documents; this finds it, positionally.
+    //
+    // Suffix arrays are the single-machine tool; the distributed shape
+    // is gram anchors + diagonal runs: positioned 8-gram fingerprints
+    // equi-join across docs (the ONLY shuffle that touches the corpus,
+    // keyed by the gram); a match at positions (pa, pb) lies on
+    // diagonal pa − pb, and consecutive matches on one diagonal are a
+    // longer shared run — maximal runs fall out of the classic
+    // gaps-and-islands trick (pa − row_number is constant within a
+    // run), with every window partitioned by (pair, diagonal). A
+    // shared run of L tokens ⇒ L − 7 consecutive gram matches, so
+    // run_len = matches + 7, exactly.
+    //
+    // Scale: gram-keyed join like q56's decontamination probe; within
+    // a (pair, diagonal) partition positions are distinct, so windows
+    // are bounded by the matched-span length. At web scale hot
+    // boilerplate grams need the q62-style df cap before the join —
+    // the oracle here is the UNFILTERED join (q111's precedent), so
+    // hash equality proves zero dismissals on this corpus.
+    QDef(
+      "q190_shared_spans",
+      (s, dir) => {
+        val grams = Tables(s, dir).documents
+          .select(col("doc_id"), expr(W).as("ws"))
+          .where(expr("size(ws) >= 8"))
+          .select(col("doc_id"),
+            posexplode(expr(
+              """transform(sequence(0, size(ws) - 8),
+                   i -> array_join(slice(ws, i + 1, 8), ' '))"""))
+              .as(Seq("pos", "gram")))
+          .localCheckpoint() // feeds both sides of the cross-doc join
+        val m = grams.alias("a").join(grams.alias("b"),
+            col("a.gram") === col("b.gram") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.pos").as("pa"),
+            (col("a.pos") - col("b.pos")).as("diag"))
+        val byDiag = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("da"), col("db"), col("diag"))
+          .orderBy(col("pa"))
+        m.withColumn("island", col("pa") - row_number().over(byDiag))
+          .groupBy(col("da"), col("db"), col("diag"), col("island"))
+          .agg((count(lit(1)) + 7).as("run_len"))
+          .groupBy(col("da"), col("db"))
+          .agg(max(col("run_len")).cast("int").as("longest_run"),
+            count(lit(1)).as("n_spans"))
+      },
+      Some(s"""
+        WITH ws AS (SELECT doc_id, $WDuck AS ws FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos,
+                     list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram
+              FROM ws, unnest(range(1, len(ws) - 6)) AS t(i)
+              WHERE len(ws) >= 8),
+        m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+                     a.pos - b.pos AS diag
+              FROM g a JOIN g b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        r AS (SELECT da, db, diag,
+                     pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag
+                       ORDER BY pa) AS island
+              FROM m),
+        runs AS (SELECT da, db, diag, island,
+                        COUNT(*) + 7 AS run_len
+                 FROM r GROUP BY 1, 2, 3, 4)
+        SELECT da, db, CAST(MAX(run_len) AS INTEGER) AS longest_run,
+               CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM runs GROUP BY 1, 2
       """))
   )
 }

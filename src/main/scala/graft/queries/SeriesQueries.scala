@@ -1390,6 +1390,102 @@ object SeriesQueries {
                CASE WHEN zflag = 1 THEN CAST(0.0 AS DOUBLE)
                     ELSE ROUND(EXP(lsum), 6) END AS survival
         FROM cu WHERE d > 0
+      """)),
+
+    // ------------------------------------------------------------------
+    // q191: Poisson-bootstrap confidence interval for mean event value —
+    // the distributed bootstrap: classical resampling draws n rows WITH
+    // replacement per replicate (a global shuffle per replicate, B
+    // passes over the data); the Poisson approximation gives each row
+    // an independent Poisson(1) multiplicity per replicate instead,
+    // which is ONE scan with a bounded B-way fan-out and map-side
+    // partial aggregation — the only formulation that survives 100 TB.
+    // (Multinomial(n, 1/n) → Poisson(1) as n → ∞; at n ≥ 1000 the
+    // approximation error is far below the CI's own Monte-Carlo noise.)
+    //
+    // Determinism, cross-engine AND cross-partitioning: the Poisson
+    // draw is the inverse CDF applied to the q81 md5 uniform
+    // ((k + 0.5)/2²⁴, an exact rational) with the cumulative Poisson(1)
+    // thresholds spelled as identical 17-digit literals in both
+    // engines (both parse correctly rounded); replicate sums are exact
+    // DECIMAL (weight ≤ 8 × two-decimal value stays scale-2); the
+    // 2.5/97.5 percentiles interpolate over the SORTED 16-row replicate
+    // array in closed form — no window, no RNG state, no seed.
+    QDef(
+      "q191_bootstrap_ci",
+      (s, dir) => {
+        val poissonInv = """
+          case when u < 0.36787944117144233d then 0
+               when u < 0.7357588823428847d then 1
+               when u < 0.9196986029286058d then 2
+               when u < 0.9810118431238463d then 3
+               when u < 0.9963401531726563d then 4
+               when u < 0.9994058151824183d then 5
+               when u < 0.999916758850712d then 6
+               when u < 0.9999897508033253d then 7
+               else 8 end"""
+        val ev = Tables(s, dir).events
+          .where(col("value").isNotNull)
+          .select(col("event_id"), col("value"))
+          .localCheckpoint() // feeds the point estimate AND replicates
+        val means = ev
+          .select(col("event_id"), col("value"),
+            explode(expr("sequence(0, 15)")).as("b"))
+          .withColumn("u", expr(
+            """(cast(conv(substring(md5(cast(concat('boot|',
+                 cast(b as string), '|', cast(event_id as string))
+                 as binary)), 1, 6), 16, 10) as bigint) + 0.5d)
+               / 16777216.0d"""))
+          .withColumn("w", expr(poissonInv))
+          .groupBy(col("b"))
+          .agg((Q.dsum(col("w") * col("value")) /
+            sum(col("w")).cast("double")).as("m"))
+        val point = ev.agg(
+          count(lit(1)).as("n"),
+          (Q.dsum(col("value")) / count(lit(1))).as("mean_raw"))
+        means.agg(expr("sort_array(collect_list(m))").as("ms"))
+          .crossJoin(broadcast(point))
+          .select(col("n"), round(col("mean_raw"), 6).as("mean_value"),
+            round(expr("""element_at(ms, 1) + 0.375d *
+              (element_at(ms, 2) - element_at(ms, 1))"""), 6).as("ci_lo"),
+            round(expr("""element_at(ms, 15) + 0.625d *
+              (element_at(ms, 16) - element_at(ms, 15))"""), 6)
+              .as("ci_hi"))
+      },
+      Some("""
+        WITH ev AS (SELECT event_id, value FROM events
+                    WHERE value IS NOT NULL),
+        rep AS (SELECT b, value,
+                       (('0x' || substring(md5('boot|'
+                          || CAST(b AS VARCHAR) || '|'
+                          || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+                        + 0.5) / 16777216.0 AS u
+                FROM ev, (SELECT unnest(range(0, 16)) AS b) bs),
+        wt AS (SELECT b, value,
+                      CASE WHEN u < 0.36787944117144233 THEN 0
+                           WHEN u < 0.7357588823428847 THEN 1
+                           WHEN u < 0.9196986029286058 THEN 2
+                           WHEN u < 0.9810118431238463 THEN 3
+                           WHEN u < 0.9963401531726563 THEN 4
+                           WHEN u < 0.9994058151824183 THEN 5
+                           WHEN u < 0.999916758850712 THEN 6
+                           WHEN u < 0.9999897508033253 THEN 7
+                           ELSE 8 END AS w
+               FROM rep),
+        means AS (SELECT b,
+                         CAST(SUM(CAST(w * value AS DECIMAL(18, 2)))
+                              AS DOUBLE)
+                         / CAST(SUM(w) AS DOUBLE) AS m
+                  FROM wt GROUP BY b),
+        ms AS (SELECT list_sort(list(m)) AS ms FROM means),
+        pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE)
+                      / COUNT(*) AS mean_raw
+               FROM ev)
+        SELECT n, ROUND(mean_raw, 6) AS mean_value,
+               ROUND(ms[1] + 0.375 * (ms[2] - ms[1]), 6) AS ci_lo,
+               ROUND(ms[15] + 0.625 * (ms[16] - ms[15]), 6) AS ci_hi
+        FROM ms, pt
       """))
   )
 }

@@ -135,7 +135,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "q181_kaplan_meier",
     // q184 crossJoins the ONE-row vocab-size aggregate into the
     // bigram probability table (q37 pattern)
-    "q184_perplexity_filter")
+    "q184_perplexity_filter",
+    // q191 crossJoins the ONE-row point-estimate aggregate into the
+    // ONE-row sorted-replicate-means array (q37 pattern)
+    "q191_bootstrap_ci")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds

@@ -344,6 +344,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // into the first aggregate (a COUNT DISTINCT here would be a third
     // exchange)
     "q189_phrase_search" -> 2,
+    // q190: post-checkpoint gram-keyed cross-doc join (2 sides); the
+    // (pair, diag) window's partitioning is reused by both downstream
+    // aggs
+    "q190_shared_spans" -> 2,
+    // q191: 16-group replicate agg + the two one-row aggregates
+    // (point estimate, sorted-means pack)
+    "q191_bootstrap_ci" -> 3,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
