@@ -1043,15 +1043,15 @@ object SimilarityQueries {
           .filter(col("rk") <= 3)
           .select(col("qid"), col("neighbor_id"))
         // ANN: q48's IVF 2-probe top-3 (same ivfRanked helper).
-        // checkpoint + broadcast shape shared with q172 (see there):
-        // ranked feeds assign AND probes; the 20-row probe batch
+        // ranked feeds assign AND probes but is NOT checkpointed here
+        // (unlike q149/q172): both consumers branch after the same
+        // centroid-join + window subtree, so exchange reuse bounds the
+        // recompute to the post-shuffle window pass, and the measured
+        // eager-materialization cost exceeded the saving (bench A/B:
+        // ~2.45 s vs ~3.1 s at sf0.1). The 20-row probe batch still
         // broadcasts so the cell join never shuffles on 16 keys.
-        // PRUNE before checkpointing — neither consumer needs the
-        // 64-double vectors, and a checkpoint materializes every
-        // column it is handed.
         val ranked = ivfRanked(e, 16)
           .select(col("vec_id"), col("cent_id"), col("rn"))
-          .localCheckpoint()
         val assign = ranked.filter(col("rn") === 1)
           .select(col("vec_id"), col("cent_id").as("cell"))
         val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)

@@ -175,11 +175,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q119: post-checkpoint: centroid agg + score partial agg + the
     // distinct-score agg + per-label rank window/final agg
     "q119_auc_eval" -> 4,
-    // q120: the GT top-k window + the post-checkpoint IVF re-rank/hit
-    // agg/spine join — every exchange moves a 10-anchor-bounded
-    // relation (the assign/probe ranking hides behind the pruned
-    // checkpoint; the probe batch broadcasts into the cell join)
-    "q120_ann_recall" -> 6,
+    // q120: the GT top-k window + the IVF assign/probe ranking (now
+    // fully in-plan — no checkpoint, exchange reuse dedupes the shared
+    // centroid-join subtree) + re-rank/hit agg/spine join; every
+    // data-sized exchange is the per-vec ranking, the rest move
+    // 10-anchor-bounded relations (probe batch broadcasts)
+    "q120_ann_recall" -> 8,
     // q121: post-checkpoint (cand + gt checkpointed): per-config count,
     // hit semi-join + count, and the 4-row spine/ntrue assembly
     "q121_lsh_tuning" -> 6,
