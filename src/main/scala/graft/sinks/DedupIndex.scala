@@ -119,4 +119,20 @@ object DedupIndex {
         coalesce(col("exact_match"), col("near_match"), lit(-1L))
           .as("match_id"))
   }
+
+  /** Compact an appended index: consolidate each probe structure's
+    * accumulated append-delta files into one generation. Probes are
+    * equi-joins (no file-range pruning to preserve), so this is purely
+    * the small-files consolidation — rows are untouched. Separate
+    * dstDir; the swap is the caller's atomic-rename concern (the
+    * CorpusExport.compact contract).
+    */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    spark.read.parquet(s"$srcDir/fingerprints")
+      .repartition(col("fp"))
+      .write.mode("overwrite").parquet(s"$dstDir/fingerprints")
+    spark.read.parquet(s"$srcDir/bands")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").parquet(s"$dstDir/bands")
+  }
 }

@@ -124,4 +124,25 @@ object TextIndex {
         explode(col("positions")).as("pos"))
     graft.queries.Q.phraseHits(toks, phrase)
   }
+
+  /** Compact an appended index: re-cluster EVERY postings generation
+    * into one word-range-sorted generation (a term lookup then prunes
+    * one tight file set instead of one per append), consolidate
+    * doclens, and fold the stats log to a single row — all without
+    * re-tokenizing a document (contrast [[build]], which re-reads the
+    * corpus). Writes to a separate directory; the swap is the caller's
+    * atomic-rename concern (the CorpusExport.compact contract — never
+    * read-and-overwrite one path in a single job).
+    */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    spark.read.parquet(s"$srcDir/postings")
+      .repartitionByRange(col("word"))
+      .sortWithinPartitions(col("word"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/postings")
+    spark.read.parquet(s"$srcDir/doclens")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/doclens")
+    readTotals(spark, srcDir)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dstDir/stats")
+  }
 }

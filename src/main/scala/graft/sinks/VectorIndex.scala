@@ -261,4 +261,34 @@ object VectorIndex {
         posexplode(col("codes")).as(Seq("j", "cent_id")))
     graft.queries.SimilarityQueries.pqAdcTopK(cand, lut, topK)
   }
+
+  /** Compact an appended index: consolidate each cell partition's
+    * accumulated append-delta files into one generation (probe-time
+    * partition pruning is untouched — the hive cell layout is
+    * preserved; this is purely small-files consolidation). Centroids
+    * and codebook copy through unchanged. Compacts whichever posting
+    * trees exist (raw, PQ, or both). Separate dstDir; the swap is the
+    * caller's atomic-rename concern (the CorpusExport.compact
+    * contract).
+    */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+      maxRecordsPerFile: Int = 1 << 20): Unit = {
+    def exists(p: String) = { // Hadoop FS, not java.io — works on HDFS/S3
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(path)
+    }
+    spark.read.parquet(s"$srcDir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/centroids")
+    if (exists(s"$srcDir/codebook"))
+      spark.read.parquet(s"$srcDir/codebook")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/codebook")
+    for (tree <- Seq("postings", "pq_postings") if exists(s"$srcDir/$tree"))
+      spark.read.parquet(s"$srcDir/$tree")
+        .repartition(col("cell"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+        .partitionBy("cell")
+        .parquet(s"$dstDir/$tree")
+  }
 }

@@ -50,6 +50,21 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("compact consolidates append deltas; classify is unchanged") {
+    val mid = corpus.agg(((max(col("doc_id")) + 1) / 2).cast("bigint"))
+      .head().getLong(0)
+    val out = TestSpark.tmpDir("dedup-index-many-gen")
+    DedupIndex.build(corpus.where(col("doc_id") < mid), out)
+    DedupIndex.append(corpus.where(col("doc_id") >= mid), out)
+    val cDir = TestSpark.tmpDir("dedup-index-compacted")
+    DedupIndex.compact(spark, out, cDir)
+    val got = DedupIndex.classify(spark, cDir, batch)
+      .orderBy(col("doc_id")).collect().toSeq
+    val want = DedupIndex.classify(spark, out, batch)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("indexed docs re-classify as exact duplicates of themselves") {
     val statuses = DedupIndex.classify(spark, indexDir, corpus.limit(50))
       .select(col("status")).distinct().collect().map(_.getString(0)).toSet

@@ -71,6 +71,35 @@ class TextIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$incDir/stats").count() == 2)
   }
 
+  test("compact merges append generations without re-tokenizing") {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    val incDir = TestSpark.tmpDir("text-index-4gen")
+    TextIndex.build(docs.where(col("doc_id") % 4 === 0), incDir)
+    (1 to 3).foreach(g =>
+      TextIndex.append(docs.where(col("doc_id") % 4 === g), incDir))
+    val cDir = TestSpark.tmpDir("text-index-compacted")
+    TextIndex.compact(spark, incDir, cDir)
+    def files(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // one generation: the 4-generation stats log folds to a single row
+    assert(spark.read.parquet(s"$cDir/stats").count() == 1)
+    assert(files(s"$cDir/postings") < files(s"$incDir/postings"),
+      "compaction must consolidate postings delta files")
+    // and searches over the compacted index are byte-identical
+    val terms = Seq("shuffle", "parquet", "join")
+    assert(
+      TextIndex.searchBm25(spark, cDir, terms, 20)
+        .orderBy(col("rk")).collect().toSeq ==
+      TextIndex.searchBm25(spark, incDir, terms, 20)
+        .orderBy(col("rk")).collect().toSeq)
+    assert(
+      TextIndex.searchPhrase(spark, cDir, Seq("table", "hash"))
+        .orderBy(col("doc_id")).collect().toSeq ==
+      TextIndex.searchPhrase(spark, incDir, Seq("table", "hash"))
+        .orderBy(col("doc_id")).collect().toSeq)
+  }
+
   test("term filters push down into the postings scan") {
     val scan = spark.read.parquet(s"$indexDir/postings")
       .where(col("word").isin("spark", "merge"))

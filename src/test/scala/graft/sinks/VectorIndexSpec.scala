@@ -137,6 +137,32 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("compact preserves the cell layout and every search answer") {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val out = TestSpark.tmpDir("ivf-compact-src")
+    VectorIndex.build(emb.where(col("vec_id") < 300), out, k = 16)
+    VectorIndex.append(spark, out, emb.where(col("vec_id") >= 300))
+    VectorIndex.buildPq(emb, out, k = 16) // PQ tree in the same dir
+    val cDir = TestSpark.tmpDir("ivf-compacted")
+    VectorIndex.compact(spark, out, cDir)
+    // hive cell dirs survive (probe-time pruning intact)
+    val cells = new java.io.File(s"$cDir/postings").listFiles()
+      .filter(_.isDirectory).count(_.getName.startsWith("cell="))
+    assert(cells > 1)
+    val queries = emb.where(col("vec_id") < 10)
+    assert(
+      VectorIndex.search(spark, cDir, queries, nprobe = 2, topK = 3)
+        .orderBy(col("qid"), col("rk")).collect().toSeq ==
+      VectorIndex.search(spark, out, queries, nprobe = 2, topK = 3)
+        .orderBy(col("qid"), col("rk")).collect().toSeq)
+    assert(
+      VectorIndex.searchAdc(spark, cDir, queries, nprobe = 16, topK = 3)
+        .orderBy(col("qid"), col("rk")).collect().toSeq ==
+      VectorIndex.searchAdc(spark, out, queries, nprobe = 16, topK = 3)
+        .orderBy(col("qid"), col("rk")).collect().toSeq)
+  }
+
   test("postings are cell-partitioned and a cell filter prunes the scan") {
     val cells = new java.io.File(s"$indexDir/postings").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
