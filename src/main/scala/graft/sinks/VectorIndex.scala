@@ -120,6 +120,46 @@ object VectorIndex {
       .parquet(s"$indexDir/postings")
   }
 
+  private def fsExists(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** Gen-scoped delta ingest — the replay-safe form of [[append]] for
+    * at-least-once callers (Structured Streaming's foreachBatch):
+    * the batch's cell assignments land under their own
+    * `postings_delta/gen=<gen>/cell=<c>/` subtree with mode Overwrite,
+    * so replaying a micro-batch REWRITES its own generation instead of
+    * duplicating rows — the commit is idempotent per gen (the
+    * CorpusStreaming `batch=<id>` pattern applied to the index). Reads
+    * union the delta tree transparently ([[readPostings]]); a
+    * [[compact]] folds deltas back into the main tree. Same frozen
+    * quantizer and O(batch) cost as [[append]].
+    */
+  def appendDelta(spark: SparkSession, indexDir: String, emb: DataFrame,
+      gen: Long, maxRecordsPerFile: Int = 1 << 20): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    assignCells(normalized(emb), cents)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("cell")
+      .parquet(s"$indexDir/postings_delta/gen=$gen")
+  }
+
+  /** The raw postings relation: the main tree plus, when present, every
+    * `postings_delta` generation (the gen partition column is dropped —
+    * readers see one (vec_id, v, cell) relation either way).
+    */
+  private def readPostings(spark: SparkSession,
+      indexDir: String): DataFrame = {
+    val main = spark.read.parquet(s"$indexDir/postings")
+    if (fsExists(spark, s"$indexDir/postings_delta"))
+      main.unionByName(
+        spark.read.parquet(s"$indexDir/postings_delta")
+          .select(col("vec_id"), col("v"), col("cell")))
+    else main
+  }
+
   /** Probe the persisted index: rank centroids per query, take the top
     * `nprobe` cells, scan ONLY those postings partitions, exact-score
     * the candidates, and return the top `topK` neighbors per query as
@@ -139,7 +179,7 @@ object VectorIndex {
       .withColumn("rn", row_number().over(byQ))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("cent_id").as("cell"))
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val postings = readPostings(spark, indexDir)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     // join on the partition column: only probed cells are scanned (a
@@ -265,30 +305,33 @@ object VectorIndex {
   /** Compact an appended index: consolidate each cell partition's
     * accumulated append-delta files into one generation (probe-time
     * partition pruning is untouched — the hive cell layout is
-    * preserved; this is purely small-files consolidation). Centroids
-    * and codebook copy through unchanged. Compacts whichever posting
-    * trees exist (raw, PQ, or both). Separate dstDir; the swap is the
-    * caller's atomic-rename concern (the CorpusExport.compact
-    * contract).
+    * preserved). Streaming-ingest [[appendDelta]] generations fold
+    * into the main postings tree (the compacted index has NO delta
+    * tree — readers go back to one scan). Centroids and codebook copy
+    * through unchanged; compacts whichever posting trees exist (raw,
+    * PQ, or both). Separate dstDir; the swap is the caller's
+    * atomic-rename concern (the CorpusExport.compact contract).
     */
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
       maxRecordsPerFile: Int = 1 << 20): Unit = {
-    def exists(p: String) = { // Hadoop FS, not java.io — works on HDFS/S3
-      val path = new org.apache.hadoop.fs.Path(p)
-      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(path)
-    }
     spark.read.parquet(s"$srcDir/centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/centroids")
-    if (exists(s"$srcDir/codebook"))
+    if (fsExists(spark, s"$srcDir/codebook"))
       spark.read.parquet(s"$srcDir/codebook")
         .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/codebook")
-    for (tree <- Seq("postings", "pq_postings") if exists(s"$srcDir/$tree"))
-      spark.read.parquet(s"$srcDir/$tree")
+    if (fsExists(spark, s"$srcDir/postings"))
+      readPostings(spark, srcDir) // main + every delta generation
         .repartition(col("cell"))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
         .partitionBy("cell")
-        .parquet(s"$dstDir/$tree")
+        .parquet(s"$dstDir/postings")
+    if (fsExists(spark, s"$srcDir/pq_postings"))
+      spark.read.parquet(s"$srcDir/pq_postings")
+        .repartition(col("cell"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+        .partitionBy("cell")
+        .parquet(s"$dstDir/pq_postings")
   }
 }

@@ -137,6 +137,35 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("gen-scoped delta appends: replay-idempotent, search-identical") {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val out = TestSpark.tmpDir("ivf-delta")
+    VectorIndex.build(emb.where(col("vec_id") < 300), out, k = 16)
+    VectorIndex.appendDelta(spark, out,
+      emb.where(col("vec_id") >= 300 && col("vec_id") < 400), gen = 0L)
+    // REPLAY gen 0 (foreachBatch's at-least-once case): the gen dir is
+    // overwritten, not appended — rows must not duplicate
+    VectorIndex.appendDelta(spark, out,
+      emb.where(col("vec_id") >= 300 && col("vec_id") < 400), gen = 0L)
+    VectorIndex.appendDelta(spark, out,
+      emb.where(col("vec_id") >= 400), gen = 1L)
+    val queries = emb.where(col("vec_id") < 10)
+    val got = VectorIndex.search(spark, out, queries, nprobe = 2, topK = 3)
+      .orderBy(col("qid"), col("rk")).collect().toSeq
+    val want = VectorIndex
+      .search(spark, indexDir, queries, nprobe = 2, topK = 3)
+      .orderBy(col("qid"), col("rk")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // compact folds the generations away and answers stay identical
+    val cDir = TestSpark.tmpDir("ivf-delta-compacted")
+    VectorIndex.compact(spark, out, cDir)
+    assert(!new java.io.File(s"$cDir/postings_delta").exists())
+    val cGot = VectorIndex.search(spark, cDir, queries, nprobe = 2, topK = 3)
+      .orderBy(col("qid"), col("rk")).collect().toSeq
+    assert(cGot == want)
+  }
+
   test("compact preserves the cell layout and every search answer") {
     val emb = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
