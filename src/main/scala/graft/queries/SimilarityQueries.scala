@@ -1636,6 +1636,89 @@ object SimilarityQueries {
         SELECT cent_id, CAST(t.i AS INTEGER) AS i,
                ROUND(cv[t.i], 6) AS c_r
         FROM cents, range(1, 65) t(i)
+      """)),
+
+    // ------------------------------------------------------------------
+    // q192: semantic decontamination — the embedding-space twin of the
+    // q56/q69 gram probes: a held-out item is contaminated when some
+    // TRAIN item sits above a cosine threshold, even with zero verbatim
+    // n-gram overlap (paraphrases, translations, template rewrites —
+    // the leakage exact decontamination provably misses). Split is the
+    // house md5 rule (seed-free, corpus-growth-stable): held-out =
+    // first md5 hex digit of the salted vec_id = '0' (a 1/16 audit
+    // slice).
+    //
+    // Scale shape is q59's: IVF cell assignment bounds the pairwise
+    // blast radius — held × train pairs only WITHIN a cell, never
+    // corpus-wide (cells are the shuffle key; a production run probes
+    // 2-3 cells per held item like q48 instead of exact-1, trading
+    // recall for cost). Cosines round at 9 before thresholding
+    // (q59's ulp guard); the top match is the struct-max (highest
+    // cos9, then highest train id) so ties cannot flip cross-engine.
+    // ε = 0.4 is corpus-tuned like q59 (the synthetic embeddings have
+    // no true near-dups; production uses 0.9+).
+    QDef(
+      "q192_semantic_decontamination",
+      (s, dir) => {
+        val assign = ivfAssign(vectors(s, dir), 16)
+          .withColumn("held", expr(
+            """substring(md5(cast(concat('semdecon|',
+                 cast(vec_id as string)) as binary)), 1, 1) = '0'"""))
+          .localCheckpoint() // feeds both probe sides + the spine
+        val h = assign.where(col("held")).alias("h")
+        val t = assign.where(!col("held")).alias("t")
+        val ev = h.join(t, col("h.cell") === col("t.cell"))
+          .select(col("h.vec_id").as("vec_id"),
+            col("t.vec_id").as("tid"),
+            expr("round(dot_product(h.v, t.v), 9)").as("cos9"))
+          .where(col("cos9") >= 0.4)
+          .groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n_matches"),
+            max(struct(col("cos9"), col("tid"))).as("b"))
+        assign.where(col("held"))
+          .select(col("vec_id"), col("cell"))
+          .join(ev, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+            coalesce(col("b.tid"), lit(-1L)).as("top_train_id"),
+            coalesce(round(col("b.cos9"), 6), lit(0.0d)).as("max_cos_r"),
+            expr("""cast(case when n_matches is not null
+                         then 1 else 0 end as int)""").as("contaminated"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+        sims AS (SELECT e.vec_id, c.cent_id, e.v,
+                   list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i])) AS sim
+                 FROM e, cents c),
+        assign AS (SELECT vec_id, cell, v,
+                          substring(md5('semdecon|'
+                            || CAST(vec_id AS VARCHAR)), 1, 1) = '0' AS held
+                   FROM (SELECT vec_id, cent_id AS cell, v,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cent_id ASC) AS rn
+                         FROM sims) r WHERE rn = 1),
+        pairs AS (SELECT h.vec_id, t.vec_id AS tid,
+                    ROUND(list_sum(list_transform(range(1, 65),
+                      i -> h.v[i] * t.v[i])), 9) AS cos9
+                  FROM assign h JOIN assign t
+                    ON h.cell = t.cell AND h.held AND NOT t.held
+                  WHERE ROUND(list_sum(list_transform(range(1, 65),
+                      i -> h.v[i] * t.v[i])), 9) >= 0.4),
+        ev AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+                      MAX({'cos9': cos9, 'tid': tid}) AS b
+               FROM pairs GROUP BY vec_id)
+        SELECT a.vec_id, a.cell,
+               COALESCE(n_matches, 0) AS n_matches,
+               COALESCE(b.tid, -1) AS top_train_id,
+               COALESCE(ROUND(b.cos9, 6), 0.0) AS max_cos_r,
+               CAST(CASE WHEN n_matches IS NOT NULL THEN 1 ELSE 0 END
+                    AS INT) AS contaminated
+        FROM assign a LEFT JOIN ev ON ev.vec_id = a.vec_id
+        WHERE a.held
       """))
   )
 }

@@ -352,6 +352,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q191: 16-group replicate agg + the two one-row aggregates
     // (point estimate, sorted-means pack)
     "q191_bootstrap_ci" -> 3,
+    // q192: post-checkpoint cell-keyed held×train join (2 sides) +
+    // the per-held evidence agg (the assignment pipeline's shuffles
+    // hide behind the localCheckpoint, q59's shape)
+    "q192_semantic_decontamination" -> 3,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
