@@ -979,6 +979,88 @@ object DedupQueries {
         SELECT da, db, CAST(MAX(run_len) AS INTEGER) AS longest_run,
                CAST(COUNT(*) AS BIGINT) AS n_spans
         FROM runs GROUP BY 1, 2
+      """)),
+
+    // ------------------------------------------------------------------
+    // q193: quality-aware canonical selection — q54 picks each dup
+    // cluster's min-id member; real curation pipelines keep the BEST
+    // member (SemDeDup, C4: the representative with the highest quality
+    // score), because the lowest id is often the worst crawl of the
+    // page. Clusters come from the same connected-components machinery
+    // as q54 (shared `ConnectedComponents.run` + the same Jaccard edge
+    // rule); the survivor is the cluster argmax of (stop-word ratio,
+    // token count, lowest id) — the ratio as an EXACT scaled integer
+    // (×10⁶ div), so the quality compare is integer arithmetic both
+    // engines get bit-identical, and the argmax is one windowed
+    // max(struct(...)) per cluster (no groupBy + rejoin recompute —
+    // q54's own note).
+    //
+    // Scale: edges/CC as q54 (banded candidates at 100 TB); the quality
+    // pass is a scan-side map; the survivorship window shuffles once on
+    // cluster_id.
+    QDef(
+      "q193_canonical_selection",
+      (s, dir) => {
+        val edges = jaccardPairs(s, dir)
+          .where(col("jaccard") >= 0.02)
+          .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        val assign = graft.core.ConnectedComponents.run(edges)
+          .select(col("u").as("doc_id"), col("v").as("cid"))
+        val qual = Tables(s, dir).documents
+          .select(col("doc_id"), expr(W).as("ws"))
+          .select(col("doc_id"),
+            expr("cast(size(ws) as bigint)").as("n_tokens"),
+            expr("""(cast(size(filter(ws, x -> x = 'the' or x = 'a'))
+                      as bigint) * 1000000) div greatest(size(ws), 1)""")
+              .as("stop_scaled"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+        qual.join(assign, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cid"), col("doc_id")).as("cluster_id"),
+            col("n_tokens"), col("stop_scaled"))
+          .withColumn("b", max(struct(col("stop_scaled"),
+            col("n_tokens"), (-col("doc_id")).as("nd"))).over(win))
+          .withColumn("n_members", count(lit(1)).over(win))
+          .select(col("doc_id"), col("cluster_id"), col("n_members"),
+            (-col("b.nd")).as("survivor_id"),
+            (col("doc_id") === -col("b.nd")).cast("int").as("keep"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
+        sh AS (SELECT doc_id, source, $SGDuck AS sg FROM w),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM ($jaccardPairsDuck) jp
+                  WHERE jaccard >= 0.02),
+        und AS (SELECT u AS src, v AS dst FROM edges
+                UNION ALL SELECT v, u FROM edges),
+        walk(node, label) AS (
+          SELECT DISTINCT src, src FROM und
+          UNION
+          SELECT u.dst, wk.label FROM walk wk JOIN und u ON u.src = wk.node),
+        comp AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        qual AS (SELECT doc_id,
+                        CAST(len(ws) AS BIGINT) AS n_tokens,
+                        (CAST(len(list_filter(ws,
+                           x -> x = 'the' OR x = 'a')) AS BIGINT)
+                         * 1000000) // greatest(len(ws), 1) AS stop_scaled
+                 FROM w),
+        labeled AS (SELECT q.doc_id,
+                           COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+                           q.n_tokens, q.stop_scaled
+                    FROM qual q LEFT JOIN comp c ON c.node = q.doc_id),
+        sel AS (SELECT doc_id, cluster_id, n_tokens, stop_scaled,
+                       MAX({'s': stop_scaled, 'n': n_tokens,
+                            'nd': -doc_id})
+                         OVER (PARTITION BY cluster_id) AS b,
+                       CAST(COUNT(*) OVER (PARTITION BY cluster_id)
+                            AS BIGINT) AS n_members
+                FROM labeled)
+        SELECT doc_id, cluster_id, n_members,
+               -(b.nd) AS survivor_id,
+               CAST(CASE WHEN doc_id = -(b.nd) THEN 1 ELSE 0 END AS INT)
+                 AS keep
+        FROM sel
       """))
   )
 }

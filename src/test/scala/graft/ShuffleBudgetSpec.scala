@@ -356,6 +356,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // the per-held evidence agg (the assignment pipeline's shuffles
     // hide behind the localCheckpoint, q59's shape)
     "q192_semantic_decontamination" -> 3,
+    // q193: the doc_id assign join (2 sides) + the cluster_id
+    // survivorship window (edges/CC shuffles hide behind q54's
+    // checkpointed pair pipeline and the CC contraction rounds)
+    "q193_canonical_selection" -> 3,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
