@@ -1719,6 +1719,81 @@ object SimilarityQueries {
                     AS INT) AS contaminated
         FROM assign a LEFT JOIN ev ON ev.vec_id = a.vec_id
         WHERE a.held
+      """)),
+
+    // ------------------------------------------------------------------
+    // q194: ADC recall audit — q120's driver-gated recall relation for
+    // the PQ surface: how much top-3 quality does 64× compression cost?
+    // The ann side is exactly q72's full-corpus ADC ranking (shared
+    // pqLut/pqAdcTopK — and therefore also exactly what the persisted
+    // VectorIndex.searchAdc serves at full probe, by its spec pin); the
+    // ground truth is q26's brute-force top-3. q120 measures the IVF
+    // ROUTING loss; this isolates the QUANTIZATION loss — the two
+    // knobs an IVF-PQ deployment tunes independently (nprobe vs code
+    // budget). Exact integer hit counts; a codebook regression fails
+    // the hash gate.
+    QDef(
+      "q194_adc_recall",
+      (s, dir) => {
+        val (subbed, cents, assigned) = pqParts(s, dir)
+        val ann = pqAdcTopK(
+            assigned.select(col("vec_id"), col("j"), col("cent_id")),
+            pqLut(subbed.where(col("vec_id") < 10), cents), 3)
+          .select(col("qid"), col("neighbor_id"))
+        val e = vectors(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        val gt = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor_id"),
+            expr(COS).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("neighbor_id"))
+        val hits = gt.join(ann, Seq("qid", "neighbor_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+        q.select(col("qid"))
+          .join(hits, Seq("qid"), "left").na.fill(0L, Seq("n_hits"))
+          .select(col("qid"), col("n_hits"),
+            round(col("n_hits").cast("double") / lit(3.0d), 6)
+              .as("recall_r"))
+      },
+      Some(s"""
+        WITH $pqDuckCtes,
+        codes AS (SELECT vec_id, j, cent_id FROM assigned),
+        lut AS (SELECT s.vec_id AS qid, s.j, c.cent_id,
+                       ROUND(GREATEST(s.sub2 + c.csub2
+                         - 2.0 * list_sum(list_transform(range(1, 9),
+                             i -> s.sub[i] * c.csub[i])), 0), 9) AS qd2r
+                FROM subbed s JOIN cents c ON s.j = c.j
+                WHERE s.vec_id < 10),
+        sc AS (SELECT l.qid, co.vec_id,
+                      ROUND(SUM(qd2r), 6) AS ad6
+               FROM codes co JOIN lut l
+                 ON co.j = l.j AND co.cent_id = l.cent_id
+               WHERE l.qid <> co.vec_id
+               GROUP BY 1, 2),
+        anns AS (SELECT qid, vec_id AS neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY ad6 ASC, vec_id ASC) AS rk
+                 FROM sc),
+        ann AS (SELECT qid, neighbor_id FROM anns WHERE rk <= 3),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        gts AS (SELECT qid, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                         list_sum(list_transform(range(1, 65),
+                           i -> qv[i] * v[i])) DESC, e.vec_id ASC) AS rk
+                FROM q JOIN e ON e.vec_id <> qid),
+        gt AS (SELECT qid, neighbor_id FROM gts WHERE rk <= 3),
+        hits AS (SELECT g.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+                 FROM gt g JOIN ann a
+                   ON a.qid = g.qid AND a.neighbor_id = g.neighbor_id
+                 GROUP BY 1)
+        SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+               ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 3.0, 6)
+                 AS recall_r
+        FROM q LEFT JOIN hits h ON h.qid = q.qid
       """))
   )
 }

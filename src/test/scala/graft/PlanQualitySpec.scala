@@ -138,7 +138,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "q184_perplexity_filter",
     // q191 crossJoins the ONE-row point-estimate aggregate into the
     // ONE-row sorted-replicate-means array (q37 pattern)
-    "q191_bootstrap_ci")
+    "q191_bootstrap_ci",
+    // q194's ground-truth side is q26's brute-force shape (10-row
+    // anchor broadcast × corpus), the same allowance as q120
+    "q194_adc_recall")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds

@@ -360,6 +360,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // survivorship window (edges/CC shuffles hide behind q54's
     // checkpointed pair pipeline and the CC contraction rounds)
     "q193_canonical_selection" -> 3,
+    // q194: q72's ADC chain (per-(vec,j) argmin agg + per-(qid,vec)
+    // sum + rank) + the GT top-k window + hit agg/spine join — the
+    // corpus-sized exchanges are the PQ assignment and scoring aggs,
+    // the rest move 10-anchor-bounded relations
+    "q194_adc_recall" -> 8,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
