@@ -1486,6 +1486,64 @@ object SeriesQueries {
                ROUND(ms[1] + 0.375 * (ms[2] - ms[1]), 6) AS ci_lo,
                ROUND(ms[15] + 0.625 * (ms[16] - ms[15]), 6) AS ci_hi
         FROM ms, pt
+      """)),
+
+    // ------------------------------------------------------------------
+    // q195: winsorized robust scaling — the standard numeric-feature
+    // cleanup before model training: clip each event type's value at
+    // its own p05/p95 (heavy tails dominate means and gradients;
+    // winsorizing bounds them without dropping rows), report clip
+    // counts and the mean before/after. The per-group percentiles run
+    // THROUGH the ScaleSafePercentiles rewrite (q61's oracle-gated
+    // path — rank window per group, no holistic buffer at any scale);
+    // cutoffs round at 6 BEFORE use (both engines interpolate the same
+    // value to an ulp) and broadcast back; clipped sums are exact
+    // DECIMAL(18,6) — values are 2-decimal, cutoffs 6-decimal, so the
+    // winsorized mean is bit-identical regardless of fold order.
+    QDef(
+      "q195_winsorize",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+          .where(col("value").isNotNull)
+          .select(col("event_type"), col("value"))
+          .localCheckpoint() // feeds the cutoffs AND the clip pass
+        val cuts = ev.groupBy(col("event_type"))
+          .agg(round(expr("percentile(value, 0.05d)"), 6).as("lo"),
+            round(expr("percentile(value, 0.95d)"), 6).as("hi"))
+        ev.join(broadcast(cuts), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") < col("lo"), 1L).otherwise(0L))
+              .as("n_lo"),
+            sum(when(col("value") > col("hi"), 1L).otherwise(0L))
+              .as("n_hi"),
+            min(col("lo")).as("p05_r"), min(col("hi")).as("p95_r"),
+            round(Q.dsum(col("value")) / count(lit(1)), 6)
+              .as("mean_raw_r"),
+            round(sum(expr(
+              "cast(least(greatest(value, lo), hi) as decimal(18, 6))"))
+              .cast("double") / count(lit(1)), 6).as("mean_wins_r"))
+      },
+      Some("""
+        WITH ev AS (SELECT event_type, value FROM events
+                    WHERE value IS NOT NULL),
+        cuts AS (SELECT event_type,
+                        ROUND(quantile_cont(value, 0.05), 6) AS lo,
+                        ROUND(quantile_cont(value, 0.95), 6) AS hi
+                 FROM ev GROUP BY 1)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_lo,
+               CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hi,
+               MIN(lo) AS p05_r, MIN(hi) AS p95_r,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_raw_r,
+               ROUND(CAST(SUM(CAST(LEAST(GREATEST(value, lo), hi)
+                                   AS DECIMAL(18, 6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_wins_r
+        FROM ev JOIN cuts USING (event_type)
+        GROUP BY 1
       """))
   )
 }

@@ -365,6 +365,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // corpus-sized exchanges are the PQ assignment and scoring aggs,
     // the rest move 10-anchor-bounded relations
     "q194_adc_recall" -> 8,
+    // q195: post-checkpoint per-type percentile-rank exchange (the
+    // ScaleSafePercentiles __pctl_ windows, event_type-partitioned) +
+    // the final clip aggregate; the cutoffs broadcast back
+    "q195_winsorize" -> 2,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
