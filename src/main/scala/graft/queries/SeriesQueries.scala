@@ -1544,6 +1544,98 @@ object SeriesQueries {
                      / COUNT(*), 6) AS mean_wins_r
         FROM ev JOIN cuts USING (event_type)
         GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q196: Mann-Kendall trend test — the nonparametric "is this metric
+    // actually trending" monitor (no normality or linearity assumption;
+    // the standard for telemetry/KPI series): per event type, S =
+    // Σ_{i<j} sign(n_j − n_i) over the DAILY count series, tie-corrected
+    // variance, z-score with the ±1 continuity correction, and a
+    // two-sided 5% trend verdict.
+    //
+    // Scale: everything after the daily rollup operates on the
+    // day-grain series — bounded by the CALENDAR, not the corpus (a
+    // decade is 3 650 rows/type; the pair join is |days|²/2 per type,
+    // millions of rows, trivially). S and the ×18-scaled variance are
+    // EXACT integers (the only doubles are the final z division,
+    // rounded at 6), so tie-handling can't drift an ulp across engines.
+    QDef(
+      "q196_trend_test",
+      (s, dir) => {
+        val daily = Tables(s, dir).events
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // feeds pairs (both sides), ties, n_days
+        val pairs = daily.alias("a").join(daily.alias("b"),
+            col("a.event_type") === col("b.event_type") &&
+            col("a.day") < col("b.day"))
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(sum(when(col("b.n") > col("a.n"), 1L)
+            .when(col("b.n") < col("a.n"), -1L)
+            .otherwise(0L)).as("s_stat"))
+        val nd = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"))
+        val ties = daily.groupBy(col("event_type"), col("n"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("t") * (col("t") - 1) *
+            (lit(2L) * col("t") + 5)).as("tie18"))
+        nd.join(ties, "event_type").join(pairs, "event_type")
+          .withColumn("var18",
+            col("n_days") * (col("n_days") - 1) *
+              (lit(2L) * col("n_days") + 5) - col("tie18"))
+          .withColumn("z_r", round(
+            (when(col("s_stat") > 0, col("s_stat") - 1)
+              .when(col("s_stat") < 0, col("s_stat") + 1)
+              .otherwise(0L)).cast("double")
+            / sqrt(expr("cast(nullif(var18, 0) as double)") / 18.0d), 6))
+          .select(col("event_type"), col("n_days"), col("s_stat"),
+            col("var18"), coalesce(col("z_r"), lit(0.0d)).as("z_r"),
+            expr("""case when z_r > 1.959964 then 'inc'
+                         when z_r < -1.959964 then 'dec'
+                         else 'none' end""").as("trend"))
+      },
+      Some("""
+        WITH daily AS (SELECT event_type,
+                              strftime(ts, '%Y-%m-%d') AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+        pairs AS (SELECT a.event_type,
+                         CAST(SUM(CASE WHEN b.n > a.n THEN 1
+                                       WHEN b.n < a.n THEN -1
+                                       ELSE 0 END) AS BIGINT) AS s_stat
+                  FROM daily a JOIN daily b
+                    ON a.event_type = b.event_type AND a.day < b.day
+                  GROUP BY 1),
+        nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+               FROM daily GROUP BY 1),
+        ties AS (SELECT event_type,
+                        CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                          AS tie18
+                 FROM (SELECT event_type, n,
+                              CAST(COUNT(*) AS BIGINT) AS t
+                       FROM daily GROUP BY 1, 2) g
+                 GROUP BY 1),
+        j AS (SELECT nd.event_type, nd.n_days, s_stat,
+                     nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                       - tie18 AS var18
+              FROM nd JOIN ties USING (event_type)
+              JOIN pairs USING (event_type)),
+        z AS (SELECT *,
+                     ROUND(CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+                                     WHEN s_stat < 0 THEN s_stat + 1
+                                     ELSE 0 END AS DOUBLE)
+                           / SQRT(CAST(NULLIF(var18, 0) AS DOUBLE)
+                                  / 18.0), 6) AS z_r
+              FROM j)
+        SELECT event_type, n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+               COALESCE(z_r, 0.0) AS z_r,
+               CASE WHEN z_r > 1.959964 THEN 'inc'
+                    WHEN z_r < -1.959964 THEN 'dec'
+                    ELSE 'none' END AS trend
+        FROM z
       """))
   )
 }

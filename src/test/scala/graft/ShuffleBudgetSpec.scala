@@ -369,6 +369,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // ScaleSafePercentiles __pctl_ windows, event_type-partitioned) +
     // the final clip aggregate; the cutoffs broadcast back
     "q195_winsorize" -> 2,
+    // q196: post-checkpoint day-grain relations only — the pair-join
+    // sides + the tie/n_days/s aggs and their 5-row assembly joins
+    // (everything bounded by |event types| × |days|)
+    "q196_trend_test" -> 4,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
