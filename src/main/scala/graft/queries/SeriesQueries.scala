@@ -1636,6 +1636,152 @@ object SeriesQueries {
                     WHEN z_r < -1.959964 THEN 'dec'
                     ELSE 'none' END AS trend
         FROM z
+      """)),
+
+    // ------------------------------------------------------------------
+    // q197: Benjamini-Hochberg FDR-corrected feature screen — the
+    // multiple-testing step q159's raw correlations stop short of:
+    // screening hundreds of candidate features with per-test p < 0.05
+    // ships ~5% junk features by construction; BH controls the FALSE
+    // DISCOVERY RATE instead (reject the largest k with p_(k) ≤ k·q/m).
+    // Per feature: a Welch two-sample z between converters and
+    // non-converters, built entirely from exact integer moment sums
+    // (x are event counts, y ∈ {0,1} — sums, cross-sums, and squares
+    // are all BIGINTs, so the derived doubles are single fixed
+    // expression trees, bit-identical cross-engine); the two-sided p
+    // comes from the Abramowitz–Stegun 26.2.17 normal-tail polynomial
+    // with e0-notation literals (both engines parse those as DOUBLE —
+    // no decimal-literal drift), rounded at 9 before ranking.
+    //
+    // Scale: one user rollup (user-keyed agg), one |features|-bounded
+    // moment aggregate; the BH rank runs over the |features|-row table
+    // and the max-rejected-rank attaches via a one-row crossJoin (the
+    // q37 pattern) — nothing data-sized past the first aggregate.
+    QDef(
+      "q197_fdr_screen",
+      (s, dir) => {
+        val ev = Tables(s, dir).events
+        val bounds = ev.agg(
+          expr("timestampadd(DAY, -14, max(ts))").as("cutoff"))
+        val users = ev.crossJoin(broadcast(bounds))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("ts") < col("cutoff"), 1L).otherwise(0L))
+              .as("n_events"),
+            sum(when(col("ts") < col("cutoff") &&
+              col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_purchases"),
+            countDistinct(when(col("ts") < col("cutoff"),
+              date_trunc("day", col("ts")))).as("days_active"),
+            max(when(col("ts") >= col("cutoff") &&
+              col("event_type") === "purchase" && col("value") > 180.0d,
+              1L).otherwise(0L)).as("y"))
+        val m = users.select(col("y"), expr(
+            """stack(3, 'n_events', n_events, 'n_purchases', n_purchases,
+                        'days_active', days_active)""")
+            .as(Seq("feature", "x")))
+          .groupBy(col("feature"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("n1"),
+            sum(col("x")).as("sx"), sum(col("x") * col("y")).as("s1x"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("x") * col("y")).as("s1xx"))
+        val scored = m.select(col("feature"), col("n"), col("n1"),
+            expr("""round(
+              (cast(s1x as double) / n1
+                 - cast(sx - s1x as double) / (n - n1))
+              / sqrt(
+                  ((cast(s1xx as double)
+                     - cast(s1x as double) * s1x / n1) / (n1 - 1)) / n1
+                + ((cast(sxx - s1xx as double)
+                     - cast(sx - s1x as double) * (sx - s1x) / (n - n1))
+                    / (n - n1 - 1)) / (n - n1)), 9)""").as("z9"))
+          .withColumn("az", abs(col("z9")))
+          .withColumn("tt", expr("1e0 / (1e0 + 0.2316419e0 * az)"))
+          .withColumn("p9", expr(
+            """round(2e0 * (exp(0e0 - az * az / 2e0)
+                 / 2.5066282746310002e0)
+               * (0.319381530e0 * tt
+                  - 0.356563782e0 * tt * tt
+                  + 1.781477937e0 * tt * tt * tt
+                  - 1.821255978e0 * tt * tt * tt * tt
+                  + 1.330274429e0 * tt * tt * tt * tt * tt), 9)"""))
+          // |features| = 3 rows from here on: both windows run over the
+          // FIXED stack of feature literals — bounded by construction,
+          // reviewed into globalWindowBudget (NOT hidden behind a
+          // checkpoint, so the gate sees them)
+          .withColumn("rk", row_number().over(Q.bounded.orderBy(
+            col("p9").asc, col("feature").asc)))
+          .withColumn("k_star", coalesce(max(when(
+            col("p9") * lit(30L) <= col("rk"), col("rk")))
+            .over(Q.bounded), lit(0)))
+        scored
+          .select(col("feature"), col("n"), col("n1"),
+            col("z9").as("z_r"), col("p9").as("p_r"), col("rk"),
+            round(col("rk").cast("double") / lit(30.0d), 9)
+              .as("bh_cutoff_r"),
+            (col("rk") <= col("k_star")).cast("int").as("significant"))
+      },
+      Some("""
+        WITH b AS (SELECT MAX(ts) - INTERVAL 14 DAY AS cutoff FROM events),
+        u AS (SELECT user_id,
+                CAST(SUM(CASE WHEN ts < cutoff THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_events,
+                CAST(SUM(CASE WHEN ts < cutoff AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+                CAST(COUNT(DISTINCT CASE WHEN ts < cutoff
+                         THEN date_trunc('day', ts) END) AS BIGINT)
+                  AS days_active,
+                CAST(MAX(CASE WHEN ts >= cutoff
+                         AND event_type = 'purchase' AND value > 180
+                         THEN 1 ELSE 0 END) AS BIGINT) AS y
+              FROM events, b GROUP BY 1),
+        l AS (SELECT y, f.feature, f.x
+              FROM u, LATERAL (VALUES ('n_events', n_events),
+                                      ('n_purchases', n_purchases),
+                                      ('days_active', days_active))
+                        AS f(feature, x)),
+        m AS (SELECT feature, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(y) AS BIGINT) AS n1,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(x * y) AS BIGINT) AS s1x,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(x * x * y) AS BIGINT) AS s1xx
+              FROM l GROUP BY 1),
+        sc AS (SELECT feature, n, n1,
+                      ROUND(
+                        (CAST(s1x AS DOUBLE) / n1
+                           - CAST(sx - s1x AS DOUBLE) / (n - n1))
+                        / SQRT(
+                            ((CAST(s1xx AS DOUBLE)
+                               - CAST(s1x AS DOUBLE) * s1x / n1)
+                              / (n1 - 1)) / n1
+                          + ((CAST(sxx - s1xx AS DOUBLE)
+                               - CAST(sx - s1x AS DOUBLE) * (sx - s1x)
+                                 / (n - n1))
+                              / (n - n1 - 1)) / (n - n1)), 9) AS z9
+               FROM m),
+        pp AS (SELECT feature, n, n1, z9, abs(z9) AS az,
+                      1e0 / (1e0 + 0.2316419e0 * abs(z9)) AS tt
+               FROM sc),
+        pv AS (SELECT feature, n, n1, z9,
+                      ROUND(2e0 * (EXP(0e0 - az * az / 2e0)
+                          / 2.5066282746310002e0)
+                        * (0.319381530e0 * tt
+                           - 0.356563782e0 * tt * tt
+                           + 1.781477937e0 * tt * tt * tt
+                           - 1.821255978e0 * tt * tt * tt * tt
+                           + 1.330274429e0 * tt * tt * tt * tt * tt), 9)
+                        AS p9
+               FROM pp),
+        rk AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p9 ASC,
+                 feature ASC) AS INTEGER) AS rk FROM pv),
+        ks AS (SELECT COALESCE(MAX(CASE WHEN p9 * 30 <= rk
+                                   THEN rk END), 0) AS k_star FROM rk)
+        SELECT feature, n, n1, z9 AS z_r, p9 AS p_r, rk,
+               ROUND(CAST(rk AS DOUBLE) / 30.0, 9) AS bh_cutoff_r,
+               CAST(CASE WHEN rk <= k_star THEN 1 ELSE 0 END AS INT)
+                 AS significant
+        FROM rk, ks
       """))
   )
 }

@@ -141,7 +141,9 @@ class PlanQualitySpec extends AnyFunSuite {
     "q191_bootstrap_ci",
     // q194's ground-truth side is q26's brute-force shape (10-row
     // anchor broadcast × corpus), the same allowance as q120
-    "q194_adc_recall")
+    "q194_adc_recall",
+    // q197 crossJoins the ONE-row cutoff bounds (q159's allowance)
+    "q197_fdr_screen")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds
@@ -176,7 +178,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "q158_source_concentration" -> 1, "q163_burst_arrivals" -> 1,
     "q171_rrf_hybrid" -> 3, "q181_kaplan_meier" -> 2,
     "q185_adamic_adar" -> 1, "q74_heavy_hitters" -> 1,
-    "q96_skyline" -> 1)
+    "q96_skyline" -> 1,
+    // q197: BH rank + max-rejected-rank over the FIXED 3-feature stack
+    // (|features| literals by construction — can't grow with data)
+    "q197_fdr_screen" -> 2)
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

@@ -373,6 +373,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // sides + the tie/n_days/s aggs and their 5-row assembly joins
     // (everything bounded by |event types| × |days|)
     "q196_trend_test" -> 4,
+    // q197: user rollup + distinct-day expand + the 3-row feature
+    // moment agg + the two bounded-window exchanges (|features| rows)
+    "q197_fdr_screen" -> 5,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
