@@ -1794,6 +1794,98 @@ object SimilarityQueries {
                ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 3.0, 6)
                  AS recall_r
         FROM q LEFT JOIN hits h ON h.qid = q.qid
+      """)),
+
+    // ------------------------------------------------------------------
+    // q198: margin-based bitext mining — the parallel-corpus miner
+    // (Artetxe & Schwenk 2019, the CCMatrix/LASER recipe): treat labels
+    // as languages and find CROSS-label pairs that are MUTUAL nearest
+    // neighbors, scored by the margin cos(a,b) / mean(top-3 cos of
+    // either side) — absolute cosine alone over-selects hub vectors;
+    // the margin normalizes by each side's neighborhood density.
+    //
+    // Scale shape is q59's: candidates only within an IVF cell (the
+    // cell is the shuffle key — corpus × corpus never materializes;
+    // 1-probe assignment trades a little mutual-NN recall for the
+    // bounded blast radius, and production raises k so cells stay
+    // small). Cosines round at 9 before ranking (dst-id tiebreak);
+    // mutuality is an equi-join of the top-1 relation with itself;
+    // margins re-round at 6 on output.
+    QDef(
+      "q198_bitext_mining",
+      (s, dir) => {
+        val e = vectors(s, dir)
+        val assign = ivfAssign(e, 16)
+          .join(e.select(col("vec_id"), col("label")), "vec_id")
+          .localCheckpoint() // feeds both sides of the cell join
+        val a = assign.alias("a")
+        val b = assign.alias("b")
+        val scored = a.join(b,
+            col("a.cell") === col("b.cell") &&
+            col("a.label") =!= col("b.label"))
+          .select(col("a.vec_id").as("src"), col("a.label").as("slabel"),
+            col("b.vec_id").as("dst"), col("b.label").as("dlabel"),
+            expr("round(dot_product(a.v, b.v), 9)").as("cos9"))
+          .localCheckpoint() // feeds the top-1 AND the top-3 mean
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("cos9").desc, col("dst").asc)
+        val rk = scored.withColumn("rk", row_number().over(w))
+        val top1 = rk.where(col("rk") === 1)
+          .select(col("src"), col("slabel"), col("dst"), col("cos9"))
+        val top3m = rk.where(col("rk") <= 3)
+          .groupBy(col("src")).agg(round(avg(col("cos9")), 9).as("m3"))
+        top1.alias("x").join(top1.alias("y"),
+            col("x.src") === col("y.dst") && col("x.dst") === col("y.src")
+              && col("x.src") < col("x.dst"))
+          .select(col("x.src").as("id_a"), col("x.slabel").as("label_a"),
+            col("x.dst").as("id_b"), col("y.slabel").as("label_b"),
+            col("x.cos9").as("cos9"))
+          .join(top3m.select(col("src").as("id_a"), col("m3").as("ma")),
+            "id_a")
+          .join(top3m.select(col("src").as("id_b"), col("m3").as("mb")),
+            "id_b")
+          .select(col("id_a"), col("label_a"), col("id_b"),
+            col("label_b"), round(col("cos9"), 6).as("cos_r"),
+            round(col("cos9") * lit(2.0d) / (col("ma") + col("mb")), 6)
+              .as("margin_r"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+        sims AS (SELECT e.vec_id, e.label, c.cent_id, e.v,
+                   list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i])) AS sim
+                 FROM e, cents c),
+        assign AS (SELECT vec_id, label, cell, v FROM (
+                     SELECT vec_id, label, cent_id AS cell, v,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY sim DESC, cent_id ASC) AS rn
+                     FROM sims) t WHERE rn = 1),
+        scored AS (SELECT a.vec_id AS src, a.label AS slabel,
+                          b.vec_id AS dst, b.label AS dlabel,
+                          ROUND(list_sum(list_transform(range(1, 65),
+                            i -> a.v[i] * b.v[i])), 9) AS cos9
+                   FROM assign a JOIN assign b
+                     ON a.cell = b.cell AND a.label <> b.label),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY cos9 DESC, dst ASC) AS rk FROM scored),
+        top1 AS (SELECT src, slabel, dst, cos9 FROM rk WHERE rk = 1),
+        top3m AS (SELECT src, ROUND(AVG(cos9), 9) AS m3
+                  FROM rk WHERE rk <= 3 GROUP BY 1),
+        mutual AS (SELECT x.src AS id_a, x.slabel AS label_a,
+                          x.dst AS id_b, y.slabel AS label_b,
+                          x.cos9 AS cos9
+                   FROM top1 x JOIN top1 y
+                     ON x.src = y.dst AND x.dst = y.src
+                        AND x.src < x.dst)
+        SELECT id_a, label_a, id_b, label_b,
+               ROUND(cos9, 6) AS cos_r,
+               ROUND(cos9 * 2.0 / (ma.m3 + mb.m3), 6) AS margin_r
+        FROM mutual
+        JOIN top3m ma ON ma.src = id_a
+        JOIN top3m mb ON mb.src = id_b
       """))
   )
 }

@@ -376,6 +376,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q197: user rollup + distinct-day expand + the 3-row feature
     // moment agg + the two bounded-window exchanges (|features| rows)
     "q197_fdr_screen" -> 5,
+    // q198: post-checkpoint per-src rank window + top-3 agg + the
+    // mutual top1×top1 equi-join and two margin joins (top-1/top-3
+    // relations are one-row-per-vector, never pair-sized)
+    "q198_bitext_mining" -> 6,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
