@@ -533,6 +533,88 @@ object GraphQueries {
                   (ORDER BY score DESC, x ASC, y ASC) AS rk FROM ne)
         SELECT CAST(rk AS INTEGER) AS rk, x, y, n_common, score
         FROM top WHERE rk <= 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // q199: HITS hubs & authorities on the customer→supplier bipartite
+    // purchase graph — PageRank's (q101) directed sibling: suppliers
+    // bought by well-connected customers are AUTHORITIES, customers
+    // buying from authoritative suppliers are HUBS (Kleinberg 1999).
+    // Two full update rounds, UNNORMALIZED: with a₀ = 1 every score is
+    // an exact integer sum-of-sums (a₁ = indegree, h₁ = Σ a₁,
+    // a₂ = Σ h₁, h₂ = Σ a₂) — no per-iteration L2 normalization means
+    // NO global float sum anywhere, so there is nothing to round until
+    // the output's score/max ratio (max of longs is order-free). The
+    // classical normalized ranking is identical — normalization is a
+    // positive scalar per iteration and every score is positive.
+    //
+    // Scale: each round is one edge-keyed join + one keyed agg (q101's
+    // exact shape); top-10s via sort+limit, rank over survivors.
+    QDef(
+      "q199_hits",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val edges = t.orders
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+            col("l_suppkey")), "o_orderkey")
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .distinct()
+          .localCheckpoint() // feeds all four propagation rounds
+        val a1 = edges.groupBy(col("p")).agg(count(lit(1)).as("a1"))
+        val h1 = edges.join(a1, "p")
+          .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
+        val a2 = edges.join(h1, "c")
+          .groupBy(col("p")).agg(sum(col("h1")).as("a2"))
+          .localCheckpoint() // top-10 + max + the h2 round
+        val h2 = edges.join(a2, "p")
+          .groupBy(col("c")).agg(sum(col("a2")).as("h2"))
+          .localCheckpoint() // top-10 + max
+        def top(df: org.apache.spark.sql.DataFrame, idCol: String,
+            scoreCol: String, side: String) = {
+          val mx = df.agg(max(col(scoreCol)).as("mx"))
+          df.orderBy(col(scoreCol).desc, col(idCol).asc).limit(10)
+            .withColumn("rk", row_number().over(Q.bounded.orderBy(
+              col(scoreCol).desc, col(idCol).asc)))
+            .crossJoin(broadcast(mx))
+            .select(lit(side).as("side"), col("rk"),
+              col(idCol).as("node_id"), col(scoreCol).as("score"),
+              round(col(scoreCol).cast("double") / col("mx"), 6)
+                .as("norm_r"))
+        }
+        top(a2, "p", "a2", "authority")
+          .unionByName(top(h2, "c", "h2", "hub"))
+      },
+      Some("""
+        WITH edges AS (SELECT DISTINCT o.o_custkey AS c,
+                                      l.l_suppkey AS p
+                       FROM orders o
+                       JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS a1
+               FROM edges GROUP BY 1),
+        h1 AS (SELECT c, CAST(SUM(a1) AS BIGINT) AS h1
+               FROM edges JOIN a1 USING (p) GROUP BY 1),
+        a2 AS (SELECT p, CAST(SUM(h1) AS BIGINT) AS a2
+               FROM edges JOIN h1 USING (c) GROUP BY 1),
+        h2 AS (SELECT c, CAST(SUM(a2) AS BIGINT) AS h2
+               FROM edges JOIN a2 USING (p) GROUP BY 1),
+        ta AS (SELECT 'authority' AS side,
+                      CAST(ROW_NUMBER() OVER (ORDER BY a2 DESC, p ASC)
+                           AS INTEGER) AS rk,
+                      p AS node_id, a2 AS score,
+                      ROUND(CAST(a2 AS DOUBLE)
+                            / (SELECT MAX(a2) FROM a2), 6) AS norm_r
+               FROM a2),
+        th AS (SELECT 'hub' AS side,
+                      CAST(ROW_NUMBER() OVER (ORDER BY h2 DESC, c ASC)
+                           AS INTEGER) AS rk,
+                      c AS node_id, h2 AS score,
+                      ROUND(CAST(h2 AS DOUBLE)
+                            / (SELECT MAX(h2) FROM h2), 6) AS norm_r
+               FROM h2)
+        SELECT * FROM ta WHERE rk <= 10
+        UNION ALL
+        SELECT * FROM th WHERE rk <= 10
       """))
   )
 }

@@ -143,7 +143,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // anchor broadcast × corpus), the same allowance as q120
     "q194_adc_recall",
     // q197 crossJoins the ONE-row cutoff bounds (q159's allowance)
-    "q197_fdr_screen")
+    "q197_fdr_screen",
+    // q199 crossJoins the ONE-row max-score aggregates into the two
+    // 10-row survivor lists (q37 pattern)
+    "q199_hits")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds
@@ -181,7 +184,9 @@ class PlanQualitySpec extends AnyFunSuite {
     "q96_skyline" -> 1,
     // q197: BH rank + max-rejected-rank over the FIXED 3-feature stack
     // (|features| literals by construction — can't grow with data)
-    "q197_fdr_screen" -> 2)
+    "q197_fdr_screen" -> 2,
+    // q199: two survivor ranks over ≤10 rows each (post sort+limit)
+    "q199_hits" -> 2)
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

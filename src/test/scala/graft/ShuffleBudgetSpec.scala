@@ -380,6 +380,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // mutual top1×top1 equi-join and two margin joins (top-1/top-3
     // relations are one-row-per-vector, never pair-sized)
     "q198_bitext_mining" -> 6,
+    // q199: the two visible top-10 survivor exchanges — all four
+    // propagation rounds hide behind the a2/h2 checkpoints (each is
+    // one edge-keyed join + keyed agg, q101's shape)
+    "q199_hits" -> 2,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
