@@ -1473,6 +1473,86 @@ object PipelineQueries {
                ROUND(CAST(SUM(flagged * (1 - exact)) AS DOUBLE)
                  / NULLIF(COUNT(*) - SUM(exact), 0), 6) AS fp_rate
         FROM per GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q200: corpus health dashboard — the one-page per-source report a
+    // curation team actually reviews between pipeline runs, built as a
+    // SINGLE DAG over one documents scan: exact-dup exposure (q22's
+    // fingerprint rule), funnel pass rate (q52's thresholds — the
+    // SHARED minTokens/minStopRatio definitions, so tuning can't fork
+    // the dashboard from the funnel), split shares (q51's hash rule),
+    // and token mass. Every rate is docs-counted exact integers over
+    // exact integers, rounded at 6 on output.
+    //
+    // Scale: one scan-side feature map + ONE fp-keyed dup aggregation
+    // joined back on the fingerprint (both shuffles keyed, no window,
+    // no self-join) + a |sources|-row rollup. The dashboard costs one
+    // pass over the corpus regardless of its size.
+    QDef(
+      "q200_corpus_health",
+      (s, dir) => {
+        val feats = Tables(s, dir).documents
+          .select(col("doc_id"), col("source"),
+            Q.fingerprint(col("text")).as("fp"),
+            expr(W).as("ws"))
+          .select(col("doc_id"), col("source"), col("fp"),
+            expr("cast(size(ws) as bigint)").as("n_tokens"),
+            expr(stopRatioExprSpark).as("stop_ratio"),
+            expr(splitExprSpark).as("split"))
+          .localCheckpoint() // feeds the dup agg AND the rollup
+        val dups = feats.groupBy(col("fp"))
+          .agg(count(lit(1)).as("fpc"))
+        feats.join(dups, "fp")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(when(col("fpc") > 1, 1L).otherwise(0L)).as("dup_docs"),
+            sum(when(col("n_tokens") >= minTokens &&
+              col("stop_ratio") >= minStopRatio, 1L).otherwise(0L))
+              .as("pass_docs"),
+            sum(when(col("split") === "train", 1L).otherwise(0L))
+              .as("train_docs"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("dup_docs"),
+            round(col("dup_docs").cast("double") / col("n_docs"), 6)
+              .as("dup_rate_r"),
+            round(col("pass_docs").cast("double") / col("n_docs"), 6)
+              .as("pass_rate_r"),
+            round(col("train_docs").cast("double") / col("n_docs"), 6)
+              .as("train_share_r"),
+            round(col("n_tokens").cast("double") / col("n_docs"), 6)
+              .as("mean_tokens_r"))
+      },
+      Some(s"""
+        WITH f AS (SELECT doc_id, source, ${Q.fingerprintDuck} AS fp,
+                          $WDuck AS ws
+                   FROM documents),
+        feats AS (SELECT doc_id, source, fp,
+                         CAST(len(ws) AS BIGINT) AS n_tokens,
+                         len(list_filter(ws, x -> x = 'the' OR x = 'a'))
+                           / nullif(len(ws), 0) AS stop_ratio,
+                         $splitExprDuck AS split
+                  FROM f),
+        dups AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS fpc
+                 FROM feats GROUP BY 1)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN fpc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_docs,
+               ROUND(CAST(SUM(CASE WHEN fpc > 1 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / COUNT(*), 6) AS dup_rate_r,
+               ROUND(CAST(SUM(CASE WHEN n_tokens >= $minTokens
+                          AND stop_ratio >= $minStopRatio
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                 AS pass_rate_r,
+               ROUND(CAST(SUM(CASE WHEN split = 'train'
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                 AS train_share_r,
+               ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6)
+                 AS mean_tokens_r
+        FROM feats JOIN dups USING (fp)
+        GROUP BY 1
       """))
   )
 }

@@ -384,6 +384,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // propagation rounds hide behind the a2/h2 checkpoints (each is
     // one edge-keyed join + keyed agg, q101's shape)
     "q199_hits" -> 2,
+    // q200: post-checkpoint fp-keyed dup agg (+ its join back) and
+    // the |sources|-row rollup — one corpus pass total
+    "q200_corpus_health" -> 2,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
