@@ -213,7 +213,7 @@ object GraphQueries {
       },
       Some(s"""
         WITH $coEdgesDuck,
-        sym AS (SELECT x AS src, y AS dst FROM edges
+        sym AS MATERIALIZED (SELECT x AS src, y AS dst FROM edges
                 UNION ALL SELECT y, x FROM edges),
         deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d
                 FROM sym GROUP BY 1),
@@ -281,7 +281,7 @@ object GraphQueries {
       },
       Some(s"""
         WITH RECURSIVE $coEdgesDuck,
-        sym AS (SELECT x AS src, y AS dst FROM edges
+        sym AS MATERIALIZED (SELECT x AS src, y AS dst FROM edges
                 UNION ALL SELECT y, x FROM edges),
         bfs AS (
           SELECT v, 0 AS d
@@ -330,14 +330,14 @@ object GraphQueries {
       },
       Some(s"""
         WITH $coEdgesDuck,
-        sym AS (SELECT x AS src, y AS dst FROM edges
+        sym AS MATERIALIZED (SELECT x AS src, y AS dst FROM edges
                 UNION ALL SELECT y, x FROM edges),
-        l0 AS (SELECT v, v AS m
+        l0 AS MATERIALIZED (SELECT v, v AS m
                FROM (SELECT DISTINCT src AS v FROM sym) n),
-        l1 AS (SELECT v, MIN(m) AS m FROM (
+        l1 AS MATERIALIZED (SELECT v, MIN(m) AS m FROM (
                  SELECT s.dst AS v, l.m FROM sym s JOIN l0 l ON l.v = s.src
                  UNION ALL SELECT v, m FROM l0) u GROUP BY v),
-        l2 AS (SELECT v, MIN(m) AS m FROM (
+        l2 AS MATERIALIZED (SELECT v, MIN(m) AS m FROM (
                  SELECT s.dst AS v, l.m FROM sym s JOIN l1 l ON l.v = s.src
                  UNION ALL SELECT v, m FROM l1) u GROUP BY v),
         l3 AS (SELECT v, MIN(m) AS m FROM (
@@ -441,18 +441,18 @@ object GraphQueries {
         WITH $coEdgesDuck,
         d1 AS (SELECT v, COUNT(*) AS d FROM (SELECT x AS v FROM edges
                  UNION ALL SELECT y FROM edges) u GROUP BY 1),
-        s1 AS (SELECT v FROM d1 WHERE d >= 6),
-        e1 AS (SELECT x, y FROM edges
+        s1 AS MATERIALIZED (SELECT v FROM d1 WHERE d >= 6),
+        e1 AS MATERIALIZED (SELECT x, y FROM edges
                WHERE x IN (SELECT v FROM s1) AND y IN (SELECT v FROM s1)),
         d2 AS (SELECT v, COUNT(*) AS d FROM (SELECT x AS v FROM e1
                  UNION ALL SELECT y FROM e1) u GROUP BY 1),
-        s2 AS (SELECT v FROM d2 WHERE d >= 6),
-        e2 AS (SELECT x, y FROM e1
+        s2 AS MATERIALIZED (SELECT v FROM d2 WHERE d >= 6),
+        e2 AS MATERIALIZED (SELECT x, y FROM e1
                WHERE x IN (SELECT v FROM s2) AND y IN (SELECT v FROM s2)),
         d3 AS (SELECT v, COUNT(*) AS d FROM (SELECT x AS v FROM e2
                  UNION ALL SELECT y FROM e2) u GROUP BY 1),
-        s3 AS (SELECT v FROM d3 WHERE d >= 6),
-        e3 AS (SELECT x, y FROM e2
+        s3 AS MATERIALIZED (SELECT v FROM d3 WHERE d >= 6),
+        e3 AS MATERIALIZED (SELECT x, y FROM e2
                WHERE x IN (SELECT v FROM s3) AND y IN (SELECT v FROM s3))
         SELECT 0 AS round,
                CAST((SELECT COUNT(DISTINCT v) FROM d1) AS BIGINT) AS n_nodes,
@@ -515,7 +515,7 @@ object GraphQueries {
       },
       Some(s"""
         WITH $coEdgesDuck,
-        sym AS (SELECT x AS c, y AS nb FROM edges
+        sym AS MATERIALIZED (SELECT x AS c, y AS nb FROM edges
                 UNION ALL SELECT y, x FROM edges),
         deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d
                 FROM sym GROUP BY 1),
@@ -615,6 +615,135 @@ object GraphQueries {
         SELECT * FROM ta WHERE rk <= 10
         UNION ALL
         SELECT * FROM th WHERE rk <= 10
+      """)),
+
+    // ------------------------------------------------------------------
+    // q205: synchronous label propagation communities (Raghavan 2007),
+    // exactly two rounds, over the same co-purchase graph. Every vertex
+    // starts labeled with its own id; each round it adopts the MOST
+    // FREQUENT label among its neighbors, ties broken toward the
+    // smallest label — the deterministic-synchronous variant (classic
+    // LPA's random vertex order would not be reproducible across
+    // engines). Distinct from q54/q142's connected components: min-label
+    // propagation converges to components, frequency-based propagation
+    // finds DENSE regions inside a component. Output: the 20 largest
+    // communities after round two.
+    //
+    // Scale: each round is one edge-keyed join + a per-VERTEX window
+    // (partitioned by vertex id — millions of small partitions, never
+    // global). Top-20 via sort+limit; rank over the 20 survivors.
+    QDef(
+      "q205_label_prop",
+      (s, dir) => {
+        val edges = coEdges(s, dir)
+        val sym = edges.select(col("x").as("c"), col("y").as("nb"))
+          .unionByName(edges.select(col("y").as("c"), col("x").as("nb")))
+          .localCheckpoint() // feeds both propagation rounds
+        val l0 = sym.select(col("c").as("v")).distinct()
+          .select(col("v"), col("v").as("lbl"))
+        def prop(l: org.apache.spark.sql.DataFrame) = {
+          val byCnt = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("c"))
+            .orderBy(col("cnt").desc, col("lbl").asc)
+          sym.join(l.withColumnRenamed("v", "nb"), "nb")
+            .groupBy(col("c"), col("lbl"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rn", row_number().over(byCnt))
+            .where(col("rn") === 1)
+            .select(col("c").as("v"), col("lbl"))
+            .localCheckpoint() // cut lineage between supersteps
+        }
+        val l2 = prop(prop(l0))
+        l2.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+          .orderBy(col("sz").desc, col("lbl").asc)
+          .limit(20)
+          .withColumn("rk", row_number().over(Q.bounded.orderBy(
+            col("sz").desc, col("lbl").asc)).cast("int"))
+          .select(col("rk"), col("lbl"), col("sz"))
+      },
+      Some(s"""
+        WITH $coEdgesDuck,
+        sym AS MATERIALIZED (SELECT x AS c, y AS nb FROM edges
+                UNION ALL SELECT y, x FROM edges),
+        l0 AS MATERIALIZED (SELECT DISTINCT c AS v, c AS lbl FROM sym),
+        n1 AS MATERIALIZED (SELECT s.c, l.lbl, COUNT(*) AS cnt
+               FROM sym s JOIN l0 l ON l.v = s.nb GROUP BY 1, 2),
+        l1 AS MATERIALIZED (SELECT c AS v, lbl FROM (
+                 SELECT c, lbl, ROW_NUMBER() OVER
+                   (PARTITION BY c ORDER BY cnt DESC, lbl ASC) AS rn
+                 FROM n1) WHERE rn = 1),
+        n2 AS MATERIALIZED (SELECT s.c, l.lbl, COUNT(*) AS cnt
+               FROM sym s JOIN l1 l ON l.v = s.nb GROUP BY 1, 2),
+        l2 AS MATERIALIZED (SELECT c AS v, lbl FROM (
+                 SELECT c, lbl, ROW_NUMBER() OVER
+                   (PARTITION BY c ORDER BY cnt DESC, lbl ASC) AS rn
+                 FROM n2) WHERE rn = 1),
+        cs AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz
+               FROM l2 GROUP BY 1),
+        top AS (SELECT *, ROW_NUMBER() OVER
+                  (ORDER BY sz DESC, lbl ASC) AS rk FROM cs)
+        SELECT CAST(rk AS INTEGER) AS rk, lbl, sz
+        FROM top WHERE rk <= 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // q206: degree assortativity (Newman 2002) of the co-purchase
+    // graph — the Pearson correlation of endpoint degrees across
+    // edges. r > 0 means hubs link to hubs (social-network shape),
+    // r < 0 means hubs link to leaves (technological/star shape);
+    // it's the one-number summary that decides whether q183-style
+    // skew salting will be needed on neighborhood joins. Over the
+    // symmetrized edge list the formula collapses to
+    //   r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²)
+    // with j,k the endpoint degrees — ALL-INTEGER sums (degrees are
+    // counts), so the only float op is the final division, rounded
+    // at 6. Two keyed joins tag each edge with its endpoint degrees;
+    // one all-reduce forms the sums. No windows, no global sorts.
+    QDef(
+      "q206_assortativity",
+      (s, dir) => {
+        val edges = coEdges(s, dir)
+        val sym = edges.select(col("x").as("c"), col("y").as("nb"))
+          .unionByName(edges.select(col("y").as("c"), col("x").as("nb")))
+          .localCheckpoint() // feeds degrees AND the tagged-edge pass
+        val deg = sym.groupBy(col("c")).agg(count(lit(1)).as("d"))
+        val tagged = sym
+          .join(deg.select(col("c"), col("d").as("j")), "c")
+          .join(deg.select(col("c").as("nb"), col("d").as("k")), "nb")
+        tagged.agg(
+            count(lit(1)).as("m2"),
+            sum(col("j") * col("k")).as("sjk"),
+            sum(col("j")).as("sj"),
+            sum(col("j") * col("j")).as("sjj"))
+          .select(
+            (col("m2") / lit(2)).cast("bigint").as("n_edges"),
+            round(col("sj").cast("double") / col("m2"), 6)
+              .as("mean_edge_deg_r"),
+            round((col("m2") * col("sjk") - col("sj") * col("sj"))
+              .cast("double")
+              / (col("m2") * col("sjj") - col("sj") * col("sj"))
+                .cast("double"), 6).as("assortativity_r"))
+      },
+      Some(s"""
+        WITH $coEdgesDuck,
+        sym AS MATERIALIZED (SELECT x AS c, y AS nb FROM edges
+                UNION ALL SELECT y, x FROM edges),
+        deg AS MATERIALIZED (SELECT c, CAST(COUNT(*) AS BIGINT) AS d
+               FROM sym GROUP BY 1),
+        tagged AS (SELECT dj.d AS j, dk.d AS k
+                   FROM sym JOIN deg dj ON dj.c = sym.c
+                            JOIN deg dk ON dk.c = sym.nb),
+        sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+                        CAST(SUM(j * k) AS BIGINT) AS sjk,
+                        CAST(SUM(j) AS BIGINT) AS sj,
+                        CAST(SUM(j * j) AS BIGINT) AS sjj
+                 FROM tagged)
+        SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+               ROUND(CAST(sj AS DOUBLE) / m2, 6) AS mean_edge_deg_r,
+               ROUND(CAST(m2 * sjk - sj * sj AS DOUBLE)
+                     / CAST(m2 * sjj - sj * sj AS DOUBLE), 6)
+                 AS assortativity_r
+        FROM sums
       """))
   )
 }

@@ -1553,6 +1553,267 @@ object PipelineQueries {
                  AS mean_tokens_r
         FROM feats JOIN dups USING (fp)
         GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q201: a TRAINED quality classifier — full-batch logistic
+    // regression fit by exactly three gradient-descent supersteps,
+    // entirely inside the engine. The existing quality scorers (q20,
+    // q57) apply FIXED thresholds; real pipeline classifiers
+    // (fastText-style quality filters) are fit to labels. Here the
+    // label is lang='en' and the features are the repo's stock text
+    // signals (token count, stopword ratio, type-token ratio), so the
+    // model learns the lexical signature of the majority language —
+    // the mechanism, not the application, is the point.
+    //
+    // Distributed-GD shape: the model (4 doubles) rides a one-row
+    // broadcast crossJoin onto the feature relation; each superstep is
+    // ONE narrow map + ONE all-reduce average (Spark's partial
+    // aggregation = the map-side gradient combine), so data never
+    // moves and the shuffle is 4 doubles per partition — the textbook
+    // data-parallel training loop. localCheckpoint between supersteps
+    // cuts lineage (the q101/q199 discipline).
+    //
+    // Determinism: z is rounded at 6 BEFORE exp (canonicalizing the
+    // one input whose last-ulp could differ), the sigmoid at 9, the
+    // averaged gradients at 9 (summation-order slack ~1e-13), weights
+    // at 7 after each update — so both engines walk the identical
+    // quantized trajectory. Weights start at 0 ⇒ iter-1 loss is
+    // exactly ln 2. Each row reports the loss AT ENTRY to the
+    // superstep and the weights AFTER its update.
+    QDef(
+      "q201_logreg_quality",
+      (s, dir) => {
+        val feats = Tables(s, dir).documents
+          .select(col("lang"), expr(W).as("ws"))
+          .select(
+            expr("case when lang = 'en' then 1.0d else 0.0d end").as("y"),
+            expr("cast(size(ws) as double) / 100.0d").as("x1"),
+            expr("""coalesce(round(
+                cast(size(filter(ws, t -> t = 'the' or t = 'a')) as double)
+                / cast(nullif(size(ws), 0) as double), 6), 0.0d)""").as("x2"),
+            expr("""coalesce(round(
+                cast(size(array_distinct(ws)) as double)
+                / cast(nullif(size(ws), 0) as double), 6), 0.0d)""").as("x3"))
+          .localCheckpoint() // feeds all three supersteps
+        def step(w: org.apache.spark.sql.DataFrame, it: Int) =
+          feats.crossJoin(broadcast(w))
+            .withColumn("z", round(col("b") + col("w1") * col("x1")
+              + col("w2") * col("x2") + col("w3") * col("x3"), 6))
+            .withColumn("p",
+              round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9))
+            .agg(
+              max(col("b")).as("b0"), max(col("w1")).as("w1o"),
+              max(col("w2")).as("w2o"), max(col("w3")).as("w3o"),
+              round(avg(-(col("y") * log(col("p"))
+                + (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))), 6)
+                .as("loss_r"),
+              round(avg(col("p") - col("y")), 9).as("g0"),
+              round(avg((col("p") - col("y")) * col("x1")), 9).as("g1"),
+              round(avg((col("p") - col("y")) * col("x2")), 9).as("g2"),
+              round(avg((col("p") - col("y")) * col("x3")), 9).as("g3"))
+            .select(lit(it).cast("int").as("iter"), col("loss_r"),
+              round(col("b0") - col("g0"), 7).as("b"),
+              round(col("w1o") - col("g1"), 7).as("w1"),
+              round(col("w2o") - col("g2"), 7).as("w2"),
+              round(col("w3o") - col("g3"), 7).as("w3"))
+            .localCheckpoint() // superstep barrier: 1 row
+        val w0 = s.range(1).select(
+          lit(0.0).as("b"), lit(0.0).as("w1"),
+          lit(0.0).as("w2"), lit(0.0).as("w3"))
+        val r1 = step(w0, 1)
+        val r2 = step(r1.select(col("b"), col("w1"), col("w2"), col("w3")), 2)
+        val r3 = step(r2.select(col("b"), col("w1"), col("w2"), col("w3")), 3)
+        r1.unionByName(r2).unionByName(r3)
+          .select(col("iter"), col("loss_r"),
+            col("b"), col("w1"), col("w2"), col("w3"))
+          .orderBy(col("iter"))
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS y,
+                 CAST(len(ws) AS DOUBLE) / 100.0 AS x1,
+                 COALESCE(ROUND(
+                   CAST(len(list_filter(ws, t -> t = 'the' OR t = 'a'))
+                        AS DOUBLE)
+                   / CAST(nullif(len(ws), 0) AS DOUBLE), 6), 0.0) AS x2,
+                 COALESCE(ROUND(
+                   CAST(len(list_distinct(ws)) AS DOUBLE)
+                   / CAST(nullif(len(ws), 0) AS DOUBLE), 6), 0.0) AS x3
+          FROM (SELECT lang, $WDuck AS ws FROM documents) t0),
+        i1 AS (SELECT ROUND(AVG(-(y*LN(p) + (1.0-y)*LN(1.0-p))), 6)
+                        AS loss_r,
+                      ROUND(AVG(p - y), 9) AS g0,
+                      ROUND(AVG((p - y)*x1), 9) AS g1,
+                      ROUND(AVG((p - y)*x2), 9) AS g2,
+                      ROUND(AVG((p - y)*x3), 9) AS g3
+               FROM (SELECT y, x1, x2, x3,
+                            ROUND(1.0/(1.0 + EXP(-ROUND(
+                              0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3, 6))), 9) AS p
+                     FROM f) t),
+        w1 AS (SELECT loss_r, ROUND(0.0 - g0, 7) AS b,
+                      ROUND(0.0 - g1, 7) AS w1, ROUND(0.0 - g2, 7) AS w2,
+                      ROUND(0.0 - g3, 7) AS w3 FROM i1),
+        i2 AS (SELECT MAX(b) AS b0, MAX(w1) AS w1o, MAX(w2) AS w2o,
+                      MAX(w3) AS w3o,
+                      ROUND(AVG(-(y*LN(p) + (1.0-y)*LN(1.0-p))), 6)
+                        AS loss_r,
+                      ROUND(AVG(p - y), 9) AS g0,
+                      ROUND(AVG((p - y)*x1), 9) AS g1,
+                      ROUND(AVG((p - y)*x2), 9) AS g2,
+                      ROUND(AVG((p - y)*x3), 9) AS g3
+               FROM (SELECT f.y, f.x1, f.x2, f.x3,
+                            w.b, w.w1, w.w2, w.w3,
+                            ROUND(1.0/(1.0 + EXP(-ROUND(
+                              w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3,
+                              6))), 9) AS p
+                     FROM f, w1 w) t),
+        w2 AS (SELECT loss_r, ROUND(b0 - g0, 7) AS b,
+                      ROUND(w1o - g1, 7) AS w1, ROUND(w2o - g2, 7) AS w2,
+                      ROUND(w3o - g3, 7) AS w3 FROM i2),
+        i3 AS (SELECT MAX(b) AS b0, MAX(w1) AS w1o, MAX(w2) AS w2o,
+                      MAX(w3) AS w3o,
+                      ROUND(AVG(-(y*LN(p) + (1.0-y)*LN(1.0-p))), 6)
+                        AS loss_r,
+                      ROUND(AVG(p - y), 9) AS g0,
+                      ROUND(AVG((p - y)*x1), 9) AS g1,
+                      ROUND(AVG((p - y)*x2), 9) AS g2,
+                      ROUND(AVG((p - y)*x3), 9) AS g3
+               FROM (SELECT f.y, f.x1, f.x2, f.x3,
+                            w.b, w.w1, w.w2, w.w3,
+                            ROUND(1.0/(1.0 + EXP(-ROUND(
+                              w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3,
+                              6))), 9) AS p
+                     FROM f, w2 w) t),
+        w3c AS (SELECT loss_r, ROUND(b0 - g0, 7) AS b,
+                       ROUND(w1o - g1, 7) AS w1, ROUND(w2o - g2, 7) AS w2,
+                       ROUND(w3o - g3, 7) AS w3 FROM i3)
+        SELECT CAST(1 AS INTEGER) AS iter, loss_r, b, w1, w2, w3 FROM w1
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), loss_r, b, w1, w2, w3 FROM w2
+        UNION ALL
+        SELECT CAST(3 AS INTEGER), loss_r, b, w1, w2, w3 FROM w3c
+        ORDER BY iter
+      """)),
+
+    // ------------------------------------------------------------------
+    // q207: differentially-private corpus statistics — per-source doc
+    // counts released through the Laplace mechanism (ε = 1, count
+    // sensitivity 1): released = n + round(Lap(1/ε)), with the Laplace
+    // draw inverted from a SEED-FREE md5 uniform per source (the
+    // q51/q81 reproducibility idiom: u = (md5_24bit('dp|'||source) +
+    // 0.5) / 2^24, noise = −sign(u−½)·ln(1−2|u−½|)/ε). Publishing
+    // corpus composition without exposing exact counts is a standard
+    // requirement when training-data reports leave the trust boundary;
+    // the true count and absolute error columns here are the AUDIT
+    // view (they stay inside), not part of the release.
+    //
+    // Determinism: the uniform is exact rational arithmetic, ln is
+    // correctly-rounded in both engines and the draw is rounded at 6
+    // BEFORE the integer round, so any last-ulp slack sits 6 digits
+    // away from the rounding boundary. Scale: one keyed count over the
+    // corpus, then |sources| rows of scalar math.
+    QDef(
+      "q207_dp_counts",
+      (s, dir) => {
+        val noise =
+          """round(
+               -signum(u - 0.5d)
+                * ln(1.0d - 2.0d * abs(u - 0.5d)), 6)"""
+        Tables(s, dir).documents
+          .groupBy(col("source")).agg(count(lit(1)).as("n_true"))
+          .withColumn("u", expr(
+            """(cast(conv(substring(md5(cast(concat('dp|', source)
+                 as binary)), 1, 6), 16, 10) as bigint) + 0.5d)
+               / 16777216.0d"""))
+          .withColumn("noise_r", expr(noise))
+          .select(col("source"), col("n_true"),
+            (col("n_true") + round(col("noise_r")).cast("bigint"))
+              .as("released"),
+            abs(round(col("noise_r")).cast("bigint")).as("abs_err"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_true
+                   FROM documents GROUP BY 1),
+        u AS (SELECT source, n_true,
+                     (('0x' || substring(md5('dp|' || source), 1, 6))::BIGINT
+                      + 0.5) / 16777216.0 AS u
+              FROM c),
+        nz AS (SELECT source, n_true,
+                      ROUND(-SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5)),
+                            6) AS noise_r
+               FROM u)
+        SELECT source, n_true,
+               CAST(n_true + CAST(ROUND(noise_r) AS BIGINT) AS BIGINT)
+                 AS released,
+               ABS(CAST(ROUND(noise_r) AS BIGINT)) AS abs_err
+        FROM nz ORDER BY source
+      """)),
+
+    // ------------------------------------------------------------------
+    // q208: Horvitz-Thompson estimation from a Poisson sample — the
+    // audit that justifies running expensive per-doc analyses (quality
+    // model scoring, dedup candidate stats) on a SAMPLE at 100 TB:
+    // size-proportional inclusion π_i = min(1, n_chars/2000), include
+    // doc i iff its seed-free md5 uniform u_i < π_i, and estimate
+    // corpus totals as Σ_{i∈S} x_i/π_i. The estimator is unbiased by
+    // construction; the output places the estimates next to the exact
+    // totals (computable at this SF) with relative errors, so the
+    // sampling budget's accuracy is measured, not assumed.
+    //
+    // Determinism: π is an exact double ratio, u exact rational; each
+    // HT term rounds at 6 (big-doc terms are exact integers — π capped
+    // at 1), the sums at 4. Scale: one corpus pass computing (π, u)
+    // per doc — a narrow map + filter feeding two all-reduce sums; the
+    // exact totals are one more partial-agg pass over the same scan.
+    QDef(
+      "q208_ht_estimate",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+          .select(col("doc_id"), col("n_chars"),
+            expr("least(1.0d, cast(n_chars as double) / 2000.0d)")
+              .as("pi"),
+            expr(
+              """(cast(conv(substring(md5(cast(concat('ht|',
+                   cast(doc_id as string)) as binary)), 1, 6), 16, 10)
+                   as bigint) + 0.5d) / 16777216.0d""").as("u"))
+          .localCheckpoint() // feeds the sample AND the exact totals
+        val est = d.where(col("u") < col("pi"))
+          .agg(count(lit(1)).as("n_sampled"),
+            round(sum(round(lit(1.0) / col("pi"), 6)), 4)
+              .as("est_docs_r"),
+            round(sum(round(col("n_chars") / col("pi"), 6)), 4)
+              .as("est_chars_r"))
+        val exact = d.agg(count(lit(1)).as("true_docs"),
+          sum(col("n_chars")).as("true_chars"))
+        est.crossJoin(broadcast(exact))
+          .select(col("n_sampled"), col("est_docs_r"), col("true_docs"),
+            col("est_chars_r"), col("true_chars"),
+            round(abs(col("est_chars_r") / col("true_chars") - 1.0d), 6)
+              .as("rel_err_chars_r"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, n_chars,
+                          LEAST(1.0, CAST(n_chars AS DOUBLE) / 2000.0)
+                            AS pi,
+                          (('0x' || substring(md5('ht|'
+                             || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                           + 0.5) / 16777216.0 AS u
+                   FROM documents),
+        est AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                       ROUND(SUM(ROUND(1.0 / pi, 6)), 4) AS est_docs_r,
+                       ROUND(SUM(ROUND(n_chars / pi, 6)), 4)
+                         AS est_chars_r
+                FROM d WHERE u < pi),
+        ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_docs,
+                      CAST(SUM(n_chars) AS BIGINT) AS true_chars
+               FROM d)
+        SELECT n_sampled, est_docs_r, true_docs, est_chars_r, true_chars,
+               ROUND(ABS(est_chars_r / true_chars - 1.0), 6)
+                 AS rel_err_chars_r
+        FROM est, ex
       """))
   )
 }

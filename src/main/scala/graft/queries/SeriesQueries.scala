@@ -1782,6 +1782,71 @@ object SeriesQueries {
                CAST(CASE WHEN rk <= k_star THEN 1 ELSE 0 END AS INT)
                  AS significant
         FROM rk, ks
+      """)),
+
+    // ------------------------------------------------------------------
+    // q203: autocorrelation function of the daily event-count series at
+    // lags 1..7 — the standard seasonality probe (a weekly cycle shows
+    // as a spike at lag 7) that decides window sizes for the rolling
+    // metrics (q103) and gives q196's trend test its periodicity
+    // caveat. r_k = Σ(x_t − x̄)(x_{t+k} − x̄) / Σ(x_t − x̄)², the
+    // sample ACF with the standard full-series mean/denominator.
+    //
+    // Determinism: the mean is rounded at 9 before any deviation is
+    // formed (canonicalizing the one value whose float summation order
+    // differs across engines); products of rounded deviations then sum
+    // over ≤365 terms and the ratio is rounded at 6.
+    //
+    // Scale: the daily rollup is the only data-sized pass (keyed agg).
+    // The day series grows with TIME, not corpus size (365 rows/year),
+    // so the lag join — an equi-join on day+k produced by a 7-way
+    // explode — and the one-row mean crossJoin(broadcast) stay tiny at
+    // any SF. No windows at all, so nothing for the global-window gate.
+    QDef(
+      "q203_daily_acf",
+      (s, dir) => {
+        val daily = Tables(s, dir).events
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // feeds mean, denominator, both join sides
+        val m = daily.agg(round(avg(col("n")), 9).as("m"))
+        val dev = daily.crossJoin(broadcast(m))
+          .select(col("day"), (col("n").cast("double") - col("m")).as("dv"))
+          .localCheckpoint() // feeds denominator + both lag-join sides
+        val den = dev.agg(sum(col("dv") * col("dv")).as("den"))
+        val lagged = dev
+          .withColumn("k", explode(expr("sequence(1, 7)")))
+          .withColumn("day2",
+            expr("date_format(date_add(to_date(day), k), 'yyyy-MM-dd')"))
+          .join(dev.select(col("day").as("day2"), col("dv").as("dv2")),
+            "day2")
+        lagged.groupBy(col("k").cast("int").as("lag"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("dv") * col("dv2")).as("num"))
+          .crossJoin(broadcast(den))
+          .select(col("lag"), col("n_pairs"),
+            round(col("num") / col("den"), 6).as("acf_r"))
+          .orderBy(col("lag"))
+      },
+      Some("""
+        WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+        m AS (SELECT ROUND(AVG(n), 9) AS m FROM daily),
+        dev AS (SELECT day, CAST(n AS DOUBLE) - m.m AS dv
+                FROM daily, m),
+        den AS (SELECT SUM(dv * dv) AS den FROM dev),
+        pr AS (SELECT k.k,
+                      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                      SUM(a.dv * b.dv) AS num
+               FROM dev a
+               CROSS JOIN range(1, 8) k(k)
+               JOIN dev b ON b.day = strftime(
+                 CAST(a.day AS DATE) + CAST(k.k AS INTEGER), '%Y-%m-%d')
+               GROUP BY 1)
+        SELECT CAST(k AS INTEGER) AS lag, n_pairs,
+               ROUND(num / den.den, 6) AS acf_r
+        FROM pr, den ORDER BY lag
       """))
   )
 }

@@ -1886,6 +1886,105 @@ object SimilarityQueries {
         FROM mutual
         JOIN top3m ma ON ma.src = id_a
         JOIN top3m mb ON mb.src = id_b
+      """)),
+
+    // ------------------------------------------------------------------
+    // q204: top principal component of the embedding corpus via THREE
+    // power-iteration supersteps on the covariance matrix — the
+    // embedding-space analysis primitive behind whitening, ABTT
+    // ("all-but-the-top" anisotropy removal), and drift monitoring:
+    // a corpus whose top eigenvalue dominates is anisotropic and
+    // cosine-retrieval quality (q120) degrades. Two-phase shape:
+    //
+    //   1. covariance build: one n·d² pass — per-vector dim explode,
+    //      self-join on vec_id, (i,j)-keyed partial-agg average; the
+    //      shuffle is d² = 4,096 cells no matter how many vectors.
+    //      This is the ONLY data-sized stage.
+    //   2. power iteration: G·v / ‖G·v‖ three times, each a d²-row
+    //      join + d-row aggregate — bounded supersteps on a bounded
+    //      relation (the q101/q199 discipline; no driver-side math).
+    //
+    // Determinism: covariance entries round at 9 (the avg's summation
+    // -order slack is ~1e-13); each iterate renormalizes with a
+    // round-9 norm and re-rounds at 9, so both engines walk the same
+    // quantized trajectory from the exact-binary start v0 = 0.125·1;
+    // the reported loadings and Rayleigh quotient λ = v·Gv round at 6.
+    QDef(
+      "q204_pca_power",
+      (s, dir) => {
+        val dims = Tables(s, dir).embeddings
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("i", "x")))
+          .localCheckpoint() // feeds mean AND both gram sides
+        val mu = dims.groupBy(col("i"))
+          .agg(round(avg(col("x")), 9).as("mu"))
+        val gram = dims.as("a")
+          .join(dims.as("b"), col("a.vec_id") === col("b.vec_id"))
+          .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+          .agg(avg(col("a.x") * col("b.x")).as("exy"))
+          .join(mu.select(col("i"), col("mu").as("mi")), "i")
+          .join(mu.select(col("i").as("j"), col("mu").as("mj")), "j")
+          .select(col("i"), col("j"),
+            round(col("exy") - col("mi") * col("mj"), 9).as("g"))
+          .localCheckpoint() // feeds all three iterations + Rayleigh
+        def mult(v: org.apache.spark.sql.DataFrame) =
+          gram.join(v.select(col("i").as("j"), col("v")), "j")
+            .groupBy(col("i")).agg(sum(col("g") * col("v")).as("w"))
+        def normalize(w: org.apache.spark.sql.DataFrame) = {
+          val nrm = w.agg(round(sqrt(sum(col("w") * col("w"))), 9)
+            .as("nrm"))
+          w.crossJoin(broadcast(nrm))
+            .select(col("i"), round(col("w") / col("nrm"), 9).as("v"))
+            .localCheckpoint() // superstep barrier: d rows
+        }
+        val v0 = s.range(0, 64)
+          .select(col("id").cast("int").as("i"), lit(0.125).as("v"))
+        val v3 = normalize(mult(normalize(mult(normalize(mult(v0))))))
+        val lam = mult(v3).join(v3, "i")
+          .agg(round(sum(col("w") * col("v")), 6).as("lambda_r"))
+        v3.crossJoin(broadcast(lam))
+          .select(col("i"), round(col("v"), 6).as("loading_r"),
+            col("lambda_r"))
+          .orderBy(col("i"))
+      },
+      Some("""
+        WITH dims AS MATERIALIZED (
+          SELECT vec_id, p.p AS i, (embedding::DOUBLE[])[p.p + 1] AS x
+          FROM embeddings, (SELECT unnest(range(0, 64)) AS p) p),
+        mu AS MATERIALIZED (
+          SELECT i, ROUND(AVG(x), 9) AS mu FROM dims GROUP BY 1),
+        g0 AS (SELECT a.i AS i, b.i AS j, AVG(a.x * b.x) AS exy
+               FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+               GROUP BY 1, 2),
+        gram AS MATERIALIZED (
+          SELECT g0.i, g0.j, ROUND(exy - ma.mu * mb.mu, 9) AS g
+          FROM g0 JOIN mu ma ON ma.i = g0.i
+                  JOIN mu mb ON mb.i = g0.j),
+        v0 AS (SELECT p.p AS i, 0.125 AS v
+               FROM (SELECT unnest(range(0, 64)) AS p) p),
+        w1 AS MATERIALIZED (SELECT g.i, SUM(g.g * v.v) AS w
+               FROM gram g JOIN v0 v ON v.i = g.j GROUP BY 1),
+        v1 AS MATERIALIZED (SELECT i, ROUND(w / n.nrm, 9) AS v
+               FROM w1, (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nrm
+                         FROM w1) n),
+        w2 AS MATERIALIZED (SELECT g.i, SUM(g.g * v.v) AS w
+               FROM gram g JOIN v1 v ON v.i = g.j GROUP BY 1),
+        v2 AS MATERIALIZED (SELECT i, ROUND(w / n.nrm, 9) AS v
+               FROM w2, (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nrm
+                         FROM w2) n),
+        w3 AS MATERIALIZED (SELECT g.i, SUM(g.g * v.v) AS w
+               FROM gram g JOIN v2 v ON v.i = g.j GROUP BY 1),
+        v3 AS MATERIALIZED (SELECT i, ROUND(w / n.nrm, 9) AS v
+               FROM w3, (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nrm
+                         FROM w3) n),
+        w4 AS MATERIALIZED (SELECT g.i, SUM(g.g * v.v) AS w
+               FROM gram g JOIN v3 v ON v.i = g.j GROUP BY 1),
+        lam AS (SELECT ROUND(SUM(w4.w * v3.v), 6) AS lambda_r
+                FROM w4 JOIN v3 USING (i))
+        SELECT CAST(v3.i AS INTEGER) AS i, ROUND(v3.v, 6) AS loading_r,
+               lam.lambda_r
+        FROM v3, lam ORDER BY i
       """))
   )
 }

@@ -1155,6 +1155,83 @@ object TextQueries {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
                CAST(MIN(anchor) AS INTEGER) AS first_pos
         FROM a GROUP BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q202: count-min sketch heavy hitters with an exact error audit —
+    // the mergeable-sketch complement to q74's approx_top_k: a CMS
+    // (Cormode & Muthukrishnan 2005) is a plain (row, col)→count table,
+    // so shards build independently and union by cell-sum, and it
+    // answers point queries for ANY item, not just tracked ones. Depth
+    // d=4 rows × width w=16 columns (sized DOWN to the ~31-word test
+    // vocabulary so collisions actually occur and the audit shows
+    // nonzero overcounts; production widths are 2^16+ — a parameter,
+    // not a structural change), salted-md5 column hashes (the
+    // q81 seed-free idiom, so Spark and the oracle build bit-identical
+    // sketches). est(w) = min over rows of cell[r][h_r(w)] — an
+    // overestimate by construction, never under; the output audits
+    // exactly that: the top-15 exact words with their CMS estimate and
+    // the (always ≥ 0) overcount. All-integer — nothing to round.
+    //
+    // Scale: the sketch is ≤ d·w = 64 cells (2^18+ in production) regardless of corpus
+    // size — built by one keyed agg over the word counts, probed by a
+    // 60-row equi-join. The only data-sized pass is the word count
+    // itself; top-15 via sort+limit (never a global rank over the
+    // vocabulary — the q74 lesson).
+    QDef(
+      "q202_cms_heavy_hitters",
+      (s, dir) => {
+        def cmsCol = expr(
+          """cast(conv(substring(md5(cast(concat('cms',
+               cast(r as string), '|', w) as binary)), 1, 6),
+               16, 10) as bigint) % 16""")
+        val wc = Tables(s, dir).documents
+          .select(explode(expr(W)).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // feeds sketch build AND exact top-15
+        val sketch = wc.withColumn("r", explode(expr("sequence(0, 3)")))
+          .withColumn("col", cmsCol)
+          .groupBy(col("r"), col("col"))
+          .agg(sum(col("cnt")).as("cell"))
+        val top = wc.orderBy(col("cnt").desc, col("w").asc).limit(15)
+          .withColumn("rk", row_number().over(Q.bounded.orderBy(
+            col("cnt").desc, col("w").asc)).cast("int"))
+        top.withColumn("r", explode(expr("sequence(0, 3)")))
+          .withColumn("col", cmsCol)
+          .join(sketch, Seq("r", "col"))
+          .groupBy(col("rk"), col("w"), col("cnt"))
+          .agg(min(col("cell")).as("est"))
+          .select(col("rk"), col("w"), col("cnt").as("exact_cnt"),
+            col("est"), (col("est") - col("cnt")).as("overcount"))
+          .orderBy(col("rk"))
+      },
+      Some(s"""
+        WITH wc AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(ws) AS w
+                FROM (SELECT $WDuck AS ws FROM documents) t0) t1
+          GROUP BY w),
+        h AS (SELECT w, cnt, r.r,
+                     ('0x' || substring(md5('cms' || CAST(r.r AS VARCHAR)
+                        || '|' || w), 1, 6))::BIGINT % 16 AS col
+              FROM wc CROSS JOIN range(0, 4) r(r)),
+        sk AS (SELECT r, col, CAST(SUM(cnt) AS BIGINT) AS cell
+               FROM h GROUP BY 1, 2),
+        top AS (SELECT w, cnt,
+                       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC)
+                            AS INTEGER) AS rk
+                FROM wc),
+        pr AS (SELECT t.rk, t.w, t.cnt, r.r,
+                      ('0x' || substring(md5('cms' || CAST(r.r AS VARCHAR)
+                         || '|' || t.w), 1, 6))::BIGINT % 16 AS col
+               FROM top t CROSS JOIN range(0, 4) r(r)
+               WHERE t.rk <= 15)
+        SELECT pr.rk, pr.w, pr.cnt AS exact_cnt,
+               CAST(MIN(sk.cell) AS BIGINT) AS est,
+               CAST(MIN(sk.cell) - pr.cnt AS BIGINT) AS overcount
+        FROM pr JOIN sk ON sk.r = pr.r AND sk.col = pr.col
+        GROUP BY 1, 2, 3
+        ORDER BY rk
       """))
   )
 }

@@ -87,6 +87,16 @@ class PlanQualitySpec extends AnyFunSuite {
     // q141 crossJoins the ONE-row in-plan cutoff aggregate (q37
     // pattern)
     "q141_churn_labels",
+    // q203 crossJoins the ONE-row day-series mean and the ONE-row ACF
+    // denominator (q37 pattern); the lag join itself is an equi-join
+    "q203_daily_acf",
+    // q204 crossJoins the ONE-row norm / Rayleigh aggregates between
+    // power-iteration supersteps (q37 pattern); the covariance build
+    // and G·v products are equi-joins on vec_id / dimension index
+    "q204_pca_power",
+    // q208 crossJoins the ONE-row exact-totals aggregate into the
+    // ONE-row HT-estimate aggregate (q37 pattern)
+    "q208_ht_estimate",
     // q149's quantizer is q48's 16-row broadcast centroid cross
     // (ivfRanked); candidate generation itself is a cell equi-join
     "q149_knn_eval",
@@ -186,7 +196,9 @@ class PlanQualitySpec extends AnyFunSuite {
     // (|features| literals by construction — can't grow with data)
     "q197_fdr_screen" -> 2,
     // q199: two survivor ranks over ≤10 rows each (post sort+limit)
-    "q199_hits" -> 2)
+    "q199_hits" -> 2,
+    // q202/q205: survivor ranks over ≤15 / ≤20 rows (post sort+limit)
+    "q202_cms_heavy_hitters" -> 1, "q205_label_prop" -> 1)
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

@@ -387,6 +387,31 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q200: post-checkpoint fp-keyed dup agg (+ its join back) and
     // the |sources|-row rollup — one corpus pass total
     "q200_corpus_health" -> 2,
+    // q201: every GD superstep ends in a localCheckpoint'd 1-row
+    // aggregate, so the visible plan is the final checkpoint scan —
+    // the per-step shuffle is the 4-double gradient all-reduce
+    "q201_logreg_quality" -> 0,
+    // q202: word-count agg behind the checkpoint; then the ≤64-cell
+    // sketch agg, the top-15 probe join, and the per-word min agg
+    "q202_cms_heavy_hitters" -> 3,
+    // q203: day rollup behind the checkpoint; the 2-exchange one-row
+    // mean crossJoin + the lag equi-join/agg over the ≤365-day series
+    "q203_daily_acf" -> 3,
+    // q204: covariance build behind the checkpoint (its d²-cell agg is
+    // the one data-sized shuffle, run once); visible: the last
+    // superstep's d²-row join/agg + the one-row Rayleigh/norm
+    "q204_pca_power" -> 4,
+    // q205: propagation rounds checkpoint per superstep; visible: the
+    // ≤|labels| community-size agg feeding sort+limit
+    "q205_label_prop" -> 1,
+    // q206: post-checkpoint sym: degree agg, its two edge-tagging
+    // joins, and the one-row integer-sums all-reduce
+    "q206_assortativity" -> 4,
+    // q207: per-source count + the |sources|-row scalar-math pass
+    "q207_dp_counts" -> 2,
+    // q208: sample-sum and exact-total aggregates over the
+    // checkpointed (pi, u) scan — two 1-row all-reduces
+    "q208_ht_estimate" -> 2,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
