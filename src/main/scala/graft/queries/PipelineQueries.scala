@@ -49,6 +49,128 @@ object PipelineQueries {
   val stopRatioExprSpark =
     "size(filter(ws, x -> x = 'the' or x = 'a')) / nullif(size(ws), 0)"
 
+  /** Shared by q201 (training trace) and q210 (apply + eval): the
+    * labeled feature relation and the three quantized GD supersteps.
+    * ONE definition so the scorer q210 applies is provably the model
+    * q201 reports. Returns (features, per-iteration result rows); each
+    * row carries (iter, loss-at-entry, post-update weights).
+    * Determinism/scale contract documented at q201.
+    */
+  private def logregSteps(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val feats = Tables(s, dir).documents
+      .select(col("lang"), col("n_chars"), expr(W).as("ws"))
+      .select(col("lang"),
+        expr("case when n_chars >= 300 then 1.0d else 0.0d end").as("y"),
+        expr("""coalesce(round(
+            cast(size(filter(ws, t -> t = 'the' or t = 'a')) as double)
+            / cast(nullif(size(ws), 0) as double), 6), 0.0d)""").as("x1"),
+        expr("""coalesce(round(
+            cast(size(array_distinct(ws)) as double)
+            / cast(nullif(size(ws), 0) as double), 6), 0.0d)""").as("x2"),
+        expr("""coalesce(round(
+            cast(n_chars as double)
+            / (10.0d * cast(nullif(size(ws), 0) as double)), 6), 0.0d)""")
+          .as("x3"))
+      .localCheckpoint() // feeds all three supersteps + q210's scoring
+    def step(w: org.apache.spark.sql.DataFrame, it: Int) =
+      feats.crossJoin(broadcast(w))
+        .withColumn("z", round(col("b") + col("w1") * col("x1")
+          + col("w2") * col("x2") + col("w3") * col("x3"), 6))
+        .withColumn("p",
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9))
+        .agg(
+          max(col("b")).as("b0"), max(col("w1")).as("w1o"),
+          max(col("w2")).as("w2o"), max(col("w3")).as("w3o"),
+          round(avg(-(col("y") * log(col("p"))
+            + (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))), 6)
+            .as("loss_r"),
+          round(avg(col("p") - col("y")), 9).as("g0"),
+          round(avg((col("p") - col("y")) * col("x1")), 9).as("g1"),
+          round(avg((col("p") - col("y")) * col("x2")), 9).as("g2"),
+          round(avg((col("p") - col("y")) * col("x3")), 9).as("g3"))
+        .select(lit(it).cast("int").as("iter"), col("loss_r"),
+          round(col("b0") - lit(5.0) * col("g0"), 7).as("b"),
+          round(col("w1o") - lit(5.0) * col("g1"), 7).as("w1"),
+          round(col("w2o") - lit(5.0) * col("g2"), 7).as("w2"),
+          round(col("w3o") - lit(5.0) * col("g3"), 7).as("w3"))
+        .localCheckpoint() // superstep barrier: 1 row
+    val w0 = s.range(1).select(
+      lit(0.0).as("b"), lit(0.0).as("w1"),
+      lit(0.0).as("w2"), lit(0.0).as("w3"))
+    val r1 = step(w0, 1)
+    val r2 = step(r1.select(col("b"), col("w1"), col("w2"), col("w3")), 2)
+    val r3 = step(r2.select(col("b"), col("w1"), col("w2"), col("w3")), 3)
+    (feats, Seq(r1, r2, r3))
+  }
+
+  /** DuckDB restatement of [[logregSteps]] (features f with lang →
+    * supersteps → final weights w3c), interpolated into the q201 and
+    * q210 oracles. */
+  private val logregChainDuck = s"""f AS MATERIALIZED (
+          SELECT lang,
+                 CASE WHEN n_chars >= 300 THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS y,
+                 COALESCE(ROUND(
+                   CAST(len(list_filter(ws, t -> t = 'the' OR t = 'a'))
+                        AS DOUBLE)
+                   / CAST(nullif(len(ws), 0) AS DOUBLE), 6), 0.0) AS x1,
+                 COALESCE(ROUND(
+                   CAST(len(list_distinct(ws)) AS DOUBLE)
+                   / CAST(nullif(len(ws), 0) AS DOUBLE), 6), 0.0) AS x2,
+                 COALESCE(ROUND(
+                   CAST(n_chars AS DOUBLE)
+                   / (10.0 * CAST(nullif(len(ws), 0) AS DOUBLE)), 6),
+                   0.0) AS x3
+          FROM (SELECT lang, n_chars, $WDuck AS ws FROM documents) t0),
+        i1 AS (SELECT ROUND(AVG(-(y*LN(p) + (1.0-y)*LN(1.0-p))), 6)
+                        AS loss_r,
+                      ROUND(AVG(p - y), 9) AS g0,
+                      ROUND(AVG((p - y)*x1), 9) AS g1,
+                      ROUND(AVG((p - y)*x2), 9) AS g2,
+                      ROUND(AVG((p - y)*x3), 9) AS g3
+               FROM (SELECT y, x1, x2, x3,
+                            ROUND(1.0/(1.0 + EXP(-ROUND(
+                              0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3, 6))), 9) AS p
+                     FROM f) t),
+        w1 AS MATERIALIZED (SELECT loss_r, ROUND(0.0 - 5.0*g0, 7) AS b,
+                      ROUND(0.0 - 5.0*g1, 7) AS w1, ROUND(0.0 - 5.0*g2, 7) AS w2,
+                      ROUND(0.0 - 5.0*g3, 7) AS w3 FROM i1),
+        i2 AS (SELECT MAX(b) AS b0, MAX(w1) AS w1o, MAX(w2) AS w2o,
+                      MAX(w3) AS w3o,
+                      ROUND(AVG(-(y*LN(p) + (1.0-y)*LN(1.0-p))), 6)
+                        AS loss_r,
+                      ROUND(AVG(p - y), 9) AS g0,
+                      ROUND(AVG((p - y)*x1), 9) AS g1,
+                      ROUND(AVG((p - y)*x2), 9) AS g2,
+                      ROUND(AVG((p - y)*x3), 9) AS g3
+               FROM (SELECT f.y, f.x1, f.x2, f.x3,
+                            w.b, w.w1, w.w2, w.w3,
+                            ROUND(1.0/(1.0 + EXP(-ROUND(
+                              w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3,
+                              6))), 9) AS p
+                     FROM f, w1 w) t),
+        w2 AS MATERIALIZED (SELECT loss_r, ROUND(b0 - 5.0*g0, 7) AS b,
+                      ROUND(w1o - 5.0*g1, 7) AS w1, ROUND(w2o - 5.0*g2, 7) AS w2,
+                      ROUND(w3o - 5.0*g3, 7) AS w3 FROM i2),
+        i3 AS (SELECT MAX(b) AS b0, MAX(w1) AS w1o, MAX(w2) AS w2o,
+                      MAX(w3) AS w3o,
+                      ROUND(AVG(-(y*LN(p) + (1.0-y)*LN(1.0-p))), 6)
+                        AS loss_r,
+                      ROUND(AVG(p - y), 9) AS g0,
+                      ROUND(AVG((p - y)*x1), 9) AS g1,
+                      ROUND(AVG((p - y)*x2), 9) AS g2,
+                      ROUND(AVG((p - y)*x3), 9) AS g3
+               FROM (SELECT f.y, f.x1, f.x2, f.x3,
+                            w.b, w.w1, w.w2, w.w3,
+                            ROUND(1.0/(1.0 + EXP(-ROUND(
+                              w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3,
+                              6))), 9) AS p
+                     FROM f, w2 w) t),
+        w3c AS MATERIALIZED (SELECT loss_r, ROUND(b0 - 5.0*g0, 7) AS b,
+                       ROUND(w1o - 5.0*g1, 7) AS w1, ROUND(w2o - 5.0*g2, 7) AS w2,
+                       ROUND(w3o - 5.0*g3, 7) AS w3 FROM i3)"""
+
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------
     // q51: reproducible train/held-out split with per-(split, lang)
@@ -1561,10 +1683,14 @@ object PipelineQueries {
     // entirely inside the engine. The existing quality scorers (q20,
     // q57) apply FIXED thresholds; real pipeline classifiers
     // (fastText-style quality filters) are fit to labels. Here the
-    // label is lang='en' and the features are the repo's stock text
-    // signals (token count, stopword ratio, type-token ratio), so the
-    // model learns the lexical signature of the majority language —
-    // the mechanism, not the application, is the point.
+    // label is the long-document class (n_chars ≥ 300) and the
+    // features are deliberately LENGTH-INDEPENDENT lexical ratios
+    // (stopword ratio, type-token ratio, chars-per-token): the model
+    // must rediscover Herdan's law — type-token ratio falls as docs
+    // grow — rather than read the answer off a length feature. Three
+    // lr=5 supersteps take it from the ln 2 start to a ~0.91-accuracy
+    // separator (TrainedOpsSpec pins strict descent; q210 reports the
+    // accuracy), demonstrating the mechanism AND that it learns.
     //
     // Distributed-GD shape: the model (4 doubles) rides a one-row
     // broadcast crossJoin onto the feature relation; each superstep is
@@ -1584,111 +1710,14 @@ object PipelineQueries {
     QDef(
       "q201_logreg_quality",
       (s, dir) => {
-        val feats = Tables(s, dir).documents
-          .select(col("lang"), expr(W).as("ws"))
-          .select(
-            expr("case when lang = 'en' then 1.0d else 0.0d end").as("y"),
-            expr("cast(size(ws) as double) / 100.0d").as("x1"),
-            expr("""coalesce(round(
-                cast(size(filter(ws, t -> t = 'the' or t = 'a')) as double)
-                / cast(nullif(size(ws), 0) as double), 6), 0.0d)""").as("x2"),
-            expr("""coalesce(round(
-                cast(size(array_distinct(ws)) as double)
-                / cast(nullif(size(ws), 0) as double), 6), 0.0d)""").as("x3"))
-          .localCheckpoint() // feeds all three supersteps
-        def step(w: org.apache.spark.sql.DataFrame, it: Int) =
-          feats.crossJoin(broadcast(w))
-            .withColumn("z", round(col("b") + col("w1") * col("x1")
-              + col("w2") * col("x2") + col("w3") * col("x3"), 6))
-            .withColumn("p",
-              round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9))
-            .agg(
-              max(col("b")).as("b0"), max(col("w1")).as("w1o"),
-              max(col("w2")).as("w2o"), max(col("w3")).as("w3o"),
-              round(avg(-(col("y") * log(col("p"))
-                + (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))), 6)
-                .as("loss_r"),
-              round(avg(col("p") - col("y")), 9).as("g0"),
-              round(avg((col("p") - col("y")) * col("x1")), 9).as("g1"),
-              round(avg((col("p") - col("y")) * col("x2")), 9).as("g2"),
-              round(avg((col("p") - col("y")) * col("x3")), 9).as("g3"))
-            .select(lit(it).cast("int").as("iter"), col("loss_r"),
-              round(col("b0") - col("g0"), 7).as("b"),
-              round(col("w1o") - col("g1"), 7).as("w1"),
-              round(col("w2o") - col("g2"), 7).as("w2"),
-              round(col("w3o") - col("g3"), 7).as("w3"))
-            .localCheckpoint() // superstep barrier: 1 row
-        val w0 = s.range(1).select(
-          lit(0.0).as("b"), lit(0.0).as("w1"),
-          lit(0.0).as("w2"), lit(0.0).as("w3"))
-        val r1 = step(w0, 1)
-        val r2 = step(r1.select(col("b"), col("w1"), col("w2"), col("w3")), 2)
-        val r3 = step(r2.select(col("b"), col("w1"), col("w2"), col("w3")), 3)
-        r1.unionByName(r2).unionByName(r3)
+        val (_, rounds) = logregSteps(s, dir)
+        rounds.reduce(_ unionByName _)
           .select(col("iter"), col("loss_r"),
             col("b"), col("w1"), col("w2"), col("w3"))
           .orderBy(col("iter"))
       },
       Some(s"""
-        WITH f AS (
-          SELECT CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
-                      ELSE CAST(0.0 AS DOUBLE) END AS y,
-                 CAST(len(ws) AS DOUBLE) / 100.0 AS x1,
-                 COALESCE(ROUND(
-                   CAST(len(list_filter(ws, t -> t = 'the' OR t = 'a'))
-                        AS DOUBLE)
-                   / CAST(nullif(len(ws), 0) AS DOUBLE), 6), 0.0) AS x2,
-                 COALESCE(ROUND(
-                   CAST(len(list_distinct(ws)) AS DOUBLE)
-                   / CAST(nullif(len(ws), 0) AS DOUBLE), 6), 0.0) AS x3
-          FROM (SELECT lang, $WDuck AS ws FROM documents) t0),
-        i1 AS (SELECT ROUND(AVG(-(y*LN(p) + (1.0-y)*LN(1.0-p))), 6)
-                        AS loss_r,
-                      ROUND(AVG(p - y), 9) AS g0,
-                      ROUND(AVG((p - y)*x1), 9) AS g1,
-                      ROUND(AVG((p - y)*x2), 9) AS g2,
-                      ROUND(AVG((p - y)*x3), 9) AS g3
-               FROM (SELECT y, x1, x2, x3,
-                            ROUND(1.0/(1.0 + EXP(-ROUND(
-                              0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3, 6))), 9) AS p
-                     FROM f) t),
-        w1 AS (SELECT loss_r, ROUND(0.0 - g0, 7) AS b,
-                      ROUND(0.0 - g1, 7) AS w1, ROUND(0.0 - g2, 7) AS w2,
-                      ROUND(0.0 - g3, 7) AS w3 FROM i1),
-        i2 AS (SELECT MAX(b) AS b0, MAX(w1) AS w1o, MAX(w2) AS w2o,
-                      MAX(w3) AS w3o,
-                      ROUND(AVG(-(y*LN(p) + (1.0-y)*LN(1.0-p))), 6)
-                        AS loss_r,
-                      ROUND(AVG(p - y), 9) AS g0,
-                      ROUND(AVG((p - y)*x1), 9) AS g1,
-                      ROUND(AVG((p - y)*x2), 9) AS g2,
-                      ROUND(AVG((p - y)*x3), 9) AS g3
-               FROM (SELECT f.y, f.x1, f.x2, f.x3,
-                            w.b, w.w1, w.w2, w.w3,
-                            ROUND(1.0/(1.0 + EXP(-ROUND(
-                              w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3,
-                              6))), 9) AS p
-                     FROM f, w1 w) t),
-        w2 AS (SELECT loss_r, ROUND(b0 - g0, 7) AS b,
-                      ROUND(w1o - g1, 7) AS w1, ROUND(w2o - g2, 7) AS w2,
-                      ROUND(w3o - g3, 7) AS w3 FROM i2),
-        i3 AS (SELECT MAX(b) AS b0, MAX(w1) AS w1o, MAX(w2) AS w2o,
-                      MAX(w3) AS w3o,
-                      ROUND(AVG(-(y*LN(p) + (1.0-y)*LN(1.0-p))), 6)
-                        AS loss_r,
-                      ROUND(AVG(p - y), 9) AS g0,
-                      ROUND(AVG((p - y)*x1), 9) AS g1,
-                      ROUND(AVG((p - y)*x2), 9) AS g2,
-                      ROUND(AVG((p - y)*x3), 9) AS g3
-               FROM (SELECT f.y, f.x1, f.x2, f.x3,
-                            w.b, w.w1, w.w2, w.w3,
-                            ROUND(1.0/(1.0 + EXP(-ROUND(
-                              w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3,
-                              6))), 9) AS p
-                     FROM f, w2 w) t),
-        w3c AS (SELECT loss_r, ROUND(b0 - g0, 7) AS b,
-                       ROUND(w1o - g1, 7) AS w1, ROUND(w2o - g2, 7) AS w2,
-                       ROUND(w3o - g3, 7) AS w3 FROM i3)
+        WITH $logregChainDuck
         SELECT CAST(1 AS INTEGER) AS iter, loss_r, b, w1, w2, w3 FROM w1
         UNION ALL
         SELECT CAST(2 AS INTEGER), loss_r, b, w1, w2, w3 FROM w2
@@ -1814,6 +1843,64 @@ object PipelineQueries {
                ROUND(ABS(est_chars_r / true_chars - 1.0), 6)
                  AS rel_err_chars_r
         FROM est, ex
+      """)),
+
+    // ------------------------------------------------------------------
+    // q210: apply the q201-trained classifier — the other half of a
+    // trained pipeline scorer: score every document with the FINAL
+    // superstep's weights (shared logregSteps, so the model applied is
+    // provably the model q201 reports) and roll the scores up per
+    // language: count, mean score, and accuracy at the 0.5 threshold
+    // against the long-doc label (y = n_chars ≥ 300; the lang rollup
+    // checks the learned separator generalizes across every language
+    // stratum). This is the train→apply composition a production quality
+    // filter runs: fit once, then ONE narrow scoring pass with the
+    // 4-double model on a broadcast one-row crossJoin — scoring cost
+    // is a single corpus scan at any scale, and the per-lang rollup is
+    // an enum-bounded keyed agg.
+    //
+    // Determinism: the scoring expression is q201's quantized one
+    // (z@6 before exp, sigmoid@9); the 0.5 comparison reads a round-9
+    // value whose distance from 0.5 is never sub-ulp (z = 0 exactly
+    // would need all-zero weights, excluded after superstep 1); means
+    // round at 6, accuracy is exact-integer count ratio rounded at 6.
+    QDef(
+      "q210_model_apply",
+      (s, dir) => {
+        val (feats, rounds) = logregSteps(s, dir)
+        val w3 = rounds.last
+          .select(col("b"), col("w1"), col("w2"), col("w3"))
+        feats.crossJoin(broadcast(w3))
+          .withColumn("z", round(col("b") + col("w1") * col("x1")
+            + col("w2") * col("x2") + col("w3") * col("x3"), 6))
+          .withColumn("p",
+            round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("p")), 6).as("mean_score_r"),
+            sum(when((col("p") >= 0.5) === (col("y") === 1.0), 1L)
+              .otherwise(0L)).as("n_correct"))
+          .select(col("lang"), col("n"), col("mean_score_r"),
+            col("n_correct"),
+            round(col("n_correct").cast("double") / col("n"), 6)
+              .as("acc_r"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH $logregChainDuck,
+        sc AS (SELECT f.lang, f.y,
+                      ROUND(1.0/(1.0 + EXP(-ROUND(
+                        w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3,
+                        6))), 9) AS p
+               FROM f, w3c w)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(p), 6) AS mean_score_r,
+               CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               ROUND(CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0)
+                        THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                 AS acc_r
+        FROM sc GROUP BY 1 ORDER BY 1
       """))
   )
 }

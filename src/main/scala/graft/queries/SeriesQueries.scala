@@ -1847,6 +1847,55 @@ object SeriesQueries {
         SELECT CAST(k AS INTEGER) AS lag, n_pairs,
                ROUND(num / den.den, 6) AS acf_r
         FROM pr, den ORDER BY lag
+      """)),
+
+    // ------------------------------------------------------------------
+    // q211: Theil-Sen robust slope of the daily event-count series —
+    // the ESTIMATOR companion to q196's Mann-Kendall TEST (the classic
+    // pairing: MK says whether a monotone trend exists, Theil-Sen says
+    // how steep it is, both immune to the outlier days that wreck an
+    // OLS fit). slope = median over all day pairs of (n_b − n_a) /
+    // (days between) — per-pair slopes are exact-rational divisions
+    // rounded at 9, the median goes through the ScaleSafePercentiles
+    // rewrite (oracle-gated like q61/q65/q98) and rounds at 6.
+    //
+    // Scale: the day rollup is the only data-sized pass; the pair
+    // self-join is CALENDAR²-bounded (365 days/year → ~66k pairs/year
+    // — grows with time, not corpus), so the rewrite's global median
+    // window runs over a bounded relation (budgeted in
+    // PlanQualitySpec with that justification).
+    QDef(
+      "q211_theil_sen",
+      (s, dir) => {
+        val daily = Tables(s, dir).events
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // feeds both pair sides
+        val slopes = daily.as("a")
+          .join(daily.as("b"), col("a.day") < col("b.day"))
+          .select(round(
+            (col("b.n") - col("a.n")).cast("double")
+              / expr("cast(datediff(to_date(b.day), to_date(a.day)) as double)"),
+            9).as("slope"))
+        slopes.agg(count(lit(1)).as("n_pairs"),
+            round(expr("percentile(slope, 0.5D)"), 6).as("sen_slope_r"))
+          .crossJoin(broadcast(
+            daily.agg(count(lit(1)).as("n_days"))))
+          .select(col("n_days"), col("n_pairs"), col("sen_slope_r"))
+      },
+      Some("""
+        WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+        sl AS (SELECT ROUND(
+                 CAST(b.n - a.n AS DOUBLE)
+                 / CAST(CAST(b.day AS DATE) - CAST(a.day AS DATE)
+                        AS DOUBLE), 9) AS slope
+               FROM daily a JOIN daily b ON a.day < b.day)
+        SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(quantile_cont(slope, 0.5), 6) AS sen_slope_r
+        FROM sl
       """))
   )
 }

@@ -40,6 +40,78 @@ object SimilarityQueries {
                          (a, y) -> a + cast(y as double) * cast(y as double))))""")
           .as("v"))
 
+  /** Shared by q204 (spectrum) and q209 (ABTT re-rank): the
+    * dim-exploded corpus, round-9 per-dim means, the round-9
+    * covariance cells, and the top principal component after three
+    * power-iteration supersteps. ONE definition so the re-ranker
+    * provably removes the exact component q204 reports — a drifted
+    * copy would silently desynchronize the two. Determinism/scale
+    * contract documented at q204.
+    */
+  private def pcaParts(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val dims = Tables(s, dir).embeddings
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("i", "x")))
+      .localCheckpoint() // feeds mean, both gram sides, and q209's reuse
+    val mu = dims.groupBy(col("i"))
+      .agg(round(avg(col("x")), 9).as("mu"))
+    val gram = dims.as("a")
+      .join(dims.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(avg(col("a.x") * col("b.x")).as("exy"))
+      .join(mu.select(col("i"), col("mu").as("mi")), "i")
+      .join(mu.select(col("i").as("j"), col("mu").as("mj")), "j")
+      .select(col("i"), col("j"),
+        round(col("exy") - col("mi") * col("mj"), 9).as("g"))
+      .localCheckpoint() // feeds all three iterations + Rayleigh
+    def mult(v: org.apache.spark.sql.DataFrame) =
+      gram.join(v.select(col("i").as("j"), col("v")), "j")
+        .groupBy(col("i")).agg(sum(col("g") * col("v")).as("w"))
+    def normalize(w: org.apache.spark.sql.DataFrame) = {
+      val nrm = w.agg(round(sqrt(sum(col("w") * col("w"))), 9).as("nrm"))
+      w.crossJoin(broadcast(nrm))
+        .select(col("i"), round(col("w") / col("nrm"), 9).as("v"))
+        .localCheckpoint() // superstep barrier: d rows
+    }
+    val v0 = s.range(0, 64)
+      .select(col("id").cast("int").as("i"), lit(0.125).as("v"))
+    val v3 = normalize(mult(normalize(mult(normalize(mult(v0))))))
+    (dims, mu, gram, mult _, v3)
+  }
+
+  /** DuckDB restatement of [[pcaParts]] (dims → mu → gram → v3),
+    * interpolated into the q204 and q209 oracles. */
+  private val pcaChainDuck = """dims AS MATERIALIZED (
+          SELECT vec_id, p.p AS i, (embedding::DOUBLE[])[p.p + 1] AS x
+          FROM embeddings, (SELECT unnest(range(0, 64)) AS p) p),
+        mu AS MATERIALIZED (
+          SELECT i, ROUND(AVG(x), 9) AS mu FROM dims GROUP BY 1),
+        g0 AS (SELECT a.i AS i, b.i AS j, AVG(a.x * b.x) AS exy
+               FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+               GROUP BY 1, 2),
+        gram AS MATERIALIZED (
+          SELECT g0.i, g0.j, ROUND(exy - ma.mu * mb.mu, 9) AS g
+          FROM g0 JOIN mu ma ON ma.i = g0.i
+                  JOIN mu mb ON mb.i = g0.j),
+        v0 AS (SELECT p.p AS i, 0.125 AS v
+               FROM (SELECT unnest(range(0, 64)) AS p) p),
+        w1 AS MATERIALIZED (SELECT g.i, SUM(g.g * v.v) AS w
+               FROM gram g JOIN v0 v ON v.i = g.j GROUP BY 1),
+        v1 AS MATERIALIZED (SELECT i, ROUND(w / n.nrm, 9) AS v
+               FROM w1, (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nrm
+                         FROM w1) n),
+        w2 AS MATERIALIZED (SELECT g.i, SUM(g.g * v.v) AS w
+               FROM gram g JOIN v1 v ON v.i = g.j GROUP BY 1),
+        v2 AS MATERIALIZED (SELECT i, ROUND(w / n.nrm, 9) AS v
+               FROM w2, (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nrm
+                         FROM w2) n),
+        w3 AS MATERIALIZED (SELECT g.i, SUM(g.g * v.v) AS w
+               FROM gram g JOIN v2 v ON v.i = g.j GROUP BY 1),
+        v3 AS MATERIALIZED (SELECT i, ROUND(w / n.nrm, 9) AS v
+               FROM w3, (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nrm
+                         FROM w3) n)"""
+
   /** IVF training-sample cap and Lloyd iteration count, shared by the
     * in-query quantizer and `sinks.VectorIndex` (and restated verbatim
     * in [[ivfCentsDuck]]).
@@ -1912,35 +1984,7 @@ object SimilarityQueries {
     QDef(
       "q204_pca_power",
       (s, dir) => {
-        val dims = Tables(s, dir).embeddings
-          .select(col("vec_id"),
-            posexplode(col("embedding").cast("array<double>"))
-              .as(Seq("i", "x")))
-          .localCheckpoint() // feeds mean AND both gram sides
-        val mu = dims.groupBy(col("i"))
-          .agg(round(avg(col("x")), 9).as("mu"))
-        val gram = dims.as("a")
-          .join(dims.as("b"), col("a.vec_id") === col("b.vec_id"))
-          .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-          .agg(avg(col("a.x") * col("b.x")).as("exy"))
-          .join(mu.select(col("i"), col("mu").as("mi")), "i")
-          .join(mu.select(col("i").as("j"), col("mu").as("mj")), "j")
-          .select(col("i"), col("j"),
-            round(col("exy") - col("mi") * col("mj"), 9).as("g"))
-          .localCheckpoint() // feeds all three iterations + Rayleigh
-        def mult(v: org.apache.spark.sql.DataFrame) =
-          gram.join(v.select(col("i").as("j"), col("v")), "j")
-            .groupBy(col("i")).agg(sum(col("g") * col("v")).as("w"))
-        def normalize(w: org.apache.spark.sql.DataFrame) = {
-          val nrm = w.agg(round(sqrt(sum(col("w") * col("w"))), 9)
-            .as("nrm"))
-          w.crossJoin(broadcast(nrm))
-            .select(col("i"), round(col("w") / col("nrm"), 9).as("v"))
-            .localCheckpoint() // superstep barrier: d rows
-        }
-        val v0 = s.range(0, 64)
-          .select(col("id").cast("int").as("i"), lit(0.125).as("v"))
-        val v3 = normalize(mult(normalize(mult(normalize(mult(v0))))))
+        val (_, _, _, mult, v3) = pcaParts(s, dir)
         val lam = mult(v3).join(v3, "i")
           .agg(round(sum(col("w") * col("v")), 6).as("lambda_r"))
         v3.crossJoin(broadcast(lam))
@@ -1948,36 +1992,8 @@ object SimilarityQueries {
             col("lambda_r"))
           .orderBy(col("i"))
       },
-      Some("""
-        WITH dims AS MATERIALIZED (
-          SELECT vec_id, p.p AS i, (embedding::DOUBLE[])[p.p + 1] AS x
-          FROM embeddings, (SELECT unnest(range(0, 64)) AS p) p),
-        mu AS MATERIALIZED (
-          SELECT i, ROUND(AVG(x), 9) AS mu FROM dims GROUP BY 1),
-        g0 AS (SELECT a.i AS i, b.i AS j, AVG(a.x * b.x) AS exy
-               FROM dims a JOIN dims b ON a.vec_id = b.vec_id
-               GROUP BY 1, 2),
-        gram AS MATERIALIZED (
-          SELECT g0.i, g0.j, ROUND(exy - ma.mu * mb.mu, 9) AS g
-          FROM g0 JOIN mu ma ON ma.i = g0.i
-                  JOIN mu mb ON mb.i = g0.j),
-        v0 AS (SELECT p.p AS i, 0.125 AS v
-               FROM (SELECT unnest(range(0, 64)) AS p) p),
-        w1 AS MATERIALIZED (SELECT g.i, SUM(g.g * v.v) AS w
-               FROM gram g JOIN v0 v ON v.i = g.j GROUP BY 1),
-        v1 AS MATERIALIZED (SELECT i, ROUND(w / n.nrm, 9) AS v
-               FROM w1, (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nrm
-                         FROM w1) n),
-        w2 AS MATERIALIZED (SELECT g.i, SUM(g.g * v.v) AS w
-               FROM gram g JOIN v1 v ON v.i = g.j GROUP BY 1),
-        v2 AS MATERIALIZED (SELECT i, ROUND(w / n.nrm, 9) AS v
-               FROM w2, (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nrm
-                         FROM w2) n),
-        w3 AS MATERIALIZED (SELECT g.i, SUM(g.g * v.v) AS w
-               FROM gram g JOIN v2 v ON v.i = g.j GROUP BY 1),
-        v3 AS MATERIALIZED (SELECT i, ROUND(w / n.nrm, 9) AS v
-               FROM w3, (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nrm
-                         FROM w3) n),
+      Some(s"""
+        WITH $pcaChainDuck,
         w4 AS MATERIALIZED (SELECT g.i, SUM(g.g * v.v) AS w
                FROM gram g JOIN v3 v ON v.i = g.j GROUP BY 1),
         lam AS (SELECT ROUND(SUM(w4.w * v3.v), 6) AS lambda_r
@@ -1985,6 +2001,324 @@ object SimilarityQueries {
         SELECT CAST(v3.i AS INTEGER) AS i, ROUND(v3.v, 6) AS loading_r,
                lam.lambda_r
         FROM v3, lam ORDER BY i
+      """)),
+
+    // ------------------------------------------------------------------
+    // q209: all-but-the-top re-ranking (Mu & Viswanath 2018) — q204
+    // put to USE: embedding corpora are anisotropic (a dominant mean +
+    // top-component direction inflates every cosine), and removing
+    // them measurably sharpens retrieval. Pipeline: center on q204's
+    // round-9 means, project out the SAME round-9 top component
+    // (shared pcaParts — the re-ranker provably removes the component
+    // q204 reports), renormalize, then brute-force top-3 for the 10
+    // anchor vectors under the corrected geometry, with the raw
+    // cosine of each surviving pair alongside — the audit column that
+    // shows how far anisotropy was distorting the ranking.
+    //
+    // Scale: correction is a narrow per-(vec, dim) map off broadcast
+    // 64-row mu/v3; corrected vectors re-pack to arrays so scoring is
+    // the q119/q127 shape — a 10-row broadcast anchor pack crossed
+    // into ONE corpus scan, dots via the codegen'd dot_product; never
+    // a dim-keyed corpus×corpus join. Per-anchor ranks are windows
+    // keyed by anchor (the q26 brute-force contract: anchors bounded
+    // at 10 BY DEFINITION). Ranking compares round-6 cosines (ties →
+    // neighbor id), so ordering never reads unrounded doubles.
+    QDef(
+      "q209_abtt_rerank",
+      (s, dir) => {
+        val (dims, mu, _, _, v3) = pcaParts(s, dir)
+        val centered = dims
+          .join(broadcast(mu), "i")
+          .join(broadcast(v3.select(col("i"), col("v").as("pc"))), "i")
+          .select(col("vec_id"), col("i"),
+            (col("x") - col("mu")).as("xc"), col("pc"))
+          .localCheckpoint() // feeds projection AND residual
+        val proj = centered.groupBy(col("vec_id"))
+          .agg(round(sum(col("xc") * col("pc")), 9).as("p"))
+        val resid = centered.join(proj, "vec_id")
+          .select(col("vec_id"), col("i"),
+            (col("xc") - col("p") * col("pc")).as("u"))
+          .localCheckpoint() // feeds norm AND the pack
+        val rnorm = resid.groupBy(col("vec_id"))
+          .agg(round(sqrt(sum(col("u") * col("u"))), 9).as("nrm"))
+        val packed = resid.join(rnorm, "vec_id")
+          .select(col("vec_id"), col("i"),
+            round(col("u") / col("nrm"), 9).as("cu"))
+          .groupBy(col("vec_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(i, cu))), s -> s.cu)")
+            .as("cv"))
+          .join(vectors(s, dir).select(col("vec_id"), col("v").as("rv")),
+            "vec_id")
+          .localCheckpoint() // one corrected+raw pack, scanned twice
+        val anchors = packed.where(col("vec_id") < 10)
+          .select(col("vec_id").as("anchor"), col("cv").as("acv"),
+            col("rv").as("arv"))
+        val byA = Window.partitionBy(col("anchor"))
+          .orderBy(col("cos_corr_r").desc, col("nb").asc)
+        packed.crossJoin(broadcast(anchors))
+          .where(col("vec_id") =!= col("anchor"))
+          .select(col("anchor"), col("vec_id").as("nb"),
+            round(expr("dot_product(acv, cv)"), 6).as("cos_corr_r"),
+            round(expr("dot_product(arv, rv)"), 6).as("cos_raw_r"))
+          .withColumn("rk", row_number().over(byA))
+          .where(col("rk") <= 3)
+          .select(col("anchor"), col("rk"), col("nb"),
+            col("cos_corr_r"), col("cos_raw_r"))
+          .orderBy(col("anchor"), col("rk"))
+      },
+      Some(s"""
+        WITH $pcaChainDuck,
+        cen AS MATERIALIZED (
+          SELECT d.vec_id, d.i, d.x - m.mu AS xc, v3.v AS pc
+          FROM dims d JOIN mu m ON m.i = d.i JOIN v3 ON v3.i = d.i),
+        pp AS (SELECT vec_id, ROUND(SUM(xc * pc), 9) AS p
+               FROM cen GROUP BY 1),
+        uu AS MATERIALIZED (
+          SELECT c.vec_id, c.i, c.xc - p.p * c.pc AS u
+          FROM cen c JOIN pp p USING (vec_id)),
+        un AS (SELECT vec_id, ROUND(SQRT(SUM(u * u)), 9) AS nrm
+               FROM uu GROUP BY 1),
+        cu AS MATERIALIZED (
+          SELECT u.vec_id, u.i, ROUND(u.u / un.nrm, 9) AS cu
+          FROM uu u JOIN un USING (vec_id)),
+        rn AS (SELECT vec_id, SQRT(SUM(x * x)) AS rn
+               FROM dims GROUP BY 1),
+        rw AS MATERIALIZED (
+          SELECT d.vec_id, d.i, d.x / rn.rn AS r
+          FROM dims d JOIN rn USING (vec_id)),
+        cc AS (SELECT ca.vec_id AS anchor, cb.vec_id AS nb,
+                      ROUND(SUM(ca.cu * cb.cu), 6) AS cos_corr_r
+               FROM cu ca JOIN cu cb
+                 ON ca.i = cb.i AND ca.vec_id < 10
+                AND ca.vec_id <> cb.vec_id
+               GROUP BY 1, 2),
+        cr AS (SELECT ra.vec_id AS anchor, rb.vec_id AS nb,
+                      ROUND(SUM(ra.r * rb.r), 6) AS cos_raw_r
+               FROM rw ra JOIN rw rb
+                 ON ra.i = rb.i AND ra.vec_id < 10
+                AND ra.vec_id <> rb.vec_id
+               GROUP BY 1, 2),
+        tp AS (SELECT anchor, nb, cos_corr_r,
+                      ROW_NUMBER() OVER (PARTITION BY anchor
+                        ORDER BY cos_corr_r DESC, nb ASC) AS rk
+               FROM cc)
+        SELECT tp.anchor, CAST(tp.rk AS INTEGER) AS rk, tp.nb,
+               tp.cos_corr_r, cr.cos_raw_r
+        FROM tp JOIN cr ON cr.anchor = tp.anchor AND cr.nb = tp.nb
+        WHERE tp.rk <= 3
+        ORDER BY tp.anchor, tp.rk
+      """)),
+
+    // ------------------------------------------------------------------
+    // q212: recall@k CURVE for the IVF index — q120 generalized from
+    // the single recall@3 point to the operating curve (k = 1, 3, 5,
+    // 10) an index consumer actually tunes against: rank brute-force
+    // ground truth and IVF 2-probe candidates to depth 10 once (the
+    // SAME q120 machinery: q26 brute-force shape, ivfRanked 16-cell
+    // quantizer), join the two rankings per (anchor, neighbor), and
+    // read every k off that one joined relation via a 4-row literal
+    // spine — no per-k re-rank, no extra corpus pass. All-integer hit
+    // counts; recall_r = hits / (10 anchors · k) rounded at 6.
+    QDef(
+      "q212_recall_curve",
+      (s, dir) => {
+        val e = vectors(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        val gt = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor_id"),
+            expr(COS).as("cos"))
+          .withColumn("rk_gt", row_number().over(w))
+          .filter(col("rk_gt") <= 10)
+          .select(col("qid"), col("neighbor_id"), col("rk_gt"))
+        val ranked = ivfRanked(e, 16)
+          .select(col("vec_id"), col("cent_id"), col("rn"))
+        val assign = ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell"))
+        val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+        val cand = assign.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor_id"))
+          .distinct()
+        val n = e.select(col("vec_id").as("neighbor_id"), col("v"))
+        val ann = cand.join(q, "qid").join(n, "neighbor_id")
+          .select(col("qid"), col("neighbor_id"), expr(COS).as("cos"))
+          .withColumn("rk_ann", row_number().over(w))
+          .filter(col("rk_ann") <= 10)
+          .select(col("qid"), col("neighbor_id"), col("rk_ann"))
+        val joined = gt.join(ann, Seq("qid", "neighbor_id"))
+          .localCheckpoint() // ≤100 rows, read once per curve point
+        val spine = s.range(1)
+          .select(explode(expr("array(1, 3, 5, 10)")).as("k"))
+        joined.crossJoin(broadcast(spine))
+          .groupBy(col("k").cast("int").as("k"))
+          .agg(sum(when(col("rk_gt") <= col("k")
+            && col("rk_ann") <= col("k"), 1L).otherwise(0L))
+            .as("n_hits"))
+          .select(col("k"), col("n_hits"),
+            (lit(10L) * col("k")).cast("bigint").as("n_possible"),
+            round(col("n_hits").cast("double")
+              / (lit(10.0d) * col("k")), 6).as("recall_r"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        gts AS (SELECT qid, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                         list_sum(list_transform(range(1, 65),
+                           i -> qv[i] * v[i])) DESC, e.vec_id ASC) AS rk_gt
+                FROM q JOIN e ON e.vec_id <> qid),
+        gt AS (SELECT qid, neighbor_id, rk_gt FROM gts WHERE rk_gt <= 10),
+        cents AS (SELECT vec_id AS cent_id, v AS cv
+                  FROM e WHERE vec_id < 16),
+        sims AS (SELECT e.vec_id, c.cent_id,
+                   list_sum(list_transform(range(1, 65),
+                     i -> e.v[i] * c.cv[i])) AS sim
+                 FROM e, cents c),
+        ranked AS (SELECT vec_id, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, cent_id ASC) AS rn
+                   FROM sims),
+        assign AS (SELECT vec_id, cent_id AS cell FROM ranked
+                   WHERE rn = 1),
+        probes AS (SELECT vec_id AS qid, cent_id AS cell
+                   FROM ranked WHERE rn <= 2 AND vec_id < 10),
+        cand AS (SELECT DISTINCT p.qid, a.vec_id AS neighbor_id
+                 FROM probes p JOIN assign a ON a.cell = p.cell
+                 WHERE a.vec_id <> p.qid),
+        anns AS (SELECT c.qid, c.neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+                          list_sum(list_transform(range(1, 65),
+                            i -> qe.v[i] * ne.v[i])) DESC,
+                          c.neighbor_id ASC) AS rk_ann
+                 FROM cand c
+                 JOIN e qe ON qe.vec_id = c.qid
+                 JOIN e ne ON ne.vec_id = c.neighbor_id),
+        ann AS (SELECT qid, neighbor_id, rk_ann FROM anns
+                WHERE rk_ann <= 10),
+        j AS (SELECT g.rk_gt, a.rk_ann
+              FROM gt g JOIN ann a
+                ON a.qid = g.qid AND a.neighbor_id = g.neighbor_id),
+        ks AS (SELECT unnest([1, 3, 5, 10]) AS k)
+        SELECT CAST(ks.k AS INTEGER) AS k,
+               CAST(SUM(CASE WHEN j.rk_gt <= ks.k AND j.rk_ann <= ks.k
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(10 * ks.k AS BIGINT) AS n_possible,
+               ROUND(CAST(SUM(CASE WHEN j.rk_gt <= ks.k
+                               AND j.rk_ann <= ks.k
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / (10.0 * ks.k), 6) AS recall_r
+        FROM ks CROSS JOIN j
+        GROUP BY ks.k
+        ORDER BY k
+      """)),
+
+    // ------------------------------------------------------------------
+    // q213: Davies-Bouldin index of the LABEL clustering in embedding
+    // space — the clustering-quality audit (lower = tighter, better-
+    // separated clusters): for each label, within-cluster scatter s_i
+    // (mean member→centroid distance) and the worst (s_i + s_j) /
+    // d(c_i, c_j) ratio against every other label; DB = mean of the
+    // per-label worsts. Complements q73 (which flags outlier MEMBERS)
+    // with a per-CLUSTER health score, and q173/q149 (which consume
+    // the label centroids) with the "are these labels even separable"
+    // check that should gate them.
+    //
+    // Scale: one dim-exploded pass builds centroids (|labels|·d cells)
+    // and member scatters (keyed agg); everything after is |labels|²-
+    // bounded arithmetic. Determinism: centroids round-9, member
+    // distances round-9, scatters round-6, centroid distances round-9,
+    // ratios round-6; the worst-ratio argmax tiebreaks on the other
+    // label's id.
+    QDef(
+      "q213_davies_bouldin",
+      (s, dir) => {
+        val dims = Tables(s, dir).embeddings
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("i", "x")))
+          .localCheckpoint() // feeds centroids AND member distances
+        val cent = dims.groupBy(col("label"), col("i"))
+          .agg(round(avg(col("x")), 9).as("c"))
+          .localCheckpoint() // feeds scatter AND the centroid pairs
+        val scat = dims.join(cent, Seq("label", "i"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(round(sqrt(sum((col("x") - col("c"))
+            * (col("x") - col("c")))), 9).as("dist"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_members"),
+            round(avg(col("dist")), 6).as("s_r"))
+          .localCheckpoint() // |labels| rows, read three times
+        val cd = cent.as("a")
+          .join(cent.as("b"),
+            col("a.i") === col("b.i") && col("a.label") =!= col("b.label"))
+          .groupBy(col("a.label").as("label"), col("b.label").as("other"))
+          .agg(round(sqrt(sum((col("a.c") - col("b.c"))
+            * (col("a.c") - col("b.c")))), 9).as("d"))
+        val byWorst = Window.partitionBy(col("label"))
+          .orderBy(col("ratio_r").desc, col("other").asc)
+        val worst = cd
+          .join(scat.select(col("label"), col("s_r")), "label")
+          .join(scat.select(col("label").as("other"),
+            col("s_r").as("s_other")), "other")
+          .withColumn("ratio_r",
+            round((col("s_r") + col("s_other")) / col("d"), 6))
+          .withColumn("rn", row_number().over(byWorst))
+          .where(col("rn") === 1)
+          .select(col("label"), col("other").as("worst_other"),
+            col("ratio_r"))
+          .localCheckpoint() // |labels| rows, feeds db AND the output
+        val db = worst.agg(round(avg(col("ratio_r")), 6).as("db_index_r"))
+        scat.join(worst, "label")
+          .crossJoin(broadcast(db))
+          .select(col("label"), col("n_members"), col("s_r"),
+            col("worst_other"), col("ratio_r"), col("db_index_r"))
+          .orderBy(col("label"))
+      },
+      Some("""
+        WITH dims AS MATERIALIZED (
+          SELECT vec_id, label, p.p AS i,
+                 (embedding::DOUBLE[])[p.p + 1] AS x
+          FROM embeddings, (SELECT unnest(range(0, 64)) AS p) p),
+        cent AS MATERIALIZED (
+          SELECT label, i, ROUND(AVG(x), 9) AS c
+          FROM dims GROUP BY 1, 2),
+        scat AS MATERIALIZED (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+                 ROUND(AVG(dist), 6) AS s_r
+          FROM (SELECT d.vec_id, d.label,
+                       ROUND(SQRT(SUM((d.x - c.c) * (d.x - c.c))), 9)
+                         AS dist
+                FROM dims d JOIN cent c
+                  ON c.label = d.label AND c.i = d.i
+                GROUP BY 1, 2) m
+          GROUP BY 1),
+        cd AS (SELECT a.label AS label, b.label AS other,
+                      ROUND(SQRT(SUM((a.c - b.c) * (a.c - b.c))), 9) AS d
+               FROM cent a JOIN cent b
+                 ON a.i = b.i AND a.label <> b.label
+               GROUP BY 1, 2),
+        rat AS (SELECT cd.label, cd.other,
+                       ROUND((sa.s_r + sb.s_r) / cd.d, 6) AS ratio_r
+                FROM cd
+                JOIN scat sa ON sa.label = cd.label
+                JOIN scat sb ON sb.label = cd.other),
+        worst AS (SELECT label, other AS worst_other, ratio_r
+                  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                          ORDER BY ratio_r DESC, other ASC) AS rn
+                        FROM rat) t WHERE rn = 1),
+        db AS (SELECT ROUND(AVG(ratio_r), 6) AS db_index_r FROM worst)
+        SELECT s.label, s.n_members, s.s_r, w.worst_other, w.ratio_r,
+               db.db_index_r
+        FROM scat s JOIN worst w ON w.label = s.label, db
+        ORDER BY s.label
       """))
   )
 }

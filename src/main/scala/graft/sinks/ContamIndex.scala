@@ -1,0 +1,122 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted decontamination index — q56's held-out 13-gram probe
+  * structures as durable LIBRARY artifacts. Decontamination is the one
+  * pipeline check that must run on EVERY training batch forever (every
+  * new crawl snapshot has to be screened against the frozen eval
+  * sets), so the held-out side is exactly what deserves an index:
+  * shingle the eval sets once, then screen any number of train batches
+  * in O(batch) without re-reading a single held-out document.
+  *
+  * Layout:
+  * {{{
+  *   <dir>/postings/  (g, doc_id)       held-out 13-gram postings,
+  *                                      range-clustered + sorted by g
+  *                                      → parquet min/max stats prune
+  *                                      non-matching files at the scan
+  *   <dir>/docs/      (doc_id,          every indexed held-out doc,
+  *                     n_shingles)      including gram-less short ones
+  *                                      (they still report ratio 0.0)
+  * }}}
+  *
+  * Shingling is `graft.functions.Shingles` with n = 13 — the SAME
+  * generator (and therefore the same distinct-gram semantics) q56
+  * executes, so the persisted and in-query probes cannot drift;
+  * ContamIndexSpec pins `probe(train)` byte-for-byte to the q56
+  * report. [[append]] is O(batch) for new eval docs (a fresh snapshot
+  * of a benchmark): postings/docs deltas merge at read time — the
+  * DedupIndex/TextIndex contract (appended doc_ids must be NEW; many
+  * small appends → [[compact]]).
+  *
+  * Scale shape: [[probe]] joins train grams against the postings
+  * KEYED ON THE GRAM — the shard key at 100 TB; nothing held-out ever
+  * rescans and no corpus self-join runs. The held-out side is small by
+  * construction (eval sets), so the planner broadcasts it into the
+  * train scan at scale. [[probeGrams]] point lookups push `g IN (...)`
+  * into the parquet scan (PushedFilters, spec-asserted) and read only
+  * gram-range-matching files.
+  */
+object ContamIndex {
+
+  private def write(held: DataFrame, outDir: String,
+      mode: SaveMode): Unit = {
+    val posts = held.select(col("doc_id"),
+        graft.functions.Shingles.shingles(col("text"), 13).as("g"))
+      .localCheckpoint() // feeds postings AND per-doc totals
+    posts
+      .repartitionByRange(col("g"))
+      .sortWithinPartitions(col("g"), col("doc_id"))
+      .select(col("g"), col("doc_id"))
+      .write.mode(mode).parquet(s"$outDir/postings")
+    held.select(col("doc_id")).distinct()
+      .join(posts.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"))
+      .write.mode(mode).parquet(s"$outDir/docs")
+  }
+
+  /** Shingle and index a (doc_id, text) held-out corpus from scratch. */
+  def build(held: DataFrame, outDir: String): Unit =
+    write(held, outDir, SaveMode.Overwrite)
+
+  /** Incrementally index a (doc_id, text) batch of NEW held-out docs —
+    * O(batch), no re-shingling of the indexed sets; deltas merge at
+    * read (see the object scaladoc for the contract).
+    */
+  def append(held: DataFrame, indexDir: String): Unit =
+    write(held, indexDir, SaveMode.Append)
+
+  /** Screen a (doc_id, text) TRAIN batch against the indexed held-out
+    * sets: q56's per-held-doc contamination report (doc_id,
+    * n_shingles, n_contaminated, n_train_docs, contam_ratio),
+    * restricted to hits from this batch. Probing the full train split
+    * reproduces q56 exactly (spec-pinned).
+    */
+  def probe(spark: SparkSession, indexDir: String,
+      train: DataFrame): DataFrame = {
+    val tg = train.select(col("doc_id").as("train_doc"),
+      graft.functions.Shingles.shingles(col("text"), 13).as("g"))
+    val hits = spark.read.parquet(s"$indexDir/postings")
+      .join(tg, "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("hit_grams"),
+        countDistinct(col("train_doc")).as("hit_train_docs"))
+    spark.read.parquet(s"$indexDir/docs")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("hit_grams"), lit(0L)).as("n_contaminated"),
+        coalesce(col("hit_train_docs"), lit(0L)).as("n_train_docs"),
+        expr("""case when n_shingles = 0 then 0.0d
+                else cast(coalesce(hit_grams, 0L) as double) / n_shingles
+                end""").as("contam_ratio"))
+  }
+
+  /** Point lookup: which indexed held-out docs contain these grams?
+    * One row per matching gram (g, n_held_docs); the `g IN (...)`
+    * filter reaches the parquet scan, so only gram-range-matching
+    * postings files are read.
+    */
+  def probeGrams(spark: SparkSession, indexDir: String,
+      grams: Seq[String]): DataFrame =
+    spark.read.parquet(s"$indexDir/postings")
+      .where(col("g").isin(grams: _*))
+      .groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("n_held_docs"))
+
+  /** Re-cluster every append generation into one tight gram-range
+    * file set (TextIndex.compact's contract: separate destination,
+    * caller swaps atomically; no document is re-shingled).
+    */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    spark.read.parquet(s"$srcDir/postings")
+      .repartitionByRange(col("g"))
+      .sortWithinPartitions(col("g"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/postings")
+    spark.read.parquet(s"$srcDir/docs")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/docs")
+  }
+}

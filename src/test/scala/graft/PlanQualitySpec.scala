@@ -97,6 +97,21 @@ class PlanQualitySpec extends AnyFunSuite {
     // q208 crossJoins the ONE-row exact-totals aggregate into the
     // ONE-row HT-estimate aggregate (q37 pattern)
     "q208_ht_estimate",
+    // q209 crossJoins the 10-row broadcast anchor pack into the one
+    // corpus scan (the q119/q127 centroid-pack shape)
+    "q209_abtt_rerank",
+    // q210 crossJoins the ONE-row final-weights aggregate (q37
+    // pattern) for the scoring pass
+    "q210_model_apply",
+    // q211 crossJoins the ONE-row day-count aggregate (q37 pattern)
+    "q211_theil_sen",
+    // q212 is q120's shape (10-row anchor broadcast × corpus, 16-row
+    // centroid cross) + the 4-row literal curve spine against the
+    // ≤100-row joined ranking (q37 pattern)
+    "q212_recall_curve",
+    // q213 crossJoins the ONE-row DB-mean aggregate (q37 pattern);
+    // centroid pairs are |labels|²-bounded equi-joins on the dim
+    "q213_davies_bouldin",
     // q149's quantizer is q48's 16-row broadcast centroid cross
     // (ivfRanked); candidate generation itself is a cell equi-join
     "q149_knn_eval",
@@ -198,7 +213,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // q199: two survivor ranks over ≤10 rows each (post sort+limit)
     "q199_hits" -> 2,
     // q202/q205: survivor ranks over ≤15 / ≤20 rows (post sort+limit)
-    "q202_cms_heavy_hitters" -> 1, "q205_label_prop" -> 1)
+    "q202_cms_heavy_hitters" -> 1, "q205_label_prop" -> 1,
+    // q211: ScaleSafePercentiles median (its rank + count windows)
+    // over the CALENDAR²-bounded day-pair slopes (365 days/year →
+    // ~66k pairs/year; grows with time, never with corpus size)
+    "q211_theil_sen" -> 2)
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

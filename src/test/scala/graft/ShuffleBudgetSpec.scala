@@ -412,6 +412,21 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q208: sample-sum and exact-total aggregates over the
     // checkpointed (pi, u) scan — two 1-row all-reduces
     "q208_ht_estimate" -> 2,
+    // q209: post-checkpoint pack: the broadcast-anchor scoring pass's
+    // per-anchor rank exchange + the final order
+    "q209_abtt_rerank" -> 2,
+    // q210: one scoring pass over the checkpointed features: per-lang
+    // rollup + the bounded final order
+    "q210_model_apply" -> 2,
+    // q211: post-checkpoint: the calendar²-bounded pair join's median
+    // window + the 2-exchange one-row day count
+    "q211_theil_sen" -> 2,
+    // q212: the two ≤10-anchor rank windows' exchanges (gt + ann);
+    // cells/candidates broadcast, the curve spine is literal
+    "q212_recall_curve" -> 2,
+    // q213: post-checkpoint |labels|-bounded stages: centroid-pair
+    // agg + the worst-ratio window + the 1-row DB mean
+    "q213_davies_bouldin" -> 3,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
