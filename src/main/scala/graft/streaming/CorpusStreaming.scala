@@ -73,6 +73,34 @@ object CorpusStreaming {
     cleanWithFp(fresh, watermark) // reuses the fp column, no recompute
   }
 
+  /** Streaming decontamination alerts against a persisted
+    * `sinks.ContamIndex`: every streamed document that shares ≥ 1
+    * 13-gram with the indexed held-out sets emits ONE (doc_id,
+    * ingest_ts) alert row — the continuous twin of the q56 batch
+    * screen, so eval-set leakage is caught AT INGEST instead of at the
+    * next corpus audit. Shingling is the same `Shingles` generator the
+    * index was built with (one shared contract, like the fingerprint
+    * dedup above).
+    *
+    * Scale: the gram explode is stateless per-row work; the join is
+    * stream-static keyed on the gram (the static postings re-read per
+    * micro-batch with pushdown — eval sets are small by construction,
+    * so the planner broadcasts them); the only state is the per-doc
+    * alert dedup, watermark-bounded like the fingerprint state.
+    *
+    * @param postings the index's postings relation (any frame with a
+    *                 `g` column, e.g. `spark.read.parquet(idx/postings)`)
+    */
+  def contaminationAlerts(docs: DataFrame, postings: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .select(col("doc_id"), col("ingest_ts"),
+        graft.functions.Shingles.shingles(col("text"), 13).as("g"))
+      .join(postings.select(col("g")).distinct(), "g")
+      .dropDuplicatesWithinWatermark(Seq("doc_id"))
+      .select(col("doc_id"), col("ingest_ts"))
+
   /** Append each micro-batch to the partitioned corpus tree via the
     * batch export sink (same layout contract as [[CorpusExport]], with
     * `batch=<id>` as the leading partition directory). foreachBatch is

@@ -108,4 +108,41 @@ class CorpusStreamingSpec extends AnyFunSuite {
         .toSet == Set(21L))
     } finally q.stop()
   }
+
+  test("streaming decontamination alerts fire on indexed held-out grams") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // index one held-out doc with the LIBRARY artifact; a streamed doc
+    // is contaminated iff it shares a 13-gram with it (q56's rule)
+    val heldText =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val idx = TestSpark.tmpDir("stream-contam-idx")
+    graft.sinks.ContamIndex.build(
+      Seq((900L, heldText)).toDF("doc_id", "text"), idx)
+    val postings = spark.read.parquet(s"$idx/postings")
+    val ms = MemoryStream[StreamedDoc]
+    val q = CorpusStreaming
+      .contaminationAlerts(ms.toDF(), postings)
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        // embeds a verbatim 13-gram of the held doc → alert
+        StreamedDoc(30L, "prefix words here " + heldText.split(" ")
+          .slice(2, 15).mkString(" ") + " trailing words", "en", "src0",
+          ts("2024-01-01 00:00:00")),
+        // clean: no shared 13-gram (different vocabulary entirely)
+        StreamedDoc(31L, goodText, "en", "src0",
+          ts("2024-01-01 00:01:00")),
+        // the whole held doc verbatim (many matching grams) → ONE alert
+        StreamedDoc(32L, heldText, "en", "src0",
+          ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      val alerts = spark.table("alerts").select("doc_id").as[Long]
+        .collect()
+      assert(alerts.toSet == Set(30L, 32L), alerts.mkString(","))
+      assert(alerts.length == 2, "one alert per contaminated doc")
+    } finally q.stop()
+  }
 }
