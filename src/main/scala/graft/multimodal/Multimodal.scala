@@ -238,10 +238,21 @@ object Multimodal {
     * container format. flatMap keeps it a narrow op; fan-out is bounded
     * by payload size / (64 * stride).
     */
-  def frameSample(media: Dataset[MediaRecord], stride: Int): Dataset[Frame] = {
+  def frameSample(media: Dataset[MediaRecord], stride: Int): Dataset[Frame] =
+    chunks(media, "video", 64, stride)
+
+  /** Fixed-size payload chunking in the typed kernel — the shared
+    * framing primitive behind [[frameSample]] (video frames) and audio
+    * windowing (q215): chunk index is over ALL chunks, then the stride
+    * filter applies, so a stride change never renumbers the survivors.
+    * Payloads stay partition-local; downstream ships per-chunk scalars.
+    */
+  def chunks(media: Dataset[MediaRecord], kind: String, size: Int,
+      stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
-    media.filter(_.kind == "video").flatMap { r =>
-      r.bytes.grouped(64).zipWithIndex
+    val k = kind
+    media.filter(_.kind == k).flatMap { r =>
+      r.bytes.grouped(size).zipWithIndex
         .collect { case (chunk, idx) if idx % stride == 0 =>
           Frame(r.media_id, idx, chunk)
         }

@@ -134,6 +134,177 @@ object MultimodalQueries {
                     i -> ((doc_id * 37 + (i % w) * 3 + (i // w) * 5) % 256)
                          // 16)) AS BIGINT) AS luma_chk
         FROM img
+      """)),
+
+    // ------------------------------------------------------------------
+    // q214: shot-boundary detection over the video subset — the frame-
+    // level pipeline stage between raw ingest and per-shot sampling
+    // (dedup/captioning pipelines keyframe per SHOT, not per frame, so
+    // boundary detection decides what a 100 TB video corpus actually
+    // pays to process). Exercises `Multimodal.frameSample` (stride-2
+    // frame extraction in the typed kernel — payloads stay partition-
+    // local, only per-frame scalar features shuffle), then the classic
+    // luminance-delta detector: per-frame mean byte value, lag window
+    // per video, boundary where the jump exceeds the threshold. Output
+    // per video: frame count, boundary count, shots = boundaries + 1,
+    // and the largest jump.
+    //
+    // Scale: frame explode is stateless per-row work; the only shuffle
+    // is the per-VIDEO window (keyed, bounded by frames-per-video) and
+    // the per-video rollup. Determinism: mean byte values round at 6
+    // (exact integer sum / length), jumps are differences of rounded
+    // values rounded at 6, the threshold (1.0) compares against a
+    // round-6 value. The oracle restates the kernel's chunking exactly
+    // (64-byte chunks, idx % 2 == 0, ASCII payload ⇒ byte == char).
+    QDef(
+      "q214_shot_boundaries",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val frames = Multimodal.frameSample(
+          Multimodal.mediaFromDocuments(Tables(s, dir).documents), 2)
+        // mean byte value in the typed kernel (payloads never shuffle;
+        // only the scalar rides on). Exact-rational HALF_UP at 6 ==
+        // ROUND(sum/len, 6): for len ≤ 64 the quotient is never within
+        // 7.8e-9 of a rounding tie, so BigDecimal-exact and
+        // double-quotient rounding agree in both engines.
+        val feat = frames.map { f =>
+          val sum = f.frame_bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+          val mb = new java.math.BigDecimal(sum)
+            .divide(new java.math.BigDecimal(f.frame_bytes.length), 6,
+              java.math.RoundingMode.HALF_UP).doubleValue
+          (f.media_id, f.frame_idx, mb)
+        }.toDF("media_id", "frame_idx", "mb")
+        val byVid = Window.partitionBy(col("media_id"))
+          .orderBy(col("frame_idx"))
+        feat
+          .withColumn("jump",
+            round(abs(col("mb") - lag(col("mb"), 1).over(byVid)), 6))
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("jump") > 1.0d, 1L).otherwise(0L))
+              .as("n_boundaries"),
+            round(coalesce(max(col("jump")), lit(0.0d)), 6)
+              .as("max_jump_r"))
+          .select(col("media_id"), col("n_frames"),
+            col("n_boundaries"),
+            (col("n_boundaries") + 1L).as("n_shots"),
+            col("max_jump_r"))
+      },
+      Some("""
+        WITH media AS (SELECT doc_id AS media_id, text
+                       FROM documents WHERE doc_id % 3 = 2),
+        frames AS (
+          SELECT media_id, CAST(k.k AS INTEGER) AS frame_idx,
+                 substr(text, CAST(k.k * 64 + 1 AS INTEGER), 64) AS chunk
+          FROM media, range(0, 2048) k(k)
+          WHERE k.k % 2 = 0 AND length(text) > k.k * 64),
+        feat AS (
+          SELECT media_id, frame_idx,
+                 ROUND(list_sum(list_transform(string_split(chunk, ''),
+                         c -> ascii(c)))
+                       / CAST(length(chunk) AS DOUBLE), 6) AS mb
+          FROM frames),
+        j AS (SELECT media_id, frame_idx, mb,
+                     ROUND(ABS(mb - LAG(mb) OVER (PARTITION BY media_id
+                       ORDER BY frame_idx)), 6) AS jump
+              FROM feat)
+        SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN jump > 1.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boundaries,
+               CAST(SUM(CASE WHEN jump > 1.0 THEN 1 ELSE 0 END) + 1
+                    AS BIGINT) AS n_shots,
+               ROUND(COALESCE(MAX(jump), 0.0), 6) AS max_jump_r
+        FROM j GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q215: voice-activity segmentation over the audio subset — the
+    // audio twin of q214's video stage, and the op that decides which
+    // SEGMENTS of a 100 TB audio corpus are worth transcribing: window
+    // the payload (32-byte windows in the shared `Multimodal.chunks`
+    // kernel), per-window energy (mean |byte − 100| — a deviation
+    // proxy; the real kernel would be RMS over PCM samples, same
+    // plumbing), threshold into active/silent, then gaps-and-islands
+    // per medium to find the longest ACTIVE RUN — the q102/q151 island
+    // pattern applied at the frame level. Output per audio: windows,
+    // active windows, longest run, and the active ratio.
+    //
+    // Scale: one media_id exchange serves the island window and the
+    // rollup (runs are bounded by windows-per-medium). Determinism:
+    // energies are exact-rational HALF_UP at 6 (len ≤ 32 ⇒ tie-free,
+    // q214's argument), runs are pure integer arithmetic.
+    QDef(
+      "q215_audio_activity",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val wins = Multimodal.chunks(
+          Multimodal.mediaFromDocuments(Tables(s, dir).documents),
+          "audio", 32, 1)
+        val en = wins.map { f =>
+          val sum = f.frame_bytes.foldLeft(0L)((a, b) =>
+            a + math.abs((b & 0xff) - 100))
+          val e = new java.math.BigDecimal(sum)
+            .divide(new java.math.BigDecimal(f.frame_bytes.length), 6,
+              java.math.RoundingMode.HALF_UP).doubleValue
+          (f.media_id, f.frame_idx, e)
+        }.toDF("media_id", "widx", "e")
+        val byM = Window.partitionBy(col("media_id")).orderBy(col("widx"))
+        val runs = en
+          .withColumn("active", (col("e") > 19.5d).cast("int"))
+          .withColumn("isl",
+            col("widx") - sum(col("active")).over(byM)
+              + when(col("active") === 1, 1).otherwise(0))
+        runs.groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            sum(col("active")).cast("bigint").as("n_active"))
+          .join(
+            runs.where(col("active") === 1)
+              .groupBy(col("media_id"), col("isl"))
+              .agg(count(lit(1)).as("run"))
+              .groupBy(col("media_id"))
+              .agg(max(col("run")).as("longest_run")),
+            Seq("media_id"), "left")
+          .select(col("media_id"), col("n_windows"), col("n_active"),
+            coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+            round(col("n_active").cast("double") / col("n_windows"), 6)
+              .as("active_ratio_r"))
+      },
+      Some("""
+        WITH media AS (SELECT doc_id AS media_id, text
+                       FROM documents WHERE doc_id % 3 = 1),
+        w AS (SELECT media_id, CAST(k.k AS INTEGER) AS widx,
+                     substr(text, CAST(k.k * 32 + 1 AS INTEGER), 32)
+                       AS chunk
+              FROM media, range(0, 4096) k(k)
+              WHERE length(text) > k.k * 32),
+        en AS (SELECT media_id, widx,
+                      ROUND(list_sum(list_transform(
+                              string_split(chunk, ''),
+                              c -> abs(ascii(c) - 100)))
+                            / CAST(length(chunk) AS DOUBLE), 6) AS e
+               FROM w),
+        act AS (SELECT media_id, widx,
+                       CASE WHEN e > 19.5 THEN 1 ELSE 0 END AS active
+                FROM en),
+        isl AS (SELECT media_id, widx, active,
+                       widx - SUM(active) OVER (PARTITION BY media_id
+                         ORDER BY widx ROWS UNBOUNDED PRECEDING)
+                       + CASE WHEN active = 1 THEN 1 ELSE 0 END AS isl
+                FROM act),
+        runs AS (SELECT media_id, isl, CAST(COUNT(*) AS BIGINT) AS run
+                 FROM isl WHERE active = 1 GROUP BY 1, 2),
+        longest AS (SELECT media_id, MAX(run) AS longest_run
+                    FROM runs GROUP BY 1),
+        base AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+                        CAST(SUM(active) AS BIGINT) AS n_active
+                 FROM act GROUP BY 1)
+        SELECT b.media_id, b.n_windows, b.n_active,
+               COALESCE(l.longest_run, 0) AS longest_run,
+               ROUND(CAST(b.n_active AS DOUBLE) / b.n_windows, 6)
+                 AS active_ratio_r
+        FROM base b LEFT JOIN longest l ON l.media_id = b.media_id
       """))
   )
 }

@@ -427,6 +427,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q213: post-checkpoint |labels|-bounded stages: centroid-pair
     // agg + the worst-ratio window + the 1-row DB mean
     "q213_davies_bouldin" -> 3,
+    // q214: ONE media_id exchange — hash(media_id) serves both the
+    // per-video lag window and the per-video rollup
+    "q214_shot_boundaries" -> 1,
+    // q215: media_id exchange for the island window/rollup + the
+    // (media_id, isl) run agg before the per-medium max
+    "q215_audio_activity" -> 2,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
