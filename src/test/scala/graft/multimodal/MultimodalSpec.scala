@@ -157,4 +157,24 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.frame_bytes.sameElements(expected))
     }
   }
+
+  test("chunks: stride-1 windows reassemble each payload exactly") {
+    // the audio-windowing path (q215): every byte appears in exactly
+    // one window, in order — chunking loses and duplicates nothing
+    val wins = chunks(media, "audio", 32, 1).collect()
+      .groupBy(_.media_id)
+    val audios = media.filter(_.kind == "audio").collect()
+    assert(audios.nonEmpty && wins.keySet == audios.map(_.media_id).toSet)
+    audios.foreach { a =>
+      val rebuilt = wins(a.media_id).sortBy(_.frame_idx)
+        .flatMap(_.frame_bytes)
+      assert(rebuilt.sameElements(a.bytes), s"media ${a.media_id}")
+    }
+    // frameSample is exactly the video instantiation of chunks
+    val viaChunks = chunks(media, "video", 64, 2).collect()
+      .map(f => (f.media_id, f.frame_idx, f.frame_bytes.toSeq)).toSet
+    val viaSample = frameSample(media, 2).collect()
+      .map(f => (f.media_id, f.frame_idx, f.frame_bytes.toSeq)).toSet
+    assert(viaChunks == viaSample)
+  }
 }
