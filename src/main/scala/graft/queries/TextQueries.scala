@@ -1232,6 +1232,135 @@ object TextQueries {
         FROM pr JOIN sk ON sk.r = pr.r AND sk.col = pr.col
         GROUP BY 1, 2, 3
         ORDER BY rk
+      """)),
+
+    // ------------------------------------------------------------------
+    // q216: BPE TRAINING, three merge supersteps — q116 counts merge
+    // CANDIDATES once; this executes the actual training loop (count
+    // adjacent pairs → adopt the most frequent as a new vocab symbol →
+    // rewrite the corpus → repeat), the algorithm behind every modern
+    // subword tokenizer (Sennrich 2016), here over word symbols. Each
+    // superstep is one corpus pair-count (keyed agg), a 1-row argmax
+    // (sort+limit 1, tie → lexicographic pair), and a NARROW rewrite
+    // pass with the 1-row winner broadcast — the q101/q201 bounded-
+    // superstep discipline, nothing iterates on the driver.
+    //
+    // The rewrite trick that keeps both engines EXACTLY aligned:
+    // token streams are sentinel-encoded as '<a><b><c>', so the merge
+    // is a plain substring replace of '<a><b>' with '<a_b>' —
+    // boundary-safe (sentinels can't occur inside a token, so no
+    // false submatch like 'xa  b'), and left-to-right non-overlapping
+    // replace semantics (identical in Spark and DuckDB) are exactly
+    // BPE's greedy merge: '<a><a><a>' merges once, '<a><b><a><b>'
+    // merges twice. All-integer output: per round the adopted pair,
+    // its count, and the post-merge corpus token/vocab totals.
+    QDef(
+      "q216_bpe_train",
+      (s, dir) => {
+        val toks = "split(substring(s, 2, length(s) - 2), '><')"
+        val enc0 = Tables(s, dir).documents
+          .select(col("doc_id"), expr(W).as("ws"))
+          .where(expr("size(ws) > 0"))
+          .select(col("doc_id"),
+            concat(lit("<"), expr("array_join(ws, '><')"), lit(">"))
+              .as("s"))
+          .localCheckpoint() // feeds round-1 count AND rewrite
+        def step(df: org.apache.spark.sql.DataFrame, r: Int) = {
+          val arr = df.select(expr(toks).as("arr"))
+            .where(expr("size(arr) >= 2"))
+          val top = arr
+            .select(explode(expr(
+              """transform(sequence(1, size(arr) - 1),
+                   i -> named_struct('w1', arr[i-1], 'w2', arr[i]))"""))
+              .as("p"))
+            .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+            .agg(count(lit(1)).as("cnt"))
+            .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+            .limit(1)
+            .localCheckpoint() // 1-row winner: rewrite + output row
+          val merged = df.crossJoin(broadcast(top))
+            .select(col("doc_id"), expr(
+              """replace(s, concat('<', w1, '><', w2, '>'),
+                   concat('<', w1, '_', w2, '>'))""").as("s"))
+            .localCheckpoint() // superstep barrier (next round's input)
+          val stats = merged.select(explode(expr(toks)).as("tok"))
+            .agg(count(lit(1)).as("n_tokens"),
+              countDistinct(col("tok")).as("vocab"))
+          val row = top.crossJoin(broadcast(stats))
+            .select(lit(r).cast("int").as("round"), col("w1"), col("w2"),
+              col("cnt").as("pair_count"), col("n_tokens"), col("vocab"))
+          (merged, row)
+        }
+        val (e1, r1) = step(enc0, 1)
+        val (e2, r2) = step(e1, 2)
+        val (_, r3) = step(e2, 3)
+        r1.unionByName(r2).unionByName(r3).orderBy(col("round"))
+      },
+      Some(s"""
+        WITH e0 AS MATERIALIZED (
+          SELECT doc_id, '<' || array_to_string(ws, '><') || '>' AS s
+          FROM (SELECT doc_id, $WDuck AS ws FROM documents) t
+          WHERE len(ws) > 0),
+        p1 AS (SELECT p.w1 AS w1, p.w2 AS w2,
+                      CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest(list_transform(range(1, len(arr)),
+                              i -> {'w1': arr[i], 'w2': arr[i+1]})) AS p
+                     FROM (SELECT string_split(substr(s, 2,
+                             length(s) - 2), '><') AS arr FROM e0) q0) q1
+               GROUP BY 1, 2),
+        t1 AS MATERIALIZED (SELECT * FROM p1
+               ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
+        e1 AS MATERIALIZED (
+          SELECT doc_id, replace(s, '<'||w1||'><'||w2||'>',
+                                 '<'||w1||'_'||w2||'>') AS s
+          FROM e0, t1),
+        s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+               FROM (SELECT unnest(string_split(substr(s, 2,
+                       length(s) - 2), '><')) AS tok FROM e1) q),
+        p2 AS (SELECT p.w1 AS w1, p.w2 AS w2,
+                      CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest(list_transform(range(1, len(arr)),
+                              i -> {'w1': arr[i], 'w2': arr[i+1]})) AS p
+                     FROM (SELECT string_split(substr(s, 2,
+                             length(s) - 2), '><') AS arr FROM e1) q0) q1
+               GROUP BY 1, 2),
+        t2 AS MATERIALIZED (SELECT * FROM p2
+               ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
+        e2 AS MATERIALIZED (
+          SELECT doc_id, replace(s, '<'||w1||'><'||w2||'>',
+                                 '<'||w1||'_'||w2||'>') AS s
+          FROM e1, t2),
+        s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+               FROM (SELECT unnest(string_split(substr(s, 2,
+                       length(s) - 2), '><')) AS tok FROM e2) q),
+        p3 AS (SELECT p.w1 AS w1, p.w2 AS w2,
+                      CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest(list_transform(range(1, len(arr)),
+                              i -> {'w1': arr[i], 'w2': arr[i+1]})) AS p
+                     FROM (SELECT string_split(substr(s, 2,
+                             length(s) - 2), '><') AS arr FROM e2) q0) q1
+               GROUP BY 1, 2),
+        t3 AS MATERIALIZED (SELECT * FROM p3
+               ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
+        e3 AS MATERIALIZED (
+          SELECT doc_id, replace(s, '<'||w1||'><'||w2||'>',
+                                 '<'||w1||'_'||w2||'>') AS s
+          FROM e2, t3),
+        s3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+               FROM (SELECT unnest(string_split(substr(s, 2,
+                       length(s) - 2), '><')) AS tok FROM e3) q)
+        SELECT CAST(1 AS INTEGER) AS round, w1, w2,
+               cnt AS pair_count, n_tokens, vocab FROM t1, s1
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), w1, w2, cnt, n_tokens, vocab
+        FROM t2, s2
+        UNION ALL
+        SELECT CAST(3 AS INTEGER), w1, w2, cnt, n_tokens, vocab
+        FROM t3, s3
+        ORDER BY round
       """))
   )
 }

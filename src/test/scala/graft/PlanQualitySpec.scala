@@ -112,6 +112,9 @@ class PlanQualitySpec extends AnyFunSuite {
     // q213 crossJoins the ONE-row DB-mean aggregate (q37 pattern);
     // centroid pairs are |labels|²-bounded equi-joins on the dim
     "q213_davies_bouldin",
+    // q216 crossJoins the ONE-row adopted-merge winner and the
+    // ONE-row post-merge totals between supersteps (q37 pattern)
+    "q216_bpe_train",
     // q149's quantizer is q48's 16-row broadcast centroid cross
     // (ivfRanked); candidate generation itself is a cell equi-join
     "q149_knn_eval",

@@ -433,6 +433,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q215: media_id exchange for the island window/rollup + the
     // (media_id, isl) run agg before the per-medium max
     "q215_audio_activity" -> 2,
+    // q216: round-3's visible stages (earlier rounds checkpoint):
+    // pair agg + its sort-limit-1 + the post-merge token/vocab
+    // distinct aggs + the 1-row output assembly
+    "q216_bpe_train" -> 6,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
