@@ -40,6 +40,61 @@ object DedupQueries {
     * but pays a window shuffle plus a distinct shuffle before dedup work
     * begins. The Generator emits already-distinct shingles streaming.
     */
+  /** q190's hot-gram df cap: positioned 8-grams occurring more than
+    * this many times corpus-wide are dropped BEFORE the cross-doc
+    * equi-join. The join is quadratic in per-gram df, so one
+    * boilerplate navbar gram with df = 10⁵ would alone contribute
+    * 10¹⁰ pairs; the cap bounds every gram's blast radius at
+    * cap² = 4096 pairs. Real shared spans are unaffected — a span
+    * shared by k docs contributes grams with df = k, and k > 64
+    * verbatim copies IS boilerplate by definition (the Lee et al.
+    * 2022 suffix-array pipeline drops those grams the same way).
+    */
+  val spanDfCap = 64
+
+  /** q190's core, parameterized so the spec can drive it with a
+    * hot-gram fixture: positioned 8-gram anchors, df cap, cross-doc
+    * equi-join on the gram, diagonal gaps-and-islands → per-pair
+    * longest shared run + distinct maximal runs. See the q190 QDef
+    * for the full design note.
+    */
+  def sharedSpans(docs: org.apache.spark.sql.DataFrame,
+      dfCap: Int): org.apache.spark.sql.DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), expr(W).as("ws"))
+      .where(expr("size(ws) >= 8"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, size(ws) - 8),
+               i -> array_join(slice(ws, i + 1, 8), ' '))"""))
+          .as(Seq("pos", "gram")))
+      .localCheckpoint() // feeds the df count AND both join sides
+    // the hot set is tiny by construction — only grams repeated > cap
+    // times corpus-wide (corpus_grams / cap is its hard upper bound,
+    // and real corpora are far below it) — so it broadcasts and the
+    // exclusion is a narrow anti-join on both scan sides.
+    val hot = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap)
+      .select(col("gram"))
+    val kept = grams.join(broadcast(hot), Seq("gram"), "left_anti")
+    val m = kept.alias("a").join(kept.alias("b"),
+        col("a.gram") === col("b.gram") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.pos").as("pa"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("da"), col("db"), col("diag"))
+      .orderBy(col("pa"))
+    m.withColumn("island", col("pa") - row_number().over(byDiag))
+      .groupBy(col("da"), col("db"), col("diag"), col("island"))
+      .agg((count(lit(1)) + 7).as("run_len"))
+      .groupBy(col("da"), col("db"))
+      .agg(max(col("run_len")).cast("int").as("longest_run"),
+        count(lit(1)).as("n_spans"))
+  }
+
   private def shingleRows(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir).documents
       .select(col("doc_id"), col("source"),
@@ -927,47 +982,29 @@ object DedupQueries {
     //
     // Scale: gram-keyed join like q56's decontamination probe; within
     // a (pair, diagonal) partition positions are distinct, so windows
-    // are bounded by the matched-span length. At web scale hot
-    // boilerplate grams need the q62-style df cap before the join —
-    // the oracle here is the UNFILTERED join (q111's precedent), so
-    // hash equality proves zero dismissals on this corpus.
+    // are bounded by the matched-span length. Hot boilerplate grams
+    // (navbars, license headers — one df=10⁵ gram is 10¹⁰ join pairs)
+    // are excluded by the q62-style df cap BEFORE the cross-doc join;
+    // the cap is restated in the oracle, so hash equality proves the
+    // capped semantics, and on this corpus (max df 4 at sf0.1) the cap
+    // never binds — the result equals the uncapped join's.
     QDef(
       "q190_shared_spans",
-      (s, dir) => {
-        val grams = Tables(s, dir).documents
-          .select(col("doc_id"), expr(W).as("ws"))
-          .where(expr("size(ws) >= 8"))
-          .select(col("doc_id"),
-            posexplode(expr(
-              """transform(sequence(0, size(ws) - 8),
-                   i -> array_join(slice(ws, i + 1, 8), ' '))"""))
-              .as(Seq("pos", "gram")))
-          .localCheckpoint() // feeds both sides of the cross-doc join
-        val m = grams.alias("a").join(grams.alias("b"),
-            col("a.gram") === col("b.gram") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-            col("a.pos").as("pa"),
-            (col("a.pos") - col("b.pos")).as("diag"))
-        val byDiag = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("da"), col("db"), col("diag"))
-          .orderBy(col("pa"))
-        m.withColumn("island", col("pa") - row_number().over(byDiag))
-          .groupBy(col("da"), col("db"), col("diag"), col("island"))
-          .agg((count(lit(1)) + 7).as("run_len"))
-          .groupBy(col("da"), col("db"))
-          .agg(max(col("run_len")).cast("int").as("longest_run"),
-            count(lit(1)).as("n_spans"))
-      },
+      (s, dir) => sharedSpans(
+        Tables(s, dir).documents.select(col("doc_id"), col("text")),
+        spanDfCap),
       Some(s"""
         WITH ws AS (SELECT doc_id, $WDuck AS ws FROM documents),
         g AS (SELECT doc_id, i - 1 AS pos,
                      list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram
               FROM ws, unnest(range(1, len(ws) - 6)) AS t(i)
               WHERE len(ws) >= 8),
+        hot AS (SELECT gram FROM g GROUP BY gram
+                HAVING COUNT(*) > $spanDfCap),
+        k AS (SELECT g.* FROM g ANTI JOIN hot USING (gram)),
         m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
                      a.pos - b.pos AS diag
-              FROM g a JOIN g b
+              FROM k a JOIN k b
                 ON a.gram = b.gram AND a.doc_id < b.doc_id),
         r AS (SELECT da, db, diag,
                      pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag

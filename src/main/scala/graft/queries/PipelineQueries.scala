@@ -77,8 +77,14 @@ object PipelineQueries {
       feats.crossJoin(broadcast(w))
         .withColumn("z", round(col("b") + col("w1") * col("x1")
           + col("w2") * col("x2") + col("w3") * col("x3"), 6))
-        .withColumn("p",
-          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9))
+        // clamp away from {0, 1}: once |z| ≳ 21.4 the round-9 sigmoid
+        // saturates to exactly 1.0 (or 0.0) and log(1-p) would be
+        // log(0) — Spark yields NULL (silently dropping the row from
+        // avg) while DuckDB's LN(0) errors outright. The clamp keeps
+        // the loss finite and both engines on the identical trajectory
+        // whatever the data; it only binds at the saturation boundary.
+        .withColumn("p", greatest(lit(1e-9), least(lit(1.0 - 1e-9),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9))))
         .agg(
           max(col("b")).as("b0"), max(col("w1")).as("w1o"),
           max(col("w2")).as("w2o"), max(col("w3")).as("w3o"),
@@ -130,8 +136,10 @@ object PipelineQueries {
                       ROUND(AVG((p - y)*x2), 9) AS g2,
                       ROUND(AVG((p - y)*x3), 9) AS g3
                FROM (SELECT y, x1, x2, x3,
-                            ROUND(1.0/(1.0 + EXP(-ROUND(
-                              0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3, 6))), 9) AS p
+                            GREATEST(1e-9, LEAST(1.0 - 1e-9,
+                              ROUND(1.0/(1.0 + EXP(-ROUND(
+                              0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3, 6))), 9)))
+                              AS p
                      FROM f) t),
         w1 AS MATERIALIZED (SELECT loss_r, ROUND(0.0 - 5.0*g0, 7) AS b,
                       ROUND(0.0 - 5.0*g1, 7) AS w1, ROUND(0.0 - 5.0*g2, 7) AS w2,
@@ -146,9 +154,10 @@ object PipelineQueries {
                       ROUND(AVG((p - y)*x3), 9) AS g3
                FROM (SELECT f.y, f.x1, f.x2, f.x3,
                             w.b, w.w1, w.w2, w.w3,
-                            ROUND(1.0/(1.0 + EXP(-ROUND(
+                            GREATEST(1e-9, LEAST(1.0 - 1e-9,
+                              ROUND(1.0/(1.0 + EXP(-ROUND(
                               w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3,
-                              6))), 9) AS p
+                              6))), 9))) AS p
                      FROM f, w1 w) t),
         w2 AS MATERIALIZED (SELECT loss_r, ROUND(b0 - 5.0*g0, 7) AS b,
                       ROUND(w1o - 5.0*g1, 7) AS w1, ROUND(w2o - 5.0*g2, 7) AS w2,
@@ -163,9 +172,10 @@ object PipelineQueries {
                       ROUND(AVG((p - y)*x3), 9) AS g3
                FROM (SELECT f.y, f.x1, f.x2, f.x3,
                             w.b, w.w1, w.w2, w.w3,
-                            ROUND(1.0/(1.0 + EXP(-ROUND(
+                            GREATEST(1e-9, LEAST(1.0 - 1e-9,
+                              ROUND(1.0/(1.0 + EXP(-ROUND(
                               w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3,
-                              6))), 9) AS p
+                              6))), 9))) AS p
                      FROM f, w2 w) t),
         w3c AS MATERIALIZED (SELECT loss_r, ROUND(b0 - 5.0*g0, 7) AS b,
                        ROUND(w1o - 5.0*g1, 7) AS w1, ROUND(w2o - 5.0*g2, 7) AS w2,
@@ -1701,7 +1711,10 @@ object PipelineQueries {
     // cuts lineage (the q101/q199 discipline).
     //
     // Determinism: z is rounded at 6 BEFORE exp (canonicalizing the
-    // one input whose last-ulp could differ), the sigmoid at 9, the
+    // one input whose last-ulp could differ), the sigmoid at 9 and
+    // clamped into [1e-9, 1-1e-9] (saturation at |z| ≳ 21.4 would
+    // otherwise feed log(0): NULL-dropped rows in Spark, a hard
+    // error in DuckDB), the
     // averaged gradients at 9 (summation-order slack ~1e-13), weights
     // at 7 after each update — so both engines walk the identical
     // quantized trajectory. Weights start at 0 ⇒ iter-1 loss is
@@ -1860,7 +1873,8 @@ object PipelineQueries {
     // an enum-bounded keyed agg.
     //
     // Determinism: the scoring expression is q201's quantized one
-    // (z@6 before exp, sigmoid@9); the 0.5 comparison reads a round-9
+    // (z@6 before exp, sigmoid@9 clamped into [1e-9, 1-1e-9] exactly
+    // as in training); the 0.5 comparison reads a round-9
     // value whose distance from 0.5 is never sub-ulp (z = 0 exactly
     // would need all-zero weights, excluded after superstep 1); means
     // round at 6, accuracy is exact-integer count ratio rounded at 6.
@@ -1873,8 +1887,8 @@ object PipelineQueries {
         feats.crossJoin(broadcast(w3))
           .withColumn("z", round(col("b") + col("w1") * col("x1")
             + col("w2") * col("x2") + col("w3") * col("x3"), 6))
-          .withColumn("p",
-            round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9))
+          .withColumn("p", greatest(lit(1e-9), least(lit(1.0 - 1e-9),
+            round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9))))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n"),
             round(avg(col("p")), 6).as("mean_score_r"),
@@ -1889,9 +1903,10 @@ object PipelineQueries {
       Some(s"""
         WITH $logregChainDuck,
         sc AS (SELECT f.lang, f.y,
-                      ROUND(1.0/(1.0 + EXP(-ROUND(
+                      GREATEST(1e-9, LEAST(1.0 - 1e-9,
+                        ROUND(1.0/(1.0 + EXP(-ROUND(
                         w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3,
-                        6))), 9) AS p
+                        6))), 9))) AS p
                FROM f, w3c w)
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
                ROUND(AVG(p), 6) AS mean_score_r,

@@ -1792,10 +1792,12 @@ object SeriesQueries {
     // caveat. r_k = Σ(x_t − x̄)(x_{t+k} − x̄) / Σ(x_t − x̄)², the
     // sample ACF with the standard full-series mean/denominator.
     //
-    // Determinism: the mean is rounded at 9 before any deviation is
-    // formed (canonicalizing the one value whose float summation order
-    // differs across engines); products of rounded deviations then sum
-    // over ≤365 terms and the ratio is rounded at 6.
+    // Determinism: the mean is canonicalized at 9 (the one value whose
+    // float summation order differs across engines); each deviation is
+    // then an EXACT IEEE subtraction from that round-9 mean (the
+    // deviations themselves are not rounded), their products sum over
+    // ≤365 terms with ~1e-13 summation-order slack, and the round-6 on
+    // the final ratio absorbs it.
     //
     // Scale: the daily rollup is the only data-sized pass (keyed agg).
     // The day series grows with TIME, not corpus size (365 rows/year),

@@ -345,10 +345,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // into the first aggregate (a COUNT DISTINCT here would be a third
     // exchange)
     "q189_phrase_search" -> 2,
-    // q190: post-checkpoint gram-keyed cross-doc join (2 sides); the
-    // (pair, diag) window's partitioning is reused by both downstream
-    // aggs
-    "q190_shared_spans" -> 2,
+    // q190: hot-gram df count (1 exchange on gram) + post-checkpoint
+    // gram-keyed cross-doc join (2 sides — the cap's anti-join itself
+    // is broadcast, no exchange); the (pair, diag) window's
+    // partitioning is reused by both downstream aggs
+    "q190_shared_spans" -> 3,
     // q191: 16-group replicate agg + the two one-row aggregates
     // (point estimate, sorted-means pack)
     "q191_bootstrap_ci" -> 3,
