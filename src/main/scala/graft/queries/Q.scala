@@ -104,11 +104,15 @@ object Q {
     * from a broadcast one-row min/max and cumulates the ≤1000-row
     * histogram (the only global window, over ≤1000 rows). Phase 2
     * locates each target rank's bucket, semi-joins the scan down to
-    * just those buckets (~0.1% of rows), and ranks WITHIN the bucket —
-    * no task ever sorts more than one bucket. Matches `percentile` /
-    * DuckDB `quantile_cont` semantics (skip nulls, position p*(n-1),
-    * linear interpolation); callers round the float result (the q34
-    * round-6 contract).
+    * just those buckets, then REFINES once: each target bucket is
+    * re-binned into 1000 sub-buckets by its OWN min/max (so a
+    * degenerate first pass — constant column, extreme-outlier range —
+    * cannot funnel the whole relation into one rank window), all-tied
+    * sub-buckets resolve directly with no window, and the final rank
+    * window is partitioned by (bucket, sub-bucket) — ~n/10⁶ rows per
+    * task. Matches `percentile` / DuckDB `quantile_cont` semantics
+    * (skip nulls, position p*(n-1), linear interpolation); callers
+    * round the float result (the q34 round-6 contract).
     *
     * NOTE the two `localCheckpoint()`s eagerly execute the bounds and
     * binning stages at construction time — PlanQualitySpec's
@@ -155,13 +159,68 @@ object Q {
       .select(col("pct"), col("pos"), col("side"), col("bin"),
         (col("rk") - (col("cume") - col("c"))).as("within"))
       .localCheckpoint() // tiny (2·|ps| rows); feeds semi-join + pick
-    val cand = binned.join(broadcast(
-        tloc.select(col("bin")).distinct()), Seq("bin"), "left_semi")
-      .withColumn("rn", row_number().over(Window.partitionBy(col("bin"))
-        .orderBy(col("v").asc)))
-    val picked = cand.join(broadcast(tloc),
-        cand("bin") === tloc("bin") && col("rn") === col("within"))
+    // ---- refinement level: re-bin WITHIN each target bucket --------
+    // Without it, a degenerate first histogram (constant column: every
+    // row lands in bin 0 via the nullif/na.fill path; extreme-outlier
+    // hi: ~all rows funnel into one bucket) would make the final rank
+    // window a single task over ~the whole relation. One recursive
+    // level re-bins each target bucket by ITS OWN min/max — the
+    // outlier that skewed the global range is absent from the bucket's
+    // local range, so the re-bin distributes properly — and sub-buckets
+    // whose min == max (all ties, including the constant-column case)
+    // resolve to that value DIRECTLY, with no rank window at all. The
+    // residual worst case (a non-tied value cliff concentrated inside
+    // range/10⁶) would need a further level; one level bounds the rank
+    // window by ~n/10⁶ on everything short of that.
+    val cand0 = binned.join(broadcast(
+      tloc.select(col("bin")).distinct()), Seq("bin"), "left_semi")
+    val bstats = cand0.groupBy(col("bin"))
+      .agg(min(col("v")).as("lo2"), max(col("v")).as("hi2"))
+      .localCheckpoint() // ≤ 2·|ps| rows: feeds the sub-binning
+    val sub0 = cand0.join(broadcast(bstats), Seq("bin"))
+      .withColumn("sub", least(lit(999),
+        floor((col("v") - col("lo2"))
+          / nullif((col("hi2") - col("lo2")) / 1000.0d, lit(0.0d)))
+          .cast("int")))
+      .na.fill(0, Seq("sub"))
+      .select(col("bin"), col("sub"), col("v"))
+      .localCheckpoint() // feeds the sub-histogram AND the rank scan
+    val subcum = sub0.groupBy(col("bin"), col("sub"))
+      .agg(count(lit(1)).as("c2"),
+        min(col("v")).as("slo"), max(col("v")).as("shi"))
+      .withColumn("cume2", sum(col("c2"))
+        .over(Window.partitionBy(col("bin")).orderBy(col("sub"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tloc2 = broadcast(tloc).join(subcum,
+        Seq("bin"), "inner")
+      .where(col("cume2") >= col("within") &&
+        col("cume2") - col("c2") < col("within"))
+      .select(col("pct"), col("pos"), col("side"), col("bin"),
+        col("sub"), (col("within") - (col("cume2") - col("c2")))
+          .as("within2"),
+        col("slo"), col("shi"))
+      .localCheckpoint() // tiny (2·|ps| rows); feeds pick + direct
+    // all-tied sub-bucket (slo == shi): the within2-th smallest IS slo
+    val direct = tloc2.where(col("slo") === col("shi"))
+      .select(col("pct"), col("pos"), col("side"), col("slo").as("v"))
+    // rename the join keys: tloc2 descends from sub0, so same-named
+    // columns share expression ids and a bare equality would hit the
+    // ambiguous-self-join path
+    val need = tloc2.where(col("slo") =!= col("shi"))
+      .select(col("pct"), col("pos"), col("side"),
+        col("bin").as("tbin"), col("sub").as("tsub"), col("within2"))
+    val cand = sub0.join(broadcast(
+        need.select(col("tbin").as("bin"), col("tsub").as("sub"))
+          .distinct()),
+        Seq("bin", "sub"), "left_semi")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bin"), col("sub"))
+          .orderBy(col("v").asc)))
+    val picked = cand.join(broadcast(need),
+        col("bin") === col("tbin") && col("sub") === col("tsub") &&
+          col("rn") === col("within2"))
       .select(col("pct"), col("pos"), col("side"), col("v"))
+      .unionByName(direct)
       .groupBy(col("pct"), col("pos"))
       .agg(max(when(col("side") === "lo", col("v"))).as("vlo"),
         max(when(col("side") === "hi", col("v"))).as("vhi"))

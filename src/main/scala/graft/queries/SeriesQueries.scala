@@ -1858,14 +1858,16 @@ object SeriesQueries {
     // how steep it is, both immune to the outlier days that wreck an
     // OLS fit). slope = median over all day pairs of (n_b − n_a) /
     // (days between) — per-pair slopes are exact-rational divisions
-    // rounded at 9, the median goes through the ScaleSafePercentiles
-    // rewrite (oracle-gated like q61/q65/q98) and rounds at 6.
+    // rounded at 9, the median goes through Q.globalExactPercentiles
+    // (two-phase histogram selection, quantile_cont semantics) and
+    // rounds at 6.
     //
     // Scale: the day rollup is the only data-sized pass; the pair
     // self-join is CALENDAR²-bounded (365 days/year → ~66k pairs/year
-    // — grows with time, not corpus), so the rewrite's global median
-    // window runs over a bounded relation (budgeted in
-    // PlanQualitySpec with that justification).
+    // — grows with time, not corpus), and the median runs through the
+    // histogram path, so even a 100-year horizon (~660M pairs) never
+    // sorts more than one sub-bucket per task — no global-window
+    // budget entry needed.
     QDef(
       "q211_theil_sen",
       (s, dir) => {
@@ -1873,14 +1875,22 @@ object SeriesQueries {
           .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
           .agg(count(lit(1)).as("n"))
           .localCheckpoint() // feeds both pair sides
+        // nullif divisor: the a.day < b.day condition guarantees
+        // datediff >= 1 on every SURVIVING pair, but downstream
+        // null-filters (globalExactPercentiles' isNotNull) push into
+        // the join condition and may evaluate the division on the
+        // diagonal (datediff = 0) BEFORE the < conjunct prunes it —
+        // an ANSI divide-by-zero error without the guard
         val slopes = daily.as("a")
           .join(daily.as("b"), col("a.day") < col("b.day"))
           .select(round(
             (col("b.n") - col("a.n")).cast("double")
-              / expr("cast(datediff(to_date(b.day), to_date(a.day)) as double)"),
+              / expr("""cast(nullif(datediff(to_date(b.day),
+                   to_date(a.day)), 0) as double)"""),
             9).as("slope"))
-        slopes.agg(count(lit(1)).as("n_pairs"),
-            round(expr("percentile(slope, 0.5D)"), 6).as("sen_slope_r"))
+        Q.globalExactPercentiles(slopes, "slope", Seq(0.5 -> "sen"))
+          .select(col("n").as("n_pairs"),
+            round(col("sen"), 6).as("sen_slope_r"))
           .crossJoin(broadcast(
             daily.agg(count(lit(1)).as("n_days"))))
           .select(col("n_days"), col("n_pairs"), col("sen_slope_r"))

@@ -103,7 +103,9 @@ class PlanQualitySpec extends AnyFunSuite {
     // q210 crossJoins the ONE-row final-weights aggregate (q37
     // pattern) for the scoring pass
     "q210_model_apply",
-    // q211 crossJoins the ONE-row day-count aggregate (q37 pattern)
+    // q211 crossJoins the ONE-row day-count aggregate plus
+    // Q.globalExactPercentiles' one-row n × one-row wide cross
+    // (q148/q180's allowance)
     "q211_theil_sen",
     // q212 is q120's shape (10-row anchor broadcast × corpus, 16-row
     // centroid cross) + the 4-row literal curve spine against the
@@ -216,11 +218,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // q199: two survivor ranks over ≤10 rows each (post sort+limit)
     "q199_hits" -> 2,
     // q202/q205: survivor ranks over ≤15 / ≤20 rows (post sort+limit)
-    "q202_cms_heavy_hitters" -> 1, "q205_label_prop" -> 1,
-    // q211: ScaleSafePercentiles median (its rank + count windows)
-    // over the CALENDAR²-bounded day-pair slopes (365 days/year →
-    // ~66k pairs/year; grows with time, never with corpus size)
-    "q211_theil_sen" -> 2)
+    "q202_cms_heavy_hitters" -> 1, "q205_label_prop" -> 1)
 
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan

@@ -419,9 +419,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q210: one scoring pass over the checkpointed features: per-lang
     // rollup + the bounded final order
     "q210_model_apply" -> 2,
-    // q211: post-checkpoint: the calendar²-bounded pair join's median
-    // window + the 2-exchange one-row day count
-    "q211_theil_sen" -> 2,
+    // q211: post-checkpoint: Q.globalExactPercentiles' (sub-bucket
+    // agg + cum window + (bin,sub) rank window on the calendar²-
+    // bounded pairs) + the 2-exchange one-row day count
+    "q211_theil_sen" -> 4,
     // q212: the two ≤10-anchor rank windows' exchanges (gt + ann);
     // cells/candidates broadcast, the curve spine is literal
     "q212_recall_curve" -> 2,
