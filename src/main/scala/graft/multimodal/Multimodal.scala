@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * for (PNG/GIF/BMP/JPEG via `javax.imageio` — zero external deps):
   * payloads that sniff as one of those magic numbers are decoded to
   * true dimensions and a 16-bin luma histogram of the actual pixels.
-  * Payloads that don't sniff as a JDK-decodable image — audio/video
+  * The audio kernel ([[audioWindows]]) is likewise REAL for RIFF/WAVE
+  * PCM via `javax.sound.sampled.AudioSystem`. Payloads that don't
+  * sniff as a JDK-decodable format — compressed audio and video
   * containers, which the JDK has no codecs for, and corrupt or
-  * truncated image bytes — fall back to the clearly-marked byte-level
+  * truncated bytes — fall back to the clearly-marked byte-level
   * STAND-IN (deterministic dims from payload length + byte histogram)
   * rather than erroring, the standard poison-row posture for a 100 TB
   * ingest. Everything around the kernel is the real production
@@ -190,6 +192,129 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // Audio: REAL PCM decode for the container the JDK ships a parser
+  // for (RIFF/WAVE via `javax.sound.sampled.AudioSystem` — zero
+  // external deps), the same move that made the image kernel real.
+  // Non-WAV audio payloads (MP3/AAC/OGG — no JDK codec) fall back to
+  // the clearly-marked byte-proxy stand-in, the poison-row posture of
+  // `decode`.
+  // ------------------------------------------------------------------
+
+  final case class AudioWindow(
+      media_id: Long,
+      widx: Int,
+      n_samples: Int,
+      sumsq: Long, // Σ sample² over the window — exact integer
+      decoded: Boolean) // true = real PCM path, false = byte proxy
+
+  /** True iff the payload carries a RIFF/WAVE container header. */
+  def sniffsAsWav(bs: Array[Byte]): Boolean =
+    bs.length >= 12 &&
+      bs(0) == 'R' && bs(1) == 'I' && bs(2) == 'F' && bs(3) == 'F' &&
+      bs(8) == 'W' && bs(9) == 'A' && bs(10) == 'V' && bs(11) == 'E'
+
+  /** Decode a WAV payload to its 16-bit mono PCM samples via the JDK's
+    * `AudioSystem`. Returns None when the payload is not WAV, the
+    * format is not 16-bit mono PCM, or the header itself is corrupt —
+    * callers degrade to the byte proxy. A payload TRUNCATED inside the
+    * data chunk decodes the full frames that survive (the header's
+    * declared length is a promise the stream no longer keeps; a
+    * trailing partial frame is dropped) — at 10^9 scraped clips a
+    * poison row must never kill the stage.
+    */
+  def pcmSamples(bs: Array[Byte]): Option[Array[Int]] =
+    if (!sniffsAsWav(bs)) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bs))
+        try {
+          val fmt = in.getFormat
+          val pcm16mono =
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+          if (!pcm16mono) None
+          else {
+            val data = in.readAllBytes()
+            val n = data.length / 2 // partial trailing frame dropped
+            val out = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              val b0 = data(2 * i) & 0xff
+              val b1 = data(2 * i + 1) & 0xff
+              out(i) =
+                (if (fmt.isBigEndian) (b0 << 8) | b1
+                 else (b1 << 8) | b0).toShort.toInt
+              i += 1
+            }
+            Some(out)
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Windowed audio energy over the audio subset: decode each payload
+    * to PCM samples (REAL `AudioSystem` kernel for WAV; byte-proxy
+    * sample = `(byte & 0xff) - 100` for containers the JDK can't
+    * decode), group into `win`-sample windows, and emit the EXACT
+    * integer sum of squared samples per window — RMS and thresholds
+    * are then plain SQL over scalars. Narrow flatMap: payloads never
+    * leave their partition; fan-out is bounded by samples/win.
+    */
+  def audioWindows(media: Dataset[MediaRecord],
+      win: Int): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").flatMap { r =>
+      val pcm = pcmSamples(r.bytes)
+      val samples = pcm.getOrElse(r.bytes.map(b => (b & 0xff) - 100))
+      val real = pcm.isDefined
+      samples.grouped(win).zipWithIndex.map { case (w, idx) =>
+        var sq = 0L
+        var j = 0
+        while (j < w.length) { sq += w(j).toLong * w(j); j += 1 }
+        AudioWindow(r.media_id, idx, w.length, sq, real)
+      }
+    }
+  }
+
+  /** Encode a deterministic 16-bit mono PCM WAV at 8 kHz: sample i =
+    * [[sample16]](seed, i). Pure function of (seed, nSamples) — the
+    * test/q215 fixture generator (WAV PCM is lossless, so
+    * [[pcmSamples]] must recover exactly these values). The 44-byte
+    * canonical RIFF header is hand-rolled so the bytes are a pure
+    * function too.
+    */
+  def syntheticWav(seed: Long, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000) // sample rate, byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) { bb.putShort(sample16(seed, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Deterministic PCM sample i of stream `seed`: a gated arithmetic
+    * wave — `(((seed·31 + i·7) mod 201) − 100) · 50`, muted to 0 in
+    * 64-sample block b = i/64 when `(seed+b) mod 3 = 0` or
+    * `(seed+b) mod 5 = 0` (the two-modulus sieve makes silence gaps —
+    * and therefore voice-activity run lengths — vary per stream and
+    * position). Pure nonnegative-integer arithmetic, restated verbatim
+    * in q215's DuckDB oracle.
+    */
+  def sample16(seed: Long, i: Int): Int = {
+    val b = seed + i / 64
+    if (b % 3 == 0 || b % 5 == 0) 0
+    else ((((seed * 31 + i.toLong * 7) % 201) - 100) * 50).toInt
+  }
+
   final case class HashedMedia(media_id: Long, ahash: Int)
 
   /** Average-hash (aHash) perceptual fingerprint over the payload: split
@@ -241,10 +366,12 @@ object Multimodal {
   def frameSample(media: Dataset[MediaRecord], stride: Int): Dataset[Frame] =
     chunks(media, "video", 64, stride)
 
-  /** Fixed-size payload chunking in the typed kernel — the shared
-    * framing primitive behind [[frameSample]] (video frames) and audio
-    * windowing (q215): chunk index is over ALL chunks, then the stride
-    * filter applies, so a stride change never renumbers the survivors.
+  /** Fixed-size payload chunking in the typed kernel — the byte-level
+    * framing primitive behind [[frameSample]] (video frames; audio
+    * windowing goes through [[audioWindows]], which frames decoded PCM
+    * samples instead of raw bytes): chunk index is over ALL chunks,
+    * then the stride filter applies, so a stride change never
+    * renumbers the survivors.
     * Payloads stay partition-local; downstream ships per-chunk scalars.
     */
   def chunks(media: Dataset[MediaRecord], kind: String, size: Int,

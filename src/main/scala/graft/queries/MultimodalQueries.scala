@@ -194,11 +194,15 @@ object MultimodalQueries {
       Some("""
         WITH media AS (SELECT doc_id AS media_id, text
                        FROM documents WHERE doc_id % 3 = 2),
+        idx AS (
+          SELECT media_id, text,
+                 unnest(range(0, CAST(1 + (length(text) - 1) // 64
+                                      AS BIGINT))) AS k
+          FROM media),
         frames AS (
-          SELECT media_id, CAST(k.k AS INTEGER) AS frame_idx,
-                 substr(text, CAST(k.k * 64 + 1 AS INTEGER), 64) AS chunk
-          FROM media, range(0, 2048) k(k)
-          WHERE k.k % 2 = 0 AND length(text) > k.k * 64),
+          SELECT media_id, CAST(k AS INTEGER) AS frame_idx,
+                 substr(text, CAST(k * 64 + 1 AS INTEGER), 64) AS chunk
+          FROM idx WHERE k % 2 = 0),
         feat AS (
           SELECT media_id, frame_idx,
                  ROUND(list_sum(list_transform(string_split(chunk, ''),
@@ -219,40 +223,50 @@ object MultimodalQueries {
       """)),
 
     // ------------------------------------------------------------------
-    // q215: voice-activity segmentation over the audio subset — the
+    // q215: voice-activity segmentation over REAL decoded PCM — the
     // audio twin of q214's video stage, and the op that decides which
-    // SEGMENTS of a 100 TB audio corpus are worth transcribing: window
-    // the payload (32-byte windows in the shared `Multimodal.chunks`
-    // kernel), per-window energy (mean |byte − 100| — a deviation
-    // proxy; the real kernel would be RMS over PCM samples, same
-    // plumbing), threshold into active/silent, then gaps-and-islands
-    // per medium to find the longest ACTIVE RUN — the q102/q151 island
-    // pattern applied at the frame level. Output per audio: windows,
-    // active windows, longest run, and the active ratio.
+    // SEGMENTS of a 100 TB audio corpus are worth transcribing. The
+    // fixture closes the loop the byte proxy never could (the q187
+    // recipe applied to audio): each audio-kind doc_id gets an ACTUAL
+    // RIFF/WAVE payload (Multimodal.syntheticWav — every 16-bit PCM
+    // sample is a pure integer function of doc_id), the real
+    // javax.sound.sampled kernel in Multimodal.audioWindows decodes it
+    // and emits per-32-sample-window EXACT integer energies (Σ s²),
+    // then SQL computes window RMS, thresholds into active/silent, and
+    // runs gaps-and-islands per stream for the longest ACTIVE RUN —
+    // the q102/q151 island pattern at the frame level. A decoder that
+    // drops a sample, misreads endianness, or pads a frame shifts a
+    // window's sumsq and hash-fails. Output per audio: windows, active
+    // windows, longest run, and the active ratio.
     //
-    // Scale: one media_id exchange serves the island window and the
-    // rollup (runs are bounded by windows-per-medium). Determinism:
-    // energies are exact-rational HALF_UP at 6 (len ≤ 32 ⇒ tie-free,
-    // q214's argument), runs are pure integer arithmetic.
+    // Scale: payloads decode partition-locally (only 3 scalars per
+    // window shuffle); one media_id exchange serves the island window
+    // and the rollup (runs are bounded by windows-per-stream).
+    // Determinism: sumsq is exact integer; rms = round(sqrt(sumsq/n),6)
+    // is the same IEEE double chain in both engines (sqrt is
+    // correctly-rounded by spec), so the rounded values are identical.
+    // The oracle's range(0, 512) is exact, not a data cap: n = 256 +
+    // doc_id % 257 ≤ 512 by construction of the fixture itself.
     QDef(
       "q215_audio_activity",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         import s.implicits._
-        val wins = Multimodal.chunks(
-          Multimodal.mediaFromDocuments(Tables(s, dir).documents),
-          "audio", 32, 1)
-        val en = wins.map { f =>
-          val sum = f.frame_bytes.foldLeft(0L)((a, b) =>
-            a + math.abs((b & 0xff) - 100))
-          val e = new java.math.BigDecimal(sum)
-            .divide(new java.math.BigDecimal(f.frame_bytes.length), 6,
-              java.math.RoundingMode.HALF_UP).doubleValue
-          (f.media_id, f.frame_idx, e)
-        }.toDF("media_id", "widx", "e")
+        val media = Tables(s, dir).documents
+          .where(col("doc_id") % 3 === 1)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val n = (256 + id % 257).toInt
+            Multimodal.MediaRecord(id, "audio",
+              Multimodal.syntheticWav(id, n), "synthetic")
+          }
+        val en = Multimodal.audioWindows(media, 32).toDF()
+          .select(col("media_id"), col("widx"),
+            round(sqrt(col("sumsq").cast("double") / col("n_samples")), 6)
+              .as("e"))
         val byM = Window.partitionBy(col("media_id")).orderBy(col("widx"))
         val runs = en
-          .withColumn("active", (col("e") > 19.5d).cast("int"))
+          .withColumn("active", (col("e") > 1000.0d).cast("int"))
           .withColumn("isl",
             col("widx") - sum(col("active")).over(byM)
               + when(col("active") === 1, 1).otherwise(0))
@@ -272,21 +286,24 @@ object MultimodalQueries {
               .as("active_ratio_r"))
       },
       Some("""
-        WITH media AS (SELECT doc_id AS media_id, text
+        WITH media AS (SELECT doc_id AS media_id,
+                              CAST(256 + doc_id % 257 AS INTEGER) AS n
                        FROM documents WHERE doc_id % 3 = 1),
-        w AS (SELECT media_id, CAST(k.k AS INTEGER) AS widx,
-                     substr(text, CAST(k.k * 32 + 1 AS INTEGER), 32)
-                       AS chunk
-              FROM media, range(0, 4096) k(k)
-              WHERE length(text) > k.k * 32),
+        samp AS (SELECT media_id, CAST(i.i AS INTEGER) AS i,
+                        CASE WHEN (media_id + i.i // 64) % 3 = 0
+                               OR (media_id + i.i // 64) % 5 = 0 THEN 0
+                             ELSE (((media_id * 31 + i.i * 7) % 201)
+                                   - 100) * 50 END AS s
+                 FROM media, range(0, 512) i(i)
+                 WHERE i.i < n),
+        w AS (SELECT media_id, CAST(i // 32 AS INTEGER) AS widx,
+                     COUNT(*) AS ns, SUM(CAST(s AS BIGINT) * s) AS sumsq
+              FROM samp GROUP BY 1, 2),
         en AS (SELECT media_id, widx,
-                      ROUND(list_sum(list_transform(
-                              string_split(chunk, ''),
-                              c -> abs(ascii(c) - 100)))
-                            / CAST(length(chunk) AS DOUBLE), 6) AS e
+                      ROUND(SQRT(CAST(sumsq AS DOUBLE) / ns), 6) AS e
                FROM w),
         act AS (SELECT media_id, widx,
-                       CASE WHEN e > 19.5 THEN 1 ELSE 0 END AS active
+                       CASE WHEN e > 1000.0 THEN 1 ELSE 0 END AS active
                 FROM en),
         isl AS (SELECT media_id, widx, active,
                        widx - SUM(active) OVER (PARTITION BY media_id

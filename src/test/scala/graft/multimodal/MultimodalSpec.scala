@@ -158,9 +158,66 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("pcmSamples: real AudioSystem decode roundtrips syntheticWav exactly") {
+    // WAV PCM is lossless: the decoded samples must equal the generator
+    // formula bit-for-bit (a wrong endianness or a padded frame fails)
+    Seq((7L, 100), (42L, 512), (0L, 1), (13L, 257)).foreach {
+      case (seed, n) =>
+        val wav = syntheticWav(seed, n)
+        assert(sniffsAsWav(wav), s"seed $seed: header must sniff as WAV")
+        val got = pcmSamples(wav)
+        assert(got.isDefined, s"seed $seed: JDK must decode the fixture")
+        val expect = (0 until n).map(i => sample16(seed, i)).toArray
+        assert(got.get.sameElements(expect), s"seed $seed: PCM roundtrip")
+    }
+  }
+
+  test("pcmSamples: truncated WAV decodes surviving full frames, never throws") {
+    val wav = syntheticWav(9L, 64) // 44-byte header + 128 data bytes
+    // cut inside the data chunk, mid-frame (odd byte count): the 10 full
+    // frames before the cut survive, the partial 11th is dropped
+    val cut = wav.take(44 + 21)
+    assert(sniffsAsWav(cut))
+    val got = pcmSamples(cut)
+    assert(got.isDefined && got.get.length == 10)
+    assert(got.get.sameElements((0 until 10).map(i => sample16(9L, i))))
+    // cut inside the header itself: not decodable → None (callers
+    // degrade to the byte proxy; nothing throws)
+    assert(pcmSamples(wav.take(20)).isEmpty)
+    assert(pcmSamples(Array.empty[Byte]).isEmpty)
+  }
+
+  test("audioWindows: real PCM path for WAV, byte proxy for the rest") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRecord(1L, "audio", syntheticWav(1L, 70), "t"), // real path
+      MediaRecord(2L, "audio", Array[Byte](10, 120, -56), "t"), // proxy
+      MediaRecord(3L, "audio", syntheticWav(3L, 64).take(44 + 21), "t"),
+      MediaRecord(4L, "video", syntheticWav(4L, 64), "t")) // wrong kind
+    val wins = audioWindows(rows.toDS(), 32).collect()
+      .groupBy(_.media_id)
+    assert(!wins.contains(4L), "non-audio rows are out of scope")
+    // real path: 70 samples → windows of 32/32/6, exact Σs² per window
+    val w1 = wins(1L).sortBy(_.widx)
+    assert(w1.map(_.n_samples).toSeq == Seq(32, 32, 6))
+    assert(w1.forall(_.decoded))
+    w1.foreach { w =>
+      val expect = (w.widx * 32 until w.widx * 32 + w.n_samples)
+        .map(i => sample16(1L, i).toLong).map(s => s * s).sum
+      assert(w.sumsq == expect, s"window ${w.widx}")
+    }
+    // proxy path: sample = (byte & 0xff) - 100 → (-90)² + 20² + 100²
+    val w2 = wins(2L)
+    assert(w2.length == 1 && !w2.head.decoded)
+    assert(w2.head.n_samples == 3 && w2.head.sumsq == 8100L + 400L + 10000L)
+    // truncated WAV: the surviving 10 frames window up on the REAL path
+    val w3 = wins(3L)
+    assert(w3.length == 1 && w3.head.decoded && w3.head.n_samples == 10)
+  }
+
   test("chunks: stride-1 windows reassemble each payload exactly") {
-    // the audio-windowing path (q215): every byte appears in exactly
-    // one window, in order — chunking loses and duplicates nothing
+    // byte-level framing: every byte appears in exactly one window, in
+    // order — chunking loses and duplicates nothing
     val wins = chunks(media, "audio", 32, 1).collect()
       .groupBy(_.media_id)
     val audios = media.filter(_.kind == "audio").collect()
