@@ -27,7 +27,7 @@ object Bench {
         val t0 = System.nanoTime()
         // noop sink: forces full materialization of every output column
         // (count() would let Spark skip column evaluation entirely).
-        try {
+        val r = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           name -> (System.nanoTime() - t0) / 1e9
         } catch {
@@ -37,6 +37,17 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             name -> -1.0
         }
+        // Release the finished query's localCheckpoint/cache blocks
+        // eagerly: they otherwise accumulate across the whole
+        // 216-query session until GC happens to drop the last plan
+        // reference, and the block-manager pressure taxes every later
+        // query (+15-25% on unchanged queries in the round-6 bench —
+        // the round-7 attribution measurement in PROGRESS.jsonl).
+        // Safe between queries: results are fully materialized and no
+        // plan is reused across entries.
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        r
       }.toMap
     val p1 = pass()
     val p2 = pass()

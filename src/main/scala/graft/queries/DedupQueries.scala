@@ -52,6 +52,43 @@ object DedupQueries {
     */
   val spanDfCap = 64
 
+  /** Positioned 8-gram anchors of a (doc_id, text) relation:
+    * (doc_id, pos, gram) — the span-matching currency shared by q190
+    * and the persisted `sinks.SpanIndex` (ONE definition, so the
+    * in-query and indexed probes cannot drift).
+    */
+  def positionedGrams(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), expr(W).as("ws"))
+      .where(expr("size(ws) >= 8"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, size(ws) - 8),
+               i -> array_join(slice(ws, i + 1, 8), ' '))"""))
+          .as(Seq("pos", "gram")))
+
+  /** Diagonal gaps-and-islands over cross-doc gram matches
+    * (da, db, pa, diag) → per-pair (longest_run, n_spans). A match at
+    * positions (pa, pb) lies on diagonal pa − pb; consecutive matches
+    * on one diagonal are one shared run (pa − row_number constant
+    * within it), and a run of L tokens is L − 7 gram matches, so
+    * run_len = matches + 7 exactly. Shared by q190 and
+    * `sinks.SpanIndex.probe`.
+    */
+  def spanRuns(m: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("da"), col("db"), col("diag"))
+      .orderBy(col("pa"))
+    m.withColumn("island", col("pa") - row_number().over(byDiag))
+      .groupBy(col("da"), col("db"), col("diag"), col("island"))
+      .agg((count(lit(1)) + 7).as("run_len"))
+      .groupBy(col("da"), col("db"))
+      .agg(max(col("run_len")).cast("int").as("longest_run"),
+        count(lit(1)).as("n_spans"))
+  }
+
   /** q190's core, parameterized so the spec can drive it with a
     * hot-gram fixture: positioned 8-gram anchors, df cap, cross-doc
     * equi-join on the gram, diagonal gaps-and-islands → per-pair
@@ -60,14 +97,7 @@ object DedupQueries {
     */
   def sharedSpans(docs: org.apache.spark.sql.DataFrame,
       dfCap: Int): org.apache.spark.sql.DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), expr(W).as("ws"))
-      .where(expr("size(ws) >= 8"))
-      .select(col("doc_id"),
-        posexplode(expr(
-          """transform(sequence(0, size(ws) - 8),
-               i -> array_join(slice(ws, i + 1, 8), ' '))"""))
-          .as(Seq("pos", "gram")))
+    val grams = positionedGrams(docs)
       .localCheckpoint() // feeds the df count AND both join sides
     // the hot set is tiny by construction — only grams repeated > cap
     // times corpus-wide (corpus_grams / cap is its hard upper bound,
@@ -84,15 +114,7 @@ object DedupQueries {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.pos").as("pa"),
         (col("a.pos") - col("b.pos")).as("diag"))
-    val byDiag = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("da"), col("db"), col("diag"))
-      .orderBy(col("pa"))
-    m.withColumn("island", col("pa") - row_number().over(byDiag))
-      .groupBy(col("da"), col("db"), col("diag"), col("island"))
-      .agg((count(lit(1)) + 7).as("run_len"))
-      .groupBy(col("da"), col("db"))
-      .agg(max(col("run_len")).cast("int").as("longest_run"),
-        count(lit(1)).as("n_spans"))
+    spanRuns(m)
   }
 
   private def shingleRows(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -1098,6 +1120,107 @@ object DedupQueries {
                CAST(CASE WHEN doc_id = -(b.nd) THEN 1 ELSE 0 END AS INT)
                  AS keep
         FROM sel
+      """)),
+
+    // ------------------------------------------------------------------
+    // q219: span-removal audit — what an exact-substring dedup pass
+    // (Lee et al. 2022) would actually DELETE. q190 reports shared
+    // spans per PAIR; removal needs them per DOCUMENT: every token
+    // position covered by any cross-document verbatim run of ≥ 8
+    // tokens is duplicated text, and the per-doc duplicated-token
+    // count + retention ratio is the go/no-go report before a
+    // destructive rewrite of a 100 TB corpus.
+    //
+    // Shape: the q190 anchor machinery (positionedGrams + hot-gram df
+    // cap, shared code) marks matched positions; each match covers
+    // [pos, pos+8), and the union of overlapping/adjacent intervals
+    // per doc is one gaps-and-islands pass (new island when the gap
+    // between consecutive matched positions exceeds the gram width) —
+    // covered = max − min + 8 per island, summed per doc.
+    //
+    // Scale: the cross-doc join is gram-keyed and cap-bounded (q190's
+    // argument); the interval-merge window is per (doc), bounded by
+    // matched positions in that doc, never corpus-sized. Integer
+    // arithmetic throughout; the single ratio rounds at 6.
+    QDef(
+      "q219_span_removal",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), col("text"))
+        val grams = positionedGrams(docs)
+          .localCheckpoint() // feeds the df count AND both join sides
+        val hot = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("df"))
+          .where(col("df") > spanDfCap)
+          .select(col("gram"))
+        val kept = grams.join(broadcast(hot), Seq("gram"), "left_anti")
+        val dup = kept.alias("a").join(kept.alias("b"),
+            col("a.gram") === col("b.gram") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"))
+          .distinct()
+        val byDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        val cum = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)
+        val cov = dup
+          .withColumn("brk",
+            when(col("pos") - lag(col("pos"), 1).over(byDoc) > 8, 1)
+              .otherwise(0))
+          .withColumn("isl", sum(col("brk")).over(cum))
+          .groupBy(col("doc_id"), col("isl"))
+          .agg((max(col("pos")) - min(col("pos")) + 8).as("covered"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("covered")).as("dup_tokens"),
+            count(lit(1)).as("n_islands"))
+        docs.select(col("doc_id"),
+            expr(s"cast(size($W) as bigint)").as("n_tokens"))
+          .join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+            expr("""case when n_tokens = 0 then 1.0d
+                    else round((n_tokens - coalesce(dup_tokens, 0L))
+                               / cast(n_tokens as double), 6)
+                    end""").as("retention_r"))
+      },
+      Some(s"""
+        WITH ws AS (SELECT doc_id, $WDuck AS ws FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos,
+                     list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram
+              FROM ws, unnest(range(1, len(ws) - 6)) AS t(i)
+              WHERE len(ws) >= 8),
+        hot AS (SELECT gram FROM g GROUP BY gram
+                HAVING COUNT(*) > $spanDfCap),
+        k AS (SELECT g.* FROM g ANTI JOIN hot USING (gram)),
+        m AS (SELECT DISTINCT a.doc_id, a.pos
+              FROM k a JOIN k b
+                ON a.gram = b.gram AND a.doc_id <> b.doc_id),
+        i AS (SELECT doc_id, pos,
+                     CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                            ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk
+              FROM m),
+        j AS (SELECT doc_id, pos,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS isl
+              FROM i),
+        cov AS (SELECT doc_id, isl, MAX(pos) - MIN(pos) + 8 AS covered
+                FROM j GROUP BY 1, 2),
+        agg AS (SELECT doc_id, SUM(covered) AS dup_tokens,
+                       CAST(COUNT(*) AS BIGINT) AS n_islands
+                FROM cov GROUP BY 1),
+        n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM ws)
+        SELECT n.doc_id, n.n_tokens,
+               CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CAST(COALESCE(n_islands, 0) AS BIGINT) AS n_islands,
+               CASE WHEN n.n_tokens = 0 THEN 1.0
+                    ELSE ROUND((n.n_tokens - COALESCE(dup_tokens, 0))
+                               / CAST(n.n_tokens AS DOUBLE), 6)
+               END AS retention_r
+        FROM n LEFT JOIN agg ON agg.doc_id = n.doc_id
       """))
   )
 }

@@ -1916,6 +1916,114 @@ object PipelineQueries {
                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
                  AS acc_r
         FROM sc GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q217: sequence-packing audit — the GPT-style concat-and-chunk
+    // step that turns a token stream into fixed BLOCK-token training
+    // blocks (BLOCK = 256 here — a parameter; small enough that the
+    // split/waste accounting is exercised even at the sf0.01 gate,
+    // where 2048-token blocks would never fill). Packing is PER OUTPUT SHARD by construction (each writer
+    // task concatenates its own shard's docs in id order — the layout
+    // every large trainer uses, and what makes the op shard-parallel
+    // instead of a global sequential fold): shard = doc_id % 8, docs
+    // concatenate in doc_id order, and a doc whose [start, end) token
+    // interval crosses a block boundary is SPLIT across two blocks —
+    // the attention-contamination case packing audits exist to count.
+    // Per shard: docs, tokens, blocks, boundary-split docs, and the
+    // tail waste the final partial block pads out.
+    //
+    // Scale: one exchange on the shard key serves the running-total
+    // window AND the rollup; windows are bounded by corpus/8 per
+    // task and the shard count scales with the writer parallelism.
+    // All arithmetic is integer — hash-exact cross-engine.
+    QDef(
+      "q217_sequence_packing",
+      (s, dir) => {
+        val byShard = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir).documents
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            expr(s"cast(size($W) as bigint)").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(byShard))
+          .withColumn("is_split",
+            (col("n_tok") > 0L &&
+              expr("((cum - 1) div 256) > ((cum - n_tok) div 256)"))
+              .cast("long"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(col("is_split")).as("n_split_docs"))
+          .select(col("shard"), col("n_docs"), col("n_tokens"),
+            expr("(n_tokens + 255) div 256").as("n_blocks"),
+            col("n_split_docs"),
+            (expr("(n_tokens + 255) div 256") * 256L
+              - col("n_tokens")).as("tail_waste"))
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+                          CAST(len($WDuck) AS BIGINT) AS n_tok
+                   FROM documents),
+        c AS (SELECT shard, doc_id, n_tok,
+                     SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d),
+        f AS (SELECT shard, n_tok,
+                     CASE WHEN n_tok > 0
+                           AND (cum - 1) // 256 > (cum - n_tok) // 256
+                          THEN 1 ELSE 0 END AS is_split, cum
+              FROM c)
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST((SUM(n_tok) + 255) // 256 AS BIGINT) AS n_blocks,
+               CAST(SUM(is_split) AS BIGINT) AS n_split_docs,
+               CAST((SUM(n_tok) + 255) // 256 * 256 - SUM(n_tok)
+                    AS BIGINT) AS tail_waste
+        FROM f GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q220: temperature-reweighted mixture allocation — the sampling
+    // schedule step that turns per-source token counts into training
+    // shares (multilingual/multi-domain recipe: p_i ∝ n_i^α with
+    // α < 1 upweights the tail so small sources aren't drowned).
+    // α = 1/2 deliberately: sqrt is IEEE-correctly-rounded in both
+    // engines (pow is not), so the share math stays cross-engine
+    // deterministic — sqrt_r canonicalizes at 9, the ≤|sources| sum
+    // carries only round-6-absorbed order slack (the accepted q203
+    // class), and the 100k-token allocation rounds from the canonical
+    // share.
+    //
+    // Scale: one scan-side agg to |sources| rows, then a one-row
+    // totals crossJoin (the q37 pattern) — nothing data-sized moves.
+    QDef(
+      "q220_mixture_temperature",
+      (s, dir) => {
+        val src = Tables(s, dir).documents
+          .groupBy(col("source"))
+          .agg(expr(s"cast(sum(size($W)) as bigint)").as("n_tokens"))
+          .withColumn("sqrt_r", round(sqrt(col("n_tokens").cast("double")), 9))
+          .localCheckpoint() // feeds the totals AND the share rows
+        val tot = src.agg(sum(col("sqrt_r")).as("tot"))
+        src.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"), col("sqrt_r"),
+            round(col("sqrt_r") / col("tot"), 6).as("share_r"))
+          .withColumn("alloc_100k",
+            round(col("share_r") * 100000d, 0).cast("bigint"))
+      },
+      Some(s"""
+        WITH src AS (SELECT source,
+                            CAST(SUM(len($WDuck)) AS BIGINT) AS n_tokens
+                     FROM documents GROUP BY 1),
+        sq AS (SELECT source, n_tokens,
+                      ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 9) AS sqrt_r
+               FROM src),
+        tot AS (SELECT SUM(sqrt_r) AS tot FROM sq)
+        SELECT source, n_tokens, sqrt_r,
+               ROUND(sqrt_r / tot, 6) AS share_r,
+               CAST(ROUND(ROUND(sqrt_r / tot, 6) * 100000, 0) AS BIGINT)
+                 AS alloc_100k
+        FROM sq, tot
       """))
   )
 }

@@ -1361,6 +1361,74 @@ object TextQueries {
         SELECT CAST(3 AS INTEGER), w1, w2, cnt, n_tokens, vocab
         FROM t3, s3
         ORDER BY round
+      """)),
+
+    // ------------------------------------------------------------------
+    // q218: PII scrub — the detect-and-redact pass every released
+    // training corpus runs (emails/phones out, typed placeholders in).
+    // The synthetic corpus carries no PII, so the fixture INJECTS it
+    // deterministically (the q187/q215 recipe — generate in-query,
+    // restate in the oracle): doc_id mod 4 plants an email, a phone,
+    // both, or nothing, each a pure string function of doc_id. The op
+    // then counts matches per class and emits the md5 fingerprint of
+    // the REDACTED text — so an engine that misses one match, matches
+    // greedily differently, or replaces with the wrong placeholder
+    // hash-fails, not just miscounts. Patterns stay in the
+    // RE2-compatible subset (char classes + bounded repeats), where
+    // Java regex and DuckDB's RE2 agree.
+    //
+    // Scale: pure scan-side map — no shuffle at all beyond the sink;
+    // the redacted payload never leaves the partition (only the
+    // 32-char fingerprint rides out), which is the actual 100 TB
+    // constraint for a rewrite pass.
+    QDef(
+      "q218_pii_scrub",
+      (s, dir) => {
+        val emailPat = "[a-z0-9]+@[a-z]+\\\\.[a-z]+"
+        val phonePat = "[0-9]{3}-[0-9]{4}"
+        Tables(s, dir).documents
+          .select(col("doc_id"), expr("""
+            concat(text, case
+              when doc_id % 4 = 0 then concat(' contact user',
+                cast(doc_id as string), '@example.com for details')
+              when doc_id % 4 = 1 then concat(' call 555-',
+                lpad(cast(doc_id % 10000 as string), 4, '0'), ' today')
+              when doc_id % 4 = 2 then concat(' reach user',
+                cast(doc_id as string), '@mail.org or 555-',
+                lpad(cast(doc_id % 10000 as string), 4, '0'), ' now')
+              else '' end)""").as("aug"))
+          .select(col("doc_id"),
+            expr(s"cast(regexp_count(aug, '$emailPat') as bigint)")
+              .as("n_emails"),
+            expr(s"cast(regexp_count(aug, '$phonePat') as bigint)")
+              .as("n_phones"),
+            expr(s"""md5(regexp_replace(regexp_replace(aug,
+                '$emailPat', '<EMAIL>'), '$phonePat', '<PHONE>'))""")
+              .as("redacted_fp"))
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id, text || CASE
+                   WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id
+                     || '@example.com for details'
+                   WHEN doc_id % 4 = 1 THEN ' call 555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || ' today'
+                   WHEN doc_id % 4 = 2 THEN ' reach user' || doc_id
+                     || '@mail.org or 555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || ' now'
+                   ELSE '' END AS aug
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}'))
+                    AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(aug,
+                 '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
+        FROM aug
       """))
   )
 }

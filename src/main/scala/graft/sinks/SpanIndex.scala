@@ -1,0 +1,134 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted exact-substring span index — q190's positioned-8-gram
+  * probe structures as durable LIBRARY artifacts, closing the loop the
+  * round-6 verdict named: exact-substring dedup (Lee et al. 2022) must
+  * screen EVERY ingest batch against the corpus, and re-shingling
+  * 100 TB per batch is exactly what an index exists to avoid. Build
+  * once over the corpus, then [[probe]] any number of batches in
+  * O(batch × matched postings).
+  *
+  * Layout:
+  * {{{
+  *   <dir>/grams/  (gram, doc_id, pos)  positioned 8-gram postings,
+  *                                      range-clustered + sorted by
+  *                                      gram → parquet min/max stats
+  *                                      prune non-matching files
+  *   <dir>/dfs/    (gram, df)           per-gram document-frequency
+  *                                      ledger, one rowset per
+  *                                      build/append generation;
+  *                                      readers SUM per gram
+  * }}}
+  *
+  * Gram extraction is `DedupQueries.positionedGrams` and run assembly
+  * is `DedupQueries.spanRuns` — the SAME definitions q190 executes, so
+  * the persisted and in-query probes cannot drift (SpanIndexSpec pins
+  * probe ≡ q190 byte-for-byte).
+  *
+  * THE HOT-GRAM CAP IS A PROBE-TIME RULE, not a build-time drop: the
+  * postings keep every gram, and the df ledger keeps every count, so
+  * an append that pushes a boilerplate gram past the cap retroactively
+  * silences it corpus-wide — exactly what a full rebuild would
+  * compute, which is what makes append ≡ rebuild EXACT (the
+  * [[IndexSink]] contract) instead of approximate. Because df only
+  * grows, a gram past the cap is dead forever; [[compact]] exploits
+  * that monotonicity to garbage-collect dead grams' postings (the
+  * boilerplate navbar that bloated every generation) while the ledger
+  * keeps their counts — probe results are untouched.
+  *
+  * Scale shape: [[probe]] joins batch grams against postings KEYED ON
+  * THE GRAM — the shard key at 100 TB; nothing re-shingles the corpus
+  * and the per-gram blast radius is bounded by the cap (≤ cap corpus
+  * postings per gram reach the join). The windows inside `spanRuns`
+  * are bounded by matched-span length, never corpus size.
+  */
+object SpanIndex {
+
+  /** q190's cap — one constant, shared with the in-query twin. */
+  val dfCap: Int = graft.queries.DedupQueries.spanDfCap
+
+  private def write(docs: DataFrame, outDir: String,
+      mode: SaveMode): Unit = {
+    val grams = graft.queries.DedupQueries.positionedGrams(docs)
+      .localCheckpoint() // feeds postings AND the df ledger
+    grams
+      .repartitionByRange(col("gram"))
+      .sortWithinPartitions(col("gram"), col("doc_id"), col("pos"))
+      .write.mode(mode).parquet(s"$outDir/grams")
+    grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .write.mode(mode).parquet(s"$outDir/dfs")
+  }
+
+  /** Shingle and index a (doc_id, text) corpus from scratch. */
+  def build(docs: DataFrame, outDir: String): Unit =
+    write(docs, outDir, SaveMode.Overwrite)
+
+  /** Incrementally index a (doc_id, text) batch of NEW docs — O(batch),
+    * no corpus re-shingling; postings and df deltas merge at read time
+    * (the DedupIndex/TextIndex append contract: appended doc_ids must
+    * be new).
+    */
+  def append(docs: DataFrame, indexDir: String): Unit =
+    write(docs, indexDir, SaveMode.Append)
+
+  /** Per-gram total df across generations. */
+  private[sinks] def totalDfs(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/dfs")
+      .groupBy(col("gram")).agg(sum(col("df")).as("df"))
+
+  /** The probe-visible postings: grams at or under the cap. */
+  private[sinks] def livePostings(spark: SparkSession,
+      indexDir: String): DataFrame = {
+    // the hot set is tiny (≤ total_grams / cap rows) → broadcast
+    // anti-join, the q190 exclusion shape
+    val hot = totalDfs(spark, indexDir)
+      .where(col("df") > dfCap).select(col("gram"))
+    spark.read.parquet(s"$indexDir/grams")
+      .join(broadcast(hot), Seq("gram"), "left_anti")
+  }
+
+  /** Shared verbatim spans between a (doc_id, text) BATCH and the
+    * indexed corpus: for every (corpus doc, batch doc) pair sharing at
+    * least one ≥8-token verbatim run, the longest run and the count of
+    * distinct maximal runs — q190's exact output contract (da, db,
+    * longest_run, n_spans), with da from the corpus side and db from
+    * the batch. Self-pairs (a doc probed against its own postings) are
+    * excluded. Probing the indexed corpus against itself with the
+    * da < db half kept reproduces q190 exactly — SpanIndexSpec pins
+    * it.
+    */
+  def probe(spark: SparkSession, indexDir: String,
+      batch: DataFrame): DataFrame = {
+    val bg = graft.queries.DedupQueries.positionedGrams(batch)
+    val m = livePostings(spark, indexDir).alias("a")
+      .join(bg.alias("b"),
+        col("a.gram") === col("b.gram") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.pos").as("pa"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    graft.queries.DedupQueries.spanRuns(m)
+  }
+
+  /** Re-cluster every append generation into one tight gram-range file
+    * set, fold the df ledger to one row per gram, and GARBAGE-COLLECT
+    * dead grams' postings: df only ever grows, so a gram past the cap
+    * can never become probe-visible again and its postings are pure
+    * storage waste (this is where the boilerplate navbar finally
+    * leaves the disk). The ledger keeps the dead grams' counts — an
+    * append after compact still sums the true corpus df. No document
+    * is re-shingled. Separate dstDir; the swap is the caller's
+    * atomic-rename concern (the CorpusExport.compact contract).
+    */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    livePostings(spark, srcDir)
+      .repartitionByRange(col("gram"))
+      .sortWithinPartitions(col("gram"), col("doc_id"), col("pos"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/grams")
+    totalDfs(spark, srcDir)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/dfs")
+  }
+}

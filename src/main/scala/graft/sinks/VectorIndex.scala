@@ -150,7 +150,7 @@ object VectorIndex {
     * `postings_delta` generation (the gen partition column is dropped —
     * readers see one (vec_id, v, cell) relation either way).
     */
-  private def readPostings(spark: SparkSession,
+  private[sinks] def readPostings(spark: SparkSession,
       indexDir: String): DataFrame = {
     val main = spark.read.parquet(s"$indexDir/postings")
     if (fsExists(spark, s"$indexDir/postings_delta"))

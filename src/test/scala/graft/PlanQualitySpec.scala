@@ -117,6 +117,9 @@ class PlanQualitySpec extends AnyFunSuite {
     // q216 crossJoins the ONE-row adopted-merge winner and the
     // ONE-row post-merge totals between supersteps (q37 pattern)
     "q216_bpe_train",
+    // q220 crossJoins the ONE-row sqrt-mass total into the ≤|sources|
+    // share rows (q37 pattern)
+    "q220_mixture_temperature",
     // q149's quantizer is q48's 16-row broadcast centroid cross
     // (ivfRanked); candidate generation itself is a cell equi-join
     "q149_knn_eval",

@@ -439,6 +439,19 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // pair agg + its sort-limit-1 + the post-merge token/vocab
     // distinct aggs + the 1-row output assembly
     "q216_bpe_train" -> 6,
+    // q217: ONE shard exchange serves the running-total window and the
+    // per-shard rollup
+    "q217_sequence_packing" -> 1,
+    // q218: pure scan-side map — inject, regexp-count, redact, md5;
+    // zero exchanges
+    "q218_pii_scrub" -> 0,
+    // q219: gram df agg + the gram-keyed cross-doc join side + the
+    // matched-position distinct + the per-doc island window (rollups
+    // reuse the window's doc_id partitioning)
+    "q219_span_removal" -> 4,
+    // q220: the per-source token agg; the one-row totals cross is a
+    // broadcast (no exchange)
+    "q220_mixture_temperature" -> 1,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)

@@ -1,0 +1,86 @@
+package graft.sinks
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ONE parameterized harness for the lifecycle invariants every
+  * persisted index sink shares (the [[IndexSink]] contract). Each
+  * sink's probe semantics stay pinned in its own spec
+  * (DedupIndexSpec / TextIndexSpec / VectorIndexSpec /
+  * ContamIndexSpec); this spec asserts, uniformly and for ALL sinks:
+  *
+  *  1. append ≡ rebuild — build(A) then append(B) yields an index
+  *     whose every persisted relation equals build(A ∪ B)'s, row for
+  *     row (deltas merge at read time, so the ingest path can never
+  *     answer differently than a from-scratch index).
+  *  2. compact ≡ identity — consolidating append generations changes
+  *     the file layout, never a row.
+  *
+  * A fifth sink registers one [[IndexSink]] adapter and a fixture row
+  * here and inherits the whole contract instead of hand-rolling it.
+  */
+class SinkContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** (sink, full fixture, batch-split column). Batch A keeps the low
+    * ids: every sink's quantizer/sampling convention derives from
+    * fixed low-id seed rows (VectorIndex's `vec_id < k` anchors), so
+    * the first build must contain them — exactly the production
+    * constraint that the quantizer trains on the FIRST corpus
+    * generation and later batches only append.
+    */
+  private def cases: Seq[(IndexSink, DataFrame, String)] = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val emb = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    Seq(
+      (IndexSink.dedup, docs, "doc_id"),
+      (IndexSink.text, docs, "doc_id"),
+      (IndexSink.contam, docs, "doc_id"),
+      (IndexSink.span, docs, "doc_id"),
+      (IndexSink.vector(4), emb, "vec_id"))
+  }
+
+  /** Canonical row-set image of a relation: sorted stringified rows
+    * (arrays stringify element-wise, so positions/vector payloads
+    * compare by value).
+    */
+  private def image(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  private def assertSameContents(sink: IndexSink, a: String, b: String,
+      what: String): Unit = {
+    val ca = sink.contents(spark, a)
+    val cb = sink.contents(spark, b)
+    assert(ca.keySet == cb.keySet, s"${sink.name}: $what relation sets")
+    ca.keySet.foreach { rel =>
+      val ia = image(ca(rel))
+      val ib = image(cb(rel))
+      assert(ia.nonEmpty, s"${sink.name}/$rel: contract fixture is empty")
+      assert(ia == ib, s"${sink.name}/$rel: $what must match row-for-row")
+    }
+  }
+
+  test("append ≡ rebuild and compact ≡ identity, for every sink") {
+    cases.foreach { case (sink, data, idCol) =>
+      val batchA = data.where(col(idCol) < 300)
+      val batchB = data.where(col(idCol) >= 300)
+
+      val fullDir = TestSpark.tmpDir(s"contract-full-${sink.name}")
+      sink.build(data, fullDir)
+
+      val incDir = TestSpark.tmpDir(s"contract-inc-${sink.name}")
+      sink.build(batchA, incDir)
+      sink.append(batchB, incDir)
+      assertSameContents(sink, incDir, fullDir, "append-then-read ≡ rebuild")
+
+      val cmpDir = TestSpark.tmpDir(s"contract-cmp-${sink.name}")
+      sink.compact(spark, incDir, cmpDir)
+      assertSameContents(sink, cmpDir, incDir, "compact ≡ identity")
+    }
+  }
+}
