@@ -2319,6 +2319,66 @@ object SimilarityQueries {
                db.db_index_r
         FROM scat s JOIN worst w ON w.label = s.label, db
         ORDER BY s.label
+      """)),
+
+    // ------------------------------------------------------------------
+    // q221: IVF cell-balance audit — the serving-ops health check for
+    // the q48/VectorIndex layout. Cell sizes ARE the probe cost model:
+    // a hot cell is scanned by every query that ranks its centroid
+    // high (the skew that motivates q183-style salting or cell
+    // splitting), and an EMPTY cell is a wasted quantizer slot. Per
+    // cell: member count (empty cells included via the 16-row centroid
+    // left join), corpus share, and an exact-integer hot flag
+    // (n·k > 2·total ⟺ n > 2·mean — no float compare can flip it).
+    //
+    // Scale: the assignment is q48's broadcast-centroid window (one
+    // vec_id exchange), the rollup is a 16-group agg, and the totals
+    // ride the one-row crossJoin (q37 pattern). Nothing here grows
+    // with the corpus except the one assignment pass.
+    QDef(
+      "q221_ivf_balance",
+      (s, dir) => {
+        val e = vectors(s, dir)
+        val counts = ivfAssign(e, 16)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+          .localCheckpoint() // feeds the totals AND the per-cell rows
+        val tot = counts.agg(sum(col("n_vecs")).as("total"))
+        val cells = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cell"))
+        cells.join(counts, Seq("cell"), "left")
+          .select(col("cell"),
+            coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+          .crossJoin(broadcast(tot))
+          .select(col("cell"), col("n_vecs"),
+            round(col("n_vecs").cast("double") / col("total"), 6)
+              .as("share_r"),
+            (col("n_vecs") * 16L > col("total") * 2L).cast("int")
+              .as("hot"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+        sims AS (SELECT e.vec_id, c.cent_id,
+                   list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i])) AS sim
+                 FROM e, cents c),
+        ranked AS (SELECT vec_id, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, cent_id ASC) AS rn
+                   FROM sims),
+        assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+        counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+                   FROM assign GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM counts)
+        SELECT c.cent_id AS cell,
+               CAST(COALESCE(n.n_vecs, 0) AS BIGINT) AS n_vecs,
+               ROUND(CAST(COALESCE(n.n_vecs, 0) AS DOUBLE) / t.total, 6)
+                 AS share_r,
+               CAST(CASE WHEN COALESCE(n.n_vecs, 0) * 16 > t.total * 2
+                         THEN 1 ELSE 0 END AS INTEGER) AS hot
+        FROM cents c LEFT JOIN counts n ON n.cell = c.cent_id, tot t
       """))
   )
 }

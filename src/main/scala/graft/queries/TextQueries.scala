@@ -1429,6 +1429,122 @@ object TextQueries {
                  '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
                  '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
         FROM aug
+      """)),
+
+    // ------------------------------------------------------------------
+    // q222: KV-prefix-cache audit — the serving-economics twin of the
+    // dedup family: requests sharing an identical leading token run hit
+    // the same KV-cache entry, so the size distribution of
+    // first-8-token prefix groups IS the attainable cache hit mass.
+    // The synthetic corpus has no shared prefixes, so the fixture
+    // plants one deterministically (the q218 recipe): doc_id mod 7 = 0
+    // docs get the same system-prompt prefix prepended in-query; the
+    // audit must find exactly those groups. Per prefix-group size:
+    // group count, docs covered, and the corpus share — the ≥2-size
+    // rows are the cacheable mass.
+    //
+    // Scale: prefix fingerprints are a scan-side map (md5 of the first
+    // 8 tokens — no positional explode); two keyed aggs (prefix →
+    // size, size → counts) plus the one-row total crossJoin (q37
+    // pattern). The prefix fingerprint is the shard key at 100 TB.
+    QDef(
+      "q222_prefix_cache",
+      (s, dir) => {
+        val sysPrompt = "you are a helpful assistant follow the " +
+          "system instructions carefully"
+        val sizes = Tables(s, dir).documents
+          .select(col("doc_id"), expr(
+            s"""case when doc_id % 7 = 0 then concat('$sysPrompt ', text)
+                else text end""").as("text"))
+          .select(col("doc_id"), expr(W).as("ws"))
+          .where(expr("size(ws) >= 8"))
+          .select(expr(
+            "md5(array_join(slice(ws, 1, 8), ' '))").as("prefix_fp"))
+          .groupBy(col("prefix_fp"))
+          .agg(count(lit(1)).as("group_size"))
+          .groupBy(col("group_size"))
+          .agg(count(lit(1)).as("n_groups"),
+            (count(lit(1)) * col("group_size")).as("n_docs"))
+          .localCheckpoint() // feeds the totals AND the output rows
+        val tot = sizes.agg(sum(col("n_docs")).as("total"))
+        sizes.crossJoin(broadcast(tot))
+          .select(col("group_size"), col("n_groups"), col("n_docs"),
+            round(col("n_docs").cast("double") / col("total"), 6)
+              .as("doc_share_r"))
+      },
+      Some(s"""
+        WITH aug AS (SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'you are a helpful assistant follow '
+                              || 'the system instructions carefully '
+                              || text
+                            ELSE text END AS text
+                     FROM documents),
+        ws AS (SELECT doc_id, $WDuck AS ws FROM aug),
+        fp AS (SELECT md5(list_aggregate(ws[1:8], 'string_agg', ' '))
+                 AS prefix_fp
+               FROM ws WHERE len(ws) >= 8),
+        grp AS (SELECT prefix_fp, CAST(COUNT(*) AS BIGINT) AS group_size
+                FROM fp GROUP BY 1),
+        sz AS (SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+                      CAST(COUNT(*) * group_size AS BIGINT) AS n_docs
+               FROM grp GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM sz)
+        SELECT group_size, n_groups, n_docs,
+               ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS doc_share_r
+        FROM sz, tot
+      """)),
+
+    // ------------------------------------------------------------------
+    // q223: RAG chunking audit — retrieval corpora split documents
+    // into overlapping fixed windows (64 tokens, stride 48 ⇒ 16-token
+    // overlap) so a passage is never cut mid-context; the audit prices
+    // that choice: chunks per doc, total chunk tokens, and the
+    // inflation ratio the overlap costs at embedding/indexing time.
+    // Chunk k of an n-token doc starts at 48k (every 48k < n) and
+    // covers min(64, n − 48k) tokens — so counts and token sums are
+    // CLOSED-FORM integer folds over sequence(0, ⌈n/48⌉−1), a pure
+    // scan-side map with no explode and ZERO shuffles (the q218
+    // shape); only the rounded inflation divides.
+    QDef(
+      "q223_rag_chunking",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .select(col("doc_id"),
+            expr(s"cast(size($W) as bigint)").as("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("case when n_tokens = 0 then 0L else (n_tokens + 47) div 48 end")
+              .as("n_chunks"))
+          .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+            expr("""case when n_chunks = 0 then 0L else
+                    aggregate(sequence(0L, n_chunks - 1), 0L,
+                      (a, k) -> a + least(64L, n_tokens - k * 48L))
+                    end""").as("chunk_tokens"))
+          .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+            col("chunk_tokens"),
+            expr("""case when n_tokens = 0 then 1.0d
+                    else round(chunk_tokens / cast(n_tokens as double), 6)
+                    end""").as("inflation_r"))
+      },
+      Some(s"""
+        WITH n AS (SELECT doc_id, CAST(len($WDuck) AS BIGINT) AS n_tokens
+                   FROM documents),
+        k AS (SELECT doc_id, n_tokens,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE (n_tokens + 47) // 48 END AS n_chunks
+              FROM n),
+        c AS (SELECT doc_id, n_tokens, n_chunks,
+                     CAST(COALESCE(list_sum(list_transform(
+                       range(0, n_chunks),
+                       x -> least(64, n_tokens - x * 48))), 0) AS BIGINT)
+                       AS chunk_tokens
+              FROM k)
+        SELECT doc_id, n_tokens, CAST(n_chunks AS BIGINT) AS n_chunks,
+               chunk_tokens,
+               CASE WHEN n_tokens = 0 THEN 1.0
+                    ELSE ROUND(chunk_tokens / CAST(n_tokens AS DOUBLE), 6)
+               END AS inflation_r
+        FROM c
       """))
   )
 }

@@ -120,6 +120,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // q220 crossJoins the ONE-row sqrt-mass total into the ≤|sources|
     // share rows (q37 pattern)
     "q220_mixture_temperature",
+    // q221 crossJoins the ONE-row corpus total into the 16 cell rows
+    // (q37 pattern); the 16-row centroid join is a broadcast equi-join
+    "q221_ivf_balance",
+    // q222 crossJoins the ONE-row doc total into the ≤|distinct group
+    // sizes| rows (q37 pattern)
+    "q222_prefix_cache",
     // q149's quantizer is q48's 16-row broadcast centroid cross
     // (ivfRanked); candidate generation itself is a cell equi-join
     "q149_knn_eval",

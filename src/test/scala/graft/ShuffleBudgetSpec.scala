@@ -452,6 +452,14 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q220: the per-source token agg; the one-row totals cross is a
     // broadcast (no exchange)
     "q220_mixture_temperature" -> 1,
+    // q221: the per-vec assignment window + the 16-cell rollup
+    // (centroid join broadcasts, totals cross is a broadcast)
+    "q221_ivf_balance" -> 2,
+    // q222: prefix-fp agg; the size rollup rides AQE-coalesced on the
+    // same hash, totals cross broadcasts
+    "q222_prefix_cache" -> 1,
+    // q223: closed-form scan-side map — zero exchanges
+    "q223_rag_chunking" -> 0,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
