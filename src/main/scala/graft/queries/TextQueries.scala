@@ -37,6 +37,15 @@ object TextQueries {
   private val W = wordsExpr
   private val WDuck = wordsExprDuck
 
+  /** PII detection patterns — ONE definition shared by the q218 batch
+    * scrub and `CorpusStreaming.piiAlerts` (the monitor must fire on
+    * exactly what the scrub would redact). RE2-compatible subset
+    * (char classes + bounded repeats), so Java regex and DuckDB's RE2
+    * agree; raw form (single backslash) — SQL-literal users escape.
+    */
+  val piiEmailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  val piiPhonePat = "[0-9]{3}-[0-9]{4}"
+
   /** DuckDB restatement of [[graft.functions.Shingles]] for word
     * n-grams over a `ws` word-list column — ONE definition of the
     * slice offsets (they must mirror the generator exactly), shared by
@@ -1384,8 +1393,8 @@ object TextQueries {
     QDef(
       "q218_pii_scrub",
       (s, dir) => {
-        val emailPat = "[a-z0-9]+@[a-z]+\\\\.[a-z]+"
-        val phonePat = "[0-9]{3}-[0-9]{4}"
+        val emailPat = piiEmailPat.replace("\\", "\\\\") // SQL-literal escape
+        val phonePat = piiPhonePat
         Tables(s, dir).documents
           .select(col("doc_id"), expr("""
             concat(text, case

@@ -101,6 +101,32 @@ object CorpusStreaming {
       .dropDuplicatesWithinWatermark(Seq("doc_id"))
       .select(col("doc_id"), col("ingest_ts"))
 
+  /** Streaming PII alerts — the continuous twin of the q218 batch
+    * scrub: every streamed document matching a PII pattern emits ONE
+    * (doc_id, ingest_ts, n_emails, n_phones) row, so leaked personal
+    * data is flagged AT INGEST, before the document ever lands in a
+    * release tree. Patterns are `TextQueries.piiEmailPat/piiPhonePat`
+    * — the SAME definitions q218 redacts with, so the monitor fires on
+    * exactly what the scrub would rewrite (the contaminationAlerts
+    * shared-contract pattern).
+    *
+    * Scale: pattern counting is stateless per-row work on the scan
+    * side (payloads never shuffle); the only state is the per-doc
+    * alert dedup, watermark-bounded like the fingerprint state.
+    */
+  def piiAlerts(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .select(col("doc_id"), col("ingest_ts"),
+        regexp_count(col("text"),
+          lit(graft.queries.TextQueries.piiEmailPat)).cast("long")
+          .as("n_emails"),
+        regexp_count(col("text"),
+          lit(graft.queries.TextQueries.piiPhonePat)).cast("long")
+          .as("n_phones"))
+      .where(col("n_emails") + col("n_phones") > 0)
+      .dropDuplicatesWithinWatermark(Seq("doc_id"))
+
   /** Append each micro-batch to the partitioned corpus tree via the
     * batch export sink (same layout contract as [[CorpusExport]], with
     * `batch=<id>` as the leading partition directory). foreachBatch is

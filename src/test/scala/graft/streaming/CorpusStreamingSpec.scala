@@ -145,4 +145,30 @@ class CorpusStreamingSpec extends AnyFunSuite {
       assert(alerts.length == 2, "one alert per contaminated doc")
     } finally q.stop()
   }
+
+  test("streaming PII alerts fire on the q218 patterns, once per doc") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[StreamedDoc]
+    val q = CorpusStreaming.piiAlerts(ms.toDF())
+      .writeStream.format("memory").queryName("pii")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        // one email → alert with (1, 0)
+        StreamedDoc(40L, goodText + " contact someone@example.com now",
+          "en", "src0", ts("2024-01-01 00:00:00")),
+        // clean → no alert
+        StreamedDoc(41L, goodText, "en", "src0", ts("2024-01-01 00:01:00")),
+        // two phones + an email → ONE alert carrying both counts
+        StreamedDoc(42L, "call 555-0101 or 555-0102 or mail a@b.org",
+          "en", "src0", ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      val rows = spark.table("pii")
+        .select("doc_id", "n_emails", "n_phones").as[(Long, Long, Long)]
+        .collect().sortBy(_._1)
+      assert(rows.toSeq == Seq((40L, 1L, 0L), (42L, 1L, 2L)),
+        rows.mkString(","))
+    } finally q.stop()
+  }
 }
