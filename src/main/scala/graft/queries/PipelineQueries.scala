@@ -18,6 +18,7 @@ object PipelineQueries {
 
   private val W = TextQueries.wordsExpr
   private val WDuck = TextQueries.wordsExprDuck
+  private val fingerprintDuck = Q.fingerprintDuck
 
   /** Deterministic hash split: md5 of a salted doc id, compared on the
     * first two hex chars — 'cd' = 205/256 ≈ 80% train. String compare
@@ -2024,6 +2025,72 @@ object PipelineQueries {
                CAST(ROUND(ROUND(sqrt_r / tot, 6) * 100000, 0) AS BIGINT)
                  AS alloc_100k
         FROM sq, tot
+      """)),
+
+    // ------------------------------------------------------------------
+    // q224: corpus-version diff — the release-engineering op between
+    // two crawl snapshots: which documents were added, removed,
+    // changed, or untouched, and what the token-mass delta is per
+    // class (the changelog that gates "retrain or patch"). v2 is
+    // simulated in-query as a pure function of v1 (the fixture recipe:
+    // doc_id mod 10 = 9 re-keyed as new ids ⇒ one removed + one added
+    // each, mod 10 = 3 text-revised ⇒ changed), so the oracle restates
+    // it exactly. Change detection is Q.fingerprint equality — the
+    // SAME content fingerprint the dedup/streaming layers key on, so
+    // "changed" here is precisely "would re-ingest" there.
+    //
+    // Scale: one full-outer equi-join on doc_id (the natural shard
+    // key, both sides pre-shrunk to id+fp+token count — payloads never
+    // join) and a 4-group rollup.
+    QDef(
+      "q224_corpus_diff",
+      (s, dir) => {
+        val v1 = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        val v2 = v1.where(col("doc_id") % 10 =!= 9)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 3,
+              concat(col("text"), lit(" updated revision text")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(v1.where(col("doc_id") % 10 === 9)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        def keyed(v: org.apache.spark.sql.DataFrame, suf: String) =
+          v.select(col("doc_id"),
+            graft.queries.Q.fingerprint(col("text")).as(s"fp$suf"),
+            expr(s"cast(size($W) as bigint)").as(s"n_tok$suf"))
+        keyed(v1, "1").join(keyed(v2, "2"), Seq("doc_id"), "full_outer")
+          .select(expr("""case when fp1 is null then 'added'
+                               when fp2 is null then 'removed'
+                               when fp1 <> fp2 then 'changed'
+                               else 'unchanged' end""").as("status"),
+            col("n_tok1"), col("n_tok2"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("n_tok2"), lit(0L))
+              - coalesce(col("n_tok1"), lit(0L))).as("token_delta"))
+      },
+      Some(s"""
+        WITH v1 AS (SELECT doc_id, text FROM documents),
+        v2 AS (SELECT doc_id,
+                      CASE WHEN doc_id % 10 = 3
+                           THEN text || ' updated revision text'
+                           ELSE text END AS text
+               FROM v1 WHERE doc_id % 10 <> 9
+               UNION ALL
+               SELECT doc_id + 1000000, text FROM v1 WHERE doc_id % 10 = 9),
+        a AS (SELECT doc_id, $fingerprintDuck AS fp1,
+                     CAST(len($WDuck) AS BIGINT) AS n_tok1 FROM v1),
+        b AS (SELECT doc_id, $fingerprintDuck AS fp2,
+                     CAST(len($WDuck) AS BIGINT) AS n_tok2 FROM v2),
+        j AS (SELECT CASE WHEN a.fp1 IS NULL THEN 'added'
+                          WHEN b.fp2 IS NULL THEN 'removed'
+                          WHEN a.fp1 <> b.fp2 THEN 'changed'
+                          ELSE 'unchanged' END AS status,
+                     a.n_tok1, b.n_tok2
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(COALESCE(n_tok2, 0) - COALESCE(n_tok1, 0))
+                    AS BIGINT) AS token_delta
+        FROM j GROUP BY 1
       """))
   )
 }

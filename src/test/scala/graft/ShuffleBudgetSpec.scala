@@ -460,6 +460,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q222_prefix_cache" -> 1,
     // q223: closed-form scan-side map — zero exchanges
     "q223_rag_chunking" -> 0,
+    // q224: the doc_id full-outer join (both version sides) + the
+    // 4-group status rollup
+    "q224_corpus_diff" -> 3,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
