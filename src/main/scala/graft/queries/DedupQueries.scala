@@ -1128,7 +1128,7 @@ object DedupQueries {
     // spans per PAIR; removal needs them per DOCUMENT: every token
     // position covered by any cross-document verbatim run of ≥ 8
     // tokens is duplicated text, and the per-doc duplicated-token
-    // count + retention ratio is the go/no-go report before a
+    // count + retention ratio is the ship-or-hold report before a
     // destructive rewrite of a 100 TB corpus.
     //
     // Shape: the q190 anchor machinery (positionedGrams + hot-gram df
