@@ -127,6 +127,58 @@ object CorpusStreaming {
       .where(col("n_emails") + col("n_phones") > 0)
       .dropDuplicatesWithinWatermark(Seq("doc_id"))
 
+  final case class PackedDoc(
+      doc_id: Long,
+      shard: Long,
+      n_tok: Long,
+      start_tok: Long,
+      end_tok: Long,
+      first_block: Long,
+      last_block: Long,
+      split_block: Boolean)
+
+  /** Streaming sequence packing — q217's concat-and-chunk layout as
+    * continuous ingest: each output shard's writer keeps its running
+    * token total as ONE long of keyed state, and every arriving
+    * document is assigned its [start, end) token interval and block
+    * span AT ARRIVAL (the offsets a streaming shard writer needs to
+    * place the doc without re-reading anything). Within a micro-batch
+    * docs process in doc_id order, so when batches arrive id-ordered
+    * the assignments equal the batch q217 cumsum exactly
+    * (spec-pinned); under arbitrary arrival the assignment is
+    * arrival-ordered — which is the DEFINITION of packing a stream.
+    *
+    * Scale: state is O(shards) longs regardless of volume; the only
+    * shuffle keys on the shard — the writer parallelism unit.
+    */
+  def packingAssignments(docs: DataFrame,
+      block: Int = 256): org.apache.spark.sql.Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val toks = docs.select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        expr(s"cast(size(${graft.queries.TextQueries.wordsExpr}) as bigint)")
+          .as("n_tok"))
+      .as[(Long, Long, Long)]
+    def fold(shard: Long, it: Iterator[(Long, Long, Long)],
+        state: GroupState[Long]): Iterator[PackedDoc] = {
+      val sorted = it.toSeq.sortBy(_._1)
+      var cum = state.getOption.getOrElse(0L)
+      val out = sorted.map { case (id, _, n) =>
+        val start = cum
+        cum += n
+        val first = start / block
+        val last = if (n == 0) first else (cum - 1) / block
+        PackedDoc(id, shard, n, start, cum, first, last,
+          n > 0 && last > first)
+      }
+      state.update(cum)
+      out.iterator
+    }
+    toks.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fold)
+  }
+
   /** Append each micro-batch to the partitioned corpus tree via the
     * batch export sink (same layout contract as [[CorpusExport]], with
     * `batch=<id>` as the leading partition directory). foreachBatch is

@@ -171,4 +171,38 @@ class CorpusStreamingSpec extends AnyFunSuite {
         rows.mkString(","))
     } finally q.stop()
   }
+
+  test("streaming packing carries shard token totals across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // ids chosen so two docs share shard 0 across DIFFERENT batches
+    // (the state handoff under test) and one lands on shard 1; block=8
+    // so the 10-token texts actually split blocks
+    def doc(id: Long, words: Int) = StreamedDoc(id,
+      (1 to words).map(i => "tok").mkString(" "), "en", "src0",
+      ts("2024-01-01 00:00:00"))
+    val ms = MemoryStream[StreamedDoc]
+    val q = CorpusStreaming.packingAssignments(ms.toDF(), block = 8)
+      .writeStream.format("memory").queryName("pack")
+      .outputMode("append").start()
+    try {
+      ms.addData(doc(0L, 5), doc(1L, 10)) // shards 0 and 1
+      q.processAllAvailable()
+      ms.addData(doc(8L, 6), doc(16L, 4)) // both shard 0, one batch
+      q.processAllAvailable()
+      val got = spark.table("pack")
+        .select("doc_id", "shard", "start_tok", "end_tok", "first_block",
+          "last_block", "split_block")
+        .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+        .collect().sortBy(_._1)
+      // shard 0 arrival order 0 → 8 → 16: 5 + 6 + 4 tokens; doc 8 must
+      // START at 5 (state survived the batch boundary) and cross the
+      // 8-token block edge; doc 16 fits inside block 1
+      assert(got.toSeq == Seq(
+        (0L, 0L, 0L, 5L, 0L, 0L, false),
+        (1L, 1L, 0L, 10L, 0L, 1L, true),
+        (8L, 0L, 5L, 11L, 0L, 1L, true),
+        (16L, 0L, 11L, 15L, 1L, 1L, false)), got.mkString(","))
+    } finally q.stop()
+  }
 }
