@@ -2379,6 +2379,79 @@ object SimilarityQueries {
                CAST(CASE WHEN COALESCE(n.n_vecs, 0) * 16 > t.total * 2
                          THEN 1 ELSE 0 END AS INTEGER) AS hot
         FROM cents c LEFT JOIN counts n ON n.cell = c.cent_id, tot t
+      """)),
+
+    // ------------------------------------------------------------------
+    // q225: contrastive triplet generation — the training-data
+    // GENERATOR the similarity family feeds: per anchor, ONE
+    // (anchor, positive, negative) row where the positive is the
+    // nearest SAME-label vector (the supervised-SimCSE positive rule)
+    // and the negative is q115's hardest DIFFERENT-label vector, plus
+    // the triplet margin pos − neg that curriculum/loss weighting
+    // consumes. Anchors are the bounded first-10 pack (q26/q115's
+    // shape): both scoring passes are one broadcast-anchors × corpus
+    // scan, top-1 per (anchor, side) via the keyed rank window —
+    // bounded at any corpus size; at 100 TB the corpus side would come
+    // from the IVF cells (q59's rule), same downstream contract.
+    QDef(
+      "q225_contrastive_triplets",
+      (s, dir) => {
+        val e = vectors(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("v").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        def top1(cond: org.apache.spark.sql.Column, side: String) =
+          broadcast(q).join(e, cond)
+            .select(col("qid"), col("qlabel"), col("vec_id"),
+              expr(COS).as("cos"))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .select(col("qid"), col("qlabel"),
+              col("vec_id").as(s"${side}_id"),
+              round(col("cos"), 6).as(s"${side}_cos_r"))
+        val pos = top1(col("label") === col("qlabel")
+          && col("vec_id") =!= col("qid"), "pos")
+        val neg = top1(col("label") =!= col("qlabel"), "neg")
+        pos.join(neg, Seq("qid", "qlabel"))
+          .select(col("qid"), col("qlabel"), col("pos_id"),
+            col("pos_cos_r"), col("neg_id"), col("neg_cos_r"),
+            round(col("pos_cos_r") - col("neg_cos_r"), 6).as("margin_r"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+              FROM e WHERE vec_id < 10),
+        pos AS (SELECT qid, qlabel, vec_id AS pos_id,
+                       ROUND(cos, 6) AS pos_cos_r
+                FROM (SELECT qid, qlabel, e.vec_id,
+                             list_sum(list_transform(range(1, 65),
+                               i -> qv[i] * v[i])) AS cos,
+                             ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY list_sum(list_transform(range(1, 65),
+                                 i -> qv[i] * v[i])) DESC,
+                               e.vec_id ASC) AS rk
+                      FROM q JOIN e
+                        ON e.label = qlabel AND e.vec_id <> qid) t
+                WHERE rk = 1),
+        neg AS (SELECT qid, vec_id AS neg_id, ROUND(cos, 6) AS neg_cos_r
+                FROM (SELECT qid, e.vec_id,
+                             list_sum(list_transform(range(1, 65),
+                               i -> qv[i] * v[i])) AS cos,
+                             ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY list_sum(list_transform(range(1, 65),
+                                 i -> qv[i] * v[i])) DESC,
+                               e.vec_id ASC) AS rk
+                      FROM q JOIN e ON e.label <> qlabel) t
+                WHERE rk = 1)
+        SELECT p.qid, p.qlabel, p.pos_id, p.pos_cos_r,
+               n.neg_id, n.neg_cos_r,
+               ROUND(p.pos_cos_r - n.neg_cos_r, 6) AS margin_r
+        FROM pos p JOIN neg n ON n.qid = p.qid
       """))
   )
 }

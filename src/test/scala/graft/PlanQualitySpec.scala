@@ -123,6 +123,9 @@ class PlanQualitySpec extends AnyFunSuite {
     // q221 crossJoins the ONE-row corpus total into the 16 cell rows
     // (q37 pattern); the 16-row centroid join is a broadcast equi-join
     "q221_ivf_balance",
+    // q225's negative side is q115's 10-row broadcast anchor pack ×
+    // corpus label-inequality scan (the q26/q115 allowance)
+    "q225_contrastive_triplets",
     // q222 crossJoins the ONE-row doc total into the ≤|distinct group
     // sizes| rows (q37 pattern)
     "q222_prefix_cache",

@@ -463,6 +463,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q224: the doc_id full-outer join (both version sides) + the
     // 4-group status rollup
     "q224_corpus_diff" -> 3,
+    // q225: one anchor-keyed rank window per side (pos/neg) + the
+    // 10-row qid join of the two sides
+    "q225_contrastive_triplets" -> 4,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
