@@ -24,6 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .Cast(children.head, org.apache.spark.sql.types.StringType))
       }))
     ext.injectFunction((
+      FunctionIdentifier("l2_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.L2Normalize].getName, "l2_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "l2_normalize takes exactly one argument")
+        graft.functions.L2Normalize(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(
         classOf[graft.functions.DotProduct].getName, "dot_product"),

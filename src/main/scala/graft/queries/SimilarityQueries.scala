@@ -27,18 +27,16 @@ object SimilarityQueries {
     */
   private val COS = "dot_product(qv, v)"
 
-  /** Unit-normalized double vectors. The norm sub-expression gets
-    * inlined into the lambda (O(d²) per row) but that is scan-side and
-    * negligible next to the pair stage it speeds up.
+  /** Unit-normalized double vectors via the native codegen'd
+    * `l2_normalize` expression (O(2d) per row; the lambda formulation
+    * it replaced inlined the norm into the transform — O(d²)
+    * interpreted steps per row, and L2NormalizeSpec pins the two
+    * bit-identical).
     */
   private def vectors(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir).embeddings
       .select(col("vec_id"), col("label"),
-        expr("""transform(embedding,
-                  x -> cast(x as double) /
-                       sqrt(aggregate(embedding, 0D,
-                         (a, y) -> a + cast(y as double) * cast(y as double))))""")
-          .as("v"))
+        expr("l2_normalize(embedding)").as("v"))
 
   /** Shared by q204 (spectrum) and q209 (ABTT re-rank): the
     * dim-exploded corpus, round-9 per-dim means, the round-9

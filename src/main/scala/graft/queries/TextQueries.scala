@@ -46,6 +46,58 @@ object TextQueries {
   val piiEmailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
   val piiPhonePat = "[0-9]{3}-[0-9]{4}"
 
+  // ------------------------------------------------------------------
+  // BPE training machinery shared by q216 (the training loop) and
+  // q226 (the apply twin) — ONE definition, the sharedSpans/logregSteps
+  // anti-drift rule. See q216's design note for the sentinel-encoding
+  // argument.
+  // ------------------------------------------------------------------
+
+  /** Token stream of a sentinel-encoded corpus row `s`. */
+  private val bpeToks = "split(substring(s, 2, length(s) - 2), '><')"
+
+  /** Sentinel-encode the corpus: '<w1><w2>…' per doc (empty docs out). */
+  private def bpeEnc0(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), expr(W).as("ws"))
+      .where(expr("size(ws) > 0"))
+      .select(col("doc_id"),
+        concat(lit("<"), expr("array_join(ws, '><')"), lit(">"))
+          .as("s"))
+      .localCheckpoint() // feeds round-1 count AND rewrite
+
+  /** One BPE merge superstep: corpus pair count → 1-row argmax (tie →
+    * lexicographic) → narrow rewrite with the winner broadcast.
+    * Returns (merged corpus, the round's report row).
+    */
+  private def bpeStep(df: org.apache.spark.sql.DataFrame, r: Int) = {
+    val arr = df.select(expr(bpeToks).as("arr"))
+      .where(expr("size(arr) >= 2"))
+    val top = arr
+      .select(explode(expr(
+        """transform(sequence(1, size(arr) - 1),
+             i -> named_struct('w1', arr[i-1], 'w2', arr[i]))"""))
+        .as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+      .limit(1)
+      .localCheckpoint() // 1-row winner: rewrite + output row
+    val merged = df.crossJoin(broadcast(top))
+      .select(col("doc_id"), expr(
+        """replace(s, concat('<', w1, '><', w2, '>'),
+             concat('<', w1, '_', w2, '>'))""").as("s"))
+      .localCheckpoint() // superstep barrier (next round's input)
+    val stats = merged.select(explode(expr(bpeToks)).as("tok"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("vocab"))
+    val row = top.crossJoin(broadcast(stats))
+      .select(lit(r).cast("int").as("round"), col("w1"), col("w2"),
+        col("cnt").as("pair_count"), col("n_tokens"), col("vocab"))
+    (merged, row)
+  }
+
   /** DuckDB restatement of [[graft.functions.Shingles]] for word
     * n-grams over a `ws` word-list column — ONE definition of the
     * slice offsets (they must mirror the generator exactly), shared by
@@ -1266,43 +1318,9 @@ object TextQueries {
     QDef(
       "q216_bpe_train",
       (s, dir) => {
-        val toks = "split(substring(s, 2, length(s) - 2), '><')"
-        val enc0 = Tables(s, dir).documents
-          .select(col("doc_id"), expr(W).as("ws"))
-          .where(expr("size(ws) > 0"))
-          .select(col("doc_id"),
-            concat(lit("<"), expr("array_join(ws, '><')"), lit(">"))
-              .as("s"))
-          .localCheckpoint() // feeds round-1 count AND rewrite
-        def step(df: org.apache.spark.sql.DataFrame, r: Int) = {
-          val arr = df.select(expr(toks).as("arr"))
-            .where(expr("size(arr) >= 2"))
-          val top = arr
-            .select(explode(expr(
-              """transform(sequence(1, size(arr) - 1),
-                   i -> named_struct('w1', arr[i-1], 'w2', arr[i]))"""))
-              .as("p"))
-            .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-            .agg(count(lit(1)).as("cnt"))
-            .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
-            .limit(1)
-            .localCheckpoint() // 1-row winner: rewrite + output row
-          val merged = df.crossJoin(broadcast(top))
-            .select(col("doc_id"), expr(
-              """replace(s, concat('<', w1, '><', w2, '>'),
-                   concat('<', w1, '_', w2, '>'))""").as("s"))
-            .localCheckpoint() // superstep barrier (next round's input)
-          val stats = merged.select(explode(expr(toks)).as("tok"))
-            .agg(count(lit(1)).as("n_tokens"),
-              countDistinct(col("tok")).as("vocab"))
-          val row = top.crossJoin(broadcast(stats))
-            .select(lit(r).cast("int").as("round"), col("w1"), col("w2"),
-              col("cnt").as("pair_count"), col("n_tokens"), col("vocab"))
-          (merged, row)
-        }
-        val (e1, r1) = step(enc0, 1)
-        val (e2, r2) = step(e1, 2)
-        val (_, r3) = step(e2, 3)
+        val (e1, r1) = bpeStep(bpeEnc0(Tables(s, dir).documents), 1)
+        val (e2, r2) = bpeStep(e1, 2)
+        val (_, r3) = bpeStep(e2, 3)
         r1.unionByName(r2).unionByName(r3).orderBy(col("round"))
       },
       Some(s"""

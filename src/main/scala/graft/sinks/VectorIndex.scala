@@ -42,16 +42,12 @@ import org.apache.spark.sql.functions._
 object VectorIndex {
 
   /** Unit-normalized double vectors from a raw (vec_id, embedding)
-    * relation — the same normalization q48's `vectors` helper applies
-    * (restated here; the spec's parity gate keeps them in sync).
+    * relation — the same native `l2_normalize` q48's `vectors` helper
+    * applies (the spec's parity gate keeps them in sync).
     */
   private def normalized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
-      expr("""transform(embedding,
-                x -> cast(x as double) /
-                     sqrt(aggregate(embedding, 0D,
-                       (a, y) -> a + cast(y as double) * cast(y as double))))""")
-        .as("v"))
+      expr("l2_normalize(embedding)").as("v"))
 
   /** Nearest-centroid cell assignment (sim desc, cent_id asc tiebreak —
     * q48's rule), shared by [[build]]/[[append]]/[[buildPq]]/
