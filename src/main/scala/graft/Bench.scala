@@ -24,6 +24,13 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => wanted.isEmpty || wanted(n) }
         .map { case (name, fn) =>
+        // snapshot persisted-RDD ids BEFORE the query: only blocks this
+        // query created are released afterwards, so a localCheckpointed
+        // RDD held by a caller sharing the session (whose truncated
+        // lineage cannot be recomputed) is never yanked out from under
+        // it. With the ids scoped, the eager release stays safe even if
+        // plans are one day reused across queries.
+        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         // noop sink: forces full materialization of every output column
         // (count() would let Spark skip column evaluation entirely).
@@ -45,8 +52,9 @@ object Bench {
         // the round-7 attribution measurement in PROGRESS.jsonl).
         // Safe between queries: results are fully materialized and no
         // plan is reused across entries.
-        spark.sparkContext.getPersistentRDDs.valuesIterator
-          .foreach(_.unpersist(blocking = false))
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting(id) }
+          .valuesIterator.foreach(_.unpersist(blocking = false))
         r
       }.toMap
     val p1 = pass()

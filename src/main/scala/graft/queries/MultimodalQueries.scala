@@ -195,10 +195,14 @@ object MultimodalQueries {
         WITH media AS (SELECT doc_id AS media_id, text
                        FROM documents WHERE doc_id % 3 = 2),
         idx AS (
+          -- length(text) > 0 guard: DuckDB's (0-1)//64 truncates to 0,
+          -- so an empty payload would otherwise yield range(0, 1) = one
+          -- phantom empty frame, while the kernel (Multimodal.chunks)
+          -- emits NO chunk for an empty payload
           SELECT media_id, text,
                  unnest(range(0, CAST(1 + (length(text) - 1) // 64
                                       AS BIGINT))) AS k
-          FROM media),
+          FROM media WHERE length(text) > 0),
         frames AS (
           SELECT media_id, CAST(k AS INTEGER) AS frame_idx,
                  substr(text, CAST(k * 64 + 1 AS INTEGER), 64) AS chunk

@@ -20,6 +20,52 @@ object PipelineQueries {
   private val WDuck = TextQueries.wordsExprDuck
   private val fingerprintDuck = Q.fingerprintDuck
 
+  /** Packing shard count — the writer-parallelism unit shared by the
+    * q217 batch audit and `CorpusStreaming.packingAssignments` (state =
+    * one long per shard, output files = one stream per shard). ONE
+    * definition so the twins can never pack to different layouts. 8 is
+    * the demo default sized to the sf0.01 gate; at 100 TB this is the
+    * knob that sets ingest parallelism (shards ≈ writer tasks), which
+    * is exactly why it must be a parameter and not a constant baked
+    * into two query bodies (the round-7 finding).
+    */
+  val packShards: Int = 8
+
+  /** Packing block size in tokens, shared the same way. */
+  val packBlock: Int = 256
+
+  /** q217's per-shard packing audit over any (doc_id, n_tok-derivable)
+    * docs relation, with the shard count and block size as parameters —
+    * the ONE definition of the batch packing layout (shard = doc_id %
+    * shards, docs concatenate in doc_id order, blocks of `block`
+    * tokens). The streaming twin must agree with this at EVERY shard
+    * count, not just the default — CorpusStreamingSpec pins parity at a
+    * non-default count.
+    */
+  def packingAudit(docs: org.apache.spark.sql.DataFrame,
+      shards: Int = packShards, block: Int = packBlock)
+      : org.apache.spark.sql.DataFrame = {
+    val byShard = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        expr(s"cast(size($W) as bigint)").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(byShard))
+      .withColumn("is_split",
+        (col("n_tok") > 0L &&
+          expr(s"((cum - 1) div $block) > ((cum - n_tok) div $block)"))
+          .cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("is_split")).as("n_split_docs"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens + ${block - 1}) div $block").as("n_blocks"),
+        col("n_split_docs"),
+        (expr(s"(n_tokens + ${block - 1}) div $block") * block.toLong
+          - col("n_tokens")).as("tail_waste"))
+  }
+
   /** Deterministic hash split: md5 of a salted doc id, compared on the
     * first two hex chars — 'cd' = 205/256 ≈ 80% train. String compare
     * avoids hex→int conversion, which DuckDB cannot express portably.
@@ -1922,47 +1968,32 @@ object PipelineQueries {
     // ------------------------------------------------------------------
     // q217: sequence-packing audit — the GPT-style concat-and-chunk
     // step that turns a token stream into fixed BLOCK-token training
-    // blocks (BLOCK = 256 here — a parameter; small enough that the
+    // blocks (block = packBlock = 256 — small enough that the
     // split/waste accounting is exercised even at the sf0.01 gate,
-    // where 2048-token blocks would never fill). Packing is PER OUTPUT SHARD by construction (each writer
-    // task concatenates its own shard's docs in id order — the layout
-    // every large trainer uses, and what makes the op shard-parallel
-    // instead of a global sequential fold): shard = doc_id % 8, docs
-    // concatenate in doc_id order, and a doc whose [start, end) token
-    // interval crosses a block boundary is SPLIT across two blocks —
-    // the attention-contamination case packing audits exist to count.
-    // Per shard: docs, tokens, blocks, boundary-split docs, and the
-    // tail waste the final partial block pads out.
+    // where 2048-token blocks would never fill). Packing is PER OUTPUT
+    // SHARD by construction (each writer task concatenates its own
+    // shard's docs in id order — the layout every large trainer uses,
+    // and what makes the op shard-parallel instead of a global
+    // sequential fold): shard = doc_id % packShards, docs concatenate
+    // in doc_id order, and a doc whose [start, end) token interval
+    // crosses a block boundary is SPLIT across two blocks — the
+    // attention-contamination case packing audits exist to count. The
+    // whole layout lives in ONE parameterized definition
+    // (packingAudit), shared constants with the streaming twin. Per
+    // shard: docs, tokens, blocks, boundary-split docs, and the tail
+    // waste the final partial block pads out.
     //
     // Scale: one exchange on the shard key serves the running-total
-    // window AND the rollup; windows are bounded by corpus/8 per
-    // task and the shard count scales with the writer parallelism.
+    // window AND the rollup; windows are bounded by corpus/shards per
+    // task and the shard count scales with the writer parallelism
+    // (that is WHY it is a parameter — at 100 TB ingest, 8 writer
+    // tasks would be the bottleneck by construction).
     // All arithmetic is integer — hash-exact cross-engine.
     QDef(
       "q217_sequence_packing",
-      (s, dir) => {
-        val byShard = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables(s, dir).documents
-          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-            expr(s"cast(size($W) as bigint)").as("n_tok"))
-          .withColumn("cum", sum(col("n_tok")).over(byShard))
-          .withColumn("is_split",
-            (col("n_tok") > 0L &&
-              expr("((cum - 1) div 256) > ((cum - n_tok) div 256)"))
-              .cast("long"))
-          .groupBy(col("shard"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_tok")).as("n_tokens"),
-            sum(col("is_split")).as("n_split_docs"))
-          .select(col("shard"), col("n_docs"), col("n_tokens"),
-            expr("(n_tokens + 255) div 256").as("n_blocks"),
-            col("n_split_docs"),
-            (expr("(n_tokens + 255) div 256") * 256L
-              - col("n_tokens")).as("tail_waste"))
-      },
+      (s, dir) => packingAudit(Tables(s, dir).documents),
       Some(s"""
-        WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        WITH d AS (SELECT doc_id, doc_id % $packShards AS shard,
                           CAST(len($WDuck) AS BIGINT) AS n_tok
                    FROM documents),
         c AS (SELECT shard, doc_id, n_tok,
@@ -1971,14 +2002,17 @@ object PipelineQueries {
               FROM d),
         f AS (SELECT shard, n_tok,
                      CASE WHEN n_tok > 0
-                           AND (cum - 1) // 256 > (cum - n_tok) // 256
+                           AND (cum - 1) // $packBlock
+                               > (cum - n_tok) // $packBlock
                           THEN 1 ELSE 0 END AS is_split, cum
               FROM c)
         SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-               CAST((SUM(n_tok) + 255) // 256 AS BIGINT) AS n_blocks,
+               CAST((SUM(n_tok) + ${packBlock - 1}) // $packBlock
+                    AS BIGINT) AS n_blocks,
                CAST(SUM(is_split) AS BIGINT) AS n_split_docs,
-               CAST((SUM(n_tok) + 255) // 256 * 256 - SUM(n_tok)
+               CAST((SUM(n_tok) + ${packBlock - 1}) // $packBlock
+                    * $packBlock - SUM(n_tok)
                     AS BIGINT) AS tail_waste
         FROM f GROUP BY 1
       """)),

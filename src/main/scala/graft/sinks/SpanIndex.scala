@@ -99,6 +99,19 @@ object SpanIndex {
     * excluded. Probing the indexed corpus against itself with the
     * da < db half kept reproduces q190 exactly — SpanIndexSpec pins
     * it.
+    *
+    * PRECONDITION for that equivalence: the hot-gram cap is applied
+    * against the INDEXED corpus' summed df only — the probe batch's own
+    * gram occurrences do not count toward it. So probe ≡ q190-over-
+    * (corpus ∪ batch) holds exactly when the batch is already indexed
+    * (the spec's self-probe) or when the batch's gram mass cannot push
+    * any gram past the cap; a large un-indexed batch whose own
+    * boilerplate crosses dfCap reports spans that q190 over the union
+    * would silence. That is inherent to probe-before-append (the
+    * admission decision must precede the append); callers screening a
+    * batch that is itself boilerplate-heavy should append first, then
+    * probe the NEXT batch — or accept the over-report as conservative
+    * (extra candidate spans, never missed ones).
     */
   def probe(spark: SparkSession, indexDir: String,
       batch: DataFrame): DataFrame = {

@@ -149,13 +149,20 @@ object CorpusStreaming {
     * arrival-ordered — which is the DEFINITION of packing a stream.
     *
     * Scale: state is O(shards) longs regardless of volume; the only
-    * shuffle keys on the shard — the writer parallelism unit.
+    * shuffle keys on the shard — the writer parallelism unit. `shards`
+    * and `block` default to the SAME constants the q217 batch audit
+    * uses (`PipelineQueries.packShards`/`packBlock` — one definition,
+    * so the twins cannot pack to different layouts); raise `shards` to
+    * raise ingest parallelism (state stays one long per shard).
+    * CorpusStreamingSpec pins twin parity at a NON-default count.
     */
   def packingAssignments(docs: DataFrame,
-      block: Int = 256): org.apache.spark.sql.Dataset[PackedDoc] = {
+      block: Int = graft.queries.PipelineQueries.packBlock,
+      shards: Int = graft.queries.PipelineQueries.packShards)
+      : org.apache.spark.sql.Dataset[PackedDoc] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val toks = docs.select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+    val toks = docs.select(col("doc_id"), (col("doc_id") % shards).as("shard"),
         expr(s"cast(size(${graft.queries.TextQueries.wordsExpr}) as bigint)")
           .as("n_tok"))
       .as[(Long, Long, Long)]

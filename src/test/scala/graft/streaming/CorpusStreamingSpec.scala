@@ -205,4 +205,43 @@ class CorpusStreamingSpec extends AnyFunSuite {
         (16L, 0L, 11L, 15L, 1L, 1L, false)), got.mkString(","))
     } finally q.stop()
   }
+
+  test("packing twins agree at a NON-default shard count") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // shards = 3 (≠ packShards = 8), block = 8: if either twin still
+    // had its own baked-in % 8, the shard column (ids 0..9 mod 3 vs
+    // mod 8) and every downstream offset would disagree. One
+    // id-ordered batch, so the streaming arrival order equals the
+    // batch doc_id order and the audits must match EXACTLY.
+    assert(graft.queries.PipelineQueries.packShards != 3)
+    val docs = (0L to 9L).map(id =>
+      StreamedDoc(id, (1 to (3 + id % 4).toInt).map(_ => "tok")
+        .mkString(" "), "en", "src0", ts("2024-01-01 00:00:00")))
+    val ms = MemoryStream[StreamedDoc]
+    val q = CorpusStreaming.packingAssignments(ms.toDF(), block = 8,
+        shards = 3)
+      .writeStream.format("memory").queryName("pack3")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs: _*)
+      q.processAllAvailable()
+      // fold the streamed per-doc assignments to the audit rollup shape
+      val streamed = spark.table("pack3")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(col("split_block").cast("long")).as("n_split_docs"),
+          max(col("end_tok")).as("end_tok"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          expr("(end_tok + 7) div 8").as("n_blocks"), col("n_split_docs"),
+          (expr("(end_tok + 7) div 8") * 8L - col("end_tok"))
+            .as("tail_waste"))
+      val batch = graft.queries.PipelineQueries.packingAudit(
+        docs.toDF(), shards = 3, block = 8)
+      val img = (df: org.apache.spark.sql.DataFrame) =>
+        df.orderBy("shard").collect().map(_.toString).toSeq
+      assert(img(streamed) == img(batch),
+        s"streaming=${img(streamed)} batch=${img(batch)}")
+    } finally q.stop()
+  }
 }
