@@ -3,6 +3,7 @@ package graft.core
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Distributed connected components via alternating large-star /
   * small-star contraction (Kiveris et al., "Connected Components in
@@ -84,7 +85,7 @@ object ConnectedComponents {
     // 4^rounds and PLANNING, not execution, dominates (observed 21 s at
     // sf0.1 with persist vs ~2 s with checkpoint truncation).
     var e = edges.select(col("u").cast("long"), col("v").cast("long"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+      .where(col("u") =!= col("v")).distinct().ckpt()
     val nEdges = e.count()
     if (nEdges == 0) return e
     // Small-graph endgame (the standard hybrid in distributed CC):
@@ -129,7 +130,7 @@ object ConnectedComponents {
           nodes.iterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
         }
         .toDF("u", "v")
-        .localCheckpoint()
+        .ckpt()
     }
     var fp: Option[Seq[Any]] = None
     var converged = false
@@ -145,7 +146,7 @@ object ConnectedComponents {
       // ONE job per round instead of two (at test SF the loop is pure
       // job overhead, so this is a 3-job saving; at scale it halves the
       // control-plane passes over each round's edge set).
-      val next = round(e).localCheckpoint(eager = false)
+      val next = round(e).ckpt(eager = false)
       val nfp = Some(next.agg(count(lit(1)), sum(col("u")), sum(col("v")))
         .head.toSeq)
       converged = fp == nfp &&

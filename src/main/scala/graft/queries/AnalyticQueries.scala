@@ -4,6 +4,7 @@ import graft.{QDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
+import graft.Ckpt._
 
 /** Analytic extensions: exact quantiles, window frames, date arithmetic,
   * and TF-IDF — rounding out the §2.5 "engine extension" categories.
@@ -20,7 +21,7 @@ object AnalyticQueries {
     val toks = Tables(s, dir).documents
       .select(col("doc_id"), explode(expr(TextQueries.wordsExpr))
         .as("word"))
-      .localCheckpoint() // feeds dl/totals AND tf/df
+      .ckpt() // feeds dl/totals AND tf/df
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val totals = dl.agg(count(lit(1)).as("nn"),
       sum(col("dl")).as("toktot"))
@@ -79,14 +80,14 @@ object AnalyticQueries {
       tie: String): org.apache.spark.sql.DataFrame = {
     val b = df.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
         count(lit(1)).as("n"))
-      .localCheckpoint() // one-row bounds: feeds binning AND rank math
+      .ckpt() // one-row bounds: feeds binning AND rank math
     val binned = df.crossJoin(broadcast(b))
       .withColumn("hb", least(lit(999),
         floor((col("v") - col("lo"))
           / nullif((col("hi") - col("lo")) / 1000.0d, lit(0.0d)))
           .cast("int")))
       .na.fill(0, Seq("hb"))
-      .localCheckpoint() // feeds the histogram AND the rank pass
+      .ckpt() // feeds the histogram AND the rank pass
     val cume = binned.groupBy(col("hb")).agg(count(lit(1)).as("c"))
       .withColumn("cume0", coalesce(
         sum(col("c")).over(Q.bounded.orderBy(col("hb"))
@@ -1619,7 +1620,7 @@ object AnalyticQueries {
           .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("d"))
           .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
             .as("rev"))
-          .localCheckpoint() // both sides of both lag joins
+          .ckpt() // both sides of both lag joins
         val lagged = daily.select(col("l_returnflag"), col("d"),
           col("rev").as("prev"))
         def acf(k: Int) = daily.as("c")

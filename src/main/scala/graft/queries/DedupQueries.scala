@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Deduplication operators over `documents` — the core of an LLM
   * training-data pipeline: exact dedup, MinHash+LSH banding, n-gram
@@ -98,7 +99,7 @@ object DedupQueries {
   def sharedSpans(docs: org.apache.spark.sql.DataFrame,
       dfCap: Int): org.apache.spark.sql.DataFrame = {
     val grams = positionedGrams(docs)
-      .localCheckpoint() // feeds the df count AND both join sides
+      .ckpt() // feeds the df count AND both join sides
     // the hot set is tiny by construction — only grams repeated > cap
     // times corpus-wide (corpus_grams / cap is its hard upper bound,
     // and real corpora are far below it) — so it broadcasts and the
@@ -148,7 +149,7 @@ object DedupQueries {
     shingleRows(s, dir)
       .groupBy(col("doc_id"), col("source"))
       .agg(minhashes.head, minhashes.tail: _*)
-      .localCheckpoint()
+      .ckpt()
   }
 
   /** (doc_a, doc_b, jaccard) for source-blocked pairs with at least one
@@ -166,7 +167,7 @@ object DedupQueries {
       .withColumn("n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))))
-      .localCheckpoint()
+      .ckpt()
     val a = ex.alias("a")
     val b = ex.alias("b")
     a.join(b,
@@ -411,7 +412,7 @@ object DedupQueries {
         val sh = exploded.groupBy(col("doc_id"))
           .agg(votes.head, votes.tail: _*)
           .selectExpr("doc_id" +: bandExprs: _*)
-          .localCheckpoint()
+          .ckpt()
         val banded = sh.withColumn("band",
           explode(array((0 until 4).map(k =>
             struct(lit(k).as("i"), col(s"sh_$k").as("v"))): _*)))
@@ -543,7 +544,7 @@ object DedupQueries {
           .select(col("source"),
             graft.functions.Shingles.shingles(col("text"), 8).as("g"))
           .distinct()
-          .localCheckpoint()
+          .ckpt()
         val totals = postings.groupBy(col("source"))
           .agg(count(lit(1)).as("tot"))
         postings.alias("a")
@@ -609,7 +610,7 @@ object DedupQueries {
           .crossJoin(broadcast(cut))
           .withColumn("is_new", expr("doc_id * 10 >= c9"))
           .select(col("doc_id"), col("fp"), col("is_new"))
-          .localCheckpoint()
+          .ckpt()
         val exact = base.where(col("is_new")).alias("n")
           .join(base.where(!col("is_new")).alias("c"),
             col("n.fp") === col("c.fp"))
@@ -631,7 +632,7 @@ object DedupQueries {
             explode(array((0 until 4).map(b =>
               md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
                 .cast("binary"))): _*)))
-          .localCheckpoint()
+          .ckpt()
         val agree = (0 until 8)
           .map(j => s"(case when a.sig_$j = b.sig_$j then 1 else 0 end)")
           .mkString(" + ")
@@ -708,7 +709,7 @@ object DedupQueries {
           .withColumn("n",
             count(lit(1)).over(org.apache.spark.sql.expressions.Window
               .partitionBy(col("doc_id"))))
-          .localCheckpoint()
+          .ckpt()
         val a = ex.alias("a")
         val b = ex.alias("b")
         a.join(b,
@@ -775,7 +776,7 @@ object DedupQueries {
         val sh = Tables(s, dir).documents
           .select(col("doc_id"),
             graft.functions.Shingles.shingles(col("text"), 3).as("g"))
-          .localCheckpoint()
+          .ckpt()
         val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
         // one row per doc: full gram set in global (df, g) order + the
         // prefix slice; localCheckpoint — feeds the candidate self-join
@@ -790,7 +791,7 @@ object DedupQueries {
             expr(s"""transform(slice(arr, 1,
                 size(arr) - cast(ceil(${t}d * size(arr)) as int) + 1),
                 e -> e.g)""").as("prefix"))
-          .localCheckpoint()
+          .ckpt()
         // PPJoin's two candidate prunes ride the postings join (both
         // SAFE supersets of the true result — the oracle equality and
         // SimJoinSpec's brute-force net prove nothing is dismissed):
@@ -880,10 +881,10 @@ object DedupQueries {
           .select(col("a.config").as("config"),
             col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-          .localCheckpoint() // feeds the per-config count AND the hit join
+          .ckpt() // feeds the per-config count AND the hit join
         val gt = jaccardPairs(s, dir).where(col("jaccard") >= 0.5d)
           .select(col("doc_a"), col("doc_b"))
-          .localCheckpoint() // feeds n_true AND the hit join
+          .ckpt() // feeds n_true AND the hit join
         val nTrue = gt.agg(count(lit(1)).as("n_true"))
         val nCand = cand.groupBy(col("config"))
           .agg(count(lit(1)).as("n_cand"))
@@ -1148,7 +1149,7 @@ object DedupQueries {
         val docs = Tables(s, dir).documents
           .select(col("doc_id"), col("text"))
         val grams = positionedGrams(docs)
-          .localCheckpoint() // feeds the df count AND both join sides
+          .ckpt() // feeds the df count AND both join sides
         val hot = grams.groupBy(col("gram"))
           .agg(count(lit(1)).as("df"))
           .where(col("df") > spanDfCap)

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Ckpt._
 
 /** Beyond-flat-relational analytics: dominance frontiers (skyline) and
   * graph structure (degree-oriented triangle counting) — both expressed
@@ -28,7 +29,7 @@ object GraphQueries {
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
   }
 
   /** The DuckDB restatement of [[coEdges]]. */
@@ -121,7 +122,7 @@ object GraphQueries {
         val deg = edges.select(col("x").as("v"))
           .unionByName(edges.select(col("y").as("v")))
           .groupBy(col("v")).agg(count(lit(1)).as("d"))
-          .localCheckpoint()
+          .ckpt()
         val oriented = edges
           .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
           .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
@@ -131,7 +132,7 @@ object GraphQueries {
             when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
               col("y")).otherwise(col("x")).as("t"))
           // feeds both sides of the wedge self-join
-          .localCheckpoint()
+          .ckpt()
         val wedges = oriented.as("o1")
           .join(oriented.as("o2"),
             col("o1.s") === col("o2.s") && col("o1.t") < col("o2.t"))
@@ -189,9 +190,9 @@ object GraphQueries {
         val e0 = coEdges(s, dir)
         val edges = e0.select(col("x").as("src"), col("y").as("dst"))
           .unionByName(e0.select(col("y").as("src"), col("x").as("dst")))
-          .localCheckpoint()
+          .ckpt()
         val deg = edges.groupBy(col("src").as("v"))
-          .agg(count(lit(1)).as("d")).localCheckpoint()
+          .agg(count(lit(1)).as("d")).ckpt()
         val n1 = deg.agg(count(lit(1)).as("n"))
         val p0 = deg.crossJoin(broadcast(n1))
           .select(col("v"), col("d"), col("n"),
@@ -260,11 +261,11 @@ object GraphQueries {
         val e0 = coEdges(s, dir)
         val sym = e0.select(col("x").as("src"), col("y").as("dst"))
           .unionByName(e0.select(col("y").as("src"), col("x").as("dst")))
-          .localCheckpoint()
+          .ckpt()
         val seeds = sym.select(col("src").as("v")).distinct()
           .where(col("v") % 50 === 0)
           .select(col("v"), lit(0).as("d"))
-        val visited = (1 to 3).foldLeft(seeds.localCheckpoint()) { (dist, i) =>
+        val visited = (1 to 3).foldLeft(seeds.ckpt()) { (dist, i) =>
           val frontier = dist.where(col("d") === i - 1)
             .select(col("v").as("src"))
           val layer = sym.join(frontier, "src")
@@ -273,7 +274,7 @@ object GraphQueries {
             .select(col("v"), lit(i).as("d"))
           // checkpoint per round: truncates the growing lineage exactly
           // like an iterative cluster job would persist each layer
-          dist.unionByName(layer).localCheckpoint()
+          dist.unionByName(layer).ckpt()
         }
         visited.groupBy(col("d"))
           .agg(count(lit(1)).as("n_nodes"),
@@ -314,16 +315,16 @@ object GraphQueries {
         val e0 = coEdges(s, dir)
         val sym = e0.select(col("x").as("src"), col("y").as("dst"))
           .unionByName(e0.select(col("y").as("src"), col("x").as("dst")))
-          .localCheckpoint()
+          .ckpt()
         val init = sym.select(col("src").as("v")).distinct()
           .select(col("v"), col("v").as("m"))
-        val lab = (1 to 3).foldLeft(init.localCheckpoint()) { (l, _) =>
+        val lab = (1 to 3).foldLeft(init.ckpt()) { (l, _) =>
           val fromNbr = sym
             .join(l.select(col("v").as("src"), col("m")), "src")
             .select(col("dst").as("v"), col("m"))
           fromNbr.unionByName(l)
             .groupBy(col("v")).agg(min(col("m")).as("m"))
-            .localCheckpoint()
+            .ckpt()
         }
         lab.groupBy(col("m").as("comp"))
           .agg(count(lit(1)).as("n_nodes"), max(col("v")).as("max_v"))
@@ -366,7 +367,7 @@ object GraphQueries {
       (s, dir) => {
         val items = Tables(s, dir).lineitem
           .select(col("l_orderkey"), col("l_partkey")).distinct()
-          .localCheckpoint() // feeds the pair join AND the basket count
+          .ckpt() // feeds the pair join AND the basket count
         val nb = items.select(col("l_orderkey")).distinct()
           .agg(count(lit(1)).as("n_baskets"))
         val pairs = items.as("a")
@@ -431,7 +432,7 @@ object GraphQueries {
             .where(col("d") >= 6).select(col("v"))
           e.join(surv.withColumnRenamed("v", "x"), "x")
             .join(surv.withColumnRenamed("v", "y"), "y")
-            .select(col("x"), col("y")).localCheckpoint()
+            .select(col("x"), col("y")).ckpt()
         }
         val e1 = peel(e0); val e2 = peel(e1); val e3 = peel(e2)
         sizesOf(e0, 0).unionByName(sizesOf(e1, 1))
@@ -491,7 +492,7 @@ object GraphQueries {
         val edges = coEdges(s, dir)
         val sym = edges.select(col("x").as("c"), col("y").as("nb"))
           .unionByName(edges.select(col("y").as("c"), col("x").as("nb")))
-          .localCheckpoint() // feeds degrees AND both wedge sides
+          .ckpt() // feeds degrees AND both wedge sides
         val deg = sym.groupBy(col("c")).agg(count(lit(1)).as("d"))
         val wed = sym.as("a")
           .join(sym.as("b"),
@@ -560,16 +561,16 @@ object GraphQueries {
             col("l_suppkey")), "o_orderkey")
           .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
           .distinct()
-          .localCheckpoint() // feeds all four propagation rounds
+          .ckpt() // feeds all four propagation rounds
         val a1 = edges.groupBy(col("p")).agg(count(lit(1)).as("a1"))
         val h1 = edges.join(a1, "p")
           .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
         val a2 = edges.join(h1, "c")
           .groupBy(col("p")).agg(sum(col("h1")).as("a2"))
-          .localCheckpoint() // top-10 + max + the h2 round
+          .ckpt() // top-10 + max + the h2 round
         val h2 = edges.join(a2, "p")
           .groupBy(col("c")).agg(sum(col("a2")).as("h2"))
-          .localCheckpoint() // top-10 + max
+          .ckpt() // top-10 + max
         def top(df: org.apache.spark.sql.DataFrame, idCol: String,
             scoreCol: String, side: String) = {
           val mx = df.agg(max(col(scoreCol)).as("mx"))
@@ -638,7 +639,7 @@ object GraphQueries {
         val edges = coEdges(s, dir)
         val sym = edges.select(col("x").as("c"), col("y").as("nb"))
           .unionByName(edges.select(col("y").as("c"), col("x").as("nb")))
-          .localCheckpoint() // feeds both propagation rounds
+          .ckpt() // feeds both propagation rounds
         val l0 = sym.select(col("c").as("v")).distinct()
           .select(col("v"), col("v").as("lbl"))
         def prop(l: org.apache.spark.sql.DataFrame) = {
@@ -651,7 +652,7 @@ object GraphQueries {
             .withColumn("rn", row_number().over(byCnt))
             .where(col("rn") === 1)
             .select(col("c").as("v"), col("lbl"))
-            .localCheckpoint() // cut lineage between supersteps
+            .ckpt() // cut lineage between supersteps
         }
         val l2 = prop(prop(l0))
         l2.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
@@ -705,7 +706,7 @@ object GraphQueries {
         val edges = coEdges(s, dir)
         val sym = edges.select(col("x").as("c"), col("y").as("nb"))
           .unionByName(edges.select(col("y").as("c"), col("x").as("nb")))
-          .localCheckpoint() // feeds degrees AND the tagged-edge pass
+          .ckpt() // feeds degrees AND the tagged-edge pass
         val deg = sym.groupBy(col("c")).agg(count(lit(1)).as("d"))
         val tagged = sym
           .join(deg.select(col("c"), col("d").as("j")), "c")

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Ckpt._
 
 /** End-to-end training-data-pipeline operators over `documents` — the
   * stages that sit AROUND dedup/quality scoring in a real corpus build:
@@ -119,7 +120,7 @@ object PipelineQueries {
             cast(n_chars as double)
             / (10.0d * cast(nullif(size(ws), 0) as double)), 6), 0.0d)""")
           .as("x3"))
-      .localCheckpoint() // feeds all three supersteps + q210's scoring
+      .ckpt() // feeds all three supersteps + q210's scoring
     def step(w: org.apache.spark.sql.DataFrame, it: Int) =
       feats.crossJoin(broadcast(w))
         .withColumn("z", round(col("b") + col("w1") * col("x1")
@@ -147,7 +148,7 @@ object PipelineQueries {
           round(col("w1o") - lit(5.0) * col("g1"), 7).as("w1"),
           round(col("w2o") - lit(5.0) * col("g2"), 7).as("w2"),
           round(col("w3o") - lit(5.0) * col("g3"), 7).as("w3"))
-        .localCheckpoint() // superstep barrier: 1 row
+        .ckpt() // superstep barrier: 1 row
     val w0 = s.range(1).select(
       lit(0.0).as("b"), lit(0.0).as("w1"),
       lit(0.0).as("w2"), lit(0.0).as("w3"))
@@ -621,7 +622,7 @@ object PipelineQueries {
             graft.functions.Shingles.shingles(col("text"), 8).as("g"))
           .withColumn("n", count(lit(1)).over(
             Window.partitionBy(col("doc_id"))))
-          .localCheckpoint()
+          .ckpt()
         val held = sh8.where(col("split") === "held_out").alias("h")
         val train = sh8.where(col("split") === "train").alias("t")
         held.join(train, col("h.g") === col("t.g"))
@@ -681,7 +682,7 @@ object PipelineQueries {
                    i -> concat_ws(' ', slice(ws, i * 10 + 1, 10)))
                  end""")).as(Seq("i", "ctext")))
           .withColumn("fp", md5(col("ctext")))
-          .localCheckpoint()
+          .ckpt()
         val df = chunks.groupBy(col("fp"))
           .agg(countDistinct(col("doc_id")).as("n_docs"))
         val rebuilt = chunks.join(df, "fp")
@@ -787,7 +788,7 @@ object PipelineQueries {
           .withColumn("split", expr(splitExprSpark))
           .select(col("doc_id"), col("split"),
             graft.functions.Shingles.shingles(col("text"), 13).as("g"))
-          .localCheckpoint()
+          .ckpt()
         sh.createOrReplaceTempView("q77_sh")
         s.sql("""
           WITH held AS (SELECT DISTINCT g FROM q77_sh
@@ -973,7 +974,7 @@ object PipelineQueries {
         val docs = Tables(s, dir).documents
         val w = docs
           .select(col("doc_id"), col("source"), explode(expr(W)).as("word"))
-          .localCheckpoint()
+          .ckpt()
         val corpus = w.groupBy(col("word")).agg(count(lit(1)).as("cc"))
         val tgt = w.where(col("source") === "src1")
           .groupBy(col("word")).agg(count(lit(1)).as("ct"))
@@ -1096,7 +1097,7 @@ object PipelineQueries {
       (s, dir) => {
         val w = Tables(s, dir).documents
           .select(col("source"), explode(expr(W)).as("word"))
-          .localCheckpoint() // feeds corpus counts, totals, and source counts
+          .ckpt() // feeds corpus counts, totals, and source counts
         val corpus = w.groupBy(col("word")).agg(count(lit(1)).as("cc"))
         val tot = w.agg(count(lit(1)).as("nc"),
           countDistinct(col("word")).as("v"))
@@ -1540,7 +1541,7 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("w"))
           .withColumn("wa", round(expr("pow(cast(w as double), 0.7d)"), 9))
-          .localCheckpoint() // feeds the totals AND the per-source rows
+          .ckpt() // feeds the totals AND the per-source rows
         val tot = src.agg(sum(col("w")).as("tw"), sum(col("wa")).as("twa"))
         src.crossJoin(broadcast(tot))
           .select(col("source"), col("n_docs"), col("w"),
@@ -1588,7 +1589,7 @@ object PipelineQueries {
         val docs = Tables(s, dir).documents
           .withColumn("split", expr(splitExprSpark))
           .withColumn("fp", Q.fingerprint(col("text")))
-          .localCheckpoint() // feeds build, probe, and the exact audit
+          .ckpt() // feeds build, probe, and the exact audit
         val posExpr = "cast(conv(substring(md5(cast(concat('bf', " +
           "cast(i as string), '|', fp) as binary)), 1, 4), 16, 10) " +
           "as int) % 512"
@@ -1679,7 +1680,7 @@ object PipelineQueries {
             expr("cast(size(ws) as bigint)").as("n_tokens"),
             expr(stopRatioExprSpark).as("stop_ratio"),
             expr(splitExprSpark).as("split"))
-          .localCheckpoint() // feeds the dup agg AND the rollup
+          .ckpt() // feeds the dup agg AND the rollup
         val dups = feats.groupBy(col("fp"))
           .agg(count(lit(1)).as("fpc"))
         feats.join(dups, "fp")
@@ -1868,7 +1869,7 @@ object PipelineQueries {
               """(cast(conv(substring(md5(cast(concat('ht|',
                    cast(doc_id as string)) as binary)), 1, 6), 16, 10)
                    as bigint) + 0.5d) / 16777216.0d""").as("u"))
-          .localCheckpoint() // feeds the sample AND the exact totals
+          .ckpt() // feeds the sample AND the exact totals
         val est = d.where(col("u") < col("pi"))
           .agg(count(lit(1)).as("n_sampled"),
             round(sum(round(lit(1.0) / col("pi"), 6)), 4)
@@ -2038,7 +2039,7 @@ object PipelineQueries {
           .groupBy(col("source"))
           .agg(expr(s"cast(sum(size($W)) as bigint)").as("n_tokens"))
           .withColumn("sqrt_r", round(sqrt(col("n_tokens").cast("double")), 9))
-          .localCheckpoint() // feeds the totals AND the share rows
+          .ckpt() // feeds the totals AND the share rows
         val tot = src.agg(sum(col("sqrt_r")).as("tot"))
         src.crossJoin(broadcast(tot))
           .select(col("source"), col("n_tokens"), col("sqrt_r"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.Ckpt._
 
 /** Shared cross-engine-deterministic building blocks (see README
   * "determinism rules"). Single definitions so a fix in one surface
@@ -104,12 +105,14 @@ object Q {
     * from a broadcast one-row min/max and cumulates the ≤1000-row
     * histogram (the only global window, over ≤1000 rows). Phase 2
     * locates each target rank's bucket, semi-joins the scan down to
-    * just those buckets, then REFINES once: each target bucket is
+    * just those buckets, then REFINES twice: each target bucket is
     * re-binned into 1000 sub-buckets by its OWN min/max (so a
     * degenerate first pass — constant column, extreme-outlier range —
     * cannot funnel the whole relation into one rank window), all-tied
-    * sub-buckets resolve directly with no window, and the final rank
-    * window is partitioned by (bucket, sub-bucket) — ~n/10⁶ rows per
+    * sub-buckets resolve directly with no window, non-tied target
+    * sub-buckets re-bin once more by THEIR own min/max (closing the
+    * in-bucket-outlier cliff level 1 leaves), and the final rank
+    * window is partitioned by (bucket, sub, sub2) — ~n/10⁹ rows per
     * task. Matches `percentile` / DuckDB `quantile_cont` semantics
     * (skip nulls, position p*(n-1), linear interpolation); callers
     * round the float result (the q34 round-6 contract).
@@ -129,14 +132,14 @@ object Q {
       .where(col("v").isNotNull)
     val b = vals.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
         count(lit(1)).as("n"))
-      .localCheckpoint() // one-row bounds: feeds binning AND targets
+      .ckpt() // one-row bounds: feeds binning AND targets
     val binned = vals.crossJoin(broadcast(b))
       .withColumn("bin", least(lit(999),
         floor((col("v") - col("lo"))
           / nullif((col("hi") - col("lo")) / 1000.0d, lit(0.0d)))
           .cast("int")))
       .na.fill(0, Seq("bin"))
-      .localCheckpoint() // feeds the histogram AND the refine scan
+      .ckpt() // feeds the histogram AND the refine scan
     val cum = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
       .withColumn("cume", sum(col("c")).over(bounded.orderBy(col("bin"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -158,7 +161,7 @@ object Q {
         col("cume") >= col("rk") && col("cume") - col("c") < col("rk"))
       .select(col("pct"), col("pos"), col("side"), col("bin"),
         (col("rk") - (col("cume") - col("c"))).as("within"))
-      .localCheckpoint() // tiny (2·|ps| rows); feeds semi-join + pick
+      .ckpt() // tiny (2·|ps| rows); feeds semi-join + pick
     // ---- refinement level: re-bin WITHIN each target bucket --------
     // Without it, a degenerate first histogram (constant column: every
     // row lands in bin 0 via the nullif/na.fill path; extreme-outlier
@@ -168,15 +171,18 @@ object Q {
     // outlier that skewed the global range is absent from the bucket's
     // local range, so the re-bin distributes properly — and sub-buckets
     // whose min == max (all ties, including the constant-column case)
-    // resolve to that value DIRECTLY, with no rank window at all. The
-    // residual worst case (a non-tied value cliff concentrated inside
-    // range/10⁶) would need a further level; one level bounds the rank
-    // window by ~n/10⁶ on everything short of that.
+    // resolve to that value DIRECTLY, with no rank window at all.
+    // Level 1's residual — a non-tied cliff concentrated inside the
+    // BUCKET-local range/1000 (an in-bucket outlier stretches the
+    // local range so the cliff lands in one sub-bucket) — is closed by
+    // a SECOND level below, which re-bins the target sub-bucket by its
+    // own min/max (excluding the in-bucket outlier too); the final
+    // rank window partitions by (bin, sub, sub2), ~n/10⁹ per task.
     val cand0 = binned.join(broadcast(
       tloc.select(col("bin")).distinct()), Seq("bin"), "left_semi")
     val bstats = cand0.groupBy(col("bin"))
       .agg(min(col("v")).as("lo2"), max(col("v")).as("hi2"))
-      .localCheckpoint() // ≤ 2·|ps| rows: feeds the sub-binning
+      .ckpt() // ≤ 2·|ps| rows: feeds the sub-binning
     val sub0 = cand0.join(broadcast(bstats), Seq("bin"))
       .withColumn("sub", least(lit(999),
         floor((col("v") - col("lo2"))
@@ -184,7 +190,7 @@ object Q {
           .cast("int")))
       .na.fill(0, Seq("sub"))
       .select(col("bin"), col("sub"), col("v"))
-      .localCheckpoint() // feeds the sub-histogram AND the rank scan
+      .ckpt() // feeds the sub-histogram AND the rank scan
     val subcum = sub0.groupBy(col("bin"), col("sub"))
       .agg(count(lit(1)).as("c2"),
         min(col("v")).as("slo"), max(col("v")).as("shi"))
@@ -199,7 +205,7 @@ object Q {
         col("sub"), (col("within") - (col("cume2") - col("c2")))
           .as("within2"),
         col("slo"), col("shi"))
-      .localCheckpoint() // tiny (2·|ps| rows); feeds pick + direct
+      .ckpt() // tiny (2·|ps| rows); feeds pick + direct
     // all-tied sub-bucket (slo == shi): the within2-th smallest IS slo
     val direct = tloc2.where(col("slo") === col("shi"))
       .select(col("pct"), col("pos"), col("side"), col("slo").as("v"))
@@ -209,18 +215,63 @@ object Q {
     val need = tloc2.where(col("slo") =!= col("shi"))
       .select(col("pct"), col("pos"), col("side"),
         col("bin").as("tbin"), col("sub").as("tsub"), col("within2"))
-    val cand = sub0.join(broadcast(
+    // ---- refinement level 2: re-bin WITHIN each target sub-bucket --
+    // Same step one level down. A THIRD-order cliff (recursively
+    // self-similar inside the sub-bucket-local range/1000) would need
+    // yet another level; none is built because each level's direct
+    // path already resolves every all-tied case and two levels bound
+    // the final window by the deepest sub-bucket's occupancy — the
+    // cliff fixture in AggregatorSpec pins that bound.
+    val cand1 = sub0.join(broadcast(
         need.select(col("tbin").as("bin"), col("tsub").as("sub"))
           .distinct()),
         Seq("bin", "sub"), "left_semi")
+    val sstats = cand1.groupBy(col("bin"), col("sub"))
+      .agg(min(col("v")).as("lo3"), max(col("v")).as("hi3"))
+      .ckpt() // ≤ 2·|ps| rows: feeds the sub2 binning
+    val sub1 = cand1.join(broadcast(sstats), Seq("bin", "sub"))
+      .withColumn("sub2", least(lit(999),
+        floor((col("v") - col("lo3"))
+          / nullif((col("hi3") - col("lo3")) / 1000.0d, lit(0.0d)))
+          .cast("int")))
+      .na.fill(0, Seq("sub2"))
+      .select(col("bin"), col("sub"), col("sub2"), col("v"))
+      .ckpt() // feeds the sub2 histogram AND the rank scan
+    val subcum2 = sub1.groupBy(col("bin"), col("sub"), col("sub2"))
+      .agg(count(lit(1)).as("c3"),
+        min(col("v")).as("slo2"), max(col("v")).as("shi2"))
+      .withColumn("cume3", sum(col("c3"))
+        .over(Window.partitionBy(col("bin"), col("sub"))
+          .orderBy(col("sub2"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tloc3 = broadcast(need).join(subcum2,
+        col("bin") === col("tbin") && col("sub") === col("tsub"))
+      .where(col("cume3") >= col("within2") &&
+        col("cume3") - col("c3") < col("within2"))
+      .select(col("pct"), col("pos"), col("side"), col("bin"),
+        col("sub"), col("sub2"),
+        (col("within2") - (col("cume3") - col("c3"))).as("within3"),
+        col("slo2"), col("shi2"))
+      .ckpt() // tiny (≤ 2·|ps| rows); feeds pick + direct2
+    val direct2 = tloc3.where(col("slo2") === col("shi2"))
+      .select(col("pct"), col("pos"), col("side"), col("slo2").as("v"))
+    val need2 = tloc3.where(col("slo2") =!= col("shi2"))
+      .select(col("pct"), col("pos"), col("side"),
+        col("bin").as("tbin"), col("sub").as("tsub"),
+        col("sub2").as("tsub2"), col("within3"))
+    val cand = sub1.join(broadcast(
+        need2.select(col("tbin").as("bin"), col("tsub").as("sub"),
+          col("tsub2").as("sub2")).distinct()),
+        Seq("bin", "sub", "sub2"), "left_semi")
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("bin"), col("sub"))
+        Window.partitionBy(col("bin"), col("sub"), col("sub2"))
           .orderBy(col("v").asc)))
-    val picked = cand.join(broadcast(need),
+    val picked = cand.join(broadcast(need2),
         col("bin") === col("tbin") && col("sub") === col("tsub") &&
-          col("rn") === col("within2"))
+          col("sub2") === col("tsub2") && col("rn") === col("within3"))
       .select(col("pct"), col("pos"), col("side"), col("v"))
       .unionByName(direct)
+      .unionByName(direct2)
       .groupBy(col("pct"), col("pos"))
       .agg(max(when(col("side") === "lo", col("v"))).as("vlo"),
         max(when(col("side") === "hi", col("v"))).as("vhi"))

@@ -4,6 +4,7 @@ import graft.{QDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
+import graft.Ckpt._
 
 /** Time-series operators over `events`/`lineitem`: calendar-spine
   * gap-fill with forward-fill, robust (median/MAD) outlier flagging, and
@@ -554,7 +555,7 @@ object SeriesQueries {
       (s, dir) => {
         val inc = Tables(s, dir).events
           .select(col("user_id"), col("event_type")).distinct()
-          .localCheckpoint() // feeds pair join, marginals, and N
+          .ckpt() // feeds pair join, marginals, and N
         val nUsers = inc.select(col("user_id")).distinct()
           .agg(count(lit(1)).as("n"))
         val marg = inc.groupBy(col("event_type")).agg(count(lit(1)).as("m"))
@@ -699,7 +700,7 @@ object SeriesQueries {
           .unionByName(iv.select(col("en").as("t"), lit(-1).as("delta"),
             col("eid")))
           .withColumn("bucket", date_trunc("hour", col("t")))
-          .localCheckpoint() // feeds the bucket-net agg AND the sweep
+          .ckpt() // feeds the bucket-net agg AND the sweep
         val prevBuckets = Q.bounded.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val offsets = deltas.groupBy(col("bucket"))
@@ -754,7 +755,7 @@ object SeriesQueries {
           .groupBy(date_trunc("day", col("ts")).as("d"),
             hour(col("ts")).as("hod"))
           .agg(count(lit(1)).as("n"))
-          .localCheckpoint() // feeds the profile agg AND the residuals
+          .ckpt() // feeds the profile agg AND the residuals
         val prof = grid.groupBy(col("hod"))
           .agg((sum(col("n")).cast("double") / count(lit(1))).as("avg_raw"),
             count(lit(1)).as("n_days"))
@@ -1060,7 +1061,7 @@ object SeriesQueries {
         val obs = Tables(s, dir).events
           .groupBy(col("event_type"), hour(col("ts")).as("hod"))
           .agg(count(lit(1)).as("o"))
-          .localCheckpoint() // feeds marginals AND the cell pass
+          .ckpt() // feeds marginals AND the cell pass
         val rowT = obs.groupBy(col("event_type"))
           .agg(sum(col("o")).as("rt"))
         val colT = obs.groupBy(col("hod")).agg(sum(col("o")).as("ct"))
@@ -1427,7 +1428,7 @@ object SeriesQueries {
         val ev = Tables(s, dir).events
           .where(col("value").isNotNull)
           .select(col("event_id"), col("value"))
-          .localCheckpoint() // feeds the point estimate AND replicates
+          .ckpt() // feeds the point estimate AND replicates
         val means = ev
           .select(col("event_id"), col("value"),
             explode(expr("sequence(0, 15)")).as("b"))
@@ -1506,7 +1507,7 @@ object SeriesQueries {
         val ev = Tables(s, dir).events
           .where(col("value").isNotNull)
           .select(col("event_type"), col("value"))
-          .localCheckpoint() // feeds the cutoffs AND the clip pass
+          .ckpt() // feeds the cutoffs AND the clip pass
         val cuts = ev.groupBy(col("event_type"))
           .agg(round(expr("percentile(value, 0.05d)"), 6).as("lo"),
             round(expr("percentile(value, 0.95d)"), 6).as("hi"))
@@ -1567,7 +1568,7 @@ object SeriesQueries {
           .groupBy(col("event_type"),
             date_format(col("ts"), "yyyy-MM-dd").as("day"))
           .agg(count(lit(1)).as("n"))
-          .localCheckpoint() // feeds pairs (both sides), ties, n_days
+          .ckpt() // feeds pairs (both sides), ties, n_days
         val pairs = daily.alias("a").join(daily.alias("b"),
             col("a.event_type") === col("b.event_type") &&
             col("a.day") < col("b.day"))
@@ -1810,11 +1811,11 @@ object SeriesQueries {
         val daily = Tables(s, dir).events
           .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
           .agg(count(lit(1)).as("n"))
-          .localCheckpoint() // feeds mean, denominator, both join sides
+          .ckpt() // feeds mean, denominator, both join sides
         val m = daily.agg(round(avg(col("n")), 9).as("m"))
         val dev = daily.crossJoin(broadcast(m))
           .select(col("day"), (col("n").cast("double") - col("m")).as("dv"))
-          .localCheckpoint() // feeds denominator + both lag-join sides
+          .ckpt() // feeds denominator + both lag-join sides
         val den = dev.agg(sum(col("dv") * col("dv")).as("den"))
         val lagged = dev
           .withColumn("k", explode(expr("sequence(1, 7)")))
@@ -1874,7 +1875,7 @@ object SeriesQueries {
         val daily = Tables(s, dir).events
           .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
           .agg(count(lit(1)).as("n"))
-          .localCheckpoint() // feeds both pair sides
+          .ckpt() // feeds both pair sides
         // nullif divisor: the a.day < b.day condition guarantees
         // datediff >= 1 on every SURVIVING pair, but downstream
         // null-filters (globalExactPercentiles' isNotNull) push into

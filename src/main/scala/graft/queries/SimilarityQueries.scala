@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Ckpt._
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -51,7 +52,7 @@ object SimilarityQueries {
       .select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>"))
           .as(Seq("i", "x")))
-      .localCheckpoint() // feeds mean, both gram sides, and q209's reuse
+      .ckpt() // feeds mean, both gram sides, and q209's reuse
     val mu = dims.groupBy(col("i"))
       .agg(round(avg(col("x")), 9).as("mu"))
     val gram = dims.as("a")
@@ -62,7 +63,7 @@ object SimilarityQueries {
       .join(mu.select(col("i").as("j"), col("mu").as("mj")), "j")
       .select(col("i"), col("j"),
         round(col("exy") - col("mi") * col("mj"), 9).as("g"))
-      .localCheckpoint() // feeds all three iterations + Rayleigh
+      .ckpt() // feeds all three iterations + Rayleigh
     def mult(v: org.apache.spark.sql.DataFrame) =
       gram.join(v.select(col("i").as("j"), col("v")), "j")
         .groupBy(col("i")).agg(sum(col("g") * col("v")).as("w"))
@@ -70,7 +71,7 @@ object SimilarityQueries {
       val nrm = w.agg(round(sqrt(sum(col("w") * col("w"))), 9).as("nrm"))
       w.crossJoin(broadcast(nrm))
         .select(col("i"), round(col("w") / col("nrm"), 9).as("v"))
-        .localCheckpoint() // superstep barrier: d rows
+        .ckpt() // superstep barrier: d rows
     }
     val v0 = s.range(0, 64)
       .select(col("id").cast("int").as("i"), lit(0.125).as("v"))
@@ -146,10 +147,10 @@ object SimilarityQueries {
   private[graft] def ivfCentroids(e: org.apache.spark.sql.DataFrame,
       k: Int, iters: Int = IvfIters): org.apache.spark.sql.DataFrame = {
     val samp = e.filter(col("vec_id") < IvfSampleCap)
-      .select(col("vec_id"), col("v")).localCheckpoint()
+      .select(col("vec_id"), col("v")).ckpt()
     var cents = samp.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      .localCheckpoint()
+      .ckpt()
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("cent_id").asc)
     for (_ <- 1 to iters) {
@@ -173,7 +174,7 @@ object SimilarityQueries {
           expr("""transform(mv, x -> x / sqrt(
                     aggregate(mv, 0D, (a, y) -> a + y * y)))"""),
           col("prev")).as("cv"))
-        .localCheckpoint()
+        .ckpt()
     }
     cents
   }
@@ -649,7 +650,7 @@ object SimilarityQueries {
         // materialize-the-contracted-table call as q54/q58; SemDeDup's
         // cluster assignment is persisted state in the reference design
         // too (Abbas et al. 2023 §3).
-        val assign = ivfAssign(vectors(s, dir), 16).localCheckpoint()
+        val assign = ivfAssign(vectors(s, dir), 16).ckpt()
         val a = assign.alias("a")
         val b = assign.alias("b")
         val pairs = a.join(b,
@@ -821,7 +822,7 @@ object SimilarityQueries {
         val dims = vectors(s, dir)
           .select(col("vec_id"), col("label"),
             posexplode(col("v")).as(Seq("p", "x")))
-          .localCheckpoint()
+          .ckpt()
         val centroid = dims.groupBy(col("label"), col("p"))
           .agg(round(avg(col("x")), 9).as("c"))
         val byLabel = Window.partitionBy(col("label"))
@@ -884,7 +885,7 @@ object SimilarityQueries {
         val vecs = vectors(s, dir)
           .select(col("vec_id"), col("v"),
             expr("aggregate(v, 0D, (a, x) -> a + x * x)").as("v2"))
-          .localCheckpoint()
+          .ckpt()
         def assign(cents: org.apache.spark.sql.DataFrame) =
           vecs.join(broadcast(cents))
             .withColumn("d2r", expr(
@@ -1018,7 +1019,7 @@ object SimilarityQueries {
     QDef(
       "q119_auc_eval",
       (s, dir) => {
-        val vecs = vectors(s, dir).localCheckpoint() // centroids + scoring
+        val vecs = vectors(s, dir).ckpt() // centroids + scoring
         // centroids via the (vec, dim) explode — a partial agg on
         // (label, p); but SCORING never re-explodes: the per-label
         // centroid is packed back into an array (10 rows) and each
@@ -1291,7 +1292,7 @@ object SimilarityQueries {
     QDef(
       "q149_knn_eval",
       (s, dir) => {
-        val e = vectors(s, dir).localCheckpoint() // quantizer + both sides
+        val e = vectors(s, dir).ckpt() // quantizer + both sides
         // checkpoint + broadcast shape shared with q172 (see there):
         // rk feeds assign AND probes; the cell join must not shuffle on
         // a |centroids|-key column, so the eval-batch sides broadcast
@@ -1299,7 +1300,7 @@ object SimilarityQueries {
         // neighbor vectors re-enter via the e join.
         val rk = ivfRanked(e, 16)
           .select(col("vec_id"), col("cent_id"), col("rn"))
-          .localCheckpoint()
+          .ckpt()
         val assign = rk.filter(col("rn") === 1)
           .select(col("vec_id").as("nid"), col("cent_id").as("cell"))
           .join(e.select(col("vec_id").as("nid"), col("label")
@@ -1391,7 +1392,7 @@ object SimilarityQueries {
     QDef(
       "q171_rrf_hybrid",
       (s, dir) => {
-        val e = vectors(s, dir).localCheckpoint() // query vec + corpus
+        val e = vectors(s, dir).ckpt() // query vec + corpus
         val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
         val sem = e.where(col("vec_id") =!= 0)
           .crossJoin(broadcast(qv))
@@ -1473,14 +1474,14 @@ object SimilarityQueries {
     QDef(
       "q172_ndcg_eval",
       (s, dir) => {
-        val e = vectors(s, dir).localCheckpoint()
+        val e = vectors(s, dir).ckpt()
         // checkpoint: rk feeds BOTH assign and probes — without it the
         // centroid join + per-vec window runs twice. Pruned to the
         // 3-int projection first: the neighbor vectors re-enter via the
         // e join below instead of riding the window + checkpoint 16×.
         val rk = ivfRanked(e, 16)
           .select(col("vec_id"), col("cent_id"), col("rn"))
-          .localCheckpoint()
+          .ckpt()
         val assign = rk.filter(col("rn") === 1)
           .select(col("vec_id").as("nid"), col("cent_id").as("cell"))
           .join(e.select(col("vec_id").as("nid"),
@@ -1600,7 +1601,7 @@ object SimilarityQueries {
       "q173_calibration_bins",
       (s, dir) => {
         val e = vectors(s, dir)
-          .localCheckpoint() // feeds centroid derivation AND scoring
+          .ckpt() // feeds centroid derivation AND scoring
         val centroid = e
           .select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
           .groupBy(col("label").as("clabel"), col("p"))
@@ -1734,7 +1735,7 @@ object SimilarityQueries {
           .withColumn("held", expr(
             """substring(md5(cast(concat('semdecon|',
                  cast(vec_id as string)) as binary)), 1, 1) = '0'"""))
-          .localCheckpoint() // feeds both probe sides + the spine
+          .ckpt() // feeds both probe sides + the spine
         val h = assign.where(col("held")).alias("h")
         val t = assign.where(!col("held")).alias("t")
         val ev = h.join(t, col("h.cell") === col("t.cell"))
@@ -1887,7 +1888,7 @@ object SimilarityQueries {
         val e = vectors(s, dir)
         val assign = ivfAssign(e, 16)
           .join(e.select(col("vec_id"), col("label")), "vec_id")
-          .localCheckpoint() // feeds both sides of the cell join
+          .ckpt() // feeds both sides of the cell join
         val a = assign.alias("a")
         val b = assign.alias("b")
         val scored = a.join(b,
@@ -1896,7 +1897,7 @@ object SimilarityQueries {
           .select(col("a.vec_id").as("src"), col("a.label").as("slabel"),
             col("b.vec_id").as("dst"), col("b.label").as("dlabel"),
             expr("round(dot_product(a.v, b.v), 9)").as("cos9"))
-          .localCheckpoint() // feeds the top-1 AND the top-3 mean
+          .ckpt() // feeds the top-1 AND the top-3 mean
         val w = Window.partitionBy(col("src"))
           .orderBy(col("cos9").desc, col("dst").asc)
         val rk = scored.withColumn("rk", row_number().over(w))
@@ -2030,13 +2031,13 @@ object SimilarityQueries {
           .join(broadcast(v3.select(col("i"), col("v").as("pc"))), "i")
           .select(col("vec_id"), col("i"),
             (col("x") - col("mu")).as("xc"), col("pc"))
-          .localCheckpoint() // feeds projection AND residual
+          .ckpt() // feeds projection AND residual
         val proj = centered.groupBy(col("vec_id"))
           .agg(round(sum(col("xc") * col("pc")), 9).as("p"))
         val resid = centered.join(proj, "vec_id")
           .select(col("vec_id"), col("i"),
             (col("xc") - col("p") * col("pc")).as("u"))
-          .localCheckpoint() // feeds norm AND the pack
+          .ckpt() // feeds norm AND the pack
         val rnorm = resid.groupBy(col("vec_id"))
           .agg(round(sqrt(sum(col("u") * col("u"))), 9).as("nrm"))
         val packed = resid.join(rnorm, "vec_id")
@@ -2047,7 +2048,7 @@ object SimilarityQueries {
             .as("cv"))
           .join(vectors(s, dir).select(col("vec_id"), col("v").as("rv")),
             "vec_id")
-          .localCheckpoint() // one corrected+raw pack, scanned twice
+          .ckpt() // one corrected+raw pack, scanned twice
         val anchors = packed.where(col("vec_id") < 10)
           .select(col("vec_id").as("anchor"), col("cv").as("acv"),
             col("rv").as("arv"))
@@ -2148,7 +2149,7 @@ object SimilarityQueries {
           .filter(col("rk_ann") <= 10)
           .select(col("qid"), col("neighbor_id"), col("rk_ann"))
         val joined = gt.join(ann, Seq("qid", "neighbor_id"))
-          .localCheckpoint() // ≤100 rows, read once per curve point
+          .ckpt() // ≤100 rows, read once per curve point
         val spine = s.range(1)
           .select(explode(expr("array(1, 3, 5, 10)")).as("k"))
         joined.crossJoin(broadcast(spine))
@@ -2242,10 +2243,10 @@ object SimilarityQueries {
           .select(col("vec_id"), col("label"),
             posexplode(col("embedding").cast("array<double>"))
               .as(Seq("i", "x")))
-          .localCheckpoint() // feeds centroids AND member distances
+          .ckpt() // feeds centroids AND member distances
         val cent = dims.groupBy(col("label"), col("i"))
           .agg(round(avg(col("x")), 9).as("c"))
-          .localCheckpoint() // feeds scatter AND the centroid pairs
+          .ckpt() // feeds scatter AND the centroid pairs
         val scat = dims.join(cent, Seq("label", "i"))
           .groupBy(col("vec_id"), col("label"))
           .agg(round(sqrt(sum((col("x") - col("c"))
@@ -2253,7 +2254,7 @@ object SimilarityQueries {
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n_members"),
             round(avg(col("dist")), 6).as("s_r"))
-          .localCheckpoint() // |labels| rows, read three times
+          .ckpt() // |labels| rows, read three times
         val cd = cent.as("a")
           .join(cent.as("b"),
             col("a.i") === col("b.i") && col("a.label") =!= col("b.label"))
@@ -2272,7 +2273,7 @@ object SimilarityQueries {
           .where(col("rn") === 1)
           .select(col("label"), col("other").as("worst_other"),
             col("ratio_r"))
-          .localCheckpoint() // |labels| rows, feeds db AND the output
+          .ckpt() // |labels| rows, feeds db AND the output
         val db = worst.agg(round(avg(col("ratio_r")), 6).as("db_index_r"))
         scat.join(worst, "label")
           .crossJoin(broadcast(db))
@@ -2339,7 +2340,7 @@ object SimilarityQueries {
         val e = vectors(s, dir)
         val counts = ivfAssign(e, 16)
           .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
-          .localCheckpoint() // feeds the totals AND the per-cell rows
+          .ckpt() // feeds the totals AND the per-cell rows
         val tot = counts.agg(sum(col("n_vecs")).as("total"))
         val cells = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cell"))

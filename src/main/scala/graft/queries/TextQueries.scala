@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Ckpt._
 
 /** Text-analysis operators over the `documents` table — the reference's
   * wc/indexer apps re-expressed as declarative Spark queries (SURVEY.md
@@ -65,7 +66,7 @@ object TextQueries {
       .select(col("doc_id"),
         concat(lit("<"), expr("array_join(ws, '><')"), lit(">"))
           .as("s"))
-      .localCheckpoint() // feeds round-1 count AND rewrite
+      .ckpt() // feeds round-1 count AND rewrite
 
   /** One BPE merge superstep: corpus pair count → 1-row argmax (tie →
     * lexicographic) → narrow rewrite with the winner broadcast.
@@ -83,12 +84,12 @@ object TextQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
       .limit(1)
-      .localCheckpoint() // 1-row winner: rewrite + output row
+      .ckpt() // 1-row winner: rewrite + output row
     val merged = df.crossJoin(broadcast(top))
       .select(col("doc_id"), expr(
         """replace(s, concat('<', w1, '><', w2, '>'),
              concat('<', w1, '_', w2, '>'))""").as("s"))
-      .localCheckpoint() // superstep barrier (next round's input)
+      .ckpt() // superstep barrier (next round's input)
     val stats = merged.select(explode(expr(bpeToks)).as("tok"))
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct(col("tok")).as("vocab"))
@@ -1135,7 +1136,7 @@ object TextQueries {
                i -> struct(element_at(ws, i) as w1,
                            element_at(ws, i + 1) as w2))""")).as("bg"))
           .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-          .localCheckpoint() // feeds c12, c1, AND the scoring join
+          .ckpt() // feeds c12, c1, AND the scoring join
         val c12 = big.groupBy(col("w1"), col("w2"))
           .agg(count(lit(1)).as("c12"))
         val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
@@ -1249,7 +1250,7 @@ object TextQueries {
         val wc = Tables(s, dir).documents
           .select(explode(expr(W)).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-          .localCheckpoint() // feeds sketch build AND exact top-15
+          .ckpt() // feeds sketch build AND exact top-15
         val sketch = wc.withColumn("r", explode(expr("sequence(0, 3)")))
           .withColumn("col", cmsCol)
           .groupBy(col("r"), col("col"))
@@ -1492,7 +1493,7 @@ object TextQueries {
           .groupBy(col("group_size"))
           .agg(count(lit(1)).as("n_groups"),
             (count(lit(1)) * col("group_size")).as("n_docs"))
-          .localCheckpoint() // feeds the totals AND the output rows
+          .ckpt() // feeds the totals AND the output rows
         val tot = sizes.agg(sum(col("n_docs")).as("total"))
         sizes.crossJoin(broadcast(tot))
           .select(col("group_size"), col("n_groups"), col("n_docs"),

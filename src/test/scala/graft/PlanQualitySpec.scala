@@ -232,6 +232,71 @@ class PlanQualitySpec extends AnyFunSuite {
     // q202/q205: survivor ranks over ≤15 / ≤20 rows (post sort+limit)
     "q202_cms_heavy_hitters" -> 1, "q205_label_prop" -> 1)
 
+  // Additional unpartitioned-window allowances that only become
+  // VISIBLE in audit mode (Ckpt.disabled = true): windows that
+  // production plans execute eagerly inside a localCheckpoint — the
+  // round-7 blind spot. Every entry is a reviewed ≤1000-row (or
+  // dimension-bounded) input; the value REPLACES the production
+  // budget for the audit pass (it includes it).
+  //  - q148/q180/q211 route through Q.globalExactPercentiles, whose
+  //    ONE global window is the ≤1000-row equi-width histogram cum
+  //    (`cume` over bin); without checkpoints the shared cum subtree
+  //    is referenced by three downstream branches (targets locate,
+  //    refine semi-join, pick), so the SAME bounded window appears 3×
+  //    in the plan tree — 3 copies of one reviewed ≤1000-row window,
+  //    verified by dumping the window expressions (all are
+  //    sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)).
+  private val auditWindowBudget: Map[String, Int] = Map(
+    "q148_conversion_lag" -> 3,
+    "q180_global_percentiles" -> 3,
+    "q211_theil_sen" -> 3)
+
+  // Iterative algorithms whose un-checkpointed logical plan grows
+  // multiplicatively per superstep (each round references the previous
+  // round's relation k>1 times, so the no-op-checkpoint plan tree is
+  // k^rounds leaves): planning them un-checkpointed is intractable by
+  // construction, not a gate evasion. They would remain covered by
+  // the production-mode gate below and be exempted here WITH a
+  // reason; as of round 8 EVERY query plans fine un-checkpointed
+  // (the fixed superstep counts are small enough), so the set is
+  // empty and the audit covers the full surface.
+  private val auditExempt: Set[String] = Set.empty
+
+  test("FULL plans (checkpoints disabled) keep windows partitioned") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    graft.Ckpt.disabled = true
+    val failures = try {
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => auditExempt(n) }
+        .flatMap { case (name, fn) =>
+        try {
+          val physical = fn(spark, dir).queryExecution.executedPlan
+          val globalWindows = physical.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExecBase
+                if w.partitionSpec.isEmpty => w
+          }
+          val budget = auditWindowBudget.getOrElse(name,
+            globalWindowBudget.getOrElse(name, 0))
+          val errs = Seq.newBuilder[String]
+          if (physical.toString.contains("CartesianProduct"))
+            errs += s"$name: CartesianProduct (audit mode)"
+          if (globalWindows.size > budget)
+            errs += s"$name: ${globalWindows.size} unpartitioned WindowExec" +
+              s" in the FULL plan (reviewed budget $budget)"
+          errs.result()
+        } catch {
+          case e: Throwable =>
+            Seq(s"$name: construction failed in audit mode: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    } finally {
+      graft.Ckpt.disabled = false
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan
     // string (AQE annotates them per stage at execution time)

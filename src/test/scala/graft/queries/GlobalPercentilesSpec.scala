@@ -32,16 +32,28 @@ class GlobalPercentilesSpec extends AnyFunSuite {
       .collect()(0).getSeq[Double](0)
   }
 
+  /** Plan inspection needs AQE off: AdaptiveSparkPlanExec exposes no
+    * children, so a `.collect` over the adaptive executedPlan silently
+    * traverses NOTHING (it matched zero windows even when they were
+    * there — the assertion was vacuous until this wrapper was added).
+    */
+  private def windows(vals: Seq[Double])
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try run(vals).queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   private def check(vals: Seq[Double]): Unit = {
     val df = run(vals)
     // no data-sized single-partition window anywhere in the final
     // plan: every WindowExec must carry a non-empty partitionSpec
-    // (the construction-time checkpoint jobs contain only the two
-    // ≤1000-row histogram windows, bounded by construction)
-    val bad = df.queryExecution.executedPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
-    }
+    // (the construction-time checkpoint jobs contain only the
+    // ≤1000-row histogram windows, bounded by construction — the
+    // ckpt-noop audit pass in PlanQualitySpec covers those)
+    val bad = windows(vals).filter(_.partitionSpec.isEmpty)
     assert(bad.isEmpty, "unpartitioned window in globalExactPercentiles")
     val row = df.collect()(0)
     assert(row.getLong(0) === vals.size.toLong)
@@ -70,6 +82,30 @@ class GlobalPercentilesSpec extends AnyFunSuite {
   test("heavy ties with a spread tail") {
     val vals = Seq.fill(2000)(42.0) ++ (1 to 500).map(_ / 7.0)
     check(vals)
+  }
+
+  test("second-order value cliff: level 1 alone would leave a " +
+      "data-sized rank window; level 2 distributes it") {
+    // Adversarial construction for the round-7 residual:
+    //  - global outliers 0 and 1e12 make the level-0 bin width 1e9,
+    //    funneling everything interesting into bin 0;
+    //  - an IN-BIN outlier at 9e8 stretches bin 0's LOCAL range to
+    //    9e8, so the level-1 sub width is 9e5 and the whole cluster
+    //    (5000 DISTINCT values spread over 5.0 at 1e6) lands in ONE
+    //    non-tied sub-bucket — the exact cliff that, before level 2,
+    //    went to a rank window over ~all 5000 cluster rows;
+    //  - level 2 re-bins that sub-bucket by the CLUSTER's own min/max
+    //    (the in-bin outlier is in sub 999, excluded), so sub2 width
+    //    is 0.005 and each final window partition holds ~5 rows.
+    // The structural witness: the final plan's rank window partitions
+    // by three keys (bin, sub, sub2) — asserted below on top of
+    // check()'s no-unpartitioned-window and exact-value gates.
+    val cliff = Seq(0.0, 9e8, 1e12) ++
+      (1 to 5000).map(i => 1e6 + i * 0.001)
+    check(cliff)
+    val threeKey = windows(cliff).filter(_.partitionSpec.size == 3)
+    assert(threeKey.nonEmpty,
+      "expected the final rank window partitioned by (bin, sub, sub2)")
   }
 
   test("empty input: one row, n = 0, null percentiles") {
