@@ -315,6 +315,167 @@ object Multimodal {
     else ((((seed * 31 + i.toLong * 7) % 201) - 100) * 50).toInt
   }
 
+  // ------------------------------------------------------------------
+  // Video: REAL multi-frame decode for the one moving-picture container
+  // the JDK ships a codec for — animated GIF via ImageIO's GIF reader
+  // (`ImageReader.read(i)` per frame; zero external deps). The same
+  // move that made images (q187) and audio (q215) real: true video
+  // containers (MP4/WebM — no JDK codec) keep the byte-proxy
+  // stand-in, GIF payloads decode ACTUAL frames.
+  // ------------------------------------------------------------------
+
+  final case class VideoFrame(
+      media_id: Long,
+      frame_idx: Int,
+      mean_luma: Double, // Σ luma / (w·h); the sum is exact integer
+      decoded: Boolean) // true = real GIF frame, false = byte proxy
+
+  /** True iff the payload carries a GIF87a/GIF89a header. */
+  def sniffsAsGif(bs: Array[Byte]): Boolean = {
+    def at(i: Int) = if (i < bs.length) bs(i) & 0xff else -1
+    at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8' &&
+      (at(4) == '7' || at(4) == '9') && at(5) == 'a'
+  }
+
+  /** Decode every frame of a GIF payload to its mean luma (Σ luma over
+    * the frame raster, divided by the pixel count — the sum is exact
+    * integer so the double mean is a deterministic function of the
+    * pixels). Frames read SEQUENTIALLY until the reader runs out: a
+    * payload TRUNCATED mid-stream yields the frames that survive (the
+    * WAV truncation posture — a poison row degrades, never kills the
+    * stage); a payload with no decodable frame, or no GIF header at
+    * all, returns None and callers fall back to the byte proxy.
+    */
+  def gifFrameLumas(bs: Array[Byte]): Option[Array[Double]] =
+    if (!sniffsAsGif(bs)) None
+    else
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bs))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); None }
+        else {
+          val reader = readers.next()
+          try {
+            // seekForwardOnly=false (frames re-readable), ignoreMetadata
+            reader.setInput(iis, false, true)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+            var i = 0
+            var done = false
+            while (!done) {
+              val im =
+                try Option(reader.read(i))
+                catch { case scala.util.control.NonFatal(_) => None }
+              im match {
+                case Some(frame) =>
+                  val w = frame.getWidth
+                  val h = frame.getHeight
+                  var s = 0L
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = frame.getRGB(x, y)
+                      s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+                        + (rgb & 0xff)) / 3
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  out += s.toDouble / (w.toLong * h.toLong)
+                  i += 1
+                case None => done = true
+              }
+            }
+            if (out.isEmpty) None else Some(out.toArray)
+          } finally { reader.dispose(); iis.close() }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-frame mean luminance over the video subset: REAL multi-frame
+    * ImageIO decode for GIF payloads; byte-proxy frames (64-byte
+    * chunks' mean byte) for containers the JDK can't decode. Narrow
+    * flatMap — payloads never leave their partition, only (frame_idx,
+    * mean) scalars flow downstream into the shot-boundary stage.
+    */
+  def videoFrames(media: Dataset[MediaRecord]): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      gifFrameLumas(r.bytes) match {
+        case Some(ls) =>
+          ls.iterator.zipWithIndex.map { case (m, i) =>
+            VideoFrame(r.media_id, i, m, decoded = true)
+          }
+        case None =>
+          r.bytes.grouped(64).zipWithIndex.map { case (c, i) =>
+            var s = 0L
+            var j = 0
+            while (j < c.length) { s += (c(j) & 0xff); j += 1 }
+            VideoFrame(r.media_id, i, s.toDouble / c.length,
+              decoded = false)
+          }
+      }
+    }
+  }
+
+  /** Frame f's luma at (x, y) for the synthetic GIF fixture: base
+    * pattern `(seed·37 + x·3 + y·5) mod 256`, shifted by +128 (mod
+    * 256) on every third frame — the shift moves the frame MEAN, so
+    * shot boundaries land exactly at the f mod 3 transitions. Pure
+    * nonnegative-integer arithmetic, restated verbatim in q226's
+    * DuckDB oracle.
+    */
+  def gifLuma(seed: Long, f: Int, x: Int, y: Int): Int =
+    ((((seed * 37 + x * 3 + y * 5) % 256)
+      + (if (f % 3 == 0) 128 else 0)) % 256).toInt
+
+  /** Encode a deterministic animated GIF: `nFrames` full-size frames of
+    * `w`×`h`, frame f's pixel (x,y) = [[gifLuma]](seed, f, x, y), on an
+    * explicit 256-gray palette (so the indexed encode is lossless and
+    * [[gifFrameLumas]] must recover exactly these values — the
+    * q187/q215 fixture recipe applied to multi-frame video).
+    */
+  def syntheticGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      // interlace OFF: the JDK's GIF writer drops rows of interlaced
+      // images at some (w, h) shapes (rows come back zeroed/shifted —
+      // observed at 5×3, 6×4, 9×2...), and interlaced default is what
+      // you get with a null param. Non-progressive output roundtrips
+      // every shape exactly.
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val im = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = im.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, gifLuma(seed, f, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(im, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   final case class HashedMedia(media_id: Long, ahash: Int)
 
   /** Average-hash (aHash) perceptual fingerprint over the payload: split

@@ -326,6 +326,93 @@ object MultimodalQueries {
                ROUND(CAST(b.n_active AS DOUBLE) / b.n_windows, 6)
                  AS active_ratio_r
         FROM base b LEFT JOIN longest l ON l.media_id = b.media_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q226: shot-boundary detection over REAL multi-frame decode — the
+    // video stage graduates from byte proxy to actual decoded frames,
+    // the same move that made images (q187) and audio (q215) real. The
+    // JDK's one moving-picture codec is the animated-GIF ImageIO
+    // reader, so the fixture is an ACTUAL multi-frame GIF per video
+    // doc (Multimodal.syntheticGif — frame f's pixel (x,y) is the pure
+    // integer function gifLuma(doc_id, f, x, y), encoded losslessly on
+    // a 256-gray palette), and Multimodal.videoFrames decodes the real
+    // payload frame by frame (`ImageReader.read(i)`). Every third
+    // frame shifts the pattern by +128 mod 256, moving the frame MEAN,
+    // so shot boundaries land at the f mod 3 transitions — except for
+    // seeds whose luma distribution straddles 128 closely (the shift
+    // then barely moves the mean), which keeps the threshold honest.
+    // The oracle recomputes each frame's mean luma from the CLOSED
+    // FORM (a pixel-grid cross join — DuckDB never sees a GIF byte),
+    // so the hash gate proves the decoder recovered every pixel of
+    // every frame: a dropped frame, a wrong palette entry, or the
+    // interlace row-shift bug this fixture caught during development
+    // all change some frame's integer luma sum. n_decoded = n_frames
+    // additionally pins that NO payload fell back to the byte proxy.
+    //
+    // Scale: payloads decode partition-locally (the q187/q215 posture
+    // — only per-frame scalar means shuffle); one media_id exchange
+    // serves the lag window and the rollup; fan-out is bounded by
+    // frames-per-video. q214 keeps the byte-proxy stage for true video
+    // containers (MP4/WebM — no JDK codec).
+    QDef(
+      "q226_gif_shot_boundaries",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val media = Tables(s, dir).documents
+          .where(col("doc_id") % 3 === 2)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            Multimodal.MediaRecord(id, "video",
+              Multimodal.syntheticGif(id, 16, 12, (4 + id % 4).toInt),
+              "fixture")
+          }
+        val byVid = Window.partitionBy(col("media_id"))
+          .orderBy(col("frame_idx"))
+        Multimodal.videoFrames(media).toDF()
+          .withColumn("mb", round(col("mean_luma"), 6))
+          .withColumn("jump",
+            round(abs(col("mb") - lag(col("mb"), 1).over(byVid)), 6))
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(col("decoded").cast("long")).as("n_decoded"),
+            sum(when(col("jump") > 16.0d, 1L).otherwise(0L))
+              .as("n_boundaries"),
+            round(coalesce(max(col("jump")), lit(0.0d)), 6)
+              .as("max_jump_r"))
+          .select(col("media_id"), col("n_frames"), col("n_decoded"),
+            col("n_boundaries"),
+            (col("n_boundaries") + 1L).as("n_shots"),
+            col("max_jump_r"))
+      },
+      Some("""
+        WITH vids AS (SELECT doc_id AS media_id,
+                             CAST(4 + doc_id % 4 AS BIGINT) AS nf
+                      FROM documents WHERE doc_id % 3 = 2),
+        fr AS (SELECT media_id, unnest(range(0, nf)) AS f FROM vids),
+        px AS (SELECT media_id, f, tx.range AS x, ty.range AS y
+               FROM fr, range(0, 16) tx, range(0, 12) ty),
+        lum AS (SELECT media_id, f,
+                       SUM(((media_id * 37 + x * 3 + y * 5) % 256
+                            + CASE WHEN f % 3 = 0 THEN 128 ELSE 0 END)
+                           % 256) AS s
+                FROM px GROUP BY 1, 2),
+        feat AS (SELECT media_id, f,
+                        ROUND(CAST(s AS DOUBLE) / 192, 6) AS mb
+                 FROM lum),
+        j AS (SELECT media_id, f, mb,
+                     ROUND(ABS(mb - LAG(mb) OVER (PARTITION BY media_id
+                       ORDER BY f)), 6) AS jump
+              FROM feat)
+        SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(COUNT(*) AS BIGINT) AS n_decoded,
+               CAST(SUM(CASE WHEN jump > 16.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boundaries,
+               CAST(SUM(CASE WHEN jump > 16.0 THEN 1 ELSE 0 END) + 1
+                    AS BIGINT) AS n_shots,
+               ROUND(COALESCE(MAX(jump), 0.0), 6) AS max_jump_r
+        FROM j GROUP BY 1
       """))
   )
 }

@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Persisted decontamination index — q56's held-out 13-gram probe
   * structures as durable LIBRARY artifacts. Decontamination is the one
@@ -41,22 +42,30 @@ import org.apache.spark.sql.functions._
   */
 object ContamIndex {
 
-  private def write(held: DataFrame, outDir: String,
-      mode: SaveMode): Unit = {
+  /** The two index relations for one (doc_id, text) batch — ONE
+    * shingling shared by build/append/appendDelta.
+    */
+  private def relations(held: DataFrame): (DataFrame, DataFrame) = {
     val posts = held.select(col("doc_id"),
         graft.functions.Shingles.shingles(col("text"), 13).as("g"))
-      .localCheckpoint() // feeds postings AND per-doc totals
-    posts
+      .ckpt() // feeds postings AND per-doc totals
+    val clustered = posts
       .repartitionByRange(col("g"))
       .sortWithinPartitions(col("g"), col("doc_id"))
       .select(col("g"), col("doc_id"))
-      .write.mode(mode).parquet(s"$outDir/postings")
-    held.select(col("doc_id")).distinct()
+    val docs = held.select(col("doc_id")).distinct()
       .join(posts.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"))
-      .write.mode(mode).parquet(s"$outDir/docs")
+    (clustered, docs)
+  }
+
+  private def write(held: DataFrame, outDir: String,
+      mode: SaveMode): Unit = {
+    val (posts, docs) = relations(held)
+    posts.write.mode(mode).parquet(s"$outDir/postings")
+    docs.write.mode(mode).parquet(s"$outDir/docs")
   }
 
   /** Shingle and index a (doc_id, text) held-out corpus from scratch. */
@@ -65,10 +74,33 @@ object ContamIndex {
 
   /** Incrementally index a (doc_id, text) batch of NEW held-out docs —
     * O(batch), no re-shingling of the indexed sets; deltas merge at
-    * read (see the object scaladoc for the contract).
+    * read (see the object scaladoc for the contract). Exactly-once
+    * callers only — at-least-once callers use [[appendDelta]].
     */
   def append(held: DataFrame, indexDir: String): Unit =
     write(held, indexDir, SaveMode.Append)
+
+  /** Replay-safe gen-scoped [[append]] (the [[IndexSink.appendDelta]]
+    * contract): a replayed micro-batch rewrites its own generation
+    * instead of duplicating postings/docs rows (a duplicated docs row
+    * would double a held doc's row in every probe report).
+    */
+  def appendDelta(held: DataFrame, indexDir: String, gen: Long): Unit = {
+    val (posts, docs) = relations(held)
+    DeltaIO.writeGen(posts, indexDir, "postings", gen)
+    DeltaIO.writeGen(docs, indexDir, "docs", gen)
+  }
+
+  /** Postings across the main tree and every streaming delta gen. */
+  private[sinks] def readPostings(spark: SparkSession,
+      indexDir: String): DataFrame =
+    DeltaIO.readMerged(spark, indexDir, "postings", Seq("g", "doc_id"))
+
+  /** Held-doc totals across the main tree and every delta gen. */
+  private[sinks] def readDocs(spark: SparkSession,
+      indexDir: String): DataFrame =
+    DeltaIO.readMerged(spark, indexDir, "docs",
+      Seq("doc_id", "n_shingles"))
 
   /** Screen a (doc_id, text) TRAIN batch against the indexed held-out
     * sets: q56's per-held-doc contamination report (doc_id,
@@ -80,12 +112,12 @@ object ContamIndex {
       train: DataFrame): DataFrame = {
     val tg = train.select(col("doc_id").as("train_doc"),
       graft.functions.Shingles.shingles(col("text"), 13).as("g"))
-    val hits = spark.read.parquet(s"$indexDir/postings")
+    val hits = readPostings(spark, indexDir)
       .join(tg, "g")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("hit_grams"),
         countDistinct(col("train_doc")).as("hit_train_docs"))
-    spark.read.parquet(s"$indexDir/docs")
+    readDocs(spark, indexDir)
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("hit_grams"), lit(0L)).as("n_contaminated"),
@@ -102,7 +134,7 @@ object ContamIndex {
     */
   def probeGrams(spark: SparkSession, indexDir: String,
       grams: Seq[String]): DataFrame =
-    spark.read.parquet(s"$indexDir/postings")
+    readPostings(spark, indexDir)
       .where(col("g").isin(grams: _*))
       .groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("n_held_docs"))
@@ -112,11 +144,11 @@ object ContamIndex {
     * caller swaps atomically; no document is re-shingled).
     */
   def compact(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
-    spark.read.parquet(s"$srcDir/postings")
+    readPostings(spark, srcDir) // main + every streaming delta gen
       .repartitionByRange(col("g"))
       .sortWithinPartitions(col("g"), col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/postings")
-    spark.read.parquet(s"$srcDir/docs")
+    readDocs(spark, srcDir)
       .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/docs")
   }
 }

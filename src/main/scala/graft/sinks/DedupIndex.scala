@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Persisted dedup index — q83's incremental-dedup probe structures as
   * durable LIBRARY artifacts, so each ingest batch is checked against
@@ -77,6 +78,33 @@ object DedupIndex {
       .write.mode("append").parquet(s"$indexDir/bands")
   }
 
+  /** Replay-safe gen-scoped [[append]] (the [[IndexSink.appendDelta]]
+    * contract): a replayed micro-batch rewrites its own generation. A
+    * duplicated fingerprint row would not change classify's min-id
+    * answer, but it doubles probe fan-out and corrupts any consumer
+    * counting index rows — the contract is uniform across sinks on
+    * purpose.
+    */
+  def appendDelta(docs: DataFrame, indexDir: String, gen: Long): Unit = {
+    DeltaIO.writeGen(
+      docs.select(col("doc_id"),
+        graft.queries.Q.fingerprint(col("text")).as("fp")),
+      indexDir, "fingerprints", gen)
+    DeltaIO.writeGen(banded(sigs(docs)), indexDir, "bands", gen)
+  }
+
+  /** Fingerprints across the main tree and every streaming delta gen. */
+  private[sinks] def readFingerprints(spark: SparkSession,
+      indexDir: String): DataFrame =
+    DeltaIO.readMerged(spark, indexDir, "fingerprints",
+      Seq("doc_id", "fp"))
+
+  /** Banded signatures across the main tree and every delta gen. */
+  private[sinks] def readBands(spark: SparkSession,
+      indexDir: String): DataFrame =
+    DeltaIO.readMerged(spark, indexDir, "bands",
+      Seq("doc_id", "bucket") ++ (0 until 8).map(j => s"sig_$j"))
+
   /** Classify a (doc_id, text) batch against the persisted corpus
     * index: exact_dup (fingerprint present), near_dup (≥6/8 signature
     * agreement with a corpus doc sharing a band bucket), or unique —
@@ -92,15 +120,15 @@ object DedupIndex {
     */
   def classify(spark: SparkSession, indexDir: String,
       batch: DataFrame): DataFrame = {
-    val fps = spark.read.parquet(s"$indexDir/fingerprints")
+    val fps = readFingerprints(spark, indexDir)
     val bfp = batch.select(col("doc_id"),
         graft.queries.Q.fingerprint(col("text")).as("fp"))
-      .localCheckpoint() // feeds the exact probe AND the final assembly
+      .ckpt() // feeds the exact probe AND the final assembly
     val exact = bfp.alias("n")
       .join(fps.alias("c"), col("n.fp") === col("c.fp"))
       .groupBy(col("n.doc_id").as("doc_id"))
       .agg(min(col("c.doc_id")).as("exact_match"))
-    val idx = spark.read.parquet(s"$indexDir/bands")
+    val idx = readBands(spark, indexDir)
     val agree = (0 until 8)
       .map(j => s"(case when a.sig_$j = b.sig_$j then 1 else 0 end)")
       .mkString(" + ")
@@ -128,10 +156,10 @@ object DedupIndex {
     * CorpusExport.compact contract).
     */
   def compact(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
-    spark.read.parquet(s"$srcDir/fingerprints")
+    readFingerprints(spark, srcDir) // main + every streaming delta gen
       .repartition(col("fp"))
       .write.mode("overwrite").parquet(s"$dstDir/fingerprints")
-    spark.read.parquet(s"$srcDir/bands")
+    readBands(spark, srcDir)
       .repartition(col("bucket"))
       .write.mode("overwrite").parquet(s"$dstDir/bands")
   }

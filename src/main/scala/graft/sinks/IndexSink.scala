@@ -37,8 +37,23 @@ trait IndexSink {
 
   /** Incrementally index a batch of NEW rows — O(batch), no corpus
     * rescan; upstream admission (dedup/ingest) guarantees novelty.
+    * Exactly-once callers only: a replayed batch appends a SECOND
+    * copy. At-least-once callers (Structured Streaming's foreachBatch)
+    * must use [[appendDelta]].
     */
   def append(data: DataFrame, indexDir: String): Unit
+
+  /** Replay-safe form of [[append]] for at-least-once callers: the
+    * batch's delta relations land under their own `gen`-scoped subtree
+    * with mode Overwrite, so replaying a micro-batch REWRITES its own
+    * generation instead of duplicating rows — the commit is idempotent
+    * per gen (pass the micro-batch id as `gen`; distinct batches must
+    * use distinct gens). Readers merge delta generations transparently;
+    * [[compact]] folds them back into the main tree. Same O(batch)
+    * cost and same read-time semantics as append — the contract spec
+    * asserts replayed-appendDelta ≡ applied-once ≡ rebuild uniformly.
+    */
+  def appendDelta(data: DataFrame, indexDir: String, gen: Long): Unit
 
   /** Consolidate append generations `srcDir` → `dstDir`; rows are
     * reorganized, never recomputed.
@@ -51,6 +66,38 @@ trait IndexSink {
   def contents(spark: SparkSession, indexDir: String): Map[String, DataFrame]
 }
 
+/** Shared read/write plumbing for the gen-scoped delta trees every
+  * sink's [[IndexSink.appendDelta]] uses: relation `rel` may carry an
+  * optional sibling `rel_delta/gen=<g>/...` tree; readers union it in
+  * (payload columns only — the gen partition column is dropped), and
+  * writers overwrite exactly one generation's subtree. Centralized so
+  * five sinks cannot implement five subtly different replay stories.
+  */
+private[sinks] object DeltaIO {
+  def exists(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** `dir/rel` plus, when present, every `dir/rel_delta/gen=*`
+    * generation, as ONE relation over the payload `cols`.
+    */
+  def readMerged(spark: SparkSession, dir: String, rel: String,
+      cols: Seq[String]): DataFrame = {
+    val main = spark.read.parquet(s"$dir/$rel").select(cols.map(col): _*)
+    val delta = s"$dir/${rel}_delta"
+    if (exists(spark, delta))
+      main.unionByName(
+        spark.read.parquet(delta).select(cols.map(col): _*))
+    else main
+  }
+
+  /** Overwrite exactly generation `gen` of `dir/rel`'s delta tree. */
+  def writeGen(data: DataFrame, dir: String, rel: String,
+      gen: Long): Unit =
+    data.write.mode("overwrite").parquet(s"$dir/${rel}_delta/gen=$gen")
+}
+
 object IndexSink {
 
   /** [[DedupIndex]] under the shared contract ((doc_id, text) input). */
@@ -60,12 +107,14 @@ object IndexSink {
       DedupIndex.build(data, outDir)
     def append(data: DataFrame, indexDir: String): Unit =
       DedupIndex.append(data, indexDir)
+    def appendDelta(data: DataFrame, indexDir: String, gen: Long): Unit =
+      DedupIndex.appendDelta(data, indexDir, gen)
     def compact(spark: SparkSession, srcDir: String, dstDir: String): Unit =
       DedupIndex.compact(spark, srcDir, dstDir)
     def contents(spark: SparkSession, dir: String): Map[String, DataFrame] =
       Map(
-        "fingerprints" -> spark.read.parquet(s"$dir/fingerprints"),
-        "bands" -> spark.read.parquet(s"$dir/bands"))
+        "fingerprints" -> DedupIndex.readFingerprints(spark, dir),
+        "bands" -> DedupIndex.readBands(spark, dir))
   }
 
   /** [[TextIndex]] under the shared contract ((doc_id, text) input).
@@ -79,14 +128,15 @@ object IndexSink {
       TextIndex.build(data, outDir)
     def append(data: DataFrame, indexDir: String): Unit =
       TextIndex.append(data, indexDir)
+    def appendDelta(data: DataFrame, indexDir: String, gen: Long): Unit =
+      TextIndex.appendDelta(data, indexDir, gen)
     def compact(spark: SparkSession, srcDir: String, dstDir: String): Unit =
       TextIndex.compact(spark, srcDir, dstDir)
     def contents(spark: SparkSession, dir: String): Map[String, DataFrame] =
       Map(
-        "postings" -> spark.read.parquet(s"$dir/postings"),
-        "doclens" -> spark.read.parquet(s"$dir/doclens"),
-        "stats" -> spark.read.parquet(s"$dir/stats")
-          .agg(sum(col("nn")).as("nn"), sum(col("toktot")).as("toktot")))
+        "postings" -> TextIndex.readPostings(spark, dir),
+        "doclens" -> TextIndex.readDoclens(spark, dir),
+        "stats" -> TextIndex.readTotals(spark, dir))
   }
 
   /** [[ContamIndex]] under the shared contract ((doc_id, text) input). */
@@ -96,12 +146,14 @@ object IndexSink {
       ContamIndex.build(data, outDir)
     def append(data: DataFrame, indexDir: String): Unit =
       ContamIndex.append(data, indexDir)
+    def appendDelta(data: DataFrame, indexDir: String, gen: Long): Unit =
+      ContamIndex.appendDelta(data, indexDir, gen)
     def compact(spark: SparkSession, srcDir: String, dstDir: String): Unit =
       ContamIndex.compact(spark, srcDir, dstDir)
     def contents(spark: SparkSession, dir: String): Map[String, DataFrame] =
       Map(
-        "postings" -> spark.read.parquet(s"$dir/postings"),
-        "docs" -> spark.read.parquet(s"$dir/docs"))
+        "postings" -> ContamIndex.readPostings(spark, dir),
+        "docs" -> ContamIndex.readDocs(spark, dir))
   }
 
   /** [[SpanIndex]] under the shared contract ((doc_id, text) input).
@@ -116,6 +168,8 @@ object IndexSink {
       SpanIndex.build(data, outDir)
     def append(data: DataFrame, indexDir: String): Unit =
       SpanIndex.append(data, indexDir)
+    def appendDelta(data: DataFrame, indexDir: String, gen: Long): Unit =
+      SpanIndex.appendDelta(data, indexDir, gen)
     def compact(spark: SparkSession, srcDir: String, dstDir: String): Unit =
       SpanIndex.compact(spark, srcDir, dstDir)
     def contents(spark: SparkSession, dir: String): Map[String, DataFrame] =
@@ -136,6 +190,8 @@ object IndexSink {
       VectorIndex.build(data, outDir, k)
     def append(data: DataFrame, indexDir: String): Unit =
       VectorIndex.append(data.sparkSession, indexDir, data)
+    def appendDelta(data: DataFrame, indexDir: String, gen: Long): Unit =
+      VectorIndex.appendDelta(data.sparkSession, indexDir, data, gen)
     def compact(spark: SparkSession, srcDir: String, dstDir: String): Unit =
       VectorIndex.compact(spark, srcDir, dstDir)
     def contents(spark: SparkSession, dir: String): Map[String, DataFrame] =

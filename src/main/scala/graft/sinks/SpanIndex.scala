@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Persisted exact-substring span index — q190's positioned-8-gram
   * probe structures as durable LIBRARY artifacts, closing the loop the
@@ -50,16 +51,24 @@ object SpanIndex {
   /** q190's cap — one constant, shared with the in-query twin. */
   val dfCap: Int = graft.queries.DedupQueries.spanDfCap
 
-  private def write(docs: DataFrame, outDir: String,
-      mode: SaveMode): Unit = {
+  /** The two index relations for one (doc_id, text) batch — ONE
+    * shingling shared by build/append/appendDelta.
+    */
+  private def relations(docs: DataFrame): (DataFrame, DataFrame) = {
     val grams = graft.queries.DedupQueries.positionedGrams(docs)
-      .localCheckpoint() // feeds postings AND the df ledger
-    grams
+      .ckpt() // feeds postings AND the df ledger
+    val clustered = grams
       .repartitionByRange(col("gram"))
       .sortWithinPartitions(col("gram"), col("doc_id"), col("pos"))
-      .write.mode(mode).parquet(s"$outDir/grams")
-    grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .write.mode(mode).parquet(s"$outDir/dfs")
+    val dfs = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    (clustered, dfs)
+  }
+
+  private def write(docs: DataFrame, outDir: String,
+      mode: SaveMode): Unit = {
+    val (grams, dfs) = relations(docs)
+    grams.write.mode(mode).parquet(s"$outDir/grams")
+    dfs.write.mode(mode).parquet(s"$outDir/dfs")
   }
 
   /** Shingle and index a (doc_id, text) corpus from scratch. */
@@ -69,14 +78,29 @@ object SpanIndex {
   /** Incrementally index a (doc_id, text) batch of NEW docs — O(batch),
     * no corpus re-shingling; postings and df deltas merge at read time
     * (the DedupIndex/TextIndex append contract: appended doc_ids must
-    * be new).
+    * be new). Exactly-once callers only — at-least-once callers use
+    * [[appendDelta]].
     */
   def append(docs: DataFrame, indexDir: String): Unit =
     write(docs, indexDir, SaveMode.Append)
 
-  /** Per-gram total df across generations. */
+  /** Replay-safe gen-scoped [[append]] (the [[IndexSink.appendDelta]]
+    * contract): postings and df-ledger rows land under gen-scoped
+    * delta subtrees with Overwrite, so a replayed micro-batch rewrites
+    * its own generation. Under plain append a replay would DOUBLE the
+    * batch's df contributions — silently pushing shared grams toward
+    * the hot cap and silencing spans a correct index reports; the
+    * gen-scoped form makes the df ledger replay-proof.
+    */
+  def appendDelta(docs: DataFrame, indexDir: String, gen: Long): Unit = {
+    val (grams, dfs) = relations(docs)
+    DeltaIO.writeGen(grams, indexDir, "grams", gen)
+    DeltaIO.writeGen(dfs, indexDir, "dfs", gen)
+  }
+
+  /** Per-gram total df across generations (append + streaming delta). */
   private[sinks] def totalDfs(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/dfs")
+    DeltaIO.readMerged(spark, indexDir, "dfs", Seq("gram", "df"))
       .groupBy(col("gram")).agg(sum(col("df")).as("df"))
 
   /** The probe-visible postings: grams at or under the cap. */
@@ -86,7 +110,8 @@ object SpanIndex {
     // anti-join, the q190 exclusion shape
     val hot = totalDfs(spark, indexDir)
       .where(col("df") > dfCap).select(col("gram"))
-    spark.read.parquet(s"$indexDir/grams")
+    DeltaIO.readMerged(spark, indexDir, "grams",
+        Seq("gram", "doc_id", "pos"))
       .join(broadcast(hot), Seq("gram"), "left_anti")
   }
 

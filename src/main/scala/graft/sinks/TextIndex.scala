@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Persisted inverted text index — the postings/statistics structures
   * behind q132 (BM25) and q139 (boolean retrieval) as durable LIBRARY
@@ -49,15 +50,19 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  private def write(docs: DataFrame, outDir: String,
-      mode: SaveMode): Unit = {
+  /** The three index relations for one (doc_id, text) batch — ONE
+    * tokenization shared by build/append/appendDelta so the three
+    * write paths cannot drift.
+    */
+  private def relations(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val toks = docs.select(col("doc_id"),
         posexplode(expr(graft.queries.TextQueries.wordsExpr))
           .as(Seq("pos", "word")))
-      .localCheckpoint() // feeds postings AND doclens/stats
+      .ckpt() // feeds postings AND doclens/stats
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      .localCheckpoint() // feeds doclens AND the stats delta
-    toks.groupBy(col("word"), col("doc_id"))
+      .ckpt() // feeds doclens AND the stats delta
+    val postings = toks.groupBy(col("word"), col("doc_id"))
       // positions ride along sorted (0-based, per doc) — the
       // positional-postings payload phrase search reads; bag-of-words
       // scorers (BM25, boolean) never deserialize the column thanks to
@@ -66,13 +71,21 @@ object TextIndex {
         sort_array(collect_list(col("pos"))).as("positions"))
       // range-cluster + sort by word: every file covers a tight word
       // range, so a term filter prunes files via parquet min/max stats
-      // (per append generation — deltas prune independently)
+      // (per append/delta generation — each prunes independently)
       .repartitionByRange(col("word"))
       .sortWithinPartitions(col("word"), col("doc_id"))
-      .write.mode(mode).parquet(s"$outDir/postings")
+    val stats = dl
+      .agg(count(lit(1)).as("nn"), sum(col("dl")).as("toktot"))
+      .coalesce(1)
+    (postings, dl, stats)
+  }
+
+  private def write(docs: DataFrame, outDir: String,
+      mode: SaveMode): Unit = {
+    val (postings, dl, stats) = relations(docs)
+    postings.write.mode(mode).parquet(s"$outDir/postings")
     dl.write.mode(mode).parquet(s"$outDir/doclens")
-    dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("toktot"))
-      .coalesce(1).write.mode(mode).parquet(s"$outDir/stats")
+    stats.write.mode(mode).parquet(s"$outDir/stats")
   }
 
   /** Tokenize and index a (doc_id, text) corpus from scratch. */
@@ -82,15 +95,45 @@ object TextIndex {
   /** Incrementally index a (doc_id, text) batch of NEW docs — O(batch),
     * no corpus rescan: postings/doclens deltas + a one-row stats delta
     * (merged at read; see the object scaladoc for the contract).
+    * Exactly-once callers only — at-least-once callers use
+    * [[appendDelta]].
     */
   def append(docs: DataFrame, indexDir: String): Unit =
     write(docs, indexDir, SaveMode.Append)
 
-  /** Corpus totals merged across build/append generations: one row
-    * (nn, toktot).
+  /** Replay-safe gen-scoped [[append]] (the [[IndexSink.appendDelta]]
+    * contract): all three relations land under their own
+    * `<rel>_delta/gen=<gen>/` subtree with Overwrite, so a replayed
+    * micro-batch rewrites its own generation instead of double-counting
+    * every tf/dl/stats row. This is what makes a STREAMING TextIndex
+    * ingest twin possible at all — foreachBatch is at-least-once, and
+    * under plain append a single replay would silently inflate BM25's
+    * corpus statistics forever.
     */
-  private def readTotals(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/stats")
+  def appendDelta(docs: DataFrame, indexDir: String, gen: Long): Unit = {
+    val (postings, dl, stats) = relations(docs)
+    DeltaIO.writeGen(postings, indexDir, "postings", gen)
+    DeltaIO.writeGen(dl, indexDir, "doclens", gen)
+    DeltaIO.writeGen(stats, indexDir, "stats", gen)
+  }
+
+  /** Postings across the main tree and every streaming delta gen. */
+  private[sinks] def readPostings(spark: SparkSession,
+      indexDir: String): DataFrame =
+    DeltaIO.readMerged(spark, indexDir, "postings",
+      Seq("word", "doc_id", "tf", "positions"))
+
+  /** Doc lengths across the main tree and every delta gen. */
+  private[sinks] def readDoclens(spark: SparkSession,
+      indexDir: String): DataFrame =
+    DeltaIO.readMerged(spark, indexDir, "doclens", Seq("doc_id", "dl"))
+
+  /** Corpus totals merged across build/append/delta generations: one
+    * row (nn, toktot).
+    */
+  private[sinks] def readTotals(spark: SparkSession,
+      indexDir: String): DataFrame =
+    DeltaIO.readMerged(spark, indexDir, "stats", Seq("nn", "toktot"))
       .agg(sum(col("nn")).as("nn"), sum(col("toktot")).as("toktot"))
 
   /** BM25 top-k over the persisted index for a bag of query terms —
@@ -98,11 +141,11 @@ object TextIndex {
     */
   def searchBm25(spark: SparkSession, indexDir: String,
       terms: Seq[String], topK: Int): DataFrame = {
-    val tf = spark.read.parquet(s"$indexDir/postings")
+    val tf = readPostings(spark, indexDir)
       .where(col("word").isin(terms: _*))
       .select(col("word"), col("doc_id"), col("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"$indexDir/doclens")
+    val dl = readDoclens(spark, indexDir)
     val scored = graft.queries.Q.bm25Aggregate(
       tf, df, dl, readTotals(spark, indexDir))
     graft.queries.Q.bm25TopK(scored, topK)
@@ -118,7 +161,7 @@ object TextIndex {
     */
   def searchPhrase(spark: SparkSession, indexDir: String,
       phrase: Seq[String]): DataFrame = {
-    val toks = spark.read.parquet(s"$indexDir/postings")
+    val toks = readPostings(spark, indexDir)
       .where(col("word").isin(phrase.distinct: _*))
       .select(col("doc_id"), col("word").as("w"),
         explode(col("positions")).as("pos"))
@@ -135,11 +178,11 @@ object TextIndex {
     * read-and-overwrite one path in a single job).
     */
   def compact(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
-    spark.read.parquet(s"$srcDir/postings")
+    readPostings(spark, srcDir) // main + every streaming delta gen
       .repartitionByRange(col("word"))
       .sortWithinPartitions(col("word"), col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/postings")
-    spark.read.parquet(s"$srcDir/doclens")
+    readDoclens(spark, srcDir)
       .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/doclens")
     readTotals(spark, srcDir)
       .coalesce(1).write.mode(SaveMode.Overwrite)

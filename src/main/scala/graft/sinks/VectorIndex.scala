@@ -3,6 +3,7 @@ package graft.sinks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Persisted IVF (inverted-file) vector index — q48's in-query index as
   * a durable LIBRARY artifact: build once, write the coarse quantizer
@@ -116,10 +117,8 @@ object VectorIndex {
       .parquet(s"$indexDir/postings")
   }
 
-  private def fsExists(spark: SparkSession, p: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(p)
-    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
-  }
+  private def fsExists(spark: SparkSession, p: String): Boolean =
+    DeltaIO.exists(spark, p)
 
   /** Gen-scoped delta ingest — the replay-safe form of [[append]] for
     * at-least-once callers (Structured Streaming's foreachBatch):
@@ -227,7 +226,7 @@ object VectorIndex {
     */
   def buildPq(emb: DataFrame, outDir: String, k: Int,
       maxRecordsPerFile: Int = 1 << 20, trainIters: Int = 0): Unit = {
-    val e = normalized(emb).localCheckpoint() // quantizer + cells + codes
+    val e = normalized(emb).ckpt() // quantizer + cells + codes
     val cents = graft.queries.SimilarityQueries.ivfCentroids(
       e, k, iters = trainIters)
     require(cents.count() == k,
@@ -256,7 +255,7 @@ object VectorIndex {
       emb: DataFrame, maxRecordsPerFile: Int = 1 << 20): Unit = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val codebook = spark.read.parquet(s"$indexDir/codebook")
-    val e = normalized(emb).localCheckpoint() // cells + codes
+    val e = normalized(emb).ckpt() // cells + codes
     assignCells(e, cents).select(col("vec_id"), col("cell"))
       .join(pqCodes(e, codebook), "vec_id")
       .write.mode("append")
@@ -277,7 +276,7 @@ object VectorIndex {
       nprobe: Int, topK: Int): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val codebook = spark.read.parquet(s"$indexDir/codebook")
-    val q = normalized(queries).localCheckpoint() // probes + LUT
+    val q = normalized(queries).ckpt() // probes + LUT
     val byQ = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cent_id").asc)
     val probes = q.select(col("vec_id").as("qid"), col("v").as("qv"))

@@ -186,6 +186,50 @@ object CorpusStreaming {
         GroupStateTimeout.NoTimeout)(fold)
   }
 
+  /** Streaming inverted-index ingest — each micro-batch of (doc_id,
+    * text) documents is tokenized and committed to a persisted
+    * `sinks.TextIndex` as a gen-scoped delta (gen = micro-batch id),
+    * so the SAME index that serves batch-built BM25/phrase search
+    * stays current as documents stream in. foreachBatch is
+    * at-least-once; `TextIndex.appendDelta` overwrites its own
+    * generation on replay, so a retried micro-batch can never
+    * double-count a posting, a doc length, or the corpus totals BM25
+    * normalizes by — the commit is idempotent per batch (the
+    * [[exportSink]] batch-scoped pattern applied to the index).
+    * CorpusStreamingSpec pins post-stream search ≡ one-shot build.
+    *
+    * Admission contract is the index's: streamed doc_ids must be new
+    * (route the stream through [[cleanStream]]/
+    * [[cleanStreamIncremental]] first — that is the composition this
+    * sink exists for).
+    */
+  def textIndexSink(docs: DataFrame,
+      indexDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sinks.TextIndex.appendDelta(
+          batch.select(col("doc_id"), col("text")), indexDir, gen = id)
+      }
+
+  /** Streaming exact-substring-index ingest — the [[textIndexSink]]
+    * pattern for `sinks.SpanIndex`: each micro-batch's positioned
+    * 8-gram postings and df-ledger rows commit as a gen-scoped delta,
+    * keeping the span-dedup probe surface current at ingest. Replay
+    * safety matters doubly here: a double-counted df delta would push
+    * shared grams toward the hot cap and silently SILENCE spans the
+    * correct index reports (df decides probe visibility, not just
+    * ranking). Spec pins post-stream probe ≡ one-shot build.
+    */
+  def spanIndexSink(docs: DataFrame,
+      indexDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sinks.SpanIndex.appendDelta(
+          batch.select(col("doc_id"), col("text")), indexDir, gen = id)
+      }
+
   /** Append each micro-batch to the partitioned corpus tree via the
     * batch export sink (same layout contract as [[CorpusExport]], with
     * `batch=<id>` as the leading partition directory). foreachBatch is

@@ -215,6 +215,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(w3.length == 1 && w3.head.decoded && w3.head.n_samples == 10)
   }
 
+  test("gifFrameLumas: real multi-frame ImageIO decode roundtrips " +
+      "syntheticGif exactly") {
+    // the 256-gray palette makes the indexed encode lossless, so each
+    // decoded frame's mean luma must equal the generator formula's
+    // exact integer sum / pixel count — a decoder that drops a frame,
+    // merges deltas wrong, or quantizes the palette fails
+    Seq((7L, 5, 3, 4), (42L, 16, 12, 7), (0L, 1, 1, 1), (13L, 9, 2, 6))
+      .foreach { case (seed, w, h, nf) =>
+        val gif = syntheticGif(seed, w, h, nf)
+        assert(sniffsAsGif(gif), s"seed $seed: header must sniff as GIF")
+        val got = gifFrameLumas(gif)
+        assert(got.isDefined && got.get.length == nf,
+          s"seed $seed: expected $nf frames, got ${got.map(_.length)}")
+        (0 until nf).foreach { f =>
+          val s = (for (y <- 0 until h; x <- 0 until w)
+            yield gifLuma(seed, f, x, y).toLong).sum
+          val want = s.toDouble / (w.toLong * h.toLong)
+          assert(got.get(f) == want,
+            s"seed $seed frame $f: got ${got.get(f)} want $want")
+        }
+      }
+  }
+
+  test("gifFrameLumas: truncated GIF yields the surviving frame prefix, " +
+      "never throws") {
+    // 32×32 frames so the frame data dominates the fixed ~781-byte
+    // header + 256-gray global palette — a 3/5 cut then lands INSIDE
+    // the frame stream (a cut inside the palette would yield zero
+    // decodable frames, the separate None case below)
+    val gif = syntheticGif(9L, 32, 32, 5)
+    // cut mid-stream: the decodable prefix survives, the rest is
+    // dropped (the WAV truncation posture)
+    val cut = gif.take(gif.length * 3 / 5)
+    assert(sniffsAsGif(cut))
+    val got = gifFrameLumas(cut)
+    assert(got.isDefined && got.get.nonEmpty && got.get.length < 5,
+      s"expected a proper nonempty prefix, got ${got.map(_.length)}")
+    // each surviving frame must still be exact
+    got.get.zipWithIndex.foreach { case (m, f) =>
+      val s = (for (y <- 0 until 32; x <- 0 until 32)
+        yield gifLuma(9L, f, x, y).toLong).sum
+      assert(m == s.toDouble / 1024)
+    }
+    // cut inside the header / empty: not decodable → None
+    assert(gifFrameLumas(gif.take(4)).isEmpty)
+    assert(gifFrameLumas(Array.empty[Byte]).isEmpty)
+  }
+
+  test("videoFrames: real GIF path for GIFs, byte proxy for the rest") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRecord(1L, "video", syntheticGif(1L, 6, 4, 3), "t"), // real
+      MediaRecord(2L, "video", Array[Byte](10, 120, -56, 7), "t"), // proxy
+      MediaRecord(3L, "image", syntheticGif(3L, 6, 4, 3), "t")) // wrong kind
+    val frames = videoFrames(rows.toDS()).collect().groupBy(_.media_id)
+    assert(!frames.contains(3L), "non-video rows are out of scope")
+    val real = frames(1L).sortBy(_.frame_idx)
+    assert(real.length == 3 && real.forall(_.decoded))
+    val proxy = frames(2L)
+    assert(proxy.length == 1 && !proxy.head.decoded)
+    // proxy mean byte: (10 + 120 + 200 + 7) / 4
+    assert(proxy.head.mean_luma == (10 + 120 + 200 + 7) / 4.0)
+  }
+
   test("chunks: stride-1 windows reassemble each payload exactly") {
     // byte-level framing: every byte appears in exactly one window, in
     // order — chunking loses and duplicates nothing

@@ -83,4 +83,42 @@ class SinkContractSpec extends AnyFunSuite {
       assertSameContents(sink, cmpDir, incDir, "compact ≡ identity")
     }
   }
+
+  test("replayed appendDelta ≡ applied once ≡ rebuild, for every sink") {
+    // foreachBatch is at-least-once: the same micro-batch can commit
+    // twice with the SAME gen. The gen-scoped delta write must make
+    // the second commit a no-op rewrite — for every sink, uniformly —
+    // and the delta generations must fold away under compact.
+    cases.foreach { case (sink, data, idCol) =>
+      val batchA = data.where(col(idCol) < 300)
+      val batchB = data.where(col(idCol) >= 250 && col(idCol) < 300)
+      val batchC = data.where(col(idCol) >= 300)
+
+      val fullDir = TestSpark.tmpDir(s"replay-full-${sink.name}")
+      sink.build(data.where(col(idCol) < 300 || col(idCol) >= 300),
+        fullDir) // = all rows; spelled to mirror the union below
+      val incDir = TestSpark.tmpDir(s"replay-inc-${sink.name}")
+      sink.build(batchA.where(col(idCol) < 250), incDir)
+      // two streaming generations...
+      sink.appendDelta(batchB, incDir, gen = 0L)
+      sink.appendDelta(batchC, incDir, gen = 1L)
+      // ...and gen 1 REPLAYS (the at-least-once case under test)
+      sink.appendDelta(batchC, incDir, gen = 1L)
+      assertSameContents(sink, incDir, fullDir,
+        "replayed appendDelta ≡ applied once ≡ rebuild")
+
+      // compact folds the delta generations into the main tree and
+      // changes nothing a reader sees
+      val cmpDir = TestSpark.tmpDir(s"replay-cmp-${sink.name}")
+      sink.compact(spark, incDir, cmpDir)
+      assertSameContents(sink, cmpDir, fullDir,
+        "compact over delta gens ≡ rebuild")
+      // the compacted tree carries NO delta subtrees — readers are
+      // back to one scan per relation
+      val leftover = new java.io.File(cmpDir).listFiles()
+        .filter(_.getName.endsWith("_delta"))
+      assert(leftover.isEmpty,
+        s"${sink.name}: compact left delta trees: ${leftover.mkString(",")}")
+    }
+  }
 }

@@ -206,6 +206,90 @@ class CorpusStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming TextIndex ingest ≡ one-shot batch build") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // seed corpus built batch-side, then two MORE docs arrive over the
+    // stream in separate micro-batches (distinct gens); afterwards both
+    // search surfaces must equal a one-shot build over all four docs
+    val seed = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a lazy dog sleeps all day long"))
+    val streamed = Seq(
+      (3L, "the fox and the hound chase the quick rabbit"),
+      (4L, "quick thinking saves the day for the lazy fox"))
+    val idx = TestSpark.tmpDir("stream-text-idx")
+    graft.sinks.TextIndex.build(seed.toDF("doc_id", "text"), idx)
+    val ms = MemoryStream[StreamedDoc]
+    val q = CorpusStreaming.textIndexSink(
+        ms.toDF().select(col("doc_id"), col("text")), idx)
+      .option("checkpointLocation", TestSpark.tmpDir("stream-text-ckpt"))
+      .start()
+    try {
+      streamed.foreach { case (id, text) =>
+        ms.addData(StreamedDoc(id, text, "en", "src0",
+          ts("2024-01-01 00:00:00")))
+        q.processAllAvailable() // one micro-batch (= one gen) per doc
+      }
+    } finally q.stop()
+    val oneShot = TestSpark.tmpDir("stream-text-oneshot")
+    graft.sinks.TextIndex.build(
+      (seed ++ streamed).toDF("doc_id", "text"), oneShot)
+    def img(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    // BM25 (corpus totals + df + dl all feed the score — any
+    // double-count or missed delta changes it) and positional phrase
+    // search must both see the streamed docs exactly once
+    assert(img(graft.sinks.TextIndex.searchBm25(spark, idx,
+        Seq("quick", "fox"), 10))
+      == img(graft.sinks.TextIndex.searchBm25(spark, oneShot,
+        Seq("quick", "fox"), 10)))
+    assert(img(graft.sinks.TextIndex.searchPhrase(spark, idx,
+        Seq("the", "quick")))
+      == img(graft.sinks.TextIndex.searchPhrase(spark, oneShot,
+        Seq("the", "quick"))))
+  }
+
+  test("streaming SpanIndex ingest ≡ one-shot batch build") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // a 12-token verbatim run shared between a seed doc and a streamed
+    // doc: the probe must report the span only after the stream commits
+    val run12 = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu"
+    val seed = Seq(
+      (1L, s"seed prefix words $run12 seed suffix words"),
+      (2L, "entirely unrelated vocabulary with no shared runs at all " +
+        "just filler tokens everywhere"))
+    val streamedDoc = (3L, s"streamed lead-in $run12 streamed tail")
+    val idx = TestSpark.tmpDir("stream-span-idx")
+    graft.sinks.SpanIndex.build(seed.toDF("doc_id", "text"), idx)
+    val ms = MemoryStream[StreamedDoc]
+    val q = CorpusStreaming.spanIndexSink(
+        ms.toDF().select(col("doc_id"), col("text")), idx)
+      .option("checkpointLocation", TestSpark.tmpDir("stream-span-ckpt"))
+      .start()
+    try {
+      ms.addData(StreamedDoc(streamedDoc._1, streamedDoc._2, "en",
+        "src0", ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = TestSpark.tmpDir("stream-span-oneshot")
+    graft.sinks.SpanIndex.build(
+      (seed :+ streamedDoc).toDF("doc_id", "text"), oneShot)
+    // self-probe of the whole corpus against each index: the da < db
+    // half is exactly q190 (the SpanIndexSpec equivalence), so equal
+    // images mean the streamed generation is indistinguishable from a
+    // batch-indexed doc
+    val corpus = (seed :+ streamedDoc).toDF("doc_id", "text")
+    def img(d: org.apache.spark.sql.DataFrame) =
+      d.where(col("da") < col("db")).collect().map(_.toString).sorted.toSeq
+    val got = img(graft.sinks.SpanIndex.probe(spark, idx, corpus))
+    val want = img(graft.sinks.SpanIndex.probe(spark, oneShot, corpus))
+    assert(got == want, s"got=$got want=$want")
+    assert(got.nonEmpty, "fixture must actually share a span")
+  }
+
   test("packing twins agree at a NON-default shard count") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
