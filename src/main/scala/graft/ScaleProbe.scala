@@ -40,26 +40,28 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
     val copies = spark.range(mult).select(col("id").as("k"))
+    val docCols = Seq(
+      (col("doc_id") + col("k") * nDocs).as("doc_id"),
+      when(col("k") === 0, col("text")).otherwise(
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit("_"), col("k"))), " ")).as("text")) ++
+      docs.columns.filterNot(Set("doc_id", "text")).map(col)
     docs.crossJoin(copies)
-      .select(
-        (col("doc_id") + col("k") * nDocs).as("doc_id"),
-        when(col("k") === 0, col("text")).otherwise(
-          array_join(transform(split(col("text"), " "),
-            w => concat(w, lit("_"), col("k"))), " ")).as("text"),
-        docs.columns.filterNot(Set("doc_id", "text")).map(col).toSeq: _*)
+      .select(docCols: _*)
       .repartition(64)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val nVec = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val embCols = Seq(
+      (col("vec_id") + col("k") * nVec).as("vec_id"),
+      expr(s"transform(sequence(0, $dim - 1), " +
+        s"j -> embedding[cast((j + k) % $dim as int)])")
+        .as("embedding")) ++
+      emb.columns.filterNot(Set("vec_id", "embedding")).map(col)
     emb.crossJoin(copies)
-      .select(
-        (col("vec_id") + col("k") * nVec).as("vec_id"),
-        expr(s"transform(sequence(0, $dim - 1), " +
-          "j -> embedding[cast((j + k) % " + dim + " as int)])")
-          .as("embedding"),
-        emb.columns.filterNot(Set("vec_id", "embedding")).map(col).toSeq: _*)
+      .select(embCols: _*)
       .repartition(16)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 

@@ -214,22 +214,23 @@ object Q {
     // ambiguous-self-join path
     val need = tloc2.where(col("slo") =!= col("shi"))
       .select(col("pct"), col("pos"), col("side"),
-        col("bin").as("tbin"), col("sub").as("tsub"), col("within2"))
+        col("bin").as("tbin"), col("sub").as("tsub"),
+        col("within2"), col("slo"), col("shi"))
     // ---- refinement level 2: re-bin WITHIN each target sub-bucket --
-    // Same step one level down. A THIRD-order cliff (recursively
-    // self-similar inside the sub-bucket-local range/1000) would need
-    // yet another level; none is built because each level's direct
-    // path already resolves every all-tied case and two levels bound
-    // the final window by the deepest sub-bucket's occupancy — the
-    // cliff fixture in AggregatorSpec pins that bound.
-    val cand1 = sub0.join(broadcast(
-        need.select(col("tbin").as("bin"), col("tsub").as("sub"))
-          .distinct()),
-        Seq("bin", "sub"), "left_semi")
-    val sstats = cand1.groupBy(col("bin"), col("sub"))
-      .agg(min(col("v")).as("lo3"), max(col("v")).as("hi3"))
-      .ckpt() // ≤ 2·|ps| rows: feeds the sub2 binning
-    val sub1 = cand1.join(broadcast(sstats), Seq("bin", "sub"))
+    // Same step one level down. The sub-bucket-local bounds come FREE
+    // from tloc2 (subcum already aggregated slo/shi per target), so no
+    // extra bounds pass runs; the inner join against the tiny distinct
+    // (bin, sub, lo, hi) relation is the semi-join and the bounds
+    // attach in one. A THIRD-order cliff (recursively self-similar
+    // inside the sub-bucket-local range/1000) would need yet another
+    // level; none is built because each level's direct path already
+    // resolves every all-tied case and two levels bound the final
+    // window by the deepest sub-bucket's occupancy — the cliff fixture
+    // in GlobalPercentilesSpec pins that bound.
+    val bounds3 = need.select(col("tbin").as("bin"),
+      col("tsub").as("sub"), col("slo").as("lo3"), col("shi").as("hi3"))
+      .distinct()
+    val sub1 = sub0.join(broadcast(bounds3), Seq("bin", "sub"))
       .withColumn("sub2", least(lit(999),
         floor((col("v") - col("lo3"))
           / nullif((col("hi3") - col("lo3")) / 1000.0d, lit(0.0d)))
