@@ -2126,6 +2126,186 @@ object PipelineQueries {
                CAST(SUM(COALESCE(n_tok2, 0) - COALESCE(n_tok1, 0))
                     AS BIGINT) AS token_delta
         FROM j GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q227: preference-pair construction — the DPO/RLHF data step that
+    // turns a scored candidate pool into (chosen, rejected) training
+    // pairs: within each group (source × lang here — the prompt proxy
+    // this corpus offers), the best-scoring doc is `chosen`, the worst
+    // is `rejected`, and the score margin is the pair weight the DPO
+    // loss consumes. Score is EXACT integer arithmetic (stop-word
+    // count ×100000 div token count — a crude quality prior, but the
+    // OPERATOR is the point), ties break to the lowest doc_id on both
+    // ends, and zero-margin groups (no real preference) are dropped —
+    // the same admission rule a production pair builder applies.
+    //
+    // Scale: argmax/argmin via max/min(struct(...)) — fully partial-
+    // aggregable (map-side combine), ONE exchange to |source×lang|
+    // rows, NO window over group members: at 100 TB a per-prompt
+    // candidate pool can be arbitrarily large and this plan never
+    // materializes or sorts it. (The oracle uses rank windows — it
+    // restates semantics, not the scale plan.)
+    QDef(
+      "q227_preference_pairs",
+      (s, dir) => {
+        val scored = Tables(s, dir).documents
+          .withColumn("ws", expr(W))
+          .select(col("source"), col("lang"), col("doc_id"),
+            expr("""case when size(ws) = 0 then -1L
+                    else (cast(size(filter(ws, x -> x = 'the' or x = 'a'))
+                          as bigint) * 100000) div size(ws) end""")
+              .as("score"))
+        scored.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(struct(col("score"), (-col("doc_id")).as("nid"))).as("ch"),
+            min(struct(col("score"), col("doc_id"))).as("rj"))
+          .where(col("n_docs") >= 2L &&
+            col("ch.score") - col("rj.score") > 0L)
+          .select(col("source"), col("lang"), col("n_docs"),
+            (-col("ch.nid")).as("chosen_id"),
+            col("ch.score").as("chosen_score"),
+            col("rj.doc_id").as("rejected_id"),
+            col("rj.score").as("rejected_score"),
+            (col("ch.score") - col("rj.score")).as("margin"))
+      },
+      Some(s"""
+        WITH sc AS (
+          SELECT source, lang, doc_id,
+                 CASE WHEN len(ws) = 0 THEN -1
+                      ELSE CAST(len(list_filter(ws,
+                             x -> x = 'the' OR x = 'a')) AS BIGINT)
+                           * 100000 // len(ws) END AS score
+          FROM (SELECT source, lang, doc_id, $WDuck AS ws
+                FROM documents)),
+        r AS (SELECT source, lang, doc_id, score,
+                     ROW_NUMBER() OVER (PARTITION BY source, lang
+                       ORDER BY score DESC, doc_id ASC) AS rc,
+                     ROW_NUMBER() OVER (PARTITION BY source, lang
+                       ORDER BY score ASC, doc_id ASC) AS rr,
+                     COUNT(*) OVER (PARTITION BY source, lang) AS nd
+              FROM sc),
+        ch AS (SELECT source, lang, nd, doc_id AS chosen_id,
+                      score AS chosen_score FROM r WHERE rc = 1),
+        rj AS (SELECT source, lang, doc_id AS rejected_id,
+                      score AS rejected_score FROM r WHERE rr = 1)
+        SELECT ch.source, ch.lang, CAST(ch.nd AS BIGINT) AS n_docs,
+               chosen_id, chosen_score, rejected_id, rejected_score,
+               chosen_score - rejected_score AS margin
+        FROM ch JOIN rj ON rj.source = ch.source AND rj.lang = ch.lang
+        WHERE ch.nd >= 2 AND chosen_score - rejected_score > 0
+      """)),
+
+    // ------------------------------------------------------------------
+    // q229: weak-supervision diagnostics — the Snorkel-style labeling-
+    // function health report a programmatic-labeling pipeline runs
+    // before training a label model: three deterministic LFs vote
+    // 1 / 0 / abstain(-1) per document, and the report gives each LF's
+    // coverage (non-abstain votes), overlaps (votes where at least one
+    // OTHER LF also voted), conflicts (votes where another LF voted
+    // DIFFERENTLY — the signal that decides whether an LF is noise),
+    // and positive rate. LFs here are integer-exact text heuristics
+    // (length band, stop-word mass, digit presence); the OPERATOR —
+    // per-LF agreement accounting without materializing a doc × LF
+    // matrix join — is the point.
+    //
+    // Scale: one scan computes all three votes per doc (narrow map,
+    // payloads stay put), ONE global partial-agg collapses to a single
+    // wide row, and the per-LF rows come from a zero-shuffle stack()
+    // rotation (the q84 pattern). Nothing data-sized shuffles; adding
+    // an LF adds columns, never rows or joins.
+    QDef(
+      "q229_weak_label_report",
+      (s, dir) => {
+        val votes = Tables(s, dir).documents
+          .withColumn("ws", expr(W))
+          .select(
+            expr("""case when size(ws) >= 60 then 1
+                         when size(ws) < 20 then 0
+                         else -1 end""").as("l1"),
+            expr("""case when size(filter(ws, x -> x = 'the' or x = 'a'))
+                           * 10 >= size(ws) and size(ws) > 0 then 1
+                         when size(filter(ws, x -> x = 'the' or x = 'a'))
+                           = 0 then 0
+                         else -1 end""").as("l2"),
+            expr("case when text rlike '[0-9]' then 1 else -1 end")
+              .as("l3"))
+        def cov(a: String) = sum(when(col(a) =!= -1, 1L).otherwise(0L))
+        def ovl(a: String, b: String, c: String) =
+          sum(when(col(a) =!= -1 &&
+            (col(b) =!= -1 || col(c) =!= -1), 1L).otherwise(0L))
+        def cfl(a: String, b: String, c: String) =
+          sum(when(col(a) =!= -1 &&
+            ((col(b) =!= -1 && col(b) =!= col(a)) ||
+             (col(c) =!= -1 && col(c) =!= col(a))), 1L).otherwise(0L))
+        def pos(a: String) = sum(when(col(a) === 1, 1L).otherwise(0L))
+        votes.agg(count(lit(1)).as("n_docs"),
+            cov("l1").as("c1"), ovl("l1", "l2", "l3").as("o1"),
+            cfl("l1", "l2", "l3").as("k1"), pos("l1").as("p1"),
+            cov("l2").as("c2"), ovl("l2", "l1", "l3").as("o2"),
+            cfl("l2", "l1", "l3").as("k2"), pos("l2").as("p2"),
+            cov("l3").as("c3"), ovl("l3", "l1", "l2").as("o3"),
+            cfl("l3", "l1", "l2").as("k3"), pos("l3").as("p3"))
+          .selectExpr("n_docs", """stack(3,
+              'lf_length', c1, o1, k1, p1,
+              'lf_stopmass', c2, o2, k2, p2,
+              'lf_digit', c3, o3, k3, p3)
+            as (lf, coverage, overlaps, conflicts, n_pos)""")
+          .select(col("lf"), col("n_docs"), col("coverage"),
+            col("overlaps"), col("conflicts"), col("n_pos"),
+            expr("""case when coverage = 0 then null
+                    else round(cast(n_pos as double) / coverage, 6)
+                    end""").as("pos_rate_r"))
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT CASE WHEN len(ws) >= 60 THEN 1
+                      WHEN len(ws) < 20 THEN 0 ELSE -1 END AS l1,
+                 CASE WHEN len(list_filter(ws,
+                        x -> x = 'the' OR x = 'a')) * 10 >= len(ws)
+                        AND len(ws) > 0 THEN 1
+                      WHEN len(list_filter(ws,
+                        x -> x = 'the' OR x = 'a')) = 0 THEN 0
+                      ELSE -1 END AS l2,
+                 CASE WHEN regexp_matches(text, '[0-9]') THEN 1
+                      ELSE -1 END AS l3
+          FROM (SELECT text, $WDuck AS ws FROM documents)),
+        w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN l1 <> -1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN l1 <> -1 AND (l2 <> -1 OR l3 <> -1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+               CAST(SUM(CASE WHEN l1 <> -1 AND
+                        ((l2 <> -1 AND l2 <> l1) OR (l3 <> -1 AND l3 <> l1))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+               CAST(SUM(CASE WHEN l1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+               CAST(SUM(CASE WHEN l2 <> -1 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN l2 <> -1 AND (l1 <> -1 OR l3 <> -1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS o2,
+               CAST(SUM(CASE WHEN l2 <> -1 AND
+                        ((l1 <> -1 AND l1 <> l2) OR (l3 <> -1 AND l3 <> l2))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+               CAST(SUM(CASE WHEN l2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+               CAST(SUM(CASE WHEN l3 <> -1 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+               CAST(SUM(CASE WHEN l3 <> -1 AND (l1 <> -1 OR l2 <> -1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS o3,
+               CAST(SUM(CASE WHEN l3 <> -1 AND
+                        ((l1 <> -1 AND l1 <> l3) OR (l2 <> -1 AND l2 <> l3))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+               CAST(SUM(CASE WHEN l3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p3
+          FROM v)
+        SELECT 'lf_length' AS lf, n_docs, c1 AS coverage, o1 AS overlaps,
+               k1 AS conflicts, p1 AS n_pos,
+               CASE WHEN c1 = 0 THEN NULL
+                    ELSE ROUND(CAST(p1 AS DOUBLE) / c1, 6) END AS pos_rate_r
+        FROM w
+        UNION ALL
+        SELECT 'lf_stopmass', n_docs, c2, o2, k2, p2,
+               CASE WHEN c2 = 0 THEN NULL
+                    ELSE ROUND(CAST(p2 AS DOUBLE) / c2, 6) END FROM w
+        UNION ALL
+        SELECT 'lf_digit', n_docs, c3, o3, k3, p3,
+               CASE WHEN c3 = 0 THEN NULL
+                    ELSE ROUND(CAST(p3 AS DOUBLE) / c3, 6) END FROM w
       """))
   )
 }

@@ -2451,6 +2451,77 @@ object SimilarityQueries {
                n.neg_id, n.neg_cos_r,
                ROUND(p.pos_cos_r - n.neg_cos_r, 6) AS margin_r
         FROM pos p JOIN neg n ON n.qid = p.qid
+      """)),
+
+    // ------------------------------------------------------------------
+    // q228: int8 symmetric quantization audit — the serving-side
+    // compression step every embedding store runs before shipping
+    // vectors to disk/GPU (4× smaller than float32): per vector, scale
+    // s = max|x| / 127, code c_j = clamp(⌊x_j/s + 0.5⌋, ±127), and the
+    // audit reports the scale, the worst per-dimension reconstruction
+    // error, and how well the quantized vector preserves cosine against
+    // its own float original — the number that decides whether retrieval
+    // can run on the compressed copy. ⌊x + 0.5⌋ instead of round():
+    // floor is exactly specified in BOTH engines, so the codes are
+    // bit-identical cross-engine (round()'s half-away behavior is not a
+    // contract we need to rely on); max/abs are order-independent, so
+    // scale_r and max_abs_err_r are EXACT, and only the cosine (a
+    // 64-term double sum) carries the accepted round-6 order slack.
+    //
+    // Scale: pure narrow map over the embeddings scan — per-vector
+    // arithmetic via array higher-order functions, ZERO shuffles,
+    // payloads never leave their partition. The audit is a scan you
+    // run once per quantizer config over any corpus size.
+    QDef(
+      "q228_int8_quant_audit",
+      (s, dir) => {
+        Tables(s, dir).embeddings
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+          .withColumn("s",
+            expr("array_max(transform(v, x -> abs(x))) / 127.0d"))
+          .withColumn("q", expr(
+            """transform(v, x -> case when s = 0.0d then 0.0d
+               else least(127.0d, greatest(-127.0d, floor(x / s + 0.5d)))
+               end)"""))
+          .withColumn("max_abs_err",
+            expr("array_max(zip_with(v, q, (x, c) -> abs(x - c * s)))"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(v, q, (x, c) -> x * c * s), 0.0d, (acc, y) -> acc + y)"))
+          .withColumn("nv", expr(
+            "sqrt(aggregate(transform(v, x -> x * x), 0.0d, (acc, y) -> acc + y))"))
+          .withColumn("nq", expr(
+            "sqrt(aggregate(transform(q, c -> c * s * c * s), 0.0d, (acc, y) -> acc + y))"))
+          .select(col("vec_id"),
+            round(col("s"), 9).as("scale_r"),
+            round(col("max_abs_err"), 9).as("max_abs_err_r"),
+            expr("""case when s = 0.0d or nv = 0.0d or nq = 0.0d
+                    then null else round(dot / (nv * nq), 6)
+                    end""").as("cos_r"))
+      },
+      Some("""
+        WITH d AS (SELECT vec_id, p.p AS j,
+                          (embedding::DOUBLE[])[p.p + 1] AS x
+                   FROM embeddings,
+                        (SELECT unnest(range(0, 64)) AS p) p),
+        sc AS (SELECT vec_id, MAX(ABS(x)) / 127.0 AS s
+               FROM d GROUP BY 1),
+        qd AS (SELECT d.vec_id, d.x, sc.s,
+                      CASE WHEN sc.s = 0 THEN 0.0
+                           ELSE LEAST(127.0, GREATEST(-127.0,
+                                  FLOOR(d.x / sc.s + 0.5))) END AS c
+               FROM d JOIN sc ON sc.vec_id = d.vec_id),
+        agg AS (SELECT vec_id, MAX(s) AS s,
+                       MAX(ABS(x - c * s)) AS max_abs_err,
+                       SUM(x * c * s) AS dot,
+                       SQRT(SUM(x * x)) AS nv,
+                       SQRT(SUM(c * s * c * s)) AS nq
+                FROM qd GROUP BY 1)
+        SELECT vec_id, ROUND(s, 9) AS scale_r,
+               ROUND(max_abs_err, 9) AS max_abs_err_r,
+               CASE WHEN s = 0 OR nv = 0 OR nq = 0 THEN NULL
+                    ELSE ROUND(dot / (nv * nq), 6) END AS cos_r
+        FROM agg
       """))
   )
 }

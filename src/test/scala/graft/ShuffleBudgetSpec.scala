@@ -466,6 +466,16 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q225: one anchor-keyed rank window per side (pos/neg) + the
     // 10-row qid join of the two sides
     "q225_contrastive_triplets" -> 4,
+    // q226: ONE media_id exchange serves the lag window AND the rollup
+    "q226_gif_shot_boundaries" -> 1,
+    // q227: one partial-agg exchange to |source×lang| rows (argmax/
+    // argmin via max/min(struct) — no window over group members)
+    "q227_preference_pairs" -> 1,
+    // q228: pure narrow map over the embeddings scan — zero exchanges
+    "q228_int8_quant_audit" -> 0,
+    // q229: one global partial-agg to a single wide row; the per-LF
+    // rows are a zero-shuffle stack() rotation
+    "q229_weak_label_report" -> 1,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
