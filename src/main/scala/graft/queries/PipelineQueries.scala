@@ -21,6 +21,22 @@ object PipelineQueries {
   private val WDuck = TextQueries.wordsExprDuck
   private val fingerprintDuck = Q.fingerprintDuck
 
+  /** Integer-exact candidate quality score shared by q227 (preference
+    * pairs) and q230 (group-relative advantages): stop-word count
+    * ×100000 div token count, −1 for empty docs. ONE definition (and
+    * one DuckDB restatement) so the two training-data ops can never
+    * rank candidates differently. Requires a `ws` column (W applied).
+    */
+  val prefScoreSpark: String =
+    """case when size(ws) = 0 then -1L
+       else (cast(size(filter(ws, x -> x = 'the' or x = 'a'))
+             as bigint) * 100000) div size(ws) end"""
+  val prefScoreDuck: String =
+    """CASE WHEN len(ws) = 0 THEN -1
+       ELSE CAST(len(list_filter(ws,
+              x -> x = 'the' OR x = 'a')) AS BIGINT)
+            * 100000 // len(ws) END"""
+
   /** Packing shard count — the writer-parallelism unit shared by the
     * q217 batch audit and `CorpusStreaming.packingAssignments` (state =
     * one long per shard, output files = one stream per shard). ONE
@@ -2152,10 +2168,7 @@ object PipelineQueries {
         val scored = Tables(s, dir).documents
           .withColumn("ws", expr(W))
           .select(col("source"), col("lang"), col("doc_id"),
-            expr("""case when size(ws) = 0 then -1L
-                    else (cast(size(filter(ws, x -> x = 'the' or x = 'a'))
-                          as bigint) * 100000) div size(ws) end""")
-              .as("score"))
+            expr(prefScoreSpark).as("score"))
         scored.groupBy(col("source"), col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             max(struct(col("score"), (-col("doc_id")).as("nid"))).as("ch"),
@@ -2171,11 +2184,7 @@ object PipelineQueries {
       },
       Some(s"""
         WITH sc AS (
-          SELECT source, lang, doc_id,
-                 CASE WHEN len(ws) = 0 THEN -1
-                      ELSE CAST(len(list_filter(ws,
-                             x -> x = 'the' OR x = 'a')) AS BIGINT)
-                           * 100000 // len(ws) END AS score
+          SELECT source, lang, doc_id, $prefScoreDuck AS score
           FROM (SELECT source, lang, doc_id, $WDuck AS ws
                 FROM documents)),
         r AS (SELECT source, lang, doc_id, score,
@@ -2306,6 +2315,144 @@ object PipelineQueries {
         SELECT 'lf_digit', n_docs, c3, o3, k3, p3,
                CASE WHEN c3 = 0 THEN NULL
                     ELSE ROUND(CAST(p3 AS DOUBLE) / c3, 6) END FROM w
+      """)),
+
+    // ------------------------------------------------------------------
+    // q230: group-relative advantage estimation — the GRPO data step:
+    // within each candidate group (source × lang, the same prompt
+    // proxy as q227 and the SAME shared score), each candidate's
+    // advantage is its z-score against the group's mean/stddev —
+    // no value model, the group IS the baseline. Groups of one and
+    // zero-variance groups yield NULL advantage (no relative signal),
+    // exactly the degenerate-group rule a production GRPO batch
+    // builder applies. Mean and population variance derive from EXACT
+    // integer sums (Σscore, Σscore² are bigints), so the doubles are
+    // bit-identical cross-engine and only the final round-6 matters.
+    //
+    // Scale: group moments are ONE partial-agg exchange to
+    // |source×lang| rows, broadcast back into the scan — the candidate
+    // pool itself never shuffles and never sorts, at any pool size
+    // (contrast a window z-score, which would move every candidate).
+    QDef(
+      "q230_group_advantages",
+      (s, dir) => {
+        val scored = Tables(s, dir).documents
+          .withColumn("ws", expr(W))
+          .select(col("source"), col("lang"), col("doc_id"),
+            expr(prefScoreSpark).as("score"))
+        val moments = scored.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_group"),
+            sum(col("score")).as("s1"),
+            sum(col("score") * col("score")).as("s2"))
+        scored.join(broadcast(moments), Seq("source", "lang"))
+          .withColumn("mean", col("s1").cast("double") / col("n_group"))
+          .withColumn("varp", greatest(lit(0.0d),
+            col("s2").cast("double") / col("n_group")
+              - col("mean") * col("mean")))
+          .select(col("source"), col("lang"), col("doc_id"),
+            col("score"), col("n_group"),
+            expr("""case when n_group < 2 or varp <= 0.0d then null
+                    else round((score - mean) / sqrt(varp), 6)
+                    end""").as("adv_r"))
+      },
+      Some(s"""
+        WITH sc AS (
+          SELECT source, lang, doc_id, $prefScoreDuck AS score
+          FROM (SELECT source, lang, doc_id, $WDuck AS ws
+                FROM documents)),
+        m AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_group,
+                     CAST(SUM(score) AS BIGINT) AS s1,
+                     CAST(SUM(score * score) AS BIGINT) AS s2
+              FROM sc GROUP BY 1, 2),
+        j AS (SELECT sc.source, sc.lang, sc.doc_id, sc.score, m.n_group,
+                     CAST(m.s1 AS DOUBLE) / m.n_group AS mean,
+                     GREATEST(0.0, CAST(m.s2 AS DOUBLE) / m.n_group
+                       - (CAST(m.s1 AS DOUBLE) / m.n_group)
+                         * (CAST(m.s1 AS DOUBLE) / m.n_group)) AS varp
+              FROM sc JOIN m ON m.source = sc.source
+                             AND m.lang = sc.lang)
+        SELECT source, lang, doc_id, score, n_group,
+               CASE WHEN n_group < 2 OR varp <= 0.0 THEN NULL
+                    ELSE ROUND((score - mean) / SQRT(varp), 6)
+                    END AS adv_r
+        FROM j
+      """)),
+
+    // ------------------------------------------------------------------
+    // q231: packing block-size sweep — the efficiency frontier the
+    // parameterized packing layout exists to answer: for each
+    // candidate context length (64 / 256 / 1024 / 4096 tokens), how
+    // many blocks does the corpus pack into, how many documents get
+    // SPLIT across a block boundary (attention contamination), and
+    // what fraction of the last block per shard is padding waste?
+    // Small blocks waste less but split more; the sweep hands the
+    // trainer the tradeoff curve in one pass. Shares q217's exact
+    // layout definitions (packShards, the per-shard doc_id-ordered
+    // cumsum).
+    //
+    // Scale: the running cumsum is computed ONCE (it is block-size
+    // independent) behind a single shard-keyed exchange; the 4-way
+    // block sweep is a narrow explode over scalars; two tiny rollups
+    // end at 4 rows. Adding a candidate block size costs one array
+    // literal, never another pass over the corpus.
+    QDef(
+      "q231_packing_sweep",
+      (s, dir) => {
+        val byShard = Window.partitionBy(col("shard"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir).documents
+          .select(col("doc_id"),
+            (col("doc_id") % packShards).as("shard"),
+            expr(s"cast(size($W) as bigint)").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(byShard))
+          .withColumn("block",
+            explode(array(lit(64L), lit(256L), lit(1024L), lit(4096L))))
+          .withColumn("is_split",
+            (col("n_tok") > 0L &&
+              expr("((cum - 1) div block) > ((cum - n_tok) div block)"))
+              .cast("long"))
+          .groupBy(col("block"), col("shard"))
+          .agg(sum(col("n_tok")).as("toks"),
+            sum(col("is_split")).as("splits"))
+          .groupBy(col("block"))
+          .agg(sum(expr("(toks + block - 1) div block")).as("n_blocks"),
+            sum(col("splits")).as("n_split_docs"),
+            sum(expr("(toks + block - 1) div block * block - toks"))
+              .as("tail_waste"))
+          .select(col("block"), col("n_blocks"), col("n_split_docs"),
+            col("tail_waste"),
+            expr("""round(cast(tail_waste as double)
+                    / (n_blocks * block), 6)""").as("waste_ratio_r"))
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, doc_id % $packShards AS shard,
+                          CAST(len($WDuck) AS BIGINT) AS n_tok
+                   FROM documents),
+        c AS (SELECT shard, doc_id, n_tok,
+                     SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d),
+        e AS (SELECT shard, n_tok, cum, b.block
+              FROM c, (VALUES (64), (256), (1024), (4096)) b(block)),
+        f AS (SELECT block, shard,
+                     CAST(SUM(n_tok) AS BIGINT) AS toks,
+                     CAST(SUM(CASE WHEN n_tok > 0
+                              AND (cum - 1) // block
+                                  > (cum - n_tok) // block
+                              THEN 1 ELSE 0 END) AS BIGINT) AS splits
+              FROM e GROUP BY 1, 2)
+        SELECT CAST(block AS BIGINT) AS block,
+               CAST(SUM((toks + block - 1) // block) AS BIGINT)
+                 AS n_blocks,
+               CAST(SUM(splits) AS BIGINT) AS n_split_docs,
+               CAST(SUM((toks + block - 1) // block * block - toks)
+                    AS BIGINT) AS tail_waste,
+               ROUND(CAST(SUM((toks + block - 1) // block * block - toks)
+                          AS DOUBLE)
+                     / (SUM((toks + block - 1) // block) * block), 6)
+                 AS waste_ratio_r
+        FROM f GROUP BY block
       """))
   )
 }

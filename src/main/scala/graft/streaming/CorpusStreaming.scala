@@ -230,6 +230,40 @@ object CorpusStreaming {
           batch.select(col("doc_id"), col("text")), indexDir, gen = id)
       }
 
+  /** Streaming dedup-index ingest — the [[textIndexSink]] pattern for
+    * `sinks.DedupIndex`: each micro-batch of ADMITTED documents
+    * commits its fingerprints and banded MinHash signatures as a
+    * gen-scoped delta, so the NEXT batch's classify/anti-join screens
+    * against everything already ingested, and a replayed micro-batch
+    * rewrites its own generation instead of double-writing probe rows.
+    * Composes with [[cleanStreamIncremental]]: the index this sink
+    * maintains is the `historical` side the cleaner anti-joins.
+    */
+  def dedupIndexSink(docs: DataFrame,
+      indexDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sinks.DedupIndex.appendDelta(
+          batch.select(col("doc_id"), col("text")), indexDir, gen = id)
+      }
+
+  /** Streaming decontamination-index ingest — the same pattern for
+    * `sinks.ContamIndex`: a freshly released eval snapshot streams in
+    * and its 13-gram postings commit as a gen-scoped delta, so every
+    * subsequent train-batch probe (and [[contaminationAlerts]] monitor
+    * reading the index's postings) screens against it immediately;
+    * replay-idempotent per micro-batch like the other index sinks.
+    */
+  def contamIndexSink(docs: DataFrame,
+      indexDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sinks.ContamIndex.appendDelta(
+          batch.select(col("doc_id"), col("text")), indexDir, gen = id)
+      }
+
   /** Append each micro-batch to the partitioned corpus tree via the
     * batch export sink (same layout contract as [[CorpusExport]], with
     * `batch=<id>` as the leading partition directory). foreachBatch is

@@ -476,6 +476,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q229: one global partial-agg to a single wide row; the per-LF
     // rows are a zero-shuffle stack() rotation
     "q229_weak_label_report" -> 1,
+    // q230: one partial-agg exchange for the group moments (broadcast
+    // back into the scan — the candidate pool never shuffles)
+    "q230_group_advantages" -> 1,
+    // q231: the shard cumsum exchange + the (block, shard) rollup;
+    // the 4-way block sweep is a narrow explode
+    "q231_packing_sweep" -> 2,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)

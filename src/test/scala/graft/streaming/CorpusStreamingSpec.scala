@@ -290,6 +290,64 @@ class CorpusStreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must actually share a span")
   }
 
+  test("streaming DedupIndex/ContamIndex ingest ≡ one-shot batch build") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val seed = Seq((1L, goodText),
+      (2L, "a completely different seed document with its own words"))
+    val streamed = Seq(
+      (3L, goodText + " with a small twist at the end"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"))
+    def streamInto(sinkOf: (org.apache.spark.sql.DataFrame, String) =>
+        org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row], idx: String): Unit = {
+      val ms = MemoryStream[StreamedDoc]
+      val q = sinkOf(ms.toDF().select(col("doc_id"), col("text")), idx)
+        .option("checkpointLocation", TestSpark.tmpDir("stream-idx-ckpt"))
+        .start()
+      try {
+        streamed.foreach { case (id, text) =>
+          ms.addData(StreamedDoc(id, text, "en", "src0",
+            ts("2024-01-01 00:00:00")))
+          q.processAllAvailable() // one micro-batch (= one gen) per doc
+        }
+      } finally q.stop()
+    }
+    def img(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+
+    val dIdx = TestSpark.tmpDir("stream-dedup2-idx")
+    graft.sinks.DedupIndex.build(seed.toDF("doc_id", "text"), dIdx)
+    streamInto(CorpusStreaming.dedupIndexSink, dIdx)
+    val dOne = TestSpark.tmpDir("stream-dedup2-oneshot")
+    graft.sinks.DedupIndex.build(
+      (seed ++ streamed).toDF("doc_id", "text"), dOne)
+    // probe a batch containing an exact dup of a STREAMED doc: the
+    // streamed generation must classify it exactly like a batch build
+    val probe = Seq((90L, streamed.head._2), (91L, "novel content"))
+      .toDF("doc_id", "text")
+    assert(img(graft.sinks.DedupIndex.classify(spark, dIdx, probe))
+      == img(graft.sinks.DedupIndex.classify(spark, dOne, probe)))
+
+    val cIdx = TestSpark.tmpDir("stream-contam2-idx")
+    graft.sinks.ContamIndex.build(seed.toDF("doc_id", "text"), cIdx)
+    streamInto(CorpusStreaming.contamIndexSink, cIdx)
+    val cOne = TestSpark.tmpDir("stream-contam2-oneshot")
+    graft.sinks.ContamIndex.build(
+      (seed ++ streamed).toDF("doc_id", "text"), cOne)
+    // train batch shares a 13-gram with the STREAMED held-out doc 4
+    val train = Seq((80L, "lead-in " + streamed(1)._2.split(" ")
+      .take(13).mkString(" ") + " tail"), (81L, goodText))
+      .toDF("doc_id", "text")
+    val got = graft.sinks.ContamIndex.probe(spark, cIdx, train)
+    assert(img(got)
+      == img(graft.sinks.ContamIndex.probe(spark, cOne, train)))
+    assert(got.where(col("doc_id") === 4L &&
+      col("n_contaminated") > 0).count() == 1,
+      "the streamed held-out doc must report the planted hit")
+  }
+
   test("packing twins agree at a NON-default shard count") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
