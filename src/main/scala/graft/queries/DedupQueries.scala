@@ -1222,6 +1222,83 @@ object DedupQueries {
                                / CAST(n.n_tokens AS DOUBLE), 6)
                END AS retention_r
         FROM n LEFT JOIN agg ON agg.doc_id = n.doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q233: cross-split near-dup leakage matrix — the contamination
+    // check exact-gram decontamination (q56) structurally CANNOT see:
+    // a held-out document whose near-duplicate (reworded boilerplate,
+    // template siblings) sits in train leaks evaluation signal without
+    // sharing a single 13-gram. Composes two shared definitions that
+    // therefore cannot drift from their oracles: q23's banded MinHash
+    // candidates with q83's ≥6/8 signature-agreement near rule, and
+    // q51's seed-free md5 split — every near-dup pair is classified by
+    // the splits of its two ends, giving the (split_a, split_b) pair
+    // matrix plus how many distinct docs on each side participate.
+    // The train×held_out cells are the leakage a release gate acts on.
+    //
+    // Scale: candidates are banded (never all-pairs — the q23 shape),
+    // the split attach is scan-side md5 arithmetic, and the rollup
+    // ends at ≤4 rows; adding the check to an existing dedup pass
+    // costs one projection, not a new corpus scan.
+    QDef(
+      "q233_split_leakage",
+      (s, dir) => {
+        val sigs = minhashSigs(s, dir)
+        val bands = sigs.withColumn("bucket",
+          explode(array((0 until 4).map(b =>
+            md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
+              .cast("binary"))): _*)))
+        val agree = (0 until 8)
+          .map(j => s"(case when a.sig_$j = b.sig_$j then 1 else 0 end)")
+          .mkString(" + ")
+        val split = (c: String) =>
+          PipelineQueries.splitExprSpark.replace("doc_id", c)
+        bands.alias("a").join(bands.alias("b"),
+            col("a.bucket") === col("b.bucket") &&
+            col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .where(expr(s"($agree) >= 6"))
+          .select(col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"))
+          .distinct()
+          .withColumn("split_a", expr(split("doc_a")))
+          .withColumn("split_b", expr(split("doc_b")))
+          .groupBy(col("split_a"), col("split_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("doc_a")).as("n_docs_a"),
+            countDistinct(col("doc_b")).as("n_docs_b"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
+        sh AS (SELECT doc_id, source, $SGDuck AS sg FROM w),
+        sig AS (SELECT doc_id, source,
+                  list_transform(range(0, 8),
+                    j -> list_min(list_transform(sg,
+                      s -> substring(md5(CASE WHEN j < 4 THEN 'A|' ELSE 'B|' END || s),
+                                     (j % 4) * 8 + 1, 8)))) AS sig
+                FROM sh),
+        bands AS (SELECT doc_id, source, sig,
+                    unnest(list_transform(range(0, 4),
+                      b -> md5(sig[2*b + 1] || sig[2*b + 2]))) AS bucket
+                  FROM sig),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.bucket = b.bucket AND a.source = b.source
+                   AND a.doc_id < b.doc_id
+                  WHERE len(list_filter(range(1, 9),
+                          j -> a.sig[j] = b.sig[j])) >= 6),
+        cls2 AS (SELECT p.doc_a, p.doc_b,
+                  ${PipelineQueries.splitExprDuck
+                     .replace("doc_id", "p.doc_a")} AS split_a,
+                  ${PipelineQueries.splitExprDuck
+                     .replace("doc_id", "p.doc_b")} AS split_b
+                 FROM pairs p)
+        SELECT split_a, split_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+               CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_b
+        FROM cls2 GROUP BY 1, 2
       """))
   )
 }

@@ -2453,6 +2453,87 @@ object PipelineQueries {
                      / (SUM((toks + block - 1) // block) * block), 6)
                  AS waste_ratio_r
         FROM f GROUP BY block
+      """)),
+
+    // ------------------------------------------------------------------
+    // q232: fill-in-the-middle example construction — the FIM
+    // pretraining transform (Bavarian et al. 2022): a deterministic
+    // 50% of documents (md5 coin on the doc id, the q51 seed-free
+    // recipe) are rewritten PSM-style as
+    // <PRE> prefix <SUF> suffix <MID> middle, splitting at exact
+    // character thirds; the rest pass through verbatim. The output
+    // pins the split arithmetic (segment lengths) AND the constructed
+    // example bytes (md5 fingerprint of the rewritten string), so a
+    // one-character slip in any segment boundary hash-fails. This is
+    // an EXAMPLE-CONSTRUCTION op (the map that feeds the tokenizer),
+    // not an analysis op — the engine has to rewrite payloads, not
+    // just count them.
+    //
+    // Scale: pure narrow map — payloads are rewritten in place on the
+    // scan side and only scalar lengths + a 32-char fingerprint leave
+    // the partition (the output deliberately does NOT carry the
+    // rewritten text). Zero shuffles at any corpus size.
+    QDef(
+      "q232_fim_examples",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("text"),
+            expr("""substring(md5(cast(concat('fim|',
+                      cast(doc_id as string)) as binary)), 1, 1) < '8'""")
+              .as("fim"),
+            length(col("text")).as("n_chars"))
+          .withColumn("cut1", expr("n_chars div 3"))
+          .withColumn("cut2", expr("(2 * n_chars) div 3"))
+          .withColumn("example", expr(
+            """case when fim then concat('<PRE>',
+                 substring(text, 1, cut1), '<SUF>',
+                 substring(text, cut2 + 1, n_chars - cut2), '<MID>',
+                 substring(text, cut1 + 1, cut2 - cut1))
+               else text end"""))
+          .select(col("doc_id"),
+            col("fim").cast("long").as("fim_applied"),
+            col("n_chars").cast("bigint").as("n_chars"),
+            when(col("fim"), col("cut1")).otherwise(col("n_chars"))
+              .cast("bigint").as("len_prefix"),
+            when(col("fim"), col("cut2") - col("cut1")).otherwise(0L)
+              .cast("bigint").as("len_middle"),
+            when(col("fim"), col("n_chars") - col("cut2")).otherwise(0L)
+              .cast("bigint").as("len_suffix"),
+            md5(col("example").cast("binary")).as("example_fp"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text,
+                          substring(md5('fim|' || CAST(doc_id AS VARCHAR)),
+                                    1, 1) < '8' AS fim,
+                          length(text) AS n_chars
+                   FROM documents),
+        c AS (SELECT doc_id, text, fim, n_chars,
+                     n_chars // 3 AS cut1,
+                     (2 * n_chars) // 3 AS cut2
+              FROM d),
+        e AS (SELECT doc_id, fim, n_chars, cut1, cut2,
+                     CASE WHEN fim THEN '<PRE>'
+                            || substr(text, 1, CAST(cut1 AS INTEGER))
+                            || '<SUF>'
+                            || substr(text, CAST(cut2 + 1 AS INTEGER),
+                                      CAST(n_chars - cut2 AS INTEGER))
+                            || '<MID>'
+                            || substr(text, CAST(cut1 + 1 AS INTEGER),
+                                      CAST(cut2 - cut1 AS INTEGER))
+                          ELSE text END AS example
+              FROM c)
+        SELECT doc_id,
+               CAST(CASE WHEN fim THEN 1 ELSE 0 END AS BIGINT)
+                 AS fim_applied,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(CASE WHEN fim THEN cut1 ELSE n_chars END AS BIGINT)
+                 AS len_prefix,
+               CAST(CASE WHEN fim THEN cut2 - cut1 ELSE 0 END AS BIGINT)
+                 AS len_middle,
+               CAST(CASE WHEN fim THEN n_chars - cut2 ELSE 0 END AS BIGINT)
+                 AS len_suffix,
+               md5(example) AS example_fp
+        FROM e
       """))
   )
 }

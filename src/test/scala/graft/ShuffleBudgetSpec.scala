@@ -482,6 +482,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q231: the shard cumsum exchange + the (block, shard) rollup;
     // the 4-way block sweep is a narrow explode
     "q231_packing_sweep" -> 2,
+    // q232: pure narrow payload rewrite — zero exchanges
+    "q232_fim_examples" -> 0,
+    // q233: post-checkpoint (sig table is ckpt'd): the band bucket
+    // self-join exchange pair + the ≤4-row matrix rollup
+    "q233_split_leakage" -> 3,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
