@@ -2534,6 +2534,157 @@ object PipelineQueries {
                  AS len_suffix,
                md5(example) AS example_fp
         FROM e
-      """))
+      """)),
+
+    // ------------------------------------------------------------------
+    // q234: chat-template rendering + loss-mask accounting — the SFT
+    // data-prep step that turns raw interaction logs into rendered
+    // conversation examples: each q16 session (30-min gap rule, the
+    // SHARED sessionization) becomes one conversation, events become
+    // "role: type" turns in (ts, event_id) order, and the op reports
+    // per conversation the turn mix, the characters the loss WILL see
+    // (assistant turns) vs the masked context (user turns), and the
+    // md5 of the fully rendered example — so a template change, a turn
+    // dropped, or a wrong sort order hash-fails. Deterministic render
+    // inside an agg: collect_list carries (ts, event_id, line) structs,
+    // sort_array pins the order (collect_list alone is
+    // partition-order-dependent), array_join rebuilds the transcript —
+    // the Spark idiom for DuckDB's string_agg(... ORDER BY ...).
+    //
+    // Scale: ONE user_id exchange serves the session lag window, the
+    // session-index cumsum, and the per-conversation agg; rendered
+    // transcripts exist only inside the agg buffer per conversation —
+    // only scalar counts + a 32-char fingerprint leave.
+    QDef(
+      "q234_chat_render",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val cum = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir).events
+          .select(col("user_id"), col("ts"), col("event_id"),
+            expr("""case when event_id % 2 = 0 then 'user'
+                    else 'assistant' end""").as("role"),
+            col("event_type"))
+          .withColumn("line",
+            concat(col("role"), lit(": "), col("event_type")))
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_ts").isNull ||
+              (unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+                / 1e6 > 1800, 1L).otherwise(0L))
+          .withColumn("session_idx", sum(col("new_s")).over(cum))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_turns"),
+            sum(when(col("role") === "user", 1L).otherwise(0L))
+              .as("n_user_turns"),
+            sum(when(col("role") === "assistant", 1L).otherwise(0L))
+              .as("n_asst_turns"),
+            sum(when(col("role") === "assistant",
+              length(col("line")).cast("long")).otherwise(0L))
+              .as("n_loss_chars"),
+            sum(when(col("role") =!= "assistant",
+              length(col("line")).cast("long")).otherwise(0L))
+              .as("n_mask_chars"),
+            md5(expr("""cast(array_join(transform(
+                  sort_array(collect_list(struct(ts, event_id, line))),
+                  s -> s.line), '\n') as binary)""")).as("render_fp"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, ts, event_id, event_type,
+                          CASE WHEN event_id % 2 = 0 THEN 'user'
+                               ELSE 'assistant' END AS role
+                   FROM events),
+        l AS (SELECT *, role || ': ' || event_type AS line FROM e),
+        s AS (SELECT *, CASE WHEN prev_ts IS NULL
+                              OR EPOCH(ts) - EPOCH(prev_ts) > 1800
+                             THEN 1 ELSE 0 END AS new_s
+              FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts ASC, event_id ASC) AS prev_ts
+                    FROM l) t),
+        x AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM s)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_user_turns,
+               CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_asst_turns,
+               CAST(SUM(CASE WHEN role = 'assistant' THEN length(line)
+                        ELSE 0 END) AS BIGINT) AS n_loss_chars,
+               CAST(SUM(CASE WHEN role <> 'assistant' THEN length(line)
+                        ELSE 0 END) AS BIGINT) AS n_mask_chars,
+               md5(string_agg(line, chr(10)
+                 ORDER BY ts ASC, event_id ASC)) AS render_fp
+        FROM x GROUP BY 1, 2
+      """)),
+
+    // ------------------------------------------------------------------
+    // q235: pass@k estimation — the unbiased estimator every code/eval
+    // harness reports (Chen et al. 2021): per problem with n samples
+    // of which c pass, pass@k = 1 − C(n−c, k)/C(n, k). The binomial
+    // ratio is computed as the EXPLICIT product chain
+    // Π_{i<k} (n−c−i)/(n−i) — the same left-associated double
+    // multiplication text in both engines (no log-gamma, whose
+    // rounding differs), so the values are bit-identical before the
+    // final round-6. n < k → NULL (estimator undefined), n − c < k →
+    // exactly 1 (k draws cannot all fail). Samples here are a
+    // deterministic md5 coin per doc grouped into 50 problems — the
+    // OPERATOR (grouped exact combinatorics at corpus scale) is the
+    // point.
+    //
+    // Scale: one partial-agg exchange to |problems| rows; the product
+    // chain is scalar arithmetic on the aggregated (n, c) — nothing
+    // per-sample survives the agg.
+    QDef(
+      "q235_pass_at_k",
+      (s, dir) => {
+        def chain(k: Int): String = (0 until k)
+          .map(i => s"(cast(n - c - $i as double) / (n - $i))")
+          .mkString(" * ")
+        def passk(k: Int): String =
+          s"""case when n < $k then null
+              when n - c < $k then 1.0d
+              else round(1.0d - ${chain(k)}, 6) end"""
+        Tables(s, dir).documents
+          .select((col("doc_id") % 50L).as("problem"),
+            expr("""case when substring(md5(cast(concat('pass|',
+                      cast(doc_id as string)) as binary)), 1, 1) < '6'
+                    then 1L else 0L end""").as("ok"))
+          .groupBy(col("problem"))
+          .agg(count(lit(1)).as("n"), sum(col("ok")).as("c"))
+          .select(col("problem"), col("n"), col("c"),
+            expr(passk(1)).as("pass1_r"),
+            expr(passk(5)).as("pass5_r"),
+            expr(passk(10)).as("pass10_r"))
+      },
+      Some {
+        def chain(k: Int): String = (0 until k)
+          .map(i => s"(cast(n - c - $i as double) / (n - $i))")
+          .mkString(" * ")
+        def passk(k: Int): String =
+          s"""CASE WHEN n < $k THEN NULL
+              WHEN n - c < $k THEN 1.0
+              ELSE ROUND(1.0 - ${chain(k)}, 6) END"""
+        s"""
+        WITH sm AS (SELECT doc_id % 50 AS problem,
+                           CASE WHEN substring(md5('pass|'
+                                  || CAST(doc_id AS VARCHAR)), 1, 1) < '6'
+                                THEN 1 ELSE 0 END AS ok
+                    FROM documents),
+        g AS (SELECT problem, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(ok) AS BIGINT) AS c
+              FROM sm GROUP BY 1)
+        SELECT problem, n, c,
+               ${passk(1)} AS pass1_r,
+               ${passk(5)} AS pass5_r,
+               ${passk(10)} AS pass10_r
+        FROM g
+        """
+      })
   )
 }

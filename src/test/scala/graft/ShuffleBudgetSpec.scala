@@ -487,6 +487,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q233: post-checkpoint (sig table is ckpt'd): the band bucket
     // self-join exchange pair + the ≤4-row matrix rollup
     "q233_split_leakage" -> 3,
+    // q234: ONE user_id exchange serves the session lag window, the
+    // session cumsum, and the per-conversation agg
+    "q234_chat_render" -> 1,
+    // q235: one partial-agg exchange to |problems| rows; the product
+    // chains are scalar arithmetic on (n, c)
+    "q235_pass_at_k" -> 1,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
