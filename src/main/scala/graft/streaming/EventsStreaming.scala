@@ -223,6 +223,107 @@ object EventsStreaming {
       .select(col("w_day").as("day_ts"), col("psi"))
   }
 
+  final case class ConvRender(
+      user_id: Long,
+      session_idx: Long,
+      n_turns: Long,
+      n_user_turns: Long,
+      n_asst_turns: Long,
+      n_loss_chars: Long,
+      n_mask_chars: Long,
+      render_fp: String)
+
+  /** [[chatRender]]'s keyed state: the ONE open conversation per user
+    * (top-level so the product encoder derives — a method-local type
+    * has no TypeTag).
+    */
+  final case class OpenConv(
+      idx: Long,
+      endMicros: Long,
+      transcript: String,
+      nTurns: Long,
+      nUser: Long,
+      nAsst: Long,
+      nLoss: Long,
+      nMask: Long)
+
+  /** Streaming twin of q234_chat_render: conversations assemble in
+    * per-user state as events arrive (same 30-min gap rule as
+    * [[sessionize]]/q16, same "role: type" template and md5-of-
+    * transcript contract as q234 — the role rule `event_id % 2` and
+    * the template are restated here in Scala, spec-pinned against the
+    * batch SQL so they cannot drift), and each CLOSED conversation
+    * emits one row with its turn mix, loss/mask character accounting,
+    * and the rendered transcript's fingerprint. The open conversation
+    * stays in state; session_idx counts closed-then-current sessions
+    * per user exactly like q234's cumulative new-session sum.
+    *
+    * State per user is ONE open conversation — the transcript string
+    * plus six longs — i.e. bounded by conversation length (the gap
+    * rule closes it), not by stream length; the only shuffle keys on
+    * user_id. Within a micro-batch events process in (ts, event_id)
+    * order, so time-ordered arrival (the replay/backfill case)
+    * reproduces the batch q234 rows exactly — CorpusStreamingSpec's
+    * sibling spec (StreamingSpec) pins the handoff across batches.
+    */
+  def chatRender(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800): Dataset[ConvRender] = {
+    import events.sparkSession.implicits._
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+
+    def close(userId: Long, st: OpenConv): ConvRender =
+      ConvRender(userId, st.idx, st.nTurns, st.nUser, st.nAsst,
+        st.nLoss, st.nMask, md5hex(st.transcript))
+
+    def fresh(idx: Long, t: Long, line: String, asst: Boolean): OpenConv =
+      OpenConv(idx, t, line, 1L,
+        if (asst) 0L else 1L, if (asst) 1L else 0L,
+        if (asst) line.length.toLong else 0L,
+        if (asst) 0L else line.length.toLong)
+
+    def fold(userId: Long, it: Iterator[Event],
+        state: GroupState[OpenConv]): Iterator[ConvRender] = {
+      val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var open: Option[OpenConv] = state.getOption
+      val closed = Seq.newBuilder[ConvRender]
+      sorted.foreach { e =>
+        val t = micros(e.ts)
+        val role = if (e.event_id % 2 == 0) "user" else "assistant"
+        val line = role + ": " + e.event_type
+        val asst = role == "assistant"
+        open = open match {
+          case Some(st) if t - st.endMicros <= gapSeconds * 1000000L =>
+            Some(OpenConv(st.idx, t, st.transcript + "\n" + line,
+              st.nTurns + 1,
+              st.nUser + (if (asst) 0 else 1),
+              st.nAsst + (if (asst) 1 else 0),
+              st.nLoss + (if (asst) line.length else 0),
+              st.nMask + (if (asst) 0 else line.length)))
+          case Some(st) =>
+            closed += close(userId, st)
+            Some(fresh(st.idx + 1, t, line, asst))
+          case None =>
+            Some(fresh(1L, t, line, asst))
+        }
+      }
+      open.foreach(state.update)
+      closed.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fold)
+  }
+
   def sessionize(
       events: Dataset[Event],
       gapSeconds: Long = 1800): Dataset[Session] = {

@@ -173,6 +173,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chat render matches batch q234 on closed conversations") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // the batch q234 rows include every user's final STILL-OPEN
+    // session (batch sees the corpus end; the stream cannot know a
+    // conversation is over) — parity holds on the closed ones, i.e.
+    // everything but each user's max session_idx
+    val batch = graft.SparkEntry.queries("q234_chat_render")(spark, dir)
+    val lastIdx = batch.groupBy(col("user_id").as("u"))
+      .agg(max(col("session_idx")).as("mi"))
+    val expected = batch.join(lastIdx,
+        col("user_id") === col("u") && col("session_idx") === col("mi"),
+        "left_anti")
+      .collect().map(_.toString).toSet
+
+    val all = graft.Tables(spark, dir).events
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Event]
+    val q = EventsStreaming.chatRender(ms.toDS())
+      .writeStream.format("memory").queryName("conv")
+      .outputMode("append").start()
+    try {
+      // time-ordered arrival across several micro-batches — the
+      // replay/backfill contract under which parity is exact
+      all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("conv")
+        .select("user_id", "session_idx", "n_turns", "n_user_turns",
+          "n_asst_turns", "n_loss_chars", "n_mask_chars", "render_fp")
+        .collect().map(_.toString).toSet
+      assert(got == expected,
+        s"closed-conversation mismatch: ${got.size} streamed vs " +
+          s"${expected.size} batch; sample diff: " +
+          (got diff expected).take(2).mkString(" | "))
+      assert(got.nonEmpty, "fixture must actually close conversations")
+    } finally q.stop()
+  }
+
   test("streaming PSI drift matches the batch restatement on real events") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
