@@ -250,6 +250,8 @@ object VectorIndex {
   /** Incrementally PQ-index a new batch against the EXISTING quantizer
     * and codebook — O(batch), no re-encoding of indexed cells (codes
     * are cell-independent by the raw-vector convention above).
+    * Exactly-once callers only — at-least-once callers use
+    * [[appendDeltaPq]].
     */
   def appendPq(spark: SparkSession, indexDir: String,
       emb: DataFrame, maxRecordsPerFile: Int = 1 << 20): Unit = {
@@ -262,6 +264,40 @@ object VectorIndex {
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy("cell")
       .parquet(s"$indexDir/pq_postings")
+  }
+
+  /** Gen-scoped delta form of [[appendPq]] — the [[appendDelta]]
+    * pattern applied to the compressed postings, so the raw and PQ
+    * trees share ONE replay story: a replayed micro-batch rewrites its
+    * own `pq_postings_delta/gen=<gen>` subtree; [[searchAdc]] unions
+    * deltas transparently and [[compact]] folds them into the main
+    * tree.
+    */
+  def appendDeltaPq(spark: SparkSession, indexDir: String,
+      emb: DataFrame, gen: Long, maxRecordsPerFile: Int = 1 << 20): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val e = normalized(emb).ckpt() // cells + codes
+    assignCells(e, cents).select(col("vec_id"), col("cell"))
+      .join(pqCodes(e, codebook), "vec_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("cell")
+      .parquet(s"$indexDir/pq_postings_delta/gen=$gen")
+  }
+
+  /** The PQ-code relation: the main tree plus, when present, every
+    * `pq_postings_delta` generation (gen column dropped — readers see
+    * one (vec_id, codes, cell) relation either way).
+    */
+  private[sinks] def readPqPostings(spark: SparkSession,
+      indexDir: String): DataFrame = {
+    val main = spark.read.parquet(s"$indexDir/pq_postings")
+    if (fsExists(spark, s"$indexDir/pq_postings_delta"))
+      main.unionByName(
+        spark.read.parquet(s"$indexDir/pq_postings_delta")
+          .select(col("vec_id"), col("codes"), col("cell")))
+    else main
   }
 
   /** ADC search over the persisted IVF-PQ index: rank centroids per
@@ -291,7 +327,7 @@ object VectorIndex {
     // join on the partition column prunes the scan to probed cells;
     // candidates carry qid, so the shared scorer joins per query
     val cand = probes
-      .join(spark.read.parquet(s"$indexDir/pq_postings"), "cell")
+      .join(readPqPostings(spark, indexDir), "cell")
       .select(col("qid"), col("vec_id"),
         posexplode(col("codes")).as(Seq("j", "cent_id")))
     graft.queries.SimilarityQueries.pqAdcTopK(cand, lut, topK)
@@ -322,7 +358,7 @@ object VectorIndex {
         .partitionBy("cell")
         .parquet(s"$dstDir/postings")
     if (fsExists(spark, s"$srcDir/pq_postings"))
-      spark.read.parquet(s"$srcDir/pq_postings")
+      readPqPostings(spark, srcDir) // main + every delta generation
         .repartition(col("cell"))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", maxRecordsPerFile.toLong)

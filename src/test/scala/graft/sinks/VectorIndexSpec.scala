@@ -166,6 +166,38 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(cGot == want)
   }
 
+  test("gen-scoped PQ delta appends: replay-idempotent, ADC-identical") {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val out = TestSpark.tmpDir("ivfpq-delta")
+    VectorIndex.buildPq(emb.where(col("vec_id") < 300), out, k = 16)
+    VectorIndex.appendDeltaPq(spark, out,
+      emb.where(col("vec_id") >= 300 && col("vec_id") < 400), gen = 0L)
+    // REPLAY gen 0: the gen dir is overwritten, codes must not dup
+    VectorIndex.appendDeltaPq(spark, out,
+      emb.where(col("vec_id") >= 300 && col("vec_id") < 400), gen = 0L)
+    VectorIndex.appendDeltaPq(spark, out,
+      emb.where(col("vec_id") >= 400), gen = 1L)
+    val full = TestSpark.tmpDir("ivfpq-delta-full")
+    VectorIndex.buildPq(emb, full, k = 16)
+    val queries = emb.where(col("vec_id") < 10)
+    val got = VectorIndex.searchAdc(spark, out, queries,
+        nprobe = 16, topK = 3)
+      .orderBy(col("qid"), col("rk")).collect().toSeq
+    val want = VectorIndex.searchAdc(spark, full, queries,
+        nprobe = 16, topK = 3)
+      .orderBy(col("qid"), col("rk")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // compact folds the PQ delta generations away; answers unchanged
+    val cDir = TestSpark.tmpDir("ivfpq-delta-compacted")
+    VectorIndex.compact(spark, out, cDir)
+    assert(!new java.io.File(s"$cDir/pq_postings_delta").exists())
+    val cGot = VectorIndex.searchAdc(spark, cDir, queries,
+        nprobe = 16, topK = 3)
+      .orderBy(col("qid"), col("rk")).collect().toSeq
+    assert(cGot == want)
+  }
+
   test("compact preserves the cell layout and every search answer") {
     val emb = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
