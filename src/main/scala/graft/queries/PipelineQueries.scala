@@ -2685,6 +2685,70 @@ object PipelineQueries {
                ${passk(10)} AS pass10_r
         FROM g
         """
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q236: needle-in-haystack suite construction — the long-context
+    // eval builder: every fifth document becomes a haystack, and for
+    // each probe depth (10/25/50/75/90 % of the character length) a
+    // canary sentence unique to (doc, depth) is spliced in at the
+    // exact offset, yielding the (haystack, needle, depth) triples a
+    // retrieval-accuracy-by-depth curve is measured on. The oracle
+    // pins the splice arithmetic (insert position, output length) AND
+    // the constructed bytes (md5) — an off-by-one at any depth
+    // hash-fails. Eval-set CONSTRUCTION is a first-class pipeline
+    // stage: the engine has to manufacture the benchmark, not just
+    // score it.
+    //
+    // Scale: one scan, a 5-way narrow explode of scalar depths, the
+    // splice is per-row substring arithmetic — payloads never leave
+    // their partition and only offsets + a fingerprint ship out.
+    QDef(
+      "q236_needle_suite",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast("bigint").as("n_chars"))
+          .withColumn("depth",
+            explode(array(lit(10L), lit(25L), lit(50L), lit(75L),
+              lit(90L))))
+          .withColumn("needle", concat(lit(" The secret code is NEEDLE-"),
+            col("doc_id"), lit("-"), col("depth"), lit(". ")))
+          .withColumn("insert_pos",
+            expr("(depth * n_chars) div 100"))
+          .withColumn("built", expr(
+            """concat(substring(text, 1, cast(insert_pos as int)), needle,
+               substring(text, cast(insert_pos + 1 as int),
+                 cast(n_chars - insert_pos as int)))"""))
+          .select(col("doc_id"), col("depth"), col("n_chars"),
+            col("insert_pos"),
+            length(col("built")).cast("bigint").as("n_out_chars"),
+            md5(col("built").cast("binary")).as("built_fp"))
+      },
+      Some("""
+        WITH h AS (SELECT doc_id, text,
+                          CAST(length(text) AS BIGINT) AS n_chars
+                   FROM documents WHERE doc_id % 5 = 0),
+        d AS (SELECT h.*, dd.depth
+              FROM h, (VALUES (10), (25), (50), (75), (90)) dd(depth)),
+        b AS (SELECT doc_id, CAST(depth AS BIGINT) AS depth, n_chars,
+                     (depth * n_chars) // 100 AS insert_pos,
+                     substr(text, 1, CAST((depth * n_chars) // 100
+                                          AS INTEGER))
+                       || ' The secret code is NEEDLE-' || doc_id || '-'
+                       || depth || '. '
+                       || substr(text,
+                            CAST((depth * n_chars) // 100 + 1 AS INTEGER),
+                            CAST(n_chars - (depth * n_chars) // 100
+                                 AS INTEGER))
+                       AS built
+              FROM d)
+        SELECT doc_id, depth, n_chars,
+               CAST(insert_pos AS BIGINT) AS insert_pos,
+               CAST(length(built) AS BIGINT) AS n_out_chars,
+               md5(built) AS built_fp
+        FROM b
+      """))
   )
 }

@@ -493,6 +493,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q235: one partial-agg exchange to |problems| rows; the product
     // chains are scalar arithmetic on (n, c)
     "q235_pass_at_k" -> 1,
+    // q236: narrow explode + per-row splice — zero exchanges
+    "q236_needle_suite" -> 0,
     // q180: post-checkpoint histogram agg + 1000-row cum window + the
     // Q.globalExactPercentiles survivor-refine exchange (all three over
     // ≤1000-bucket relations; the users-sized scan shuffles once)
