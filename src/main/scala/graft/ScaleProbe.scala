@@ -36,7 +36,16 @@ object ScaleProbe {
     val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(2).getOrElse(s"/tmp/graft_scaleprobe_x$mult")
     val spark = Sessions.local("graft-scaleprobe", "32")
+    val (nd, nv) = generate(spark, mult, src, dst)
+    println(s"""{"scaleprobe":"$dst","mult":$mult,"docs":$nd,"vecs":$nv}""")
+    spark.stop()
+  }
 
+  /** The synthesis itself (main minus session lifecycle — spec-callable
+    * on a shared session). Returns (blown-up doc count, vec count).
+    */
+  def generate(spark: org.apache.spark.sql.SparkSession, mult: Int,
+      src: String, dst: String): (Long, Long) = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
     val copies = spark.range(mult).select(col("id").as("k"))
@@ -73,7 +82,6 @@ object ScaleProbe {
         spark.read.parquet(f.getAbsolutePath)
           .write.mode("overwrite").parquet(s"$dst/${f.getName}")
       }
-    println(s"""{"scaleprobe":"$dst","mult":$mult,"docs":${nDocs * mult},"vecs":${nVec * mult}}""")
-    spark.stop()
+    (nDocs * mult, nVec * mult)
   }
 }
