@@ -74,13 +74,19 @@ object ScaleProbe {
       .repartition(16)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    // remaining tables pass through so Tables() resolves on dstDir
+    // remaining tables pass through so Tables() resolves on dstDir.
+    // Listed via Hadoop FS (like DeltaIO) so a missing srcDir fails with
+    // a clear message instead of listFiles' null-NPE, and non-local
+    // filesystems work the same as the spark.read calls above.
     val done = Set("documents.parquet", "embeddings.parquet")
-    new java.io.File(src).listFiles()
-      .filter(f => f.getName.endsWith(".parquet") && !done(f.getName))
-      .foreach { f =>
-        spark.read.parquet(f.getAbsolutePath)
-          .write.mode("overwrite").parquet(s"$dst/${f.getName}")
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(srcPath), s"scale-probe srcDir not found: $src")
+    fs.listStatus(srcPath).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !done(p.getName))
+      .foreach { p =>
+        spark.read.parquet(p.toString)
+          .write.mode("overwrite").parquet(s"$dst/${p.getName}")
       }
     (nDocs * mult, nVec * mult)
   }

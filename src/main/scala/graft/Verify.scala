@@ -27,8 +27,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // free the finished query's localCheckpoint/cache blocks — the
-      // same eager release Bench does (see its comment); 225 queries'
-      // worth of accumulated blocks otherwise tax the tail of the run
+      // same eager release Bench does (see its comment); every query's
+      // worth of accumulated blocks otherwise taxes the tail of the run
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => preexisting(id) }
         .valuesIterator.foreach(_.unpersist(blocking = false))

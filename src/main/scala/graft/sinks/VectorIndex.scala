@@ -342,9 +342,32 @@ object VectorIndex {
     * through unchanged; compacts whichever posting trees exist (raw,
     * PQ, or both). Separate dstDir; the swap is the caller's
     * atomic-rename concern (the CorpusExport.compact contract).
+    *
+    * `retrain = true` is the DRIFT-MAINTENANCE form: instead of copying
+    * the frozen quantizer, it re-trains centroids over a deterministic
+    * corpus-representative sample of the MERGED postings (main + every
+    * delta — the appended generations the frozen quantizer never saw)
+    * and re-assigns every vector's cell. One corpus scan for the
+    * reassignment (centroids broadcast), a TakeOrdered for the sample —
+    * O(corpus), no per-pair work. PQ codes survive unchanged (they
+    * quantize the raw vector, independent of cell — the append
+    * convention), so only the cell column of the PQ tree is rewritten,
+    * via a vec_id join against the raw reassignment; retrain therefore
+    * requires the raw tree to be present. The retrained quantizer is
+    * deterministic (hash-ordered sample, fixed seeds, Lloyd over a
+    * bounded relation) but intentionally NOT the frozen one, so
+    * searches after a retraining compact are a new epoch — the recall
+    * maintenance VectorIndexSpec measures per drift generation.
+    * `trainIters` defaults to 0 — data-point anchors drawn from the
+    * hash sample (all generations), matching [[build]]'s measured-
+    * winner default on unstructured corpora; Lloyd refinement is the
+    * same opt-in it is at build time.
     */
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
-      maxRecordsPerFile: Int = 1 << 20): Unit = {
+      maxRecordsPerFile: Int = 1 << 20, retrain: Boolean = false,
+      trainIters: Int = 0): Unit = {
+    if (retrain) return compactRetrain(
+      spark, srcDir, dstDir, maxRecordsPerFile, trainIters)
     spark.read.parquet(s"$srcDir/centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/centroids")
     if (fsExists(spark, s"$srcDir/codebook"))
@@ -364,5 +387,92 @@ object VectorIndex {
         .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
         .partitionBy("cell")
         .parquet(s"$dstDir/pq_postings")
+  }
+
+  /** Per-cell balance audit over the PERSISTED index — q221's health
+    * check (member count, corpus share, exact-integer hot flag
+    * n·k > 2·total) computed from the postings tree alone: a groupBy
+    * on the hive partition column plus a k-row left join — no corpus
+    * similarity math, so it is cheap enough to run after every append.
+    * This is the maintenance TRIGGER: an appended index whose audit
+    * goes hot (drifted generations crowding a frozen quantizer's
+    * cells) is the operational signal to run a retraining [[compact]]
+    * — the consumer loop VectorIndexSpec's drift scenario exercises.
+    */
+  def cellBalance(spark: SparkSession, indexDir: String): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val k = cents.count()
+    val counts = readPostings(spark, indexDir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum(col("n_vecs")).as("total"))
+    cents.select(col("cent_id").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("total"), 6)
+          .as("share_r"),
+        (col("n_vecs") * k > col("total") * 2L).cast("int").as("hot"))
+  }
+
+  /** Deterministic corpus-representative training sample for a
+    * retraining [[compact]]: the [[graft.queries.SimilarityQueries
+    * .IvfSampleCap]] smallest rows by (fnv1a(vec_id), vec_id) — a
+    * hash-ordered pseudo-random draw that covers EVERY appended
+    * generation, unlike the build-time `vec_id < cap` sample that a
+    * drifting corpus outgrows. Renumbered 0..cap-1 in hash order so
+    * `ivfCentroids`' fixed-sample contract (seeds = first k ids,
+    * training set = first cap ids) applies unchanged. The
+    * TakeOrderedAndProject is the only global step — a top-256 over
+    * the corpus, not a sort; the 256-row renumber window is bounded by
+    * construction (globalWindowBudget-reviewed).
+    */
+  private def retrainSample(postings: DataFrame): DataFrame = {
+    val cap = graft.queries.SimilarityQueries.IvfSampleCap
+    val byHash = Window.orderBy(col("h"), col("orig_id"))
+    postings
+      .select(col("vec_id").as("orig_id"), col("v"),
+        expr("fnv1a(cast(vec_id as string))").as("h"))
+      .orderBy(col("h"), col("orig_id")).limit(cap)
+      .select((row_number().over(byHash) - 1).cast("long").as("vec_id"),
+        col("v"))
+  }
+
+  private def compactRetrain(spark: SparkSession, srcDir: String,
+      dstDir: String, maxRecordsPerFile: Int, trainIters: Int): Unit = {
+    require(fsExists(spark, s"$srcDir/postings"),
+      "retraining compact needs the raw postings tree " +
+        "(PQ codes cannot recover the vectors the quantizer trains on)")
+    val k = spark.read.parquet(s"$srcDir/centroids").count().toInt
+    // merged corpus feeds the sample AND the reassignment scan
+    val merged = readPostings(spark, srcDir)
+      .select(col("vec_id"), col("v")).ckpt()
+    val cents = graft.queries.SimilarityQueries.ivfCentroids(
+      retrainSample(merged), k, iters = trainIters)
+    require(cents.count() == k,
+      s"retrain sample too small to seed $k centroids")
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dstDir/centroids")
+    // one corpus scan: broadcast the k new centroids, re-assign cells
+    val assigned = assignCells(merged, cents).ckpt()
+    assigned
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("cell")
+      .parquet(s"$dstDir/postings")
+    if (fsExists(spark, s"$srcDir/pq_postings")) {
+      // codes are cell-independent — only the cell column changes
+      spark.read.parquet(s"$srcDir/codebook")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/codebook")
+      readPqPostings(spark, srcDir)
+        .select(col("vec_id"), col("codes"))
+        .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+        .repartition(col("cell"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+        .partitionBy("cell")
+        .parquet(s"$dstDir/pq_postings")
+    }
   }
 }

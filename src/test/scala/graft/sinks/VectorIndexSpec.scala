@@ -224,6 +224,117 @@ class VectorIndexSpec extends AnyFunSuite {
         .orderBy(col("qid"), col("rk")).collect().toSeq)
   }
 
+  /** Brute-force-vs-index recall@3 over an arbitrary corpus/query mix:
+    * ground truth is the exact cosine top-3 (neighbor_id tiebreak —
+    * q120's rule), the ANN side is the persisted index's 2-probe
+    * search.
+    */
+  private def recallAt3(merged: org.apache.spark.sql.DataFrame,
+      idxDir: String, queries: org.apache.spark.sql.DataFrame,
+      nprobe: Int = 2): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val e = merged.select(col("vec_id"),
+      expr("l2_normalize(embedding)").as("v"))
+    val q = queries.select(col("vec_id").as("qid"),
+      expr("l2_normalize(embedding)").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val gt = q.join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        expr("dot_product(qv, v)").as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("qid"), col("neighbor_id"))
+    val got = VectorIndex
+      .search(spark, idxDir, queries, nprobe = nprobe, topK = 3)
+      .select(col("qid"), col("neighbor_id"))
+    gt.join(got, Seq("qid", "neighbor_id"), "left_semi").count().toDouble /
+      gt.count()
+  }
+
+  test("drift maintenance: per-generation recall, hot-flag trigger, retraining compact") {
+    // Drifted generations via the ScaleProbe dim-rotation recipe: copy
+    // g rotates every vector by g dims (norm preserved, direction
+    // decorrelated from the build distribution) and offsets vec_ids by
+    // g*nVec. NOTE a "fresh rebuild" is NOT a drift mitigation here:
+    // build's quantizer derives only from the fixed training sample
+    // (vec_id < IvfSampleCap — all generation-0 ids), so rebuild over
+    // the union reproduces the frozen quantizer exactly (the append ≡
+    // rebuild contract). The drift-aware path is compact(retrain=true),
+    // whose hash-ordered sample covers every generation.
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val nVec = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    def gen(g: Int): org.apache.spark.sql.DataFrame = emb.select(
+      (col("vec_id") + lit(g * nVec)).as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        s"j -> embedding[cast((j + $g) % $dim as int)])").as("embedding"))
+    val out = TestSpark.tmpDir("ivf-drift")
+    VectorIndex.build(emb, out, k = 16)
+    var merged = emb
+    val history = (1 to 3).map { g =>
+      VectorIndex.append(spark, out, gen(g))
+      merged = merged.unionByName(gen(g))
+      // query batch drawn from the NEWEST generation — the drifted
+      // distribution the frozen quantizer never saw (25 queries × 3
+      // ground-truth rows per generation: wide enough that one hit is
+      // ~1.3% of the aggregate, not 3.3%)
+      val queries = gen(g).where(col("vec_id") < g * nVec + 25)
+      val frozen = recallAt3(merged, out, queries)
+      val rDir = TestSpark.tmpDir(s"ivf-drift-retrain-$g")
+      VectorIndex.compact(spark, out, rDir, retrain = true)
+      val retrained = recallAt3(merged, rDir, queries)
+      // retrained index must still hold every vector exactly once
+      val post = spark.read.parquet(s"$rDir/postings")
+      assert(post.count() == merged.count() &&
+        post.select(col("vec_id")).distinct().count() == merged.count())
+      info(f"gen $g: frozen-quantizer recall@3 = $frozen%.3f, " +
+        f"retrained = $retrained%.3f")
+      (g, frozen, retrained)
+    }
+    // the hot-flag trigger: the appended index's balance audit is the
+    // q221 relation over the postings tree — finite, k rows, and the
+    // hot flag is exact-integer; after 3 drifted generations at least
+    // one cell must be non-empty and shares must sum to 1
+    val bal = VectorIndex.cellBalance(spark, out).collect()
+    assert(bal.length == 16)
+    assert(bal.map(_.getLong(1)).sum == merged.count())
+    // MEASURED finding, pinned (the whole pipeline is deterministic):
+    // on this near-uniform synthetic corpus, recall on drifted GENERIC
+    // queries sits near 0.3 at nprobe=2 for BOTH quantizers — q120's
+    // 0.97 is a property of its seed-adjacent query batch, not of the
+    // index — and retraining is recall-NEUTRAL (aggregate delta is
+    // ~1 hit in 225; the round-6 trained-vs-anchors A/B found the same
+    // no-cluster-structure effect). The maintenance invariant is that
+    // the retraining compact never materially degrades serving while
+    // re-balancing cells for appended generations; the effective
+    // recall lever on a structureless corpus is nprobe, asserted
+    // below.
+    history.foreach { case (_, frozen, retrained) =>
+      assert(frozen >= 0.0 && frozen <= 1.0 &&
+        retrained >= 0.0 && retrained <= 1.0)
+    }
+    val frozenMean = history.map(_._2).sum / history.size
+    val retrainedMean = history.map(_._3).sum / history.size
+    info(f"aggregate recall@3: frozen = $frozenMean%.3f, " +
+      f"retrained = $retrainedMean%.3f")
+    assert(math.abs(retrainedMean - frozenMean) <= 0.02,
+      s"retraining compact materially changed aggregate recall " +
+        s"($retrainedMean vs $frozenMean) — re-measure and re-pin")
+    // the nprobe recovery path: widening the probe set on the SAME
+    // frozen-quantizer index must monotonically recover recall on the
+    // drifted queries (probing all 16 cells is exact ⇒ recall 1.0)
+    val lastQ = gen(3).where(col("vec_id") < 3 * nVec + 25)
+    val sweep = Seq(2, 4, 8, 16)
+      .map(np => np -> recallAt3(merged, out, lastQ, nprobe = np))
+    info(sweep.map { case (np, r) => f"nprobe=$np%2d → $r%.3f" }
+      .mkString("recall sweep (frozen index, gen-3 queries): ", ", ", ""))
+    assert(sweep.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a },
+      s"recall not monotone in nprobe: $sweep")
+    assert(sweep.last._2 == 1.0,
+      s"nprobe=k must be exact, got ${sweep.last._2}")
+  }
+
   test("postings are cell-partitioned and a cell filter prunes the scan") {
     val cells = new java.io.File(s"$indexDir/postings").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
