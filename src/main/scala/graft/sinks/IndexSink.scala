@@ -175,7 +175,11 @@ object IndexSink {
     def contents(spark: SparkSession, dir: String): Map[String, DataFrame] =
       Map(
         "grams" -> SpanIndex.livePostings(spark, dir),
-        "dfs" -> SpanIndex.totalDfs(spark, dir))
+        "dfs" -> SpanIndex.totalDfs(spark, dir),
+        // membership ledger canonicalizes to the doc-id SET (append
+        // generations partition it; compact folds it) — appended
+        // doc_ids are new by contract, so distinct loses nothing
+        "docs" -> SpanIndex.indexedDocs(spark, dir).distinct())
   }
 
   /** [[VectorIndex]] (raw IVF postings) under the shared contract

@@ -22,6 +22,9 @@ import graft.Ckpt._
   *                                      ledger, one rowset per
   *                                      build/append generation;
   *                                      readers SUM per gram
+  *   <dir>/docs/   (doc_id)             indexed-doc membership ledger,
+  *                                      one rowset per generation;
+  *                                      probe's exact-cap fold reads it
   * }}}
   *
   * Gram extraction is `DedupQueries.positionedGrams` and run assembly
@@ -51,24 +54,30 @@ object SpanIndex {
   /** q190's cap — one constant, shared with the in-query twin. */
   val dfCap: Int = graft.queries.DedupQueries.spanDfCap
 
-  /** The two index relations for one (doc_id, text) batch — ONE
-    * shingling shared by build/append/appendDelta.
+  /** The three index relations for one (doc_id, text) batch — ONE
+    * shingling shared by build/append/appendDelta. The `docs` ledger
+    * (one row per indexed doc_id) exists so [[probe]] can tell which
+    * of the probe batch's docs are ALREADY indexed — the membership
+    * fact that makes the probe-time cap exact over corpus ∪ batch
+    * without double-counting an indexed doc's grams.
     */
-  private def relations(docs: DataFrame): (DataFrame, DataFrame) = {
+  private def relations(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val grams = graft.queries.DedupQueries.positionedGrams(docs)
       .ckpt() // feeds postings AND the df ledger
     val clustered = grams
       .repartitionByRange(col("gram"))
       .sortWithinPartitions(col("gram"), col("doc_id"), col("pos"))
     val dfs = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    (clustered, dfs)
+    (clustered, dfs, docs.select(col("doc_id")).distinct())
   }
 
   private def write(docs: DataFrame, outDir: String,
       mode: SaveMode): Unit = {
-    val (grams, dfs) = relations(docs)
+    val (grams, dfs, ids) = relations(docs)
     grams.write.mode(mode).parquet(s"$outDir/grams")
     dfs.write.mode(mode).parquet(s"$outDir/dfs")
+    ids.write.mode(mode).parquet(s"$outDir/docs")
   }
 
   /** Shingle and index a (doc_id, text) corpus from scratch. */
@@ -93,23 +102,38 @@ object SpanIndex {
     * gen-scoped form makes the df ledger replay-proof.
     */
   def appendDelta(docs: DataFrame, indexDir: String, gen: Long): Unit = {
-    val (grams, dfs) = relations(docs)
+    val (grams, dfs, ids) = relations(docs)
     DeltaIO.writeGen(grams, indexDir, "grams", gen)
     DeltaIO.writeGen(dfs, indexDir, "dfs", gen)
+    DeltaIO.writeGen(ids, indexDir, "docs", gen)
   }
+
+  /** Every indexed doc_id (append + streaming delta generations). */
+  private[sinks] def indexedDocs(spark: SparkSession,
+      indexDir: String): DataFrame =
+    DeltaIO.readMerged(spark, indexDir, "docs", Seq("doc_id"))
 
   /** Per-gram total df across generations (append + streaming delta). */
   private[sinks] def totalDfs(spark: SparkSession, indexDir: String): DataFrame =
     DeltaIO.readMerged(spark, indexDir, "dfs", Seq("gram", "df"))
       .groupBy(col("gram")).agg(sum(col("df")).as("df"))
 
-  /** The probe-visible postings: grams at or under the cap. */
-  private[sinks] def livePostings(spark: SparkSession,
-      indexDir: String): DataFrame = {
+  /** The probe-visible postings: grams at or under the cap.
+    * `extraDfs`, when given, folds additional (gram, df) counts into
+    * the cap computation before thresholding — [[probe]] passes the
+    * un-indexed part of its batch so the cap is evaluated over
+    * corpus ∪ batch exactly.
+    */
+  private[sinks] def livePostings(spark: SparkSession, indexDir: String,
+      extraDfs: Option[DataFrame] = None): DataFrame = {
     // the hot set is tiny (≤ total_grams / cap rows) → broadcast
     // anti-join, the q190 exclusion shape
-    val hot = totalDfs(spark, indexDir)
-      .where(col("df") > dfCap).select(col("gram"))
+    val dfs = extraDfs match {
+      case Some(extra) => totalDfs(spark, indexDir).unionByName(extra)
+        .groupBy(col("gram")).agg(sum(col("df")).as("df"))
+      case None => totalDfs(spark, indexDir)
+    }
+    val hot = dfs.where(col("df") > dfCap).select(col("gram"))
     DeltaIO.readMerged(spark, indexDir, "grams",
         Seq("gram", "doc_id", "pos"))
       .join(broadcast(hot), Seq("gram"), "left_anti")
@@ -125,23 +149,31 @@ object SpanIndex {
     * da < db half kept reproduces q190 exactly — SpanIndexSpec pins
     * it.
     *
-    * PRECONDITION for that equivalence: the hot-gram cap is applied
-    * against the INDEXED corpus' summed df only — the probe batch's own
-    * gram occurrences do not count toward it. So probe ≡ q190-over-
-    * (corpus ∪ batch) holds exactly when the batch is already indexed
-    * (the spec's self-probe) or when the batch's gram mass cannot push
-    * any gram past the cap; a large un-indexed batch whose own
-    * boilerplate crosses dfCap reports spans that q190 over the union
-    * would silence. That is inherent to probe-before-append (the
-    * admission decision must precede the append); callers screening a
-    * batch that is itself boilerplate-heavy should append first, then
-    * probe the NEXT batch — or accept the over-report as conservative
-    * (extra candidate spans, never missed ones).
+    * The hot-gram cap is evaluated over corpus ∪ batch EXACTLY: the
+    * probe folds the batch's own gram counts into the cap — but only
+    * for batch docs NOT already indexed (the `docs` ledger supplies
+    * membership), so a self-probe of indexed docs never double-counts
+    * and stays byte-identical to q190, while a large UN-indexed batch
+    * whose own boilerplate pushes a gram past dfCap sees it silenced
+    * exactly as q190 over the union would compute (the round-8
+    * precondition, closed — SpanIndexSpec pins the cap-crossing
+    * un-indexed batch case). Cost: one scan of the tiny docs ledger
+    * plus a broadcast semi/anti pair on the batch's doc_ids — the
+    * corpus postings are still never re-shingled.
     */
   def probe(spark: SparkSession, indexDir: String,
       batch: DataFrame): DataFrame = {
     val bg = graft.queries.DedupQueries.positionedGrams(batch)
-    val m = livePostings(spark, indexDir).alias("a")
+      .ckpt() // feeds the cap fold AND the match join
+    // batch docs already in the index: their grams are in the df
+    // ledger already — counting them again would double them. The
+    // batch doc-id set is small by contract → broadcast both hops.
+    val batchIds = batch.select(col("doc_id")).distinct()
+    val overlap = indexedDocs(spark, indexDir)
+      .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+    val newDfs = bg.join(broadcast(overlap), Seq("doc_id"), "left_anti")
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val m = livePostings(spark, indexDir, Some(newDfs)).alias("a")
       .join(bg.alias("b"),
         col("a.gram") === col("b.gram") &&
         col("a.doc_id") =!= col("b.doc_id"))
@@ -168,5 +200,7 @@ object SpanIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/grams")
     totalDfs(spark, srcDir)
       .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/dfs")
+    indexedDocs(spark, srcDir).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/docs")
   }
 }

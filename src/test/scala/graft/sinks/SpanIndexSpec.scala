@@ -69,6 +69,42 @@ class SpanIndexSpec extends AnyFunSuite {
     assert(SpanIndex.probe(spark, rebuilt, probeDoc).count() == 0)
   }
 
+  test("un-indexed batch whose own grams cross the cap == q190 over corpus ∪ batch") {
+    // corpus: 60 docs share the boilerplate sentence (df = 60, under
+    // the 64 cap — probes see it). Batch: 10 NEW docs carrying the
+    // same sentence. Over corpus ∪ batch the gram's df is 70 > 64, so
+    // an exact probe must silence it — the round-8 precondition said
+    // this case over-reported; the docs-ledger cap fold closes it.
+    // Each doc also shares a unique 8-token tail with exactly one
+    // corpus partner, so the probe still has REAL spans to report and
+    // the assertion is equivalence, not mere emptiness.
+    val boiler = "terms of service apply to all content here"
+    def tail(i: Int) = s"${spell(i)}p ${spell(i)}q ${spell(i)}r " +
+      s"${spell(i)}s ${spell(i)}t ${spell(i)}u ${spell(i)}v ${spell(i)}w"
+    val corpus = docs((0 until 60).map(i =>
+      i.toLong -> s"$boiler ${tail(i % 10)}"))
+    val batch = docs((100 until 110).map(i =>
+      i.toLong -> s"$boiler ${tail(i - 100)}"))
+    val idx = TestSpark.tmpDir("span-index-unidx-cap")
+    SpanIndex.build(corpus, idx)
+    val got = SpanIndex.probe(spark, idx, batch)
+      .orderBy(col("da"), col("db")).collect().toSeq
+    // q190's own machinery over the UNION (sharedSpans is the
+    // q190-pinned core), restricted to corpus×batch pairs — the
+    // probe's contract surface
+    val want = graft.queries.DedupQueries
+      .sharedSpans(corpus.unionByName(batch),
+        graft.queries.DedupQueries.spanDfCap)
+      .where(col("da") < 100L && col("db") >= 100L)
+      .orderBy(col("da"), col("db")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // and the boilerplate really did cross the cap only via the fold:
+    // no pure-boiler pair (da sharing ONLY the sentence with db)
+    // survives, while the tail-sharing pairs do — 6 corpus docs per
+    // batch doc (i%10 partners) = 60 pairs
+    assert(got.size == 60, s"expected 60 tail-sharing pairs, got ${got.size}")
+  }
+
   test("compact garbage-collects dead grams' postings, probes unchanged") {
     val nav = "home about products contact login search help news"
     val d = docs((0 until 100).map(i =>
