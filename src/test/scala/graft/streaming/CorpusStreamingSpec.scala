@@ -290,6 +290,81 @@ class CorpusStreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must actually share a span")
   }
 
+  test("kill-and-restart through a real checkpoint: recovered TextIndex ≡ one-shot build") {
+    import spark.implicits._
+    // A FILE source (replayable across restarts, unlike MemoryStream,
+    // which dies with its query object) feeding the TextIndex sink
+    // through a REAL checkpointLocation. The scenario: ingest three
+    // docs (one micro-batch each via maxFilesPerTrigger=1), stop the
+    // query, then delete the LAST batch's commit marker from the
+    // checkpoint — the on-disk state of a crash between the sink
+    // commit and the checkpoint commit, the at-least-once window
+    // foreachBatch exposes. A new query over the SAME checkpoint must
+    // replay that batch id (its delta generation already exists on
+    // disk — the gen-scoped overwrite makes the replay harmless) and
+    // then continue with three more docs written while the stream was
+    // down. BM25 is the assertion surface because every double-count
+    // (postings, doclens, corpus totals) shifts a score.
+    val srcDir = TestSpark.tmpDir("stream-restart-src")
+    val ckpt = TestSpark.tmpDir("stream-restart-ckpt")
+    val idx = TestSpark.tmpDir("stream-restart-idx")
+    val docsAll = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "a lazy dog sleeps all day long",
+      3L -> "the fox and the hound chase the quick rabbit",
+      4L -> "quick thinking saves the day for the lazy fox",
+      5L -> "a hound naps while the rabbit runs past the dog",
+      6L -> "foxes and rabbits share the quiet meadow at dusk")
+    def writeFile(d: (Long, String)): Unit =
+      Seq(d).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def startQuery() = CorpusStreaming.textIndexSink(
+        spark.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir),
+        idx)
+      .option("checkpointLocation", ckpt)
+      .start()
+    graft.sinks.TextIndex.build(Seq.empty[(Long, String)]
+      .toDF("doc_id", "text"), idx)
+    docsAll.take(3).foreach(writeFile)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // forge the crash window: the last batch's sink delta is on disk
+    // but its checkpoint commit is gone → restart MUST re-run it
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.length == 3, s"expected 3 committed batches, got ${commits.length}")
+    assert(commits.last.delete(), "could not remove the last commit marker")
+    // the local-FS checksum sidecar must go with it, or the restarted
+    // query's commit rename trips over the stale CRC
+    val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    docsAll.drop(3).foreach(writeFile)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    // recovered index ≡ one-shot batch build over all six docs
+    val oneShot = TestSpark.tmpDir("stream-restart-oneshot")
+    graft.sinks.TextIndex.build(docsAll.toDF("doc_id", "text"), oneShot)
+    def img(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    assert(img(graft.sinks.TextIndex.searchBm25(spark, idx,
+        Seq("quick", "fox"), 10))
+      == img(graft.sinks.TextIndex.searchBm25(spark, oneShot,
+        Seq("quick", "fox"), 10)))
+    assert(img(graft.sinks.TextIndex.searchPhrase(spark, idx,
+        Seq("the", "quick")))
+      == img(graft.sinks.TextIndex.searchPhrase(spark, oneShot,
+        Seq("the", "quick"))))
+    // and the replayed generation really was replayed, not skipped:
+    // six one-doc batches → gens 0..5 present exactly once
+    val gens = new java.io.File(s"$idx/postings_delta").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(gens == (0 to 5).map(g => s"gen=$g"),
+      s"unexpected delta generations: $gens")
+  }
+
   test("streaming DedupIndex/ContamIndex ingest ≡ one-shot batch build") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
