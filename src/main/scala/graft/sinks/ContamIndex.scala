@@ -45,7 +45,7 @@ object ContamIndex {
   /** The two index relations for one (doc_id, text) batch — ONE
     * shingling shared by build/append/appendDelta.
     */
-  private def relations(held: DataFrame): (DataFrame, DataFrame) = {
+  private[sinks] def relations(held: DataFrame): (DataFrame, DataFrame) = {
     val posts = held.select(col("doc_id"),
         graft.functions.Shingles.shingles(col("text"), 13).as("g"))
       .ckpt() // feeds postings AND per-doc totals

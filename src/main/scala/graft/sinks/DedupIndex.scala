@@ -31,7 +31,7 @@ object DedupIndex {
     * per shingle, 4 disjoint 8-hex-char fields each; fixed-width hex
     * compares lexicographically == numerically).
     */
-  private def sigs(docs: DataFrame): DataFrame = {
+  private[sinks] def sigs(docs: DataFrame): DataFrame = {
     val minhashes = (0 until 8).map { j =>
       val seed = if (j < 4) "A|" else "B|"
       val lo = (j % 4) * 8 + 1
@@ -46,7 +46,7 @@ object DedupIndex {
   }
 
   /** 4 band buckets (2 signature fields each) per signature row. */
-  private def banded(sig: DataFrame): DataFrame =
+  private[sinks] def banded(sig: DataFrame): DataFrame =
     sig.withColumn("bucket",
       explode(array((0 until 4).map(b =>
         md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))

@@ -61,7 +61,7 @@ object SpanIndex {
     * fact that makes the probe-time cap exact over corpus ∪ batch
     * without double-counting an indexed doc's grams.
     */
-  private def relations(docs: DataFrame)
+  private[sinks] def relations(docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     val grams = graft.queries.DedupQueries.positionedGrams(docs)
       .ckpt() // feeds postings AND the df ledger

@@ -54,7 +54,7 @@ object TextIndex {
     * tokenization shared by build/append/appendDelta so the three
     * write paths cannot drift.
     */
-  private def relations(docs: DataFrame)
+  private[sinks] def relations(docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     val toks = docs.select(col("doc_id"),
         posexplode(expr(graft.queries.TextQueries.wordsExpr))

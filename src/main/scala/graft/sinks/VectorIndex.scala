@@ -46,7 +46,7 @@ object VectorIndex {
     * relation — the same native `l2_normalize` q48's `vectors` helper
     * applies (the spec's parity gate keeps them in sync).
     */
-  private def normalized(emb: DataFrame): DataFrame =
+  private[sinks] def normalized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       expr("l2_normalize(embedding)").as("v"))
 
@@ -54,7 +54,7 @@ object VectorIndex {
     * q48's rule), shared by [[build]]/[[append]]/[[buildPq]]/
     * [[appendPq]] so the assignment rule has ONE definition.
     */
-  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[sinks] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("cent_id").asc)
     e.join(broadcast(cents))
@@ -427,7 +427,7 @@ object VectorIndex {
     * the corpus, not a sort; the 256-row renumber window is bounded by
     * construction (globalWindowBudget-reviewed).
     */
-  private def retrainSample(postings: DataFrame): DataFrame = {
+  private[sinks] def retrainSample(postings: DataFrame): DataFrame = {
     val cap = graft.queries.SimilarityQueries.IvfSampleCap
     val byHash = Window.orderBy(col("h"), col("orig_id"))
     postings

@@ -297,6 +297,93 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // ---- sink plans (SinkPlans registry): the five persisted sinks'
+  // build/probe/compact jobs gated like queries (round-8 item 5) ----
+
+  // VectorIndex entries cross the broadcast k-row centroid table
+  // (q48's shape) or a ONE-row totals aggregate (q37 pattern);
+  // searchBm25 crosses the one-row corpus totals (q132's allowance).
+  private val sinkNlAllowed = Set(
+    "VectorIndex.build.assign", "VectorIndex.search",
+    "VectorIndex.searchAdc", "VectorIndex.cellBalance",
+    "VectorIndex.compactRetrain.assign", "TextIndex.searchBm25")
+
+  // searchBm25's one global window is q132's ≤topK survivor rank.
+  private val sinkWindowBudget = Map("TextIndex.searchBm25" -> 1)
+
+  // Audit mode additionally reveals the retraining compact's
+  // hash-sample renumber window — bounded at IvfSampleCap (256) rows
+  // by the preceding limit, reviewed in VectorIndex.retrainSample.
+  private val sinkAuditWindowBudget = Map(
+    "TextIndex.searchBm25" -> 1,
+    "VectorIndex.compactRetrain.assign" -> 1)
+
+  test("sink plans codegen, avoid cartesians, keep windows partitioned") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val idxRoot = SinkPlansFixture.idxRoot
+    val failures = try {
+      graft.sinks.SinkPlans.plans(spark, dir, idxRoot)
+        .flatMap { case (name, mk) =>
+          val physical = mk().queryExecution.executedPlan
+          val plan = physical.toString
+          val codegenSpans = physical.collect {
+            case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+          }
+          val globalWindows = physical.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExecBase
+                if w.partitionSpec.isEmpty => w
+          }
+          val errs = Seq.newBuilder[String]
+          if (codegenSpans.isEmpty)
+            errs += s"$name: no WholeStageCodegen span"
+          if (plan.contains("CartesianProduct"))
+            errs += s"$name: CartesianProduct"
+          if (plan.contains("BroadcastNestedLoopJoin") &&
+              !sinkNlAllowed(name))
+            errs += s"$name: unexpected BroadcastNestedLoopJoin"
+          if (globalWindows.size > sinkWindowBudget.getOrElse(name, 0))
+            errs += s"$name: ${globalWindows.size} unpartitioned " +
+              s"WindowExec (budget ${sinkWindowBudget.getOrElse(name, 0)})"
+          errs.result()
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("FULL sink plans (checkpoints disabled) keep windows partitioned") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val idxRoot = SinkPlansFixture.idxRoot
+    graft.Ckpt.disabled = true
+    val failures = try {
+      graft.sinks.SinkPlans.plans(spark, dir, idxRoot)
+        .flatMap { case (name, mk) =>
+          try {
+            val physical = mk().queryExecution.executedPlan
+            val globalWindows = physical.collect {
+              case w: org.apache.spark.sql.execution.window.WindowExecBase
+                  if w.partitionSpec.isEmpty => w
+            }
+            val budget = sinkAuditWindowBudget.getOrElse(name, 0)
+            val errs = Seq.newBuilder[String]
+            if (physical.toString.contains("CartesianProduct"))
+              errs += s"$name: CartesianProduct (audit mode)"
+            if (globalWindows.size > budget)
+              errs += s"$name: ${globalWindows.size} unpartitioned " +
+                s"WindowExec in the FULL plan (reviewed budget $budget)"
+            errs.result()
+          } catch {
+            case e: Throwable =>
+              Seq(s"$name: construction failed in audit mode: " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        }
+    } finally {
+      graft.Ckpt.disabled = false
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("every query codegens and avoids accidental nested-loop joins") {
     // codegen wrappers only appear in the non-adaptive physical plan
     // string (AQE annotates them per stage at execution time)

@@ -517,6 +517,60 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // (w1, w2) scoring join, and the per-doc agg
     "q184_perplexity_filter" -> 5)
 
+  // Sink lifecycle plans (SinkPlans registry) under the same net.
+  // Budgets recorded from the r9 plans; regenerate by reading the
+  // failure message after an intentional change.
+  private val sinkBudget = Map(
+    "TextIndex.build.postings" -> 2,
+    "TextIndex.build.doclens" -> 0,
+    "TextIndex.build.stats" -> 1,
+    "SpanIndex.build.grams" -> 1,
+    "SpanIndex.build.dfs" -> 1,
+    "SpanIndex.build.docs" -> 1,
+    "DedupIndex.build.fingerprints" -> 0,
+    "DedupIndex.build.bands" -> 1,
+    "ContamIndex.build.postings" -> 1,
+    "ContamIndex.build.docs" -> 2,
+    "VectorIndex.build.assign" -> 1,
+    "TextIndex.searchBm25" -> 3,
+    "TextIndex.searchPhrase" -> 2,
+    "SpanIndex.probe" -> 5,
+    "DedupIndex.classify" -> 3,
+    "ContamIndex.probe" -> 3,
+    "VectorIndex.search" -> 1,
+    "VectorIndex.searchAdc" -> 1,
+    "VectorIndex.cellBalance" -> 3,
+    "TextIndex.compact.postings" -> 1,
+    "SpanIndex.compact.grams" -> 2,
+    "DedupIndex.compact.fingerprints" -> 1,
+    "ContamIndex.compact.postings" -> 1,
+    "VectorIndex.compact.postings" -> 1,
+    "VectorIndex.compactRetrain.assign" -> 1)
+
+  test("no sink plan exceeds its shuffle budget") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val idxRoot = SinkPlansFixture.idxRoot
+    val over = try {
+      graft.sinks.SinkPlans.plans(spark, dir, idxRoot)
+        .flatMap { case (name, mk) =>
+          val n = mk().queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeExec => e
+          }.size
+          val b = sinkBudget.getOrElse(name, 0)
+          if (n > b) Some(s"$name: $n > $b") else None
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(over.isEmpty,
+      s"over budget (new shuffle?): ${over.mkString(", ")}")
+  }
+
+  test("every sink plan has a recorded budget") {
+    assert(graft.sinks.SinkPlans
+      .plans(spark, dir, SinkPlansFixture.idxRoot)
+      .map(_._1).toSet == sinkBudget.keySet)
+  }
+
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val over = try {
