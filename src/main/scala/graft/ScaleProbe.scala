@@ -21,11 +21,24 @@ import org.apache.spark.sql.functions._
   *    crawl (boilerplate aside).
   *  - embeddings copy k > 0 rotates the vector by k dims — norm and
   *    coordinate distribution preserved, direction decorrelated.
+  *  - events copy k > 0 offsets user_id/event_id — "the product grew
+  *    10× more users over the same calendar window": per-user event
+  *    streams (sessions, funnels, lag joins) are structurally identical
+  *    across copies but user-disjoint, so per-user costs stay flat and
+  *    per-day densities grow linearly — exactly how a real 10× fleet
+  *    scales.
+  *  - lineitem/orders copy k > 0 offsets the order/part/supp/cust keys
+  *    — the part co-occurrence graph becomes k VERTEX-DISJOINT copies
+  *    (triangle/k-core/label-prop work grows in components, not in hub
+  *    degree), and l_extendedprice shifts by k cents so global exact
+  *    percentiles face k× DISTINCT values, not k× multiplicity of the
+  *    same ones (duplicate pile-up would make the refinement search
+  *    artificially easy).
   *  - copy 0 is the ORIGINAL rows, ids unchanged, so every seed-id
   *    convention (IVF anchors `vec_id < 16`, PQ codebook seeds) still
   *    holds on the blown-up corpus.
-  *  - all other tables copy through unchanged (the probe queries only
-  *    read documents/embeddings; the copies keep Tables() resolvable).
+  *  - all other tables copy through unchanged (they keep Tables()
+  *    resolvable for queries outside the probed families).
   *
   * Usage: `runMain graft.ScaleProbe [mult] [srcDir] [dstDir]`, then
   * `SPARK_GRAFT_SF_DIR=<dstDir> runMain graft.Bench q111_… q190_… …`.
@@ -74,11 +87,58 @@ object ScaleProbe {
       .repartition(16)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
+    // events: user-disjoint copies over the same calendar window. ts is
+    // carried in its on-disk encoding untouched (nanos-long / NTZ /
+    // timestamp all round-trip through Tables.events identically), so
+    // copy 0 stays byte-verbatim.
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val nEvt = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+    val nUsr = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+    // keep the on-disk column ORDER verbatim (copy 0 is byte-identical)
+    val evOver = Map(
+      "event_id" -> (col("event_id") + col("k") * nEvt).as("event_id"),
+      "user_id" -> (col("user_id") + col("k") * nUsr).as("user_id"))
+    val evCols = ev.columns.toSeq.map(c => evOver.getOrElse(c, col(c)))
+    ev.crossJoin(copies)
+      .select(evCols: _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    // lineitem + orders: key-disjoint copies — the co-occurrence graph
+    // gains components, percentile targets gain distinct values (+k
+    // cents), and the order→lineitem FK stays consistent per copy.
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val nOrd = ord.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+    val nPart = li.agg(max(col("l_partkey"))).head.getLong(0) + 1
+    val nSupp = li.agg(max(col("l_suppkey"))).head.getLong(0) + 1
+    val nCust = ord.agg(max(col("o_custkey"))).head.getLong(0) + 1
+    val liOver = Map(
+      "l_orderkey" -> (col("l_orderkey") + col("k") * nOrd).as("l_orderkey"),
+      "l_partkey" -> (col("l_partkey") + col("k") * nPart).as("l_partkey"),
+      "l_suppkey" -> (col("l_suppkey") + col("k") * nSupp).as("l_suppkey"),
+      "l_extendedprice" -> (col("l_extendedprice") + col("k") * 0.01)
+        .as("l_extendedprice"))
+    val liCols = li.columns.toSeq.map(c => liOver.getOrElse(c, col(c)))
+    li.crossJoin(copies)
+      .select(liCols: _*)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    val ordOver = Map(
+      "o_orderkey" -> (col("o_orderkey") + col("k") * nOrd).as("o_orderkey"),
+      "o_custkey" -> (col("o_custkey") + col("k") * nCust).as("o_custkey"))
+    val ordCols = ord.columns.toSeq.map(c => ordOver.getOrElse(c, col(c)))
+    ord.crossJoin(copies)
+      .select(ordCols: _*)
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+
     // remaining tables pass through so Tables() resolves on dstDir.
     // Listed via Hadoop FS (like DeltaIO) so a missing srcDir fails with
     // a clear message instead of listFiles' null-NPE, and non-local
     // filesystems work the same as the spark.read calls above.
-    val done = Set("documents.parquet", "embeddings.parquet")
+    val done = Set("documents.parquet", "embeddings.parquet",
+      "events.parquet", "lineitem.parquet", "orders.parquet")
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(srcPath), s"scale-probe srcDir not found: $src")

@@ -70,4 +70,56 @@ class ScaleProbeSpec extends AnyFunSuite {
       .count()
     assert(same == 0, s"$same rotated vectors identical to the original")
   }
+
+  test("events: 3x rows, copy 0 verbatim, copies user-disjoint, window fixed") {
+    val orig = Tables(spark, src).events
+    val blown = Tables(spark, dst).events
+    val n = spark.read.parquet(s"$src/events.parquet")
+      .agg(max(col("event_id"))).head.getLong(0) + 1
+    val nU = spark.read.parquet(s"$src/events.parquet")
+      .agg(max(col("user_id"))).head.getLong(0) + 1
+    assert(blown.count() == 3 * orig.count())
+    // copy 0 = the original rows (through the same Tables normalization)
+    assert(blown.where(col("event_id") < n).exceptAll(orig).isEmpty,
+      "copy 0 must be the original rows unchanged")
+    // user populations of distinct copies are disjoint — per-user
+    // costs stay flat under the blow-up
+    assert(blown.select((col("user_id") / nU).cast("bigint").as("k"),
+        col("user_id")).distinct()
+      .groupBy("user_id").count().where(col("count") > 1).isEmpty)
+    // the calendar window does not stretch: density grows, range doesn't
+    val r = (d: org.apache.spark.sql.DataFrame) =>
+      d.agg(min(col("ts")), max(col("ts"))).head
+    assert(r(blown) == r(orig), "ts range must be copy-invariant")
+  }
+
+  test("lineitem/orders: 3x rows, copy 0 verbatim, graph components disjoint") {
+    val origLi = spark.read.parquet(s"$src/lineitem.parquet")
+    val blownLi = spark.read.parquet(s"$dst/lineitem.parquet")
+    val origOrd = spark.read.parquet(s"$src/orders.parquet")
+    val blownOrd = spark.read.parquet(s"$dst/orders.parquet")
+    val nOrd = origOrd.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+    val nPart = origLi.agg(max(col("l_partkey"))).head.getLong(0) + 1
+    assert(blownLi.count() == 3 * origLi.count())
+    assert(blownOrd.count() == 3 * origOrd.count())
+    assert(blownLi.where(col("l_orderkey") < nOrd)
+      .exceptAll(origLi).isEmpty, "lineitem copy 0 must be verbatim")
+    assert(blownOrd.where(col("o_orderkey") < nOrd)
+      .exceptAll(origOrd).isEmpty, "orders copy 0 must be verbatim")
+    // copies never share an order or a part: the co-occurrence graph
+    // is vertex-disjoint per copy (work grows in components, not hubs)
+    val liK = blownLi.select((col("l_orderkey") / nOrd).cast("bigint")
+      .as("ko"), (col("l_partkey") / nPart).cast("bigint").as("kp"))
+    assert(liK.where(col("ko") =!= col("kp")).isEmpty,
+      "order-copy and part-copy of a line must agree")
+    // FK consistency: every blown-up line's order exists in blown orders
+    assert(blownLi.select(col("l_orderkey").as("o_orderkey")).distinct()
+      .join(blownOrd, Seq("o_orderkey"), "left_anti").isEmpty,
+      "lineitem→orders FK must hold per copy")
+    // percentile targets gain DISTINCT values (no duplicate pile-up):
+    // distinct extendedprice count scales ~3x, not 1x
+    val d1 = origLi.select(col("l_extendedprice")).distinct().count()
+    val d3 = blownLi.select(col("l_extendedprice")).distinct().count()
+    assert(d3 > 2 * d1, s"distinct prices must grow with copies ($d1 -> $d3)")
+  }
 }
