@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink-lifecycle benchmark: times a full build → append → probe →
+  * compact chain for the TextIndex and SpanIndex sinks over
+  * `SPARK_GRAFT_SF_DIR`'s documents table, printing ONE JSON line —
+  * the scale-probe companion to `graft.Bench` (which times the query
+  * surface only). Run it on both a base dir and a `graft.ScaleProbe`
+  * blow-up of it to measure how the index write paths scale:
+  *
+  * {{{
+  * SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.SinkBench
+  * SPARK_GRAFT_SF_DIR=/tmp/graft_scaleprobe_x10 runMain graft.SinkBench
+  * }}}
+  *
+  * The append batch is a fixed 500-document slice re-keyed past the
+  * corpus max id: append cost must track the BATCH, not the corpus, so
+  * the batch is deliberately scale-invariant — at a 10× corpus a flat
+  * append time is the pass criterion, not a 10× one. Probes run
+  * through the public search surfaces and materialize via the noop
+  * sink (the Bench discipline: count() could skip column evaluation).
+  */
+object SinkBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.local("graft-sinkbench", cpus)
+    spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup
+
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    // scale-invariant append batch: 500 docs re-keyed past the corpus
+    val batch = docs.where(col("doc_id") < 500)
+      .select((col("doc_id") + maxId + 1L).as("doc_id"), col("text"))
+      .localCheckpoint() // pay the slice cost once, outside the timers
+    val probeBatch = docs.where(col("doc_id") < 20).localCheckpoint()
+
+    def sec(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def drain(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sinkbench").toString
+
+    val text = s"$tmp/text"
+    val textTimes = Seq(
+      "build" -> sec(sinks.TextIndex.build(docs, text)),
+      "append" -> sec(sinks.TextIndex.append(batch, text)),
+      "probe" -> sec(drain(sinks.TextIndex.searchBm25(
+        spark, text, Seq("the", "data", "of"), 10))),
+      "compact" -> sec(sinks.TextIndex.compact(spark, text, s"$tmp/text2")))
+
+    val span = s"$tmp/span"
+    val spanTimes = Seq(
+      "build" -> sec(sinks.SpanIndex.build(docs, span)),
+      "append" -> sec(sinks.SpanIndex.append(batch, span)),
+      "probe" -> sec(drain(sinks.SpanIndex.probe(spark, span, probeBatch))),
+      "compact" -> sec(sinks.SpanIndex.compact(spark, span, s"$tmp/span2")))
+
+    def js(ts: Seq[(String, Double)]): String =
+      ts.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"sink_chain_sec","sf":"$sfDir",""" +
+      s""""text":${js(textTimes)},"span":${js(spanTimes)}}""")
+    spark.stop()
+  }
+}
