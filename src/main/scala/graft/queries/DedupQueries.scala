@@ -1299,6 +1299,77 @@ object DedupQueries {
                CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
                CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_b
         FROM cls2 GROUP BY 1, 2
+      """)),
+
+    // ------------------------------------------------------------------
+    // q237: dedup-threshold ROI sweep — the report that decides WHERE to
+    // set the near-dup cutoff before a destructive dedup pass: for each
+    // candidate Jaccard threshold (50..90%), how many pairs qualify,
+    // how many documents are touched, and how many documents are
+    // DOMINATED (have a smaller-id near-dup, i.e. would be dropped by
+    // the pairwise min-id rule — a lower bound on full-component
+    // removals, which q54 computes for the one chosen threshold).
+    // Thresholds are integer percents so the group key is exact;
+    // jaccard rounds at 9 before the compare (the q59 thresholding
+    // idiom) and t_pct/100.0 is the same double in both engines.
+    //
+    // Scale: the expensive part — sparse source-blocked pair
+    // generation — runs ONCE (shared jaccardPairs, checkpointed); the
+    // sweep is a 5-way narrow explode over the PAIR table (already
+    // sub-corpus-sized), and both rollups aggregate that small
+    // relation. The 5-row threshold spine LEFT-joins the rollups so a
+    // threshold with zero qualifying pairs still reports (the row a
+    // threshold-picker actually wants to see). Adding a candidate
+    // threshold costs an array literal, never another corpus pass.
+    QDef(
+      "q237_dedup_threshold_sweep",
+      (s, dir) => {
+        val sw = jaccardPairs(s, dir)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("jaccard"), 9).as("j9"))
+          .withColumn("t_pct", explode(array(
+            lit(50L), lit(60L), lit(70L), lit(80L), lit(90L))))
+          .where(col("j9") >= col("t_pct") / 100.0d)
+          .ckpt() // tiny thresholded pair stream feeds both rollups
+        val perPair = sw.groupBy(col("t_pct"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("doc_b")).as("n_dominated"))
+        val perDoc = sw
+          .select(col("t_pct"),
+            explode(array(col("doc_a"), col("doc_b"))).as("d"))
+          .distinct()
+          .groupBy(col("t_pct")).agg(count(lit(1)).as("n_docs"))
+        s.range(1).select(explode(array(
+            lit(50L), lit(60L), lit(70L), lit(80L), lit(90L)))
+            .as("t_pct"))
+          .join(perPair, Seq("t_pct"), "left")
+          .join(perDoc, Seq("t_pct"), "left")
+          .select(col("t_pct"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_dominated"), lit(0L)).as("n_dominated"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
+        sh AS (SELECT doc_id, source, $SGDuck AS sg FROM w),
+        jp AS ($jaccardPairsDuck),
+        sw AS (SELECT t.t_pct, doc_a, doc_b FROM jp,
+                 (VALUES (50), (60), (70), (80), (90)) t(t_pct)
+               WHERE ROUND(jaccard, 9) >= t.t_pct / 100.0),
+        pp AS (SELECT t_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                      CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_dominated
+               FROM sw GROUP BY 1),
+        dd AS (SELECT t_pct, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+               FROM (SELECT t_pct, doc_a AS d FROM sw
+                     UNION SELECT t_pct, doc_b FROM sw) u
+               GROUP BY 1)
+        SELECT CAST(t.t_pct AS BIGINT) AS t_pct,
+               COALESCE(pp.n_pairs, 0) AS n_pairs,
+               COALESCE(dd.n_docs, 0) AS n_docs,
+               COALESCE(pp.n_dominated, 0) AS n_dominated
+        FROM (VALUES (50), (60), (70), (80), (90)) t(t_pct)
+        LEFT JOIN pp ON pp.t_pct = t.t_pct
+        LEFT JOIN dd ON dd.t_pct = t.t_pct
       """))
   )
 }

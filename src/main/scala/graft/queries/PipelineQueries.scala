@@ -2749,6 +2749,242 @@ object PipelineQueries {
                CAST(length(built) AS BIGINT) AS n_out_chars,
                md5(built) AS built_fp
         FROM b
+      """)),
+
+    // ------------------------------------------------------------------
+    // q239: UniMax budget allocation (Chung et al. 2023) — the mixture
+    // rule q179/q220's temperature scaling can't express: distribute a
+    // token budget UNIFORMLY across sources subject to a per-source
+    // epoch cap (capacity = cap × n_tokens), so no source repeats more
+    // than `cap` epochs and the freed budget water-fills the rest.
+    // Closed form over sources sorted by capacity ascending: source i
+    // (of k) is CAP-BOUND iff capacity_i·(k−i+1) ≤ B − prefix_{i−1};
+    // binding is prefix-closed under this order (smaller capacities
+    // bind first), pinned by a running-min rather than assumed. The
+    // unbound sources split the residue by exact integer division;
+    // the sub-|sources| remainder is reported as leftover_tokens, not
+    // silently smeared. All integer arithmetic — hash-exact; only the
+    // final epochs ratio rounds.
+    //
+    // Scale: one scan-side partial agg to |sources| rows; every window
+    // runs on that bounded relation (Q.bounded — never corpus-keyed),
+    // and the two one-row rollups broadcast back (q37 pattern). The
+    // corpus is touched exactly once at any size.
+    QDef(
+      "q239_unimax_allocation",
+      (s, dir) => {
+        val B = 100000L
+        val cap = 4L
+        val byCap = Q.bounded.orderBy(col("capacity"), col("source"))
+        val run = byCap.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val ranked = Tables(s, dir).documents
+          .groupBy(col("source"))
+          .agg(expr(s"cast(sum(size($W)) as bigint)").as("n_tokens"))
+          .withColumn("capacity", col("n_tokens") * cap)
+          .withColumn("i", row_number().over(byCap))
+          .withColumn("pre", sum(col("capacity")).over(run))
+          .withColumn("k", count(lit(1)).over(Q.bounded))
+          .withColumn("bind_own",
+            (col("capacity") * (col("k") - col("i") + 1L) <=
+              lit(B) - (col("pre") - col("capacity"))).cast("int"))
+          .withColumn("bound", min(col("bind_own")).over(run) === 1)
+          .ckpt() // |sources| rows feed the rollup AND the final select
+        val tot = ranked.agg(
+          sum(when(col("bound"), col("capacity")).otherwise(0L))
+            .cast("bigint").as("sum_bound"),
+          sum(when(col("bound"), 1L).otherwise(0L)).cast("bigint")
+            .as("n_bound"))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("fair", expr(
+            s"case when k > n_bound then ($B - sum_bound) div " +
+              "(k - n_bound) else null end"))
+          .withColumn("alloc_tokens",
+            when(col("bound"), col("capacity")).otherwise(col("fair")))
+          .select(col("source"), col("n_tokens"), col("capacity"),
+            col("bound"), col("alloc_tokens"),
+            round(col("alloc_tokens").cast("double") /
+              nullif(col("n_tokens"), lit(0L)).cast("double"), 6)
+              .as("epochs_r"),
+            (lit(B) - col("sum_bound") -
+              coalesce(col("fair") * (col("k") - col("n_bound")), lit(0L)))
+              .as("leftover_tokens"))
+      },
+      Some(s"""
+        WITH src AS (SELECT source,
+                            CAST(SUM(len($WDuck)) AS BIGINT) AS n_tokens
+                     FROM documents GROUP BY 1),
+        r AS (SELECT source, n_tokens, n_tokens * 4 AS capacity,
+                     ROW_NUMBER() OVER (ORDER BY n_tokens * 4, source)
+                       AS i,
+                     CAST(SUM(n_tokens * 4) OVER (ORDER BY n_tokens * 4,
+                       source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre,
+                     CAST(COUNT(*) OVER () AS BIGINT) AS k
+              FROM src),
+        b AS (SELECT *, CASE WHEN capacity * (k - i + 1)
+                                  <= 100000 - (pre - capacity)
+                             THEN 1 ELSE 0 END AS bind_own
+              FROM r),
+        bb AS (SELECT *, MIN(bind_own) OVER (ORDER BY capacity, source
+                 ROWS UNBOUNDED PRECEDING) = 1 AS bound
+               FROM b),
+        agg AS (SELECT CAST(SUM(CASE WHEN bound THEN capacity ELSE 0 END)
+                            AS BIGINT) AS sum_bound,
+                       CAST(SUM(CASE WHEN bound THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_bound
+                FROM bb),
+        f AS (SELECT bb.*, agg.sum_bound, agg.n_bound,
+                     CASE WHEN k > n_bound
+                          THEN (100000 - sum_bound) // (k - n_bound)
+                          ELSE NULL END AS fair
+              FROM bb, agg)
+        SELECT source, n_tokens, CAST(capacity AS BIGINT) AS capacity,
+               bound,
+               CAST(CASE WHEN bound THEN capacity ELSE fair END
+                    AS BIGINT) AS alloc_tokens,
+               ROUND(CAST(CASE WHEN bound THEN capacity ELSE fair END
+                          AS DOUBLE) / NULLIF(n_tokens, 0), 6)
+                 AS epochs_r,
+               CAST(100000 - sum_bound
+                    - COALESCE(fair * (k - n_bound), 0)
+                    AS BIGINT) AS leftover_tokens
+        FROM f
+      """)),
+
+    // ------------------------------------------------------------------
+    // q240: Bradley–Terry strength fit — the reward-modeling step after
+    // q227's pair construction: turn pairwise preference OUTCOMES into
+    // per-player strengths (the BT MLE is what ranks arena-style
+    // preference data and weights RLHF mixtures). Players are sources;
+    // a match happens per lang (the prompt proxy) between every source
+    // pair present, winner = the higher per-(lang, source) champion
+    // score (q227's SHARED prefScore — ties to the lexicographically
+    // smaller source; exact integers, so outcomes are hash-exact).
+    // The fit runs 3 fixed minorize-maximize iterations
+    //   p_i ← (W_i + 1) / Σ_j n_ij / (p_i + p_j)
+    // with add-one smoothing on wins so an all-losing player keeps a
+    // positive strength (the MLE is degenerate otherwise) and each
+    // denominator/strength ROUNDED AT 9 (the q101/q201 quantized-
+    // trajectory discipline: the ≤|players| double sums carry only
+    // fold-order ulps, absorbed at 1e-9, so Spark and DuckDB walk
+    // identical iterates). Output adds the round-6 normalized share.
+    //
+    // Scale: the corpus collapses to |lang × source| champion rows in
+    // ONE partial-agg exchange (max, never a member window); matches,
+    // the win/game tallies and every MM iteration live on ≤|sources|²
+    // rows — bounded by the schema, not the corpus. The oracle unrolls
+    // the same 3 iterations as chained CTEs.
+    QDef(
+      "q240_bradley_terry",
+      (s, dir) => {
+        val champ = Tables(s, dir).documents
+          .withColumn("ws", expr(W))
+          .select(col("lang"), col("source"),
+            expr(prefScoreSpark).as("score"))
+          .groupBy(col("lang"), col("source"))
+          .agg(max(col("score")).as("best"))
+          .ckpt() // |lang × source| rows feed both sides of the match join
+        val games = champ.as("a").join(champ.as("b"),
+            col("a.lang") === col("b.lang") &&
+              col("a.source") < col("b.source"))
+          .select(col("a.source").as("sa"), col("b.source").as("sb"),
+            when(col("a.best") >= col("b.best"), 1L).otherwise(0L)
+              .as("win_a"))
+          .groupBy(col("sa"), col("sb"))
+          .agg(count(lit(1)).as("n_games"), sum(col("win_a")).as("wins_a"))
+          .ckpt() // ≤|sources|² rows feed the tally + 3 iterations
+        val tally = games
+          .select(col("sa").as("source"), col("n_games"),
+            col("wins_a").as("w"))
+          .unionByName(games.select(col("sb").as("source"),
+            col("n_games"), (col("n_games") - col("wins_a")).as("w")))
+          .groupBy(col("source"))
+          .agg(sum(col("n_games")).cast("bigint").as("n_games"),
+            sum(col("w")).cast("bigint").as("wins"))
+          .withColumn("wsm", (col("wins") + 1L).cast("double"))
+          .ckpt() // feeds every iteration + the final report
+        def iterate(p: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val g2 = games
+            .join(p.select(col("source").as("sa"), col("p").as("pa")), "sa")
+            .join(p.select(col("source").as("sb"), col("p").as("pb")), "sb")
+            .withColumn("d", col("n_games") / (col("pa") + col("pb")))
+          val den = g2.select(col("sa").as("source"), col("d"))
+            .unionByName(g2.select(col("sb").as("source"), col("d")))
+            .groupBy(col("source"))
+            .agg(round(sum(col("d")), 9).as("den"))
+          tally.join(den, "source")
+            .select(col("source"), round(col("wsm") / col("den"), 9)
+              .as("p"))
+        }
+        val p0 = tally.select(col("source"), lit(1.0d).as("p"))
+        val p3 = iterate(iterate(iterate(p0))).ckpt() // feeds tot + rows
+        val tot = p3.agg(sum(col("p")).as("t"))
+        tally.join(p3, "source").crossJoin(broadcast(tot))
+          .select(col("source"), col("wins"), col("n_games"),
+            col("p").as("strength_r"),
+            round(col("p") / col("t"), 6).as("share_r"))
+      },
+      Some(s"""
+        WITH sc AS (
+          SELECT lang, source, $prefScoreDuck AS score
+          FROM (SELECT lang, source, $WDuck AS ws FROM documents)),
+        champ AS (SELECT lang, source, MAX(score) AS best
+                  FROM sc GROUP BY 1, 2),
+        games AS (SELECT a.source AS sa, b.source AS sb,
+                         CAST(COUNT(*) AS BIGINT) AS n_games,
+                         CAST(SUM(CASE WHEN a.best >= b.best
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS wins_a
+                  FROM champ a JOIN champ b
+                    ON a.lang = b.lang AND a.source < b.source
+                  GROUP BY 1, 2),
+        tally AS (SELECT source,
+                         CAST(SUM(n_games) AS BIGINT) AS n_games,
+                         CAST(SUM(w) AS BIGINT) AS wins,
+                         CAST(SUM(w) + 1 AS DOUBLE) AS wsm
+                  FROM (SELECT sa AS source, n_games, wins_a AS w
+                          FROM games
+                        UNION ALL
+                        SELECT sb, n_games, n_games - wins_a FROM games) u
+                  GROUP BY 1),
+        p0 AS (SELECT source, CAST(1.0 AS DOUBLE) AS p FROM tally),
+        d1 AS (SELECT source, ROUND(SUM(d), 9) AS den FROM (
+                 SELECT g.sa AS source, g.n_games / (pa.p + pb.p) AS d
+                 FROM games g JOIN p0 pa ON pa.source = g.sa
+                              JOIN p0 pb ON pb.source = g.sb
+                 UNION ALL
+                 SELECT g.sb, g.n_games / (pa.p + pb.p)
+                 FROM games g JOIN p0 pa ON pa.source = g.sa
+                              JOIN p0 pb ON pb.source = g.sb) u
+               GROUP BY 1),
+        p1 AS (SELECT t.source, ROUND(t.wsm / d.den, 9) AS p
+               FROM tally t JOIN d1 d ON d.source = t.source),
+        d2 AS (SELECT source, ROUND(SUM(d), 9) AS den FROM (
+                 SELECT g.sa AS source, g.n_games / (pa.p + pb.p) AS d
+                 FROM games g JOIN p1 pa ON pa.source = g.sa
+                              JOIN p1 pb ON pb.source = g.sb
+                 UNION ALL
+                 SELECT g.sb, g.n_games / (pa.p + pb.p)
+                 FROM games g JOIN p1 pa ON pa.source = g.sa
+                              JOIN p1 pb ON pb.source = g.sb) u
+               GROUP BY 1),
+        p2 AS (SELECT t.source, ROUND(t.wsm / d.den, 9) AS p
+               FROM tally t JOIN d2 d ON d.source = t.source),
+        d3 AS (SELECT source, ROUND(SUM(d), 9) AS den FROM (
+                 SELECT g.sa AS source, g.n_games / (pa.p + pb.p) AS d
+                 FROM games g JOIN p2 pa ON pa.source = g.sa
+                              JOIN p2 pb ON pb.source = g.sb
+                 UNION ALL
+                 SELECT g.sb, g.n_games / (pa.p + pb.p)
+                 FROM games g JOIN p2 pa ON pa.source = g.sa
+                              JOIN p2 pb ON pb.source = g.sb) u
+               GROUP BY 1),
+        p3 AS (SELECT t.source, ROUND(t.wsm / d.den, 9) AS p
+               FROM tally t JOIN d3 d ON d.source = t.source),
+        tot AS (SELECT SUM(p) AS t FROM p3)
+        SELECT t.source, t.wins, t.n_games, p3.p AS strength_r,
+               ROUND(p3.p / tot.t, 6) AS share_r
+        FROM tally t JOIN p3 ON p3.source = t.source, tot
       """))
   )
 }

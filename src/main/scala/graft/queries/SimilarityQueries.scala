@@ -2522,6 +2522,101 @@ object SimilarityQueries {
                CASE WHEN s = 0 OR nv = 0 OR nq = 0 THEN NULL
                     ELSE ROUND(dot / (nv * nq), 6) END AS cos_r
         FROM agg
+      """)),
+
+    // ------------------------------------------------------------------
+    // q238: matryoshka truncation-recall audit — before serving
+    // retrieval on a PREFIX of the embedding (the Matryoshka /
+    // dimension-truncation storage play: a d=8 prefix index is 8×
+    // smaller and 8× cheaper to scan than d=64), measure what the
+    // truncation costs: per anchor and per candidate width d ∈
+    // {8,16,32,64}, brute-force top-3 under the RENORMALIZED d-prefix
+    // cosine, intersected with the full-dimension top-3 ground truth
+    // (q120's gt shape and its exact-integer hit discipline). d=64 is
+    // the built-in control row — the prefix ranking IS the ground
+    // truth there, so recall must be exactly 1.
+    //
+    // Scale: the 10-anchor pack broadcasts; the corpus scans ONCE per
+    // anchor-join with the 4 widths a narrow explode over scalars
+    // (slice + dot_product are array-local — the q127 broadcast-grid
+    // shape); the rank window partitions by (qid, d) — bounded by
+    // anchors × widths, never corpus-global. Prefix norms renormalize
+    // the sliced vectors (stored vectors are unit only at FULL width).
+    QDef(
+      "q238_matryoshka_recall",
+      (s, dir) => {
+        val e = vectors(s, dir).select(col("vec_id"), col("v"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        val gt = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor_id"),
+            expr(COS).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("neighbor_id"))
+          .ckpt() // ≤30 rows feeding all four width audits
+        val wd = Window.partitionBy(col("qid"), col("d"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        val pref = q.join(e, col("vec_id") =!= col("qid"))
+          .withColumn("d",
+            explode(array(lit(8), lit(16), lit(32), lit(64))))
+          .select(col("qid"), col("d"), col("vec_id").as("neighbor_id"),
+            expr("""dot_product(slice(qv, 1, d), slice(v, 1, d))
+                    / (sqrt(dot_product(slice(qv, 1, d), slice(qv, 1, d)))
+                       * sqrt(dot_product(slice(v, 1, d), slice(v, 1, d))))""")
+              .as("cos"))
+          .withColumn("rk", row_number().over(wd))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("d"), col("neighbor_id"))
+        val hits = pref
+          .join(gt, Seq("qid", "neighbor_id"), "left_semi")
+          .groupBy(col("qid"), col("d")).agg(count(lit(1)).as("n_hits"))
+        q.select(col("qid"))
+          .withColumn("d",
+            explode(array(lit(8), lit(16), lit(32), lit(64))))
+          .join(hits, Seq("qid", "d"), "left").na.fill(0L, Seq("n_hits"))
+          .select(col("qid"), col("d").cast("bigint").as("d"),
+            col("n_hits"),
+            round(col("n_hits").cast("double") / lit(3.0d), 6)
+              .as("recall_r"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        gts AS (SELECT qid, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                         list_sum(list_transform(range(1, 65),
+                           i -> qv[i] * v[i])) DESC, e.vec_id ASC) AS rk
+                FROM q JOIN e ON e.vec_id <> qid),
+        gt AS (SELECT qid, neighbor_id FROM gts WHERE rk <= 3),
+        prefs AS (SELECT qid, dd.d, e.vec_id AS neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY qid, dd.d ORDER BY
+                          list_sum(list_transform(range(1, dd.d + 1),
+                            i -> qv[i] * v[i]))
+                          / (sqrt(list_sum(list_transform(range(1, dd.d + 1),
+                               i -> qv[i] * qv[i])))
+                             * sqrt(list_sum(list_transform(range(1, dd.d + 1),
+                                 i -> v[i] * v[i])))) DESC,
+                          e.vec_id ASC) AS rk
+                 FROM q JOIN e ON e.vec_id <> qid,
+                      (VALUES (8), (16), (32), (64)) dd(d)),
+        pref AS (SELECT qid, d, neighbor_id FROM prefs WHERE rk <= 3),
+        hits AS (SELECT p.qid, p.d, CAST(COUNT(*) AS BIGINT) AS n_hits
+                 FROM pref p JOIN gt g
+                   ON g.qid = p.qid AND g.neighbor_id = p.neighbor_id
+                 GROUP BY 1, 2),
+        spine AS (SELECT qid, dd.d FROM q,
+                    (VALUES (8), (16), (32), (64)) dd(d))
+        SELECT s.qid, CAST(s.d AS BIGINT) AS d,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 3.0, 6)
+                 AS recall_r
+        FROM spine s LEFT JOIN hits h ON h.qid = s.qid AND h.d = s.d
       """))
   )
 }

@@ -515,7 +515,19 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q183_salted_join" -> 3,
     // q184: post-checkpoint bigrams: c12/c1 aggs, their w1 join, the
     // (w1, w2) scoring join, and the per-doc agg
-    "q184_perplexity_filter" -> 5)
+    "q184_perplexity_filter" -> 5,
+    // q237: post-checkpoint thresholded pair stream: the two rollups
+    // (pairs, exploded docs with a distinct) + the 5-row spine joins
+    "q237_dedup_threshold_sweep" -> 5,
+    // q238: gt window + (qid,d) prefix window + hit agg + spine join —
+    // the q120 shape with the width explode riding the same exchanges
+    "q238_matryoshka_recall" -> 5,
+    // q239: every relation past the ckpt'd |sources| rows is bounded;
+    // the rollup joins broadcast (tiny-side stats from the checkpoint)
+    "q239_unimax_allocation" -> 0,
+    // q240: champion agg collapses the corpus; the ckpt'd games/tally
+    // relations keep the 3 MM iterations off the scan (one tally join)
+    "q240_bradley_terry" -> 1)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the
