@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sink-lifecycle benchmark: times a full build → append → probe →
-  * compact chain for the TextIndex and SpanIndex sinks over
-  * `SPARK_GRAFT_SF_DIR`'s documents table, printing ONE JSON line —
+  * compact chain for ALL FIVE persisted index sinks over
+  * `SPARK_GRAFT_SF_DIR`'s documents/embeddings tables, printing ONE
+  * JSON line —
   * the scale-probe companion to `graft.Bench` (which times the query
   * surface only). Run it on both a base dir and a `graft.ScaleProbe`
   * blow-up of it to measure how the index write paths scale:
@@ -61,10 +62,49 @@ object SinkBench {
       "probe" -> sec(drain(sinks.SpanIndex.probe(spark, span, probeBatch))),
       "compact" -> sec(sinks.SpanIndex.compact(spark, span, s"$tmp/span2")))
 
+    val dedup = s"$tmp/dedup"
+    val dedupTimes = Seq(
+      "build" -> sec(sinks.DedupIndex.build(docs, dedup)),
+      "append" -> sec(sinks.DedupIndex.append(batch, dedup)),
+      "probe" -> sec(drain(sinks.DedupIndex.classify(
+        spark, dedup, probeBatch))),
+      "compact" -> sec(sinks.DedupIndex.compact(spark, dedup,
+        s"$tmp/dedup2")))
+
+    val contam = s"$tmp/contam"
+    // held-out slice as the contamination index's eval side; the probe
+    // batch is the scale-invariant slice screened against it
+    val held = docs.where(col("doc_id") % 20 === 0)
+    val contamTimes = Seq(
+      "build" -> sec(sinks.ContamIndex.build(held, contam)),
+      "append" -> sec(sinks.ContamIndex.append(batch, contam)),
+      "probe" -> sec(drain(sinks.ContamIndex.probe(
+        spark, contam, probeBatch))),
+      "compact" -> sec(sinks.ContamIndex.compact(spark, contam,
+        s"$tmp/contam2")))
+
+    val emb = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val maxVec = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val vecBatch = emb.where(col("vec_id") < 500)
+      .select((col("vec_id") + maxVec + 1L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val vecQueries = emb.where(col("vec_id") < 10).localCheckpoint()
+    val vector = s"$tmp/vector"
+    val vectorTimes = Seq(
+      "build" -> sec(sinks.VectorIndex.build(emb, vector, k = 16)),
+      "append" -> sec(sinks.VectorIndex.append(spark, vector, vecBatch)),
+      "probe" -> sec(drain(sinks.VectorIndex.search(
+        spark, vector, vecQueries, nprobe = 2, topK = 3))),
+      "compact" -> sec(sinks.VectorIndex.compact(spark, vector,
+        s"$tmp/vector2")))
+
     def js(ts: Seq[(String, Double)]): String =
       ts.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"sink_chain_sec","sf":"$sfDir",""" +
-      s""""text":${js(textTimes)},"span":${js(spanTimes)}}""")
+      s""""text":${js(textTimes)},"span":${js(spanTimes)},""" +
+      s""""dedup":${js(dedupTimes)},"contam":${js(contamTimes)},""" +
+      s""""vector":${js(vectorTimes)}}""")
     spark.stop()
   }
 }

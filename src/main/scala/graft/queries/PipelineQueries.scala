@@ -37,6 +37,34 @@ object PipelineQueries {
               x -> x = 'the' OR x = 'a')) AS BIGINT)
             * 100000 // len(ws) END"""
 
+  /** The three deterministic labeling functions (vote 1 / 0 /
+    * abstain −1 per doc; require `ws` = W applied, plus `text` for the
+    * digit LF) shared by q229 (per-LF health report) and q241
+    * (pairwise agreement) — ONE definition per engine so the
+    * agreement audit provably measures the LFs the report ships.
+    */
+  val lfSpark: Seq[(String, String)] = Seq(
+    "lf_length" -> """case when size(ws) >= 60 then 1
+                         when size(ws) < 20 then 0
+                         else -1 end""",
+    "lf_stopmass" -> """case when size(filter(ws, x -> x = 'the' or x = 'a'))
+                           * 10 >= size(ws) and size(ws) > 0 then 1
+                         when size(filter(ws, x -> x = 'the' or x = 'a'))
+                           = 0 then 0
+                         else -1 end""",
+    "lf_digit" -> "case when text rlike '[0-9]' then 1 else -1 end")
+  val lfDuck: Seq[(String, String)] = Seq(
+    "lf_length" -> """CASE WHEN len(ws) >= 60 THEN 1
+                      WHEN len(ws) < 20 THEN 0 ELSE -1 END""",
+    "lf_stopmass" -> """CASE WHEN len(list_filter(ws,
+                        x -> x = 'the' OR x = 'a')) * 10 >= len(ws)
+                        AND len(ws) > 0 THEN 1
+                      WHEN len(list_filter(ws,
+                        x -> x = 'the' OR x = 'a')) = 0 THEN 0
+                      ELSE -1 END""",
+    "lf_digit" -> """CASE WHEN regexp_matches(text, '[0-9]') THEN 1
+                      ELSE -1 END""")
+
   /** Packing shard count — the writer-parallelism unit shared by the
     * q217 batch audit and `CorpusStreaming.packingAssignments` (state =
     * one long per shard, output files = one stream per shard). ONE
@@ -2229,16 +2257,9 @@ object PipelineQueries {
         val votes = Tables(s, dir).documents
           .withColumn("ws", expr(W))
           .select(
-            expr("""case when size(ws) >= 60 then 1
-                         when size(ws) < 20 then 0
-                         else -1 end""").as("l1"),
-            expr("""case when size(filter(ws, x -> x = 'the' or x = 'a'))
-                           * 10 >= size(ws) and size(ws) > 0 then 1
-                         when size(filter(ws, x -> x = 'the' or x = 'a'))
-                           = 0 then 0
-                         else -1 end""").as("l2"),
-            expr("case when text rlike '[0-9]' then 1 else -1 end")
-              .as("l3"))
+            expr(lfSpark(0)._2).as("l1"),
+            expr(lfSpark(1)._2).as("l2"),
+            expr(lfSpark(2)._2).as("l3"))
         def cov(a: String) = sum(when(col(a) =!= -1, 1L).otherwise(0L))
         def ovl(a: String, b: String, c: String) =
           sum(when(col(a) =!= -1 &&
@@ -2268,16 +2289,9 @@ object PipelineQueries {
       },
       Some(s"""
         WITH v AS (
-          SELECT CASE WHEN len(ws) >= 60 THEN 1
-                      WHEN len(ws) < 20 THEN 0 ELSE -1 END AS l1,
-                 CASE WHEN len(list_filter(ws,
-                        x -> x = 'the' OR x = 'a')) * 10 >= len(ws)
-                        AND len(ws) > 0 THEN 1
-                      WHEN len(list_filter(ws,
-                        x -> x = 'the' OR x = 'a')) = 0 THEN 0
-                      ELSE -1 END AS l2,
-                 CASE WHEN regexp_matches(text, '[0-9]') THEN 1
-                      ELSE -1 END AS l3
+          SELECT ${lfDuck(0)._2} AS l1,
+                 ${lfDuck(1)._2} AS l2,
+                 ${lfDuck(2)._2} AS l3
           FROM (SELECT text, $WDuck AS ws FROM documents)),
         w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN l1 <> -1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
@@ -2985,6 +2999,129 @@ object PipelineQueries {
         SELECT t.source, t.wins, t.n_games, p3.p AS strength_r,
                ROUND(p3.p / tot.t, 6) AS share_r
         FROM tally t JOIN p3 ON p3.source = t.source, tot
+      """)),
+
+    // ------------------------------------------------------------------
+    // q241: pairwise labeling-function agreement — the
+    // inter-annotator-reliability companion to q229's per-LF health
+    // report: for every LF pair, Cohen's kappa over the documents BOTH
+    // voted on (chance-corrected agreement — raw overlap can look high
+    // purely because both LFs skew positive). Runs on the SHARED
+    // lfSpark/lfDuck definitions, so the audit provably measures the
+    // LFs q229 ships. The 2×2 contingency is exact integers from one
+    // global partial agg; po/pe/kappa are the same IEEE double chain
+    // in both engines, rounded at 6, with degenerate guards (no
+    // co-voted docs → NULLs; pe = 1, i.e. both LFs constant on the
+    // co-voted set → kappa NULL via nullif).
+    //
+    // Scale: one scan computes all three votes per doc (narrow map),
+    // ONE global partial-agg collapses to a single wide row, and the
+    // per-pair rows come from a zero-shuffle stack() rotation — the
+    // q229/q84 pattern; adding an LF adds columns and stack rows,
+    // never joins.
+    QDef(
+      "q241_lf_agreement",
+      (s, dir) => {
+        val votes = Tables(s, dir).documents
+          .withColumn("ws", expr(W))
+          .select(
+            expr(lfSpark(0)._2).as("l1"),
+            expr(lfSpark(1)._2).as("l2"),
+            expr(lfSpark(2)._2).as("l3"))
+        def pairAggs(a: String, b: String, sfx: String) = {
+          val both = col(a) =!= -1 && col(b) =!= -1
+          Seq(
+            sum(when(both, 1L).otherwise(0L)).as(s"nb$sfx"),
+            sum(when(both && col(a) === col(b), 1L).otherwise(0L))
+              .as(s"agree$sfx"),
+            sum(when(both && col(a) === 1, 1L).otherwise(0L))
+              .as(s"a1$sfx"),
+            sum(when(both && col(b) === 1, 1L).otherwise(0L))
+              .as(s"b1$sfx"))
+        }
+        val aggs = pairAggs("l1", "l2", "_12") ++
+          pairAggs("l1", "l3", "_13") ++ pairAggs("l2", "l3", "_23")
+        votes.agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"""stack(3,
+              '${lfSpark(0)._1}', '${lfSpark(1)._1}',
+                nb_12, agree_12, a1_12, b1_12,
+              '${lfSpark(0)._1}', '${lfSpark(2)._1}',
+                nb_13, agree_13, a1_13, b1_13,
+              '${lfSpark(1)._1}', '${lfSpark(2)._1}',
+                nb_23, agree_23, a1_23, b1_23)
+            as (lf_a, lf_b, n_both, n_agree, na1, nb1)""")
+          .selectExpr("lf_a", "lf_b", "n_both", "n_agree",
+            """case when n_both = 0 then null
+               else round(cast(n_agree as double) / n_both, 6)
+               end as po_r""",
+            """case when n_both = 0 then null
+               else round((cast(n_agree as double) / n_both
+                 - (cast(na1 as double) * nb1
+                    + cast(n_both - na1 as double) * (n_both - nb1))
+                   / (cast(n_both as double) * n_both))
+                 / nullif(1.0d
+                   - (cast(na1 as double) * nb1
+                      + cast(n_both - na1 as double) * (n_both - nb1))
+                     / (cast(n_both as double) * n_both), 0.0d), 6)
+               end as kappa_r""")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT ${lfDuck(0)._2} AS l1,
+                 ${lfDuck(1)._2} AS l2,
+                 ${lfDuck(2)._2} AS l3
+          FROM (SELECT text, $WDuck AS ws FROM documents)),
+        w AS (SELECT
+          CAST(SUM(CASE WHEN l1 <> -1 AND l2 <> -1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nb_12,
+          CAST(SUM(CASE WHEN l1 <> -1 AND l2 <> -1 AND l1 = l2
+                   THEN 1 ELSE 0 END) AS BIGINT) AS agree_12,
+          CAST(SUM(CASE WHEN l1 <> -1 AND l2 <> -1 AND l1 = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS a1_12,
+          CAST(SUM(CASE WHEN l1 <> -1 AND l2 <> -1 AND l2 = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS b1_12,
+          CAST(SUM(CASE WHEN l1 <> -1 AND l3 <> -1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nb_13,
+          CAST(SUM(CASE WHEN l1 <> -1 AND l3 <> -1 AND l1 = l3
+                   THEN 1 ELSE 0 END) AS BIGINT) AS agree_13,
+          CAST(SUM(CASE WHEN l1 <> -1 AND l3 <> -1 AND l1 = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS a1_13,
+          CAST(SUM(CASE WHEN l1 <> -1 AND l3 <> -1 AND l3 = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS b1_13,
+          CAST(SUM(CASE WHEN l2 <> -1 AND l3 <> -1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nb_23,
+          CAST(SUM(CASE WHEN l2 <> -1 AND l3 <> -1 AND l2 = l3
+                   THEN 1 ELSE 0 END) AS BIGINT) AS agree_23,
+          CAST(SUM(CASE WHEN l2 <> -1 AND l3 <> -1 AND l2 = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS a1_23,
+          CAST(SUM(CASE WHEN l2 <> -1 AND l3 <> -1 AND l3 = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS b1_23
+          FROM v),
+        rows_ AS (
+          SELECT '${lfDuck(0)._1}' AS lf_a, '${lfDuck(1)._1}' AS lf_b,
+                 nb_12 AS n_both, agree_12 AS n_agree,
+                 a1_12 AS na1, b1_12 AS nb1 FROM w
+          UNION ALL
+          SELECT '${lfDuck(0)._1}', '${lfDuck(2)._1}',
+                 nb_13, agree_13, a1_13, b1_13 FROM w
+          UNION ALL
+          SELECT '${lfDuck(1)._1}', '${lfDuck(2)._1}',
+                 nb_23, agree_23, a1_23, b1_23 FROM w)
+        SELECT lf_a, lf_b, n_both, n_agree,
+               CASE WHEN n_both = 0 THEN NULL
+                    ELSE ROUND(CAST(n_agree AS DOUBLE) / n_both, 6)
+                    END AS po_r,
+               CASE WHEN n_both = 0 THEN NULL
+                    ELSE ROUND((CAST(n_agree AS DOUBLE) / n_both
+                      - (CAST(na1 AS DOUBLE) * nb1
+                         + CAST(n_both - na1 AS DOUBLE) * (n_both - nb1))
+                        / (CAST(n_both AS DOUBLE) * n_both))
+                      / NULLIF(1.0
+                        - (CAST(na1 AS DOUBLE) * nb1
+                           + CAST(n_both - na1 AS DOUBLE) * (n_both - nb1))
+                          / (CAST(n_both AS DOUBLE) * n_both), 0.0), 6)
+                    END AS kappa_r
+        FROM rows_
       """))
   )
 }

@@ -527,7 +527,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q239_unimax_allocation" -> 0,
     // q240: champion agg collapses the corpus; the ckpt'd games/tally
     // relations keep the 3 MM iterations off the scan (one tally join)
-    "q240_bradley_terry" -> 1)
+    "q240_bradley_terry" -> 1,
+    // q241: ONE global partial agg to a single wide row (q229's shape);
+    // the stack rotation adds no exchange
+    "q241_lf_agreement" -> 1)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the
