@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.Ckpt._
 
 /** End-to-end training-data-pipeline operators over `documents` — the
@@ -3122,6 +3123,165 @@ object PipelineQueries {
                           / (CAST(n_both AS DOUBLE) * n_both), 0.0), 6)
                     END AS kappa_r
         FROM rows_
+      """)),
+
+    // ------------------------------------------------------------------
+    // q242: self-consistency vote aggregation (Wang et al. 2022) — the
+    // eval/inference-data step between q235's pass@k (needs ground
+    // truth) and production majority voting (doesn't): per problem,
+    // the modal answer across sampled generations, its vote share, and
+    // the vote-distribution entropy (the abstain/escalate signal).
+    // Samples are deterministic md5 pseudo-answers skewed toward a
+    // modal value (half the coins land 'A', the rest spread A–D) so
+    // the vote structure is real. Modal selection is argmax with the
+    // lexicographically-smallest tiebreak via min(struct(-votes,
+    // answer)) — map-side combinable, no window over group members
+    // (the q227 discipline).
+    //
+    // Scale: two partial-agg exchanges — samples → (problem, answer)
+    // counts (bounded by problems × answer alphabet) → per-problem
+    // rollup. The sample pool itself never shuffles beyond the first
+    // keyed agg and never sorts. Entropy sums ≤|alphabet| round-9
+    // terms per problem; final rounds at 6.
+    QDef(
+      "q242_self_consistency",
+      (s, dir) => {
+        val votes = Tables(s, dir).documents
+          .select((col("doc_id") % 50L).as("problem"),
+            expr("""case when substring(md5(cast(concat('vote|',
+                      cast(doc_id as string)) as binary)), 1, 1) < '8'
+                    then 'A' else
+                      substring('ABCD',
+                        cast(instr('0123456789abcdef',
+                          substring(md5(cast(concat('vote|',
+                            cast(doc_id as string)) as binary)), 2, 1)) - 1
+                          as int) % 4 + 1, 1)
+                    end""").as("answer"))
+          .groupBy(col("problem"), col("answer"))
+          .agg(count(lit(1)).as("votes"))
+          .ckpt() // (problem × alphabet) rows feed modal AND entropy
+        votes.groupBy(col("problem"))
+          .agg(sum(col("votes")).as("n_samples"),
+            min(struct((-col("votes")).as("nv"), col("answer")))
+              .as("m"),
+            count(lit(1)).as("n_distinct_answers"),
+            sum(expr("round(votes * ln(votes), 9)")).as("slnl"))
+          .select(col("problem"),
+            col("n_samples").cast("bigint").as("n_samples"),
+            col("m.answer").as("modal_answer"),
+            (-col("m.nv")).cast("bigint").as("n_modal"),
+            col("n_distinct_answers").cast("bigint")
+              .as("n_distinct_answers"),
+            round((-col("m.nv")).cast("double") / col("n_samples"), 6)
+              .as("agreement_r"),
+            // H = ln n − (Σ v ln v)/n, each v ln v rounded at 9
+            (round(log(col("n_samples").cast("double")) -
+              col("slnl") / col("n_samples"), 6) + lit(0.0d))
+              .as("entropy_r"))
+      },
+      Some("""
+        WITH sm AS (SELECT doc_id % 50 AS problem,
+                      CASE WHEN substring(md5('vote|'
+                             || CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                           THEN 'A'
+                           ELSE substring('ABCD',
+                             CAST(strpos('0123456789abcdef',
+                               substring(md5('vote|'
+                                 || CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                               AS INTEGER) % 4 + 1, 1)
+                      END AS answer
+                    FROM documents),
+        v AS (SELECT problem, answer, CAST(COUNT(*) AS BIGINT) AS votes
+              FROM sm GROUP BY 1, 2),
+        r AS (SELECT problem, answer, votes,
+                     ROW_NUMBER() OVER (PARTITION BY problem
+                       ORDER BY votes DESC, answer ASC) AS rk,
+                     CAST(SUM(votes) OVER (PARTITION BY problem)
+                          AS BIGINT) AS n_samples,
+                     CAST(COUNT(*) OVER (PARTITION BY problem)
+                          AS BIGINT) AS n_distinct_answers,
+                     SUM(ROUND(votes * LN(votes), 9))
+                       OVER (PARTITION BY problem) AS slnl
+              FROM v)
+        SELECT problem, n_samples, answer AS modal_answer,
+               votes AS n_modal, n_distinct_answers,
+               ROUND(CAST(votes AS DOUBLE) / n_samples, 6)
+                 AS agreement_r,
+               ROUND(LN(CAST(n_samples AS DOUBLE)) - slnl / n_samples, 6)
+                 + 0.0 AS entropy_r
+        FROM r WHERE rk = 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q243: unbiased Best-of-N value estimation — given every
+    // candidate's score in a group (q227's prompt proxy and SHARED
+    // prefScore), what reward would best-of-n sampling achieve at
+    // n = 1/2/4 WITHOUT resampling? The exact unbiased estimator
+    // (WebGPT appendix): E[max of a random size-n subset] =
+    // Σ_i s_(i) · C(i−1, n−1) / C(N, n) over ascending order
+    // statistics. The sweep that prices how much reward extra samples
+    // buy before anyone trains a thing.
+    //
+    // Determinism/scale: the rank runs in a GROUP-keyed window
+    // (bounded by the group, sharded across groups — ties are
+    // weight-invariant since equal scores commute, doc_id pins the
+    // order anyway); the weighted sums Σ s·(i−1), Σ s·(i−1)(i−2)(i−3)
+    // are EXACT DECIMAL(38,0) integers (HUGEINT in DuckDB), so only
+    // the one closing division per n is double — identical IEEE text,
+    // rounded at 6, NULL when N < n.
+    QDef(
+      "q243_best_of_n",
+      (s, dir) => {
+        val byGrp = Window.partitionBy(col("source"), col("lang"))
+          .orderBy(col("score"), col("doc_id"))
+        Tables(s, dir).documents
+          .withColumn("ws", expr(W))
+          .select(col("source"), col("lang"), col("doc_id"),
+            expr(prefScoreSpark).as("score"))
+          .withColumn("i", row_number().over(byGrp))
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("score").cast(DecimalType(38, 0))).as("s1"),
+            sum((col("score") * (col("i") - 1L)).cast(DecimalType(38, 0)))
+              .as("s2"),
+            sum((col("score") * (col("i") - 1L) * (col("i") - 2L) *
+              (col("i") - 3L)).cast(DecimalType(38, 0))).as("s4"))
+          .selectExpr("source", "lang", "cast(n as bigint) as n_samples",
+            """round(cast(s1 as double) / n, 6) as bon1_r""",
+            """case when n < 2 then null
+               else round(cast(s2 as double) * 2
+                 / (cast(n as double) * (n - 1)), 6) end as bon2_r""",
+            """case when n < 4 then null
+               else round(cast(s4 as double) * 4
+                 / (cast(n as double) * (n - 1) * (n - 2) * (n - 3)), 6)
+               end as bon4_r""")
+      },
+      Some(s"""
+        WITH sc AS (
+          SELECT source, lang, doc_id, $prefScoreDuck AS score
+          FROM (SELECT source, lang, doc_id, $WDuck AS ws
+                FROM documents)),
+        r AS (SELECT source, lang, score,
+                     ROW_NUMBER() OVER (PARTITION BY source, lang
+                       ORDER BY score ASC, doc_id ASC) AS i
+              FROM sc),
+        g AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(score AS HUGEINT)) AS HUGEINT) AS s1,
+                     CAST(SUM(CAST(score AS HUGEINT) * (i - 1))
+                          AS HUGEINT) AS s2,
+                     CAST(SUM(CAST(score AS HUGEINT) * (i - 1) * (i - 2)
+                              * (i - 3)) AS HUGEINT) AS s4
+              FROM r GROUP BY 1, 2)
+        SELECT source, lang, n AS n_samples,
+               ROUND(CAST(s1 AS DOUBLE) / n, 6) AS bon1_r,
+               CASE WHEN n < 2 THEN NULL
+                    ELSE ROUND(CAST(s2 AS DOUBLE) * 2
+                      / (CAST(n AS DOUBLE) * (n - 1)), 6) END AS bon2_r,
+               CASE WHEN n < 4 THEN NULL
+                    ELSE ROUND(CAST(s4 AS DOUBLE) * 4
+                      / (CAST(n AS DOUBLE) * (n - 1) * (n - 2) * (n - 3)),
+                      6) END AS bon4_r
+        FROM g
       """))
   )
 }

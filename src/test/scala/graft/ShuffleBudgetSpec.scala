@@ -530,7 +530,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q240_bradley_terry" -> 1,
     // q241: ONE global partial agg to a single wide row (q229's shape);
     // the stack rotation adds no exchange
-    "q241_lf_agreement" -> 1)
+    "q241_lf_agreement" -> 1,
+    // q242: post-ckpt (problem, answer) counts roll up per problem in
+    // one exchange (the vote-count agg executes inside the ckpt)
+    "q242_self_consistency" -> 1,
+    // q243: ONE (source, lang) exchange serves the rank window AND the
+    // weighted-moment agg (same keys — exchange reuse)
+    "q243_best_of_n" -> 1)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the
