@@ -1370,6 +1370,93 @@ object DedupQueries {
         FROM (VALUES (50), (60), (70), (80), (90)) t(t_pct)
         LEFT JOIN pp ON pp.t_pct = t.t_pct
         LEFT JOIN dd ON dd.t_pct = t.t_pct
+      """)),
+
+    // ------------------------------------------------------------------
+    // q245: character-level edit-distance near-dup re-rank — the dedup
+    // modality shingles can't express: Levenshtein similarity catches
+    // single-character edits, OCR noise and small insertions that
+    // shift every overlapping shingle. All-pairs edit distance is
+    // O(n²·len²) and unshippable, so candidates come from q23's
+    // banded MinHash buckets (the SAME minhashSigs/band construction —
+    // never all-pairs), pre-filtered by the length-difference lower
+    // bound (|len_a − len_b| ≤ 64 ⇒ lev ≥ the difference) and a
+    // 4000-char payload cap that bounds the per-pair DP at any corpus
+    // size. Both engines ship a native levenshtein (identical unit-
+    // cost DP), so lev is an exact integer; similarity rounds at 6 and
+    // the top-50 report carries the full deterministic tiebreak.
+    //
+    // Scale: the ONLY payload shuffle is the two text joins for
+    // surviving candidate pairs (bounded by band-bucket collisions);
+    // the DP runs partition-local per pair; TakeOrdered closes it.
+    QDef(
+      "q245_edit_neardup",
+      (s, dir) => {
+        val sigs = minhashSigs(s, dir)
+        val bands = sigs.withColumn("bucket",
+          explode(array((0 until 4).map(b =>
+            md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
+              .cast("binary"))): _*)))
+        val cand = bands.alias("a").join(bands.alias("b"),
+            col("a.bucket") === col("b.bucket") &&
+              col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"))
+          .distinct()
+        val d = Tables(s, dir).documents
+          .where(length(col("text")) <= 4000)
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast("bigint").as("len"))
+        cand
+          .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+            col("len").as("len_a")), "doc_a")
+          .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+            col("len").as("len_b")), "doc_b")
+          .where(abs(col("len_a") - col("len_b")) <= 64L)
+          .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+            levenshtein(col("ta"), col("tb")).cast("bigint").as("lev"))
+          .withColumn("edit_sim_r",
+            round(lit(1.0d) - col("lev").cast("double") /
+              greatest(col("len_a"), col("len_b"), lit(1L)), 6))
+          .withColumn("is_neardup", col("edit_sim_r") >= 0.8d)
+          .orderBy(col("edit_sim_r").desc, col("doc_a"), col("doc_b"))
+          .limit(50)
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
+        sh AS (SELECT doc_id, source, $SGDuck AS sg FROM w),
+        sig AS (SELECT doc_id, source,
+                  list_transform(range(0, 8),
+                    j -> list_min(list_transform(sg,
+                      s -> substring(md5(CASE WHEN j < 4 THEN 'A|' ELSE 'B|' END || s),
+                                     (j % 4) * 8 + 1, 8)))) AS sig
+                FROM sh),
+        bands AS (SELECT doc_id, source,
+                    unnest(list_transform(range(0, 4),
+                      b -> md5(sig[2*b + 1] || sig[2*b + 2]))) AS bucket
+                  FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.bucket = b.bucket AND a.source = b.source
+                  AND a.doc_id < b.doc_id),
+        d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+              FROM documents WHERE length(text) <= 4000),
+        p AS (SELECT c.doc_a, c.doc_b, da.len AS len_a, db.len AS len_b,
+                     CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev
+              FROM cand c
+              JOIN d da ON da.doc_id = c.doc_a
+              JOIN d db ON db.doc_id = c.doc_b
+              WHERE ABS(da.len - db.len) <= 64),
+        r AS (SELECT doc_a, doc_b, len_a, len_b, lev,
+                     ROUND(1.0 - CAST(lev AS DOUBLE)
+                           / GREATEST(len_a, len_b, 1), 6) AS edit_sim_r
+              FROM p)
+        SELECT doc_a, doc_b, len_a, len_b, lev, edit_sim_r,
+               edit_sim_r >= 0.8 AS is_neardup
+        FROM r
+        ORDER BY edit_sim_r DESC, doc_a, doc_b
+        LIMIT 50
       """))
   )
 }

@@ -54,6 +54,56 @@ object PipelineQueries {
                            = 0 then 0
                          else -1 end""",
     "lf_digit" -> "case when text rlike '[0-9]' then 1 else -1 end")
+  /** The FIM (fill-in-the-middle) rewrite shared by q232 (example
+    * construction) and q244 (BLEU scoring of the rewrite against the
+    * original): deterministic md5 coin picks ~50% of docs, character
+    * thirds split PSM-style. ONE definition per engine so the metric
+    * provably scores the rewrite q232 ships. Output carries doc_id,
+    * text (the reference), fim, n_chars, cut1, cut2, example (the
+    * candidate).
+    */
+  private def fimRewritten(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("text"),
+        expr("""substring(md5(cast(concat('fim|',
+                  cast(doc_id as string)) as binary)), 1, 1) < '8'""")
+          .as("fim"),
+        length(col("text")).as("n_chars"))
+      .withColumn("cut1", expr("n_chars div 3"))
+      .withColumn("cut2", expr("(2 * n_chars) div 3"))
+      .withColumn("example", expr(
+        """case when fim then concat('<PRE>',
+             substring(text, 1, cut1), '<SUF>',
+             substring(text, cut2 + 1, n_chars - cut2), '<MID>',
+             substring(text, cut1 + 1, cut2 - cut1))
+           else text end"""))
+
+  /** DuckDB restatement of [[fimRewritten]] — CTEs d/c/e; `e` is the
+    * shared output relation.
+    */
+  private val fimRewrittenDuckCtes: String = """
+        d AS (SELECT doc_id, text,
+                          substring(md5('fim|' || CAST(doc_id AS VARCHAR)),
+                                    1, 1) < '8' AS fim,
+                          length(text) AS n_chars
+                   FROM documents),
+        c AS (SELECT doc_id, text, fim, n_chars,
+                     n_chars // 3 AS cut1,
+                     (2 * n_chars) // 3 AS cut2
+              FROM d),
+        e AS (SELECT doc_id, text, fim, n_chars, cut1, cut2,
+                     CASE WHEN fim THEN '<PRE>'
+                            || substr(text, 1, CAST(cut1 AS INTEGER))
+                            || '<SUF>'
+                            || substr(text, CAST(cut2 + 1 AS INTEGER),
+                                      CAST(n_chars - cut2 AS INTEGER))
+                            || '<MID>'
+                            || substr(text, CAST(cut1 + 1 AS INTEGER),
+                                      CAST(cut2 - cut1 AS INTEGER))
+                          ELSE text END AS example
+              FROM c)"""
+
   val lfDuck: Seq[(String, String)] = Seq(
     "lf_length" -> """CASE WHEN len(ws) >= 60 THEN 1
                       WHEN len(ws) < 20 THEN 0 ELSE -1 END""",
@@ -2491,20 +2541,7 @@ object PipelineQueries {
     QDef(
       "q232_fim_examples",
       (s, dir) => {
-        Tables(s, dir).documents
-          .select(col("doc_id"), col("text"),
-            expr("""substring(md5(cast(concat('fim|',
-                      cast(doc_id as string)) as binary)), 1, 1) < '8'""")
-              .as("fim"),
-            length(col("text")).as("n_chars"))
-          .withColumn("cut1", expr("n_chars div 3"))
-          .withColumn("cut2", expr("(2 * n_chars) div 3"))
-          .withColumn("example", expr(
-            """case when fim then concat('<PRE>',
-                 substring(text, 1, cut1), '<SUF>',
-                 substring(text, cut2 + 1, n_chars - cut2), '<MID>',
-                 substring(text, cut1 + 1, cut2 - cut1))
-               else text end"""))
+        fimRewritten(s, dir)
           .select(col("doc_id"),
             col("fim").cast("long").as("fim_applied"),
             col("n_chars").cast("bigint").as("n_chars"),
@@ -2516,27 +2553,8 @@ object PipelineQueries {
               .cast("bigint").as("len_suffix"),
             md5(col("example").cast("binary")).as("example_fp"))
       },
-      Some("""
-        WITH d AS (SELECT doc_id, text,
-                          substring(md5('fim|' || CAST(doc_id AS VARCHAR)),
-                                    1, 1) < '8' AS fim,
-                          length(text) AS n_chars
-                   FROM documents),
-        c AS (SELECT doc_id, text, fim, n_chars,
-                     n_chars // 3 AS cut1,
-                     (2 * n_chars) // 3 AS cut2
-              FROM d),
-        e AS (SELECT doc_id, fim, n_chars, cut1, cut2,
-                     CASE WHEN fim THEN '<PRE>'
-                            || substr(text, 1, CAST(cut1 AS INTEGER))
-                            || '<SUF>'
-                            || substr(text, CAST(cut2 + 1 AS INTEGER),
-                                      CAST(n_chars - cut2 AS INTEGER))
-                            || '<MID>'
-                            || substr(text, CAST(cut1 + 1 AS INTEGER),
-                                      CAST(cut2 - cut1 AS INTEGER))
-                          ELSE text END AS example
-              FROM c)
+      Some(s"""
+        WITH $fimRewrittenDuckCtes
         SELECT doc_id,
                CAST(CASE WHEN fim THEN 1 ELSE 0 END AS BIGINT)
                  AS fim_applied,
@@ -3282,6 +3300,162 @@ object PipelineQueries {
                       / (CAST(n AS DOUBLE) * (n - 1) * (n - 2) * (n - 3)),
                       6) END AS bon4_r
         FROM g
+      """)),
+
+    // ------------------------------------------------------------------
+    // q244: corpus-scale BLEU — the n-gram overlap metric every eval
+    // harness needs, run as a distributed operator: each document's
+    // FIM rewrite (the SHARED fimRewritten construction q232 ships) is
+    // scored as the CANDIDATE against the original text as the
+    // REFERENCE — clipped modified n-gram precisions p1..p4, brevity
+    // penalty, unsmoothed BLEU-4. Non-rewritten docs are built-in
+    // controls (candidate ≡ reference ⇒ BLEU exactly 1); rewritten
+    // docs scramble order at the third boundaries and inject sentinel
+    // tokens, so every pn < 1 for real reasons. Clipped counts are
+    // EXACT integers ((doc, n, gram)-keyed count join — the q184
+    // bigram shape); each ln pn quantizes at 9 before the mean
+    // (q184's exp/ln discipline), BLEU and pn round at 6.
+    //
+    // Scale: the gram explode is scan-side (4 orders × words, the
+    // q62/q116 shape); the candidate↔reference count join and both
+    // rollups are co-keyed on (doc_id[, n, gram]) — the natural shard
+    // key. Payloads never shuffle; only grams and counts do.
+    QDef(
+      "q244_bleu",
+      (s, dir) => {
+        val base = fimRewritten(s, dir)
+          .select(col("doc_id"), col("fim"), col("text"), col("example"))
+          .ckpt() // feeds candidate grams, reference grams, lengths
+        val ref = base.select(col("doc_id"), expr(W).as("w"))
+        val cand = base.select(col("doc_id"),
+          col("example").as("text")).select(col("doc_id"),
+          expr(W).as("w"))
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("n",
+            explode(array(lit(1), lit(2), lit(3), lit(4))))
+          .select(col("doc_id"), col("n"),
+            explode(expr("""case when size(w) >= n then
+                transform(sequence(0, size(w) - n),
+                  j -> concat_ws(' ', slice(w, j + 1, n)))
+              else array() end""")).as("gram"))
+        val cc = grams(cand).groupBy(col("doc_id"), col("n"), col("gram"))
+          .agg(count(lit(1)).as("c"))
+        val rc = grams(ref).groupBy(col("doc_id"), col("n"), col("gram"))
+          .agg(count(lit(1)).as("r"))
+        val pn = cc.join(rc, Seq("doc_id", "n", "gram"), "left")
+          .groupBy(col("doc_id"), col("n"))
+          .agg(sum(col("c")).as("tot"),
+            sum(least(col("c"), coalesce(col("r"), lit(0L)))).as("clip"))
+          .groupBy(col("doc_id"))
+          .agg((1 to 4).flatMap(k => Seq(
+            sum(when(col("n") === k, col("tot"))).as(s"tot$k"),
+            sum(when(col("n") === k, col("clip"))).as(s"clip$k"))).head,
+            (1 to 4).flatMap(k => Seq(
+              sum(when(col("n") === k, col("tot"))).as(s"tot$k"),
+              sum(when(col("n") === k, col("clip"))).as(s"clip$k")))
+              .tail: _*)
+        val lens = base.select(col("doc_id"),
+          col("fim").cast("long").as("fim_applied"),
+          expr(s"size($W)").cast("long").as("r_len"),
+          expr("size(" + W.replace("(text)", "(example)") + ")")
+            .cast("long").as("c_len"))
+        lens.join(pn, Seq("doc_id"), "left")
+          .selectExpr(Seq("doc_id", "fim_applied", "c_len", "r_len") ++
+            (1 to 4).map(k =>
+              s"""case when coalesce(tot$k, 0L) = 0 then null
+                  else round(cast(clip$k as double) / tot$k, 6)
+                  end as p${k}_r""") ++ Seq(
+            """case when coalesce(tot1,0L) = 0 or coalesce(clip1,0L) = 0
+                 or coalesce(tot2,0L) = 0 or coalesce(clip2,0L) = 0
+                 or coalesce(tot3,0L) = 0 or coalesce(clip3,0L) = 0
+                 or coalesce(tot4,0L) = 0 or coalesce(clip4,0L) = 0
+               then 0.0d
+               else round(
+                 (case when c_len >= r_len then 1.0d
+                  else exp(1.0d - cast(r_len as double) / c_len) end)
+                 * exp((round(ln(cast(clip1 as double) / tot1), 9)
+                      + round(ln(cast(clip2 as double) / tot2), 9)
+                      + round(ln(cast(clip3 as double) / tot3), 9)
+                      + round(ln(cast(clip4 as double) / tot4), 9))
+                     / 4.0d), 6)
+               end as bleu_r"""): _*)
+      },
+      Some(s"""
+        WITH $fimRewrittenDuckCtes,
+        refw AS (SELECT doc_id, $WDuck AS w FROM e),
+        candw AS (SELECT doc_id,
+                    ${WDuck.replace("lower(text)", "lower(example)")} AS w
+                  FROM e),
+        nn AS (SELECT unnest(ARRAY[1, 2, 3, 4]) AS n),
+        cg AS (SELECT doc_id, n, unnest(
+                 list_transform(range(0, greatest(len(w) - n + 1, 0)),
+                   j -> array_to_string(w[j + 1 : j + n], ' ')))
+                 AS gram
+               FROM candw, nn),
+        rg AS (SELECT doc_id, n, unnest(
+                 list_transform(range(0, greatest(len(w) - n + 1, 0)),
+                   j -> array_to_string(w[j + 1 : j + n], ' ')))
+                 AS gram
+               FROM refw, nn),
+        cc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+               FROM cg GROUP BY 1, 2, 3),
+        rc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS r
+               FROM rg GROUP BY 1, 2, 3),
+        pn AS (SELECT cc.doc_id, cc.n,
+                      CAST(SUM(cc.c) AS BIGINT) AS tot,
+                      CAST(SUM(LEAST(cc.c, COALESCE(rc.r, 0)))
+                           AS BIGINT) AS clip
+               FROM cc LEFT JOIN rc
+                 ON rc.doc_id = cc.doc_id AND rc.n = cc.n
+                AND rc.gram = cc.gram
+               GROUP BY 1, 2),
+        piv AS (SELECT doc_id,
+                 CAST(SUM(CASE WHEN n = 1 THEN tot END) AS BIGINT) AS tot1,
+                 CAST(SUM(CASE WHEN n = 1 THEN clip END) AS BIGINT) AS clip1,
+                 CAST(SUM(CASE WHEN n = 2 THEN tot END) AS BIGINT) AS tot2,
+                 CAST(SUM(CASE WHEN n = 2 THEN clip END) AS BIGINT) AS clip2,
+                 CAST(SUM(CASE WHEN n = 3 THEN tot END) AS BIGINT) AS tot3,
+                 CAST(SUM(CASE WHEN n = 3 THEN clip END) AS BIGINT) AS clip3,
+                 CAST(SUM(CASE WHEN n = 4 THEN tot END) AS BIGINT) AS tot4,
+                 CAST(SUM(CASE WHEN n = 4 THEN clip END) AS BIGINT) AS clip4
+                FROM pn GROUP BY 1),
+        lens AS (SELECT e.doc_id,
+                   CAST(CASE WHEN fim THEN 1 ELSE 0 END AS BIGINT)
+                     AS fim_applied,
+                   CAST(len(r.w) AS BIGINT) AS r_len,
+                   CAST(len(c2.w) AS BIGINT) AS c_len
+                 FROM e
+                 JOIN refw r ON r.doc_id = e.doc_id
+                 JOIN candw c2 ON c2.doc_id = e.doc_id)
+        SELECT l.doc_id, l.fim_applied, l.c_len, l.r_len,
+               CASE WHEN COALESCE(tot1, 0) = 0 THEN NULL
+                    ELSE ROUND(CAST(clip1 AS DOUBLE) / tot1, 6)
+                    END AS p1_r,
+               CASE WHEN COALESCE(tot2, 0) = 0 THEN NULL
+                    ELSE ROUND(CAST(clip2 AS DOUBLE) / tot2, 6)
+                    END AS p2_r,
+               CASE WHEN COALESCE(tot3, 0) = 0 THEN NULL
+                    ELSE ROUND(CAST(clip3 AS DOUBLE) / tot3, 6)
+                    END AS p3_r,
+               CASE WHEN COALESCE(tot4, 0) = 0 THEN NULL
+                    ELSE ROUND(CAST(clip4 AS DOUBLE) / tot4, 6)
+                    END AS p4_r,
+               CASE WHEN COALESCE(tot1, 0) = 0 OR COALESCE(clip1, 0) = 0
+                      OR COALESCE(tot2, 0) = 0 OR COALESCE(clip2, 0) = 0
+                      OR COALESCE(tot3, 0) = 0 OR COALESCE(clip3, 0) = 0
+                      OR COALESCE(tot4, 0) = 0 OR COALESCE(clip4, 0) = 0
+                    THEN 0.0
+                    ELSE ROUND(
+                      (CASE WHEN c_len >= r_len THEN 1.0
+                            ELSE EXP(1.0 - CAST(r_len AS DOUBLE) / c_len)
+                            END)
+                      * EXP((ROUND(LN(CAST(clip1 AS DOUBLE) / tot1), 9)
+                           + ROUND(LN(CAST(clip2 AS DOUBLE) / tot2), 9)
+                           + ROUND(LN(CAST(clip3 AS DOUBLE) / tot3), 9)
+                           + ROUND(LN(CAST(clip4 AS DOUBLE) / tot4), 9))
+                          / 4.0), 6)
+                    END AS bleu_r
+        FROM lens l LEFT JOIN piv ON piv.doc_id = l.doc_id
       """))
   )
 }

@@ -536,7 +536,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q242_self_consistency" -> 1,
     // q243: ONE (source, lang) exchange serves the rank window AND the
     // weighted-moment agg (same keys — exchange reuse)
-    "q243_best_of_n" -> 1)
+    "q243_best_of_n" -> 1,
+    // q244: post-ckpt gram counts both sides + their (doc,n,gram) join
+    // + the per-(doc,n) rollup; the doc_id pivot rides the same keys
+    "q244_bleu" -> 4,
+    // q245: post-ckpt band self-join; candidate/text joins broadcast
+    // (tiny candidate side), TakeOrdered closes
+    "q245_edit_neardup" -> 1)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the
