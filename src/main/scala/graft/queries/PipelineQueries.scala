@@ -324,6 +324,122 @@ object PipelineQueries {
                        ROUND(w1o - 5.0*g1, 7) AS w1, ROUND(w2o - 5.0*g2, 7) AS w2,
                        ROUND(w3o - 5.0*g3, 7) AS w3 FROM i3)"""
 
+  /** BPE merge supersteps to run for q246/q247 — enough to cross from
+    * character pairs into multi-character subwords on this corpus.
+    */
+  private val bpeIters = 8
+
+  /** In-engine BPE tokenizer training (Sennrich et al. 2016), the
+    * word-count formulation every production trainer uses: the corpus
+    * is scanned ONCE into a (word, frequency) vocabulary — bounded by
+    * word TYPES (Heaps' law), not corpus size — and every superstep
+    * after that runs on the vocabulary relation alone. Each word is a
+    * space-joined symbol string seeded as its characters plus an `_`
+    * end-of-word marker (words are `[a-z]+`, so `_` cannot collide);
+    * a superstep is:
+    *   1. adjacent-pair counts: explode each word's (n−1) symbol
+    *      bigrams weighted by word frequency, partial-agg sum — the
+    *      only shuffle, keyed on the pair;
+    *   2. argmax pair via min(struct(-cnt, pair)) — map-side
+    *      combinable, count-desc with lexicographic tiebreak (the
+    *      q227/q242 idiom), all exact integers;
+    *   3. merge: ` l r ` → ` lr ` in every word's symbol string via
+    *      plain non-overlapping left-to-right `replace` on the
+    *      space-padded form — IDENTICAL semantics in Spark and DuckDB
+    *      (both scan left to right and resume after the replacement,
+    *      which is exactly BPE's greedy merge order within a word;
+    *      space delimiters make partial-symbol matches impossible);
+    *      the merge row rides a broadcast one-row crossJoin (the q201
+    *      model-broadcast shape), so the vocab never moves.
+    * Determinism: there are NO floats anywhere in the trainer — counts
+    * are exact integers and the tiebreak is a total order, so both
+    * engines learn the identical merge table by construction. ckpt()
+    * between supersteps cuts lineage (the q101/q201 discipline).
+    * Returns (one merge row per superstep, final vocab with its
+    * evolved symbol representation).
+    */
+  private def bpeSteps(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val vocab0 = Tables(s, dir).documents
+      .select(explode(expr(W)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .select(col("word"), col("wf"),
+        // split(word, '') keeps a trailing '' under Java's limit=-1
+        // split — filter it out so symbols stay non-empty
+        expr("""concat(concat_ws(' ',
+                 filter(split(word, ''), c -> c <> '')), ' _')""")
+          .as("rep"))
+      .ckpt() // the corpus is never read again
+    def step(vocab: org.apache.spark.sql.DataFrame, it: Int) = {
+      val best = vocab
+        .select(col("wf"), expr(
+          // adjacent symbol bigrams; zip_with over 0-length slices
+          // yields [] for fully-merged single-symbol words
+          """zip_with(
+               slice(split(rep, ' '), 1, size(split(rep, ' ')) - 1),
+               slice(split(rep, ' '), 2, size(split(rep, ' ')) - 1),
+               (x, y) -> concat(x, ' ', y))""").as("pairs"))
+        .select(col("wf"), explode(col("pairs")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wf")).as("cnt"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p")))
+          .as("m"))
+        .select(lit(it).cast("int").as("iter"), col("m.p").as("pair"),
+          expr("replace(m.p, ' ', '')").as("merged"),
+          (-col("m.nc")).as("cnt"))
+        .ckpt() // superstep barrier: 1 row
+      val next = vocab
+        .crossJoin(broadcast(best.select(col("pair"), col("merged"))))
+        .select(col("word"), col("wf"),
+          expr("""trim(replace(concat(' ', rep, ' '),
+                               concat(' ', pair, ' '),
+                               concat(' ', merged, ' ')))""").as("rep"))
+        .ckpt()
+      (best, next)
+    }
+    var vocab = vocab0
+    val merges = (1 to bpeIters).map { it =>
+      val (b, v) = step(vocab, it); vocab = v; b
+    }
+    (merges, vocab)
+  }
+
+  /** DuckDB restatement of [[bpeSteps]]: v0 (vocab) then, per
+    * superstep i, p_i (pair counts) → b_i (argmax merge row, ORDER BY
+    * cnt DESC, pair LIMIT 1 — the same total order) → v_i (merged
+    * vocab). Generated by the same loop so the two chains cannot
+    * drift in length.
+    */
+  private val bpeChainDuck: String = {
+    val sb = new StringBuilder
+    sb.append(s"""v0 AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS wf,
+                 array_to_string(string_split(word, ''), ' ') || ' _'
+                   AS rep
+          FROM (SELECT unnest($WDuck) AS word FROM documents) tw
+          GROUP BY 1)""")
+    for (i <- 1 to bpeIters) {
+      sb.append(s""",
+        p$i AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS cnt
+               FROM (SELECT wf,
+                            unnest(list_transform(range(1, len(a)),
+                              j -> a[j] || ' ' || a[j + 1])) AS pair
+                     FROM (SELECT wf, string_split(rep, ' ') AS a
+                           FROM v${i - 1}) t$i) u$i
+               GROUP BY 1),
+        b$i AS (SELECT CAST($i AS INTEGER) AS iter, pair,
+                      replace(pair, ' ', '') AS merged, cnt
+               FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+        v$i AS MATERIALIZED (
+          SELECT word, wf,
+                 trim(replace(' ' || rep || ' ',
+                              ' ' || (SELECT pair FROM b$i) || ' ',
+                              ' ' || (SELECT merged FROM b$i) || ' '))
+                   AS rep
+          FROM v${i - 1})""")
+    }
+    sb.toString
+  }
+
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------
     // q51: reproducible train/held-out split with per-(split, lang)
@@ -3456,6 +3572,86 @@ object PipelineQueries {
                           / 4.0), 6)
                     END AS bleu_r
         FROM lens l LEFT JOIN piv ON piv.doc_id = l.doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q246: BPE tokenizer TRAINING in the engine — the merge table a
+    // subword tokenizer is (Sennrich et al. 2016), learned at corpus
+    // scale. See bpeSteps for the full mechanism + determinism story;
+    // the headline is the SHAPE: one corpus scan → word-frequency
+    // vocabulary (bounded by word types, not corpus size), then every
+    // superstep is a vocab-local pair explode + ONE pair-keyed
+    // partial-agg shuffle + a map-side-combinable argmax + a broadcast
+    // one-row merge map — the vocabulary never re-shuffles and the
+    // corpus is never rescanned, which is exactly how BPE training
+    // stays tractable at 100 TB. Zero floats: the learned merge table
+    // is identical across engines by exact-integer construction, not
+    // by quantization.
+    QDef(
+      "q246_bpe_train",
+      (s, dir) => {
+        val (merges, _) = bpeSteps(s, dir)
+        merges.reduce(_ unionByName _)
+          .select(col("iter"), col("pair"), col("merged"), col("cnt"))
+          .orderBy(col("iter"))
+      },
+      Some(s"""
+        WITH $bpeChainDuck
+        ${(1 to bpeIters)
+          .map(i => s"SELECT iter, pair, merged, cnt FROM b$i")
+          .mkString("\n        UNION ALL\n        ")}
+        ORDER BY iter
+      """)),
+
+    // ------------------------------------------------------------------
+    // q247: tokenizer fertility audit — the learned q246 merges put to
+    // work. Every word's final symbol representation gives its subword
+    // token count; joining that vocabulary map back onto the exploded
+    // corpus (token-keyed equi-join against a broadcast-sized vocab —
+    // word TYPES, not instances) rolls up per language: whitespace
+    // words, BPE tokens, fertility (tokens per word — THE
+    // cross-language tokenizer-equity metric multilingual pipelines
+    // report) and chars per token (compression). Same-language docs
+    // share morphology, so fertility differences surface tokenizer
+    // bias directly. Scale: one corpus explode + one broadcast join +
+    // one partial-agg rollup; the 8-superstep trainer itself runs on
+    // the vocab relation only. Integer counts exact; the two ratios
+    // are single closing divisions rounded at 6.
+    QDef(
+      "q247_bpe_fertility",
+      (s, dir) => {
+        val (_, vocab) = bpeSteps(s, dir)
+        val tok = vocab.select(col("word"),
+          expr("cast(size(split(rep, ' ')) as bigint)").as("n_bpe"))
+        Tables(s, dir).documents
+          .select(col("lang"), explode(expr(W)).as("word"))
+          .join(broadcast(tok), "word")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_bpe")).as("n_bpe_tokens"),
+            sum(length(col("word"))).as("n_word_chars"))
+          .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+            round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+              .as("fertility_r"),
+            round(col("n_word_chars").cast("double")
+              / col("n_bpe_tokens"), 6).as("chars_per_token_r"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH $bpeChainDuck,
+        tok AS (SELECT word,
+                       CAST(len(string_split(rep, ' ')) AS BIGINT)
+                         AS n_bpe
+                FROM v$bpeIters),
+        dw AS (SELECT lang, unnest($WDuck) AS word FROM documents)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+               ROUND(CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*), 6)
+                 AS fertility_r,
+               ROUND(CAST(SUM(len(word)) AS DOUBLE) / SUM(n_bpe), 6)
+                 AS chars_per_token_r
+        FROM dw JOIN tok USING (word)
+        GROUP BY 1 ORDER BY 1
       """))
   )
 }

@@ -70,13 +70,16 @@ object DedupIndex {
     * identical to build, so append-then-classify equals a full rebuild
     * (DedupIndexSpec pins it).
     */
-  def append(docs: DataFrame, indexDir: String): Unit = {
-    docs.select(col("doc_id"),
-        graft.queries.Q.fingerprint(col("text")).as("fp"))
-      .write.mode("append").parquet(s"$indexDir/fingerprints")
-    banded(sigs(docs))
-      .write.mode("append").parquet(s"$indexDir/bands")
-  }
+  def append(docs: DataFrame, indexDir: String): Unit =
+    // Routed through the gen-scoped delta tree (negative-gen namespace
+    // — see DeltaIO.nextPlainGen) instead of parquet mode-append on the
+    // main tree: the mode-append commit lists + schema-infers the whole
+    // main tree, a constant factor that grows with the corpus (the r9
+    // 10× SinkBench flag). The delta write is O(batch) at any index
+    // size; readers merge and compact folds, exactly as for streaming.
+    appendDelta(docs, indexDir,
+      DeltaIO.nextPlainGen(docs.sparkSession, indexDir,
+        Seq("fingerprints", "bands")))
 
   /** Replay-safe gen-scoped [[append]] (the [[IndexSink.appendDelta]]
     * contract): a replayed micro-batch rewrites its own generation. A

@@ -96,6 +96,32 @@ private[sinks] object DeltaIO {
   def writeGen(data: DataFrame, dir: String, rel: String,
       gen: Long): Unit =
     data.write.mode("overwrite").parquet(s"$dir/${rel}_delta/gen=$gen")
+
+  /** Next free PLAIN-append generation across `rels`' delta trees.
+    * Plain (exactly-once) appends use the NEGATIVE gen namespace —
+    * -1, -2, … — so they can never collide with a streaming caller's
+    * non-negative micro-batch ids on the same index. Listing cost is
+    * O(#appends so far), not O(index files): this is why a sink routes
+    * plain append through the delta tree at all. A parquet mode-append
+    * commit lists (and schema-infers over) the ENTIRE main tree, so
+    * its constant factor grows with the corpus — the r9 10× SinkBench
+    * measured DedupIndex.append at 3.8× on a FIXED 500-row batch from
+    * exactly that listing. A `gen=` subtree write touches only its own
+    * directory and stays O(batch) at any index size.
+    */
+  def nextPlainGen(spark: SparkSession, dir: String,
+      rels: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val used = rels.flatMap { rel =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/${rel}_delta")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty[Long]
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("gen=-"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("gen=").toLong).toOption)
+    }
+    if (used.isEmpty) -1L else used.min - 1L
+  }
 }
 
 object IndexSink {
