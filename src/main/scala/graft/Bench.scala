@@ -106,7 +106,11 @@ object Bench {
     // only the slowest entries and say how many were elided — a
     // truncated-but-parseable line beats the silent parsed:null failure
     // this suite hit once before.
-    val canaryJson = s""""canary":{"start":${ms3(canStart)},"mid":${ms3(canMid)},"end":${ms3(canEnd)}},"session_drift":${ms3(drift)}"""
+    // Canary-normalized total (total ÷ drift): the round-over-round
+    // comparison figure, emitted directly so consumers stop re-deriving
+    // it — a drifted session's inflated total reads comparable again.
+    val grandTotal = results.values.filter(_ >= 0).sum
+    val canaryJson = s""""canary":{"start":${ms3(canStart)},"mid":${ms3(canMid)},"end":${ms3(canEnd)}},"session_drift":${ms3(drift)},"total_drift_adj":${ms3(if (drift > 0) grandTotal / drift else grandTotal)}"""
     def render(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms3(v) }

@@ -54,13 +54,20 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** max(id) + 1, null-safe: an EMPTY source table yields 0 (one more
+    * than no ids) instead of an opaque NPE off max's null.
+    */
+  private def idSpan(df: org.apache.spark.sql.DataFrame,
+      c: String): Long =
+    df.agg(coalesce(max(col(c)), lit(-1L))).head.getLong(0) + 1
+
   /** The synthesis itself (main minus session lifecycle — spec-callable
     * on a shared session). Returns (blown-up doc count, vec count).
     */
   def generate(spark: org.apache.spark.sql.SparkSession, mult: Int,
       src: String, dst: String): (Long, Long) = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val nDocs = idSpan(docs, "doc_id")
     val copies = spark.range(mult).select(col("id").as("k"))
     val docCols = Seq(
       (col("doc_id") + col("k") * nDocs).as("doc_id"),
@@ -74,7 +81,7 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val nVec = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val nVec = idSpan(emb, "vec_id")
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     val embCols = Seq(
       (col("vec_id") + col("k") * nVec).as("vec_id"),
@@ -92,8 +99,8 @@ object ScaleProbe {
     // timestamp all round-trip through Tables.events identically), so
     // copy 0 stays byte-verbatim.
     val ev = spark.read.parquet(s"$src/events.parquet")
-    val nEvt = ev.agg(max(col("event_id"))).head.getLong(0) + 1
-    val nUsr = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+    val nEvt = idSpan(ev, "event_id")
+    val nUsr = idSpan(ev, "user_id")
     // keep the on-disk column ORDER verbatim (copy 0 is byte-identical)
     val evOver = Map(
       "event_id" -> (col("event_id") + col("k") * nEvt).as("event_id"),
@@ -109,10 +116,10 @@ object ScaleProbe {
     // cents), and the order→lineitem FK stays consistent per copy.
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val ord = spark.read.parquet(s"$src/orders.parquet")
-    val nOrd = ord.agg(max(col("o_orderkey"))).head.getLong(0) + 1
-    val nPart = li.agg(max(col("l_partkey"))).head.getLong(0) + 1
-    val nSupp = li.agg(max(col("l_suppkey"))).head.getLong(0) + 1
-    val nCust = ord.agg(max(col("o_custkey"))).head.getLong(0) + 1
+    val nOrd = idSpan(ord, "o_orderkey")
+    val nPart = idSpan(li, "l_partkey")
+    val nSupp = idSpan(li, "l_suppkey")
+    val nCust = idSpan(ord, "o_custkey")
     val liOver = Map(
       "l_orderkey" -> (col("l_orderkey") + col("k") * nOrd).as("l_orderkey"),
       "l_partkey" -> (col("l_partkey") + col("k") * nPart).as("l_partkey"),

@@ -1408,12 +1408,21 @@ object DedupQueries {
           .where(length(col("text")) <= 4000)
           .select(col("doc_id"), col("text"),
             length(col("text")).cast("bigint").as("len"))
-        cand
-          .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        // lens-first: the 8-byte length columns join onto ALL candidate
+        // pairs and the |Δlen| ≤ 64 lower bound culls before the text
+        // payloads attach — only SURVIVING pairs ever shuffle a payload
+        val lens = d.select(col("doc_id"), col("len"))
+        val surv = cand
+          .join(lens.select(col("doc_id").as("doc_a"),
             col("len").as("len_a")), "doc_a")
-          .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+          .join(lens.select(col("doc_id").as("doc_b"),
             col("len").as("len_b")), "doc_b")
           .where(abs(col("len_a") - col("len_b")) <= 64L)
+        surv
+          .join(d.select(col("doc_id").as("doc_a"),
+            col("text").as("ta")), "doc_a")
+          .join(d.select(col("doc_id").as("doc_b"),
+            col("text").as("tb")), "doc_b")
           .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
             levenshtein(col("ta"), col("tb")).cast("bigint").as("lev"))
           .withColumn("edit_sim_r",

@@ -343,20 +343,25 @@ object PipelineQueries {
     *   2. argmax pair via min(struct(-cnt, pair)) — map-side
     *      combinable, count-desc with lexicographic tiebreak (the
     *      q227/q242 idiom), all exact integers;
-    *   3. merge: ` l r ` → ` lr ` in every word's symbol string via
-    *      plain non-overlapping left-to-right `replace` on the
-    *      space-padded form — IDENTICAL semantics in Spark and DuckDB
-    *      (both scan left to right and resume after the replacement,
-    *      which is exactly BPE's greedy merge order within a word;
-    *      space delimiters make partial-symbol matches impossible);
-    *      the merge row rides a broadcast one-row crossJoin (the q201
+    *   3. merge: a left fold over the word's symbol LIST (`aggregate`
+    *      in Spark, `list_reduce` in DuckDB): append symbol x to the
+    *      accumulator WITHOUT a delimiter when the accumulator's last
+    *      symbol is l and x is r, with one otherwise. This is exactly
+    *      Sennrich's greedy left-to-right non-overlapping merge-all
+    *      (the i += 2 skip falls out: the merged symbol `lr` can
+    *      never equal l, so it never re-merges with a following r) —
+    *      including consecutive occurrences like `a b a b` → `ab ab`,
+    *      which a space-padded string `replace` misses because the
+    *      scanner consumes the shared delimiter space. The merge row
+    *      rides a broadcast one-row crossJoin (the q201
     *      model-broadcast shape), so the vocab never moves.
     * Determinism: there are NO floats anywhere in the trainer — counts
     * are exact integers and the tiebreak is a total order, so both
     * engines learn the identical merge table by construction. ckpt()
     * between supersteps cuts lineage (the q101/q201 discipline).
-    * Returns (one merge row per superstep, final vocab with its
-    * evolved symbol representation).
+    * Returns (one merge row per superstep, the vocab at EVERY stage —
+    * v0 through v_bpeIters; q247 audits the final one, q248 sweeps the
+    * whole trajectory for the compression curve).
     */
   private def bpeSteps(s: org.apache.spark.sql.SparkSession,
       dir: String) = {
@@ -384,23 +389,36 @@ object PipelineQueries {
         .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p")))
           .as("m"))
         .select(lit(it).cast("int").as("iter"), col("m.p").as("pair"),
+          expr("element_at(split(m.p, ' '), 1)").as("l"),
+          expr("element_at(split(m.p, ' '), 2)").as("r"),
           expr("replace(m.p, ' ', '')").as("merged"),
           (-col("m.nc")).as("cnt"))
         .ckpt() // superstep barrier: 1 row
       val next = vocab
-        .crossJoin(broadcast(best.select(col("pair"), col("merged"))))
+        .crossJoin(broadcast(best.select(col("l"), col("r"))))
         .select(col("word"), col("wf"),
-          expr("""trim(replace(concat(' ', rep, ' '),
-                               concat(' ', pair, ' '),
-                               concat(' ', merged, ' ')))""").as("rep"))
+          // Sennrich merge-all as a fold: the accumulator is the
+          // merged-so-far symbol string; (last symbol = l, x = r) ⇒
+          // append x with NO space (the joined token is textually
+          // l||r = merged). endswith, not LIKE: l may contain the `_`
+          // end-of-word marker, which LIKE would treat as a wildcard.
+          expr("""aggregate(
+                    slice(split(rep, ' '), 2,
+                          greatest(size(split(rep, ' ')) - 1, 0)),
+                    element_at(split(rep, ' '), 1),
+                    (acc, x) -> if(x = r and (acc = l or
+                                   endswith(acc, concat(' ', l))),
+                                   concat(acc, x),
+                                   concat(acc, ' ', x)))""").as("rep"))
         .ckpt()
       (best, next)
     }
     var vocab = vocab0
+    val vocabs = scala.collection.mutable.ArrayBuffer(vocab0)
     val merges = (1 to bpeIters).map { it =>
-      val (b, v) = step(vocab, it); vocab = v; b
+      val (b, v) = step(vocab, it); vocab = v; vocabs += v; b
     }
-    (merges, vocab)
+    (merges, vocabs.toSeq)
   }
 
   /** DuckDB restatement of [[bpeSteps]]: v0 (vocab) then, per
@@ -427,15 +445,18 @@ object PipelineQueries {
                            FROM v${i - 1}) t$i) u$i
                GROUP BY 1),
         b$i AS (SELECT CAST($i AS INTEGER) AS iter, pair,
+                      string_split(pair, ' ')[1] AS l,
+                      string_split(pair, ' ')[2] AS r,
                       replace(pair, ' ', '') AS merged, cnt
                FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
         v$i AS MATERIALIZED (
           SELECT word, wf,
-                 trim(replace(' ' || rep || ' ',
-                              ' ' || (SELECT pair FROM b$i) || ' ',
-                              ' ' || (SELECT merged FROM b$i) || ' '))
-                   AS rep
-          FROM v${i - 1})""")
+                 list_reduce(string_split(rep, ' '),
+                   (acc, x) -> CASE
+                     WHEN x = b.r AND (acc = b.l OR
+                          ends_with(acc, ' ' || b.l))
+                     THEN acc || x ELSE acc || ' ' || x END) AS rep
+          FROM v${i - 1}, b$i b)""")
     }
     sb.toString
   }
@@ -3373,13 +3394,16 @@ object PipelineQueries {
           .select(col("source"), col("lang"), col("doc_id"),
             expr(prefScoreSpark).as("score"))
           .withColumn("i", row_number().over(byGrp))
+          // cast to DECIMAL(38,0) BEFORE multiplying (the HUGEINT-first
+          // DuckDB form): score·(i−1)(i−2)(i−3) in Long wraps past
+          // Long.MaxValue once a group exceeds ~45k rows
+          .withColumn("sd", col("score").cast(DecimalType(38, 0)))
           .groupBy(col("source"), col("lang"))
           .agg(count(lit(1)).as("n"),
-            sum(col("score").cast(DecimalType(38, 0))).as("s1"),
-            sum((col("score") * (col("i") - 1L)).cast(DecimalType(38, 0)))
-              .as("s2"),
-            sum((col("score") * (col("i") - 1L) * (col("i") - 2L) *
-              (col("i") - 3L)).cast(DecimalType(38, 0))).as("s4"))
+            sum(col("sd")).as("s1"),
+            sum(col("sd") * (col("i") - 1L)).as("s2"),
+            sum(col("sd") * (col("i") - 1L) * (col("i") - 2L) *
+              (col("i") - 3L)).as("s4"))
           .selectExpr("source", "lang", "cast(n as bigint) as n_samples",
             """round(cast(s1 as double) / n, 6) as bon1_r""",
             """case when n < 2 then null
@@ -3620,8 +3644,8 @@ object PipelineQueries {
     QDef(
       "q247_bpe_fertility",
       (s, dir) => {
-        val (_, vocab) = bpeSteps(s, dir)
-        val tok = vocab.select(col("word"),
+        val (_, vocabs) = bpeSteps(s, dir)
+        val tok = vocabs.last.select(col("word"),
           expr("cast(size(split(rep, ' ')) as bigint)").as("n_bpe"))
         Tables(s, dir).documents
           .select(col("lang"), explode(expr(W)).as("word"))
@@ -3652,6 +3676,141 @@ object PipelineQueries {
                  AS chars_per_token_r
         FROM dw JOIN tok USING (word)
         GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q248: BPE compression curve — what each learned merge BUYS. The
+    // tokenizer-design question behind every vocab-size decision is
+    // marginal compression: corpus tokens, fertility (tokens/word) and
+    // chars/token after 0..8 merges. Everything derives from the vocab
+    // relation alone (Σ wf·|rep_i| — the corpus is NEVER rescanned and
+    // no per-step corpus join exists), so the sweep costs one union of
+    // the 9 checkpointed vocab stages + ONE 9-group aggregate: the
+    // whole trajectory is as cheap as the training run that produced
+    // it. All counts exact integers; two closing round-6 divisions.
+    QDef(
+      "q248_bpe_compression",
+      (s, dir) => {
+        val (_, vocabs) = bpeSteps(s, dir)
+        vocabs.zipWithIndex.map { case (v, i) =>
+          v.select(lit(i).cast("int").as("iter"), col("word"),
+            col("wf"), col("rep"))
+        }.reduce(_ unionByName _)
+          .groupBy(col("iter"))
+          .agg(count(lit(1)).as("n_word_types"),
+            sum(col("wf")).as("n_words"),
+            sum(col("wf") *
+              expr("cast(size(split(rep, ' ')) as bigint)"))
+              .as("n_tokens"),
+            // chars include the `_` end-of-word marker symbol — the
+            // same convention the rep carries
+            sum(col("wf") * expr("cast(length(word) + 1 as bigint)"))
+              .as("n_chars"))
+          .select(col("iter"), col("n_word_types"), col("n_words"),
+            col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("n_words"), 6)
+              .as("fertility_r"),
+            round(col("n_chars").cast("double") / col("n_tokens"), 6)
+              .as("chars_per_token_r"))
+          .orderBy(col("iter"))
+      },
+      Some(s"""
+        WITH $bpeChainDuck,
+        uni AS (${(0 to bpeIters)
+          .map(i =>
+            s"SELECT CAST($i AS INTEGER) AS iter, word, wf, rep FROM v$i")
+          .mkString("\n          UNION ALL\n          ")})
+        SELECT iter, CAST(COUNT(*) AS BIGINT) AS n_word_types,
+               CAST(SUM(wf) AS BIGINT) AS n_words,
+               CAST(SUM(wf * len(string_split(rep, ' '))) AS BIGINT)
+                 AS n_tokens,
+               ROUND(CAST(SUM(wf * len(string_split(rep, ' ')))
+                          AS DOUBLE) / SUM(wf), 6) AS fertility_r,
+               ROUND(CAST(SUM(wf * (len(word) + 1)) AS DOUBLE)
+                     / SUM(wf * len(string_split(rep, ' '))), 6)
+                 AS chars_per_token_r
+        FROM uni GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q249: DoReMi-style mixture reweighting (Xie et al. 2023, the
+    // single-proxy-round form) — the loss-DRIVEN counterpart of q179's
+    // temperature mixing and q239's UniMax: domains whose proxy loss
+    // exceeds the corpus average get upweighted multiplicatively,
+    // w ∝ base_share · exp(η·excess), η = 1. The proxy loss is the
+    // SHARED q184 bigram LM (TextQueries.bigramLm — one definition,
+    // the anti-drift rule): per-source mean NLL in nats.
+    //
+    // Determinism/scale: each round-9 lp term becomes an exact
+    // nano-nat BIGINT, so the per-source sums are order-independent
+    // integers (the q243 exact-moments discipline applied to floats) —
+    // the ONLY doubles are |sources| closing divisions, one exp
+    // (rounded at 6, q184's discipline), and the final normalize over
+    // the ≤|sources|-row relation. The corpus collapses to |sources|
+    // rows in one partial-agg exchange; everything after is scalar.
+    QDef(
+      "q249_doremi_mixture",
+      (s, dir) => {
+        val (big, lp) = TextQueries.bigramLm(s, dir)
+        val bySrc = big.join(lp, Seq("w1", "w2"))
+          .select(col("source"),
+            expr("cast(round(-lp * 1e9) as bigint)").as("nll9"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("nll9")).as("nll9_sum"))
+          .ckpt() // |sources| rows
+        val tot = bySrc.agg(sum(col("n_bigrams")).as("nt"),
+          sum(col("nll9_sum")).as("st"))
+        val w = bySrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_bigrams"),
+            expr("round(cast(nll9_sum as double) / 1e9 / n_bigrams, 9)")
+              .as("mean_nll"),
+            expr("round(cast(st as double) / 1e9 / nt, 9)")
+              .as("corpus_nll"),
+            expr("round(cast(n_bigrams as double) / nt, 9)")
+              .as("base_share"))
+          .withColumn("excess",
+            expr("round(mean_nll - corpus_nll, 9)"))
+          .withColumn("raw",
+            expr("round(base_share * exp(excess), 6)"))
+        val z = w.agg(sum(col("raw")).as("z"))
+        w.crossJoin(broadcast(z))
+          .select(col("source"), col("n_bigrams"),
+            expr("round(mean_nll, 6)").as("mean_nll_r"),
+            expr("round(excess, 6)").as("excess_nll_r"),
+            expr("round(base_share, 6)").as("base_share_r"),
+            expr("round(raw / z, 6)").as("doremi_weight_r"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH ${TextQueries.bigramLmDuck},
+        sc AS (SELECT source, CAST(ROUND(-lp * 1e9) AS BIGINT) AS nll9
+               FROM big JOIN lp USING (w1, w2)),
+        bs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                      CAST(SUM(nll9) AS BIGINT) AS nll9_sum
+               FROM sc GROUP BY 1),
+        tt AS (SELECT CAST(SUM(n_bigrams) AS BIGINT) AS nt,
+                      CAST(SUM(nll9_sum) AS BIGINT) AS st FROM bs),
+        w AS (SELECT source, n_bigrams,
+                     ROUND(CAST(nll9_sum AS DOUBLE) / 1e9 / n_bigrams, 9)
+                       AS mean_nll,
+                     ROUND(CAST(st AS DOUBLE) / 1e9 / nt, 9)
+                       AS corpus_nll,
+                     ROUND(CAST(n_bigrams AS DOUBLE) / nt, 9)
+                       AS base_share
+              FROM bs, tt),
+        w2 AS (SELECT source, n_bigrams, mean_nll, base_share,
+                      ROUND(mean_nll - corpus_nll, 9) AS excess,
+                      ROUND(base_share
+                            * EXP(ROUND(mean_nll - corpus_nll, 9)), 6)
+                        AS raw
+               FROM w),
+        z AS (SELECT SUM(raw) AS z FROM w2)
+        SELECT source, n_bigrams, ROUND(mean_nll, 6) AS mean_nll_r,
+               ROUND(excess, 6) AS excess_nll_r,
+               ROUND(base_share, 6) AS base_share_r,
+               ROUND(raw / z, 6) AS doremi_weight_r
+        FROM w2, z ORDER BY source
       """))
   )
 }

@@ -127,6 +127,68 @@ object TextQueries {
     """CAST(len(regexp_extract_all(lower(text),
        '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT)"""
 
+  /** Shared add-one-smoothed bigram-LM construction — ONE definition
+    * for the q184 perplexity filter and the q249 DoReMi-style mixture
+    * reweighter (the sharedSpans/logregSteps anti-drift rule). Returns
+    * (big, lp): the checkpointed (doc_id, source, w1, w2) bigram
+    * stream — the corpus is tokenized ONCE and feeds history counts,
+    * pair counts, and scoring — and the (w1, w2, lp) round-9
+    * conditional log-probability table. The lookup is a co-keyed
+    * (w1, w2) equi-join: the bigram table is vocab²-bounded and NOT
+    * broadcastable at scale, unlike q75's unigram table; the vocab
+    * size rides in as a ONE-row broadcast (q37 pattern). Each ln term
+    * rounds at 9 over exact integer counts (q75's discipline).
+    */
+  private[queries] def bigramLm(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val toks = Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), expr(W).as("ws"))
+      .where(size(col("ws")) >= 2)
+    val big = toks.select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+           i -> struct(element_at(ws, i) as w1,
+                       element_at(ws, i + 1) as w2))""")).as("bg"))
+      .select(col("doc_id"), col("source"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .ckpt() // feeds c12, c1, AND the scoring join
+    val c12 = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = toks.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val lp = c12.join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"), expr(
+        """round(ln((cast(c12 as double) + 1.0d)
+           / (cast(c1 as double) + cast(v as double))), 9)""").as("lp"))
+    (big, lp)
+  }
+
+  /** DuckDB restatement of [[bigramLm]] — the CTE chain both oracles
+    * share verbatim.
+    */
+  private[queries] val bigramLmDuck: String = s"""
+        toks AS (SELECT doc_id, source, ws
+                 FROM (SELECT doc_id, source, $wordsExprDuck AS ws
+                       FROM documents) t0
+                 WHERE len(ws) >= 2),
+        big AS (SELECT doc_id, source, bg['w1'] AS w1, bg['w2'] AS w2
+                FROM (SELECT doc_id, source,
+                        unnest(list_transform(range(1, len(ws)),
+                          i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS bg
+                      FROM toks) t1),
+        c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                FROM big GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+               FROM big GROUP BY 1),
+        vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+               FROM (SELECT unnest(ws) AS w FROM toks) t2),
+        lp AS (SELECT w1, w2,
+                      ROUND(LN((CAST(c12 AS DOUBLE) + 1.0)
+                        / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))), 9)
+                        AS lp
+               FROM c12 JOIN c1 USING (w1), vv)"""
+
   val defs: Seq[QDef] = Seq(
     // ------------------------------------------------------------------
     // q17: word count gone native — vs the MR shim this gets map-side
@@ -1128,49 +1190,14 @@ object TextQueries {
     QDef(
       "q184_perplexity_filter",
       (s, dir) => {
-        val toks = Tables(s, dir).documents
-          .select(col("doc_id"), expr(W).as("ws"))
-          .where(size(col("ws")) >= 2)
-        val big = toks.select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(ws) - 1),
-               i -> struct(element_at(ws, i) as w1,
-                           element_at(ws, i + 1) as w2))""")).as("bg"))
-          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-          .ckpt() // feeds c12, c1, AND the scoring join
-        val c12 = big.groupBy(col("w1"), col("w2"))
-          .agg(count(lit(1)).as("c12"))
-        val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-        val v = toks.select(explode(col("ws")).as("w"))
-          .agg(countDistinct(col("w")).as("v"))
-        val lp = c12.join(c1, "w1").crossJoin(broadcast(v))
-          .select(col("w1"), col("w2"), expr(
-            """round(ln((cast(c12 as double) + 1.0d)
-               / (cast(c1 as double) + cast(v as double))), 9)""").as("lp"))
+        val (big, lp) = bigramLm(s, dir)
         big.join(lp, Seq("w1", "w2"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
             round(exp(-avg(col("lp"))), 6).as("ppl"))
       },
       Some(s"""
-        WITH toks AS (SELECT doc_id, ws
-                      FROM (SELECT doc_id, $WDuck AS ws FROM documents) t0
-                      WHERE len(ws) >= 2),
-        big AS (SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2
-                FROM (SELECT doc_id,
-                        unnest(list_transform(range(1, len(ws)),
-                          i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS bg
-                      FROM toks) t1),
-        c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-                FROM big GROUP BY 1, 2),
-        c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
-               FROM big GROUP BY 1),
-        vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
-               FROM (SELECT unnest(ws) AS w FROM toks) t2),
-        lp AS (SELECT w1, w2,
-                      ROUND(LN((CAST(c12 AS DOUBLE) + 1.0)
-                        / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))), 9)
-                        AS lp
-               FROM c12 JOIN c1 USING (w1), vv)
+        WITH $bigramLmDuck
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                ROUND(EXP(-AVG(lp)), 6) AS ppl
         FROM big JOIN lp USING (w1, w2)

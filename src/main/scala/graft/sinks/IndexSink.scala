@@ -120,7 +120,25 @@ private[sinks] object DeltaIO {
         .filter(_.startsWith("gen=-"))
         .flatMap(n => scala.util.Try(n.stripPrefix("gen=").toLong).toOption)
     }
-    if (used.isEmpty) -1L else used.min - 1L
+    // Allocate ATOMICALLY via a create-if-absent claim marker: two
+    // concurrent appenders that both list the same free gen would
+    // otherwise mode-overwrite the same gen= subtree and silently drop
+    // the first batch. createNewFile is atomic on every Hadoop FS that
+    // backs an index here; the loser retries one gen lower. Claim
+    // files are O(#appends) tiny markers — same listing class as the
+    // delta tree itself — and stale claims merely skip a gen id.
+    val claims = new org.apache.hadoop.fs.Path(s"$dir/_gen_claims")
+    val fs = claims.getFileSystem(conf)
+    fs.mkdirs(claims)
+    val claimed =
+      fs.listStatus(claims).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("gen=-"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("gen=").toLong).toOption)
+    var g = ((used ++ claimed) :+ 0L).min - 1L
+    while (!fs.createNewFile(
+        new org.apache.hadoop.fs.Path(claims, s"gen=$g")))
+      g -= 1L
+    g
   }
 }
 

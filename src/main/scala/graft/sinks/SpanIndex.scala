@@ -108,10 +108,25 @@ object SpanIndex {
     DeltaIO.writeGen(ids, indexDir, "docs", gen)
   }
 
-  /** Every indexed doc_id (append + streaming delta generations). */
+  /** Every indexed doc_id (append + streaming delta generations).
+    * Indexes persisted before the docs membership ledger existed have
+    * no `docs` relation at all — treat that as an EMPTY ledger (probe
+    * then re-screens nothing, exactly the pre-ledger behavior) instead
+    * of failing the read with path-not-found.
+    */
   private[sinks] def indexedDocs(spark: SparkSession,
-      indexDir: String): DataFrame =
-    DeltaIO.readMerged(spark, indexDir, "docs", Seq("doc_id"))
+      indexDir: String): DataFrame = {
+    val hasMain = DeltaIO.exists(spark, s"$indexDir/docs")
+    val hasDelta = DeltaIO.exists(spark, s"$indexDir/docs_delta")
+    if (hasMain) DeltaIO.readMerged(spark, indexDir, "docs", Seq("doc_id"))
+    else if (hasDelta)
+      spark.read.parquet(s"$indexDir/docs_delta").select(col("doc_id"))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+  }
 
   /** Per-gram total df across generations (append + streaming delta). */
   private[sinks] def totalDfs(spark: SparkSession, indexDir: String): DataFrame =

@@ -108,14 +108,17 @@ object VectorIndex {
     * reassignment invalidates every cell.)
     */
   def append(spark: SparkSession, indexDir: String,
-      emb: DataFrame, maxRecordsPerFile: Int = 1 << 20): Unit = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
-    assignCells(normalized(emb), cents)
-      .write.mode("append")
-      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
-      .partitionBy("cell")
-      .parquet(s"$indexDir/postings")
-  }
+      emb: DataFrame, maxRecordsPerFile: Int = 1 << 20): Unit =
+    // Routed through the gen-scoped delta tree (negative-gen namespace
+    // — DeltaIO.nextPlainGen) instead of parquet mode-append on the
+    // main cell-partitioned tree: the mode-append commit lists +
+    // schema-infers the WHOLE main tree (multiplied by the cell
+    // partition dirs), a constant factor that grows with the corpus —
+    // the exact class the r9 10× SinkBench flagged on DedupIndex. The
+    // gen= write touches only its own subtree: O(batch) at any size.
+    appendDelta(spark, indexDir, emb,
+      DeltaIO.nextPlainGen(spark, indexDir, Seq("postings")),
+      maxRecordsPerFile)
 
   private def fsExists(spark: SparkSession, p: String): Boolean =
     DeltaIO.exists(spark, p)
@@ -254,17 +257,13 @@ object VectorIndex {
     * [[appendDeltaPq]].
     */
   def appendPq(spark: SparkSession, indexDir: String,
-      emb: DataFrame, maxRecordsPerFile: Int = 1 << 20): Unit = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
-    val codebook = spark.read.parquet(s"$indexDir/codebook")
-    val e = normalized(emb).ckpt() // cells + codes
-    assignCells(e, cents).select(col("vec_id"), col("cell"))
-      .join(pqCodes(e, codebook), "vec_id")
-      .write.mode("append")
-      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
-      .partitionBy("cell")
-      .parquet(s"$indexDir/pq_postings")
-  }
+      emb: DataFrame, maxRecordsPerFile: Int = 1 << 20): Unit =
+    // Same delta-tree routing as [[append]] — the PQ main tree is
+    // cell-partitioned too, so mode-append's full-tree listing grows
+    // with the corpus; the gen= subtree write stays O(batch).
+    appendDeltaPq(spark, indexDir, emb,
+      DeltaIO.nextPlainGen(spark, indexDir, Seq("pq_postings")),
+      maxRecordsPerFile)
 
   /** Gen-scoped delta form of [[appendPq]] — the [[appendDelta]]
     * pattern applied to the compressed postings, so the raw and PQ

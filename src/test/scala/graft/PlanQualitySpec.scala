@@ -199,7 +199,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // q240 crossJoins the ONE-row strength total into the ≤|sources|
     // report rows (q37 pattern); matches/iterations are equi-joins
     // on bounded relations
-    "q240_bradley_terry")
+    "q240_bradley_terry",
+    // q249 crossJoins the ONE-row corpus-NLL total and the ONE-row
+    // normalizer Z into the ≤|sources| weight rows (q37 pattern,
+    // twice); the corpus-sized bigram scoring join is a (w1,w2)
+    // equi-join
+    "q249_doremi_mixture")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds

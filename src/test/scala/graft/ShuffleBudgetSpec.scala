@@ -542,7 +542,20 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q244_bleu" -> 4,
     // q245: post-ckpt band self-join; candidate/text joins broadcast
     // (tiny candidate side), TakeOrdered closes
-    "q245_edit_neardup" -> 1)
+    "q245_edit_neardup" -> 1,
+    // q246: every superstep's pair-agg shuffle runs AT the per-step
+    // ckpt barriers; the visible plan is the union of 8 checkpointed
+    // 1-row merge frames — nothing left to exchange
+    "q246_bpe_train" -> 0,
+    // q247: corpus gram-explode partial-agg + the per-lang rollup; the
+    // vocab side arrives broadcast (word TYPES, never shuffled)
+    "q247_bpe_fertility" -> 2,
+    // q248: one 9-group agg over the unioned checkpointed vocab stages
+    // + the closing 9-row sort — the corpus is never rescanned
+    "q248_bpe_compression" -> 2,
+    // q249: post-ckpt bigram c12/c1 aggs + the (w1,w2) scoring join +
+    // the |sources| rollup; everything after is scalar
+    "q249_doremi_mixture" -> 4)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the
