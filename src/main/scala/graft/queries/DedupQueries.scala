@@ -1466,6 +1466,72 @@ object DedupQueries {
         FROM r
         ORDER BY edit_sim_r DESC, doc_a, doc_b
         LIMIT 50
+      """)),
+
+    // ------------------------------------------------------------------
+    // q255: cross-source duplicate-overlap matrix — which PAIRS of
+    // sources ship the same content? The provenance rollup of q22's
+    // exact dedup (and the matrix q200's per-source dup exposure can't
+    // show): for every unordered source pair, the number of shared
+    // content fingerprints and the fingerprint-set Jaccard. The spine
+    // is the |sources|² pair grid (two tiny broadcast distinct-source
+    // lists — q114's bounded-relation cross), so ZERO-overlap pairs
+    // stay in the report: "no leakage between crawl A and vendor B" is
+    // a row, not an absence.
+    //
+    // Scale: the fingerprint relation is (source, fp) DISTINCT — one
+    // scan-side partial agg; the overlap join is fp-co-keyed
+    // (source-pair counting rides the fp shuffle), and per-source set
+    // sizes arrive broadcast. Payloads never shuffle — only 32-char
+    // fingerprints do.
+    QDef(
+      "q255_source_overlap",
+      (s, dir) => {
+        val fps = Tables(s, dir).documents
+          .select(col("source"), Q.fingerprint(col("text")).as("fp"))
+          .distinct()
+          .ckpt() // feeds the pair join, set sizes, AND the spine
+        val sizes = fps.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_fps"))
+        val inter = fps.as("a")
+          .join(fps.as("b"), col("a.fp") === col("b.fp") &&
+            col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        val spine = sizes.select(col("source").as("source_a"),
+            col("n_fps").as("na"))
+          .crossJoin(broadcast(sizes.select(col("source").as("source_b"),
+            col("n_fps").as("nb"))))
+          .where(col("source_a") < col("source_b"))
+        spine.join(inter, Seq("source_a", "source_b"), "left")
+          .selectExpr("source_a", "source_b", "na", "nb",
+            "cast(coalesce(n_shared, 0) as bigint) as n_shared",
+            """round(cast(coalesce(n_shared, 0) as double)
+               / (na + nb - coalesce(n_shared, 0)), 6) as jaccard_r""")
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""
+        WITH fps AS (SELECT DISTINCT source, ${Q.fingerprintDuck} AS fp
+                     FROM documents),
+        sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fps
+                  FROM fps GROUP BY 1),
+        inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                         CAST(COUNT(*) AS BIGINT) AS n_shared
+                  FROM fps a JOIN fps b
+                    ON a.fp = b.fp AND a.source < b.source
+                  GROUP BY 1, 2),
+        spine AS (SELECT sa.source AS source_a, sb.source AS source_b,
+                         sa.n_fps AS na, sb.n_fps AS nb
+                  FROM sizes sa, sizes sb
+                  WHERE sa.source < sb.source)
+        SELECT source_a, source_b, na, nb,
+               CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+               ROUND(CAST(COALESCE(n_shared, 0) AS DOUBLE)
+                     / (na + nb - COALESCE(n_shared, 0)), 6)
+                 AS jaccard_r
+        FROM spine LEFT JOIN inter USING (source_a, source_b)
+        ORDER BY source_a, source_b
       """))
   )
 }

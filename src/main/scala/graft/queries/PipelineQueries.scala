@@ -3811,6 +3811,308 @@ object PipelineQueries {
                ROUND(base_share, 6) AS base_share_r,
                ROUND(raw / z, 6) AS doremi_weight_r
         FROM w2, z ORDER BY source
+      """)),
+
+    // ------------------------------------------------------------------
+    // q250: Fleiss' kappa per source — the MULTI-rater chance-corrected
+    // agreement statistic over the SAME three labeling functions q229
+    // reports on and q241 compares pairwise (lfSpark/lfDuck — one
+    // definition, the anti-drift rule). Unlike Cohen's pairwise form,
+    // Fleiss measures the panel as a whole: abstain (−1) is kept as
+    // its own category, so every doc has exactly k = 3 ratings and the
+    // classical identities hold. Per doc the category counts n_ij are
+    // ROW-LOCAL off the three vote columns (no doc × LF relation ever
+    // materializes — the q229/q84 wide-row discipline), so the whole
+    // query is one source-keyed partial-agg exchange over exact
+    // integers: S = Σ_i (Σ_j n_ij² − k) and the category totals C_j.
+    // P̄ = S/(N·k(k−1)), P_e = ΣC_j²/(Nk)², κ = (P̄−P_e)/(1−P_e);
+    // the ONLY doubles are the closing per-source divisions (round 6),
+    // NULL when P_e = 1 (a constant panel has no chance-corrected
+    // signal — the q241 degenerate-pair rule).
+    QDef(
+      "q250_fleiss_kappa",
+      (s, dir) => {
+        val nij = Tables(s, dir).documents
+          .withColumn("ws", expr(W))
+          .select(col("source"),
+            expr(lfSpark(0)._2).as("l1"),
+            expr(lfSpark(1)._2).as("l2"),
+            expr(lfSpark(2)._2).as("l3"))
+          .selectExpr("source",
+            """(case when l1 = 1 then 1 else 0 end
+              + case when l2 = 1 then 1 else 0 end
+              + case when l3 = 1 then 1 else 0 end) as n1""",
+            """(case when l1 = 0 then 1 else 0 end
+              + case when l2 = 0 then 1 else 0 end
+              + case when l3 = 0 then 1 else 0 end) as n0""",
+            """(case when l1 = -1 then 1 else 0 end
+              + case when l2 = -1 then 1 else 0 end
+              + case when l3 = -1 then 1 else 0 end) as na""")
+        nij.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("cast(n1*n1 + n0*n0 + na*na - 3 as bigint)"))
+              .as("s_agree"),
+            sum(col("n1").cast("long")).as("c1"),
+            sum(col("n0").cast("long")).as("c0"),
+            sum(col("na").cast("long")).as("ca"))
+          .selectExpr("source", "cast(n_docs as bigint) as n_docs",
+            "round(cast(s_agree as double) / (6 * n_docs), 6) as p_bar_r",
+            """round((cast(c1 as double)*c1 + cast(c0 as double)*c0
+                 + cast(ca as double)*ca)
+               / (cast(3 * n_docs as double) * (3 * n_docs)), 6)
+               as p_e_r""",
+            """round((cast(s_agree as double) / (6 * n_docs)
+                - (cast(c1 as double)*c1 + cast(c0 as double)*c0
+                   + cast(ca as double)*ca)
+                  / (cast(3 * n_docs as double) * (3 * n_docs)))
+              / nullif(1.0d
+                - (cast(c1 as double)*c1 + cast(c0 as double)*c0
+                   + cast(ca as double)*ca)
+                  / (cast(3 * n_docs as double) * (3 * n_docs)), 0.0d),
+              6) as fleiss_kappa_r""")
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT source, ${lfDuck(0)._2} AS l1,
+                 ${lfDuck(1)._2} AS l2,
+                 ${lfDuck(2)._2} AS l3
+          FROM (SELECT source, text, $WDuck AS ws FROM documents)),
+        nij AS (SELECT source,
+                  (CASE WHEN l1 = 1 THEN 1 ELSE 0 END
+                 + CASE WHEN l2 = 1 THEN 1 ELSE 0 END
+                 + CASE WHEN l3 = 1 THEN 1 ELSE 0 END) AS n1,
+                  (CASE WHEN l1 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN l2 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN l3 = 0 THEN 1 ELSE 0 END) AS n0,
+                  (CASE WHEN l1 = -1 THEN 1 ELSE 0 END
+                 + CASE WHEN l2 = -1 THEN 1 ELSE 0 END
+                 + CASE WHEN l3 = -1 THEN 1 ELSE 0 END) AS na
+                FROM v),
+        g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n1*n1 + n0*n0 + na*na - 3) AS BIGINT)
+                       AS s_agree,
+                     CAST(SUM(n1) AS BIGINT) AS c1,
+                     CAST(SUM(n0) AS BIGINT) AS c0,
+                     CAST(SUM(na) AS BIGINT) AS ca
+              FROM nij GROUP BY 1)
+        SELECT source, n_docs,
+               ROUND(CAST(s_agree AS DOUBLE) / (6 * n_docs), 6)
+                 AS p_bar_r,
+               ROUND((CAST(c1 AS DOUBLE)*c1 + CAST(c0 AS DOUBLE)*c0
+                      + CAST(ca AS DOUBLE)*ca)
+                 / (CAST(3 * n_docs AS DOUBLE) * (3 * n_docs)), 6)
+                 AS p_e_r,
+               ROUND((CAST(s_agree AS DOUBLE) / (6 * n_docs)
+                   - (CAST(c1 AS DOUBLE)*c1 + CAST(c0 AS DOUBLE)*c0
+                      + CAST(ca AS DOUBLE)*ca)
+                     / (CAST(3 * n_docs AS DOUBLE) * (3 * n_docs)))
+                 / NULLIF(1.0
+                   - (CAST(c1 AS DOUBLE)*c1 + CAST(c0 AS DOUBLE)*c0
+                      + CAST(ca AS DOUBLE)*ca)
+                     / (CAST(3 * n_docs AS DOUBLE) * (3 * n_docs)), 0.0),
+                 6) AS fleiss_kappa_r
+        FROM g ORDER BY source
+      """)),
+
+    // ------------------------------------------------------------------
+    // q251: corpus-scale chrF2 (Popović 2015) — the character-level
+    // companion to q244's word BLEU over the SAME shared FIM rewrite:
+    // per doc, character n-gram (n = 1..4) clipped matches of the
+    // candidate (example) against the reference (text), averaged into
+    // chrP/chrR and combined as F_{β=2} = 5PR/(4P+R) — the MT metric
+    // that catches morphology/typo-level divergence word BLEU is blind
+    // to. Whitespace is stripped first (the standard chrF convention),
+    // so the metric scores characters, not tokenization. Non-rewritten
+    // docs are built-in chrF = 1 controls.
+    //
+    // Determinism: clipped/total counts are EXACT integers off the
+    // (doc, n, gram)-keyed count join (q244's shape, full-outer so the
+    // recall denominator keeps reference-only grams); per-n P/R
+    // quantize at 9 before the arithmetic mean (avg ignores NULL
+    // degenerate orders identically in both engines), F at 6.
+    // Scale: gram explode is scan-side, ~4× corpus chars; everything
+    // downstream is co-keyed on doc_id — payloads never shuffle.
+    QDef(
+      "q251_chrf",
+      (s, dir) => {
+        val base = fimRewritten(s, dir)
+          .select(col("doc_id"), col("fim"),
+            expr("replace(text, ' ', '')").as("rt"),
+            expr("replace(example, ' ', '')").as("ct"))
+          .ckpt() // feeds both gram streams + the control flag
+        def grams(src: String) = base
+          .withColumn("n",
+            explode(array(lit(1), lit(2), lit(3), lit(4))))
+          .select(col("doc_id"), col("n"),
+            explode(expr(s"""case when length($src) >= n then
+                transform(sequence(1, length($src) - n + 1),
+                  i -> substring($src, i, n))
+              else array() end""")).as("gram"))
+        val cc = grams("ct").groupBy(col("doc_id"), col("n"), col("gram"))
+          .agg(count(lit(1)).as("c"))
+        val rc = grams("rt").groupBy(col("doc_id"), col("n"), col("gram"))
+          .agg(count(lit(1)).as("r"))
+        val pr = cc.join(rc, Seq("doc_id", "n", "gram"), "full_outer")
+          .groupBy(col("doc_id"), col("n"))
+          .agg(sum(least(coalesce(col("c"), lit(0L)),
+              coalesce(col("r"), lit(0L)))).as("clip"),
+            sum(coalesce(col("c"), lit(0L))).as("totc"),
+            sum(coalesce(col("r"), lit(0L))).as("totr"))
+          .groupBy(col("doc_id"))
+          .agg(avg(expr("""case when totc = 0 then null
+              else round(cast(clip as double) / totc, 9) end"""))
+              .as("chrp"),
+            avg(expr("""case when totr = 0 then null
+              else round(cast(clip as double) / totr, 9) end"""))
+              .as("chrr"))
+        base.select(col("doc_id"),
+            col("fim").cast("long").as("fim_applied"))
+          .join(pr, Seq("doc_id"), "left")
+          .selectExpr("doc_id", "fim_applied",
+            "round(chrp, 6) as chrp_r", "round(chrr, 6) as chrr_r",
+            """case when chrp is null or chrr is null
+                 or chrp + chrr = 0.0d then 0.0d
+               else round(5.0d * chrp * chrr
+                          / (4.0d * chrp + chrr), 6)
+               end as chrf2_r""")
+      },
+      Some(s"""
+        WITH $fimRewrittenDuckCtes,
+        b AS (SELECT doc_id, fim, replace(text, ' ', '') AS rt,
+                     replace(example, ' ', '') AS ct
+              FROM e),
+        nn AS (SELECT unnest(ARRAY[1, 2, 3, 4]) AS n),
+        cg AS (SELECT doc_id, n, unnest(
+                 list_transform(range(1, greatest(length(ct) - n + 2, 1)),
+                   i -> substr(ct, i, n))) AS gram
+               FROM b, nn),
+        rg AS (SELECT doc_id, n, unnest(
+                 list_transform(range(1, greatest(length(rt) - n + 2, 1)),
+                   i -> substr(rt, i, n))) AS gram
+               FROM b, nn),
+        cc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+               FROM cg GROUP BY 1, 2, 3),
+        rc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS r
+               FROM rg GROUP BY 1, 2, 3),
+        pr AS (SELECT COALESCE(cc.doc_id, rc.doc_id) AS doc_id,
+                      COALESCE(cc.n, rc.n) AS n,
+                      CAST(SUM(LEAST(COALESCE(c, 0), COALESCE(r, 0)))
+                           AS BIGINT) AS clip,
+                      CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS totc,
+                      CAST(SUM(COALESCE(r, 0)) AS BIGINT) AS totr
+               FROM cc FULL OUTER JOIN rc
+                 ON rc.doc_id = cc.doc_id AND rc.n = cc.n
+                AND rc.gram = cc.gram
+               GROUP BY 1, 2),
+        f AS (SELECT doc_id,
+                     AVG(CASE WHEN totc = 0 THEN NULL
+                         ELSE ROUND(CAST(clip AS DOUBLE) / totc, 9)
+                         END) AS chrp,
+                     AVG(CASE WHEN totr = 0 THEN NULL
+                         ELSE ROUND(CAST(clip AS DOUBLE) / totr, 9)
+                         END) AS chrr
+              FROM pr GROUP BY 1)
+        SELECT b.doc_id,
+               CAST(CASE WHEN fim THEN 1 ELSE 0 END AS BIGINT)
+                 AS fim_applied,
+               ROUND(chrp, 6) AS chrp_r, ROUND(chrr, 6) AS chrr_r,
+               CASE WHEN chrp IS NULL OR chrr IS NULL
+                      OR chrp + chrr = 0.0 THEN 0.0
+                    ELSE ROUND(5.0 * chrp * chrr
+                               / (4.0 * chrp + chrr), 6)
+               END AS chrf2_r
+        FROM b LEFT JOIN f ON f.doc_id = b.doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q253: generation novelty / memorization audit — for each
+    // candidate output (the SHARED q232 FIM rewrite), what fraction of
+    // its word 5-grams appear NOWHERE in the original corpus? The
+    // inverse of q56's decontamination containment: there the overlap
+    // is the alarm, here it is the memorization signal — a "generated"
+    // corpus whose novelty rate is ~0 is a copy, and one whose novelty
+    // is ~1 on non-rewritten controls is a broken metric (controls are
+    // verbatim corpus docs, so their novelty is 0 BY CONSTRUCTION —
+    // the built-in calibration row, q244's discipline). Rewritten docs
+    // are novel exactly at the splice boundaries and sentinel tokens,
+    // so their rates are strictly between.
+    //
+    // Scale: the corpus gram SET is the distinct 5-gram relation (one
+    // scan-side partial agg — types, not occurrences); the candidate
+    // stream joins it co-keyed on gram (left, null ⇒ novel), then
+    // rolls up per doc. Payloads never shuffle; only grams do. The
+    // membership relation is exactly what `sinks/ContamIndex` persists
+    // at 13 grams — at 100 TB this query probes that index instead of
+    // rebuilding the set.
+    QDef(
+      "q253_novelty_audit",
+      (s, dir) => {
+        val base = fimRewritten(s, dir)
+          .select(col("doc_id"), col("fim"), col("text"), col("example"))
+          .ckpt() // feeds the corpus gram set AND the candidate stream
+        def grams(src: String) = expr(
+          s"""case when size($src) >= 5 then
+              transform(sequence(0, size($src) - 5),
+                j -> concat_ws(' ', slice($src, j + 1, 5)))
+            else array() end""")
+        val corpus = base
+          .select(expr(W).as("w"))
+          .select(explode(grams("w")).as("gram"))
+          .distinct()
+        val cand = base
+          .select(col("doc_id"),
+            expr(W.replace("(text)", "(example)")).as("w"))
+          .select(col("doc_id"), explode(grams("w")).as("gram"))
+        val nov = cand
+          .join(corpus.withColumn("seen", lit(1)), Seq("gram"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L))
+              .as("n_novel"))
+        base.select(col("doc_id"),
+            col("fim").cast("long").as("fim_applied"))
+          .join(nov, Seq("doc_id"), "left")
+          .selectExpr("doc_id", "fim_applied",
+            "cast(coalesce(n_grams, 0) as bigint) as n_grams",
+            "cast(coalesce(n_novel, 0) as bigint) as n_novel",
+            """case when coalesce(n_grams, 0) = 0 then null
+               else round(cast(n_novel as double) / n_grams, 6)
+               end as novelty_r""")
+      },
+      Some(s"""
+        WITH $fimRewrittenDuckCtes,
+        cw AS (SELECT doc_id, $WDuck AS w FROM e),
+        corpus AS (SELECT DISTINCT unnest(
+                     list_transform(range(0, greatest(len(w) - 4, 0)),
+                       j -> array_to_string(w[j + 1 : j + 5], ' ')))
+                     AS gram
+                   FROM cw),
+        candw AS (SELECT doc_id,
+                    ${WDuck.replace("lower(text)", "lower(example)")}
+                      AS w
+                  FROM e),
+        cand AS (SELECT doc_id, unnest(
+                   list_transform(range(0, greatest(len(w) - 4, 0)),
+                     j -> array_to_string(w[j + 1 : j + 5], ' ')))
+                   AS gram
+                 FROM candw),
+        nov AS (SELECT cand.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_grams,
+                       CAST(SUM(CASE WHEN corpus.gram IS NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                FROM cand LEFT JOIN corpus
+                  ON corpus.gram = cand.gram
+                GROUP BY 1)
+        SELECT e.doc_id,
+               CAST(CASE WHEN fim THEN 1 ELSE 0 END AS BIGINT)
+                 AS fim_applied,
+               CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+               CASE WHEN COALESCE(n_grams, 0) = 0 THEN NULL
+                    ELSE ROUND(CAST(n_novel AS DOUBLE) / n_grams, 6)
+               END AS novelty_r
+        FROM e LEFT JOIN nov ON nov.doc_id = e.doc_id
       """))
   )
 }

@@ -1600,6 +1600,179 @@ object TextQueries {
                     ELSE ROUND(chunk_tokens / CAST(n_tokens AS DOUBLE), 6)
                END AS inflation_r
         FROM c
+      """)),
+
+    // ------------------------------------------------------------------
+    // q252: Heaps-law exponent fit — the in-engine scaling-law
+    // estimation behind the q246 "vocab is Heaps-bounded" claim and
+    // every vocab-capacity decision: V(n) ≈ K·n^β, fit by OLS on the
+    // 10 log-log points (ln n_p, ln V_p) of the deterministic doc_id
+    // decile prefixes (cutoff_p: doc_id·10 < (max_id+1)*p — a pure
+    // integer comparison, no global sort or rank). Types are word
+    // 3-GRAMS (the q23/q144 shingle relation): the synthetic corpus'
+    // unigram vocabulary is closed (31 words — β would be 0 by
+    // saturation), while its 3-gram type inventory grows with a real
+    // sub-unit exponent, which is exactly the regime the law
+    // describes. V_p needs only each type's FIRST doc (min(doc_id) —
+    // one scan-side partial agg over the TYPE relation, not the
+    // token stream); n_p needs only per-doc gram counts. Both
+    // collapse to ONE wide row via 10 conditional integer sums
+    // against the broadcast 1-row max_id (q37 pattern), so the whole
+    // curve + fit costs two partial-agg exchanges at any corpus
+    // size. ln quantizes at 9; β and ln K are the closed-form OLS
+    // scalars (round 6), repeated per point row via the 1-row fit
+    // crossJoin.
+    QDef(
+      "q252_heaps_fit",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val G = s"""case when size($W) >= 3 then
+            transform(sequence(0, size($W) - 3),
+              j -> concat_ws(' ', slice($W, j + 1, 3)))
+          else array() end"""
+        val mx = docs.agg(max(col("doc_id")).as("mx"))
+        val dt = docs.select(col("doc_id"),
+            expr(s"cast(size($G) as bigint)").as("ntok"))
+          .crossJoin(broadcast(mx))
+        val tokAggs = (1 to 10).map(p =>
+          sum(when(col("doc_id") * 10 < (col("mx") + 1L) * p,
+            col("ntok")).otherwise(0L)).as(s"n$p"))
+        val toks = dt.groupBy().agg(tokAggs.head, tokAggs.tail: _*)
+        val fdoc = docs.select(explode(expr(G)).as("w"), col("doc_id"))
+          .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+          .crossJoin(broadcast(mx))
+        val vocAggs = (1 to 10).map(p =>
+          sum(when(col("fd") * 10 < (col("mx") + 1L) * p, 1L)
+            .otherwise(0L)).as(s"v$p"))
+        val vocs = fdoc.groupBy().agg(vocAggs.head, vocAggs.tail: _*)
+        val pts = toks.crossJoin(broadcast(vocs))
+          .selectExpr(s"""stack(10, ${(1 to 10).map(p =>
+              s"cast($p as int), n$p, v$p").mkString(", ")})
+            as (decile, n_tokens, vocab)""")
+          .ckpt() // 10 rows: the curve feeds the fit AND the output
+        val fit = pts
+          .select(expr("round(ln(cast(n_tokens as double)), 9)").as("x"),
+            expr("round(ln(cast(vocab as double)), 9)").as("y"))
+          .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .selectExpr(
+            // `+ 0.0` so an exactly-zero fit coefficient cannot
+            // surface as IEEE −0.0 in one engine (the q97 rule)
+            """round((m * sxy - sx * sy)
+               / (m * sxx - sx * sx), 6) + 0.0d as beta_r""",
+            """round((sy - (m * sxy - sx * sy)
+                 / (m * sxx - sx * sx) * sx) / m, 6) + 0.0d
+               as ln_k_r""")
+        pts.crossJoin(broadcast(fit))
+          .select(col("decile"), col("n_tokens"), col("vocab"),
+            col("beta_r"), col("ln_k_r"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""
+        WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        ws AS (SELECT doc_id, $WDuck AS w FROM documents),
+        dt AS (SELECT doc_id,
+                      CAST(greatest(len(w) - 2, 0) AS BIGINT) AS ntok
+               FROM ws),
+        toks AS (SELECT ${(1 to 10).map(p =>
+          s"""CAST(SUM(CASE WHEN doc_id * 10 < (mx + 1) * $p
+              THEN ntok ELSE 0 END) AS BIGINT) AS n$p""")
+          .mkString(", ")}
+                 FROM dt, mx),
+        fdoc AS (SELECT g, MIN(doc_id) AS fd
+                 FROM (SELECT doc_id, unnest(
+                         list_transform(range(0, greatest(len(w)-2, 0)),
+                           j -> array_to_string(w[j+1 : j+3], ' ')))
+                         AS g
+                       FROM ws) t GROUP BY 1),
+        vocs AS (SELECT ${(1 to 10).map(p =>
+          s"""CAST(SUM(CASE WHEN fd * 10 < (mx + 1) * $p
+              THEN 1 ELSE 0 END) AS BIGINT) AS v$p""")
+          .mkString(", ")}
+                 FROM fdoc, mx),
+        pts AS (${(1 to 10).map(p =>
+          s"""SELECT CAST($p AS INTEGER) AS decile, n$p AS n_tokens,
+              v$p AS vocab FROM toks, vocs""")
+          .mkString("\n          UNION ALL\n          ")}),
+        xy AS (SELECT decile, n_tokens, vocab,
+                      ROUND(LN(CAST(n_tokens AS DOUBLE)), 9) AS x,
+                      ROUND(LN(CAST(vocab AS DOUBLE)), 9) AS y
+               FROM pts),
+        fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, SUM(x) AS sx,
+                       SUM(y) AS sy, SUM(x * y) AS sxy,
+                       SUM(x * x) AS sxx
+                FROM xy)
+        SELECT decile, n_tokens, vocab,
+               ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+                 + 0.0 AS beta_r,
+               ROUND((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx)
+                      * sx) / m, 6) + 0.0 AS ln_k_r
+        FROM xy, fit ORDER BY decile
+      """)),
+
+    // ------------------------------------------------------------------
+    // q254: Good-Turing frequency-spectrum smoothing per source — the
+    // classical LM estimate of UNSEEN mass (what fraction of the next
+    // crawl's tokens will be words this source has never shown:
+    // p_unseen = N1/T) plus the adjusted counts r* = (r+1)·N_{r+1}/N_r
+    // for r = 1..5, read off the word-frequency spectrum. The spectrum
+    // is two partial-agg exchanges — (source, word) counts (the
+    // vocabulary relation), then (source, r) type counts — and
+    // collapses to ONE wide row per source via 6 conditional sums, so
+    // the 5 output rows per source stack() shuffle-free (q229's
+    // wide-row discipline). All counts exact integers; r* and the
+    // unseen mass are closing round-6 divisions, NULL where N_r = 0
+    // (no types at that count ⇒ the estimator is undefined).
+    QDef(
+      "q254_good_turing",
+      (s, dir) => {
+        val wc = Tables(s, dir).documents
+          .select(col("source"), explode(expr(W)).as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c"))
+        val specAggs = Seq(
+          sum(col("c")).as("t_tokens"),
+          count(lit(1)).as("v_types")) ++
+          (1 to 6).map(r =>
+            sum(when(col("c") === r, 1L).otherwise(0L))
+              .as(s"nr$r"))
+        val spec = wc.groupBy(col("source"))
+          .agg(specAggs.head, specAggs.tail: _*)
+        spec.selectExpr("source", "t_tokens", "v_types",
+            "round(cast(nr1 as double) / t_tokens, 6) as unseen_mass_r",
+            s"""stack(5, ${(1 to 5).map(r =>
+              s"""cast($r as int), nr$r,
+                case when nr$r = 0 then null
+                else round(${r + 1}.0d * nr${r + 1} / nr$r, 6)
+                end""").mkString(", ")})
+              as (r, n_r, r_star_r)""")
+          .select(col("source"), col("r"), col("n_r"), col("r_star_r"),
+            col("t_tokens"), col("v_types"), col("unseen_mass_r"))
+          .orderBy(col("source"), col("r"))
+      },
+      Some(s"""
+        WITH wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM (SELECT source, unnest($WDuck) AS w
+                          FROM documents) t GROUP BY 1, 2),
+        spec AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t_tokens,
+                        CAST(COUNT(*) AS BIGINT) AS v_types,
+                        ${(1 to 6).map(r =>
+          s"""CAST(SUM(CASE WHEN c = $r THEN 1 ELSE 0 END) AS BIGINT)
+              AS nr$r""").mkString(", ")}
+                 FROM wc GROUP BY 1),
+        st AS (${(1 to 5).map(r =>
+          s"""SELECT source, CAST($r AS INTEGER) AS r, nr$r AS n_r,
+              CASE WHEN nr$r = 0 THEN NULL
+              ELSE ROUND(${r + 1}.0 * nr${r + 1} / nr$r, 6) END
+                AS r_star_r,
+              t_tokens, v_types,
+              ROUND(CAST(nr1 AS DOUBLE) / t_tokens, 6) AS unseen_mass_r
+              FROM spec""").mkString("\n          UNION ALL\n          ")})
+        SELECT source, r, n_r, r_star_r, t_tokens, v_types,
+               unseen_mass_r
+        FROM st ORDER BY source, r
       """))
   )
 }

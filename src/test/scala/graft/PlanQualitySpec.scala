@@ -204,7 +204,15 @@ class PlanQualitySpec extends AnyFunSuite {
     // normalizer Z into the ≤|sources| weight rows (q37 pattern,
     // twice); the corpus-sized bigram scoring join is a (w1,w2)
     // equi-join
-    "q249_doremi_mixture")
+    "q249_doremi_mixture",
+    // q252 crossJoins the ONE-row max_id into the scan (q37 pattern),
+    // the two ONE-row decile-sum aggregates together, and the ONE-row
+    // OLS fit into the 10 curve rows
+    "q252_heaps_fit",
+    // q255's pair spine crosses the two broadcast |sources|-row size
+    // lists under the a < b predicate (q114's bounded-relation cross);
+    // the corpus-sized overlap join is an fp equi-join
+    "q255_source_overlap")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds

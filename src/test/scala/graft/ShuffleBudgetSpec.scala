@@ -555,7 +555,32 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q248_bpe_compression" -> 2,
     // q249: post-ckpt bigram c12/c1 aggs + the (w1,w2) scoring join +
     // the |sources| rollup; everything after is scalar
-    "q249_doremi_mixture" -> 4)
+    "q249_doremi_mixture" -> 4,
+    // q250: votes and per-doc category counts are row-local (q229's
+    // wide-row discipline) — one source-keyed partial agg + the
+    // closing |sources|-row sort
+    "q250_fleiss_kappa" -> 2,
+    // q251: post-ckpt cand/ref char-gram count aggs + the (doc,n,gram)
+    // full-outer clip join feeding the per-doc rollup; the closing
+    // control join is doc-co-keyed
+    "q251_chrf" -> 4,
+    // q252: the token/vocab decile sums are GLOBAL 1-row partial aggs
+    // (no keyed exchange) and the 10-point curve is checkpointed
+    // before the fit — the visible plan is the 10-row stack + the
+    // broadcast 1-row fit cross, nothing left to exchange
+    "q252_heaps_fit" -> 0,
+    // q253: post-ckpt corpus gram distinct + candidate gram agg; the
+    // membership join broadcasts the distinct gram set at this SF
+    // (equi-keyed shuffle join at scale)
+    "q253_novelty_audit" -> 2,
+    // q254: (source, word) vocabulary agg + the (source, r) spectrum
+    // rollup + the closing |sources|·5-row sort; the stack is
+    // shuffle-free off the wide row
+    "q254_good_turing" -> 3,
+    // q255: post-ckpt fp distinct + set sizes + the fp-co-keyed
+    // overlap join + pair rollup + the closing pair-grid sort; the
+    // spine cross is broadcast over the |sources|-row size lists
+    "q255_source_overlap" -> 5)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the
