@@ -69,11 +69,24 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = idSpan(docs, "doc_id")
     val copies = spark.range(mult).select(col("id").as("k"))
+    // The salt must SURVIVE the engine's `[a-z]+` tokenizer
+    // (TextQueries.wordsExpr) — an earlier `_k` suffix was stripped by
+    // tokenization, silently collapsing every copy back onto the same
+    // token stream (10 exact-duplicate cliques instead of 10 disjoint
+    // vocabularies — the round-10 q245 probe caught it as a 45×
+    // candidate-pair blow-up). Letters only: word → word + "q" + two
+    // base-26 letters of k, so copy vocabularies are pairwise disjoint
+    // AND disjoint from the unsalted copy-0 vocabulary for k < 676.
+    val salt = concat(lit("q"),
+      expr("substring('abcdefghijklmnopqrstuvwxyz'," +
+        " cast(k % 26 as int) + 1, 1)"),
+      expr("substring('abcdefghijklmnopqrstuvwxyz'," +
+        " cast(k div 26 as int) + 1, 1)"))
     val docCols = Seq(
       (col("doc_id") + col("k") * nDocs).as("doc_id"),
       when(col("k") === 0, col("text")).otherwise(
         array_join(transform(split(col("text"), " "),
-          w => concat(w, lit("_"), col("k"))), " ")).as("text")) ++
+          w => concat(w, salt)), " ")).as("text")) ++
       docs.columns.filterNot(Set("doc_id", "text")).map(col)
     docs.crossJoin(copies)
       .select(docCols: _*)

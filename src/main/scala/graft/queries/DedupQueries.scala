@@ -1387,8 +1387,10 @@ object DedupQueries {
     // the top-50 report carries the full deterministic tiebreak.
     //
     // Scale: the ONLY payload shuffle is the two text joins for
-    // surviving candidate pairs (bounded by band-bucket collisions);
-    // the DP runs partition-local per pair; TakeOrdered closes it.
+    // surviving candidate pairs (bounded by band-bucket collisions AND
+    // the per-doc top-64 fan-out cap, so a boilerplate dup clique of m
+    // docs costs 64·m DPs, not C(m,2)); the DP runs partition-local
+    // per pair; TakeOrdered closes it.
     QDef(
       "q245_edit_neardup",
       (s, dir) => {
@@ -1418,6 +1420,20 @@ object DedupQueries {
           .join(lens.select(col("doc_id").as("doc_b"),
             col("len").as("len_b")), "doc_b")
           .where(abs(col("len_a") - col("len_b")) <= 64L)
+          // per-doc fan-out cap: a hot boilerplate clique of m docs
+          // otherwise produces C(m,2) band-candidate pairs and the DP
+          // cost goes quadratic in the clique (the round-10 dup-clique
+          // probe measured exactly that). Top-64 per doc_a by the
+          // cheapest similarity proxy available pre-payload (|Δlen|,
+          // then doc_b — a deterministic total order) bounds the DP at
+          // 64·n pairs at ANY clique size; the window partitions by
+          // doc_a, so it shards with the candidate set.
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_a"))
+              .orderBy(abs(col("len_a") - col("len_b")).asc,
+                col("doc_b").asc)))
+          .where(col("rk") <= 64).drop("rk")
         surv
           .join(d.select(col("doc_id").as("doc_a"),
             col("text").as("ta")), "doc_a")
@@ -1451,12 +1467,22 @@ object DedupQueries {
                   AND a.doc_id < b.doc_id),
         d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
               FROM documents WHERE length(text) <= 4000),
-        p AS (SELECT c.doc_a, c.doc_b, da.len AS len_a, db.len AS len_b,
+        surv AS (SELECT doc_a, doc_b, len_a, len_b
+                 FROM (SELECT c.doc_a, c.doc_b, da.len AS len_a,
+                              db.len AS len_b,
+                              ROW_NUMBER() OVER (PARTITION BY c.doc_a
+                                ORDER BY ABS(da.len - db.len) ASC,
+                                         c.doc_b ASC) AS rk
+                       FROM cand c
+                       JOIN d da ON da.doc_id = c.doc_a
+                       JOIN d db ON db.doc_id = c.doc_b
+                       WHERE ABS(da.len - db.len) <= 64) t
+                 WHERE rk <= 64),
+        p AS (SELECT s.doc_a, s.doc_b, s.len_a, s.len_b,
                      CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev
-              FROM cand c
-              JOIN d da ON da.doc_id = c.doc_a
-              JOIN d db ON db.doc_id = c.doc_b
-              WHERE ABS(da.len - db.len) <= 64),
+              FROM surv s
+              JOIN d da ON da.doc_id = s.doc_a
+              JOIN d db ON db.doc_id = s.doc_b),
         r AS (SELECT doc_a, doc_b, len_a, len_b, lev,
                      ROUND(1.0 - CAST(lev AS DOUBLE)
                            / GREATEST(len_a, len_b, 1), 6) AS edit_sim_r

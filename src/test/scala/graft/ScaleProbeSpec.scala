@@ -42,6 +42,24 @@ class ScaleProbeSpec extends AnyFunSuite {
     val shared = fp(blown.where(col("doc_id") >= n))
       .join(fp(orig), "fp").count()
     assert(shared == 0, s"salted copies share $shared fingerprints")
+    // the stronger property the fingerprint check does NOT imply: the
+    // salt must survive the `[a-z]+` TOKENIZER, or every word-level
+    // query sees the copies as exact duplicates (the round-10 finding:
+    // a `_k` salt was stripped at tokenization and the "disjoint
+    // vocabularies" contract silently became "10-duplicate cliques")
+    val toks = (d: org.apache.spark.sql.DataFrame) => d
+      .select(explode(expr(graft.queries.TextQueries.wordsExpr))
+        .as("w")).distinct()
+    val sharedToks = toks(blown.where(col("doc_id") >= n))
+      .join(toks(orig), "w").count()
+    assert(sharedToks == 0,
+      s"salted copies share $sharedToks tokenizer-visible words")
+    // and distinct salted copies must not collapse onto EACH OTHER
+    val sharedAcross = toks(blown
+        .where(col("doc_id") >= n && col("doc_id") < 2 * n))
+      .join(toks(blown.where(col("doc_id") >= 2 * n)), "w").count()
+    assert(sharedAcross == 0,
+      s"salted copies 1 and 2 share $sharedAcross words")
   }
 
   test("embeddings: 3x rows, copy 0 verbatim, rotation preserves norms") {

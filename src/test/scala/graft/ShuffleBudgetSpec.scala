@@ -540,9 +540,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q244: post-ckpt gram counts both sides + their (doc,n,gram) join
     // + the per-(doc,n) rollup; the doc_id pivot rides the same keys
     "q244_bleu" -> 4,
-    // q245: post-ckpt band self-join; candidate/text joins broadcast
+    // q245: post-ckpt band self-join + the doc_a exchange for the
+    // per-doc fan-out-cap window; candidate/text joins broadcast
     // (tiny candidate side), TakeOrdered closes
-    "q245_edit_neardup" -> 1,
+    "q245_edit_neardup" -> 2,
     // q246: every superstep's pair-agg shuffle runs AT the per-step
     // ckpt barriers; the visible plan is the union of 8 checkpointed
     // 1-row merge frames — nothing left to exchange
