@@ -363,18 +363,51 @@ object PipelineQueries {
     * v0 through v_bpeIters; q247 audits the final one, q248 sweeps the
     * whole trajectory for the compression curve).
     */
+  /** Apply ONE learned merge (the 1-row (l, r) frame `best`) to every
+    * word's symbol string — the Sennrich greedy LTR merge-all fold,
+    * factored out so the TRAINER's superstep (bpeSteps) and the
+    * APPLY path (q256's held-out encoding) provably use the identical
+    * merge semantics.
+    */
+  private def applyMerge(vocab: org.apache.spark.sql.DataFrame,
+      best: org.apache.spark.sql.DataFrame) = vocab
+    .crossJoin(broadcast(best.select(col("l"), col("r"))))
+    .select(col("word"), col("wf"),
+      // Sennrich merge-all as a fold: the accumulator is the
+      // merged-so-far symbol string; (last symbol = l, x = r) ⇒
+      // append x with NO space (the joined token is textually
+      // l||r = merged). endswith, not LIKE: l may contain the `_`
+      // end-of-word marker, which LIKE would treat as a wildcard.
+      expr("""aggregate(
+                slice(split(rep, ' '), 2,
+                      greatest(size(split(rep, ' ')) - 1, 0)),
+                element_at(split(rep, ' '), 1),
+                (acc, x) -> if(x = r and (acc = l or
+                               endswith(acc, concat(' ', l))),
+                               concat(acc, x),
+                               concat(acc, ' ', x)))""").as("rep"))
+    .ckpt()
+
+  /** The char-split (word, wf, rep) TYPE vocabulary of `docs` — the
+    * relation every BPE train/apply stage starts from.
+    */
+  private def charVocab(docs: org.apache.spark.sql.DataFrame) = docs
+    .select(explode(expr(W)).as("word"))
+    .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+    .select(col("word"), col("wf"),
+      // split(word, '') keeps a trailing '' under Java's limit=-1
+      // split — filter it out so symbols stay non-empty
+      expr("""concat(concat_ws(' ',
+               filter(split(word, ''), c -> c <> '')), ' _')""")
+        .as("rep"))
+    .ckpt() // the corpus is never read again
+
   private def bpeSteps(s: org.apache.spark.sql.SparkSession,
-      dir: String) = {
-    val vocab0 = Tables(s, dir).documents
-      .select(explode(expr(W)).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
-      .select(col("word"), col("wf"),
-        // split(word, '') keeps a trailing '' under Java's limit=-1
-        // split — filter it out so symbols stay non-empty
-        expr("""concat(concat_ws(' ',
-                 filter(split(word, ''), c -> c <> '')), ' _')""")
-          .as("rep"))
-      .ckpt() // the corpus is never read again
+      dir: String, trainOnly: Boolean = false) = {
+    val docs0 = Tables(s, dir).documents
+    val vocab0 = charVocab(
+      if (trainOnly) docs0.where(expr(splitExprSpark) === "train")
+      else docs0)
     def step(vocab: org.apache.spark.sql.DataFrame, it: Int) = {
       val best = vocab
         .select(col("wf"), expr(
@@ -394,24 +427,7 @@ object PipelineQueries {
           expr("replace(m.p, ' ', '')").as("merged"),
           (-col("m.nc")).as("cnt"))
         .ckpt() // superstep barrier: 1 row
-      val next = vocab
-        .crossJoin(broadcast(best.select(col("l"), col("r"))))
-        .select(col("word"), col("wf"),
-          // Sennrich merge-all as a fold: the accumulator is the
-          // merged-so-far symbol string; (last symbol = l, x = r) ⇒
-          // append x with NO space (the joined token is textually
-          // l||r = merged). endswith, not LIKE: l may contain the `_`
-          // end-of-word marker, which LIKE would treat as a wildcard.
-          expr("""aggregate(
-                    slice(split(rep, ' '), 2,
-                          greatest(size(split(rep, ' ')) - 1, 0)),
-                    element_at(split(rep, ' '), 1),
-                    (acc, x) -> if(x = r and (acc = l or
-                                   endswith(acc, concat(' ', l))),
-                                   concat(acc, x),
-                                   concat(acc, ' ', x)))""").as("rep"))
-        .ckpt()
-      (best, next)
+      (best, applyMerge(vocab, best))
     }
     var vocab = vocab0
     val vocabs = scala.collection.mutable.ArrayBuffer(vocab0)
@@ -427,13 +443,14 @@ object PipelineQueries {
     * vocab). Generated by the same loop so the two chains cannot
     * drift in length.
     */
-  private val bpeChainDuck: String = {
+  private def bpeChainDuck(docWhere: String = ""): String = {
     val sb = new StringBuilder
     sb.append(s"""v0 AS MATERIALIZED (
           SELECT word, CAST(COUNT(*) AS BIGINT) AS wf,
                  array_to_string(string_split(word, ''), ' ') || ' _'
                    AS rep
-          FROM (SELECT unnest($WDuck) AS word FROM documents) tw
+          FROM (SELECT unnest($WDuck) AS word
+                FROM documents $docWhere) tw
           GROUP BY 1)""")
     for (i <- 1 to bpeIters) {
       sb.append(s""",
@@ -3470,22 +3487,28 @@ object PipelineQueries {
         val cand = base.select(col("doc_id"),
           col("example").as("text")).select(col("doc_id"),
           expr(W).as("w"))
-        def grams(df: org.apache.spark.sql.DataFrame) = df
+        // side-tagged union + ONE conditional agg instead of two count
+        // aggs + a (doc, n, gram) left join: both sides' counts land
+        // in the same hash-agg row, and Σ least(c, r) over rows with
+        // c > 0 ≡ the join's Σ least(c, coalesce(r, 0)) — same exact
+        // integers, one fewer exchange, no join at any scale (the
+        // round-10 q251 rewrite applied here too)
+        def grams(df: org.apache.spark.sql.DataFrame,
+            cTag: Int, rTag: Int) = df
           .withColumn("n",
             explode(array(lit(1), lit(2), lit(3), lit(4))))
           .select(col("doc_id"), col("n"),
             explode(expr("""case when size(w) >= n then
                 transform(sequence(0, size(w) - n),
                   j -> concat_ws(' ', slice(w, j + 1, n)))
-              else array() end""")).as("gram"))
-        val cc = grams(cand).groupBy(col("doc_id"), col("n"), col("gram"))
-          .agg(count(lit(1)).as("c"))
-        val rc = grams(ref).groupBy(col("doc_id"), col("n"), col("gram"))
-          .agg(count(lit(1)).as("r"))
-        val pn = cc.join(rc, Seq("doc_id", "n", "gram"), "left")
+              else array() end""")).as("gram"),
+            lit(cTag.toLong).as("tc"), lit(rTag.toLong).as("tr"))
+        val pn = grams(cand, 1, 0).unionByName(grams(ref, 0, 1))
+          .groupBy(col("doc_id"), col("n"), col("gram"))
+          .agg(sum(col("tc")).as("c"), sum(col("tr")).as("r"))
           .groupBy(col("doc_id"), col("n"))
           .agg(sum(col("c")).as("tot"),
-            sum(least(col("c"), coalesce(col("r"), lit(0L)))).as("clip"))
+            sum(least(col("c"), col("r"))).as("clip"))
           .groupBy(col("doc_id"))
           .agg((1 to 4).flatMap(k => Seq(
             sum(when(col("n") === k, col("tot"))).as(s"tot$k"),
@@ -3527,27 +3550,24 @@ object PipelineQueries {
                     ${WDuck.replace("lower(text)", "lower(example)")} AS w
                   FROM e),
         nn AS (SELECT unnest(ARRAY[1, 2, 3, 4]) AS n),
-        cg AS (SELECT doc_id, n, unnest(
+        ug AS (SELECT doc_id, n, unnest(
                  list_transform(range(0, greatest(len(w) - n + 1, 0)),
                    j -> array_to_string(w[j + 1 : j + n], ' ')))
-                 AS gram
-               FROM candw, nn),
-        rg AS (SELECT doc_id, n, unnest(
+                 AS gram, 1 AS tc, 0 AS tr
+               FROM candw, nn
+               UNION ALL
+               SELECT doc_id, n, unnest(
                  list_transform(range(0, greatest(len(w) - n + 1, 0)),
                    j -> array_to_string(w[j + 1 : j + n], ' ')))
-                 AS gram
+                 AS gram, 0 AS tc, 1 AS tr
                FROM refw, nn),
-        cc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
-               FROM cg GROUP BY 1, 2, 3),
-        rc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS r
-               FROM rg GROUP BY 1, 2, 3),
-        pn AS (SELECT cc.doc_id, cc.n,
-                      CAST(SUM(cc.c) AS BIGINT) AS tot,
-                      CAST(SUM(LEAST(cc.c, COALESCE(rc.r, 0)))
-                           AS BIGINT) AS clip
-               FROM cc LEFT JOIN rc
-                 ON rc.doc_id = cc.doc_id AND rc.n = cc.n
-                AND rc.gram = cc.gram
+        cr AS (SELECT doc_id, n, gram, CAST(SUM(tc) AS BIGINT) AS c,
+                      CAST(SUM(tr) AS BIGINT) AS r
+               FROM ug GROUP BY 1, 2, 3),
+        pn AS (SELECT doc_id, n,
+                      CAST(SUM(c) AS BIGINT) AS tot,
+                      CAST(SUM(LEAST(c, r)) AS BIGINT) AS clip
+               FROM cr WHERE c > 0 OR r > 0
                GROUP BY 1, 2),
         piv AS (SELECT doc_id,
                  CAST(SUM(CASE WHEN n = 1 THEN tot END) AS BIGINT) AS tot1,
@@ -3620,7 +3640,7 @@ object PipelineQueries {
           .orderBy(col("iter"))
       },
       Some(s"""
-        WITH $bpeChainDuck
+        WITH ${bpeChainDuck()}
         ${(1 to bpeIters)
           .map(i => s"SELECT iter, pair, merged, cnt FROM b$i")
           .mkString("\n        UNION ALL\n        ")}
@@ -3662,7 +3682,7 @@ object PipelineQueries {
           .orderBy(col("lang"))
       },
       Some(s"""
-        WITH $bpeChainDuck,
+        WITH ${bpeChainDuck()},
         tok AS (SELECT word,
                        CAST(len(string_split(rep, ' ')) AS BIGINT)
                          AS n_bpe
@@ -3715,7 +3735,7 @@ object PipelineQueries {
           .orderBy(col("iter"))
       },
       Some(s"""
-        WITH $bpeChainDuck,
+        WITH ${bpeChainDuck()},
         uni AS (${(0 to bpeIters)
           .map(i =>
             s"SELECT CAST($i AS INTEGER) AS iter, word, wf, rep FROM v$i")
@@ -3926,13 +3946,18 @@ object PipelineQueries {
     // so the metric scores characters, not tokenization. Non-rewritten
     // docs are built-in chrF = 1 controls.
     //
-    // Determinism: clipped/total counts are EXACT integers off the
-    // (doc, n, gram)-keyed count join (q244's shape, full-outer so the
-    // recall denominator keeps reference-only grams); per-n P/R
-    // quantize at 9 before the arithmetic mean (avg ignores NULL
-    // degenerate orders identically in both engines), F at 6.
-    // Scale: gram explode is scan-side, ~4× corpus chars; everything
-    // downstream is co-keyed on doc_id — payloads never shuffle.
+    // Determinism: clipped/total counts are EXACT integers off ONE
+    // (doc, n, gram)-keyed conditional aggregation over the UNIONED
+    // side-tagged gram streams — Σ least(c, r) ≡ the clipped-match sum
+    // a candidate↔reference count join would compute, without the
+    // join: both sides' counts land in the same hash-agg row (absent
+    // side = 0, so least() clips it exactly like the outer join's
+    // coalesce did). Per-n P/R quantize at 9 before the arithmetic
+    // mean (avg ignores NULL degenerate orders identically in both
+    // engines), F at 6.
+    // Scale: gram explode is scan-side, ~4× corpus chars; ONE
+    // partial-agg exchange on (doc, n, gram) + the per-doc rollup —
+    // payloads never shuffle, and no join exists at any scale.
     QDef(
       "q251_chrf",
       (s, dir) => {
@@ -3941,24 +3966,24 @@ object PipelineQueries {
             expr("replace(text, ' ', '')").as("rt"),
             expr("replace(example, ' ', '')").as("ct"))
           .ckpt() // feeds both gram streams + the control flag
-        def grams(src: String) = base
+        // side-tagged union built scan-side: each row explodes its
+        // candidate grams (tag c) AND reference grams (tag r)
+        def grams(src: String, cTag: Int, rTag: Int) = base
           .withColumn("n",
             explode(array(lit(1), lit(2), lit(3), lit(4))))
           .select(col("doc_id"), col("n"),
             explode(expr(s"""case when length($src) >= n then
                 transform(sequence(1, length($src) - n + 1),
                   i -> substring($src, i, n))
-              else array() end""")).as("gram"))
-        val cc = grams("ct").groupBy(col("doc_id"), col("n"), col("gram"))
-          .agg(count(lit(1)).as("c"))
-        val rc = grams("rt").groupBy(col("doc_id"), col("n"), col("gram"))
-          .agg(count(lit(1)).as("r"))
-        val pr = cc.join(rc, Seq("doc_id", "n", "gram"), "full_outer")
+              else array() end""")).as("gram"),
+            lit(cTag.toLong).as("tc"), lit(rTag.toLong).as("tr"))
+        val pr = grams("ct", 1, 0).unionByName(grams("rt", 0, 1))
+          .groupBy(col("doc_id"), col("n"), col("gram"))
+          .agg(sum(col("tc")).as("c"), sum(col("tr")).as("r"))
           .groupBy(col("doc_id"), col("n"))
-          .agg(sum(least(coalesce(col("c"), lit(0L)),
-              coalesce(col("r"), lit(0L)))).as("clip"),
-            sum(coalesce(col("c"), lit(0L))).as("totc"),
-            sum(coalesce(col("r"), lit(0L))).as("totr"))
+          .agg(sum(least(col("c"), col("r"))).as("clip"),
+            sum(col("c")).as("totc"),
+            sum(col("r")).as("totr"))
           .groupBy(col("doc_id"))
           .agg(avg(expr("""case when totc = 0 then null
               else round(cast(clip as double) / totc, 9) end"""))
@@ -3983,28 +4008,25 @@ object PipelineQueries {
                      replace(example, ' ', '') AS ct
               FROM e),
         nn AS (SELECT unnest(ARRAY[1, 2, 3, 4]) AS n),
-        cg AS (SELECT doc_id, n, unnest(
+        ug AS (SELECT doc_id, n, unnest(
                  list_transform(range(1, greatest(length(ct) - n + 2, 1)),
-                   i -> substr(ct, i, n))) AS gram
-               FROM b, nn),
-        rg AS (SELECT doc_id, n, unnest(
+                   i -> substr(ct, i, n))) AS gram,
+                 1 AS tc, 0 AS tr
+               FROM b, nn
+               UNION ALL
+               SELECT doc_id, n, unnest(
                  list_transform(range(1, greatest(length(rt) - n + 2, 1)),
-                   i -> substr(rt, i, n))) AS gram
+                   i -> substr(rt, i, n))) AS gram,
+                 0 AS tc, 1 AS tr
                FROM b, nn),
-        cc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
-               FROM cg GROUP BY 1, 2, 3),
-        rc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS r
-               FROM rg GROUP BY 1, 2, 3),
-        pr AS (SELECT COALESCE(cc.doc_id, rc.doc_id) AS doc_id,
-                      COALESCE(cc.n, rc.n) AS n,
-                      CAST(SUM(LEAST(COALESCE(c, 0), COALESCE(r, 0)))
-                           AS BIGINT) AS clip,
-                      CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS totc,
-                      CAST(SUM(COALESCE(r, 0)) AS BIGINT) AS totr
-               FROM cc FULL OUTER JOIN rc
-                 ON rc.doc_id = cc.doc_id AND rc.n = cc.n
-                AND rc.gram = cc.gram
-               GROUP BY 1, 2),
+        cr AS (SELECT doc_id, n, gram, CAST(SUM(tc) AS BIGINT) AS c,
+                      CAST(SUM(tr) AS BIGINT) AS r
+               FROM ug GROUP BY 1, 2, 3),
+        pr AS (SELECT doc_id, n,
+                      CAST(SUM(LEAST(c, r)) AS BIGINT) AS clip,
+                      CAST(SUM(c) AS BIGINT) AS totc,
+                      CAST(SUM(r) AS BIGINT) AS totr
+               FROM cr GROUP BY 1, 2),
         f AS (SELECT doc_id,
                      AVG(CASE WHEN totc = 0 THEN NULL
                          ELSE ROUND(CAST(clip AS DOUBLE) / totc, 9)
@@ -4113,6 +4135,229 @@ object PipelineQueries {
                     ELSE ROUND(CAST(n_novel AS DOUBLE) / n_grams, 6)
                END AS novelty_r
         FROM e LEFT JOIN nov ON nov.doc_id = e.doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q256: tokenizer OOV-generalization audit — the APPLY path of the
+    // q246 trainer, on data it never saw: merges are learned on the
+    // TRAIN split only (the SHARED q51 splitExpr), then applied to the
+    // HELD-OUT split's word vocabulary through the SAME applyMerge
+    // fold the trainer uses (one definition — the apply path cannot
+    // drift from training semantics). Because the synthetic corpus'
+    // word vocabulary is closed, genuine OOV is INJECTED as ground
+    // truth (the q218 discipline): a deterministic md5 coin doubles
+    // the first character of ~1/8 of held-out word INSTANCES (0-based
+    // instance position salts the coin), creating real unseen types
+    // the merge table must encode from characters. The audit reports,
+    // per language, the OOV instance rate (≈ the coin rate — the
+    // built-in calibration) and SEPARATE in-vocab vs OOV fertility:
+    // the gap is exactly what tokenizer-generalization reviews look
+    // for before shipping a vocab.
+    //
+    // Scale: train chain = q246 (vocab-relation supersteps); the
+    // held-out vocab is Heaps-bounded TYPES; the scoring join
+    // broadcasts the type table into the held-out instance stream.
+    // All counts exact integers; three closing round-6 divisions.
+    QDef(
+      "q256_bpe_oov_audit",
+      (s, dir) => {
+        val (merges, vocabs) = bpeSteps(s, dir, trainOnly = true)
+        val hw = Tables(s, dir).documents
+          .where(expr(splitExprSpark) === "held_out")
+          .selectExpr("doc_id", "lang", s"posexplode($W) as (pos, w0)")
+          .select(col("lang"), expr(
+            """case when substring(md5(cast(concat('typo|',
+                 cast(doc_id as string), '|', cast(pos as string))
+                 as binary)), 1, 1) < '2'
+               then concat(substring(w0, 1, 1), w0) else w0 end""")
+            .as("word"))
+          .ckpt() // feeds the held vocab AND the scoring join
+        var hv = hw.groupBy(col("word")).agg(count(lit(1)).as("wf"))
+          .select(col("word"), col("wf"),
+            expr("""concat(concat_ws(' ',
+                     filter(split(word, ''), c -> c <> '')), ' _')""")
+              .as("rep"))
+          .ckpt()
+        merges.foreach { b => hv = applyMerge(hv, b) }
+        val tok = hv.select(col("word"),
+            expr("cast(size(split(rep, ' ')) as bigint)").as("n_bpe"))
+          .join(vocabs.head.select(col("word"),
+            lit(1L).as("in_train")), Seq("word"), "left")
+        hw.join(broadcast(tok), "word")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(when(col("in_train").isNull, 1L).otherwise(0L))
+              .as("n_oov"),
+            sum(when(col("in_train").isNotNull, col("n_bpe"))
+              .otherwise(0L)).as("tok_in"),
+            sum(when(col("in_train").isNull, col("n_bpe"))
+              .otherwise(0L)).as("tok_oov"),
+            sum(col("n_bpe")).as("tok_all"),
+            sum(length(col("word")).cast("bigint")).as("n_chars"))
+          .selectExpr("lang", "n_words", "n_oov",
+            "round(cast(n_oov as double) / n_words, 6) as oov_rate_r",
+            """case when n_words = n_oov then null
+               else round(cast(tok_in as double) / (n_words - n_oov), 6)
+               end as fertility_in_r""",
+            """case when n_oov = 0 then null
+               else round(cast(tok_oov as double) / n_oov, 6)
+               end as fertility_oov_r""",
+            "round(cast(n_chars as double) / tok_all, 6)"
+              + " as chars_per_token_r")
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH ${bpeChainDuck(s"WHERE $splitExprDuck = 'train'")},
+        hw AS MATERIALIZED (
+          SELECT lang,
+                 CASE WHEN substring(md5('typo|'
+                        || CAST(doc_id AS VARCHAR) || '|'
+                        || CAST(p['i'] AS VARCHAR)), 1, 1) < '2'
+                      THEN substr(p['w'], 1, 1) || p['w']
+                      ELSE p['w'] END AS word
+          FROM (SELECT doc_id, lang,
+                  unnest(list_transform(range(0, len(ws)),
+                    i -> {'i': i, 'w': ws[i + 1]})) AS p
+                FROM (SELECT doc_id, lang, $WDuck AS ws
+                      FROM documents
+                      WHERE $splitExprDuck = 'held_out') t0) t1),
+        hv0 AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS wf,
+                 array_to_string(string_split(word, ''), ' ') || ' _'
+                   AS rep
+          FROM hw GROUP BY 1)${(1 to bpeIters).map(i => s""",
+        hv$i AS MATERIALIZED (
+          SELECT word, wf,
+                 list_reduce(string_split(rep, ' '),
+                   (acc, x) -> CASE
+                     WHEN x = b.r AND (acc = b.l OR
+                          ends_with(acc, ' ' || b.l))
+                     THEN acc || x ELSE acc || ' ' || x END) AS rep
+          FROM hv${i - 1}, b$i b)""").mkString},
+        tok AS (SELECT word,
+                       CAST(len(string_split(rep, ' ')) AS BIGINT)
+                         AS n_bpe
+                FROM hv$bpeIters),
+        tv AS (SELECT word FROM v0),
+        g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+                     CAST(SUM(CASE WHEN tv.word IS NULL THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_oov,
+                     CAST(SUM(CASE WHEN tv.word IS NOT NULL THEN n_bpe
+                          ELSE 0 END) AS BIGINT) AS tok_in,
+                     CAST(SUM(CASE WHEN tv.word IS NULL THEN n_bpe
+                          ELSE 0 END) AS BIGINT) AS tok_oov,
+                     CAST(SUM(n_bpe) AS BIGINT) AS tok_all,
+                     CAST(SUM(len(hw.word)) AS BIGINT) AS n_chars
+              FROM hw JOIN tok ON tok.word = hw.word
+                   LEFT JOIN tv ON tv.word = hw.word
+              GROUP BY 1)
+        SELECT lang, n_words, n_oov,
+               ROUND(CAST(n_oov AS DOUBLE) / n_words, 6) AS oov_rate_r,
+               CASE WHEN n_words = n_oov THEN NULL
+                    ELSE ROUND(CAST(tok_in AS DOUBLE)
+                               / (n_words - n_oov), 6)
+               END AS fertility_in_r,
+               CASE WHEN n_oov = 0 THEN NULL
+                    ELSE ROUND(CAST(tok_oov AS DOUBLE) / n_oov, 6)
+               END AS fertility_oov_r,
+               ROUND(CAST(n_chars AS DOUBLE) / tok_all, 6)
+                 AS chars_per_token_r
+        FROM g ORDER BY lang
+      """)),
+
+    // ------------------------------------------------------------------
+    // q258: Neyman optimal sampling allocation — how many docs to
+    // audit from each source given a fixed review budget (B = 1000):
+    // n_h ∝ N_h·S_h (stratum size × stratum std of the SHARED quality
+    // score q193/q243 rank by), the classical variance-minimizing
+    // allocation for stratified estimation — the eval-set and
+    // human-review-budget construction step after q135's k-fold split.
+    // Integer allocations via LARGEST-REMAINDER rounding (floor the
+    // real allocations, then hand the deficit to the largest
+    // fractional parts, source-asc tiebreak), so Σ alloc_n = B
+    // exactly — a report that doesn't sum to the budget is a bug, not
+    // a rounding convention.
+    //
+    // Determinism/scale: per-stratum moments are exact DECIMAL(38,0)
+    // sums (score ≤ 1e5, so Σx² needs the q243 HUGEINT-first
+    // discipline at corpus scale); S_h = sqrt of the exact variance
+    // (sqrt is IEEE-correctly-rounded in both engines — the q220
+    // rule); the corpus collapses to |sources| rows in ONE partial-agg
+    // exchange, and the remainder ranking is a window over that
+    // bounded relation.
+    QDef(
+      "q258_neyman_allocation",
+      (s, dir) => {
+        val B = 1000L
+        val st = Tables(s, dir).documents
+          .withColumn("ws", expr(W))
+          .select(col("source"), expr(prefScoreSpark).as("x"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("x").cast(DecimalType(38, 0))).as("s1"),
+            sum(col("x").cast(DecimalType(38, 0)) *
+              col("x").cast(DecimalType(38, 0))).as("s2"))
+          .selectExpr("source", "cast(n_docs as bigint) as n_docs",
+            """case when n_docs < 2 then 0.0d
+               else sqrt((cast(n_docs as double) * cast(s2 as double)
+                          - cast(s1 as double) * cast(s1 as double))
+                         / (cast(n_docs as double) * (n_docs - 1)))
+               end as sd""")
+          .withColumn("wh", col("n_docs").cast("double") * col("sd"))
+          .ckpt() // |sources| rows
+        val tot = st.agg(sum(col("wh")).as("wt"))
+        val alloc = st.crossJoin(broadcast(tot))
+          .selectExpr("source", "n_docs", "round(sd, 6) as sd_r",
+            s"floor($B.0d * wh / nullif(wt, 0.0d)) as base_n",
+            s"""$B.0d * wh / nullif(wt, 0.0d)
+               - floor($B.0d * wh / nullif(wt, 0.0d)) as frac""")
+        val rem = alloc
+          .agg((lit(B) - sum(col("base_n"))).as("rdef"))
+        alloc.crossJoin(broadcast(rem))
+          .withColumn("rk", row_number().over(Q.bounded
+            .orderBy(col("frac").desc, col("source").asc)))
+          .selectExpr("source", "n_docs", "sd_r",
+            """cast(base_n + (case when rk <= rdef then 1 else 0 end)
+               as bigint) as alloc_n""")
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH sc AS (SELECT source, $prefScoreDuck AS x
+                    FROM (SELECT source, doc_id, $WDuck AS ws
+                          FROM documents) t0),
+        st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+                      CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                           AS HUGEINT) AS s2
+               FROM sc GROUP BY 1),
+        sd AS (SELECT source, n_docs,
+                      CASE WHEN n_docs < 2 THEN 0.0
+                           ELSE sqrt((CAST(n_docs AS DOUBLE)
+                                      * CAST(s2 AS DOUBLE)
+                                      - CAST(s1 AS DOUBLE)
+                                        * CAST(s1 AS DOUBLE))
+                                     / (CAST(n_docs AS DOUBLE)
+                                        * (n_docs - 1))) END AS sd
+               FROM st),
+        w AS (SELECT source, n_docs, sd,
+                     CAST(n_docs AS DOUBLE) * sd AS wh FROM sd),
+        tot AS (SELECT SUM(wh) AS wt FROM w),
+        alloc AS (SELECT source, n_docs, ROUND(sd, 6) AS sd_r,
+                         FLOOR(1000.0 * wh / NULLIF(wt, 0.0)) AS base_n,
+                         1000.0 * wh / NULLIF(wt, 0.0)
+                           - FLOOR(1000.0 * wh / NULLIF(wt, 0.0))
+                           AS frac
+                  FROM w, tot),
+        rem AS (SELECT 1000 - CAST(SUM(base_n) AS BIGINT) AS rdef
+                FROM alloc),
+        rk AS (SELECT source, n_docs, sd_r, base_n, rdef,
+                      ROW_NUMBER() OVER (ORDER BY frac DESC, source ASC)
+                        AS rk
+               FROM alloc, rem)
+        SELECT source, n_docs, sd_r,
+               CAST(base_n + (CASE WHEN rk <= rdef THEN 1 ELSE 0 END)
+                    AS BIGINT) AS alloc_n
+        FROM rk ORDER BY source
       """))
   )
 }

@@ -1773,6 +1773,59 @@ object TextQueries {
         SELECT source, r, n_r, r_star_r, t_tokens, v_types,
                unseen_mass_r
         FROM st ORDER BY source, r
+      """)),
+
+    // ------------------------------------------------------------------
+    // q257: lexical diversity — raw TTR (type/token ratio) plus MATTR
+    // (Covington & McFall 2010: the mean TTR of every 50-token sliding
+    // window), the length-robust diversity score corpus-quality
+    // pipelines use because raw TTR collapses as documents grow. The
+    // whole computation is ROW-LOCAL (each doc's windows live in its
+    // own token array — transform over sequence + array_distinct), so
+    // the query is a pure narrow map: zero shuffles at any corpus
+    // size. Docs at or under the window size fall back to raw TTR
+    // (the standard convention); empty docs are NULL. Window distinct
+    // counts are exact integers; the two divisions round at 6.
+    QDef(
+      "q257_mattr",
+      (s, dir) => {
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("lang"), expr(W).as("ws"))
+          .select(col("doc_id"), col("lang"),
+            expr("cast(size(ws) as bigint)").as("n_tokens"),
+            expr("cast(size(array_distinct(ws)) as bigint)")
+              .as("n_types"),
+            expr("""case when size(ws) = 0 then null
+                else round(cast(size(array_distinct(ws)) as double)
+                           / size(ws), 6) end""").as("ttr_r"),
+            expr("""case when size(ws) = 0 then null
+                when size(ws) <= 50 then
+                  round(cast(size(array_distinct(ws)) as double)
+                        / size(ws), 6)
+                else round(cast(aggregate(
+                    transform(sequence(1, size(ws) - 49),
+                      i -> size(array_distinct(slice(ws, i, 50)))),
+                    0L, (a, x) -> a + x) as double)
+                  / (50.0d * (size(ws) - 49)), 6)
+                end""").as("mattr_r"))
+      },
+      Some(s"""
+        SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+               CASE WHEN len(ws) = 0 THEN NULL
+                    ELSE ROUND(CAST(len(list_distinct(ws)) AS DOUBLE)
+                               / len(ws), 6) END AS ttr_r,
+               CASE WHEN len(ws) = 0 THEN NULL
+                    WHEN len(ws) <= 50 THEN
+                      ROUND(CAST(len(list_distinct(ws)) AS DOUBLE)
+                            / len(ws), 6)
+                    ELSE ROUND(CAST(list_sum(list_transform(
+                        range(1, len(ws) - 48),
+                        i -> len(list_distinct(ws[i : i + 49]))))
+                        AS DOUBLE)
+                      / (50.0 * (len(ws) - 49)), 6)
+               END AS mattr_r
+        FROM (SELECT doc_id, lang, $WDuck AS ws FROM documents) t
       """))
   )
 }

@@ -212,7 +212,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // q255's pair spine crosses the two broadcast |sources|-row size
     // lists under the a < b predicate (q114's bounded-relation cross);
     // the corpus-sized overlap join is an fp equi-join
-    "q255_source_overlap")
+    "q255_source_overlap",
+    // q258 crossJoins the ONE-row Neyman-weight total and the ONE-row
+    // remainder deficit into the ≤|sources| allocation rows (q37
+    // pattern, twice — the q240 shape)
+    "q258_neyman_allocation")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds
@@ -254,7 +258,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // q199: two survivor ranks over ≤10 rows each (post sort+limit)
     "q199_hits" -> 2,
     // q202/q205: survivor ranks over ≤15 / ≤20 rows (post sort+limit)
-    "q202_cms_heavy_hitters" -> 1, "q205_label_prop" -> 1)
+    "q202_cms_heavy_hitters" -> 1, "q205_label_prop" -> 1,
+    // q258: the largest-remainder rank runs on the ≤|sources|
+    // allocation relation (Q.bounded — bounded by the schema, not the
+    // corpus; the corpus collapsed in the one partial agg before it)
+    "q258_neyman_allocation" -> 1)
 
   // Additional unpartitioned-window allowances that only become
   // VISIBLE in audit mode (Ckpt.disabled = true): windows that
@@ -337,7 +345,10 @@ class PlanQualitySpec extends AnyFunSuite {
   private val sinkNlAllowed = Set(
     "VectorIndex.build.assign", "VectorIndex.search",
     "VectorIndex.searchAdc", "VectorIndex.cellBalance",
-    "VectorIndex.compactRetrain.assign", "TextIndex.searchBm25")
+    "VectorIndex.compactRetrain.assign", "TextIndex.searchBm25",
+    // LmIndex.score/probeNext cross the ONE-row vocab-size aggregate
+    // into the scored stream (q37 pattern)
+    "LmIndex.score", "LmIndex.probeNext")
 
   // searchBm25's one global window is q132's ≤topK survivor rank.
   private val sinkWindowBudget = Map("TextIndex.searchBm25" -> 1)

@@ -537,9 +537,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q243: ONE (source, lang) exchange serves the rank window AND the
     // weighted-moment agg (same keys — exchange reuse)
     "q243_best_of_n" -> 1,
-    // q244: post-ckpt gram counts both sides + their (doc,n,gram) join
-    // + the per-(doc,n) rollup; the doc_id pivot rides the same keys
-    "q244_bleu" -> 4,
+    // q244: post-ckpt ONE (doc,n,gram) conditional agg over the
+    // side-tagged gram union (no join) + the per-(doc,n) rollup +
+    // the doc_id pivot
+    "q244_bleu" -> 3,
     // q245: post-ckpt band self-join + the doc_a exchange for the
     // per-doc fan-out-cap window; candidate/text joins broadcast
     // (tiny candidate side), TakeOrdered closes
@@ -561,10 +562,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // wide-row discipline) — one source-keyed partial agg + the
     // closing |sources|-row sort
     "q250_fleiss_kappa" -> 2,
-    // q251: post-ckpt cand/ref char-gram count aggs + the (doc,n,gram)
-    // full-outer clip join feeding the per-doc rollup; the closing
-    // control join is doc-co-keyed
-    "q251_chrf" -> 4,
+    // q251: post-ckpt ONE (doc,n,gram) conditional agg over the
+    // side-tagged char-gram union (no join) + the per-(doc,n) and
+    // per-doc rollups; the closing control join is doc-co-keyed
+    "q251_chrf" -> 3,
     // q252: the token/vocab decile sums are GLOBAL 1-row partial aggs
     // (no keyed exchange) and the 10-point curve is checkpointed
     // before the fit — the visible plan is the 10-row stack + the
@@ -581,7 +582,18 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q255: post-ckpt fp distinct + set sizes + the fp-co-keyed
     // overlap join + pair rollup + the closing pair-grid sort; the
     // spine cross is broadcast over the |sources|-row size lists
-    "q255_source_overlap" -> 5)
+    "q255_source_overlap" -> 5,
+    // q256: the train chain and held vocab run AT ckpt barriers; the
+    // visible plan is the per-lang rollup + closing sort (the typed
+    // token table arrives broadcast)
+    "q256_bpe_oov_audit" -> 2,
+    // q257: pure narrow map — every window lives in its own row's
+    // token array
+    "q257_mattr" -> 0,
+    // q258: post-ckpt 1-row weight total + the bounded
+    // largest-remainder window exchange + the closing sort; the
+    // corpus collapsed in the one partial agg inside the ckpt
+    "q258_neyman_allocation" -> 4)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the
@@ -611,7 +623,17 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "DedupIndex.compact.fingerprints" -> 1,
     "ContamIndex.compact.postings" -> 1,
     "VectorIndex.compact.postings" -> 1,
-    "VectorIndex.compactRetrain.assign" -> 1)
+    "VectorIndex.compactRetrain.assign" -> 1,
+    // LmIndex: build = post-ckpt count agg (+ the range re-cluster for
+    // bigrams); score = the two count-merge aggs + the batch rollup
+    // (count relations broadcast into the batch bigram stream);
+    // probeNext = pushdown hits agg + c1 agg + the w1-partitioned
+    // rank + closing sort
+    "LmIndex.build.bigrams" -> 2,
+    "LmIndex.build.words" -> 1,
+    "LmIndex.score" -> 4,
+    "LmIndex.probeNext" -> 5,
+    "LmIndex.compact.bigrams" -> 2)
 
   test("no sink plan exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
