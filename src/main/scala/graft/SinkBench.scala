@@ -99,12 +99,19 @@ object SinkBench {
       "compact" -> sec(sinks.VectorIndex.compact(spark, vector,
         s"$tmp/vector2")))
 
+    val lm = s"$tmp/lm"
+    val lmTimes = Seq(
+      "build" -> sec(sinks.LmIndex.build(docs, lm)),
+      "append" -> sec(sinks.LmIndex.append(batch, lm)),
+      "probe" -> sec(drain(sinks.LmIndex.score(spark, lm, probeBatch))),
+      "compact" -> sec(sinks.LmIndex.compact(spark, lm, s"$tmp/lm2")))
+
     def js(ts: Seq[(String, Double)]): String =
       ts.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"sink_chain_sec","sf":"$sfDir",""" +
       s""""text":${js(textTimes)},"span":${js(spanTimes)},""" +
       s""""dedup":${js(dedupTimes)},"contam":${js(contamTimes)},""" +
-      s""""vector":${js(vectorTimes)}}""")
+      s""""vector":${js(vectorTimes)},"lm":${js(lmTimes)}}""")
     spark.stop()
   }
 }

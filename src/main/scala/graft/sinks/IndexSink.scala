@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** The maintenance contract shared by every persisted index sink
   * ([[DedupIndex]], [[TextIndex]], [[VectorIndex]], [[ContamIndex]],
-  * [[SpanIndex]]).
+  * [[SpanIndex]], [[LmIndex]]).
   * Each sink's probe surface stays its own (classify / searchBm25 /
   * search / probe — those have per-sink shapes and specs), but the
   * LIFECYCLE is one contract:
@@ -224,6 +224,28 @@ object IndexSink {
         // generations partition it; compact folds it) — appended
         // doc_ids are new by contract, so distinct loses nothing
         "docs" -> SpanIndex.indexedDocs(spark, dir).distinct())
+  }
+
+  /** [[LmIndex]] under the shared contract ((doc_id, text) input).
+    * Relations canonicalize to their MERGED-AND-SUMMED form (the only
+    * form [[LmIndex.score]] consumes) — counts are additive, so a
+    * 3-generation delta log and the from-scratch rebuild compare
+    * equal by arithmetic.
+    */
+  val lm: IndexSink = new IndexSink {
+    def name = "LmIndex"
+    def build(data: DataFrame, outDir: String): Unit =
+      LmIndex.build(data, outDir)
+    def append(data: DataFrame, indexDir: String): Unit =
+      LmIndex.append(data, indexDir)
+    def appendDelta(data: DataFrame, indexDir: String, gen: Long): Unit =
+      LmIndex.appendDelta(data, indexDir, gen)
+    def compact(spark: SparkSession, srcDir: String, dstDir: String): Unit =
+      LmIndex.compact(spark, srcDir, dstDir)
+    def contents(spark: SparkSession, dir: String): Map[String, DataFrame] =
+      Map(
+        "bigrams" -> LmIndex.readBigrams(spark, dir),
+        "words" -> LmIndex.readWords(spark, dir))
   }
 
   /** [[VectorIndex]] (raw IVF postings) under the shared contract

@@ -1,0 +1,192 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Ckpt._
+
+/** Persisted n-gram language model — q184's add-one-smoothed bigram LM
+  * (TextQueries.bigramLm) as a durable LIBRARY artifact. Perplexity
+  * filtering is a gate every future ingest batch must pass, but the
+  * model behind it only changes when the REFERENCE corpus changes —
+  * so the counts are exactly what deserves an index: tokenize the
+  * reference once, then score any number of candidate batches in
+  * O(batch) without re-reading a single reference document.
+  *
+  * Layout:
+  * {{{
+  *   <dir>/bigrams/  (w1, w2, c)  bigram counts, range-clustered +
+  *                                sorted by (w1, w2) → parquet min/max
+  *                                stats prune non-matching files on
+  *                                point lookups
+  *   <dir>/words/    (w, c)       token unigram counts — the vocab
+  *                                relation (V = countDistinct(w) needs
+  *                                every token position, including
+  *                                doc-final words that never open a
+  *                                bigram)
+  * }}}
+  *
+  * Both relations are ADDITIVE: merging generations sums counts, so
+  * [[append]] is O(batch) (count the batch, land it as a delta
+  * generation) and read-time merge ≡ rebuild by arithmetic, not by
+  * convention. History counts c1 are NOT persisted — they are exactly
+  * Σ_w2 c12 over the vocab²-bounded bigram relation, derived at read
+  * time so the two can never disagree.
+  *
+  * [[score]] is the generalization of q184's scorer to batches the
+  * model has never seen: a candidate bigram absent from the reference
+  * scores ln(1/(c1 + V)) (the add-one floor; c1 = 0 for an unseen
+  * history), the same formula with c12 = 0 — so scoring the indexed
+  * corpus itself reproduces q184 byte-for-byte (LmIndexSpec pins it),
+  * and each ln term keeps q184's round-at-9 discipline over exact
+  * integer counts.
+  *
+  * Scale shape: [[score]] joins candidate bigrams against the
+  * persisted counts KEYED ON (w1, w2) — the natural shard key; the
+  * reference corpus never rescans. The count relations are
+  * vocab/vocab²-bounded, so at 100 TB the planner broadcasts them
+  * into the batch scan while the batch side stays partition-local.
+  * [[probeNext]] point lookups push `w1 IN (...)` into the parquet
+  * scan and read only range-matching files.
+  */
+object LmIndex {
+
+  /** Tokenizer — THE engine-wide word rule (TextQueries.wordsExpr). */
+  private val W = graft.queries.TextQueries.wordsExpr
+
+  /** The two count relations for one (doc_id, text) batch — ONE
+    * tokenization shared by build/append/appendDelta.
+    */
+  private[sinks] def relations(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = docs.select(expr(W).as("ws")).ckpt() // tokenized ONCE
+    val bigrams = toks.where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+           i -> struct(element_at(ws, i) as w1,
+                       element_at(ws, i + 1) as w2))""")).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .repartitionByRange(col("w1"), col("w2"))
+      .sortWithinPartitions(col("w1"), col("w2"))
+    val words = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    (bigrams, words)
+  }
+
+  /** Count and index a (doc_id, text) reference corpus from scratch. */
+  def build(docs: DataFrame, outDir: String): Unit = {
+    val (bigrams, words) = relations(docs)
+    bigrams.write.mode("overwrite").parquet(s"$outDir/bigrams")
+    words.write.mode("overwrite").parquet(s"$outDir/words")
+  }
+
+  /** Incrementally fold a (doc_id, text) batch of NEW reference docs
+    * into the model — O(batch): the batch's own counts land as a
+    * fresh delta generation (the negative-gen namespace, so the
+    * commit never lists the main tree) and SUM into the model at read
+    * time. Unlike the doc-keyed sinks there is no novelty requirement
+    * on ids — counts are additive by nature — but indexing the same
+    * TEXT twice doubles its evidence, exactly as rebuild would.
+    * Exactly-once callers only; at-least-once callers use
+    * [[appendDelta]].
+    */
+  def append(docs: DataFrame, indexDir: String): Unit =
+    appendDelta(docs, indexDir,
+      DeltaIO.nextPlainGen(docs.sparkSession, indexDir,
+        Seq("bigrams", "words")))
+
+  /** Replay-safe gen-scoped [[append]] (the [[IndexSink.appendDelta]]
+    * contract): a replayed micro-batch rewrites its own generation
+    * instead of double-counting its evidence.
+    */
+  def appendDelta(docs: DataFrame, indexDir: String, gen: Long): Unit = {
+    val (bigrams, words) = relations(docs)
+    DeltaIO.writeGen(bigrams, indexDir, "bigrams", gen)
+    DeltaIO.writeGen(words, indexDir, "words", gen)
+  }
+
+  /** Merged-and-summed bigram counts across main + delta gens — the
+    * canonical model relation (what every reader consumes).
+    */
+  private[sinks] def readBigrams(spark: SparkSession,
+      indexDir: String): DataFrame =
+    DeltaIO.readMerged(spark, indexDir, "bigrams", Seq("w1", "w2", "c"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c"))
+
+  /** Merged-and-summed token counts across main + delta gens. */
+  private[sinks] def readWords(spark: SparkSession,
+      indexDir: String): DataFrame =
+    DeltaIO.readMerged(spark, indexDir, "words", Seq("w", "c"))
+      .groupBy(col("w")).agg(sum(col("c")).as("c"))
+
+  /** Score a (doc_id, text) candidate batch under the indexed model:
+    * per doc, the bigram count and add-one-smoothed perplexity —
+    * q184's exact report when the batch IS the indexed corpus
+    * (spec-pinned), and the smoothed-floor generalization for text
+    * the model has never seen.
+    */
+  def score(spark: SparkSession, indexDir: String,
+      batch: DataFrame): DataFrame = {
+    val c12 = readBigrams(spark, indexDir)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+    // vocab size = the ROW COUNT of the merged word relation (it is
+    // already grouped by w) — no countDistinct expand needed
+    val v = readWords(spark, indexDir).agg(count(lit(1)).as("v"))
+    val bg = batch.select(col("doc_id"), expr(W).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+           i -> struct(element_at(ws, i) as w1,
+                       element_at(ws, i + 1) as w2))""")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    bg.join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      // q184's lp formula with absent counts floored at 0 — the
+      // add-one smoothing that makes unseen bigrams finite; same
+      // round-at-9 per term, round-at-6 perplexity
+      .select(col("doc_id"), expr(
+        """round(ln((cast(coalesce(c, 0) as double) + 1.0d)
+           / (cast(coalesce(c1, 0) as double) + cast(v as double))),
+           9)""").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-avg(col("lp"))), 6).as("ppl"))
+  }
+
+  /** Point lookup: the indexed continuations of the given history
+    * words, with their smoothed conditional probabilities — the
+    * `w1 IN (...)` filter reaches the parquet scan, so only
+    * range-matching bigram files are read.
+    */
+  def probeNext(spark: SparkSession, indexDir: String,
+      histories: Seq[String], k: Int = 5): DataFrame = {
+    val hits = readBigrams(spark, indexDir)
+      .where(col("w1").isin(histories: _*))
+    val c1 = hits.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+    val v = readWords(spark, indexDir).agg(count(lit(1)).as("v"))
+    val ranked = hits.join(c1, "w1").crossJoin(broadcast(v))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w1"))
+          .orderBy(col("c").desc, col("w2").asc)))
+      .where(col("rk") <= k)
+    ranked.select(col("w1"), col("w2"), col("c"),
+        expr("""round((cast(c as double) + 1.0d)
+                / (cast(c1 as double) + cast(v as double)), 9)""")
+          .as("p_next_r"))
+      .orderBy(col("w1"), col("rk"))
+  }
+
+  /** Fold every append generation back into one tight count tree —
+    * counts are SUMMED (arithmetic fold, no document recounted),
+    * re-clustered by (w1, w2) for pushdown.
+    */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    readBigrams(spark, srcDir)
+      .repartitionByRange(col("w1"), col("w2"))
+      .sortWithinPartitions(col("w1"), col("w2"))
+      .write.mode("overwrite").parquet(s"$dstDir/bigrams")
+    readWords(spark, srcDir)
+      .write.mode("overwrite").parquet(s"$dstDir/words")
+  }
+}

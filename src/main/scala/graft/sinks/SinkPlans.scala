@@ -50,6 +50,7 @@ object SinkPlans {
       s"$idxRoot/contam")
     VectorIndex.build(e, s"$idxRoot/vector", k = K)
     VectorIndex.buildPq(e, s"$idxRoot/vector", k = K)
+    LmIndex.build(d, s"$idxRoot/lm")
   }
 
   /** The registry: name → thunk building the plan-bearing DataFrame.
@@ -68,6 +69,7 @@ object SinkPlans {
     val dedup = s"$idxRoot/dedup"
     val contam = s"$idxRoot/contam"
     val vector = s"$idxRoot/vector"
+    val lm = s"$idxRoot/lm"
     Seq(
       // ---- build relations (corpus-sized write inputs) ----
       "TextIndex.build.postings" -> (() => TextIndex.relations(d())._1),
@@ -83,6 +85,8 @@ object SinkPlans {
       "ContamIndex.build.postings" -> (() =>
         ContamIndex.relations(d())._1),
       "ContamIndex.build.docs" -> (() => ContamIndex.relations(d())._2),
+      "LmIndex.build.bigrams" -> (() => LmIndex.relations(d())._1),
+      "LmIndex.build.words" -> (() => LmIndex.relations(d())._2),
       "VectorIndex.build.assign" -> (() => {
         val ne = VectorIndex.normalized(e())
         VectorIndex.assignCells(ne,
@@ -106,6 +110,9 @@ object SinkPlans {
           topK = 3)),
       "VectorIndex.cellBalance" -> (() =>
         VectorIndex.cellBalance(spark, vector)),
+      "LmIndex.score" -> (() => LmIndex.score(spark, lm, batch())),
+      "LmIndex.probeNext" -> (() =>
+        LmIndex.probeNext(spark, lm, Seq("the", "data"), 5)),
       // ---- compact jobs (reader + re-clustering repartition) ----
       "TextIndex.compact.postings" -> (() =>
         TextIndex.readPostings(spark, text)
@@ -125,6 +132,10 @@ object SinkPlans {
       "VectorIndex.compact.postings" -> (() =>
         VectorIndex.readPostings(spark, vector)
           .repartition(col("cell"))),
+      "LmIndex.compact.bigrams" -> (() =>
+        LmIndex.readBigrams(spark, lm)
+          .repartitionByRange(col("w1"), col("w2"))
+          .sortWithinPartitions(col("w1"), col("w2"))),
       // the retraining compact's two stages: the hash-ordered sample
       // (one TakeOrdered + the reviewed ≤256-row renumber window) and
       // the full reassignment scan against the retrained quantizer

@@ -264,6 +264,24 @@ object CorpusStreaming {
           batch.select(col("doc_id"), col("text")), indexDir, gen = id)
       }
 
+  /** Streaming language-model ingest — the [[textIndexSink]] pattern
+    * for `sinks.LmIndex`: each micro-batch of ADMITTED reference docs
+    * commits its bigram/token counts as a gen-scoped delta, so the
+    * perplexity gate's model stays current with the corpus it guards.
+    * Replay safety is ARITHMETIC here: counts are additive, so a
+    * double-committed micro-batch would silently double its evidence
+    * (not just duplicate rows) — the gen-overwrite makes the commit
+    * idempotent. Spec pins post-stream score ≡ one-shot build.
+    */
+  def lmIndexSink(docs: DataFrame,
+      indexDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sinks.LmIndex.appendDelta(
+          batch.select(col("doc_id"), col("text")), indexDir, gen = id)
+      }
+
   /** Append each micro-batch to the partitioned corpus tree via the
     * batch export sink (same layout contract as [[CorpusExport]], with
     * `batch=<id>` as the leading partition directory). foreachBatch is

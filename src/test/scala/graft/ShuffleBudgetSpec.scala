@@ -625,14 +625,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "VectorIndex.compact.postings" -> 1,
     "VectorIndex.compactRetrain.assign" -> 1,
     // LmIndex: build = post-ckpt count agg (+ the range re-cluster for
-    // bigrams); score = the two count-merge aggs + the batch rollup
-    // (count relations broadcast into the batch bigram stream);
-    // probeNext = pushdown hits agg + c1 agg + the w1-partitioned
-    // rank + closing sort
+    // bigrams); score/probeNext = the count-merge aggs (bigrams, c1,
+    // words + its 1-row total) plus the batch-side (w1[,w2])
+    // co-partitions the sort-merge count joins pick at this SF — at
+    // scale the vocab-bounded count relations broadcast instead and
+    // the batch side stays partition-local
     "LmIndex.build.bigrams" -> 2,
     "LmIndex.build.words" -> 1,
-    "LmIndex.score" -> 4,
-    "LmIndex.probeNext" -> 5,
+    "LmIndex.score" -> 6,
+    "LmIndex.probeNext" -> 6,
     "LmIndex.compact.bigrams" -> 2)
 
   test("no sink plan exceeds its shuffle budget") {

@@ -1,0 +1,102 @@
+package graft.sinks
+
+import graft.{SparkEntry, Tables, TestSpark}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted bigram LM must (a) reproduce EXACTLY the in-query
+  * q184 perplexity report when scoring the corpus it was built from —
+  * the index round-trip can't change an lp term or a rounding, (b)
+  * give every UNSEEN bigram the finite add-one floor (strictly higher
+  * perplexity than any indexed doc scores on smoothing alone —
+  * that's the generalization [[LmIndex.score]] exists for), (c) keep
+  * the lifecycle contract (SinkContractSpec covers append ≡ rebuild
+  * uniformly; here we additionally pin that SCORING through an
+  * appended index equals scoring through a rebuild), and (d) push
+  * history point-lookups into the bigrams scan.
+  */
+class LmIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = Tables(spark, dir).documents
+    .select(col("doc_id"), col("text"))
+
+  private lazy val indexDir = {
+    val out = TestSpark.tmpDir("lm-index")
+    LmIndex.build(docs, out)
+    out
+  }
+
+  test("score(indexed corpus) == the in-query q184 report") {
+    val got = LmIndex.score(spark, indexDir, docs)
+      .orderBy(col("doc_id")).collect().toSeq
+    val want = SparkEntry.queries("q184_perplexity_filter")(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("unseen bigrams get the finite add-one floor") {
+    import spark.implicits._
+    // a candidate whose words exist nowhere in the reference: every
+    // bigram scores ln(1/(0 + V)) — defined, and the worst possible
+    // perplexity under the model (exp(ln V) = V)
+    val v = LmIndex.readWords(spark, indexDir)
+      .agg(count(lit(1)).as("v")).head.getLong(0)
+    val alien = Seq((9999L, "zzqx wwvk zzqx wwvk")).toDF("doc_id", "text")
+    val row = LmIndex.score(spark, indexDir, alien).head
+    assert(row.getLong(1) == 3L)
+    assert(math.abs(row.getDouble(2) - v.toDouble) < 1e-3,
+      s"alien-doc ppl ${row.getDouble(2)} != vocab size $v")
+    // a half-seen candidate (seen words, unseen order) stays finite
+    // and scores worse than the corpus it shares words with
+    val seen = docs.limit(1).select(col("text")).head.getString(0)
+    val shuffled = seen.split(" ").reverse.mkString(" ")
+    val half = Seq((9998L, shuffled)).toDF("doc_id", "text")
+    assert(!LmIndex.score(spark, indexDir, half).head.getDouble(2).isNaN)
+  }
+
+  test("scoring through an appended index == through a full rebuild") {
+    val all = docs.localCheckpoint()
+    val first = all.where(col("doc_id") % 2 === 0)
+    val second = all.where(col("doc_id") % 2 === 1)
+    val incDir = TestSpark.tmpDir("lm-index-inc")
+    LmIndex.build(first, incDir)
+    LmIndex.append(second, incDir)
+    val batch = all.limit(40).localCheckpoint()
+    assert(
+      LmIndex.score(spark, incDir, batch)
+        .orderBy(col("doc_id")).collect().toSeq ==
+      LmIndex.score(spark, indexDir, batch)
+        .orderBy(col("doc_id")).collect().toSeq)
+    // compaction changes the file layout, never an answer
+    val cDir = TestSpark.tmpDir("lm-index-compacted")
+    LmIndex.compact(spark, incDir, cDir)
+    assert(
+      LmIndex.score(spark, cDir, batch)
+        .orderBy(col("doc_id")).collect().toSeq ==
+      LmIndex.score(spark, incDir, batch)
+        .orderBy(col("doc_id")).collect().toSeq)
+  }
+
+  test("probeNext ranks continuations by count and pushes the history filter") {
+    val rows = LmIndex.probeNext(spark, indexDir, Seq("the", "a"), 3)
+      .collect()
+    assert(rows.nonEmpty)
+    // per-history: counts non-increasing, probabilities in (0, 1]
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val cs = g.map(_.getLong(2)).toSeq
+      assert(cs == cs.sorted.reverse, s"counts not ranked: $cs")
+    }
+    assert(rows.forall(r =>
+      r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+    val scan = spark.read.parquet(s"$indexDir/bigrams")
+      .where(col("w1").isin("the", "a"))
+      .queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s
+      }.get
+    assert(scan.metadata("PushedFilters").contains("In(w1"),
+      s"expected In(w1, ...) pushed, got ${scan.metadata("PushedFilters")}")
+  }
+}

@@ -40,6 +40,7 @@ class SinkContractSpec extends AnyFunSuite {
       (IndexSink.text, docs, "doc_id"),
       (IndexSink.contam, docs, "doc_id"),
       (IndexSink.span, docs, "doc_id"),
+      (IndexSink.lm, docs, "doc_id"),
       (IndexSink.vector(4), emb, "vec_id"))
   }
 

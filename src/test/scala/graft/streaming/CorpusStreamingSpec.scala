@@ -250,6 +250,46 @@ class CorpusStreamingSpec extends AnyFunSuite {
         Seq("the", "quick"))))
   }
 
+  test("streaming LmIndex ingest ≡ one-shot batch build") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // counts are ADDITIVE, so the equality is arithmetic: the streamed
+    // docs' bigram evidence must fold in exactly once — a replayed or
+    // doubled gen would shift every smoothed probability
+    val seed = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a lazy dog sleeps all day long"))
+    val streamed = Seq(
+      (3L, "the fox and the hound chase the quick rabbit"),
+      (4L, "quick thinking saves the day for the lazy fox"))
+    val idx = TestSpark.tmpDir("stream-lm-idx")
+    graft.sinks.LmIndex.build(seed.toDF("doc_id", "text"), idx)
+    val ms = MemoryStream[StreamedDoc]
+    val q = CorpusStreaming.lmIndexSink(
+        ms.toDF().select(col("doc_id"), col("text")), idx)
+      .option("checkpointLocation", TestSpark.tmpDir("stream-lm-ckpt"))
+      .start()
+    try {
+      streamed.foreach { case (id, text) =>
+        ms.addData(StreamedDoc(id, text, "en", "src0",
+          ts("2024-01-01 00:00:00")))
+        q.processAllAvailable() // one micro-batch (= one gen) per doc
+      }
+    } finally q.stop()
+    val oneShot = TestSpark.tmpDir("stream-lm-oneshot")
+    graft.sinks.LmIndex.build(
+      (seed ++ streamed).toDF("doc_id", "text"), oneShot)
+    def img(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    val batch = (seed ++ streamed).toDF("doc_id", "text")
+    assert(img(graft.sinks.LmIndex.score(spark, idx, batch))
+      == img(graft.sinks.LmIndex.score(spark, oneShot, batch)))
+    assert(img(graft.sinks.LmIndex.probeNext(spark, idx,
+        Seq("the", "lazy"), 3))
+      == img(graft.sinks.LmIndex.probeNext(spark, oneShot,
+        Seq("the", "lazy"), 3)))
+  }
+
   test("streaming SpanIndex ingest ≡ one-shot batch build") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
