@@ -1399,13 +1399,16 @@ object DedupQueries {
           explode(array((0 until 4).map(b =>
             md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
               .cast("binary"))): _*)))
+        // n_bands (how many of the 4 LSH bands collided) rides along at
+        // the same shuffle cost as the old DISTINCT — it is the
+        // per-pair MinHash evidence and the cap's primary ranking key
         val cand = bands.alias("a").join(bands.alias("b"),
             col("a.bucket") === col("b.bucket") &&
               col("a.source") === col("b.source") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"),
+          .groupBy(col("a.doc_id").as("doc_a"),
             col("b.doc_id").as("doc_b"))
-          .distinct()
+          .agg(count(lit(1)).as("n_bands"))
         val d = Tables(s, dir).documents
           .where(length(col("text")) <= 4000)
           .select(col("doc_id"), col("text"),
@@ -1420,20 +1423,25 @@ object DedupQueries {
           .join(lens.select(col("doc_id").as("doc_b"),
             col("len").as("len_b")), "doc_b")
           .where(abs(col("len_a") - col("len_b")) <= 64L)
-          // per-doc fan-out cap: a hot boilerplate clique of m docs
-          // otherwise produces C(m,2) band-candidate pairs and the DP
-          // cost goes quadratic in the clique (the round-10 dup-clique
-          // probe measured exactly that). Top-64 per doc_a by the
-          // cheapest similarity proxy available pre-payload (|Δlen|,
-          // then doc_b — a deterministic total order) bounds the DP at
-          // 64·n pairs at ANY clique size; the window partitions by
-          // doc_a, so it shards with the candidate set.
+          // per-doc fan-out cap — a DOCUMENTED output contract: a doc
+          // with > 64 band candidates only re-ranks its top 64, so a
+          // true near-dup can in principle be culled pre-DP. A hot
+          // boilerplate clique of m docs otherwise produces C(m,2)
+          // band-candidate pairs and the DP cost goes quadratic in the
+          // clique (the round-10 dup-clique probe measured exactly
+          // that). Top-64 per doc_a ranks by the strongest pre-payload
+          // proxy: shared-band count DESC (MinHash collision evidence —
+          // 4 shared bands ≈ higher Jaccard than 1), then |Δlen| ASC,
+          // then doc_b (a deterministic total order). This bounds the
+          // DP at 64·n pairs at ANY clique size; the window partitions
+          // by doc_a, so it shards with the candidate set.
           .withColumn("rk", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("doc_a"))
-              .orderBy(abs(col("len_a") - col("len_b")).asc,
+              .orderBy(col("n_bands").desc,
+                abs(col("len_a") - col("len_b")).asc,
                 col("doc_b").asc)))
-          .where(col("rk") <= 64).drop("rk")
+          .where(col("rk") <= 64).drop("rk", "n_bands")
         surv
           .join(d.select(col("doc_id").as("doc_a"),
             col("text").as("ta")), "doc_a")
@@ -1461,17 +1469,20 @@ object DedupQueries {
                     unnest(list_transform(range(0, 4),
                       b -> md5(sig[2*b + 1] || sig[2*b + 2]))) AS bucket
                   FROM sig),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        CAST(COUNT(*) AS BIGINT) AS n_bands
                  FROM bands a JOIN bands b
                    ON a.bucket = b.bucket AND a.source = b.source
-                  AND a.doc_id < b.doc_id),
+                  AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
         d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
               FROM documents WHERE length(text) <= 4000),
         surv AS (SELECT doc_a, doc_b, len_a, len_b
                  FROM (SELECT c.doc_a, c.doc_b, da.len AS len_a,
                               db.len AS len_b,
                               ROW_NUMBER() OVER (PARTITION BY c.doc_a
-                                ORDER BY ABS(da.len - db.len) ASC,
+                                ORDER BY c.n_bands DESC,
+                                         ABS(da.len - db.len) ASC,
                                          c.doc_b ASC) AS rk
                        FROM cand c
                        JOIN d da ON da.doc_id = c.doc_a

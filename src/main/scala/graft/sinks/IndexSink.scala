@@ -120,13 +120,19 @@ private[sinks] object DeltaIO {
         .filter(_.startsWith("gen=-"))
         .flatMap(n => scala.util.Try(n.stripPrefix("gen=").toLong).toOption)
     }
-    // Allocate ATOMICALLY via a create-if-absent claim marker: two
-    // concurrent appenders that both list the same free gen would
-    // otherwise mode-overwrite the same gen= subtree and silently drop
-    // the first batch. createNewFile is atomic on every Hadoop FS that
-    // backs an index here; the loser retries one gen lower. Claim
-    // files are O(#appends) tiny markers — same listing class as the
-    // delta tree itself — and stale claims merely skip a gen id.
+    // Allocate via a create-if-absent claim marker: two concurrent
+    // appenders that both list the same free gen would otherwise
+    // mode-overwrite the same gen= subtree and silently drop the first
+    // batch. ATOMICITY SCOPE: createNewFile is atomic on HDFS and
+    // local/POSIX filesystems — the FSes this library targets for
+    // index roots. It is NOT atomic on S3A and most object stores
+    // (create-with-overwrite=false there is HEAD-then-PUT), so two
+    // remote appenders can still race to the same gen; on an object
+    // store, serialize appenders externally or use a store-native
+    // conditional write (e.g. S3 If-None-Match) for the claim. The
+    // loser here retries one gen lower. Claim files are O(#appends)
+    // tiny markers — same listing class as the delta tree itself —
+    // and stale claims merely skip a gen id.
     val claims = new org.apache.hadoop.fs.Path(s"$dir/_gen_claims")
     val fs = claims.getFileSystem(conf)
     fs.mkdirs(claims)

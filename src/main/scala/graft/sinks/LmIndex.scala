@@ -18,11 +18,12 @@ import graft.Ckpt._
   *                                sorted by (w1, w2) → parquet min/max
   *                                stats prune non-matching files on
   *                                point lookups
-  *   <dir>/words/    (w, c)       token unigram counts — the vocab
-  *                                relation (V = countDistinct(w) needs
-  *                                every token position, including
-  *                                doc-final words that never open a
-  *                                bigram)
+  *   <dir>/words/    (w, c)       token unigram counts over docs with
+  *                                >= 2 tokens — EXACTLY bigramLm's
+  *                                vocab relation (q184 drops 0/1-token
+  *                                docs before counting V, so a word
+  *                                appearing only in such a doc must
+  *                                not inflate the vocab)
   * }}}
   *
   * Both relations are ADDITIVE: merging generations sums counts, so
@@ -57,8 +58,14 @@ object LmIndex {
     * tokenization shared by build/append/appendDelta.
     */
   private[sinks] def relations(docs: DataFrame): (DataFrame, DataFrame) = {
-    val toks = docs.select(expr(W).as("ws")).ckpt() // tokenized ONCE
-    val bigrams = toks.where(size(col("ws")) >= 2)
+    // tokenized ONCE; docs under 2 tokens are dropped HERE so both
+    // relations see the same doc set — bigramLm's V counts distinct
+    // words over >=2-token docs only, and score() must reproduce q184
+    // byte-for-byte (a vocab-unique word in a 1-token doc would
+    // otherwise inflate V and shift every smoothed lp term)
+    val toks = docs.select(expr(W).as("ws"))
+      .where(size(col("ws")) >= 2).ckpt()
+    val bigrams = toks
       .select(explode(expr(
         """transform(sequence(1, size(ws) - 1),
            i -> struct(element_at(ws, i) as w1,

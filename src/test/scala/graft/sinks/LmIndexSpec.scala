@@ -57,6 +57,34 @@ class LmIndexSpec extends AnyFunSuite {
     assert(!LmIndex.score(spark, indexDir, half).head.getDouble(2).isNaN)
   }
 
+  test("a vocab-unique word in a sub-2-token doc does not inflate V") {
+    import spark.implicits._
+    // q184/bigramLm drops 0/1-token docs BEFORE counting V; the index
+    // must too, or score(indexed corpus) diverges from q184 the first
+    // time real ingest contains a short doc (the r10 advice edge).
+    val edge = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma"),
+      (3L, "qqzyx"), // 1 token, vocab-unique — must NOT count toward V
+      (4L, "")       // 0 tokens
+    ).toDF("doc_id", "text")
+    val eDir = TestSpark.tmpDir("lm-index-edge")
+    LmIndex.build(edge, eDir)
+    val v = LmIndex.readWords(spark, eDir)
+      .agg(count(lit(1))).head.getLong(0)
+    assert(v == 3L, s"V=$v but bigramLm's vocab over >=2-token docs is 3")
+    // and the score matches the exact hand model for doc 1: bigram
+    // (alpha,beta) has c12=1, c1(alpha)=1 → ln(2/4); (beta,alpha) has
+    // c12=1, c1(beta)=2 (beta opens b->a and b->g) → ln(2/5)
+    val row = LmIndex.score(spark, eDir, edge.where(col("doc_id") === 1))
+      .head
+    val lp1 = math.round(math.log(2.0 / 4.0) * 1e9) / 1e9
+    val lp2 = math.round(math.log(2.0 / 5.0) * 1e9) / 1e9
+    val want = math.round(math.exp(-(lp1 + lp2) / 2.0) * 1e6) / 1e6
+    assert(row.getLong(1) == 2L && row.getDouble(2) == want,
+      s"got (${row.getLong(1)}, ${row.getDouble(2)}), want (2, $want)")
+  }
+
   test("scoring through an appended index == through a full rebuild") {
     val all = docs.localCheckpoint()
     val first = all.where(col("doc_id") % 2 === 0)
