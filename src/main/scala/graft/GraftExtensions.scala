@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "dot_product takes exactly two arguments")
         graft.functions.DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("gram_clip"),
+      new ExpressionInfo(
+        classOf[graft.functions.GramClip].getName, "gram_clip"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "gram_clip takes exactly three arguments")
+        graft.functions.GramClip(children.head, children(1), children(2))
+      }))
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     // internal runtime-filter rewrite but does not register them as SQL
     // functions; exposing them lets a pipeline build an explicit bloom

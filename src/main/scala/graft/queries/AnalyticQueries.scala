@@ -1784,6 +1784,82 @@ object AnalyticQueries {
                     + se2 * se2 / NULLIF(n2 - 1, 0)), 6) AS df,
                ABS((m1 - m2) / SQRT(se1 + se2)) > 1.96 AS significant
         FROM d
+      """)),
+
+    // ------------------------------------------------------------------
+    // q261: k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    // et al. 2006) — the privacy gate a governed training corpus runs
+    // before release: group customers by their quasi-identifier tuple
+    // (nation, market segment, account-balance bucket) and report, for
+    // each candidate k, how many equivalence classes and rows fall
+    // below the k-anonymity bar, plus the corpus-wide minimum class
+    // size and minimum l-diversity of the sensitive attribute (exact
+    // account balance within a class — a bucket that maps to one
+    // distinct balance re-identifies even when k is satisfied).
+    //
+    // Scale: ONE quasi-identifier aggregation over the table (partial
+    // agg map-side); the per-k report is a conditional-sum WIDE ROW
+    // off the class relation (q229's discipline — the class relation
+    // is QI-cardinality-bounded, never the corpus), unpivoted by a
+    // 4-row stack with the totals riding a 1-row broadcast. All
+    // integers except one rounded division.
+    QDef(
+      "q261_k_anonymity",
+      (s, dir) => {
+        val classes = Tables(s, dir).customer
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            expr("cast(floor(c_acctbal / 1000.0d) as bigint)")
+              .as("bal_bucket"))
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("c_acctbal")).as("l"))
+          .ckpt() // QI-bounded; feeds the wide row AND the totals
+        val tot = classes.agg(sum(col("cnt")).as("n_total"),
+          min(col("cnt")).as("min_class_size"),
+          min(col("l")).as("min_l_diversity"))
+        val ks = Seq(2, 5, 10, 20)
+        val wide = classes.agg(
+          ks.flatMap(k => Seq(
+            sum(when(col("cnt") < k, 1L).otherwise(0L)).as(s"c$k"),
+            sum(when(col("cnt") < k, col("cnt")).otherwise(0L))
+              .as(s"r$k"))).head,
+          ks.flatMap(k => Seq(
+            sum(when(col("cnt") < k, 1L).otherwise(0L)).as(s"c$k"),
+            sum(when(col("cnt") < k, col("cnt")).otherwise(0L))
+              .as(s"r$k"))).tail: _*)
+        wide.selectExpr(s"""stack(4, ${ks.map(k =>
+            s"${k}L, c$k, r$k").mkString(", ")})
+            as (k, n_classes_below, n_rows_below)""")
+          .crossJoin(broadcast(tot))
+          .select(col("k"), col("n_classes_below"), col("n_rows_below"),
+            expr("round(cast(n_rows_below as double) / n_total, 6)")
+              .as("pct_rows_below_r"),
+            col("min_class_size"), col("min_l_diversity"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH cl AS (SELECT c_nationkey, c_mktsegment,
+                      CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)
+                        AS bal_bucket,
+                      CAST(COUNT(*) AS BIGINT) AS cnt,
+                      CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS l
+                    FROM customer GROUP BY 1, 2, 3),
+        t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+                     MIN(cnt) AS min_class_size,
+                     MIN(l) AS min_l_diversity
+              FROM cl),
+        x AS (SELECT kk.k,
+                CAST(SUM(CASE WHEN cnt < kk.k THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_classes_below,
+                CAST(SUM(CASE WHEN cnt < kk.k THEN cnt ELSE 0 END)
+                  AS BIGINT) AS n_rows_below
+              FROM cl, (SELECT unnest([2, 5, 10, 20]::BIGINT[]) AS k) kk
+              GROUP BY 1)
+        SELECT x.k, x.n_classes_below, x.n_rows_below,
+               ROUND(CAST(x.n_rows_below AS DOUBLE) / t.n_total, 6)
+                 AS pct_rows_below_r,
+               t.min_class_size, t.min_l_diversity
+        FROM x, t
+        ORDER BY x.k
       """))
   )
 }

@@ -202,8 +202,8 @@ object PipelineQueries {
   private def logregSteps(s: org.apache.spark.sql.SparkSession,
       dir: String) = {
     val feats = Tables(s, dir).documents
-      .select(col("lang"), col("n_chars"), expr(W).as("ws"))
-      .select(col("lang"),
+      .select(col("doc_id"), col("lang"), col("n_chars"), expr(W).as("ws"))
+      .select(col("doc_id"), col("lang"),
         expr("case when n_chars >= 300 then 1.0d else 0.0d end").as("y"),
         expr("""coalesce(round(
             cast(size(filter(ws, t -> t = 'the' or t = 'a')) as double)
@@ -257,7 +257,7 @@ object PipelineQueries {
     * supersteps → final weights w3c), interpolated into the q201 and
     * q210 oracles. */
   private val logregChainDuck = s"""f AS MATERIALIZED (
-          SELECT lang,
+          SELECT doc_id, lang,
                  CASE WHEN n_chars >= 300 THEN CAST(1.0 AS DOUBLE)
                       ELSE CAST(0.0 AS DOUBLE) END AS y,
                  COALESCE(ROUND(
@@ -271,7 +271,8 @@ object PipelineQueries {
                    CAST(n_chars AS DOUBLE)
                    / (10.0 * CAST(nullif(len(ws), 0) AS DOUBLE)), 6),
                    0.0) AS x3
-          FROM (SELECT lang, n_chars, $WDuck AS ws FROM documents) t0),
+          FROM (SELECT doc_id, lang, n_chars, $WDuck AS ws
+                FROM documents) t0),
         i1 AS (SELECT ROUND(AVG(-(y*LN(p) + (1.0-y)*LN(1.0-p))), 6)
                         AS loss_r,
                       ROUND(AVG(p - y), 9) AS g0,
@@ -402,33 +403,45 @@ object PipelineQueries {
         .as("rep"))
     .ckpt() // the corpus is never read again
 
+  /** One BPE superstep over a (word, wf, rep) vocab: the argmax merge
+    * row (1 row, ckpt'd) and the merged vocab. DEGENERATE input (every
+    * word fully merged ⇒ zero adjacent pairs): the global agg over
+    * zero rows emits one ALL-NULL merge row and [[applyMerge]] is the
+    * identity (x = NULL never matches) — bpeChainDuck's empty-p_i
+    * UNION-ALL branch mirrors exactly this, spec-pinned in
+    * TrainedOpsSpec.
+    */
+  private[queries] def bpeStep(vocab: org.apache.spark.sql.DataFrame,
+      it: Int) = {
+    val best = vocab
+      .select(col("wf"), expr(
+        // adjacent symbol bigrams; zip_with over 0-length slices
+        // yields [] for fully-merged single-symbol words
+        """zip_with(
+             slice(split(rep, ' '), 1, size(split(rep, ' ')) - 1),
+             slice(split(rep, ' '), 2, size(split(rep, ' ')) - 1),
+             (x, y) -> concat(x, ' ', y))""").as("pairs"))
+      .select(col("wf"), explode(col("pairs")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("cnt"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p")))
+        .as("m"))
+      .select(lit(it).cast("int").as("iter"), col("m.p").as("pair"),
+        expr("element_at(split(m.p, ' '), 1)").as("l"),
+        expr("element_at(split(m.p, ' '), 2)").as("r"),
+        expr("replace(m.p, ' ', '')").as("merged"),
+        (-col("m.nc")).as("cnt"))
+      .ckpt() // superstep barrier: 1 row
+    (best, applyMerge(vocab, best))
+  }
+
   private def bpeSteps(s: org.apache.spark.sql.SparkSession,
       dir: String, trainOnly: Boolean = false) = {
     val docs0 = Tables(s, dir).documents
     val vocab0 = charVocab(
       if (trainOnly) docs0.where(expr(splitExprSpark) === "train")
       else docs0)
-    def step(vocab: org.apache.spark.sql.DataFrame, it: Int) = {
-      val best = vocab
-        .select(col("wf"), expr(
-          // adjacent symbol bigrams; zip_with over 0-length slices
-          // yields [] for fully-merged single-symbol words
-          """zip_with(
-               slice(split(rep, ' '), 1, size(split(rep, ' ')) - 1),
-               slice(split(rep, ' '), 2, size(split(rep, ' ')) - 1),
-               (x, y) -> concat(x, ' ', y))""").as("pairs"))
-        .select(col("wf"), explode(col("pairs")).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("wf")).as("cnt"))
-        .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p")))
-          .as("m"))
-        .select(lit(it).cast("int").as("iter"), col("m.p").as("pair"),
-          expr("element_at(split(m.p, ' '), 1)").as("l"),
-          expr("element_at(split(m.p, ' '), 2)").as("r"),
-          expr("replace(m.p, ' ', '')").as("merged"),
-          (-col("m.nc")).as("cnt"))
-        .ckpt() // superstep barrier: 1 row
-      (best, applyMerge(vocab, best))
-    }
+    def step(vocab: org.apache.spark.sql.DataFrame, it: Int) =
+      bpeStep(vocab, it)
     var vocab = vocab0
     val vocabs = scala.collection.mutable.ArrayBuffer(vocab0)
     val merges = (1 to bpeIters).map { it =>
@@ -441,7 +454,12 @@ object PipelineQueries {
     * superstep i, p_i (pair counts) → b_i (argmax merge row, ORDER BY
     * cnt DESC, pair LIMIT 1 — the same total order) → v_i (merged
     * vocab). Generated by the same loop so the two chains cannot
-    * drift in length.
+    * drift in length. DEGENERATE superstep (no pairs remain — every
+    * word fully merged): Spark's global agg over zero rows emits ONE
+    * all-null merge row and applyMerge is the identity, so b_i here
+    * UNION-ALLs the matching all-null row when p_i is empty — without
+    * it the `FROM v, b` cross join would empty every later v_i and
+    * the engines would disagree on tiny vocabs or large bpeIters.
     */
   private def bpeChainDuck(docWhere: String = ""): String = {
     val sb = new StringBuilder
@@ -461,11 +479,17 @@ object PipelineQueries {
                      FROM (SELECT wf, string_split(rep, ' ') AS a
                            FROM v${i - 1}) t$i) u$i
                GROUP BY 1),
-        b$i AS (SELECT CAST($i AS INTEGER) AS iter, pair,
-                      string_split(pair, ' ')[1] AS l,
-                      string_split(pair, ' ')[2] AS r,
-                      replace(pair, ' ', '') AS merged, cnt
-               FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+        b$i AS (SELECT * FROM (
+                 SELECT CAST($i AS INTEGER) AS iter, pair,
+                        string_split(pair, ' ')[1] AS l,
+                        string_split(pair, ' ')[2] AS r,
+                        replace(pair, ' ', '') AS merged, cnt
+                 FROM p$i ORDER BY cnt DESC, pair LIMIT 1) g$i
+               UNION ALL
+               SELECT CAST($i AS INTEGER), CAST(NULL AS VARCHAR),
+                      CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                      CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+               WHERE NOT EXISTS (SELECT 1 FROM p$i)),
         v$i AS MATERIALIZED (
           SELECT word, wf,
                  list_reduce(string_split(rep, ' '),
@@ -3473,75 +3497,49 @@ object PipelineQueries {
     // bigram shape); each ln pn quantizes at 9 before the mean
     // (q184's exp/ln discipline), BLEU and pn round at 6.
     //
-    // Scale: the gram explode is scan-side (4 orders × words, the
-    // q62/q116 shape); the candidate↔reference count join and both
-    // rollups are co-keyed on (doc_id[, n, gram]) — the natural shard
-    // key. Payloads never shuffle; only grams and counts do.
+    // Scale: a PURE NARROW MAP — candidate and reference tokens live
+    // in the same row, so the clipped counts come from the native
+    // gram_clip kernel (graft.functions.GramClip, word mode: per-row
+    // reference-gram hash multiset, codegen'd) and no gram row ever
+    // exists. The r9/r10 relational formulation exploded 4 orders ×
+    // words per side through a (doc, n, gram) exchange (6.2 s at
+    // sf0.1); this plan has ZERO exchanges. The DuckDB oracle keeps
+    // the relational formulation — same exact integers by
+    // construction, so the hash compare also pins the kernel.
     QDef(
       "q244_bleu",
       (s, dir) => {
         val base = fimRewritten(s, dir)
           .select(col("doc_id"), col("fim"), col("text"), col("example"))
-          .ckpt() // feeds candidate grams, reference grams, lengths
-        val ref = base.select(col("doc_id"), expr(W).as("w"))
-        val cand = base.select(col("doc_id"),
-          col("example").as("text")).select(col("doc_id"),
-          expr(W).as("w"))
-        // side-tagged union + ONE conditional agg instead of two count
-        // aggs + a (doc, n, gram) left join: both sides' counts land
-        // in the same hash-agg row, and Σ least(c, r) over rows with
-        // c > 0 ≡ the join's Σ least(c, coalesce(r, 0)) — same exact
-        // integers, one fewer exchange, no join at any scale (the
-        // round-10 q251 rewrite applied here too)
-        def grams(df: org.apache.spark.sql.DataFrame,
-            cTag: Int, rTag: Int) = df
-          .withColumn("n",
-            explode(array(lit(1), lit(2), lit(3), lit(4))))
-          .select(col("doc_id"), col("n"),
-            explode(expr("""case when size(w) >= n then
-                transform(sequence(0, size(w) - n),
-                  j -> concat_ws(' ', slice(w, j + 1, n)))
-              else array() end""")).as("gram"),
-            lit(cTag.toLong).as("tc"), lit(rTag.toLong).as("tr"))
-        val pn = grams(cand, 1, 0).unionByName(grams(ref, 0, 1))
-          .groupBy(col("doc_id"), col("n"), col("gram"))
-          .agg(sum(col("tc")).as("c"), sum(col("tr")).as("r"))
-          .groupBy(col("doc_id"), col("n"))
-          .agg(sum(col("c")).as("tot"),
-            sum(least(col("c"), col("r"))).as("clip"))
-          .groupBy(col("doc_id"))
-          .agg((1 to 4).flatMap(k => Seq(
-            sum(when(col("n") === k, col("tot"))).as(s"tot$k"),
-            sum(when(col("n") === k, col("clip"))).as(s"clip$k"))).head,
-            (1 to 4).flatMap(k => Seq(
-              sum(when(col("n") === k, col("tot"))).as(s"tot$k"),
-              sum(when(col("n") === k, col("clip"))).as(s"clip$k")))
-              .tail: _*)
-        val lens = base.select(col("doc_id"),
+        val toks = base.select(col("doc_id"),
           col("fim").cast("long").as("fim_applied"),
-          expr(s"size($W)").cast("long").as("r_len"),
-          expr("size(" + W.replace("(text)", "(example)") + ")")
-            .cast("long").as("c_len"))
-        lens.join(pn, Seq("doc_id"), "left")
-          .selectExpr(Seq("doc_id", "fim_applied", "c_len", "r_len") ++
+          expr(W).as("rw"),
+          expr(W.replace("(text)", "(example)")).as("cw"))
+        val g = toks.select(
+          Seq(col("doc_id"), col("fim_applied"),
+            expr("cast(size(cw) as bigint)").as("c_len"),
+            expr("cast(size(rw) as bigint)").as("r_len")) ++
             (1 to 4).map(k =>
-              s"""case when coalesce(tot$k, 0L) = 0 then null
-                  else round(cast(clip$k as double) / tot$k, 6)
-                  end as p${k}_r""") ++ Seq(
-            """case when coalesce(tot1,0L) = 0 or coalesce(clip1,0L) = 0
-                 or coalesce(tot2,0L) = 0 or coalesce(clip2,0L) = 0
-                 or coalesce(tot3,0L) = 0 or coalesce(clip3,0L) = 0
-                 or coalesce(tot4,0L) = 0 or coalesce(clip4,0L) = 0
-               then 0.0d
-               else round(
-                 (case when c_len >= r_len then 1.0d
-                  else exp(1.0d - cast(r_len as double) / c_len) end)
-                 * exp((round(ln(cast(clip1 as double) / tot1), 9)
-                      + round(ln(cast(clip2 as double) / tot2), 9)
-                      + round(ln(cast(clip3 as double) / tot3), 9)
-                      + round(ln(cast(clip4 as double) / tot4), 9))
-                     / 4.0d), 6)
-               end as bleu_r"""): _*)
+              expr(s"gram_clip(cw, rw, $k)").as(s"g$k")): _*)
+        g.selectExpr(Seq("doc_id", "fim_applied", "c_len", "r_len") ++
+          (1 to 4).map(k =>
+            s"""case when g$k[1] = 0 then null
+                else round(cast(g$k[0] as double) / g$k[1], 6)
+                end as p${k}_r""") ++ Seq(
+          """case when g1[1] = 0 or g1[0] = 0
+               or g2[1] = 0 or g2[0] = 0
+               or g3[1] = 0 or g3[0] = 0
+               or g4[1] = 0 or g4[0] = 0
+             then 0.0d
+             else round(
+               (case when c_len >= r_len then 1.0d
+                else exp(1.0d - cast(r_len as double) / c_len) end)
+               * exp((round(ln(cast(g1[0] as double) / g1[1]), 9)
+                    + round(ln(cast(g2[0] as double) / g2[1]), 9)
+                    + round(ln(cast(g3[0] as double) / g3[1]), 9)
+                    + round(ln(cast(g4[0] as double) / g4[1]), 9))
+                   / 4.0d), 6)
+             end as bleu_r"""): _*)
       },
       Some(s"""
         WITH $fimRewrittenDuckCtes,
@@ -3955,9 +3953,16 @@ object PipelineQueries {
     // coalesce did). Per-n P/R quantize at 9 before the arithmetic
     // mean (avg ignores NULL degenerate orders identically in both
     // engines), F at 6.
-    // Scale: gram explode is scan-side, ~4× corpus chars; ONE
-    // partial-agg exchange on (doc, n, gram) + the per-doc rollup —
-    // payloads never shuffle, and no join exists at any scale.
+    // Scale: a PURE NARROW MAP — candidate and reference live in the
+    // same row, so the clipped counts come from the native gram_clip
+    // kernel (graft.functions.GramClip: per-row reference-gram hash
+    // multiset, O(len·n), codegen'd) and no gram row ever exists. The
+    // r10 relational formulation moved ~8× corpus chars of gram rows
+    // through a (doc, n, gram) exchange and was the bench's slowest
+    // query (11.3 s at sf0.1); this plan has ZERO exchanges and is
+    // embarrassingly parallel at any corpus size. The DuckDB oracle
+    // keeps the relational formulation — same exact integers by
+    // construction, so the hash compare also pins the kernel.
     QDef(
       "q251_chrf",
       (s, dir) => {
@@ -3965,35 +3970,31 @@ object PipelineQueries {
           .select(col("doc_id"), col("fim"),
             expr("replace(text, ' ', '')").as("rt"),
             expr("replace(example, ' ', '')").as("ct"))
-          .ckpt() // feeds both gram streams + the control flag
-        // side-tagged union built scan-side: each row explodes its
-        // candidate grams (tag c) AND reference grams (tag r)
-        def grams(src: String, cTag: Int, rTag: Int) = base
-          .withColumn("n",
-            explode(array(lit(1), lit(2), lit(3), lit(4))))
-          .select(col("doc_id"), col("n"),
-            explode(expr(s"""case when length($src) >= n then
-                transform(sequence(1, length($src) - n + 1),
-                  i -> substring($src, i, n))
-              else array() end""")).as("gram"),
-            lit(cTag.toLong).as("tc"), lit(rTag.toLong).as("tr"))
-        val pr = grams("ct", 1, 0).unionByName(grams("rt", 0, 1))
-          .groupBy(col("doc_id"), col("n"), col("gram"))
-          .agg(sum(col("tc")).as("c"), sum(col("tr")).as("r"))
-          .groupBy(col("doc_id"), col("n"))
-          .agg(sum(least(col("c"), col("r"))).as("clip"),
-            sum(col("c")).as("totc"),
-            sum(col("r")).as("totr"))
-          .groupBy(col("doc_id"))
-          .agg(avg(expr("""case when totc = 0 then null
-              else round(cast(clip as double) / totc, 9) end"""))
-              .as("chrp"),
-            avg(expr("""case when totr = 0 then null
-              else round(cast(clip as double) / totr, 9) end"""))
-              .as("chrr"))
-        base.select(col("doc_id"),
-            col("fim").cast("long").as("fim_applied"))
-          .join(pr, Seq("doc_id"), "left")
+        val g = base.select(
+          Seq(col("doc_id"), col("fim").cast("long").as("fim_applied")) ++
+            (1 to 4).map(k =>
+              expr(s"gram_clip(ct, rt, $k)").as(s"g$k")): _*)
+        // per-n precision/recall (round 9), then the n-average with
+        // NULL orders skipped — the same sum/count the old avg()
+        // computed, in fixed n order
+        val p = g.select(
+          Seq(col("doc_id"), col("fim_applied")) ++
+            (1 to 4).flatMap(k => Seq(
+              expr(s"""case when g$k[1] = 0 then null else
+                round(cast(g$k[0] as double) / cast(g$k[1] as double), 9)
+                end""").as(s"cp$k"),
+              expr(s"""case when g$k[2] = 0 then null else
+                round(cast(g$k[0] as double) / cast(g$k[2] as double), 9)
+                end""").as(s"cr$k"))): _*)
+        def nAvg(pre: String) =
+          s"""(coalesce(${pre}1, 0.0d) + coalesce(${pre}2, 0.0d)
+              + coalesce(${pre}3, 0.0d) + coalesce(${pre}4, 0.0d))
+             / nullif(cast((${pre}1 is not null) as int)
+                    + cast((${pre}2 is not null) as int)
+                    + cast((${pre}3 is not null) as int)
+                    + cast((${pre}4 is not null) as int), 0)"""
+        p.withColumn("chrp", expr(nAvg("cp")))
+          .withColumn("chrr", expr(nAvg("cr")))
           .selectExpr("doc_id", "fim_applied",
             "round(chrp, 6) as chrp_r", "round(chrr, 6) as chrr_r",
             """case when chrp is null or chrr is null
@@ -4358,6 +4359,283 @@ object PipelineQueries {
                CAST(base_n + (CASE WHEN rk <= rdef THEN 1 ELSE 0 END)
                     AS BIGINT) AS alloc_n
         FROM rk ORDER BY source
+      """)),
+
+    // ------------------------------------------------------------------
+    // q263: corpus-scale ROUGE-1/ROUGE-2 (Lin 2004) — the
+    // recall-oriented summary-eval companion to q244's
+    // precision-oriented BLEU over the SAME shared FIM rewrite:
+    // per doc, word n-gram (n = 1, 2) clipped overlap as precision
+    // (/candidate grams), recall (/reference grams) and F1.
+    // Non-rewritten docs are built-in F1 = 1 controls. Counts come
+    // from the SAME native gram_clip kernel as q244 (word mode), so
+    // the query is a pure zero-shuffle narrow map; the DuckDB oracle
+    // keeps the relational explode+clip-join formulation, pinning the
+    // kernel from a second metric family. P/R/F round at 6; F is
+    // computed from the unrounded P/R with the chrF-style degenerate
+    // guard (no grams on a side ⇒ NULL P or R ⇒ F 0.0).
+    QDef(
+      "q263_rouge",
+      (s, dir) => {
+        val base = fimRewritten(s, dir)
+          .select(col("doc_id"), col("fim"), col("text"), col("example"))
+        val toks = base.select(col("doc_id"),
+          col("fim").cast("long").as("fim_applied"),
+          expr(W).as("rw"),
+          expr(W.replace("(text)", "(example)")).as("cw"))
+        val g = toks.select(
+          Seq(col("doc_id"), col("fim_applied")) ++
+            (1 to 2).map(k =>
+              expr(s"gram_clip(cw, rw, $k)").as(s"g$k")): _*)
+        g.selectExpr(Seq("doc_id", "fim_applied") ++
+          (1 to 2).flatMap(k => Seq(
+            s"""case when g$k[1] = 0 then null
+                else round(cast(g$k[0] as double) / g$k[1], 6)
+                end as r${k}_p_r""",
+            s"""case when g$k[2] = 0 then null
+                else round(cast(g$k[0] as double) / g$k[2], 6)
+                end as r${k}_r_r""",
+            s"""case when g$k[1] = 0 or g$k[2] = 0
+                  or g$k[0] = 0 then 0.0d
+                else round(2.0d * (cast(g$k[0] as double) / g$k[1])
+                           * (cast(g$k[0] as double) / g$k[2])
+                           / (cast(g$k[0] as double) / g$k[1]
+                              + cast(g$k[0] as double) / g$k[2]), 6)
+                end as r${k}_f_r""")): _*)
+      },
+      Some(s"""
+        WITH $fimRewrittenDuckCtes,
+        refw AS (SELECT doc_id, $WDuck AS w FROM e),
+        candw AS (SELECT doc_id,
+                    ${WDuck.replace("lower(text)", "lower(example)")} AS w
+                  FROM e),
+        nn AS (SELECT unnest(ARRAY[1, 2]) AS n),
+        ug AS (SELECT doc_id, n, unnest(
+                 list_transform(range(1, greatest(len(w) - n + 2, 1)),
+                   i -> array_to_string(w[i : i + n - 1], ' '))) AS gram,
+                 1 AS tc, 0 AS tr
+               FROM candw, nn
+               UNION ALL
+               SELECT doc_id, n, unnest(
+                 list_transform(range(1, greatest(len(w) - n + 2, 1)),
+                   i -> array_to_string(w[i : i + n - 1], ' '))) AS gram,
+                 0 AS tc, 1 AS tr
+               FROM refw, nn),
+        cr AS (SELECT doc_id, n, gram, CAST(SUM(tc) AS BIGINT) AS c,
+                      CAST(SUM(tr) AS BIGINT) AS r
+               FROM ug GROUP BY 1, 2, 3),
+        pr AS (SELECT doc_id, n,
+                      CAST(SUM(LEAST(c, r)) AS BIGINT) AS clip,
+                      CAST(SUM(c) AS BIGINT) AS totc,
+                      CAST(SUM(r) AS BIGINT) AS totr
+               FROM cr GROUP BY 1, 2),
+        wdd AS (SELECT doc_id,
+                 SUM(CASE WHEN n = 1 THEN clip END) AS c1,
+                 SUM(CASE WHEN n = 1 THEN totc END) AS tc1,
+                 SUM(CASE WHEN n = 1 THEN totr END) AS tr1,
+                 SUM(CASE WHEN n = 2 THEN clip END) AS c2,
+                 SUM(CASE WHEN n = 2 THEN totc END) AS tc2,
+                 SUM(CASE WHEN n = 2 THEN totr END) AS tr2
+               FROM pr GROUP BY 1)
+        SELECT e.doc_id,
+               CAST(CASE WHEN fim THEN 1 ELSE 0 END AS BIGINT)
+                 AS fim_applied,
+               CASE WHEN COALESCE(tc1, 0) = 0 THEN NULL
+                    ELSE ROUND(CAST(c1 AS DOUBLE) / tc1, 6) END AS r1_p_r,
+               CASE WHEN COALESCE(tr1, 0) = 0 THEN NULL
+                    ELSE ROUND(CAST(c1 AS DOUBLE) / tr1, 6) END AS r1_r_r,
+               CASE WHEN COALESCE(tc1, 0) = 0 OR COALESCE(tr1, 0) = 0
+                      OR COALESCE(c1, 0) = 0 THEN 0.0
+                    ELSE ROUND(2.0 * (CAST(c1 AS DOUBLE) / tc1)
+                               * (CAST(c1 AS DOUBLE) / tr1)
+                               / (CAST(c1 AS DOUBLE) / tc1
+                                  + CAST(c1 AS DOUBLE) / tr1), 6)
+               END AS r1_f_r,
+               CASE WHEN COALESCE(tc2, 0) = 0 THEN NULL
+                    ELSE ROUND(CAST(c2 AS DOUBLE) / tc2, 6) END AS r2_p_r,
+               CASE WHEN COALESCE(tr2, 0) = 0 THEN NULL
+                    ELSE ROUND(CAST(c2 AS DOUBLE) / tr2, 6) END AS r2_r_r,
+               CASE WHEN COALESCE(tc2, 0) = 0 OR COALESCE(tr2, 0) = 0
+                      OR COALESCE(c2, 0) = 0 THEN 0.0
+                    ELSE ROUND(2.0 * (CAST(c2 AS DOUBLE) / tc2)
+                               * (CAST(c2 AS DOUBLE) / tr2)
+                               / (CAST(c2 AS DOUBLE) / tc2
+                                  + CAST(c2 AS DOUBLE) / tr2), 6)
+               END AS r2_f_r
+        FROM e LEFT JOIN wdd ON wdd.doc_id = e.doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // q264: dataset cartography / training-dynamics data maps
+    // (Swayamdipta et al. 2020) — per-example CONFIDENCE (mean
+    // true-class probability across training checkpoints) and
+    // VARIABILITY (population std across checkpoints), the curation
+    // signal that separates easy-to-learn / ambiguous / hard examples
+    // without any human labels. The checkpoints are the SHARED q201
+    // logistic-regression trajectory (logregSteps — one definition, so
+    // the maps can never drift from the trained model q210 applies):
+    // probabilities under the weights BEFORE each of the 3 supersteps
+    // (zeros, w1, w2), computed with the EXACT step formula (round-6
+    // z, round-9 clamped sigmoid). conf/var round at 9 and the region
+    // thresholds compare the ROUNDED values, so both engines bucket
+    // identically.
+    //
+    // Scale: the weight frames are ONE-row broadcasts (q37 pattern);
+    // scoring is a pure narrow map over the ckpt'd feature relation —
+    // zero corpus shuffles, embarrassingly parallel at any size.
+    QDef(
+      "q264_data_maps",
+      (s, dir) => {
+        val (feats, steps) = logregSteps(s, dir)
+        def sig(z: String) =
+          s"""greatest(1e-9, least(1.0d - 1e-9,
+              round(1.0d / (1.0d + exp(-round($z, 6))), 9)))"""
+        val p1 = sig("0.0d + 0.0d * x1 + 0.0d * x2 + 0.0d * x3")
+        val p2 = sig("b1 + w11 * x1 + w21 * x2 + w31 * x3")
+        val p3 = sig("b2 + w12 * x1 + w22 * x2 + w32 * x3")
+        def pt(p: String) =
+          s"case when y = 1.0d then ($p) else 1.0d - ($p) end"
+        feats
+          .crossJoin(broadcast(steps(0).select(col("b").as("b1"),
+            col("w1").as("w11"), col("w2").as("w21"),
+            col("w3").as("w31"))))
+          .crossJoin(broadcast(steps(1).select(col("b").as("b2"),
+            col("w1").as("w12"), col("w2").as("w22"),
+            col("w3").as("w32"))))
+          .selectExpr("doc_id", "cast(y as bigint) as y",
+            s"(${pt(p1)} + ${pt(p2)} + ${pt(p3)}) / 3.0d as m",
+            s"""((${pt(p1)}) * (${pt(p1)}) + (${pt(p2)}) * (${pt(p2)})
+                + (${pt(p3)}) * (${pt(p3)})) / 3.0d as m2""")
+          .selectExpr("doc_id", "y", "round(m, 9) as conf_r",
+            "round(sqrt(greatest(m2 - m * m, 0.0d)), 9) as var_r")
+          .withColumn("region", expr(
+            """case when var_r > 0.15d then 'ambiguous'
+               when conf_r >= 0.6d then 'easy'
+               when conf_r <= 0.4d then 'hard'
+               else 'mid' end"""))
+      },
+      Some(s"""
+        WITH $logregChainDuck,
+        t AS (SELECT f.doc_id, f.y, f.x1, f.x2, f.x3,
+                     a.b AS b1, a.w1 AS w11, a.w2 AS w21, a.w3 AS w31,
+                     b.b AS b2, b.w1 AS w12, b.w2 AS w22, b.w3 AS w32
+              FROM f, w1 a, w2 b),
+        pp AS (SELECT doc_id, y,
+                 GREATEST(1e-9, LEAST(1.0 - 1e-9,
+                   ROUND(1.0 / (1.0 + EXP(-ROUND(
+                     0.0 + 0.0 * x1 + 0.0 * x2 + 0.0 * x3, 6))), 9)))
+                   AS p1,
+                 GREATEST(1e-9, LEAST(1.0 - 1e-9,
+                   ROUND(1.0 / (1.0 + EXP(-ROUND(
+                     b1 + w11 * x1 + w21 * x2 + w31 * x3, 6))), 9)))
+                   AS p2,
+                 GREATEST(1e-9, LEAST(1.0 - 1e-9,
+                   ROUND(1.0 / (1.0 + EXP(-ROUND(
+                     b2 + w12 * x1 + w22 * x2 + w32 * x3, 6))), 9)))
+                   AS p3
+               FROM t),
+        mm AS (SELECT doc_id, CAST(y AS BIGINT) AS y,
+                 ((CASE WHEN y = 1.0 THEN p1 ELSE 1.0 - p1 END)
+                  + (CASE WHEN y = 1.0 THEN p2 ELSE 1.0 - p2 END)
+                  + (CASE WHEN y = 1.0 THEN p3 ELSE 1.0 - p3 END))
+                 / 3.0 AS m,
+                 ((CASE WHEN y = 1.0 THEN p1 ELSE 1.0 - p1 END)
+                    * (CASE WHEN y = 1.0 THEN p1 ELSE 1.0 - p1 END)
+                  + (CASE WHEN y = 1.0 THEN p2 ELSE 1.0 - p2 END)
+                    * (CASE WHEN y = 1.0 THEN p2 ELSE 1.0 - p2 END)
+                  + (CASE WHEN y = 1.0 THEN p3 ELSE 1.0 - p3 END)
+                    * (CASE WHEN y = 1.0 THEN p3 ELSE 1.0 - p3 END))
+                 / 3.0 AS m2
+               FROM pp),
+        rr AS (SELECT doc_id, y, ROUND(m, 9) AS conf_r,
+                 ROUND(SQRT(GREATEST(m2 - m * m, 0.0)), 9) AS var_r
+               FROM mm)
+        SELECT doc_id, y, conf_r, var_r,
+               CASE WHEN var_r > 0.15 THEN 'ambiguous'
+                    WHEN conf_r >= 0.6 THEN 'easy'
+                    WHEN conf_r <= 0.4 THEN 'hard'
+                    ELSE 'mid' END AS region
+        FROM rr
+      """)),
+
+    // ------------------------------------------------------------------
+    // q265: group-aware (leakage-free) split assignment — the FIX for
+    // the contamination class q233 measures: hashing each DOCUMENT
+    // into train/held_out lets exact duplicates straddle the split and
+    // leak evaluation text into training. Assigning by the GROUP key
+    // instead (the q22 content fingerprint — every member of a dup
+    // group shares it) makes straddling impossible BY CONSTRUCTION.
+    // The report gives per-split doc/group/char masses under the
+    // group-level assignment plus both straddle counts: doc-level
+    // (the bug being fixed — nonzero exactly where the corpus has
+    // cross-assigned dup groups) and group-level (the built-in
+    // always-0 control).
+    //
+    // Scale: the corpus is scanned ONCE into the fingerprint-grouped
+    // relation (min/max split markers instead of countDistinct — the
+    // straddle test only needs "are they all equal") and BOTH the
+    // per-split rollup and the 1-row-broadcast straddle totals derive
+    // from that group relation, never re-touching documents; every agg
+    // is partial map-side. The same md5 discipline as q51 — seed-free,
+    // reproducible under corpus growth.
+    QDef(
+      "q265_group_split",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+          .select(col("doc_id"), col("text"))
+          .withColumn("fp", Q.fingerprint(col("text")))
+          .withColumn("doc_split", expr(splitExprSpark))
+          .withColumn("grp_split",
+            expr(splitExprSpark.replace("cast(doc_id as string)", "fp")))
+        val fpg = d.groupBy(col("fp")).agg(
+            count(lit(1)).as("grp_docs"),
+            sum(expr("cast(length(text) as bigint)")).as("grp_chars"),
+            min(col("doc_split")).as("ds_min"),
+            max(col("doc_split")).as("ds_max"),
+            // grp_split is a function of fp, so min == max == the
+            // group's split; min/max kept anyway — their disagreement
+            // IS the (impossible-by-construction) group-level straddle
+            min(col("grp_split")).as("gs_min"),
+            max(col("grp_split")).as("gs_max"))
+          .ckpt() // group-bounded; feeds the rollup AND the totals
+        val glob = fpg.agg(
+          sum(when(col("ds_min") =!= col("ds_max"), 1L).otherwise(0L))
+            .as("straddle_doc_level"),
+          sum(when(col("gs_min") =!= col("gs_max"), 1L).otherwise(0L))
+            .as("straddle_group_level"))
+        fpg.groupBy(col("gs_min").as("grp_split")).agg(
+            sum(col("grp_docs")).as("n_docs"),
+            count(lit(1)).as("n_groups"),
+            sum(col("grp_chars")).as("n_chars"))
+          .crossJoin(broadcast(glob))
+          .orderBy(col("grp_split"))
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, text, ${Q.fingerprintDuck} AS fp,
+                     $splitExprDuck AS doc_split,
+                     ${splitExprDuck.replace(
+                       "CAST(doc_id AS VARCHAR)", "fp")} AS grp_split
+                   FROM documents),
+        fpg AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS grp_docs,
+                  CAST(SUM(length(text)) AS BIGINT) AS grp_chars,
+                  MIN(doc_split) AS ds_min, MAX(doc_split) AS ds_max,
+                  MIN(grp_split) AS gs_min, MAX(grp_split) AS gs_max
+                FROM d GROUP BY 1),
+        gl AS (SELECT CAST(SUM(CASE WHEN ds_min <> ds_max
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                        AS straddle_doc_level,
+                      CAST(SUM(CASE WHEN gs_min <> gs_max
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                        AS straddle_group_level
+               FROM fpg)
+        SELECT gs_min AS grp_split,
+               CAST(SUM(grp_docs) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(grp_chars) AS BIGINT) AS n_chars,
+               gl.straddle_doc_level, gl.straddle_group_level
+        FROM fpg, gl
+        GROUP BY 1, 5, 6
+        ORDER BY 1
       """))
   )
 }

@@ -2617,6 +2617,232 @@ object SimilarityQueries {
                ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 3.0, 6)
                  AS recall_r
         FROM spine s LEFT JOIN hits h ON h.qid = s.qid AND h.d = s.d
+      """)),
+
+    // ------------------------------------------------------------------
+    // q260: MMR diversified retrieval (Carbonell & Goldstein 1998) —
+    // the re-ranker RAG stacks run between ANN and the context window:
+    // greedily build a k=8 result list where each pick maximizes
+    //   mmr = λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s),  λ=0.7
+    // so near-duplicate passages stop crowding out coverage. Five
+    // query vectors; candidates are the exact top-20 per query (q26's
+    // brute-force shape — at scale the candidate set comes from
+    // VectorIndex.search instead and everything downstream is
+    // unchanged). Selection runs as 8 supersteps over the ckpt'd
+    // candidate/pair-sim relations (the bpeSteps/logregSteps idiom):
+    // per step one bounded max-agg + one argmax via min(struct(-mmr,
+    // vec_id)) — count-desc/id-asc total order, no window over the
+    // corpus. All similarities round at 9 BEFORE ranking, so both
+    // engines pick identical argmaxes by construction.
+    //
+    // Scale: candidates are bounded (20/query) and pair sims are
+    // |cand|²-bounded per query, keyed by qid — the iteration state
+    // never touches the corpus again after the one top-k pass; queries
+    // shard independently (the qid is the natural partition key).
+    QDef(
+      "q260_mmr_rerank",
+      (s, dir) => {
+        val e = vectors(s, dir).select(col("vec_id"), col("v")).ckpt()
+        val qs = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val cand = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            round(expr(COS), 9).as("simq"), col("v"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("simq").desc, col("vec_id").asc)))
+          .where(col("rk") <= 20).drop("rk")
+          .ckpt() // 100 rows feeding pair sims + every superstep
+        val pairs = cand.as("a").join(cand.as("b"),
+            col("a.qid") === col("b.qid") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.qid").as("qid"), col("a.vec_id").as("da"),
+            col("b.vec_id").as("db"),
+            round(expr("dot_product(a.v, b.v)"), 9).as("simp"))
+          .ckpt() // |cand|²-bounded per query
+        var sel = cand.groupBy(col("qid"))
+          .agg(min(struct((-col("simq")).as("ns"), col("vec_id").as("id")))
+            .as("m"))
+          .select(col("qid"), col("m.id").as("vec_id"),
+            lit(1).as("rank"), (-col("m.ns")).as("score"))
+          .ckpt()
+        for (i <- 2 to 8) {
+          val ms = pairs.join(sel.select(col("qid"),
+              col("vec_id").as("db")), Seq("qid", "db"))
+            .groupBy(col("qid"), col("da")).agg(max(col("simp")).as("ms"))
+            .withColumnRenamed("da", "vec_id")
+          val pick = cand
+            .join(sel.select(col("qid"), col("vec_id")),
+              Seq("qid", "vec_id"), "left_anti")
+            .join(ms, Seq("qid", "vec_id"))
+            .select(col("qid"), col("vec_id"),
+              expr("round(0.7d * simq - 0.3d * ms, 9)").as("mmr"))
+            .groupBy(col("qid"))
+            .agg(min(struct((-col("mmr")).as("ns"), col("vec_id").as("id")))
+              .as("m"))
+            .select(col("qid"), col("m.id").as("vec_id"),
+              lit(i).as("rank"), (-col("m.ns")).as("score"))
+          sel = sel.unionByName(pick).ckpt() // superstep barrier
+        }
+        sel.select(col("qid"), col("rank"), col("vec_id"),
+            col("score").as("mmr_r"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        val sel = (2 to 8).map { i =>
+          val p = i - 1
+          s"""s$i AS MATERIALIZED (SELECT qid, vec_id, $i AS rank, mmr AS score FROM (
+               SELECT r.qid, r.vec_id,
+                      ROUND(0.7 * r.simq - 0.3 * m.ms, 9) AS mmr,
+                      ROW_NUMBER() OVER (PARTITION BY r.qid
+                        ORDER BY ROUND(0.7 * r.simq - 0.3 * m.ms, 9) DESC,
+                                 r.vec_id ASC) AS rk
+               FROM cand r
+               JOIN (SELECT p.qid, p.da, MAX(p.simp) AS ms
+                     FROM pairs p JOIN sel$p s
+                       ON s.qid = p.qid AND s.vec_id = p.db
+                     GROUP BY 1, 2) m
+                 ON m.qid = r.qid AND m.da = r.vec_id
+               WHERE NOT EXISTS (SELECT 1 FROM sel$p s2
+                                 WHERE s2.qid = r.qid
+                                   AND s2.vec_id = r.vec_id)) t$i
+             WHERE rk = 1),
+        sel$i AS MATERIALIZED (SELECT * FROM sel$p UNION ALL SELECT * FROM s$i)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH e AS MATERIALIZED (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        cand0 AS (SELECT q.qid, e.vec_id,
+                    ROUND(list_sum(list_transform(range(1, 65),
+                      i -> q.qv[i] * e.v[i])), 9) AS simq, e.v
+                  FROM q JOIN e ON e.vec_id <> q.qid),
+        cand AS MATERIALIZED (SELECT qid, vec_id, simq, v FROM (
+                   SELECT qid, vec_id, simq, v,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY simq DESC, vec_id ASC) AS rk
+                   FROM cand0) t0 WHERE rk <= 20),
+        pairs AS MATERIALIZED (SELECT a.qid, a.vec_id AS da, b.vec_id AS db,
+                    ROUND(list_sum(list_transform(range(1, 65),
+                      i -> a.v[i] * b.v[i])), 9) AS simp
+                  FROM cand a JOIN cand b
+                    ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+        sel1 AS MATERIALIZED (SELECT qid, vec_id, 1 AS rank, simq AS score FROM (
+                   SELECT qid, vec_id, simq,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY simq DESC, vec_id ASC) AS rk
+                   FROM cand) t1 WHERE rk = 1),
+        $sel
+        SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id,
+               score AS mmr_r
+        FROM sel8
+        ORDER BY qid, rank
+      """
+      }),
+
+    // ------------------------------------------------------------------
+    // q262: KNN-Shapley data valuation (Jia et al., VLDB 2019) — the
+    // exact Shapley value of every TRAINING point under a K-NN
+    // surrogate classifier, the data-attribution operator curation
+    // pipelines use to price individual examples. The closed form
+    // turns an exponential game-theoretic sum into one ranked sweep
+    // per validation point: sort training points by similarity to the
+    // query, then
+    //   s_(N) = 1[y_(N) = y] / N
+    //   s_(i) = s_(i+1) + (1[y_(i)=y] − 1[y_(i+1)=y])·min(K,i)/(K·i)
+    // i.e. a REVERSE cumulative sum — exactly a window frame (ROWS
+    // CURRENT→UNBOUNDED FOLLOWING). Per-rank terms quantize at 12
+    // decimals into DECIMAL(32,12), so both the frame sum and the
+    // per-training-point sum over validation queries are EXACT
+    // integer-scaled arithmetic — order-independent, cross-engine
+    // deterministic (the q243 discipline); similarities round at 9
+    // before ranking with a vec_id tiebreak.
+    //
+    // Scale: validation sets are small by design (here every 10th
+    // vector) and ride a broadcast; the pair relation is
+    // |train|×|val| keyed by qid, and the ranked sweep is the
+    // definitionally-required O(N log N) per query, sharded across
+    // queries. At larger |train|, the standard truncation applies
+    // (rank-i terms are bounded by 1/i, so the tail beyond rank R
+    // contributes ≤ K/R) — probe the VectorIndex for the top-R and
+    // fold the tail; the formula and this plan are unchanged.
+    QDef(
+      "q262_knn_shapley",
+      (s, dir) => {
+        val e = vectors(s, dir).ckpt()
+        val tr = e.where(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id").as("tid"), col("label").as("tl"),
+            col("v").as("tv"))
+        val va = e.where(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("qid"), col("label").as("ql"),
+            col("v").as("qv"))
+        val ntr = tr.agg(count(lit(1)).as("ntr"))
+        val p = tr.crossJoin(broadcast(va))
+          .select(col("qid"), col("tid"), col("tl"),
+            when(col("tl") === col("ql"), 1).otherwise(0).as("ind"),
+            round(expr("dot_product(tv, qv)"), 9).as("sim"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("tid").asc)
+        val t = p.withColumn("i", row_number().over(w))
+          .withColumn("indn", lead(col("ind"), 1).over(w))
+          .crossJoin(broadcast(ntr))
+          .withColumn("term", expr(
+            """cast(round(case when indn is null
+                 then cast(ind as double) / ntr
+                 else cast(ind - indn as double)
+                      * cast(least(5, i) as double)
+                      / cast(5 * i as double) end, 12)
+               as decimal(32, 12))"""))
+        val sv = t.withColumn("sv", sum(col("term")).over(
+          Window.partitionBy(col("qid")).orderBy(col("i"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        sv.groupBy(col("tid"), col("tl"))
+          .agg(sum(col("sv")).as("tot"), count(lit(1)).as("nq"))
+          .select(col("tid").as("vec_id"), col("tl").as("label"),
+            expr("round(cast(tot as double) / nq, 9)").as("shap_r"))
+      },
+      Some("""
+        WITH e AS MATERIALIZED (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        tr AS (SELECT vec_id AS tid, label AS tl, v AS tv
+               FROM e WHERE vec_id % 10 <> 0),
+        va AS (SELECT vec_id AS qid, label AS ql, v AS qv
+               FROM e WHERE vec_id % 10 = 0),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntr FROM tr),
+        p AS MATERIALIZED (SELECT va.qid, tr.tid, tr.tl,
+               CASE WHEN tr.tl = va.ql THEN 1 ELSE 0 END AS ind,
+               ROUND(list_sum(list_transform(range(1, 65),
+                 i -> tr.tv[i] * va.qv[i])), 9) AS sim
+             FROM tr, va),
+        r AS (SELECT qid, tid, tl, ind,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY sim DESC, tid ASC) AS i,
+                LEAD(ind) OVER (PARTITION BY qid
+                  ORDER BY sim DESC, tid ASC) AS indn
+              FROM p),
+        t AS (SELECT qid, tid, tl, i,
+                CAST(ROUND(CASE WHEN indn IS NULL
+                  THEN CAST(ind AS DOUBLE) / ntr
+                  ELSE CAST(ind - indn AS DOUBLE)
+                       * CAST(LEAST(5, i) AS DOUBLE)
+                       / CAST(5 * i AS DOUBLE) END, 12)
+                  AS DECIMAL(32, 12)) AS term
+              FROM r, n),
+        sv AS (SELECT qid, tid, tl,
+                 SUM(term) OVER (PARTITION BY qid ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS sv
+               FROM t)
+        SELECT tid AS vec_id, tl AS label,
+               ROUND(CAST(SUM(sv) AS DOUBLE) / COUNT(*), 9) AS shap_r
+        FROM sv
+        GROUP BY 1, 2
       """))
   )
 }

@@ -1826,6 +1826,72 @@ object TextQueries {
                       / (50.0 * (len(ws) - 49)), 6)
                END AS mattr_r
         FROM (SELECT doc_id, lang, $WDuck AS ws FROM documents) t
+      """)),
+
+    // ------------------------------------------------------------------
+    // q259: interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the
+    // Chen & Goodman 1998 interpolated form with absolute discount
+    // D = 0.75) — the smoothing KenLM-class production LMs actually
+    // use for perplexity filtering, next to q184's add-one baseline.
+    // KN replaces the raw unigram backoff with the CONTINUATION
+    // distribution — p_cont(w2) ∝ |{w1 : c(w1 w2) > 0}| — so words
+    // that appear often but only in fixed collocations (e.g. the
+    // "francisco" effect) stop inflating unseen-context probability:
+    //   p_kn(w2|w1) = (max(c12 − D, 0) + D·N1+(w1,·)·p_cont(w2)) / c1
+    // All inputs are exact integer counts off the SHARED bigramLm
+    // relation (q184's corpus/tokenizer/V discipline): c12, its
+    // per-history sum c1, the distinct-continuation counts N1+(w1,·)
+    // and N1+(·,w2), and the distinct-bigram total. Per-bigram lp
+    // rounds at 9 (identical operator order in both engines), per-doc
+    // perplexity at 6.
+    //
+    // Scale: every KN relation is vocab/vocab²-bounded and derived
+    // from ONE ckpt'd bigram stream; the scoring lookup is the same
+    // co-keyed (w1, w2) equi-join as q184 (NOT broadcastable at
+    // scale); the distinct-bigram total rides in as a 1-row broadcast
+    // (q37 pattern). The corpus is scanned once.
+    QDef(
+      "q259_kneser_ney",
+      (s, dir) => {
+        val (big, _) = bigramLm(s, dir)
+        val c12 = big.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+          .ckpt() // feeds history stats, continuation stats AND lp
+        val hist = c12.groupBy(col("w1"))
+          .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+        val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+        val nall = c12.agg(count(lit(1)).as("nall"))
+        val lpk = c12.join(hist, "w1").join(cont, "w2")
+          .crossJoin(broadcast(nall))
+          .select(col("w1"), col("w2"), expr(
+            """round(ln((greatest(cast(c12 as double) - 0.75d, 0.0d)
+               + 0.75d * cast(n1f as double) * cast(n1b as double)
+                 / cast(nall as double))
+               / cast(c1 as double)), 9)""").as("lp"))
+        big.join(lpk, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(exp(-avg(col("lp"))), 6).as("ppl_kn"))
+      },
+      Some(s"""
+        WITH $bigramLmDuck,
+        h AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1k,
+                     CAST(COUNT(*) AS BIGINT) AS n1f
+              FROM c12 GROUP BY 1),
+        cb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+               FROM c12 GROUP BY 1),
+        na AS (SELECT CAST(COUNT(*) AS BIGINT) AS nall FROM c12),
+        lpk AS (SELECT c.w1, c.w2,
+                  ROUND(LN((GREATEST(CAST(c.c12 AS DOUBLE) - 0.75, 0.0)
+                    + 0.75 * CAST(h.n1f AS DOUBLE)
+                      * CAST(cb.n1b AS DOUBLE) / CAST(na.nall AS DOUBLE))
+                    / CAST(h.c1k AS DOUBLE)), 9) AS lp
+                FROM c12 c JOIN h ON h.w1 = c.w1
+                JOIN cb ON cb.w2 = c.w2, na)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(EXP(-AVG(lp)), 6) AS ppl_kn
+        FROM big JOIN lpk USING (w1, w2)
+        GROUP BY 1
       """))
   )
 }

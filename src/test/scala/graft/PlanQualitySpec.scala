@@ -216,7 +216,23 @@ class PlanQualitySpec extends AnyFunSuite {
     // q258 crossJoins the ONE-row Neyman-weight total and the ONE-row
     // remainder deficit into the ≤|sources| allocation rows (q37
     // pattern, twice — the q240 shape)
-    "q258_neyman_allocation")
+    "q258_neyman_allocation",
+    // q259 crossJoins the ONE-row distinct-bigram total into the
+    // vocab²-bounded KN probability table (q184's vocab-size shape)
+    "q259_kneser_ney",
+    // q261 crossJoins the ONE-row totals aggregate into the 4-row
+    // stacked per-k report (q37 pattern)
+    "q261_k_anonymity",
+    // q262's pair build is q26's bounded brute-force shape (the
+    // by-design-small validation set broadcasts into the train scan)
+    // plus the ONE-row train-count cross (q37 pattern)
+    "q262_knn_shapley",
+    // q264 crossJoins the two ONE-row checkpoint-weight frames into
+    // the feature scan (q210's model-broadcast shape, twice)
+    "q264_data_maps",
+    // q265 crossJoins the ONE-row straddle-count aggregate into the
+    // 2-row split rollup (q37 pattern)
+    "q265_group_split")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds

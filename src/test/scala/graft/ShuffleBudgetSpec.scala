@@ -537,10 +537,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q243: ONE (source, lang) exchange serves the rank window AND the
     // weighted-moment agg (same keys — exchange reuse)
     "q243_best_of_n" -> 1,
-    // q244: post-ckpt ONE (doc,n,gram) conditional agg over the
-    // side-tagged gram union (no join) + the per-(doc,n) rollup +
-    // the doc_id pivot
-    "q244_bleu" -> 3,
+    // q244: pure narrow map — the native gram_clip kernel computes the
+    // clipped counts row-locally; no gram row, no join, no exchange
+    "q244_bleu" -> 0,
     // q245: post-ckpt band self-join + the doc_a exchange for the
     // per-doc fan-out-cap window; candidate/text joins broadcast
     // (tiny candidate side), TakeOrdered closes
@@ -562,10 +561,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // wide-row discipline) — one source-keyed partial agg + the
     // closing |sources|-row sort
     "q250_fleiss_kappa" -> 2,
-    // q251: post-ckpt ONE (doc,n,gram) conditional agg over the
-    // side-tagged char-gram union (no join) + the per-(doc,n) and
-    // per-doc rollups; the closing control join is doc-co-keyed
-    "q251_chrf" -> 3,
+    // q251: pure narrow map — the native gram_clip kernel (char mode)
+    // computes the clipped counts row-locally; zero exchanges
+    "q251_chrf" -> 0,
     // q252: the token/vocab decile sums are GLOBAL 1-row partial aggs
     // (no keyed exchange) and the 10-point curve is checkpointed
     // before the fit — the visible plan is the 10-row stack + the
@@ -593,7 +591,34 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q258: post-ckpt 1-row weight total + the bounded
     // largest-remainder window exchange + the closing sort; the
     // corpus collapsed in the one partial agg inside the ckpt
-    "q258_neyman_allocation" -> 4)
+    "q258_neyman_allocation" -> 4,
+    // q259: post-ckpt c12 agg feeds three vocab-bounded stat aggs
+    // (history, continuation, 1-row total) + the co-keyed (w1,w2)
+    // scoring join's per-doc rollup — the bigram stream itself runs
+    // AT the bigramLm ckpt
+    "q259_kneser_ney" -> 4,
+    // q260: the 8 MMR supersteps run AT their ckpt barriers over the
+    // bounded candidate/pair relations; the visible plan is the
+    // closing 40-row sort
+    "q260_mmr_rerank" -> 1,
+    // q261: ONE quasi-identifier partial agg runs at the ckpt; visible
+    // plan is the wide-row conditional agg (1-row) + the 4-row stack
+    // sort with the totals broadcast
+    "q261_k_anonymity" -> 2,
+    // q262: broadcast val set keeps the pair build narrow; the qid
+    // rank/lead/frame windows share ONE qid exchange, then the
+    // per-train rollup + the exact-decimal per-train agg
+    "q262_knn_shapley" -> 3,
+    // q263: pure narrow map (gram_clip word mode, the q244 shape) —
+    // the fimRewritten internals run at its ckpt
+    "q263_rouge" -> 0,
+    // q264: pure narrow map — both checkpoint-weight frames arrive as
+    // 1-row broadcasts over the ckpt'd feature relation
+    "q264_data_maps" -> 0,
+    // q265: post-ckpt 1-row straddle agg + the 2-key split rollup +
+    // the closing 2-row sort; the corpus collapsed in the one
+    // fingerprint agg inside the ckpt
+    "q265_group_split" -> 3)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the

@@ -94,4 +94,32 @@ class TrainedOpsSpec extends AnyFunSuite {
       .distinct().count()
     assert(sizes.sum <= nVerts)
   }
+
+  test("BPE: a degenerate superstep (no pairs left) is the identity") {
+    // Every word fully merged to one symbol ⇒ zero adjacent pairs.
+    // The superstep must emit ONE all-null merge row and leave the
+    // vocab byte-identical — the exact semantics bpeChainDuck's
+    // empty-p_i UNION-ALL branch mirrors, so both engines stay in
+    // lockstep on tiny vocabs / oversized bpeIters (the r10 advice
+    // divergence).
+    import spark.implicits._
+    val merged = Seq(("ab", 3L, "ab_"), ("cd", 1L, "cd_"))
+      .toDF("word", "wf", "rep")
+    val (best, v1) = PipelineQueries.bpeStep(merged, 7)
+    val b = best.collect()
+    assert(b.length == 1)
+    assert(b(0).getInt(0) == 7)
+    assert((1 to 5).forall(b(0).isNullAt), s"expected all-null merge: ${b(0)}")
+    assert(v1.orderBy("word").collect().toSeq ==
+      merged.orderBy("word").collect().toSeq)
+    // and a NON-degenerate step on the same shape still merges: the
+    // most frequent adjacent pair wins with the lexicographic tiebreak
+    val live = Seq(("ab", 3L, "a b _"), ("ac", 3L, "a c _"))
+      .toDF("word", "wf", "rep")
+    val (best2, v2) = PipelineQueries.bpeStep(live, 1)
+    val r2 = best2.collect()(0)
+    assert(r2.getString(1) == "a b" && r2.getLong(5) == 3L)
+    assert(v2.orderBy("word").collect().map(_.getString(2)).toSeq ==
+      Seq("ab _", "a c _"))
+  }
 }

@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the round-11 valuation/diversity/privacy operators
+  * that the DuckDB hash cannot express as equality alone — properties
+  * of the ALGORITHMS, valid at any scale factor.
+  */
+class ValuationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q260: MMR picks are distinct candidates, seeded by pure similarity") {
+    val rows = graft.SparkEntry.queries("q260_mmr_rerank")(spark, dir)
+      .collect()
+    assert(rows.length == 40) // 5 queries × k=8
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.foreach { case (q, g) =>
+      // ranks are exactly 1..8 and picks never repeat
+      assert(g.map(_.getInt(1)).sorted.toSeq == (1 to 8),
+        s"query $q ranks broken")
+      val picks = g.map(_.getLong(2))
+      assert(picks.distinct.length == 8, s"query $q repeated a pick")
+      assert(!picks.contains(q), s"query $q selected itself")
+    }
+    // rank 1 is the raw nearest neighbor (MMR's second term is empty
+    // at the seed) — recompute independently
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), expr("l2_normalize(embedding)").as("v"))
+      .localCheckpoint()
+    val top1 = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(e).where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(expr("dot_product(qv, v)"), 9).as("s"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("s").desc, col("vec_id").asc)))
+      .where(col("rk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byQ.foreach { case (q, g) =>
+      val first = g.find(_.getInt(1) == 1).get.getLong(2)
+      assert(first == top1(q), s"query $q seed != nearest neighbor")
+    }
+  }
+
+  test("q262: Shapley values satisfy the efficiency axiom") {
+    // Σ_train s(q, t) == (top-K label agreement)/K per validation
+    // point — the telescoping identity of the Jia et al. closed form.
+    // The query outputs per-train averages over n_val queries, so
+    // Σ_t shap(t) · n_val must equal Σ_q topK_frac(q) up to the
+    // 12-decimal term quantization.
+    val out = graft.SparkEntry.queries("q262_knn_shapley")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        expr("l2_normalize(embedding)").as("v"))
+      .localCheckpoint()
+    val nVal = e.where(col("vec_id") % 10 === 0).count()
+    val shapTotal = out.map(_.getDouble(2)).sum * nVal
+    // independent top-5 agreement per validation point
+    val tr = e.where(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("tid"), col("label").as("tl"),
+        col("v").as("tv"))
+    val va = e.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("ql"),
+        col("v").as("qv"))
+    val frac = tr.crossJoin(broadcast(va))
+      .select(col("qid"), col("tid"),
+        when(col("tl") === col("ql"), 1.0d).otherwise(0.0d).as("ind"),
+        round(expr("dot_product(tv, qv)"), 9).as("sim"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("tid").asc)))
+      .where(col("rk") <= 5)
+      .groupBy(col("qid")).agg((sum(col("ind")) / 5.0d).as("f"))
+      .agg(sum(col("f"))).head.getDouble(0)
+    assert(math.abs(shapTotal - frac) < 1e-4,
+      s"efficiency axiom: sum(shap)*nVal = $shapTotal vs $frac")
+    // and a sanity sign check: some point must have non-zero value
+    assert(out.exists(_.getDouble(2) != 0.0))
+  }
+
+  test("q263: non-rewritten controls score ROUGE F1 = 1 at both orders") {
+    val rows = graft.SparkEntry.queries("q263_rouge")(spark, dir).collect()
+    assert(rows.length == 500)
+    val controls = rows.filter(_.getLong(1) == 0L)
+    assert(controls.nonEmpty)
+    controls.foreach { r =>
+      // candidate ≡ reference ⇒ P = R = F = 1 wherever grams exist
+      assert(r.getDouble(4) == 1.0, s"doc ${r.getLong(0)} r1_f != 1")
+    }
+    val rewritten = rows.filter(_.getLong(1) == 1L)
+    assert(rewritten.nonEmpty)
+    // a rewrite scrambles order: bigram F must drop below unigram F
+    // somewhere (sentinels + boundary splices change 2-grams more)
+    assert(rewritten.exists(r => r.getDouble(7) < r.getDouble(4)))
+  }
+
+  test("q264: maps are probabilities and regions partition the corpus") {
+    val rows = graft.SparkEntry.queries("q264_data_maps")(spark, dir)
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (conf, v) = (r.getDouble(2), r.getDouble(3))
+      assert(conf > 0.0 && conf < 1.0 && v >= 0.0 && v <= 0.5)
+      val want =
+        if (v > 0.15) "ambiguous"
+        else if (conf >= 0.6) "easy"
+        else if (conf <= 0.4) "hard"
+        else "mid"
+      assert(r.getString(4) == want)
+    }
+    // the trajectory must actually separate examples: both y classes
+    // present and not all confidences identical
+    assert(rows.map(_.getLong(1)).distinct.length == 2)
+    assert(rows.map(_.getDouble(2)).distinct.length > 1)
+  }
+
+  test("q265: group-level straddle is zero; masses cover the corpus") {
+    val rows = graft.SparkEntry.queries("q265_group_split")(spark, dir)
+      .orderBy("grp_split").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getLong(5) == 0L), "group-level straddle != 0")
+    val nDocs = graft.Tables(spark, dir).documents.count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    // groups never double-count across splits (fp → one split)
+    val nGroups = graft.Tables(spark, dir).documents
+      .select(graft.queries.Q.fingerprint(col("text"))).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nGroups)
+  }
+
+  test("q261: class arithmetic is exact and monotone in k") {
+    val rows = graft.SparkEntry.queries("q261_k_anonymity")(spark, dir)
+      .orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 5L, 10L, 20L))
+    // counts non-decreasing in k; pct consistent with the division
+    val below = rows.map(r => (r.getLong(1), r.getLong(2)))
+    assert(below.sliding(2).forall { case Array((c1, r1), (c2, r2)) =>
+      c1 <= c2 && r1 <= r2 })
+    // independent recomputation of the class relation
+    val cl = graft.Tables(spark, dir).customer
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        expr("cast(floor(c_acctbal / 1000.0d) as bigint)"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val minClass = cl.agg(min(col("cnt"))).head.getLong(0)
+    assert(rows.forall(_.getLong(4) == minClass))
+    val n5 = cl.where(col("cnt") < 5).count()
+    assert(rows(1).getLong(1) == n5)
+  }
+}
