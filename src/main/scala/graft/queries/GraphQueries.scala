@@ -240,6 +240,96 @@ object GraphQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // q266: personalized PageRank (Haveliwala 2002) — q101's directed
+    // mass iteration with the teleport concentrated on a SEED set
+    // (every 50th part, the q125 seed rule): the seeded-relevance
+    // primitive behind curated data selection (rank every crawl page
+    // by proximity to trusted seeds, keep the top mass). Same 3
+    // power iterations, damping 0.85, per-iteration round-9 (q101's
+    // determinism discipline); seed membership is the pure arithmetic
+    // `v % 50 = 0`, so the teleport vector needs no join — only the
+    // 1-row seed count broadcasts. Every vertex keeps a row in every
+    // iteration (symmetric edges ⇒ every vertex receives at least a
+    // zero-mass term), so seeds never lose their teleport share.
+    // Top-20 by mass with the full-order tiebreak and the seed flag.
+    //
+    // Scale: identical shuffle shape to q101 — one dst-keyed exchange
+    // per iteration over the edge relation; everything else is the
+    // broadcast seed count.
+    QDef(
+      "q266_ppr",
+      (s, dir) => {
+        val e0 = coEdges(s, dir)
+        val edges = e0.select(col("x").as("src"), col("y").as("dst"))
+          .unionByName(e0.select(col("y").as("src"), col("x").as("dst")))
+          .ckpt()
+        val deg = edges.groupBy(col("src").as("v"))
+          .agg(count(lit(1)).as("d")).ckpt()
+        val ns1 = deg.where(col("v") % 50 === 0)
+          .agg(count(lit(1)).as("ns"))
+        val p0 = deg.crossJoin(broadcast(ns1))
+          .select(col("v"), col("d"), col("ns"),
+            expr("""round(case when v % 50 = 0
+                    then 1.0d / ns else 0.0d end, 9)""").as("p"))
+        val p3 = (1 to 3).foldLeft(p0) { (p, _) =>
+          edges
+            .join(p.select(col("v").as("src"),
+              (col("p") / col("d")).as("w")), "src")
+            .groupBy(col("dst").as("v"))
+            .agg(sum(col("w")).as("acc"))
+            .join(deg, "v")
+            .crossJoin(broadcast(ns1))
+            .select(col("v"), col("d"), col("ns"),
+              expr("""round(case when v % 50 = 0
+                      then 0.15d / ns else 0.0d end
+                      + 0.85d * acc, 9)""").as("p"))
+        }
+        p3.orderBy(col("p").desc, col("v").asc).limit(20)
+          .select(col("v").as("part"), col("p").as("ppr_r"),
+            expr("""cast(case when v % 50 = 0 then 1 else 0 end
+                    as bigint)""").as("is_seed"))
+      },
+      Some(s"""
+        WITH $coEdgesDuck,
+        sym AS MATERIALIZED (SELECT x AS src, y AS dst FROM edges
+                UNION ALL SELECT y, x FROM edges),
+        deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d
+                FROM sym GROUP BY 1),
+        ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM deg
+               WHERE v % 50 = 0),
+        p0 AS (SELECT v, d,
+                 round(CASE WHEN v % 50 = 0
+                       THEN 1.0 / ns.ns ELSE 0.0 END, 9) AS p
+               FROM deg, ns),
+        p1 AS (SELECT d2.v, d2.d,
+                 round(CASE WHEN d2.v % 50 = 0
+                       THEN 0.15 / ns.ns ELSE 0.0 END
+                       + 0.85 * SUM(p0.p / p0.d), 9) AS p
+               FROM sym e JOIN p0 ON p0.v = e.src
+                          JOIN deg d2 ON d2.v = e.dst, ns
+               GROUP BY d2.v, d2.d, ns.ns),
+        p2 AS (SELECT d2.v, d2.d,
+                 round(CASE WHEN d2.v % 50 = 0
+                       THEN 0.15 / ns.ns ELSE 0.0 END
+                       + 0.85 * SUM(p1.p / p1.d), 9) AS p
+               FROM sym e JOIN p1 ON p1.v = e.src
+                          JOIN deg d2 ON d2.v = e.dst, ns
+               GROUP BY d2.v, d2.d, ns.ns),
+        p3 AS (SELECT d2.v,
+                 round(CASE WHEN d2.v % 50 = 0
+                       THEN 0.15 / ns.ns ELSE 0.0 END
+                       + 0.85 * SUM(p2.p / p2.d), 9) AS p
+               FROM sym e JOIN p2 ON p2.v = e.src
+                          JOIN deg d2 ON d2.v = e.dst, ns
+               GROUP BY d2.v, ns.ns)
+        SELECT v AS part, p AS ppr_r,
+               CAST(CASE WHEN v % 50 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS is_seed
+        FROM p3
+        ORDER BY p DESC, v ASC LIMIT 20
+      """)),
+
+    // ------------------------------------------------------------------
     // q125: multi-source BFS (hop-distance histogram) on the part
     // co-occurrence graph — the reachability primitive behind
     // contamination spread ("every doc within k dedup-hops of a flagged

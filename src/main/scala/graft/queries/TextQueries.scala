@@ -1892,6 +1892,156 @@ object TextQueries {
                ROUND(EXP(-AVG(lp)), 6) AS ppl_kn
         FROM big JOIN lpk USING (w1, w2)
         GROUP BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q267: Gopher-style rule battery (Rae et al. 2021 §A1.1) — the
+    // per-RULE quality audit that decides which heuristic gates fire
+    // before a destructive filter: unlike q52's first-failing-stage
+    // funnel, every document is evaluated against EVERY rule
+    // independently, so the report says which rules carry the load and
+    // which are dead on this corpus. Six rules: word-count bounds
+    // [50, 100000], mean word length outside [3, 10], symbol ratio
+    // (#/ellipsis per word > 0.1), fewer than 2 distinct Gopher
+    // stopwords, alphabetic-word fraction < 0.8, and top-token
+    // repetition fraction > 0.2 (the q57 signal as a gate). Raw-text
+    // rules use WHITESPACE words (the Gopher convention); the
+    // stopword/repetition rules use the engine tokenizer. All rule
+    // inputs are exact integers; ratios round at 9 BEFORE the
+    // threshold compare so both engines decide every boundary
+    // identically. Zero-token/zero-word docs fail the ratio rules by
+    // definition (explicit CASE, not a null that silently drops).
+    //
+    // Scale: one pure narrow map computes the 6 booleans per doc (the
+    // repetition rule's top-multiplicity is a sorted-run fold over the
+    // doc's own token array — O(n log n) row-local, no unnest); ONE
+    // conditional-sum wide row + a 6-row stack + the 1-row doc-count
+    // broadcast. The corpus shuffles nothing.
+    QDef(
+      "q267_gopher_rules",
+      (s, dir) => {
+        val flags = Tables(s, dir).documents
+          .select(col("doc_id"), col("text"), expr(W).as("tk"),
+            expr("""filter(split(trim(text), '\\s+'),
+                    x -> x <> '')""").as("ws"))
+          .select(col("doc_id"),
+            expr("size(ws)").cast("long").as("nw"),
+            expr("size(tk)").cast("long").as("nt"),
+            expr("""aggregate(ws, 0L,
+                    (a, x) -> a + cast(length(x) as bigint))""")
+              .as("wchars"),
+            expr("cast(length(text) - length(replace(text, '#', ''))"
+              + " as bigint)").as("nhash"),
+            expr("""cast((length(text)
+                    - length(replace(text, '...', ''))) / 3
+                    as bigint)""").as("nell"),
+            expr("""cast(size(filter(array('the','be','to','of','and',
+                    'that','have','with'),
+                    sw -> array_contains(tk, sw))) as bigint)""")
+              .as("nstop"),
+            expr("""cast(size(filter(ws,
+                    x -> x rlike '[A-Za-z]')) as bigint)""").as("nalpha"),
+            expr("""aggregate(array_sort(tk),
+                    named_struct('p', '', 'r', 0L, 'm', 0L),
+                    (a, x) -> named_struct('p', x,
+                      'r', if(x = a.p, a.r + 1L, 1L),
+                      'm', greatest(a.m, if(x = a.p, a.r + 1L, 1L))),
+                    a -> a.m)""").as("topm"))
+          .selectExpr("doc_id",
+            "nw < 50 or nw > 100000 as f1",
+            """nw = 0 or round(cast(wchars as double) / nw, 9) < 3.0d
+               or round(cast(wchars as double) / nw, 9) > 10.0d as f2""",
+            """case when nw = 0 then true else
+               round(cast(nhash + nell as double) / nw, 9) > 0.1d
+               end as f3""",
+            "nstop < 2 as f4",
+            """case when nw = 0 then true else
+               round(cast(nalpha as double) / nw, 9) < 0.8d
+               end as f5""",
+            """case when nt = 0 then true else
+               round(cast(topm as double) / nt, 9) > 0.2d
+               end as f6""")
+        val ks = 1 to 6
+        val names = Map(1 -> "word_count_bounds", 2 -> "mean_word_length",
+          3 -> "symbol_ratio", 4 -> "stopword_presence",
+          5 -> "alpha_word_fraction", 6 -> "top_token_repetition")
+        val wide = flags.agg(
+          count(lit(1)).as("n_docs"),
+          ks.map(k => sum(when(col(s"f$k"), 1L).otherwise(0L))
+            .as(s"c$k")): _*)
+        wide.selectExpr("n_docs", s"""stack(6, ${ks.map(k =>
+            s"'${names(k)}', c$k").mkString(", ")})
+            as (rule, n_failing)""")
+          .select(col("rule"), col("n_failing"),
+            expr("round(cast(n_failing as double) / n_docs, 6)")
+              .as("pct_failing_r"),
+            col("n_docs"))
+          .orderBy(col("rule"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, text, $WDuck AS tk,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                   x -> x <> '') AS ws
+          FROM documents),
+        feat AS (
+          SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS nw,
+                 CAST(len(tk) AS BIGINT) AS nt,
+                 CAST(COALESCE(list_sum(list_transform(ws,
+                   x -> length(x))), 0) AS BIGINT) AS wchars,
+                 CAST(length(text) - length(replace(text, '#', ''))
+                   AS BIGINT) AS nhash,
+                 CAST((length(text) - length(replace(text, '...', '')))
+                   / 3 AS BIGINT) AS nell,
+                 CAST(len(list_filter(['the','be','to','of','and',
+                   'that','have','with'],
+                   sw -> list_contains(tk, sw))) AS BIGINT) AS nstop,
+                 CAST(len(list_filter(ws,
+                   x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                   AS nalpha
+          FROM base),
+        topm AS (
+          SELECT doc_id, CAST(COALESCE(MAX(c), 0) AS BIGINT) AS topm
+          FROM (SELECT doc_id, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(tk) AS w FROM base) u
+                GROUP BY doc_id, w) cc
+          GROUP BY doc_id),
+        fl AS (
+          SELECT f.doc_id,
+                 (nw < 50 OR nw > 100000) AS f1,
+                 (nw = 0 OR ROUND(CAST(wchars AS DOUBLE) / nw, 9) < 3.0
+                  OR ROUND(CAST(wchars AS DOUBLE) / nw, 9) > 10.0) AS f2,
+                 (CASE WHEN nw = 0 THEN TRUE ELSE
+                  ROUND(CAST(nhash + nell AS DOUBLE) / nw, 9) > 0.1
+                  END) AS f3,
+                 (nstop < 2) AS f4,
+                 (CASE WHEN nw = 0 THEN TRUE ELSE
+                  ROUND(CAST(nalpha AS DOUBLE) / nw, 9) < 0.8
+                  END) AS f5,
+                 (CASE WHEN nt = 0 THEN TRUE ELSE
+                  ROUND(CAST(COALESCE(t.topm, 0) AS DOUBLE) / nt, 9)
+                    > 0.2 END) AS f6
+          FROM feat f LEFT JOIN topm t ON t.doc_id = f.doc_id),
+        wide AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                 CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+                 CAST(SUM(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+                 CAST(SUM(CASE WHEN f6 THEN 1 ELSE 0 END) AS BIGINT) AS c6
+          FROM fl)
+        SELECT t.rule, t.n_failing,
+               ROUND(CAST(t.n_failing AS DOUBLE) / w.n_docs, 6)
+                 AS pct_failing_r,
+               w.n_docs
+        FROM wide w, LATERAL (VALUES
+          ('word_count_bounds', w.c1), ('mean_word_length', w.c2),
+          ('symbol_ratio', w.c3), ('stopword_presence', w.c4),
+          ('alpha_word_fraction', w.c5),
+          ('top_token_repetition', w.c6)) t(rule, n_failing)
+        ORDER BY t.rule
       """))
   )
 }

@@ -160,6 +160,54 @@ object LmIndex {
         round(exp(-avg(col("lp"))), 6).as("ppl"))
   }
 
+  /** Score a (doc_id, text) candidate batch under the interpolated
+    * Kneser-Ney model derived from the SAME persisted count relations
+    * (q259's exact formulation — D = 0.75, continuation-count
+    * backoff): every KN statistic (c12, c1 = Σ_w2 c12, the distinct-
+    * continuation counts N1+(w1,·) / N1+(·,w2), the distinct-bigram
+    * total) is derived at read time from the merged bigram relation,
+    * so the add-one and KN scorers can never disagree about the
+    * counts. Scoring the indexed corpus reproduces q259 byte-for-byte
+    * (spec-pinned). Generalization to unseen text: an unseen bigram
+    * over a seen history scores the discounted-backoff mass
+    * D·N1+(w1,·)·p_cont(w2)/c1 (c12 = 0 in the same formula); a fully
+    * unseen history or continuation interpolates to the uniform floor
+    * 1/(V+1) — finite everywhere, like score()'s add-one floor.
+    */
+  def scoreKn(spark: SparkSession, indexDir: String,
+      batch: DataFrame): DataFrame = {
+    val c12 = readBigrams(spark, indexDir).ckpt()
+    val hist = c12.groupBy(col("w1"))
+      .agg(sum(col("c")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val nall = c12.agg(count(lit(1)).as("nall"))
+    val bg = batch.select(col("doc_id"), expr(W).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+           i -> struct(element_at(ws, i) as w1,
+                       element_at(ws, i + 1) as w2))""")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    bg.join(c12, Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(nall))
+      // q259's formula verbatim when all counts are present; absent
+      // counts floor to the uniform 1/(V+1) interpolation (unseen
+      // history or unseen continuation word)
+      .select(col("doc_id"), expr(
+        """round(ln(case
+             when c1 is null or n1b is null
+               then 1.0d / (cast(nall as double) + 1.0d)
+             else (greatest(cast(coalesce(c, 0) as double) - 0.75d, 0.0d)
+               + 0.75d * cast(n1f as double) * cast(n1b as double)
+                 / cast(nall as double))
+               / cast(c1 as double) end), 9)""").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-avg(col("lp"))), 6).as("ppl_kn"))
+  }
+
   /** Point lookup: the indexed continuations of the given history
     * words, with their smoothed conditional probabilities — the
     * `w1 IN (...)` filter reaches the parquet scan, so only

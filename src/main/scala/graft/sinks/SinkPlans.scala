@@ -111,6 +111,7 @@ object SinkPlans {
       "VectorIndex.cellBalance" -> (() =>
         VectorIndex.cellBalance(spark, vector)),
       "LmIndex.score" -> (() => LmIndex.score(spark, lm, batch())),
+      "LmIndex.scoreKn" -> (() => LmIndex.scoreKn(spark, lm, batch())),
       "LmIndex.probeNext" -> (() =>
         LmIndex.probeNext(spark, lm, Seq("the", "data"), 5)),
       // ---- compact jobs (reader + re-clustering repartition) ----

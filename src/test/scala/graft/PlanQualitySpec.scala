@@ -230,6 +230,9 @@ class PlanQualitySpec extends AnyFunSuite {
     // q264 crossJoins the two ONE-row checkpoint-weight frames into
     // the feature scan (q210's model-broadcast shape, twice)
     "q264_data_maps",
+    // q266 crossJoins the ONE-row seed count into each power
+    // iteration (q101's vertex-count allowance, seeded)
+    "q266_ppr",
     // q265 crossJoins the ONE-row straddle-count aggregate into the
     // 2-row split rollup (q37 pattern)
     "q265_group_split")
@@ -362,9 +365,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "VectorIndex.build.assign", "VectorIndex.search",
     "VectorIndex.searchAdc", "VectorIndex.cellBalance",
     "VectorIndex.compactRetrain.assign", "TextIndex.searchBm25",
-    // LmIndex.score/probeNext cross the ONE-row vocab-size aggregate
-    // into the scored stream (q37 pattern)
-    "LmIndex.score", "LmIndex.probeNext")
+    // LmIndex.score/scoreKn/probeNext cross a ONE-row total (vocab
+    // size / distinct-bigram count) into the scored stream (q37
+    // pattern)
+    "LmIndex.score", "LmIndex.scoreKn", "LmIndex.probeNext")
 
   // searchBm25's one global window is q132's ≤topK survivor rank.
   private val sinkWindowBudget = Map("TextIndex.searchBm25" -> 1)

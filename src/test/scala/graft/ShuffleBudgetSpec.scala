@@ -618,7 +618,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q265: post-ckpt 1-row straddle agg + the 2-key split rollup +
     // the closing 2-row sort; the corpus collapsed in the one
     // fingerprint agg inside the ckpt
-    "q265_group_split" -> 3)
+    "q265_group_split" -> 3,
+    // q266: q101's exact shuffle shape — 1-row seed count + one
+    // dst-keyed exchange per power iteration + TakeOrdered
+    "q266_ppr" -> 8,
+    // q267: ONE global conditional-sum agg off the per-doc boolean
+    // narrow map; the 6-row stack + sort is row-local off that row
+    "q267_gopher_rules" -> 1)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the
@@ -658,6 +664,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "LmIndex.build.bigrams" -> 2,
     "LmIndex.build.words" -> 1,
     "LmIndex.score" -> 6,
+    // scoreKn: post-ckpt(c12) history/continuation/1-row-total aggs +
+    // the batch-side co-partition for the (w1[,w2]) count joins;
+    // at scale the vocab-bounded stats broadcast (LmIndex.score note)
+    "LmIndex.scoreKn" -> 4,
     "LmIndex.probeNext" -> 6,
     "LmIndex.compact.bigrams" -> 2)
 

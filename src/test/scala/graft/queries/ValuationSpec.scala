@@ -134,6 +134,48 @@ class ValuationSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == nGroups)
   }
 
+  test("q266: PPR mass concentrates on and around the seed set") {
+    val rows = graft.SparkEntry.queries("q266_ppr")(spark, dir)
+      .collect()
+    assert(rows.length == 20)
+    // ranks are sorted desc with the v-asc tiebreak
+    val ps = rows.map(_.getDouble(1))
+    assert(ps.sliding(2).forall { case Array(a, b) => a >= b })
+    // the seed flag is exactly the arithmetic rule
+    rows.foreach { r =>
+      assert((r.getLong(0) % 50 == 0) == (r.getLong(2) == 1L)) }
+    // personalization must actually bite — RELATIVE to global
+    // PageRank: seeds hold at least as many top-20 slots under PPR as
+    // under q101 (high-degree hubs can still outrank low-degree
+    // seeds; the teleport only ever helps seeds), and at least one
+    // seed surfaces
+    val seedSlots = rows.count(_.getLong(2) == 1L)
+    assert(seedSlots >= 1, "no seed in the PPR top-20")
+    val globalSeedSlots = graft.SparkEntry
+      .queries("q101_pagerank")(spark, dir).collect()
+      .count(_.getLong(0) % 50 == 0)
+    assert(seedSlots >= globalSeedSlots,
+      s"PPR seeds $seedSlots < global-PR seeds $globalSeedSlots")
+  }
+
+  test("q267: rule counts are exact against an independent recount") {
+    val rows = graft.SparkEntry.queries("q267_gopher_rules")(spark, dir)
+      .orderBy("rule").collect()
+    assert(rows.length == 6)
+    val nDocs = graft.Tables(spark, dir).documents.count()
+    rows.foreach { r =>
+      assert(r.getLong(3) == nDocs)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= nDocs)
+    }
+    // word-count rule recounted independently over whitespace words
+    val wc = graft.Tables(spark, dir).documents
+      .selectExpr("size(filter(split(trim(text), '\\\\s+'), x -> x <> ''))"
+        + " as nw")
+      .where(col("nw") < 50 || col("nw") > 100000).count()
+    val got = rows.find(_.getString(0) == "word_count_bounds").get
+    assert(got.getLong(1) == wc)
+  }
+
   test("q261: class arithmetic is exact and monotone in k") {
     val rows = graft.SparkEntry.queries("q261_k_anonymity")(spark, dir)
       .orderBy("k").collect()

@@ -57,6 +57,34 @@ class LmIndexSpec extends AnyFunSuite {
     assert(!LmIndex.score(spark, indexDir, half).head.getDouble(2).isNaN)
   }
 
+  test("scoreKn(indexed corpus) == the in-query q259 report") {
+    val got = LmIndex.scoreKn(spark, indexDir, docs)
+      .orderBy(col("doc_id")).collect().toSeq
+    val want = SparkEntry.queries("q259_kneser_ney")(spark, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("scoreKn stays finite on unseen histories and continuations") {
+    import spark.implicits._
+    // words that exist nowhere in the reference: every bigram hits the
+    // uniform 1/(V+1) interpolation floor — defined and worse than any
+    // indexed doc
+    val alien = Seq((9999L, "zzqx wwvk zzqx wwvk")).toDF("doc_id", "text")
+    val row = LmIndex.scoreKn(spark, indexDir, alien).head
+    val nall = LmIndex.readBigrams(spark, indexDir).count()
+    assert(row.getLong(1) == 3L)
+    assert(math.abs(row.getDouble(2) - (nall + 1).toDouble) < 1e-2,
+      s"alien ppl ${row.getDouble(2)} != |bigram types|+1 = ${nall + 1}")
+    // seen words in unseen order: the discounted-backoff mass keeps
+    // the score finite
+    val seen = docs.limit(1).select(col("text")).head.getString(0)
+    val shuffled = seen.split(" ").reverse.mkString(" ")
+    val half = Seq((9998L, shuffled)).toDF("doc_id", "text")
+    val h = LmIndex.scoreKn(spark, indexDir, half).head
+    assert(!h.getDouble(2).isNaN && !h.getDouble(2).isInfinite)
+  }
+
   test("a vocab-unique word in a sub-2-token doc does not inflate V") {
     import spark.implicits._
     // q184/bigramLm drops 0/1-token docs BEFORE counting V; the index
