@@ -104,6 +104,7 @@ object SinkBench {
       "build" -> sec(sinks.LmIndex.build(docs, lm)),
       "append" -> sec(sinks.LmIndex.append(batch, lm)),
       "probe" -> sec(drain(sinks.LmIndex.score(spark, lm, probeBatch))),
+      "probeKn" -> sec(drain(sinks.LmIndex.scoreKn(spark, lm, probeBatch))),
       "compact" -> sec(sinks.LmIndex.compact(spark, lm, s"$tmp/lm2")))
 
     def js(ts: Seq[(String, Double)]): String =
