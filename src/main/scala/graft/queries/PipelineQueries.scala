@@ -1312,7 +1312,7 @@ object PipelineQueries {
     QDef(
       "q108_canary_scan",
       (s, dir) => {
-        val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+        val norm = regexp_replace(trim(lower(col("text"))), Q.wsRe + "+", " ")
         val split = Tables(s, dir).documents
           .select(col("doc_id"), norm.as("norm"),
             expr(splitExprSpark).as("split"))
@@ -1336,7 +1336,8 @@ object PipelineQueries {
       Some(s"""
         WITH split AS (
           SELECT doc_id,
-                 regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+                 regexp_replace(trim(lower(text)), '${Q.wsRe}+', ' ', 'g')
+                   AS norm,
                  $splitExprDuck AS split
           FROM documents),
         canaries AS (

@@ -19,15 +19,31 @@ object Q {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Explicit whitespace class for every cross-engine regex: Java's
+    * `\s` includes `\x0B` (vertical tab) but RE2's does not, so a
+    * shared split/normalize must never spell `\s` — a VT in a document
+    * would flip word counts between the engines (r11 ADVICE). Three
+    * spellings for the three escaping layers:
+    *  - [[wsRe]]: real regex chars (`\t` = backslash-t, …) — for Java
+    *    `functions.regexp_*` Columns and for INTERPOLATION into DuckDB
+    *    oracle strings (interpolated values pass through verbatim).
+    *  - [[wsReSql]]: double-backslashed — for Spark SQL `expr("...")`
+    *    strings, whose string-literal parser unescapes one level.
+    */
+  val wsChars: String = " \\t\\n\\x0B\\f\\r"
+  val wsRe: String = "[" + wsChars + "]"
+  val wsCharsSql: String = wsChars.replace("\\", "\\\\")
+  val wsReSql: String = "[" + wsCharsSql + "]"
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * used by q21 (per-doc fingerprint) and q22 (exact dedup).
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(trim(lower(text)), "\\s+", " ").cast("binary"))
+    md5(regexp_replace(trim(lower(text)), wsRe + "+", " ").cast("binary"))
 
   /** DuckDB restatement of [[fingerprint]]. */
   val fingerprintDuck: String =
-    """md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"""
+    s"md5(regexp_replace(trim(lower(text)), '$wsRe+', ' ', 'g'))"
 
   /** Window base for a relation the CALLER asserts is bounded (at most
     * a few thousand rows regardless of input scale: survivor lists from

@@ -114,18 +114,19 @@ object TextQueries {
   /** BPE-ish token count over `text` (letter runs, digit runs,
     * punctuation runs — the GPT-2 pretokenizer shape), ONE definition
     * per engine shared by q19/q53/q68 so the tokenizer cannot drift
-    * between queries. Escaping: both vals are PLAIN triple-quoted.
-    * Spark's SQL string parser processes backslash escapes, so its side
-    * spells `\\s`; DuckDB's does not, so its side spells `\s`.
-    * Interpolating these into s-interpolated oracle strings is safe —
-    * interpolation inserts the finished value verbatim.
+    * between queries. Whitespace is the EXPLICIT [[Q.wsChars]] class
+    * (never `\s` — Java's includes VT, RE2's does not); the two
+    * spellings differ only by the escaping layer each engine's string
+    * path applies (Spark SQL literals unescape one level, DuckDB's do
+    * not). Interpolating these into s-interpolated oracle strings is
+    * safe — interpolation inserts the finished value verbatim.
     */
   val bpeCountExpr =
-    """cast(size(regexp_extract_all(lower(text),
-       '[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0)) as bigint)"""
+    s"""cast(size(regexp_extract_all(lower(text),
+       '[a-z]+|[0-9]+|[^a-z0-9${Q.wsCharsSql}]+', 0)) as bigint)"""
   val bpeCountExprDuck =
-    """CAST(len(regexp_extract_all(lower(text),
-       '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT)"""
+    s"""CAST(len(regexp_extract_all(lower(text),
+       '[a-z]+|[0-9]+|[^a-z0-9${Q.wsChars}]+')) AS BIGINT)"""
 
   /** Shared add-one-smoothed bigram-LM construction — ONE definition
     * for the q184 perplexity filter and the q249 DoReMi-style mixture
@@ -249,8 +250,8 @@ object TextQueries {
             // whitespace tokenization + a BPE-ish regex (letter runs,
             // digit runs, punctuation runs — the GPT-2 pretokenizer
             // shape), both countable identically in RE2 and Java regex
-            expr("""cast(size(filter(split(text, '\\s+'), x -> x != ''))
-                    as bigint)""").as("n_ws_tokens"),
+            expr(s"""cast(size(filter(split(text, '${Q.wsReSql}+'),
+                    x -> x != '')) as bigint)""").as("n_ws_tokens"),
             expr(bpeCountExpr).as("n_bpeish_tokens"),
             expr("cast(size(array_distinct(ws)) as bigint)").as("n_distinct"),
             expr("cast(length(text) as bigint)").as("n_chars_actual"),
@@ -281,8 +282,8 @@ object TextQueries {
         FROM (
           SELECT doc_id,
                  CAST(len(ws) AS BIGINT) AS n_tokens,
-                 CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-                   x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+                 CAST(len(list_filter(regexp_split_to_array(text,
+                   '${Q.wsRe}+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
                  $bpeCountExprDuck AS n_bpeish_tokens,
                  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
                  CAST(length(text) AS BIGINT) AS n_chars_actual,
@@ -1922,7 +1923,7 @@ object TextQueries {
       (s, dir) => {
         val flags = Tables(s, dir).documents
           .select(col("doc_id"), col("text"), expr(W).as("tk"),
-            expr("""filter(split(trim(text), '\\s+'),
+            expr(s"""filter(split(trim(text), '${Q.wsReSql}+'),
                     x -> x <> '')""").as("ws"))
           .select(col("doc_id"),
             expr("size(ws)").cast("long").as("nw"),
@@ -1981,7 +1982,7 @@ object TextQueries {
       Some(s"""
         WITH base AS (
           SELECT doc_id, text, $WDuck AS tk,
-                 list_filter(string_split_regex(trim(text), '\\s+'),
+                 list_filter(string_split_regex(trim(text), '${Q.wsRe}+'),
                    x -> x <> '') AS ws
           FROM documents),
         feat AS (

@@ -24,6 +24,10 @@ import graft.Ckpt._
   *                                docs before counting V, so a word
   *                                appearing only in such a doc must
   *                                not inflate the vocab)
+  *   <dir>/_format                format-version marker (see
+  *                                [[FormatVersion]]) — readers and
+  *                                appenders refuse an unmarked tree
+  *                                rather than merge pre-v2 counts
   * }}}
   *
   * Both relations are ADDITIVE: merging generations sums counts, so
@@ -50,6 +54,61 @@ import graft.Ckpt._
   * scan and read only range-matching files.
   */
 object LmIndex {
+
+  /** On-disk format version, stamped as a tiny `<dir>/_format` file.
+    *
+    * v1 (UNMARKED — indexes built before this marker existed): words/
+    * counted unigrams over ALL docs. v2: words/ counts over >=2-token
+    * docs only (exactly bigramLm's V — see [[relations]]). The change
+    * is silent at the file level: both layouts are a (w, c) parquet
+    * relation, so an old-generation tree appended to (or merged with)
+    * a v2 one would sum INCOMPATIBLE vocab counts and score() would
+    * reproduce neither q184 nor the old behavior. Every writer stamps
+    * the marker; every reader and appender refuses an unmarked or
+    * older tree with a rebuild instruction instead of merging it.
+    */
+  private[sinks] val FormatVersion = 2
+
+  private def fmtPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_format")
+
+  private def stampFormat(spark: SparkSession, dir: String): Unit = {
+    val p = fmtPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(s"lmindex.format=$FormatVersion\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Refuse to touch a pre-v2 (unmarked) or future-format tree. A
+    * fully fresh directory (no relations yet) passes — build/append
+    * stamp it on first write.
+    */
+  private[sinks] def requireFormat(spark: SparkSession, dir: String): Unit = {
+    val p = fmtPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val ver = txt.linesIterator.toSeq.headOption
+        .flatMap(l => scala.util.Try(
+          l.stripPrefix("lmindex.format=").trim.toInt).toOption)
+      if (!ver.contains(FormatVersion)) throw new IllegalStateException(
+        s"LmIndex at $dir declares format $ver, not $FormatVersion — " +
+          "refusing to mix incompatible count generations; rebuild with " +
+          "LmIndex.build")
+    } else if (DeltaIO.exists(spark, s"$dir/bigrams") ||
+        DeltaIO.exists(spark, s"$dir/bigrams_delta")) {
+      throw new IllegalStateException(
+        s"LmIndex at $dir has no _format marker: it predates the v2 " +
+          "words/ semantics (unigram counts over >=2-token docs only, " +
+          "matching q184's vocab). Appending to or scoring it would " +
+          "silently merge incompatible vocab counts — rebuild the index " +
+          "with LmIndex.build")
+    }
+  }
 
   /** Tokenizer — THE engine-wide word rule (TextQueries.wordsExpr). */
   private val W = graft.queries.TextQueries.wordsExpr
@@ -84,6 +143,7 @@ object LmIndex {
     val (bigrams, words) = relations(docs)
     bigrams.write.mode("overwrite").parquet(s"$outDir/bigrams")
     words.write.mode("overwrite").parquet(s"$outDir/words")
+    stampFormat(docs.sparkSession, outDir)
   }
 
   /** Incrementally fold a (doc_id, text) batch of NEW reference docs
@@ -96,34 +156,44 @@ object LmIndex {
     * Exactly-once callers only; at-least-once callers use
     * [[appendDelta]].
     */
-  def append(docs: DataFrame, indexDir: String): Unit =
+  def append(docs: DataFrame, indexDir: String): Unit = {
+    // format check BEFORE allocating a gen claim, so a refused append
+    // leaves no stale claim marker behind
+    requireFormat(docs.sparkSession, indexDir)
     appendDelta(docs, indexDir,
       DeltaIO.nextPlainGen(docs.sparkSession, indexDir,
         Seq("bigrams", "words")))
+  }
 
   /** Replay-safe gen-scoped [[append]] (the [[IndexSink.appendDelta]]
     * contract): a replayed micro-batch rewrites its own generation
     * instead of double-counting its evidence.
     */
   def appendDelta(docs: DataFrame, indexDir: String, gen: Long): Unit = {
+    requireFormat(docs.sparkSession, indexDir)
     val (bigrams, words) = relations(docs)
     DeltaIO.writeGen(bigrams, indexDir, "bigrams", gen)
     DeltaIO.writeGen(words, indexDir, "words", gen)
+    stampFormat(docs.sparkSession, indexDir)
   }
 
   /** Merged-and-summed bigram counts across main + delta gens — the
     * canonical model relation (what every reader consumes).
     */
   private[sinks] def readBigrams(spark: SparkSession,
-      indexDir: String): DataFrame =
+      indexDir: String): DataFrame = {
+    requireFormat(spark, indexDir)
     DeltaIO.readMerged(spark, indexDir, "bigrams", Seq("w1", "w2", "c"))
       .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c"))
+  }
 
   /** Merged-and-summed token counts across main + delta gens. */
   private[sinks] def readWords(spark: SparkSession,
-      indexDir: String): DataFrame =
+      indexDir: String): DataFrame = {
+    requireFormat(spark, indexDir)
     DeltaIO.readMerged(spark, indexDir, "words", Seq("w", "c"))
       .groupBy(col("w")).agg(sum(col("c")).as("c"))
+  }
 
   /** Score a (doc_id, text) candidate batch under the indexed model:
     * per doc, the bigram count and add-one-smoothed perplexity —
@@ -171,8 +241,10 @@ object LmIndex {
     * (spec-pinned). Generalization to unseen text: an unseen bigram
     * over a seen history scores the discounted-backoff mass
     * D·N1+(w1,·)·p_cont(w2)/c1 (c12 = 0 in the same formula); a fully
-    * unseen history or continuation interpolates to the uniform floor
-    * 1/(V+1) — finite everywhere, like score()'s add-one floor.
+    * unseen history or continuation falls to the floor 1/(B+1), where
+    * B is the distinct-bigram-TYPE count (the `nall` normalizer the KN
+    * continuation probabilities already use — NOT the unigram vocab
+    * size V) — finite everywhere, like score()'s add-one floor.
     */
   def scoreKn(spark: SparkSession, indexDir: String,
       batch: DataFrame): DataFrame = {
@@ -193,7 +265,8 @@ object LmIndex {
       .join(cont, Seq("w2"), "left")
       .crossJoin(broadcast(nall))
       // q259's formula verbatim when all counts are present; absent
-      // counts floor to the uniform 1/(V+1) interpolation (unseen
+      // counts floor to the 1/(B+1) interpolation, B = nall the
+      // distinct-bigram-TYPE count (unseen
       // history or unseen continuation word)
       .select(col("doc_id"), expr(
         """round(ln(case
@@ -243,5 +316,6 @@ object LmIndex {
       .write.mode("overwrite").parquet(s"$dstDir/bigrams")
     readWords(spark, srcDir)
       .write.mode("overwrite").parquet(s"$dstDir/words")
+    stampFormat(spark, dstDir)
   }
 }

@@ -68,8 +68,10 @@ class LmIndexSpec extends AnyFunSuite {
   test("scoreKn stays finite on unseen histories and continuations") {
     import spark.implicits._
     // words that exist nowhere in the reference: every bigram hits the
-    // uniform 1/(V+1) interpolation floor — defined and worse than any
-    // indexed doc
+    // 1/(B+1) interpolation floor, B = the distinct-bigram-TYPE count
+    // (scoreKn's nall normalizer, NOT the unigram vocab V) — defined
+    // and worse than any indexed doc; the assertion below IS that
+    // definition (ppl == |bigram types| + 1)
     val alien = Seq((9999L, "zzqx wwvk zzqx wwvk")).toDF("doc_id", "text")
     val row = LmIndex.scoreKn(spark, indexDir, alien).head
     val nall = LmIndex.readBigrams(spark, indexDir).count()
@@ -134,6 +136,39 @@ class LmIndexSpec extends AnyFunSuite {
         .orderBy(col("doc_id")).collect().toSeq ==
       LmIndex.score(spark, incDir, batch)
         .orderBy(col("doc_id")).collect().toSeq)
+  }
+
+  test("an unmarked (pre-v2) tree is refused, not silently merged") {
+    // simulate an index built before the _format marker existed: the
+    // words/ semantics changed in-place (unigrams over ALL docs →
+    // >=2-token docs only), so appending v2 counts to a v1 tree — or
+    // scoring one — would mix incompatible vocab counts; both paths
+    // must fail fast with a rebuild instruction instead
+    import spark.implicits._
+    val legacy = TestSpark.tmpDir("lm-index-legacy")
+    LmIndex.build(docs, legacy)
+    val fmt = new org.apache.hadoop.fs.Path(s"$legacy/_format")
+    val fs = fmt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(fmt, false)
+    val batch = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalStateException](
+      LmIndex.append(batch, legacy))
+    assert(e1.getMessage.contains("rebuild"))
+    val e2 = intercept[IllegalStateException](
+      LmIndex.score(spark, legacy, batch).collect())
+    assert(e2.getMessage.contains("_format"))
+    // a future/foreign version is refused the same way
+    val out = fs.create(fmt, true)
+    out.write("lmindex.format=99\n".getBytes("UTF-8")); out.close()
+    val e3 = intercept[IllegalStateException](
+      LmIndex.scoreKn(spark, legacy, batch).collect())
+    assert(e3.getMessage.contains("99"))
+    // a FRESH directory passes the check (build/appendDelta stamp it):
+    // first-writer-stamps, so a streaming twin's first micro-batch on
+    // an empty dir is legal
+    val fresh = TestSpark.tmpDir("lm-index-fresh")
+    LmIndex.appendDelta(batch, fresh, gen = 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$fresh/_format")))
   }
 
   test("probeNext ranks continuations by count and pushes the history filter") {
