@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Ckpt._
@@ -28,13 +29,125 @@ object SimilarityQueries {
     */
   private val COS = "dot_product(qv, v)"
 
+  /** The KNN-Shapley ranked sweep shared by q262 (full), q268
+    * (truncated top-R) and [[Valuation.knnShapleyTopR]] (truncated
+    * top-R over a VectorIndex probe) — ONE definition so the three
+    * surfaces cannot drift (the sharedSpans rule). Input `cand` is the
+    * (qid, tid, tl, ind, sim) candidate relation — EVERY training
+    * point per query for the exact value, or any similarity-descending
+    * truncation of it for the estimator; `sim` must already be
+    * round(·, 9).
+    *
+    * Per query: rank by (sim DESC, tid ASC), optionally cap at `rCap`,
+    * then the Jia et al. closed-form suffix sweep with terms quantized
+    * at 12 decimals into DECIMAL(32,12) (exact, order-independent —
+    * the q243 discipline) and the suffix sum as a RUNNING frame over
+    * rank DESC (O(n); see the q262 header for why not UNBOUNDED
+    * FOLLOWING). Boundary terms: the deepest rank is
+    *   - i = ntr (nothing truncated): s_N = 1[y_N = y]/N, the exact
+    *     closed form;
+    *   - i = R < ntr: the tail beyond R is FOLDED to zero
+    *     (s_{R+1} := 0, ind_{R+1} := 0 — each dropped term is bounded
+    *     by 1/i, so the whole tail contributes at most K/R to any
+    *     point's value); the folded boundary ind·min(K,R)/(K·R)
+    *     coincides with the exact one when R = ntr ≥ K, which is what
+    *     makes full-R truncation ≡ q262 (ValuationSpec pins it).
+    *
+    * Returns one row per training point: (tid, tl, nq = #queries whose
+    * candidate set retained it, tot = exact decimal sum of its
+    * per-query values) — callers finish the normalization (q262
+    * divides by nq ≡ |val| at full R; the truncated surfaces divide by
+    * |val|, a point absent from a query's top-R contributing 0 there).
+    */
+  private[queries] def shapleySweep(cand: DataFrame, ntr: DataFrame,
+      rCap: Option[Int], kNn: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("tid").asc)
+    val ranked0 = cand.withColumn("i", row_number().over(w))
+    val ranked = rCap.map(r => ranked0.where(col("i") <= r))
+      .getOrElse(ranked0)
+    // lead AFTER the cap: the truncated estimator sees only the top-R
+    // (at i = R the successor is the folded tail, not rank R+1)
+    val wi = Window.partitionBy(col("qid")).orderBy(col("i").asc)
+    val t = ranked.withColumn("indn", lead(col("ind"), 1).over(wi))
+      .crossJoin(broadcast(ntr))
+      .withColumn("term", expr(
+        s"""cast(round(case
+             when indn is null and i = ntr
+               then cast(ind as double) / ntr
+             when indn is null
+               then cast(ind as double)
+                    * cast(least($kNn, i) as double)
+                    / cast($kNn * i as double)
+             else cast(ind - indn as double)
+                  * cast(least($kNn, i) as double)
+                  / cast($kNn * i as double) end, 12)
+           as decimal(32, 12))"""))
+    val sv = t.withColumn("sv", sum(col("term")).over(
+      Window.partitionBy(col("qid")).orderBy(col("i").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sv.groupBy(col("tid"), col("tl"))
+      .agg(sum(col("sv")).as("tot"), count(lit(1)).as("nq"))
+  }
+
+  /** The greedy MMR selection supersteps shared by q260 (brute-force
+    * candidates) and [[Valuation.mmrFromIndex]] (VectorIndex.search
+    * candidates) — ONE definition so the two cannot drift. Input
+    * `cand` is the per-query candidate relation (qid, vec_id, simq, v)
+    * with simq already round(·, 9), ckpt'd by the caller (it feeds the
+    * pair sims and every superstep). Selection: rank 1 is the max-simq
+    * candidate; each further rank maximizes
+    * λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s) with λ = 0.7,
+    * argmaxes via min(struct(-mmr, vec_id)) — a total order both
+    * engines share, no window over the corpus. Returns
+    * (qid, rank, vec_id, score) for `steps` ranks.
+    *
+    * Scale: pair sims are |cand|²-bounded per query and keyed by qid;
+    * after the candidate pass the corpus is never touched again.
+    */
+  private[queries] def mmrSelect(cand: DataFrame,
+      steps: Int = 8): DataFrame = {
+    val pairs = cand.as("a").join(cand.as("b"),
+        col("a.qid") === col("b.qid") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.qid").as("qid"), col("a.vec_id").as("da"),
+        col("b.vec_id").as("db"),
+        round(expr("dot_product(a.v, b.v)"), 9).as("simp"))
+      .ckpt() // |cand|²-bounded per query
+    var sel = cand.groupBy(col("qid"))
+      .agg(min(struct((-col("simq")).as("ns"), col("vec_id").as("id")))
+        .as("m"))
+      .select(col("qid"), col("m.id").as("vec_id"),
+        lit(1).as("rank"), (-col("m.ns")).as("score"))
+      .ckpt()
+    for (i <- 2 to steps) {
+      val ms = pairs.join(sel.select(col("qid"),
+          col("vec_id").as("db")), Seq("qid", "db"))
+        .groupBy(col("qid"), col("da")).agg(max(col("simp")).as("ms"))
+        .withColumnRenamed("da", "vec_id")
+      val pick = cand
+        .join(sel.select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_anti")
+        .join(ms, Seq("qid", "vec_id"))
+        .select(col("qid"), col("vec_id"),
+          expr("round(0.7d * simq - 0.3d * ms, 9)").as("mmr"))
+        .groupBy(col("qid"))
+        .agg(min(struct((-col("mmr")).as("ns"), col("vec_id").as("id")))
+          .as("m"))
+        .select(col("qid"), col("m.id").as("vec_id"),
+          lit(i).as("rank"), (-col("m.ns")).as("score"))
+      sel = sel.unionByName(pick).ckpt() // superstep barrier
+    }
+    sel
+  }
+
   /** Unit-normalized double vectors via the native codegen'd
     * `l2_normalize` expression (O(2d) per row; the lambda formulation
     * it replaced inlined the norm into the transform — O(d²)
     * interpreted steps per row, and L2NormalizeSpec pins the two
     * bit-identical).
     */
-  private def vectors(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[queries] def vectors(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir).embeddings
       .select(col("vec_id"), col("label"),
         expr("l2_normalize(embedding)").as("v"))
@@ -2653,38 +2766,10 @@ object SimilarityQueries {
               .orderBy(col("simq").desc, col("vec_id").asc)))
           .where(col("rk") <= 20).drop("rk")
           .ckpt() // 100 rows feeding pair sims + every superstep
-        val pairs = cand.as("a").join(cand.as("b"),
-            col("a.qid") === col("b.qid") &&
-              col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("a.qid").as("qid"), col("a.vec_id").as("da"),
-            col("b.vec_id").as("db"),
-            round(expr("dot_product(a.v, b.v)"), 9).as("simp"))
-          .ckpt() // |cand|²-bounded per query
-        var sel = cand.groupBy(col("qid"))
-          .agg(min(struct((-col("simq")).as("ns"), col("vec_id").as("id")))
-            .as("m"))
-          .select(col("qid"), col("m.id").as("vec_id"),
-            lit(1).as("rank"), (-col("m.ns")).as("score"))
-          .ckpt()
-        for (i <- 2 to 8) {
-          val ms = pairs.join(sel.select(col("qid"),
-              col("vec_id").as("db")), Seq("qid", "db"))
-            .groupBy(col("qid"), col("da")).agg(max(col("simp")).as("ms"))
-            .withColumnRenamed("da", "vec_id")
-          val pick = cand
-            .join(sel.select(col("qid"), col("vec_id")),
-              Seq("qid", "vec_id"), "left_anti")
-            .join(ms, Seq("qid", "vec_id"))
-            .select(col("qid"), col("vec_id"),
-              expr("round(0.7d * simq - 0.3d * ms, 9)").as("mmr"))
-            .groupBy(col("qid"))
-            .agg(min(struct((-col("mmr")).as("ns"), col("vec_id").as("id")))
-              .as("m"))
-            .select(col("qid"), col("m.id").as("vec_id"),
-              lit(i).as("rank"), (-col("m.ns")).as("score"))
-          sel = sel.unionByName(pick).ckpt() // superstep barrier
-        }
-        sel.select(col("qid"), col("rank"), col("vec_id"),
+        // selection supersteps are mmrSelect, shared with the
+        // VectorIndex-candidate surface (Valuation.mmrFromIndex)
+        mmrSelect(cand)
+          .select(col("qid"), col("rank"), col("vec_id"),
             col("score").as("mmr_r"))
           .orderBy(col("qid"), col("rank"))
       },
@@ -2791,27 +2876,12 @@ object SimilarityQueries {
           .select(col("qid"), col("tid"), col("tl"),
             when(col("tl") === col("ql"), 1).otherwise(0).as("ind"),
             round(expr("dot_product(tv, qv)"), 9).as("sim"))
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("tid").asc)
-        val t = p.withColumn("i", row_number().over(w))
-          .withColumn("indn", lead(col("ind"), 1).over(w))
-          .crossJoin(broadcast(ntr))
-          .withColumn("term", expr(
-            """cast(round(case when indn is null
-                 then cast(ind as double) / ntr
-                 else cast(ind - indn as double)
-                      * cast(least(5, i) as double)
-                      / cast(5 * i as double) end, 12)
-               as decimal(32, 12))"""))
-        // suffix sum as a RUNNING frame over i DESC: Spark evaluates
-        // an UNBOUNDED FOLLOWING frame by re-scanning current→end per
-        // row (O(n²) per query — measured 17 s at sf0.1); the running
-        // frame is the same exact decimal suffix sum in O(n)
-        val sv = t.withColumn("sv", sum(col("term")).over(
-          Window.partitionBy(col("qid")).orderBy(col("i").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        sv.groupBy(col("tid"), col("tl"))
-          .agg(sum(col("sv")).as("tot"), count(lit(1)).as("nq"))
+        // the ranked sweep (rank → 12-decimal terms → running suffix
+        // frame — see the shared scaladoc for the O(n) frame choice)
+        // is shapleySweep, shared with the truncated q268 / VectorIndex
+        // surfaces; uncapped here, so the deepest rank is the exact
+        // s_N = ind/N closed-form boundary
+        shapleySweep(p, ntr, rCap = None)
           .select(col("tid").as("vec_id"), col("tl").as("label"),
             expr("round(cast(tot as double) / nq, 9)").as("shap_r"))
       },
@@ -2854,6 +2924,102 @@ object SimilarityQueries {
                ROUND(CAST(SUM(sv) AS DOUBLE) / COUNT(*), 9) AS shap_r
         FROM sv
         GROUP BY 1, 2
+      """)),
+
+    // ------------------------------------------------------------------
+    // q268: TRUNCATED top-R KNN-Shapley — the 100 TB form of q262.
+    // The exact sweep needs every training point ranked per query;
+    // at corpus scale that is the one thing you cannot do, and the
+    // closed form says you do not have to: each rank-i term is bounded
+    // by 1/i (for i ≥ K), so the tail beyond rank R contributes at
+    // most Σ_{i>R} 1/i·(K/K) ≤ K/R to any point's value. Keep only
+    // each query's top-R by similarity, fold the tail to zero
+    // (s_{R+1} := 0), and the estimator's error is bounded and
+    // controllable by R. Here R = 64 against the brute-force top-R so
+    // the truncation SEMANTICS are oracle-gated end-to-end; the
+    // production candidate source is VectorIndex.search
+    // ([[Valuation.knnShapleyTopR]] — same shapleySweep, spec-pinned
+    // to this query and to q262 at full R). Points outside every
+    // query's top-R carry value 0 under the fold and are absent from
+    // the report; normalization is by |val| (a point absent from a
+    // query's top-R contributes 0 for that query, unlike q262's
+    // per-point count, which equals |val| only when nothing is
+    // truncated).
+    //
+    // Scale: the candidate relation is |val|·R rows (not |train|·|val|),
+    // the sweep is O(R log R) per query sharded by qid, and with the
+    // index as candidate source the corpus is never cross-joined at
+    // all — only probed cells are scanned.
+    QDef(
+      "q268_shapley_topr",
+      (s, dir) => {
+        val e = vectors(s, dir).ckpt()
+        val tr = e.where(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id").as("tid"), col("label").as("tl"),
+            col("v").as("tv"))
+        val va = e.where(col("vec_id") % 10 === 0 &&
+            col("vec_id") < 2048)
+          .select(col("vec_id").as("qid"), col("label").as("ql"),
+            col("v").as("qv"))
+        val ntr = tr.agg(count(lit(1)).as("ntr"))
+        val nva = va.agg(count(lit(1)).as("nva"))
+        val p = tr.crossJoin(broadcast(va))
+          .select(col("qid"), col("tid"), col("tl"),
+            when(col("tl") === col("ql"), 1).otherwise(0).as("ind"),
+            round(expr("dot_product(tv, qv)"), 9).as("sim"))
+        shapleySweep(p, ntr, rCap = Some(64))
+          .crossJoin(broadcast(nva))
+          .select(col("tid").as("vec_id"), col("tl").as("label"),
+            col("nq"),
+            expr("round(cast(tot as double) / nva, 9)").as("shap_topr_r"))
+      },
+      Some("""
+        WITH e AS MATERIALIZED (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        tr AS (SELECT vec_id AS tid, label AS tl, v AS tv
+               FROM e WHERE vec_id % 10 <> 0),
+        va AS (SELECT vec_id AS qid, label AS ql, v AS qv
+               FROM e WHERE vec_id % 10 = 0 AND vec_id < 2048),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntr FROM tr),
+        nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS nva FROM va),
+        p AS MATERIALIZED (SELECT va.qid, tr.tid, tr.tl,
+               CASE WHEN tr.tl = va.ql THEN 1 ELSE 0 END AS ind,
+               ROUND(list_sum(list_transform(range(1, 65),
+                 i -> tr.tv[i] * va.qv[i])), 9) AS sim
+             FROM tr, va),
+        r0 AS (SELECT qid, tid, tl, ind,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, tid ASC) AS i
+               FROM p),
+        r AS (SELECT qid, tid, tl, ind, i,
+                LEAD(ind) OVER (PARTITION BY qid ORDER BY i ASC) AS indn
+              FROM r0 WHERE i <= 64),
+        t AS (SELECT qid, tid, tl, i,
+                CAST(ROUND(CASE
+                  WHEN indn IS NULL AND i = ntr
+                    THEN CAST(ind AS DOUBLE) / ntr
+                  WHEN indn IS NULL
+                    THEN CAST(ind AS DOUBLE)
+                         * CAST(LEAST(5, i) AS DOUBLE)
+                         / CAST(5 * i AS DOUBLE)
+                  ELSE CAST(ind - indn AS DOUBLE)
+                       * CAST(LEAST(5, i) AS DOUBLE)
+                       / CAST(5 * i AS DOUBLE) END, 12)
+                  AS DECIMAL(32, 12)) AS term
+              FROM r, n),
+        sv AS (SELECT qid, tid, tl,
+                 SUM(term) OVER (PARTITION BY qid ORDER BY i DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sv
+               FROM t)
+        SELECT tid AS vec_id, tl AS label,
+               CAST(COUNT(*) AS BIGINT) AS nq,
+               ROUND(CAST(SUM(sv) AS DOUBLE) / nva, 9) AS shap_topr_r
+        FROM sv, nv
+        GROUP BY tid, tl, nva
       """))
   )
 }

@@ -74,6 +74,16 @@ trait IndexSink {
   * five sinks cannot implement five subtly different replay stories.
   */
 private[sinks] object DeltaIO {
+
+  /** Filesystem schemes where create-with-overwrite=false is an ATOMIC
+    * check-and-claim (POSIX O_CREAT|O_EXCL / HDFS namenode create):
+    * the set [[nextPlainGen]]'s claim protocol is safe on. Object
+    * stores (s3a, gs, abfs, oss, …) implement it as HEAD-then-PUT —
+    * last-writer-wins, NOT a claim — so they are deliberately absent.
+    */
+  private[sinks] val AtomicCreateSchemes: Set[String] =
+    Set("file", "hdfs", "viewfs", "webhdfs")
+
   def exists(spark: SparkSession, p: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(p)
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
@@ -124,25 +134,59 @@ private[sinks] object DeltaIO {
     // appenders that both list the same free gen would otherwise
     // mode-overwrite the same gen= subtree and silently drop the first
     // batch. ATOMICITY SCOPE: createNewFile is atomic on HDFS and
-    // local/POSIX filesystems — the FSes this library targets for
-    // index roots. It is NOT atomic on S3A and most object stores
+    // local/POSIX filesystems — enforced below by a hard scheme check.
+    // It is NOT atomic on S3A and most object stores
     // (create-with-overwrite=false there is HEAD-then-PUT), so two
-    // remote appenders can still race to the same gen; on an object
-    // store, serialize appenders externally or use a store-native
-    // conditional write (e.g. S3 If-None-Match) for the claim. The
+    // remote appenders could race to the same gen and SILENTLY lose a
+    // batch; rather than ship that, plain append REFUSES to allocate
+    // on a scheme outside the atomic-create set. Object-store callers
+    // have two safe paths: [[writeGen]] via appendDelta with
+    // caller-assigned gens (a streaming micro-batch id, or any
+    // externally serialized counter), or a store-native conditional
+    // write (e.g. S3 If-None-Match) wired as the claim primitive. The
     // loser here retries one gen lower. Claim files are O(#appends)
     // tiny markers — same listing class as the delta tree itself —
     // and stale claims merely skip a gen id.
     val claims = new org.apache.hadoop.fs.Path(s"$dir/_gen_claims")
     val fs = claims.getFileSystem(conf)
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (!AtomicCreateSchemes.contains(scheme))
+      throw new UnsupportedOperationException(
+        s"nextPlainGen on '$scheme://' — createNewFile is not an atomic " +
+          "check-and-claim on this filesystem, so concurrent plain " +
+          "appends could silently drop a batch. Use appendDelta with a " +
+          "caller-assigned gen (streaming micro-batch id or an " +
+          "externally serialized counter), or add a store-native " +
+          "conditional-write claim for this scheme.")
     fs.mkdirs(claims)
     val claimed =
       fs.listStatus(claims).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("gen=-"))
         .flatMap(n => scala.util.Try(n.stripPrefix("gen=").toLong).toOption)
+    // The claim primitive, per scheme. Hadoop's LOCAL FS is NOT a
+    // valid claim primitive as-is: RawLocalFileSystem.create(f,
+    // overwrite=false) is exists-then-open (plain FileOutputStream, no
+    // O_EXCL), so two racers can BOTH pass the exists check and both
+    // "win" — the SinkContractSpec claimant race reproduced exactly
+    // that (15 shared gens in 100 claims). On file:// the claim
+    // therefore goes through java.io.File.createNewFile, which the JDK
+    // guarantees atomic (O_CREAT|O_EXCL). On HDFS-family schemes
+    // fs.createNewFile is atomic at the namenode, but its exists
+    // pre-check can still THROW FileAlreadyExistsException to the
+    // loser instead of returning false — either signal means: claim
+    // lost, retry one gen lower.
+    def tryClaim(g: Long): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(claims, s"gen=$g")
+      if (scheme == "file")
+        new java.io.File(p.toUri.getPath).createNewFile()
+      else
+        try fs.createNewFile(p)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+    }
     var g = ((used ++ claimed) :+ 0L).min - 1L
-    while (!fs.createNewFile(
-        new org.apache.hadoop.fs.Path(claims, s"gen=$g")))
+    while (!tryClaim(g))
       g -= 1L
     g
   }

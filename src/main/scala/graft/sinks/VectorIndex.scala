@@ -158,6 +158,16 @@ object VectorIndex {
     else main
   }
 
+  /** The indexed vectors themselves, (vec_id, v) with v the stored
+    * UNIT-normalized form — the candidate-vector fetch downstream
+    * re-rankers (MMR, truncated Shapley re-scoring) join [[search]]
+    * results back to, so a candidate's payload comes from the index
+    * rather than a second corpus scan. Join on vec_id; parquet
+    * min/max stats prune non-matching files for small id sets.
+    */
+  def storedVectors(spark: SparkSession, indexDir: String): DataFrame =
+    readPostings(spark, indexDir).select(col("vec_id"), col("v"))
+
   /** Probe the persisted index: rank centroids per query, take the top
     * `nprobe` cells, scan ONLY those postings partitions, exact-score
     * the candidates, and return the top `topK` neighbors per query as

@@ -47,6 +47,59 @@ class ValuationSpec extends AnyFunSuite {
     }
   }
 
+  test("Valuation.knnShapleyTopR: full R over the index ≡ q262; R=64 ≡ q268") {
+    // the library path's only difference from the oracle-gated twins
+    // is the candidate source (VectorIndex probe + stored-vector
+    // re-score); with every cell probed and the fetch covering the
+    // corpus it must reproduce them ROW FOR ROW
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .localCheckpoint()
+    val idx = graft.TestSpark.tmpDir("valuation-ivf")
+    graft.sinks.VectorIndex.build(e, idx, k = 16)
+    val train = e.where(col("vec_id") % 10 =!= 0)
+    val valq = e.where(col("vec_id") % 10 === 0 && col("vec_id") < 2048)
+    val n = e.count().toInt
+    def img(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("vec_id")).collect().toSeq
+
+    // full R: every cell probed, fetch covers the whole corpus (the
+    // index also holds the val points; the train-label join drops
+    // them) → the deepest rank is ntr and the sweep is exactly q262's
+    val fullR = Valuation.knnShapleyTopR(spark, idx, train, valq,
+      r = n, nprobe = 16, fetchK = n + 8)
+    val q262 = graft.SparkEntry.queries("q262_knn_shapley")(spark, dir)
+    assert(img(fullR.select(col("vec_id"), col("label"),
+        col("shap_topr_r").as("s")))
+      == img(q262.select(col("vec_id"), col("label"),
+        col("shap_r").as("s"))),
+      "full-R index-backed sweep != q262")
+    // at full R every point is in every query's candidate set
+    assert(fullR.where(col("nq") =!= valq.count()).count() == 0)
+
+    // R = 64: the truncation semantics are q268's (oracle-gated);
+    // fetch covers the val interlopers so the train top-64 is exact
+    val topR = Valuation.knnShapleyTopR(spark, idx, train, valq,
+      r = 64, nprobe = 16, fetchK = n + 8)
+    val q268 = graft.SparkEntry.queries("q268_shapley_topr")(spark, dir)
+    assert(img(topR) == img(q268), "R=64 index-backed sweep != q268")
+  }
+
+  test("Valuation.mmrFromIndex: all cells probed ≡ q260") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .localCheckpoint()
+    val idx = graft.TestSpark.tmpDir("valuation-mmr-ivf")
+    graft.sinks.VectorIndex.build(e, idx, k = 16)
+    val got = Valuation.mmrFromIndex(spark, idx,
+        e.where(col("vec_id") < 5).select(col("vec_id"), col("embedding")),
+        topC = 20, nprobe = 16)
+      .collect().toSeq
+    val want = graft.SparkEntry.queries("q260_mmr_rerank")(spark, dir)
+      .collect().toSeq
+    assert(got.nonEmpty && got == want, "index-backed MMR != q260")
+  }
+
   test("q262: Shapley values satisfy the efficiency axiom") {
     // Σ_train s(q, t) == (top-K label agreement)/K per validation
     // point — the telescoping identity of the Jia et al. closed form.

@@ -122,4 +122,54 @@ class SinkContractSpec extends AnyFunSuite {
         s"${sink.name}: compact left delta trees: ${leftover.mkString(",")}")
     }
   }
+
+  test("concurrent plain-gen claimants never share a generation") {
+    // the createNewFile claim in DeltaIO.nextPlainGen is the ONLY
+    // thing standing between two simultaneous plain appends and a
+    // silent mode-overwrite of the same gen= subtree — race it for
+    // real: 4 claimants × 25 allocations on one index root must yield
+    // 100 DISTINCT gens (atomic on local/POSIX, the scheme the check
+    // below pins)
+    val root = TestSpark.tmpDir("gen-claims-race")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fs = scala.concurrent.Future.traverse((1 to 4).toList) { _ =>
+      scala.concurrent.Future {
+        (1 to 25).map(_ =>
+          DeltaIO.nextPlainGen(spark, root, Seq("bigrams", "words")))
+      }
+    }
+    val gens = scala.concurrent.Await
+      .result(fs, scala.concurrent.duration.Duration(120, "s")).flatten
+    pool.shutdown()
+    assert(gens.size == 100 && gens.distinct.size == 100,
+      s"gen collision: ${gens.groupBy(identity).filter(_._2.size > 1).keys}")
+    assert(gens.forall(_ < 0), "plain gens must use the negative namespace")
+  }
+
+  test("plain-gen allocation refuses a non-atomic-create scheme") {
+    // an object store implements create-with-overwrite=false as
+    // HEAD-then-PUT — last-writer-wins, not a claim — so plain append
+    // must FAIL FAST there instead of silently risking a dropped
+    // batch (callers go through appendDelta with caller-assigned
+    // gens). Simulated with a local FS registered under a foreign
+    // scheme, exactly how the library would meet s3a://.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.fakeobj.impl", classOf[FakeObjectStoreFs].getName)
+    val e = intercept[UnsupportedOperationException](
+      DeltaIO.nextPlainGen(spark,
+        s"fakeobj://${TestSpark.tmpDir("fakeobj-root")}", Seq("bigrams")))
+    assert(e.getMessage.contains("fakeobj") &&
+      e.getMessage.contains("appendDelta"))
+  }
+}
+
+/** A local filesystem masquerading under an object-store-like scheme —
+  * lets the spec exercise DeltaIO's atomic-create scheme gate without
+  * a real remote store. Top-level class: Hadoop instantiates it
+  * reflectively via a no-arg constructor.
+  */
+class FakeObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("fakeobj:///")
 }
