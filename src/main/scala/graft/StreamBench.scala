@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The streamed-document feed row ([[StreamBench]]'s corpus twins).
+  * Top-level: a nested case class would capture the bench object as an
+  * outer pointer and break encoder codegen.
+  */
+final case class BenchDoc(doc_id: Long, text: String, lang: String,
+    source: String, ingest_ts: java.sql.Timestamp)
+
+/** Streaming-twin scale probe — the §8.5.1 companion that measures
+  * what the batch probes cannot: MICRO-BATCH latency and STATE-STORE
+  * size of the stateful streaming operators as the corpus behind the
+  * stream grows. Feeds `SPARK_GRAFT_SF_DIR`'s documents/events tables
+  * through MemoryStream in FIXED-SIZE micro-batches (the batch is the
+  * scale-invariant unit — a 10× corpus means 10× more batches, and the
+  * pass criterion is per-batch latency and state FLAT or
+  * model-explained, never O(corpus)):
+  *
+  *  - `clean`   — [[streaming.CorpusStreaming.cleanStream]]: the
+  *    watermarked fingerprint dedup. Docs get a synthetic event time
+  *    advancing 1 s/doc, so the 1 h watermark horizon holds ≤ 3600
+  *    fingerprints AT ANY CORPUS SIZE — state must stay flat while
+  *    batches multiply (state = O(arrival rate × horizon), the claim).
+  *  - `text_sink` — [[streaming.CorpusStreaming.textIndexSink]]: the
+  *    gen-scoped index ingest chain; per-batch cost must track the
+  *    batch (the SinkBench appendDelta story, measured on the real
+  *    foreachBatch path).
+  *  - `hourly`  — [[streaming.EventsStreaming.hourlyCounts]]: windowed
+  *    agg; state = open windows × event types (2 h watermark over
+  *    1 h windows → a handful of windows), flat at any corpus.
+  *  - `sessions` — [[streaming.EventsStreaming.sessionize]]: custom
+  *    flatMapGroupsWithState; state = one open session per user seen —
+  *    O(users), and the ScaleProbe events fixture grows users N×, so
+  *    state rows are EXPECTED to grow with the fixture while per-batch
+  *    latency stays O(batch): the reported numbers separate the two.
+  *
+  * Prints ONE JSON line:
+  * {"metric":"streambench","sf":…,"twins":{name:{"batches":…,
+  * "rows":…,"mean_ms":…,"max_ms":…,"state_rows":…,"state_mb":…}}}
+  * Run on a base dir and a `graft.ScaleProbe` blow-up; compare.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val docBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOC_BATCH",
+      "500").toInt
+    val evBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_EV_BATCH",
+      "10000").toInt
+    val spark = Sessions.local("graft-streambench", cpus)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup
+
+    // ---- feeds, collected ONCE and sliced into fixed-size batches ----
+    // docs: event time advances 1 s per doc in id order, so the 1 h
+    // watermark horizon is a fixed 3600-doc window at any corpus size
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val docRows = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .orderBy(col("doc_id")).collect()
+      .zipWithIndex.map { case (r, i) =>
+        BenchDoc(r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), new java.sql.Timestamp(base + i * 1000L))
+      }
+    val evRows = Tables(spark, sfDir).events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("ts"), col("event_id")).collect()
+      .map(r => streaming.EventsStreaming.Event(r.getLong(0),
+        r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+
+    // ---- per-twin measurement -------------------------------------
+    final case class Twin(name: String, batches: Int, rows: Long,
+        meanMs: Double, maxMs: Double, stateRows: Long, stateMb: Double)
+
+    def measure[A](name: String, feed: Array[A],
+        batchSize: Int)(start: MemoryStream[A] => StreamingQuery)(
+        implicit enc: org.apache.spark.sql.Encoder[A]): Twin = {
+      val ms = MemoryStream[A]
+      val q = start(ms)
+      val durs = Seq.newBuilder[Double]
+      var stateRows = 0L
+      var stateMb = 0.0
+      var n = 0
+      try {
+        feed.grouped(batchSize).foreach { slice =>
+          ms.addData(slice.toSeq)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          durs += (System.nanoTime() - t0) / 1e6
+          n += 1
+        }
+        Option(q.lastProgress).foreach { p =>
+          val ops = p.stateOperators
+          if (ops != null && ops.nonEmpty) {
+            stateRows = ops.map(_.numRowsTotal).sum
+            stateMb = ops.map(_.memoryUsedBytes).sum / 1e6
+          }
+        }
+      } finally q.stop()
+      val ds = durs.result()
+      // batch 0 pays codegen/state-store init: report the steady tail
+      val steady = if (ds.length > 1) ds.tail else ds
+      Twin(name, n, feed.length.toLong,
+        steady.sum / steady.length, steady.max, stateRows, stateMb)
+    }
+
+    def noopSink(df: DataFrame, mode: String, ckpt: String) =
+      df.writeStream.outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .format("noop").start()
+
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-streambench").toString
+
+    val twins = Seq(
+      measure[BenchDoc]("clean", docRows, docBatch) { ms =>
+        noopSink(streaming.CorpusStreaming.cleanStream(ms.toDF()),
+          "append", s"$tmp/ckpt-clean")
+      },
+      measure[BenchDoc]("text_sink", docRows, docBatch) { ms =>
+        streaming.CorpusStreaming.textIndexSink(
+            ms.toDF().select(col("doc_id"), col("text")),
+            s"$tmp/text-index")
+          .option("checkpointLocation", s"$tmp/ckpt-text").start()
+      },
+      measure[streaming.EventsStreaming.Event]("hourly", evRows, evBatch) {
+        ms =>
+          noopSink(streaming.EventsStreaming.hourlyCounts(ms.toDF()),
+            "append", s"$tmp/ckpt-hourly")
+      },
+      measure[streaming.EventsStreaming.Event]("sessions", evRows, evBatch) {
+        ms =>
+          noopSink(streaming.EventsStreaming.sessionize(ms.toDS()).toDF(),
+            "append", s"$tmp/ckpt-sessions")
+      })
+
+    val js = twins.map(t =>
+      s""""${t.name}":{"batches":${t.batches},"rows":${t.rows},""" +
+        f""""mean_ms":${t.meanMs}%.1f,"max_ms":${t.maxMs}%.1f,""" +
+        f""""state_rows":${t.stateRows},"state_mb":${t.stateMb}%.2f}""")
+      .mkString(",")
+    // sanity floor so a silently-empty feed can't masquerade as "fast"
+    require(twins.forall(_.rows > 0), "empty feed")
+    println(s"""{"metric":"streambench","sf":"$sfDir","twins":{$js}}""")
+    spark.stop()
+  }
+}

@@ -157,6 +157,46 @@ object DedupQueries {
     * by q24 (top-k verification) and q54 (cluster formation). Pairs with
     * zero overlap never materialize.
     */
+  /** q54's per-document cluster assignment, (doc_id, cluster_id) —
+    * Jaccard ≥ 0.02 edges + large-star/small-star connected components
+    * (cluster id = min doc_id of the component; singletons are their
+    * own cluster). ONE definition shared by the q54 QDef and q270's
+    * per-cluster value rollup (the sharedSpans rule).
+    */
+  private[queries] def clusterAssignment(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val edges = jaccardPairs(s, dir)
+      .where(col("jaccard") >= 0.02)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val assign = graft.core.ConnectedComponents.run(edges)
+      .select(col("u").as("doc_id"), col("v").as("cid"))
+    Tables(s, dir).documents.select(col("doc_id"))
+      .join(assign, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** The DuckDB CTE chain producing q54's `assign` relation
+    * (doc_id, cluster_id) — the oracle-side twin of
+    * [[clusterAssignment]] (reachability-closure restatement; needs
+    * WITH RECURSIVE). CTE names: w, sh, edges, und, walk, comp, assign.
+    */
+  private[queries] lazy val clusterAssignDuckCtes: String = s"""
+        w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
+        sh AS (SELECT doc_id, source, $SGDuck AS sg FROM w),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM ($jaccardPairsDuck) jp
+                  WHERE jaccard >= 0.02),
+        und AS (SELECT u AS src, v AS dst FROM edges
+                UNION ALL SELECT v, u FROM edges),
+        walk(node, label) AS (
+          SELECT DISTINCT src, src FROM und
+          UNION
+          SELECT u.dst, wk.label FROM walk wk JOIN und u ON u.src = wk.node),
+        comp AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        assign AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+                   FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)"""
+
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     // localCheckpoint: the shingle relation feeds BOTH sides of the
     // self-join; without materialization the planner re-runs the
@@ -484,19 +524,10 @@ object DedupQueries {
     QDef(
       "q54_dedup_clusters",
       (s, dir) => {
-        val edges = jaccardPairs(s, dir)
-          .where(col("jaccard") >= 0.02)
-          .select(col("doc_a").as("u"), col("doc_b").as("v"))
-        val assign = graft.core.ConnectedComponents.run(edges)
-          .select(col("u").as("doc_id"), col("v").as("cid"))
-        val labeled = Tables(s, dir).documents.select(col("doc_id"))
-          .join(assign, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cid"), col("doc_id")).as("cluster_id"))
         // window, not groupBy+rejoin: one shuffle on cluster_id and one
-        // pass over `labeled` (the rejoin recomputed the documents join
-        // for the second reference)
-        labeled
+        // pass over the assignment (the rejoin recomputed the documents
+        // join for the second reference)
+        clusterAssignment(s, dir)
           .withColumn("n_members", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("cluster_id"))))
@@ -504,20 +535,7 @@ object DedupQueries {
             (col("doc_id") === col("cluster_id")).as("is_survivor"))
       },
       Some(s"""
-        WITH RECURSIVE
-        w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
-        sh AS (SELECT doc_id, source, $SGDuck AS sg FROM w),
-        edges AS (SELECT doc_a AS u, doc_b AS v FROM ($jaccardPairsDuck) jp
-                  WHERE jaccard >= 0.02),
-        und AS (SELECT u AS src, v AS dst FROM edges
-                UNION ALL SELECT v, u FROM edges),
-        walk(node, label) AS (
-          SELECT DISTINCT src, src FROM und
-          UNION
-          SELECT u.dst, wk.label FROM walk wk JOIN und u ON u.src = wk.node),
-        comp AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node),
-        assign AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-                   FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+        WITH RECURSIVE $clusterAssignDuckCtes
         SELECT a.doc_id, a.cluster_id, n.n_members,
                a.doc_id = a.cluster_id AS is_survivor
         FROM assign a

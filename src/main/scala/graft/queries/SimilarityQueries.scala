@@ -141,6 +141,78 @@ object SimilarityQueries {
     sel
   }
 
+  /** The DuckDB CTE chain producing q262's per-(query, training-point)
+    * suffix values `sv` — the oracle-side twin of [[knnShapley]],
+    * shared by the q262 and q270 oracles so the two restatements
+    * cannot drift. CTE names: e, tr, va, n, p, r, t, sv.
+    */
+  private[queries] val knnShapleyDuckCtes: String = """
+        e AS MATERIALIZED (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        tr AS (SELECT vec_id AS tid, label AS tl, v AS tv
+               FROM e WHERE vec_id % 10 <> 0),
+        va AS (SELECT vec_id AS qid, label AS ql, v AS qv
+               FROM e WHERE vec_id % 10 = 0 AND vec_id < 2048),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntr FROM tr),
+        p AS MATERIALIZED (SELECT va.qid, tr.tid, tr.tl,
+               CASE WHEN tr.tl = va.ql THEN 1 ELSE 0 END AS ind,
+               ROUND(list_sum(list_transform(range(1, 65),
+                 i -> tr.tv[i] * va.qv[i])), 9) AS sim
+             FROM tr, va),
+        r AS (SELECT qid, tid, tl, ind,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY sim DESC, tid ASC) AS i,
+                LEAD(ind) OVER (PARTITION BY qid
+                  ORDER BY sim DESC, tid ASC) AS indn
+              FROM p),
+        t AS (SELECT qid, tid, tl, i,
+                CAST(ROUND(CASE WHEN indn IS NULL
+                  THEN CAST(ind AS DOUBLE) / ntr
+                  ELSE CAST(ind - indn AS DOUBLE)
+                       * CAST(LEAST(5, i) AS DOUBLE)
+                       / CAST(5 * i AS DOUBLE) END, 12)
+                  AS DECIMAL(32, 12)) AS term
+              FROM r, n),
+        sv AS (SELECT qid, tid, tl,
+                 SUM(term) OVER (PARTITION BY qid ORDER BY i DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sv
+               FROM t)"""
+
+  /** q262's exact KNN-Shapley report, (vec_id, label, shap_r) — ONE
+    * definition shared by the q262 QDef and q270's per-cluster mass
+    * rollup (the sharedSpans rule). The validation set is FIXED-SIZE
+    * by design (every 10th of the first 2048 ids — real eval suites
+    * don't grow with the training corpus): the pair relation is
+    * |train|×|val| and stays LINEAR in the corpus; the id cap is above
+    * every tested SF's max id, so outputs are unchanged there. The
+    * ranked sweep (rank → 12-decimal terms → running suffix frame) is
+    * [[shapleySweep]]; uncapped here, so the deepest rank is the exact
+    * s_N = ind/N closed-form boundary.
+    */
+  private[queries] def knnShapley(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir).ckpt()
+    val tr = e.where(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("tid"), col("label").as("tl"),
+        col("v").as("tv"))
+    val va = e.where(col("vec_id") % 10 === 0 &&
+        col("vec_id") < 2048)
+      .select(col("vec_id").as("qid"), col("label").as("ql"),
+        col("v").as("qv"))
+    val ntr = tr.agg(count(lit(1)).as("ntr"))
+    val p = tr.crossJoin(broadcast(va))
+      .select(col("qid"), col("tid"), col("tl"),
+        when(col("tl") === col("ql"), 1).otherwise(0).as("ind"),
+        round(expr("dot_product(tv, qv)"), 9).as("sim"))
+    shapleySweep(p, ntr, rCap = None)
+      .select(col("tid").as("vec_id"), col("tl").as("label"),
+        expr("round(cast(tot as double) / nq, 9)").as("shap_r"))
+  }
+
   /** Unit-normalized double vectors via the native codegen'd
     * `l2_normalize` expression (O(2d) per row; the lambda formulation
     * it replaced inlined the norm into the transform — O(d²)
@@ -2857,69 +2929,9 @@ object SimilarityQueries {
     // fold the tail; the formula and this plan are unchanged.
     QDef(
       "q262_knn_shapley",
-      (s, dir) => {
-        val e = vectors(s, dir).ckpt()
-        val tr = e.where(col("vec_id") % 10 =!= 0)
-          .select(col("vec_id").as("tid"), col("label").as("tl"),
-            col("v").as("tv"))
-        // the validation set is FIXED-SIZE by design (every 10th of
-        // the first 2048 ids — real eval suites don't grow with the
-        // training corpus): the pair relation is |train|×|val| and
-        // stays LINEAR in the corpus; the id cap is above every
-        // tested SF's max id, so outputs are unchanged there
-        val va = e.where(col("vec_id") % 10 === 0 &&
-            col("vec_id") < 2048)
-          .select(col("vec_id").as("qid"), col("label").as("ql"),
-            col("v").as("qv"))
-        val ntr = tr.agg(count(lit(1)).as("ntr"))
-        val p = tr.crossJoin(broadcast(va))
-          .select(col("qid"), col("tid"), col("tl"),
-            when(col("tl") === col("ql"), 1).otherwise(0).as("ind"),
-            round(expr("dot_product(tv, qv)"), 9).as("sim"))
-        // the ranked sweep (rank → 12-decimal terms → running suffix
-        // frame — see the shared scaladoc for the O(n) frame choice)
-        // is shapleySweep, shared with the truncated q268 / VectorIndex
-        // surfaces; uncapped here, so the deepest rank is the exact
-        // s_N = ind/N closed-form boundary
-        shapleySweep(p, ntr, rCap = None)
-          .select(col("tid").as("vec_id"), col("tl").as("label"),
-            expr("round(cast(tot as double) / nq, 9)").as("shap_r"))
-      },
-      Some("""
-        WITH e AS MATERIALIZED (SELECT vec_id, label,
-                     list_transform(embedding::DOUBLE[],
-                       x -> x / sqrt(list_sum(list_transform(
-                         embedding::DOUBLE[], y -> y * y)))) AS v
-                   FROM embeddings),
-        tr AS (SELECT vec_id AS tid, label AS tl, v AS tv
-               FROM e WHERE vec_id % 10 <> 0),
-        va AS (SELECT vec_id AS qid, label AS ql, v AS qv
-               FROM e WHERE vec_id % 10 = 0 AND vec_id < 2048),
-        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntr FROM tr),
-        p AS MATERIALIZED (SELECT va.qid, tr.tid, tr.tl,
-               CASE WHEN tr.tl = va.ql THEN 1 ELSE 0 END AS ind,
-               ROUND(list_sum(list_transform(range(1, 65),
-                 i -> tr.tv[i] * va.qv[i])), 9) AS sim
-             FROM tr, va),
-        r AS (SELECT qid, tid, tl, ind,
-                ROW_NUMBER() OVER (PARTITION BY qid
-                  ORDER BY sim DESC, tid ASC) AS i,
-                LEAD(ind) OVER (PARTITION BY qid
-                  ORDER BY sim DESC, tid ASC) AS indn
-              FROM p),
-        t AS (SELECT qid, tid, tl, i,
-                CAST(ROUND(CASE WHEN indn IS NULL
-                  THEN CAST(ind AS DOUBLE) / ntr
-                  ELSE CAST(ind - indn AS DOUBLE)
-                       * CAST(LEAST(5, i) AS DOUBLE)
-                       / CAST(5 * i AS DOUBLE) END, 12)
-                  AS DECIMAL(32, 12)) AS term
-              FROM r, n),
-        sv AS (SELECT qid, tid, tl,
-                 SUM(term) OVER (PARTITION BY qid ORDER BY i DESC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS sv
-               FROM t)
+      (s, dir) => knnShapley(s, dir),
+      Some(s"""
+        WITH $knnShapleyDuckCtes
         SELECT tid AS vec_id, tl AS label,
                ROUND(CAST(SUM(sv) AS DOUBLE) / COUNT(*), 9) AS shap_r
         FROM sv
@@ -3020,6 +3032,260 @@ object SimilarityQueries {
                ROUND(CAST(SUM(sv) AS DOUBLE) / nva, 9) AS shap_topr_r
         FROM sv, nv
         GROUP BY tid, tl, nva
+      """)),
+
+    // ------------------------------------------------------------------
+    // q269: retrieval-system MRR@10 eval — the reranking-quality report
+    // a RAG stack reads before shipping a retriever change: THREE
+    // systems scored side by side on the same query set (8 query docs,
+    // label relevance — the q172 convention):
+    //   lexical  — word-trigram Jaccard between query and candidate
+    //              document text (q23's shingle rule);
+    //   semantic — embedding cosine (vec_id = doc_id, q171's arms);
+    //   hybrid   — RRF(k = 60) fusion of the two top-50 lists (q171's
+    //              fusion, generalized from 1 query to a query SET).
+    // MRR@10 = mean over queries of 1/rank-of-first-relevant (0 when
+    // no relevant doc lands in the top 10). Per-query reciprocals
+    // quantize at 12 decimals into DECIMAL(32,12) before the mean
+    // (exact, order-independent — the q243 discipline); both sims
+    // round at 9 with doc_id tiebreaks before ranking.
+    //
+    // Scale: the 8 queries broadcast (shingle sets + query vectors);
+    // ONE corpus scan computes both sims per (query, candidate); the
+    // per-qid top-50 caps and the ≤150-row fusion/eval tail are
+    // bounded by |queries|, which is fixed by design — the corpus is
+    // scanned once and never self-joined. At 100 TB the candidate
+    // lists come from TextIndex.searchBm25 / VectorIndex.search
+    // (q132/q48) and only this eval tail runs per system.
+    QDef(
+      "q269_hybrid_mrr",
+      (s, dir) => {
+        val e = vectors(s, dir).ckpt()
+        val sg = expr("""array_distinct(case when size(ws) < 3
+            then array()
+            else transform(sequence(3, size(ws)),
+              i -> concat_ws(' ', element_at(ws, i - 2),
+                element_at(ws, i - 1), element_at(ws, i))) end)""")
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), expr(TextQueries.wordsExpr).as("ws"))
+          .select(col("doc_id"), sg.as("sg"))
+        val corpus = e.join(docs, e("vec_id") === docs("doc_id"))
+          .select(col("vec_id"), col("label"), col("v"), col("sg"))
+          .ckpt()
+        val qs = corpus.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("label").as("ql"),
+            col("v").as("qv"), col("sg").as("qsg"))
+        val byQ = (c: String) => Window.partitionBy(col("qid"))
+          .orderBy(col(c).desc, col("vec_id").asc)
+        val scored = corpus.join(broadcast(qs),
+            col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            when(col("label") === col("ql"), 1).otherwise(0).as("rel"),
+            round(expr("dot_product(v, qv)"), 9).as("sim_sem"),
+            expr("""round(case
+                when size(sg) + size(qsg) = 0 then 0.0d
+                else cast(size(array_intersect(sg, qsg)) as double)
+                     / (size(sg) + size(qsg)
+                        - size(array_intersect(sg, qsg))) end, 9)""")
+              .as("sim_lex"))
+          .ckpt() // feeds both arms + the fusion
+        val sem = scored
+          .withColumn("sem_rk", row_number().over(byQ("sim_sem")))
+          .where(col("sem_rk") <= 50)
+          .select(col("qid"), col("vec_id"), col("rel"), col("sem_rk"))
+        val lex = scored
+          .withColumn("lex_rk", row_number().over(byQ("sim_lex")))
+          .where(col("lex_rk") <= 50)
+          .select(col("qid"), col("vec_id"), col("rel"), col("lex_rk"))
+        val fused = sem.withColumnRenamed("rel", "rel_s")
+          .join(lex.withColumnRenamed("rel", "rel_l"),
+            Seq("qid", "vec_id"), "full_outer")
+          .select(col("qid"), col("vec_id"),
+            greatest(coalesce(col("rel_s"), lit(0)),
+              coalesce(col("rel_l"), lit(0))).as("rel"),
+            round(
+              coalesce(lit(1.0d) / (lit(60) + col("lex_rk")), lit(0.0d)) +
+              coalesce(lit(1.0d) / (lit(60) + col("sem_rk")), lit(0.0d)),
+              9).as("rrf"))
+          .withColumn("rrf_rk", row_number().over(byQ("rrf")))
+        val ranked = lex.select(lit("lexical_jaccard").as("system"),
+            col("qid"), col("rel"), col("lex_rk").as("rk"))
+          .unionByName(sem.select(lit("semantic_cosine").as("system"),
+            col("qid"), col("rel"), col("sem_rk").as("rk")))
+          .unionByName(fused.select(lit("hybrid_rrf").as("system"),
+            col("qid"), col("rel"), col("rrf_rk").as("rk")))
+        val hits = ranked.where(col("rel") === 1 && col("rk") <= 10)
+          .groupBy(col("system"), col("qid"))
+          .agg(min(col("rk")).as("first_rel"))
+        val systems = s.createDataset(Seq("lexical_jaccard",
+            "semantic_cosine", "hybrid_rrf"))(
+            org.apache.spark.sql.Encoders.STRING).toDF("system")
+        val spine = qs.select(col("qid")).crossJoin(systems)
+        spine.join(hits, Seq("system", "qid"), "left")
+          .select(col("system"),
+            expr("""cast(round(coalesce(1.0d / first_rel, 0.0d), 12)
+                    as decimal(32, 12))""").as("rr"),
+            when(col("first_rel").isNotNull, 1L).otherwise(0L).as("hit"))
+          .groupBy(col("system"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("hit")).as("n_hit"),
+            round(expr("cast(sum(rr) as double)") /
+              count(lit(1)), 6).as("mrr_at_10_r"))
+          .orderBy(col("system"))
+      },
+      Some(s"""
+        WITH e AS MATERIALIZED (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        d AS (SELECT doc_id, ${TextQueries.wordsExprDuck} AS ws
+              FROM documents),
+        corpus AS MATERIALIZED (
+          SELECT e.vec_id, e.label, e.v,
+                 list_distinct(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END)
+                   AS sg
+          FROM e JOIN d ON d.doc_id = e.vec_id),
+        qs AS (SELECT vec_id AS qid, label AS ql, v AS qv, sg AS qsg
+               FROM corpus WHERE vec_id < 8),
+        scored AS MATERIALIZED (
+          SELECT q.qid, c.vec_id,
+                 CASE WHEN c.label = q.ql THEN 1 ELSE 0 END AS rel,
+                 ROUND(list_sum(list_transform(range(1, 65),
+                   i -> c.v[i] * q.qv[i])), 9) AS sim_sem,
+                 ROUND(CASE WHEN len(c.sg) + len(q.qsg) = 0 THEN 0.0
+                   ELSE CAST(len(list_intersect(c.sg, q.qsg)) AS DOUBLE)
+                        / (len(c.sg) + len(q.qsg)
+                           - len(list_intersect(c.sg, q.qsg))) END, 9)
+                   AS sim_lex
+          FROM corpus c JOIN qs q ON c.vec_id <> q.qid),
+        sem AS (SELECT qid, vec_id, rel, sem_rk FROM (
+                  SELECT qid, vec_id, rel,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY sim_sem DESC, vec_id ASC)
+                           AS INTEGER) AS sem_rk
+                  FROM scored) t WHERE sem_rk <= 50),
+        lex AS (SELECT qid, vec_id, rel, lex_rk FROM (
+                  SELECT qid, vec_id, rel,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY sim_lex DESC, vec_id ASC)
+                           AS INTEGER) AS lex_rk
+                  FROM scored) t WHERE lex_rk <= 50),
+        fused AS (SELECT COALESCE(s.qid, l.qid) AS qid,
+                         COALESCE(s.vec_id, l.vec_id) AS vec_id,
+                         GREATEST(COALESCE(s.rel, 0), COALESCE(l.rel, 0))
+                           AS rel,
+                         ROUND(COALESCE(CAST(1.0 AS DOUBLE)
+                                 / (60 + l.lex_rk), 0)
+                             + COALESCE(CAST(1.0 AS DOUBLE)
+                                 / (60 + s.sem_rk), 0), 9) AS rrf
+                  FROM sem s FULL OUTER JOIN lex l
+                    ON s.qid = l.qid AND s.vec_id = l.vec_id),
+        fr AS (SELECT qid, vec_id, rel,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY rrf DESC, vec_id ASC) AS INTEGER) AS rrf_rk
+               FROM fused),
+        ranked AS (
+          SELECT 'lexical_jaccard' AS system, qid, rel, lex_rk AS rk
+          FROM lex
+          UNION ALL
+          SELECT 'semantic_cosine' AS system, qid, rel, sem_rk AS rk
+          FROM sem
+          UNION ALL
+          SELECT 'hybrid_rrf' AS system, qid, rel, rrf_rk AS rk FROM fr),
+        hits AS (SELECT system, qid, MIN(rk) AS first_rel
+                 FROM ranked WHERE rel = 1 AND rk <= 10
+                 GROUP BY 1, 2),
+        spine AS (SELECT q.qid, s.system FROM qs q,
+                    (VALUES ('lexical_jaccard'), ('semantic_cosine'),
+                            ('hybrid_rrf')) s(system))
+        SELECT sp.system,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN h.first_rel IS NOT NULL THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_hit,
+               ROUND(CAST(SUM(CAST(ROUND(COALESCE(
+                   CAST(1.0 AS DOUBLE) / h.first_rel, 0.0), 12)
+                 AS DECIMAL(32, 12))) AS DOUBLE) / COUNT(*), 6)
+                 AS mrr_at_10_r
+        FROM spine sp LEFT JOIN hits h
+          ON h.system = sp.system AND h.qid = sp.qid
+        GROUP BY 1
+        ORDER BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q270: duplicate pricing — per-CLUSTER Shapley mass, the q262 ×
+    // q54 composition the curation loop closes with: near-duplicates
+    // split the attribution a unique example would get (a K-NN
+    // surrogate distributes the same neighborhood evidence across all
+    // copies), so pricing data by per-POINT value systematically
+    // underpays duplicated content and a dedup decision should weigh
+    // the CLUSTER's pooled mass. Composition of two shared
+    // definitions — DedupQueries.clusterAssignment (q54's star-
+    // contraction components) and knnShapley (q262's exact sweep) —
+    // joined on vec_id = doc_id (embeddings are document vectors),
+    // inner: only train-covered docs carry value. Per-cluster masses
+    // sum as exact DECIMAL(32,9) (the round-9 values are recovered
+    // exactly by the cast; sums stay order-independent), then roll up
+    // into size classes by the number of VALUED members (1 / 2-3 /
+    // 4+), reporting pooled mass and mean per-point value per class —
+    // the singleton row is the "what a unique example earns" baseline.
+    //
+    // Scale: clusters come from banded candidates + O(log²)-round
+    // components (q54's argument), values from the linear q262 sweep
+    // (q268's truncated form at corpus scale); the join is one
+    // doc_id-keyed hash join and the report collapses to ≤ 3 rows.
+    QDef(
+      "q270_cluster_value",
+      (s, dir) => {
+        val shap = knnShapley(s, dir)
+        val clusters = DedupQueries.clusterAssignment(s, dir)
+        val perCluster = clusters
+          .join(shap, clusters("doc_id") === shap("vec_id"))
+          .select(col("cluster_id"),
+            expr("cast(round(shap_r, 9) as decimal(32, 9))").as("shp"))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_pts"), sum(col("shp")).as("mass"))
+        perCluster
+          .select(expr("""case when n_pts = 1 then 'singleton'
+              when n_pts <= 3 then 'small_2_3'
+              else 'large_4_plus' end""").as("size_class"),
+            col("n_pts"), col("mass"))
+          .groupBy(col("size_class"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("n_pts")).as("n_train_points"),
+            round(expr("cast(sum(mass) as double)"), 9).as("mass_r"),
+            round(expr("cast(sum(mass) as double)") /
+              sum(col("n_pts")), 9).as("mean_per_point_r"))
+          .orderBy(col("size_class"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${DedupQueries.clusterAssignDuckCtes},
+        $knnShapleyDuckCtes,
+        shap AS (SELECT tid AS vec_id,
+                   ROUND(CAST(SUM(sv) AS DOUBLE) / COUNT(*), 9) AS shap_r
+                 FROM sv GROUP BY tid),
+        j AS (SELECT a.cluster_id,
+                     CAST(ROUND(s.shap_r, 9) AS DECIMAL(32, 9)) AS shp
+              FROM assign a JOIN shap s ON s.vec_id = a.doc_id),
+        pc AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_pts,
+                      SUM(shp) AS mass
+               FROM j GROUP BY 1),
+        cls AS (SELECT CASE WHEN n_pts = 1 THEN 'singleton'
+                  WHEN n_pts <= 3 THEN 'small_2_3'
+                  ELSE 'large_4_plus' END AS size_class, n_pts, mass
+                FROM pc)
+        SELECT size_class,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(n_pts) AS BIGINT) AS n_train_points,
+               ROUND(CAST(SUM(mass) AS DOUBLE), 9) AS mass_r,
+               ROUND(CAST(SUM(mass) AS DOUBLE) / SUM(n_pts), 9)
+                 AS mean_per_point_r
+        FROM cls
+        GROUP BY 1
+        ORDER BY 1
       """))
   )
 }
