@@ -235,7 +235,19 @@ class PlanQualitySpec extends AnyFunSuite {
     "q266_ppr",
     // q265 crossJoins the ONE-row straddle-count aggregate into the
     // 2-row split rollup (q37 pattern)
-    "q265_group_split")
+    "q265_group_split",
+    // q268 is q262's pair-build allowance (by-design-small val set
+    // broadcast into the train scan) plus TWO one-row count crosses
+    // (ntr for the boundary term, nva for the normalization)
+    "q268_shapley_topr",
+    // q269 broadcasts the 8-row query pack (vectors + shingle sets)
+    // into the one corpus scan under a vec_id<>qid theta predicate
+    // (q26/q115's bounded brute-force shape); the 3-row system spine
+    // crosses the 8-row query list (both literal-bounded)
+    "q269_hybrid_mrr",
+    // q270 composes q54 (pure equi-joins) with q262's allowance (the
+    // broadcast val-set pair build + ONE-row train-count cross)
+    "q270_cluster_value")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds

@@ -624,7 +624,18 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q266_ppr" -> 8,
     // q267: ONE global conditional-sum agg off the per-doc boolean
     // narrow map; the 6-row stack + sort is row-local off that row
-    "q267_gopher_rules" -> 1)
+    "q267_gopher_rules" -> 1,
+    // q268: q262's three (qid windows share one exchange, per-train
+    // rollup, ntr 1-row agg) plus the nva 1-row agg
+    "q268_shapley_topr" -> 4,
+    // q269: corpus/scored ckpt internals + two qid rank windows off
+    // the ckpt'd scored relation, the (qid,vec_id) full-outer fusion
+    // join, the fused rank window, the hits rollup, the 3-row final
+    // agg + sort — every post-scan relation is ≤50×8 rows by the caps
+    "q269_hybrid_mrr" -> 11,
+    // q270: q54's assignment (3) + q262's sweep (3) + the doc-keyed
+    // value join + the per-cluster agg + the ≤3-row class agg/sort
+    "q270_cluster_value" -> 9)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the
