@@ -4637,6 +4637,232 @@ object PipelineQueries {
         FROM fpg, gl
         GROUP BY 1, 5, 6
         ORDER BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q271: confident-learning label-noise audit (Northcutt, Jiang &
+    // Chuang, JAIR 2021) — the data-curation step that asks the SHARED
+    // q201 model which given labels it confidently disagrees with.
+    // Per-class self-confidence thresholds t_j = mean p_j over the
+    // examples GIVEN label j (the CL prescription: an example only
+    // counts toward class j if the model is at least as confident as
+    // it typically is on true-j examples); each example lands in the
+    // confident-joint cell (given, argmax over classes whose p_j ≥
+    // t_j), or in the unassigned class (-1) when neither threshold is
+    // met. Off-diagonal cells are the estimated label errors — here,
+    // docs whose length class contradicts what their length-independent
+    // lexical ratios predict.
+    //
+    // Determinism: p1 is q210's exact scoring expression (round-6 z,
+    // round-9 clamped sigmoid), p0 = round(1 − p1, 9); thresholds sum
+    // round-9 probabilities as DECIMAL(32,12) (exact, order-free)
+    // before ONE double division rounded at 9, so the p ≥ t compares
+    // are bit-identical in both engines; the both-confident tie goes
+    // to argmax with ties to class 1 (explicit, spec-pinned). A
+    // 6-row (given × {-1,0,1}) literal spine keeps empty cells.
+    //
+    // Scale: one scoring scan off the ckpt'd features (model = 1-row
+    // broadcast), one all-reduce for the thresholds broadcast back,
+    // one 6-cell conditional agg — no corpus joins, no windows.
+    QDef(
+      "q271_label_noise",
+      (s, dir) => {
+        val (feats, rounds) = logregSteps(s, dir)
+        val w3 = rounds.last
+          .select(col("b"), col("w1"), col("w2"), col("w3"))
+        val sc = feats.crossJoin(broadcast(w3))
+          .withColumn("z", round(col("b") + col("w1") * col("x1")
+            + col("w2") * col("x2") + col("w3") * col("x3"), 6))
+          .withColumn("p1", greatest(lit(1e-9), least(lit(1.0 - 1e-9),
+            round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9))))
+          .withColumn("p0", round(lit(1.0) - col("p1"), 9))
+          .withColumn("given", col("y").cast("int"))
+          .ckpt() // feeds the thresholds AND the classification scan
+        val thr = sc.agg(
+          round(expr("""cast(sum(case when given = 1
+                then cast(p1 as decimal(32, 12)) end) as double)""")
+            / sum(when(col("given") === 1, 1L).otherwise(0L)), 9)
+            .as("t1"),
+          round(expr("""cast(sum(case when given = 0
+                then cast(p0 as decimal(32, 12)) end) as double)""")
+            / sum(when(col("given") === 0, 1L).otherwise(0L)), 9)
+            .as("t0"))
+        val cls = sc.crossJoin(broadcast(thr))
+          .withColumn("conf", expr("""case
+              when p1 >= t1 and p0 >= t0
+                then (case when p1 >= p0 then 1 else 0 end)
+              when p1 >= t1 then 1
+              when p0 >= t0 then 0
+              else -1 end"""))
+          .groupBy(col("given"), col("conf"))
+          .agg(count(lit(1)).as("n"),
+            round(expr("""cast(sum(cast(case when given = 1 then p1
+                  else p0 end as decimal(32, 12))) as double)""")
+              / count(lit(1)), 6).as("mp"))
+        val spine = s.sql("""SELECT * FROM VALUES
+            (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)
+            AS t(given, conf)""")
+        spine.join(cls, Seq("given", "conf"), "left")
+          .select(col("given").as("given_label"),
+            col("conf").as("confident_label"),
+            coalesce(col("n"), lit(0L)).as("n_docs"),
+            col("mp").as("mean_p_given_r"),
+            when(col("conf") >= 0 && col("conf") =!= col("given"), 1)
+              .otherwise(0).as("is_flagged"))
+          .orderBy(col("given_label"), col("confident_label"))
+      },
+      Some(s"""
+        WITH $logregChainDuck,
+        sc0 AS (SELECT CAST(f.y AS INTEGER) AS given,
+                  GREATEST(1e-9, LEAST(1.0 - 1e-9,
+                    ROUND(1.0/(1.0 + EXP(-ROUND(
+                    w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3,
+                    6))), 9))) AS p1
+                FROM f, w3c w),
+        sc AS (SELECT given, p1, ROUND(1.0 - p1, 9) AS p0 FROM sc0),
+        thr AS (SELECT
+                  ROUND(CAST(SUM(CASE WHEN given = 1
+                      THEN CAST(p1 AS DECIMAL(32, 12)) END) AS DOUBLE)
+                    / SUM(CASE WHEN given = 1 THEN 1 ELSE 0 END), 9)
+                    AS t1,
+                  ROUND(CAST(SUM(CASE WHEN given = 0
+                      THEN CAST(p0 AS DECIMAL(32, 12)) END) AS DOUBLE)
+                    / SUM(CASE WHEN given = 0 THEN 1 ELSE 0 END), 9)
+                    AS t0
+                FROM sc),
+        cls AS (SELECT given,
+                  CASE
+                    WHEN p1 >= t1 AND p0 >= t0
+                      THEN (CASE WHEN p1 >= p0 THEN 1 ELSE 0 END)
+                    WHEN p1 >= t1 THEN 1
+                    WHEN p0 >= t0 THEN 0
+                    ELSE -1 END AS conf,
+                  CASE WHEN given = 1 THEN p1 ELSE p0 END AS pg
+                FROM sc, thr),
+        agg AS (SELECT given, conf, CAST(COUNT(*) AS BIGINT) AS n,
+                  ROUND(CAST(SUM(CAST(pg AS DECIMAL(32, 12)))
+                      AS DOUBLE) / COUNT(*), 6) AS mp
+                FROM cls GROUP BY 1, 2),
+        spine(given, conf) AS (VALUES
+            (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+        SELECT sp.given AS given_label, sp.conf AS confident_label,
+               COALESCE(a.n, 0) AS n_docs,
+               a.mp AS mean_p_given_r,
+               CAST(CASE WHEN sp.conf >= 0 AND sp.conf <> sp.given
+                    THEN 1 ELSE 0 END AS INTEGER) AS is_flagged
+        FROM spine sp LEFT JOIN agg a
+          ON a.given = sp.given AND a.conf = sp.conf
+        ORDER BY 1, 2
+      """)),
+
+    // ------------------------------------------------------------------
+    // q272: forgetting-events audit (Toneva et al., ICLR 2019) — the
+    // example-difficulty signal the SHARED q201 trajectory already
+    // carries: an example is "forgotten" when it flips correct →
+    // incorrect between consecutive checkpoints. Classes per the
+    // paper: never_learned (incorrect at every checkpoint),
+    // forgettable (≥1 forgetting event), unforgettable (correct
+    // somewhere, zero forgetting events) — unforgettable examples are
+    // the classic candidates for aggressive downsampling, forgettable
+    // ones the high-value hard examples. Complements q264's
+    // confidence/variability maps (same checkpoints, different
+    // signal: threshold flips, not probability moments).
+    //
+    // Determinism: each checkpoint's p_i is q210's exact scoring
+    // expression under that checkpoint's (round-7) weights; "correct"
+    // is (p_i ≥ 0.5) == (y = 1) on the round-9 clamped sigmoid —
+    // bit-identical across engines; final-model true-class confidence
+    // sums as DECIMAL(32,12) before one rounded division.
+    //
+    // Scale: all three weight rows are 1-row broadcasts into ONE
+    // feature scan (q264's shape); the rollup is a ≤3-row conditional
+    // agg + share against a broadcast total — no joins, no windows.
+    QDef(
+      "q272_forgetting",
+      (s, dir) => {
+        val (feats, rounds) = logregSteps(s, dir)
+        def wsel(i: Int) = rounds(i - 1).select(
+          col("b").as(s"b$i"), col("w1").as(s"w1_$i"),
+          col("w2").as(s"w2_$i"), col("w3").as(s"w3_$i"))
+        def p(i: Int) = greatest(lit(1e-9), least(lit(1.0 - 1e-9),
+          round(lit(1.0) / (lit(1.0) + exp(-round(col(s"b$i")
+            + col(s"w1_$i") * col("x1") + col(s"w2_$i") * col("x2")
+            + col(s"w3_$i") * col("x3"), 6))), 9)))
+        val sc = feats
+          .crossJoin(broadcast(wsel(1)))
+          .crossJoin(broadcast(wsel(2)))
+          .crossJoin(broadcast(wsel(3)))
+          .withColumn("p3", p(3))
+          .withColumn("c1", (p(1) >= 0.5) === (col("y") === 1.0))
+          .withColumn("c2", (p(2) >= 0.5) === (col("y") === 1.0))
+          .withColumn("c3", (col("p3") >= 0.5) === (col("y") === 1.0))
+          .withColumn("nf",
+            when(col("c1") && !col("c2"), 1).otherwise(0)
+              + when(col("c2") && !col("c3"), 1).otherwise(0))
+          .withColumn("cls", expr("""case
+              when not c1 and not c2 and not c3 then 'never_learned'
+              when nf >= 1 then 'forgettable'
+              else 'unforgettable' end"""))
+          .withColumn("conf3", when(col("y") === 1.0, col("p3"))
+            .otherwise(round(lit(1.0) - col("p3"), 9)))
+          .ckpt() // feeds the total AND the per-class rollup
+        val tot = sc.agg(count(lit(1)).as("total"))
+        sc.groupBy(col("cls"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nf").cast("long")).as("n_forget_events"),
+            round(expr("""cast(sum(cast(conf3 as decimal(32, 12)))
+                as double)""") / count(lit(1)), 6).as("mean_conf3_r"))
+          .crossJoin(broadcast(tot))
+          .select(col("cls").as("class"), col("n_docs"),
+            col("n_forget_events"),
+            round(col("n_docs").cast("double") / col("total"), 6)
+              .as("share_r"),
+            col("mean_conf3_r"))
+          .orderBy(col("class"))
+      },
+      Some(s"""
+        WITH $logregChainDuck,
+        sc0 AS (SELECT f.y,
+                  GREATEST(1e-9, LEAST(1.0 - 1e-9,
+                    ROUND(1.0/(1.0 + EXP(-ROUND(
+                    a.b + a.w1*f.x1 + a.w2*f.x2 + a.w3*f.x3,
+                    6))), 9))) AS q1,
+                  GREATEST(1e-9, LEAST(1.0 - 1e-9,
+                    ROUND(1.0/(1.0 + EXP(-ROUND(
+                    b.b + b.w1*f.x1 + b.w2*f.x2 + b.w3*f.x3,
+                    6))), 9))) AS q2,
+                  GREATEST(1e-9, LEAST(1.0 - 1e-9,
+                    ROUND(1.0/(1.0 + EXP(-ROUND(
+                    c.b + c.w1*f.x1 + c.w2*f.x2 + c.w3*f.x3,
+                    6))), 9))) AS q3
+                FROM f, w1 a, w2 b, w3c c),
+        sc1 AS (SELECT y, q3,
+                  (q1 >= 0.5) = (y = 1.0) AS c1,
+                  (q2 >= 0.5) = (y = 1.0) AS c2,
+                  (q3 >= 0.5) = (y = 1.0) AS c3
+                FROM sc0),
+        sc AS (SELECT
+                 (CASE WHEN c1 AND NOT c2 THEN 1 ELSE 0 END
+                  + CASE WHEN c2 AND NOT c3 THEN 1 ELSE 0 END) AS nf,
+                 CASE WHEN NOT c1 AND NOT c2 AND NOT c3
+                      THEN 'never_learned'
+                      WHEN (CASE WHEN c1 AND NOT c2 THEN 1 ELSE 0 END
+                            + CASE WHEN c2 AND NOT c3 THEN 1 ELSE 0
+                              END) >= 1
+                      THEN 'forgettable'
+                      ELSE 'unforgettable' END AS cls,
+                 CASE WHEN y = 1.0 THEN q3
+                      ELSE ROUND(1.0 - q3, 9) END AS conf3
+               FROM sc1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM sc)
+        SELECT cls AS class, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nf) AS BIGINT) AS n_forget_events,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / t.total, 6) AS share_r,
+               ROUND(CAST(SUM(CAST(conf3 AS DECIMAL(32, 12)))
+                   AS DOUBLE) / COUNT(*), 6) AS mean_conf3_r
+        FROM sc, tot t
+        GROUP BY 1, t.total
+        ORDER BY 1
       """))
   )
 }

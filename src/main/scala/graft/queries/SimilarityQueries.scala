@@ -3286,6 +3286,103 @@ object SimilarityQueries {
         FROM cls
         GROUP BY 1
         ORDER BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q273: semantic-cluster topic terms (c-TF-IDF, the BERTopic
+    // class-based TF-IDF — Grootendorst 2022) — the "what is actually
+    // IN each region of embedding space" report a curation loop reads
+    // next to the cell-balance audit (q221): each IVF cell (the SAME
+    // shared ivfAssign quantization q48/q59/q120 serve from) is
+    // treated as one class-document, and its top-5 most DISTINCTIVE
+    // terms are ranked by c-TF-IDF = tf(w, cell) · ln(1 + A / f_w)
+    // with A the mean words-per-cell and f_w the word's corpus
+    // frequency — high-tf words shared by every cell (stopwords) are
+    // damped by the idf part without any stopword list. Joined on
+    // vec_id = doc_id (embeddings are document vectors; topics cover
+    // the embedded subset).
+    //
+    // Determinism: A = Σtf / 16 is exact (integer sum, /2⁴ exact in
+    // binary); A / f_w rounds at 9 before the (correctly-rounded)
+    // ln; scores round at 6 BEFORE ranking, ties break on the term;
+    // output keyed (cell, rank) with a total order.
+    //
+    // Scale: cell assignment is the broadcast-16-centroid narrow map;
+    // the (cell, word) relation is vocab×16-bounded after one
+    // doc_id-keyed join + partial agg — corpus tokens collapse
+    // map-side; f_w and A derive from THAT bounded relation (the
+    // corpus is never rescanned); the rank window partitions by cell
+    // over ≤vocab rows. At 100 TB every exchange ships counts, not
+    // tokens.
+    QDef(
+      "q273_cell_topics",
+      (s, dir) => {
+        val e = vectors(s, dir)
+        val cells = ivfAssign(e, 16)
+          .select(col("vec_id"), col("cell"))
+        val words = Tables(s, dir).documents
+          .select(col("doc_id"),
+            explode(expr(TextQueries.wordsExpr)).as("w"))
+        val cw = words
+          .join(cells, words("doc_id") === cells("vec_id"))
+          .groupBy(col("cell"), col("w"))
+          .agg(count(lit(1)).as("tf"))
+          .ckpt() // vocab×16-bounded; feeds f_w, A, AND the scoring
+        val wf = cw.groupBy(col("w")).agg(sum(col("tf")).as("fw"))
+        val avgc = cw.agg(
+          (sum(col("tf")).cast("double") / lit(16.0)).as("a"))
+        val byCell = Window.partitionBy(col("cell"))
+          .orderBy(col("score_r").desc, col("w").asc)
+        cw.join(wf, "w")
+          .crossJoin(broadcast(avgc))
+          .withColumn("score_r", round(col("tf")
+            * log(lit(1.0) + round(col("a") / col("fw"), 9)), 6))
+          .withColumn("rk", row_number().over(byCell))
+          .where(col("rk") <= 5)
+          .select(col("cell"), col("rk").as("rank"),
+            col("w").as("term"), col("tf"), col("score_r"))
+          .orderBy(col("cell"), col("rank"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cv
+                  FROM e WHERE vec_id < 16),
+        sims AS (SELECT e.vec_id, c.cent_id,
+                   list_sum(list_transform(range(1, 65),
+                     i -> e.v[i] * c.cv[i])) AS sim
+                 FROM e, cents c),
+        ranked AS (SELECT vec_id, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, cent_id ASC) AS rn
+                   FROM sims),
+        assign AS (SELECT vec_id, cent_id AS cell
+                   FROM ranked WHERE rn = 1),
+        words AS (SELECT doc_id, unnest(ws) AS w
+                  FROM (SELECT doc_id,
+                          ${TextQueries.wordsExprDuck} AS ws
+                        FROM documents) t),
+        cw AS (SELECT a.cell, wo.w, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM words wo JOIN assign a ON a.vec_id = wo.doc_id
+               GROUP BY 1, 2),
+        wf AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS fw
+               FROM cw GROUP BY 1),
+        av AS (SELECT CAST(SUM(tf) AS DOUBLE) / 16.0 AS a FROM cw),
+        scored AS (SELECT cw.cell, cw.w, cw.tf,
+                     ROUND(cw.tf * LN(1.0 + ROUND(av.a / wf.fw, 9)),
+                       6) AS score_r
+                   FROM cw JOIN wf ON wf.w = cw.w, av),
+        rk AS (SELECT cell, w, tf, score_r,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                   ORDER BY score_r DESC, w ASC) AS rk
+               FROM scored)
+        SELECT cell, CAST(rk AS INTEGER) AS rank, w AS term, tf,
+               score_r
+        FROM rk WHERE rk <= 5
+        ORDER BY cell, rank
       """))
   )
 }

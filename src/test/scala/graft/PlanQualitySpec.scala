@@ -247,7 +247,16 @@ class PlanQualitySpec extends AnyFunSuite {
     "q269_hybrid_mrr",
     // q270 composes q54 (pure equi-joins) with q262's allowance (the
     // broadcast val-set pair build + ONE-row train-count cross)
-    "q270_cluster_value")
+    "q270_cluster_value",
+    // q271 crossJoins the ONE-row final-weights aggregate (q210's
+    // shape) and the ONE-row threshold aggregate into the scan
+    "q271_label_noise",
+    // q272 crossJoins the three ONE-row checkpoint-weight frames
+    // (q264's shape) and the ONE-row total into the rollup
+    "q272_forgetting",
+    // q273 crossJoins the ONE-row mean-cell-size aggregate into the
+    // vocab×16-bounded scoring relation (q37 pattern)
+    "q273_cell_topics")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds

@@ -635,7 +635,20 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q269_hybrid_mrr" -> 11,
     // q270: q54's assignment (3) + q262's sweep (3) + the doc-keyed
     // value join + the per-cluster agg + the ≤3-row class agg/sort
-    "q270_cluster_value" -> 9)
+    "q270_cluster_value" -> 9,
+    // q271: the ckpt'd scored scan's agg + the 1-row threshold
+    // all-reduce + the 6-cell confident-joint agg; the spine join is
+    // a 6-row broadcast
+    "q271_label_noise" -> 3,
+    // q272: the three GD supersteps live inside logregSteps' ckpts;
+    // this plan is the 1-row total agg + the ≤3-row class rollup +
+    // its sort — the scoring itself is a pure narrow map
+    "q272_forgetting" -> 3,
+    // q273: the doc_id-keyed words×cells join + the (cell, word)
+    // partial agg feed one exchange pair inside the ckpt; f_w agg, A
+    // 1-row agg, and the per-cell rank window + final sort ride the
+    // vocab×16-bounded relation
+    "q273_cell_topics" -> 5)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the

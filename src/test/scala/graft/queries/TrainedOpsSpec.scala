@@ -122,4 +122,73 @@ class TrainedOpsSpec extends AnyFunSuite {
     assert(v2.orderBy("word").collect().map(_.getString(2)).toSeq ==
       Seq("ab _", "a c _"))
   }
+
+  test("q271: spine partitions the corpus; flags match the definition") {
+    val rows = graft.SparkEntry.queries("q271_label_noise")(spark, dir)
+      .collect()
+    // the 6-cell spine is always complete (given × {-1, 0, 1})
+    assert(rows.length == 6)
+    val nDocs = spark.read
+      .parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs,
+      "confident-joint cells + unassigned must partition the corpus")
+    rows.foreach { r =>
+      val (given, conf, n, flag) =
+        (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(4))
+      assert(flag == (if (conf >= 0 && conf != given) 1 else 0))
+      // an empty cell has no mean self-confidence; a non-empty one
+      // carries a probability
+      if (n == 0L) assert(r.isNullAt(3))
+      else {
+        val mp = r.getDouble(3)
+        assert(mp >= 0.0 && mp <= 1.0, s"p out of range: $mp")
+      }
+    }
+  }
+
+  test("q272: classes partition the corpus; forget counts are coherent") {
+    val rows = graft.SparkEntry.queries("q272_forgetting")(spark, dir)
+      .collect()
+    val byCls = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val nDocs = spark.read
+      .parquet(s"$dir/documents.parquet").count()
+    assert(byCls.values.map(_._1).sum == nDocs)
+    // shares sum to ~1 (each rounded at 6)
+    val shareSum = byCls.values.map(_._3).sum
+    assert(math.abs(shareSum - 1.0) < 1e-5 * byCls.size)
+    // never_learned and unforgettable have ZERO forgetting events by
+    // definition; forgettable has at least one per doc
+    byCls.get("never_learned").foreach { case (_, nf, _) =>
+      assert(nf == 0L) }
+    byCls.get("unforgettable").foreach { case (_, nf, _) =>
+      assert(nf == 0L) }
+    byCls.get("forgettable").foreach { case (n, nf, _) =>
+      assert(nf >= n, "each forgettable example has >= 1 event") }
+  }
+
+  test("q273: ranks are contiguous per cell; scores ranked and positive") {
+    val rows = graft.SparkEntry.queries("q273_cell_topics")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (cell, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // ranks 1..k contiguous, k <= 5
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq,
+        s"cell $cell ranks not contiguous")
+      assert(sorted.length <= 5)
+      // terms distinct within the cell; scores non-increasing in rank
+      assert(sorted.map(_._3).distinct.length == sorted.length)
+      assert(sorted.map(_._5).sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _           => true
+      }, s"cell $cell scores not ranked")
+      // c-TF-IDF of a present term is strictly positive: tf >= 1 and
+      // ln(1 + A/f_w) > 0
+      sorted.foreach { case (_, _, _, tf, s) =>
+        assert(tf >= 1L && s > 0.0)
+      }
+    }
+  }
 }
