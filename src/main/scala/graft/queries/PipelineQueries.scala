@@ -4863,6 +4863,156 @@ object PipelineQueries {
         FROM sc, tot t
         GROUP BY 1, t.total
         ORDER BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q274: canary-exposure memorization audit (Carlini et al., USENIX
+    // Security 2019 "The Secret Sharer") — the privacy metric that
+    // quantifies HOW memorized a planted secret is, not just whether it
+    // appears (q108's verbatim scan): the planted sequence is ranked by
+    // model score against a reference set of perturbed candidates, and
+    // exposure = log2 |R| − log2 rank(planted). A fully-memorized
+    // canary ranks 1 (exposure = log2 |R| bits); an unmemorized one
+    // ranks randomly (exposure ≈ 0).
+    //
+    // The "model" is the SHARED q184 add-one bigram LM (the corpus's
+    // own statistics — bigramLm's `big` relation, so the audit scores
+    // under exactly the LM the perplexity filter ships). Canaries are
+    // 6-token windows of real train documents (planted by definition:
+    // their bigrams have live counts); each gets up to 63 reference
+    // variants with ONE token replaced by an md5-ranked vocabulary
+    // word (deterministic, seed-free — the q51/q81 idiom), mostly
+    // yielding unseen bigrams that score at the smoothing floor.
+    //
+    // Determinism: counts are exact integers off the shared relation;
+    // each candidate bigram's add-one term ln((c12+1)/(c1+V)) rounds
+    // at 9 into DECIMAL(20,9) (5-term sums exact, order-free); means
+    // round at 6 BEFORE ranking with the planted-first tiebreak
+    // (conservative: a tie reads as memorized). V and the replacement
+    // vocabulary derive from big's w1 ∪ w2 — provably equal to the
+    // ≥2-token-doc vocabulary (every token of such a doc appears in
+    // some bigram: the first as w1, the rest as w2).
+    //
+    // Scale: canaries are LIMIT-bounded (8) and the candidate relation
+    // is ≤ 8·64·5 bigram rows at ANY corpus size; scoring joins key it
+    // against the vocab²-bounded c12 / vocab-bounded c1 (q184's
+    // documented non-broadcast exchanges); the rank window partitions
+    // by canary over ≤64 rows. Nothing scales with the corpus except
+    // the shared LM build itself.
+    QDef(
+      "q274_canary_exposure",
+      (s, dir) => {
+        val (big, _) = TextQueries.bigramLm(s, dir)
+        val c12 = big.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val c1g = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val words = big.select(col("w1").as("word"))
+          .union(big.select(col("w2").as("word"))).distinct()
+        val v = words.agg(count(lit(1)).as("v"))
+        val repl = words
+          .withColumn("h", md5(col("word").cast("binary")))
+          .orderBy(col("h").asc).limit(63)
+          .agg(expr("""transform(
+              sort_array(collect_list(struct(h, word))),
+              x -> x.word)""").as("repl"))
+        val can = Tables(s, dir).documents
+          .select(col("doc_id"), expr(W).as("ws"),
+            expr(splitExprSpark).as("split"))
+          .where(col("split") === "train" && size(col("ws")) >= 8
+            && col("doc_id") % 7 === 0)
+          .orderBy(col("doc_id").asc).limit(8)
+          .select(col("doc_id").as("cid"),
+            expr("slice(ws, 3, 6)").as("planted"))
+        val cands = can.crossJoin(broadcast(repl))
+          .select(col("cid"), col("planted"), col("repl"),
+            explode(expr("sequence(0, least(63, size(repl)))")).as("j"))
+          .select(col("cid"), col("j"), expr(
+            """case when j = 0 then planted
+               else transform(sequence(1, 6),
+                 i -> case when i = ((j - 1) % 6) + 1
+                      then element_at(repl, j)
+                      else element_at(planted, i) end) end""").as("cw"))
+        val cbg = cands.select(col("cid"), col("j"), explode(expr(
+            """transform(sequence(1, 5),
+               i -> struct(element_at(cw, i) as w1,
+                           element_at(cw, i + 1) as w2))""")).as("bg"))
+          .select(col("cid"), col("j"),
+            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val scored = cbg
+          .join(c1g, Seq("w1"), "left")
+          .join(c12, Seq("w1", "w2"), "left")
+          .crossJoin(broadcast(v))
+          .select(col("cid"), col("j"), expr(
+            """cast(round(ln((cast(coalesce(c12, 0) as double) + 1.0d)
+               / (cast(coalesce(c1, 0) as double) + cast(v as double))),
+               9) as decimal(20, 9))""").as("lpq"))
+          .groupBy(col("cid"), col("j"))
+          .agg(round(expr("cast(sum(lpq) as double)") / lit(5.0), 6)
+            .as("mean_lp_r"))
+        val byCan = Window.partitionBy(col("cid"))
+        scored
+          .withColumn("rk", row_number().over(
+            byCan.orderBy(col("mean_lp_r").desc, col("j").asc)))
+          .withColumn("n", count(lit(1)).over(byCan))
+          .where(col("j") === 0)
+          .select(col("cid").as("canary_doc"),
+            col("n").cast("int").as("n_candidates"),
+            col("rk").as("planted_rank"), col("mean_lp_r"),
+            expr("""round((ln(cast(n as double))
+                - ln(cast(rk as double))) / ln(2.0d), 6)""")
+              .as("exposure_r"))
+          .orderBy(col("canary_doc"))
+      },
+      Some(s"""
+        WITH ${TextQueries.bigramLmDuck},
+        vocab AS (SELECT DISTINCT w1 AS word FROM big
+                  UNION SELECT DISTINCT w2 FROM big),
+        v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+        repl AS (SELECT list(word ORDER BY h) AS repl FROM (
+                   SELECT word, md5(word) AS h FROM vocab
+                   ORDER BY h LIMIT 63) t),
+        can AS (SELECT doc_id AS cid, ws[3:8] AS planted
+                FROM (SELECT doc_id, $WDuck AS ws,
+                        $splitExprDuck AS split FROM documents) t
+                WHERE split = 'train' AND len(ws) >= 8
+                  AND doc_id % 7 = 0
+                ORDER BY doc_id LIMIT 8),
+        cands AS (SELECT cid, j,
+                    CASE WHEN j = 0 THEN planted
+                         ELSE list_transform(range(1, 7),
+                           i -> CASE WHEN i = ((j - 1) % 6) + 1
+                                THEN repl[j] ELSE planted[i] END)
+                    END AS cw
+                  FROM (SELECT c.cid, c.planted, r.repl,
+                          unnest(range(0,
+                            LEAST(63, len(r.repl)) + 1)) AS j
+                        FROM can c, repl r) t),
+        cbg AS (SELECT cid, j, bg['w1'] AS w1, bg['w2'] AS w2
+                FROM (SELECT cid, j,
+                        unnest(list_transform(range(1, 6),
+                          i -> {'w1': cw[i], 'w2': cw[i + 1]})) AS bg
+                      FROM cands) t),
+        scored AS (SELECT cid, j,
+                     ROUND(CAST(SUM(CAST(ROUND(LN(
+                         (CAST(COALESCE(c12.c12, 0) AS DOUBLE) + 1.0)
+                         / (CAST(COALESCE(c1.c1, 0) AS DOUBLE)
+                            + v2.v)), 9) AS DECIMAL(20, 9)))
+                       AS DOUBLE) / 5.0, 6) AS mean_lp_r
+                   FROM cbg LEFT JOIN c1 ON c1.w1 = cbg.w1
+                     LEFT JOIN c12 ON c12.w1 = cbg.w1
+                       AND c12.w2 = cbg.w2, v2
+                   GROUP BY 1, 2),
+        rk AS (SELECT cid, j, mean_lp_r,
+                 ROW_NUMBER() OVER (PARTITION BY cid
+                   ORDER BY mean_lp_r DESC, j ASC) AS rk,
+                 COUNT(*) OVER (PARTITION BY cid) AS n
+               FROM scored)
+        SELECT cid AS canary_doc, CAST(n AS INTEGER) AS n_candidates,
+               CAST(rk AS INTEGER) AS planted_rank, mean_lp_r,
+               ROUND((LN(CAST(n AS DOUBLE)) - LN(CAST(rk AS DOUBLE)))
+                 / LN(2.0), 6) AS exposure_r
+        FROM rk WHERE j = 0
+        ORDER BY 1
       """))
   )
 }

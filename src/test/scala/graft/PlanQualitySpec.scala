@@ -256,7 +256,11 @@ class PlanQualitySpec extends AnyFunSuite {
     "q272_forgetting",
     // q273 crossJoins the ONE-row mean-cell-size aggregate into the
     // vocab×16-bounded scoring relation (q37 pattern)
-    "q273_cell_topics")
+    "q273_cell_topics",
+    // q274 crossJoins the ONE-row replacement-vocabulary pack into the
+    // ≤8-row canary list and the ONE-row V aggregate into the bounded
+    // candidate-bigram relation (q37 pattern, twice)
+    "q274_canary_exposure")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds

@@ -648,7 +648,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // partial agg feed one exchange pair inside the ckpt; f_w agg, A
     // 1-row agg, and the per-cell rank window + final sort ride the
     // vocab×16-bounded relation
-    "q273_cell_topics" -> 5)
+    "q273_cell_topics" -> 5,
+    // q274: the shared big relation's ckpt internals + c12/c1 count
+    // aggs and their (w1[,w2])-keyed scoring joins against the ≤8·64·5
+    // candidate bigrams, the per-candidate 5-term agg, the per-canary
+    // rank/count window, and the repl/v 1-row builds — every
+    // post-big relation is vocab- or candidate-bounded
+    "q274_canary_exposure" -> 4)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the

@@ -191,4 +191,24 @@ class TrainedOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q274: exposure is the exact log2 identity and stays in range") {
+    val rows = graft.SparkEntry.queries("q274_canary_exposure")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty, "no canaries selected at sf0.001")
+    rows.foreach { r =>
+      val (n, rank, exp) =
+        (r.getInt(1), r.getInt(2), r.getDouble(4))
+      assert(rank >= 1 && rank <= n, s"rank $rank out of [1, $n]")
+      // exposure = log2(n) - log2(rank), rounded at 6 — recompute
+      val want = math.rint((math.log(n.toDouble) -
+        math.log(rank.toDouble)) / math.log(2.0) * 1e6) / 1e6
+      assert(math.abs(exp - want) < 1e-9, s"exposure $exp != $want")
+      // bounded: 0 (rank = n) .. log2(n) (rank = 1)
+      assert(exp >= 0.0 && exp <= math.log(n.toDouble) / math.log(2.0) + 1e-9)
+    }
+    // the reference set is the planted candidate plus at most 63
+    // variants, capped by the vocabulary
+    rows.foreach(r => assert(r.getInt(1) >= 2 && r.getInt(1) <= 64))
+  }
 }
