@@ -5013,6 +5013,124 @@ object PipelineQueries {
                  / LN(2.0), 6) AS exposure_r
         FROM rk WHERE j = 0
         ORDER BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q275: calibration report (reliability diagram + ECE + Brier) for
+    // the SHARED q201 model — the eval that decides whether the
+    // quality classifier's scores can gate thresholded decisions
+    // (q210 reports accuracy; a model can be accurate AND
+    // miscalibrated): confidence = max(p, 1−p) lands in one of 10
+    // equal-width bins, each bin reports count, mean confidence, and
+    // empirical accuracy, and their gap rolls up into expected
+    // calibration error ECE = Σ_b (n_b/N)·|acc_b − conf_b| (Naeini et
+    // al. 2015 / Guo et al. 2017) next to the Brier score mean(p−y)².
+    //
+    // Determinism: p is q210's exact scoring expression; conf is the
+    // max of two round-9 values, so the bin index floor(conf·10)+1 is
+    // computed over an EXACT DECIMAL(10,9)·10 product (no double
+    // boundary); per-bin means sum DECIMAL(32,12) (exact, order-free)
+    // before one rounded division; ECE and Brier terms quantize at 12
+    // into DECIMAL(32,12) before their exact sums. A 10-row literal
+    // bin spine keeps empty bins (conf ≥ 0.5 makes bins 1–5
+    // structurally empty — the spine shows that rather than hiding it).
+    //
+    // Scale: one scoring scan (model = 1-row broadcast) → a ≤10-row
+    // bin agg + a 1-row Brier all-reduce; ECE folds the bin relation;
+    // globals ride 1-row broadcast crossJoins. No joins over data, no
+    // windows.
+    QDef(
+      "q275_calibration",
+      (s, dir) => {
+        val (feats, rounds) = logregSteps(s, dir)
+        val w3 = rounds.last
+          .select(col("b"), col("w1"), col("w2"), col("w3"))
+        val sc = feats.crossJoin(broadcast(w3))
+          .withColumn("z", round(col("b") + col("w1") * col("x1")
+            + col("w2") * col("x2") + col("w3") * col("x3"), 6))
+          .withColumn("p", greatest(lit(1e-9), least(lit(1.0 - 1e-9),
+            round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9))))
+          .withColumn("conf",
+            greatest(col("p"), round(lit(1.0) - col("p"), 9)))
+          .withColumn("ok",
+            ((col("p") >= 0.5) === (col("y") === 1.0)).cast("long"))
+          .withColumn("bin", expr(
+            "cast(floor(cast(conf as decimal(10, 9)) * 10) as int) + 1"))
+          .ckpt() // feeds the bin agg AND the Brier/total all-reduce
+        val bins = sc.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("ok")).as("nok"),
+            round(expr("""cast(sum(cast(conf as decimal(32, 12)))
+                as double)""") / count(lit(1)), 9).as("conf_r"))
+          .withColumn("acc_r",
+            round(col("nok").cast("double") / col("n"), 9))
+          .withColumn("gap_r",
+            round(abs(col("acc_r") - col("conf_r")), 9))
+          .ckpt() // ≤10 rows; feeds the spine join AND the ECE fold
+        val glob = sc.agg(count(lit(1)).as("nn"),
+          round(expr("""cast(sum(cast(round((p - y) * (p - y), 12)
+              as decimal(32, 12))) as double)""")
+            / count(lit(1)), 6).as("brier_r"))
+        val ece = bins.crossJoin(broadcast(glob))
+          .agg(round(expr("""cast(sum(cast(round(
+              (cast(n as double) / nn) * gap_r, 12)
+              as decimal(32, 12))) as double)"""), 6).as("ece_r"))
+        val spine = s.sql(
+          "SELECT explode(sequence(1, 10)) AS bin")
+        spine.join(bins, Seq("bin"), "left")
+          .crossJoin(broadcast(glob.select(col("brier_r"))))
+          .crossJoin(broadcast(ece))
+          .select(col("bin"),
+            coalesce(col("n"), lit(0L)).as("n_docs"),
+            col("conf_r"), col("acc_r"), col("gap_r"),
+            col("ece_r"), col("brier_r"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""
+        WITH $logregChainDuck,
+        sc0 AS (SELECT f.y,
+                  GREATEST(1e-9, LEAST(1.0 - 1e-9,
+                    ROUND(1.0/(1.0 + EXP(-ROUND(
+                    w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3,
+                    6))), 9))) AS p
+                FROM f, w3c w),
+        sc AS (SELECT y, p,
+                 GREATEST(p, ROUND(1.0 - p, 9)) AS conf,
+                 CASE WHEN (p >= 0.5) = (y = 1.0)
+                      THEN 1 ELSE 0 END AS ok
+               FROM sc0),
+        sb AS (SELECT y, p, conf, ok,
+                 CAST(FLOOR(CAST(conf AS DECIMAL(10, 9)) * 10)
+                   AS INTEGER) + 1 AS bin
+               FROM sc),
+        bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(ok) AS BIGINT) AS nok,
+                   ROUND(CAST(SUM(CAST(conf AS DECIMAL(32, 12)))
+                       AS DOUBLE) / COUNT(*), 9) AS conf_r
+                 FROM sb GROUP BY 1),
+        bins2 AS (SELECT bin, n, nok, conf_r,
+                    ROUND(CAST(nok AS DOUBLE) / n, 9) AS acc_r
+                  FROM bins),
+        bins3 AS (SELECT bin, n, nok, conf_r, acc_r,
+                    ROUND(ABS(acc_r - conf_r), 9) AS gap_r
+                  FROM bins2),
+        gstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                   ROUND(CAST(SUM(CAST(ROUND((p - y) * (p - y), 12)
+                       AS DECIMAL(32, 12))) AS DOUBLE)
+                     / COUNT(*), 6) AS brier_r
+                 FROM sb),
+        ece AS (SELECT ROUND(CAST(SUM(CAST(ROUND(
+                    (CAST(b.n AS DOUBLE) / g.nn) * b.gap_r, 12)
+                    AS DECIMAL(32, 12))) AS DOUBLE), 6) AS ece_r
+                FROM bins3 b, gstat g),
+        spine AS (SELECT unnest(range(1, 11)) AS bin)
+        SELECT CAST(sp.bin AS INTEGER) AS bin,
+               COALESCE(b.n, 0) AS n_docs,
+               b.conf_r, b.acc_r, b.gap_r,
+               e.ece_r, g.brier_r
+        FROM spine sp
+          LEFT JOIN bins3 b ON b.bin = sp.bin, ece e, gstat g
+        ORDER BY 1
       """))
   )
 }

@@ -260,7 +260,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // q274 crossJoins the ONE-row replacement-vocabulary pack into the
     // ≤8-row canary list and the ONE-row V aggregate into the bounded
     // candidate-bigram relation (q37 pattern, twice)
-    "q274_canary_exposure")
+    "q274_canary_exposure",
+    // q275 crossJoins the ONE-row model/Brier/ECE aggregates into the
+    // ≤10-row bin relation and spine (q37 pattern)
+    "q275_calibration")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds

@@ -654,7 +654,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // candidate bigrams, the per-candidate 5-term agg, the per-canary
     // rank/count window, and the repl/v 1-row builds — every
     // post-big relation is vocab- or candidate-bounded
-    "q274_canary_exposure" -> 4)
+    "q274_canary_exposure" -> 4,
+    // q275: the scored ckpt's bin agg + the 1-row Brier/total
+    // all-reduce + the ECE fold over the ≤10-row bin relation + the
+    // spine sort — the scan itself is a pure narrow map
+    "q275_calibration" -> 4)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the

@@ -211,4 +211,29 @@ class TrainedOpsSpec extends AnyFunSuite {
     // variants, capped by the vocabulary
     rows.foreach(r => assert(r.getInt(1) >= 2 && r.getInt(1) <= 64))
   }
+
+  test("q275: bins partition predictions; ECE matches its own bins") {
+    val rows = graft.SparkEntry.queries("q275_calibration")(spark, dir)
+      .orderBy("bin").collect()
+    assert(rows.length == 10)
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    // confidence = max(p, 1-p) >= 0.5: bins 1..5 are structurally empty
+    rows.filter(_.getInt(0) <= 5).foreach(r => assert(r.getLong(1) == 0L))
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    // recompute ECE from the reported bins (same quantization)
+    val want = rows.filter(_.getLong(1) > 0).map { r =>
+      math.rint(r.getLong(1) / n * r.getDouble(4) * 1e12) / 1e12
+    }.sum
+    val ece = rows.head.getDouble(5)
+    assert(math.abs(ece - math.rint(want * 1e6) / 1e6) < 1e-9,
+      s"ECE $ece != recomputed $want")
+    // Brier of a clamped probability is in (0, 1); gap within [0, 1]
+    val brier = rows.head.getDouble(6)
+    assert(brier > 0.0 && brier < 1.0)
+    rows.filter(_.getLong(1) > 0).foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(2) >= 0.5 - 1e-9 && r.getDouble(2) < 1.0)
+    }
+  }
 }
