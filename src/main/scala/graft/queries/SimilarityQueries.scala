@@ -3383,6 +3383,110 @@ object SimilarityQueries {
                score_r
         FROM rk WHERE rk <= 5
         ORDER BY cell, rank
+      """)),
+
+    // ------------------------------------------------------------------
+    // q276: semantic drift between sources — Jensen-Shannon divergence
+    // of per-source EMBEDDING-SPACE distributions over the SHARED
+    // ivfAssign cells: each source becomes a 16-bucket histogram of
+    // where its documents land in vector space, Laplace-smoothed
+    // (+1 per cell) so empty cells carry mass, and every source PAIR
+    // gets JS(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q). The semantic
+    // companion to q112's lexical KL (two sources can share vocabulary
+    // yet occupy different embedding regions — templated boilerplate
+    // does exactly that) and the MAUVE-style divergence-over-quantized-
+    // embeddings idea reduced to its relational core. JS is symmetric
+    // and bounded by ln 2, so the matrix reads as a distance.
+    //
+    // Determinism: cell counts are exact integers; p = (n+1)/(tot+16)
+    // is ONE double division of exact integers (identical IEEE result
+    // in both engines); per-cell JS terms round at 12 into
+    // DECIMAL(32,12) so the 16-term sum is exact and order-free; js_r
+    // rounds at 6. ln(p/m) is safe: smoothing keeps p, m > 0.
+    //
+    // Scale: the only corpus-sized work is the shared cell assignment
+    // (broadcast-16-centroid narrow map) + one doc_id-keyed join to
+    // source + one (source, cell) partial agg — everything downstream
+    // is |sources|·16 and |sources|²·16 bounded (sources are a
+    // fixed-cardinality dimension, the q112/q249 premise).
+    QDef(
+      "q276_semantic_drift",
+      (s, dir) => {
+        val e = vectors(s, dir)
+        val cells = ivfAssign(e, 16)
+          .select(col("vec_id"), col("cell"))
+        val docSrc = Tables(s, dir).documents
+          .select(col("doc_id"), col("source"))
+        val sc = docSrc
+          .join(cells, docSrc("doc_id") === cells("vec_id"))
+          .groupBy(col("source"), col("cell"))
+          .agg(count(lit(1)).as("n"))
+          .ckpt() // |sources|×16-bounded; feeds totals AND the grid
+        val stot = sc.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+        val cellSpine = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cell"))
+        val hist = stot.crossJoin(broadcast(cellSpine))
+          .join(sc, Seq("source", "cell"), "left")
+          .select(col("source"), col("cell"), col("tot"),
+            expr("""(cast(coalesce(n, 0) as double) + 1.0d)
+               / (cast(tot as double) + 16.0d)""").as("p"))
+        val h1 = hist.select(col("source").as("s1"), col("cell"),
+          col("p").as("p1"), col("tot").as("n1"))
+        val h2 = hist.select(col("source").as("s2"), col("cell"),
+          col("p").as("p2"), col("tot").as("n2"))
+        h1.join(h2, Seq("cell"))
+          .where(col("s1") < col("s2"))
+          .select(col("s1"), col("s2"), col("n1"), col("n2"), expr(
+            """cast(round(
+                 0.5d * p1 * ln(p1 / ((p1 + p2) / 2.0d))
+               + 0.5d * p2 * ln(p2 / ((p1 + p2) / 2.0d)), 12)
+               as decimal(32, 12))""").as("t"))
+          .groupBy(col("s1"), col("s2"), col("n1"), col("n2"))
+          .agg(round(expr("cast(sum(t) as double)"), 6).as("js_r"))
+          .select(col("s1").as("source_a"), col("s2").as("source_b"),
+            col("n1").as("n_docs_a"), col("n2").as("n_docs_b"),
+            col("js_r"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cv
+                  FROM e WHERE vec_id < 16),
+        sims AS (SELECT e.vec_id, c.cent_id,
+                   list_sum(list_transform(range(1, 65),
+                     i -> e.v[i] * c.cv[i])) AS sim
+                 FROM e, cents c),
+        ranked AS (SELECT vec_id, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, cent_id ASC) AS rn
+                   FROM sims),
+        assign AS (SELECT vec_id, cent_id AS cell
+                   FROM ranked WHERE rn = 1),
+        sc AS (SELECT d.source, a.cell, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents d JOIN assign a ON a.vec_id = d.doc_id
+               GROUP BY 1, 2),
+        stot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot
+                 FROM sc GROUP BY 1),
+        hist AS (SELECT st.source, c.cent_id AS cell, st.tot,
+                   (CAST(COALESCE(s.n, 0) AS DOUBLE) + 1.0)
+                     / (CAST(st.tot AS DOUBLE) + 16.0) AS p
+                 FROM stot st CROSS JOIN cents c
+                 LEFT JOIN sc s ON s.source = st.source
+                   AND s.cell = c.cent_id)
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.tot AS n_docs_a, b.tot AS n_docs_b,
+               ROUND(CAST(SUM(CAST(ROUND(
+                   0.5 * a.p * LN(a.p / ((a.p + b.p) / 2.0))
+                 + 0.5 * b.p * LN(b.p / ((a.p + b.p) / 2.0)), 12)
+                 AS DECIMAL(32, 12))) AS DOUBLE), 6) AS js_r
+        FROM hist a JOIN hist b
+          ON a.cell = b.cell AND a.source < b.source
+        GROUP BY 1, 2, 3, 4
+        ORDER BY 1, 2
       """))
   )
 }

@@ -263,7 +263,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "q274_canary_exposure",
     // q275 crossJoins the ONE-row model/Brier/ECE aggregates into the
     // ≤10-row bin relation and spine (q37 pattern)
-    "q275_calibration")
+    "q275_calibration",
+    // q276 crossJoins the 16-row cell spine into the |sources|-row
+    // totals to keep empty histogram cells (the q112 grid shape)
+    "q276_semantic_drift")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds

@@ -658,7 +658,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q275: the scored ckpt's bin agg + the 1-row Brier/total
     // all-reduce + the ECE fold over the ≤10-row bin relation + the
     // spine sort — the scan itself is a pure narrow map
-    "q275_calibration" -> 4)
+    "q275_calibration" -> 4,
+    // q276: the doc_id-keyed cells×source join + the (source, cell)
+    // partial agg inside the ckpt; per-source totals, the spine/grid
+    // joins, the cell-keyed pair join, the pair agg, and the ≤|sources|²
+    // sort all ride the |sources|×16-bounded histogram relation
+    "q276_semantic_drift" -> 8)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the

@@ -236,4 +236,31 @@ class TrainedOpsSpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.5 - 1e-9 && r.getDouble(2) < 1.0)
     }
   }
+
+  test("q276: JS is a bounded symmetric distance over all source pairs") {
+    val rows = graft.SparkEntry.queries("q276_semantic_drift")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // exactly one row per unordered pair of EMBEDDED sources
+    val srcs = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
+    val k = srcs.length
+    assert(rows.length == k * (k - 1) / 2,
+      s"expected C($k,2) pairs, got ${rows.length}")
+    rows.foreach { case (a, b, na, nb, js) =>
+      assert(a < b, "pairs must be canonically ordered")
+      // JS divergence (nats) is bounded by ln 2; smoothing keeps it
+      // finite and >= 0 (0 only for identical histograms)
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9,
+        s"JS($a,$b) = $js out of [0, ln 2]")
+      assert(na > 0 && nb > 0)
+    }
+    // per-source doc totals are consistent wherever a source appears
+    val tots = collection.mutable.Map[String, Long]()
+    rows.foreach { case (a, b, na, nb, _) =>
+      assert(tots.getOrElseUpdate(a, na) == na)
+      assert(tots.getOrElseUpdate(b, nb) == nb)
+    }
+  }
 }
