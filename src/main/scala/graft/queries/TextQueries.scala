@@ -2043,6 +2043,88 @@ object TextQueries {
           ('alpha_word_fraction', w.c5),
           ('top_token_repetition', w.c6)) t(rule, n_failing)
         ORDER BY t.rule
+      """)),
+
+    // ------------------------------------------------------------------
+    // q277: per-source distinct-n diversity — the corpus-diversity
+    // report (Li et al. 2016's distinct-1/2/3, the standard
+    // template-detection signal): for each source and n ∈ {1, 2, 3},
+    // the n-gram token count, TYPE count, their ratio (low = the
+    // source repeats itself), and the single most frequent n-gram's
+    // mass share (high = one template dominates — the boilerplate
+    // smoking gun q222's prefix audit sees only at sequence starts).
+    // Complements q97 (per-DOC entropy) and q252 (corpus-level Heaps
+    // growth) with the per-SOURCE repetition profile a mixture
+    // designer reads before weighting (q179/q249).
+    //
+    // Determinism: all-integer counts off one (source, n, gram) keyed
+    // agg; the two ratios are single rounded divisions of exact
+    // integers. No floats anywhere else.
+    //
+    // Scale: the gram stream collapses map-side into the (source, n,
+    // gram)-keyed count relation (gram TYPES per source — Heaps-
+    // bounded, q252's argument); totals/types/max derive from THAT
+    // relation, so the corpus is scanned once (a ckpt'd ws relation
+    // feeds the three explode branches) and nothing data-sized is
+    // ever re-keyed.
+    QDef(
+      "q277_distinct_ngrams",
+      (s, dir) => {
+        val wsrel = Tables(s, dir).documents
+          .select(col("source"), expr(W).as("ws"))
+          .ckpt() // one corpus scan feeds the three gram branches
+        def branch(n: Int) = {
+          val g =
+            if (n == 1) explode(col("ws"))
+            else explode(expr(
+              s"""case when size(ws) < $n then array()
+                  else transform(sequence(1, size(ws) - ${n - 1}),
+                    i -> concat_ws(' ', slice(ws, i, $n))) end"""))
+          wsrel.select(col("source"), lit(n).as("n"), g.as("g"))
+        }
+        branch(1).union(branch(2)).union(branch(3))
+          .groupBy(col("source"), col("n"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("source"), col("n"))
+          .agg(sum(col("c")).as("n_grams"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).as("cmax"))
+          .select(col("source"), col("n"), col("n_grams"),
+            col("n_distinct"),
+            round(col("n_distinct").cast("double") / col("n_grams"), 6)
+              .as("distinct_ratio_r"),
+            round(col("cmax").cast("double") / col("n_grams"), 6)
+              .as("top_share_r"))
+          .orderBy(col("source"), col("n"))
+      },
+      Some(s"""
+        WITH w AS (SELECT source, $WDuck AS ws FROM documents),
+        g AS (
+          SELECT source, 1 AS n, unnest(ws) AS g FROM w
+          UNION ALL
+          SELECT source, 2 AS n,
+                 unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, len(ws)),
+                     i -> list_aggregate(ws[i:i+1], 'string_agg', ' '))
+                   END) AS g
+          FROM w
+          UNION ALL
+          SELECT source, 3 AS n,
+                 unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, len(ws) - 1),
+                     i -> list_aggregate(ws[i:i+2], 'string_agg', ' '))
+                   END) AS g
+          FROM w),
+        c AS (SELECT source, n, g, CAST(COUNT(*) AS BIGINT) AS c
+              FROM g GROUP BY 1, 2, 3)
+        SELECT source, n, CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6)
+                 AS distinct_ratio_r,
+               ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
+                 AS top_share_r
+        FROM c GROUP BY 1, 2
+        ORDER BY 1, 2
       """))
   )
 }

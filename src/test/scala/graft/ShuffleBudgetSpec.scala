@@ -663,7 +663,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // partial agg inside the ckpt; per-source totals, the spine/grid
     // joins, the cell-keyed pair join, the pair agg, and the ≤|sources|²
     // sort all ride the |sources|×16-bounded histogram relation
-    "q276_semantic_drift" -> 8)
+    "q276_semantic_drift" -> 8,
+    // q277: the ckpt'd ws relation's internals + the (source, n,
+    // gram)-keyed count agg + the (source, n) rollup/sort over the
+    // Heaps-bounded type relation
+    "q277_distinct_ngrams" -> 3)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the

@@ -73,4 +73,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(bad.isEmpty)
     out.unpersist()
   }
+
+  test("q277: distinct-n arithmetic is exact against an independent recount") {
+    val rows = SparkEntry.queries("q277_distinct_ngrams")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, grams, types, ratio, top) =>
+      assert(n >= 1 && n <= 3)
+      assert(types >= 1 && types <= grams,
+        s"$src n=$n: types $types vs grams $grams")
+      assert(ratio == math.rint(types.toDouble / grams * 1e6) / 1e6)
+      // the modal gram's share is at least the uniform share and at
+      // most everything
+      assert(top >= types.toDouble / grams / types - 1e-9 && top <= 1.0)
+    }
+    // distinct-1 recount: per-source word totals and type counts from
+    // an independent aggregation must match the n=1 rows exactly
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        explode(expr(TextQueries.wordsExpr)).as("w"))
+    val want = words.groupBy("source")
+      .agg(count(lit(1)).as("g"), countDistinct(col("w")).as("t"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = rows.filter(_._2 == 1)
+      .map { case (s, _, g, t, _, _) => s -> (g, t) }.toMap
+    assert(got == want, "n=1 rows disagree with the independent recount")
+  }
 }
