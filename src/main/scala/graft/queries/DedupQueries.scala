@@ -1587,6 +1587,84 @@ object DedupQueries {
                  AS jaccard_r
         FROM spine LEFT JOIN inter USING (source_a, source_b)
         ORDER BY source_a, source_b
+      """)),
+
+    // ------------------------------------------------------------------
+    // q278: dedup-aware mixture reweighting (the SlimPajama/RefinedWeb
+    // discipline): near-duplicate copies should not each count as a
+    // full example when a mixture is weighted, so every document
+    // carries weight 1/|its q54 cluster| and per-source EFFECTIVE mass
+    // is the sum of those weights — a source that is 40% internal
+    // near-dups contributes 40% less than its raw document share
+    // claims. Reports raw share vs dedup-adjusted share side by side,
+    // plus a uniqueness ratio (effective / raw, 1.0 = fully unique) —
+    // the correction a q179/q249-style mixture should consume instead
+    // of raw counts. Composition over the SHARED
+    // DedupQueries.clusterAssignment (q54's star-contraction
+    // components, also consumed by q270), so the clusters priced,
+    // surveyed, and reweighted are provably the same ones.
+    //
+    // Determinism: per-doc weights round(1/|cluster|, 12) quantize
+    // into DECIMAL(32,12), so per-source sums and the grand total are
+    // exact and order-free; shares are single rounded divisions.
+    //
+    // Scale: clusters come from banded candidates + O(log²)-round
+    // components (q54's argument); cluster sizes are one
+    // cluster_id-keyed agg; the weight join is doc_id/cluster_id
+    // equi-keyed; everything after the per-source agg is
+    // |sources|-bounded with 1-row-broadcast totals.
+    QDef(
+      "q278_dedup_weights",
+      (s, dir) => {
+        val assign = clusterAssignment(s, dir).ckpt()
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), col("source"))
+        val sized = assign.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("csz"))
+        val agg = docs
+          .join(assign, Seq("doc_id"))
+          .join(sized, Seq("cluster_id"))
+          .select(col("source"),
+            expr("cast(round(1.0d / csz, 12) as decimal(32, 12))")
+              .as("wq"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("wq")).as("eff"))
+          .ckpt() // |sources|-bounded; feeds the totals AND the shares
+        val tot = agg.agg(sum(col("n_docs")).as("tn"),
+          sum(col("eff")).as("te"))
+        agg.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            round(col("eff").cast("double"), 6).as("effective_mass_r"),
+            round(col("n_docs").cast("double") / col("tn"), 6)
+              .as("raw_share_r"),
+            round(expr("cast(eff as double) / cast(te as double)"), 6)
+              .as("dedup_share_r"),
+            round(expr("cast(eff as double)") / col("n_docs"), 6)
+              .as("uniqueness_r"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH RECURSIVE $clusterAssignDuckCtes,
+        sized AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csz
+                  FROM assign GROUP BY 1),
+        dd AS (SELECT d.source,
+                 CAST(ROUND(1.0 / s2.csz, 12) AS DECIMAL(32, 12)) AS wq
+               FROM documents d
+                 JOIN assign a ON a.doc_id = d.doc_id
+                 JOIN sized s2 ON s2.cluster_id = a.cluster_id),
+        agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  SUM(wq) AS eff
+                FROM dd GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tn, SUM(eff) AS te
+                FROM agg)
+        SELECT source, n_docs,
+               ROUND(CAST(eff AS DOUBLE), 6) AS effective_mass_r,
+               ROUND(CAST(n_docs AS DOUBLE) / t.tn, 6) AS raw_share_r,
+               ROUND(CAST(eff AS DOUBLE) / CAST(t.te AS DOUBLE), 6)
+                 AS dedup_share_r,
+               ROUND(CAST(eff AS DOUBLE) / n_docs, 6) AS uniqueness_r
+        FROM agg, tot t
+        ORDER BY 1
       """))
   )
 }

@@ -266,7 +266,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "q275_calibration",
     // q276 crossJoins the 16-row cell spine into the |sources|-row
     // totals to keep empty histogram cells (the q112 grid shape)
-    "q276_semantic_drift")
+    "q276_semantic_drift",
+    // q278 crossJoins the ONE-row grand-total aggregate into the
+    // |sources|-row rollup (q37 pattern) atop q54's allowance
+    "q278_dedup_weights")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds

@@ -667,7 +667,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q277: the ckpt'd ws relation's internals + the (source, n,
     // gram)-keyed count agg + the (source, n) rollup/sort over the
     // Heaps-bounded type relation
-    "q277_distinct_ngrams" -> 3)
+    "q277_distinct_ngrams" -> 3,
+    // q278: q54's assignment lives behind its ckpt; this plan is the
+    // cluster-size agg + the per-source agg (the weight joins ride
+    // broadcast/AQE off the ckpt'd bounded relations)
+    "q278_dedup_weights" -> 2)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the

@@ -68,4 +68,32 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(h1 == h2)
     out.unpersist()
   }
+
+  test("q278: effective mass is bounded by raw mass and shares sum to 1") {
+    val rows = graft.SparkEntry.queries("q278_dedup_weights")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_._2).sum == nDocs,
+      "per-source doc counts must cover the corpus")
+    rows.foreach { case (src, n, eff, raw, dedup, uniq) =>
+      // a cluster weight is 1/|cluster| <= 1, so effective <= raw;
+      // every doc contributes > 0, so effective > 0
+      assert(eff > 0.0 && eff <= n + 1e-6, s"$src: eff $eff vs n $n")
+      assert(uniq > 0.0 && uniq <= 1.0 + 1e-6)
+      assert(raw >= 0.0 && raw <= 1.0 && dedup >= 0.0 && dedup <= 1.0)
+    }
+    // both share columns sum to 1 (each entry rounded at 6)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4)
+    // total effective mass = number of clusters touched, weighted:
+    // summing 1/|c| over every member of every cluster counts each
+    // cluster exactly once
+    val nClusters = graft.SparkEntry.queries("q54_dedup_clusters")(
+      spark, dir).select("cluster_id").distinct().count()
+    assert(math.abs(rows.map(_._3).sum - nClusters) < 1e-3,
+      s"sum eff ${rows.map(_._3).sum} != n clusters $nClusters")
+  }
 }
