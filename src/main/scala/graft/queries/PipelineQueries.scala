@@ -4660,6 +4660,12 @@ object PipelineQueries {
     // are bit-identical in both engines; the both-confident tie goes
     // to argmax with ties to class 1 (explicit, spec-pinned). A
     // 6-row (given × {-1,0,1}) literal spine keeps empty cells.
+    // Degenerate corpus (one class absent): that class's count is
+    // nullif-guarded to NULL, so its threshold is explicitly NULL,
+    // every p >= NULL compare is NULL, and no example can ever be
+    // confidently assigned to the absent class — each doc lands in
+    // the present class (if over ITS threshold) or in -1. Pinned in
+    // TrainedOpsSpec ("q271 degenerate one-class corpus").
     //
     // Scale: one scoring scan off the ckpt'd features (model = 1-row
     // broadcast), one all-reduce for the thresholds broadcast back,
@@ -4681,11 +4687,13 @@ object PipelineQueries {
         val thr = sc.agg(
           round(expr("""cast(sum(case when given = 1
                 then cast(p1 as decimal(32, 12)) end) as double)""")
-            / sum(when(col("given") === 1, 1L).otherwise(0L)), 9)
+            / nullif(sum(when(col("given") === 1, 1L).otherwise(0L)),
+              lit(0L)), 9)
             .as("t1"),
           round(expr("""cast(sum(case when given = 0
                 then cast(p0 as decimal(32, 12)) end) as double)""")
-            / sum(when(col("given") === 0, 1L).otherwise(0L)), 9)
+            / nullif(sum(when(col("given") === 0, 1L).otherwise(0L)),
+              lit(0L)), 9)
             .as("t0"))
         val cls = sc.crossJoin(broadcast(thr))
           .withColumn("conf", expr("""case
@@ -4723,11 +4731,13 @@ object PipelineQueries {
         thr AS (SELECT
                   ROUND(CAST(SUM(CASE WHEN given = 1
                       THEN CAST(p1 AS DECIMAL(32, 12)) END) AS DOUBLE)
-                    / SUM(CASE WHEN given = 1 THEN 1 ELSE 0 END), 9)
+                    / NULLIF(SUM(CASE WHEN given = 1
+                        THEN 1 ELSE 0 END), 0), 9)
                     AS t1,
                   ROUND(CAST(SUM(CASE WHEN given = 0
                       THEN CAST(p0 AS DECIMAL(32, 12)) END) AS DOUBLE)
-                    / SUM(CASE WHEN given = 0 THEN 1 ELSE 0 END), 9)
+                    / NULLIF(SUM(CASE WHEN given = 0
+                        THEN 1 ELSE 0 END), 0), 9)
                     AS t0
                 FROM sc),
         cls AS (SELECT given,

@@ -2059,7 +2059,12 @@ object TextQueries {
     //
     // Determinism: all-integer counts off one (source, n, gram) keyed
     // agg; the two ratios are single rounded divisions of exact
-    // integers. No floats anywhere else.
+    // integers. No floats anywhere else. A sources x {1,2,3} spine
+    // (the q255/q271/q275 empty-cell discipline) keeps a row for
+    // every combination: a source whose documents all have fewer
+    // than n words reports 0 grams / 0 types / NULL ratios instead
+    // of silently dropping — exactly the degenerate source a
+    // diversity report must surface.
     //
     // Scale: the gram stream collapses map-side into the (source, n,
     // gram)-keyed count relation (gram TYPES per source — Heaps-
@@ -2082,15 +2087,20 @@ object TextQueries {
                     i -> concat_ws(' ', slice(ws, i, $n))) end"""))
           wsrel.select(col("source"), lit(n).as("n"), g.as("g"))
         }
-        branch(1).union(branch(2)).union(branch(3))
+        val counts = branch(1).union(branch(2)).union(branch(3))
           .groupBy(col("source"), col("n"), col("g"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("source"), col("n"))
           .agg(sum(col("c")).as("n_grams"),
             count(lit(1)).as("n_distinct"),
             max(col("c")).as("cmax"))
-          .select(col("source"), col("n"), col("n_grams"),
-            col("n_distinct"),
+        val spine = wsrel.select(col("source")).distinct()
+          .crossJoin(s.range(1, 4)
+            .select(col("id").cast("int").as("n")))
+        spine.join(counts, Seq("source", "n"), "left")
+          .select(col("source"), col("n"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
             round(col("n_distinct").cast("double") / col("n_grams"), 6)
               .as("distinct_ratio_r"),
             round(col("cmax").cast("double") / col("n_grams"), 6)
@@ -2116,14 +2126,23 @@ object TextQueries {
                    END) AS g
           FROM w),
         c AS (SELECT source, n, g, CAST(COUNT(*) AS BIGINT) AS c
-              FROM g GROUP BY 1, 2, 3)
-        SELECT source, n, CAST(SUM(c) AS BIGINT) AS n_grams,
-               CAST(COUNT(*) AS BIGINT) AS n_distinct,
-               ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6)
-                 AS distinct_ratio_r,
-               ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
-                 AS top_share_r
-        FROM c GROUP BY 1, 2
+              FROM g GROUP BY 1, 2, 3),
+        agg AS (SELECT source, n, CAST(SUM(c) AS BIGINT) AS n_grams,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6)
+                    AS distinct_ratio_r,
+                  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
+                    AS top_share_r
+                FROM c GROUP BY 1, 2),
+        spine AS (SELECT source, n
+                  FROM (SELECT DISTINCT source FROM w) sp
+                  CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS n) ns)
+        SELECT sp.source, sp.n,
+               COALESCE(a.n_grams, 0) AS n_grams,
+               COALESCE(a.n_distinct, 0) AS n_distinct,
+               a.distinct_ratio_r, a.top_share_r
+        FROM spine sp LEFT JOIN agg a
+          ON a.source = sp.source AND a.n = sp.n
         ORDER BY 1, 2
       """))
   )

@@ -75,8 +75,19 @@ class CorpusOpsSpec extends AnyFunSuite {
   }
 
   test("q277: distinct-n arithmetic is exact against an independent recount") {
-    val rows = SparkEntry.queries("q277_distinct_ngrams")(spark, dir)
+    val raw = SparkEntry.queries("q277_distinct_ngrams")(spark, dir)
       .collect()
+    assert(raw.nonEmpty)
+    // spine completeness: every (source, n in 1..3) combination present
+    val srcs = raw.map(_.getString(0)).distinct
+    assert(raw.length == srcs.length * 3,
+      "spine must carry one row per (source, n in 1..3)")
+    // degenerate cells (source has no documents with >= n words)
+    // report 0 grams / 0 types / NULL ratios rather than dropping
+    raw.filter(_.getLong(2) == 0L).foreach { r =>
+      assert(r.getLong(3) == 0L && r.isNullAt(4) && r.isNullAt(5))
+    }
+    val rows = raw.filter(_.getLong(2) > 0L)
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
         r.getLong(3), r.getDouble(4), r.getDouble(5)))
     assert(rows.nonEmpty)
@@ -85,9 +96,9 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(types >= 1 && types <= grams,
         s"$src n=$n: types $types vs grams $grams")
       assert(ratio == math.rint(types.toDouble / grams * 1e6) / 1e6)
-      // the modal gram's share is at least the uniform share and at
-      // most everything
-      assert(top >= types.toDouble / grams / types - 1e-9 && top <= 1.0)
+      // the modal gram's share is at least the uniform share 1/types
+      // and at most everything
+      assert(top >= 1.0 / types - 1e-9 && top <= 1.0)
     }
     // distinct-1 recount: per-source word totals and type counts from
     // an independent aggregation must match the n=1 rows exactly

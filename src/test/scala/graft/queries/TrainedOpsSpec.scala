@@ -146,6 +146,32 @@ class TrainedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q271 degenerate one-class corpus: absent class's threshold is " +
+      "NULL and nothing is ever confidently assigned to it") {
+    // class 1 is y = (n_chars >= 300); keep only short docs so it is
+    // absent. The nullif-guarded t1 is NULL, every p1 >= t1 compare
+    // is NULL, and each doc lands in class 0 or -1 — never class 1.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-oneclass-").toString
+    graft.Tables(spark, dir).documents
+      .filter(col("n_chars") < 300)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.SparkEntry.queries("q271_label_noise")(spark, tmp)
+      .collect()
+    assert(rows.length == 6) // spine survives the degenerate corpus
+    val nShort = spark.read.parquet(s"$tmp/documents.parquet").count()
+    assert(nShort > 0, "fixture needs at least one short doc")
+    rows.foreach { r =>
+      val (given, conf, n) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      assert(given != 1 || n == 0L, "no docs carry the absent label")
+      assert(conf != 1 || n == 0L,
+        "nothing may be confidently assigned to the absent class")
+    }
+    assert(rows.map(_.getLong(2)).sum == nShort,
+      "present class + unassigned still partition the corpus")
+  }
+
   test("q272: classes partition the corpus; forget counts are coherent") {
     val rows = graft.SparkEntry.queries("q272_forgetting")(spark, dir)
       .collect()
