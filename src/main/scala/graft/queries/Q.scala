@@ -320,6 +320,16 @@ object Q {
     */
   def bm25Aggregate(tf: DataFrame, df: DataFrame, dl: DataFrame,
       totals: DataFrame): DataFrame =
+    bm25AggregateBy(tf, df, dl, totals, Seq("doc_id"))
+
+  /** [[bm25Aggregate]] generalized to extra grouping keys — the
+    * batched-search shape (`sinks.TextIndex.searchBm25Batch`): tf rows
+    * additionally carry a `qid` and the per-doc sum becomes per
+    * (qid, doc). SAME scoring expression — [[bm25Aggregate]] delegates
+    * here, so the single- and multi-query rankers share one formula.
+    */
+  def bm25AggregateBy(tf: DataFrame, df: DataFrame, dl: DataFrame,
+      totals: DataFrame, keys: Seq[String]): DataFrame =
     tf.join(broadcast(df), "word")
       .join(dl, "doc_id")
       .crossJoin(broadcast(totals))
@@ -331,7 +341,7 @@ object Q {
           (col("tf").cast("double") + lit(1.2d) *
             (lit(0.25d) + lit(0.75d) *
               col("dl").cast("double") / col("avgdl"))))
-      .groupBy(col("doc_id"))
+      .groupBy(keys.map(col): _*)
       .agg(sum(col("part")).as("score_raw"),
         count(lit(1)).as("n_terms"))
 
@@ -349,6 +359,30 @@ object Q {
         col("key").desc, col("doc_id").asc)))
       .select(col("rk"), col("doc_id"), col("n_terms"),
         round(col("score_raw"), 6).as("score"))
+
+  /** Per-query variant of [[bm25TopK]] for batched search over a
+    * (qid, doc_id, score_raw, n_terms) relation: the same round-9
+    * ranking key and doc_id tiebreak, capped per qid. A common term
+    * makes one qid's match set corpus-sized, so a single per-qid
+    * window would sort it in ONE task; instead a partition-local
+    * pre-cap (any superset of the true top-k is rank-safe) bounds the
+    * final per-qid window to ≤ k rows per input partition.
+    */
+  def bm25TopKPerQuery(scored: DataFrame, topK: Int): DataFrame = {
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("key").desc, col("doc_id").asc)
+    scored
+      .withColumn("key", round(col("score_raw"), 9))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("qid"), spark_partition_id())
+          .orderBy(col("key").desc, col("doc_id").asc)))
+      .where(col("prk") <= topK)
+      .withColumn("rk", row_number().over(byQ))
+      .where(col("rk") <= topK)
+      .select(col("qid"), col("rk").cast("int").as("rk"),
+        col("doc_id"), col("n_terms"),
+        round(col("score_raw"), 6).as("score"))
+  }
 
   /** Positional phrase scorer shared by q189 and TextIndex.searchPhrase
     * — ONE definition of the anchor-vote matcher so the in-query and

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Ckpt._
+import graft.sinks.{TextIndex, VectorIndex}
+
+/** Index-backed form of the q269 hybrid-retrieval eval — the 100 TB
+  * candidate path the in-query twin documents: per-query candidates
+  * come from a persisted [[graft.sinks.TextIndex]] probe (lexical arm)
+  * and a persisted [[graft.sinks.VectorIndex]] probe (semantic arm)
+  * instead of a corpus broadcast-join, and the fusion + MRR@10 tail is
+  * the SAME shared definition ([[SimilarityQueries.hybridMrrTail]]) so
+  * the two surfaces cannot drift — the [[Valuation]] precedent.
+  *
+  * RetrievalSpec pins [[hybridMrrFromIndexes]] at full probe (every
+  * IVF cell probed, both fetches covering the corpus) ≡ q269 row for
+  * row; at bounded nprobe/fetch the candidate sets narrow and the
+  * metric degrades gracefully — the q120/q194 recall story, not a new
+  * approximation.
+  *
+  * Candidate-recall contract per arm:
+  *  - semantic: [[VectorIndex.search]] ranks by RAW cosine while q269
+  *    ranks by round(sim, 9); the fetch over-pulls by `fetchMargin`
+  *    and re-ranks the re-scored candidates by the shared (round-9
+  *    DESC, id ASC) order before capping (the Valuation boundary-tie
+  *    discipline).
+  *  - lexical: BM25 candidates are docs sharing ≥1 query WORD — a
+  *    superset of every positive-trigram-Jaccard doc (a shared
+  *    trigram shares its three words). q269 additionally back-fills
+  *    zero-similarity docs by ascending id when fewer than topN
+  *    positives exist, so exact parity needs `lexFetchK` to cover the
+  *    query's whole match set (the spec asserts that precondition);
+  *    production callers pass a bounded lexFetchK and accept the
+  *    documented candidate cut.
+  */
+object Retrieval {
+
+  private val fetchMargin = 8
+
+  /** q269's three-system MRR@10 eval with per-query candidates from
+    * the two persisted indexes.
+    *
+    * @param textIndexDir [[TextIndex]] built over the eval corpus's
+    *                     (doc_id, text)
+    * @param vecIndexDir  [[VectorIndex]] built over the eval corpus's
+    *                     (vec_id = doc_id, embedding)
+    * @param queries      (vec_id, label, text, embedding) — the query
+    *                     battery, fixed-size by design
+    * @param corpus       (doc_id, label, text) — the metadata relation
+    *                     candidates re-score and label against; joined
+    *                     on the BOUNDED candidate side, so at scale the
+    *                     id-join is parquet-stats pruned, never a full
+    *                     scan (the [[VectorIndex.storedVectors]] join
+    *                     discipline)
+    * @param nprobe       IVF cells probed per query (semantic recall
+    *                     knob)
+    * @param lexFetchK    BM25 candidates fetched per query BEFORE the
+    *                     trigram-Jaccard re-score (lexical recall knob;
+    *                     ≥ |corpus| reproduces q269's arm exactly when
+    *                     every corpus doc matches ≥1 query word)
+    * @param topN         per-system list depth (q269 uses 50)
+    * @param semFetchK    semantic candidates fetched per query; 0
+    *                     (default) = topN + a tie margin
+    * @param kRrf         RRF smoothing constant (60)
+    * @return (system, n_queries, n_hit, mrr_at_10_r) — q269's contract
+    *
+    * Scale shape: the corpus is never cross-joined — the lexical arm
+    * scans only word-range-pruned postings files, the semantic arm
+    * only probed IVF cells; candidates (|queries|·fetch rows) re-score
+    * against id-pruned metadata/vector fetches; the fusion and eval
+    * tail see ≤ topN rows per (query, system).
+    */
+  def hybridMrrFromIndexes(spark: SparkSession, textIndexDir: String,
+      vecIndexDir: String, queries: DataFrame, corpus: DataFrame,
+      nprobe: Int, lexFetchK: Int, topN: Int = 50, semFetchK: Int = 0,
+      kRrf: Int = 60): DataFrame = {
+    val W = TextQueries.wordsExpr
+    val qmeta = queries
+      .select(col("vec_id").as("qid"), col("label").as("ql"),
+        expr(W).as("ws"))
+      .select(col("qid"), col("ql"),
+        SimilarityQueries.triShingles.as("qsg"))
+      .ckpt() // bounded: one row per query
+    val byQ = (c: String) => Window.partitionBy(col("qid"))
+      .orderBy(col(c).desc, col("vec_id").asc)
+
+    // ---- semantic arm: IVF probe → round-9 re-score on the index's
+    // stored vectors (search's cos_r is round-6 display precision)
+    val semFetch = if (semFetchK > 0) semFetchK else topN + fetchMargin
+    val semHits = VectorIndex.search(spark, vecIndexDir,
+        queries.select(col("vec_id"), col("embedding")),
+        nprobe, topK = semFetch)
+      .select(col("qid"), col("neighbor_id").as("vec_id"))
+    val qv = queries.select(col("vec_id").as("qid"),
+        expr("l2_normalize(embedding)").as("qv"))
+      .ckpt() // bounded (one row per query); distinct lineage from the
+              // search()-derived hits it joins, both roots = `queries`
+    val semScored = VectorIndex.storedVectors(spark, vecIndexDir)
+      .join(broadcast(semHits), "vec_id")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(expr("dot_product(v, qv)"), 9).as("sim"))
+      .ckpt() // bounded: |queries|·fetch rows; also cuts the corpus
+              // lineage before arm() rejoins the metadata relation
+
+    // ---- lexical arm: batched BM25 candidates (docs sharing ≥1 query
+    // word, word-pruned postings scan) → trigram-Jaccard re-score on
+    // the id-pruned metadata fetch; self dropped to match q269
+    val qterms = queries.select(col("vec_id").as("qid"),
+      expr(s"array_distinct($W)").as("terms"))
+    val lexHits = TextIndex.searchBm25Batch(spark, textIndexDir,
+        qterms, topK = lexFetchK)
+      .where(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id").as("vec_id"))
+    val lexScored = corpus
+      .select(col("doc_id").as("vec_id"), col("text"))
+      .join(broadcast(lexHits), "vec_id")
+      .join(broadcast(qmeta.select(col("qid"), col("qsg"))), "qid")
+      .select(col("qid"), col("vec_id"), expr(W).as("ws"), col("qsg"))
+      .select(col("qid"), col("vec_id"),
+        SimilarityQueries.triShingles.as("sg"), col("qsg"))
+      .select(col("qid"), col("vec_id"),
+        SimilarityQueries.triJaccard9.as("sim"))
+      .ckpt() // bounded: |queries|·lexFetchK rows; cuts the corpus
+              // lineage before arm() rejoins the metadata relation
+
+    // ---- label the bounded candidate lists (rel = label agreement),
+    // re-rank by the SHARED (round-9 DESC, id ASC) order, cap at topN
+    def arm(scored: DataFrame, rkName: String): DataFrame =
+      corpus.select(col("doc_id").as("vec_id"), col("label"))
+        .join(broadcast(scored), "vec_id")
+        .join(broadcast(qmeta.select(col("qid"), col("ql"))), "qid")
+        .select(col("qid"), col("vec_id"),
+          when(col("label") === col("ql"), 1).otherwise(0).as("rel"),
+          col("sim"))
+        .withColumn(rkName, row_number().over(byQ("sim")))
+        .where(col(rkName) <= topN)
+        .select(col("qid"), col("vec_id"), col("rel"), col(rkName))
+
+    SimilarityQueries.hybridMrrTail(
+      arm(semScored, "sem_rk"), arm(lexScored, "lex_rk"),
+      qmeta.select(col("qid")), kRrf)
+  }
+}

@@ -105,6 +105,91 @@ object SimilarityQueries {
     * Scale: pair sims are |cand|²-bounded per query and keyed by qid;
     * after the candidate pass the corpus is never touched again.
     */
+  /** Word-trigram shingle set over a words column named `ws` — q23's
+    * shingle rule, shared by q269 and [[Retrieval]] so the in-query
+    * and index-backed lexical arms shingle identically.
+    */
+  private[queries] def triShingles: org.apache.spark.sql.Column =
+    expr("""array_distinct(case when size(ws) < 3
+        then array()
+        else transform(sequence(3, size(ws)),
+          i -> concat_ws(' ', element_at(ws, i - 2),
+            element_at(ws, i - 1), element_at(ws, i))) end)""")
+
+  /** Round-9 Jaccard between shingle columns named `sg` and `qsg`
+    * (empty∪empty scores 0) — q269's lexical similarity, shared with
+    * [[Retrieval]]'s candidate re-scorer.
+    */
+  private[queries] def triJaccard9: org.apache.spark.sql.Column =
+    expr("""round(case
+        when size(sg) + size(qsg) = 0 then 0.0d
+        else cast(size(array_intersect(sg, qsg)) as double)
+             / (size(sg) + size(qsg)
+                - size(array_intersect(sg, qsg))) end, 9)""")
+
+  /** q269's RRF fusion + MRR@10 eval tail, shared with
+    * [[Retrieval.hybridMrrFromIndexes]] — ONE definition of the fused
+    * system and the metric so the in-query and index-backed surfaces
+    * cannot drift (the [[shapleySweep]]/[[mmrSelect]] discipline).
+    *
+    * @param sem  (qid, vec_id, rel, sem_rk) — the semantic arm's
+    *             CAPPED per-query list (rank by round-9 cosine desc,
+    *             vec_id asc, rk <= topN)
+    * @param lex  (qid, vec_id, rel, lex_rk) — the lexical arm's capped
+    *             list under the same discipline
+    * @param qids one row per query (qid) — the eval spine, so a
+    *             query with no top-10 hit still scores 0
+    * @param kRrf RRF smoothing constant (Cormack et al.'s 60)
+    * @return (system, n_queries, n_hit, mrr_at_10_r) for the three
+    *         systems lexical_jaccard / semantic_cosine / hybrid_rrf
+    *
+    * Scale: both inputs are bounded (topN rows per query), so the
+    * fusion join, ranking windows, and eval aggregate never touch
+    * anything corpus-sized.
+    */
+  private[queries] def hybridMrrTail(sem: DataFrame, lex: DataFrame,
+      qids: DataFrame, kRrf: Int = 60): DataFrame = {
+    val s = sem.sparkSession
+    val byRrf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("vec_id").asc)
+    val fused = sem.withColumnRenamed("rel", "rel_s")
+      .join(lex.withColumnRenamed("rel", "rel_l"),
+        Seq("qid", "vec_id"), "full_outer")
+      .select(col("qid"), col("vec_id"),
+        greatest(coalesce(col("rel_s"), lit(0)),
+          coalesce(col("rel_l"), lit(0))).as("rel"),
+        round(
+          coalesce(lit(1.0d) / (lit(kRrf) + col("lex_rk")), lit(0.0d)) +
+          coalesce(lit(1.0d) / (lit(kRrf) + col("sem_rk")), lit(0.0d)),
+          9).as("rrf"))
+      .withColumn("rrf_rk", row_number().over(byRrf))
+    val ranked = lex.select(lit("lexical_jaccard").as("system"),
+        col("qid"), col("rel"), col("lex_rk").as("rk"))
+      .unionByName(sem.select(lit("semantic_cosine").as("system"),
+        col("qid"), col("rel"), col("sem_rk").as("rk")))
+      .unionByName(fused.select(lit("hybrid_rrf").as("system"),
+        col("qid"), col("rel"), col("rrf_rk").as("rk")))
+    val hits = ranked.where(col("rel") === 1 && col("rk") <= 10)
+      .groupBy(col("system"), col("qid"))
+      .agg(min(col("rk")).as("first_rel"))
+    val systems = s.createDataset(Seq("lexical_jaccard",
+        "semantic_cosine", "hybrid_rrf"))(
+        org.apache.spark.sql.Encoders.STRING).toDF("system")
+    val spine = qids.select(col("qid")).crossJoin(systems)
+    spine.join(hits, Seq("system", "qid"), "left")
+      .select(col("system"),
+        expr("""cast(round(coalesce(1.0d / first_rel, 0.0d), 12)
+                as decimal(32, 12))""").as("rr"),
+        when(col("first_rel").isNotNull, 1L).otherwise(0L).as("hit"))
+      .groupBy(col("system"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("hit")).as("n_hit"),
+        round(expr("cast(sum(rr) as double)") /
+          count(lit(1)), 6).as("mrr_at_10_r"))
+      .orderBy(col("system"))
+  }
+
   private[queries] def mmrSelect(cand: DataFrame,
       steps: Int = 8): DataFrame = {
     val pairs = cand.as("a").join(cand.as("b"),
@@ -3055,20 +3140,18 @@ object SimilarityQueries {
     // per-qid top-50 caps and the ≤150-row fusion/eval tail are
     // bounded by |queries|, which is fixed by design — the corpus is
     // scanned once and never self-joined. At 100 TB the candidate
-    // lists come from TextIndex.searchBm25 / VectorIndex.search
-    // (q132/q48) and only this eval tail runs per system.
+    // lists come from the persisted indexes —
+    // Retrieval.hybridMrrFromIndexes (TextIndex.searchBm25Batch +
+    // VectorIndex.search) is that path, sharing this query's shingle
+    // rule, similarity, and fusion/eval tail; RetrievalSpec pins it
+    // ≡ this query at full probe.
     QDef(
       "q269_hybrid_mrr",
       (s, dir) => {
         val e = vectors(s, dir).ckpt()
-        val sg = expr("""array_distinct(case when size(ws) < 3
-            then array()
-            else transform(sequence(3, size(ws)),
-              i -> concat_ws(' ', element_at(ws, i - 2),
-                element_at(ws, i - 1), element_at(ws, i))) end)""")
         val docs = Tables(s, dir).documents
           .select(col("doc_id"), expr(TextQueries.wordsExpr).as("ws"))
-          .select(col("doc_id"), sg.as("sg"))
+          .select(col("doc_id"), triShingles.as("sg"))
         val corpus = e.join(docs, e("vec_id") === docs("doc_id"))
           .select(col("vec_id"), col("label"), col("v"), col("sg"))
           .ckpt()
@@ -3082,12 +3165,7 @@ object SimilarityQueries {
           .select(col("qid"), col("vec_id"),
             when(col("label") === col("ql"), 1).otherwise(0).as("rel"),
             round(expr("dot_product(v, qv)"), 9).as("sim_sem"),
-            expr("""round(case
-                when size(sg) + size(qsg) = 0 then 0.0d
-                else cast(size(array_intersect(sg, qsg)) as double)
-                     / (size(sg) + size(qsg)
-                        - size(array_intersect(sg, qsg))) end, 9)""")
-              .as("sim_lex"))
+            triJaccard9.as("sim_lex"))
           .ckpt() // feeds both arms + the fusion
         val sem = scored
           .withColumn("sem_rk", row_number().over(byQ("sim_sem")))
@@ -3097,41 +3175,7 @@ object SimilarityQueries {
           .withColumn("lex_rk", row_number().over(byQ("sim_lex")))
           .where(col("lex_rk") <= 50)
           .select(col("qid"), col("vec_id"), col("rel"), col("lex_rk"))
-        val fused = sem.withColumnRenamed("rel", "rel_s")
-          .join(lex.withColumnRenamed("rel", "rel_l"),
-            Seq("qid", "vec_id"), "full_outer")
-          .select(col("qid"), col("vec_id"),
-            greatest(coalesce(col("rel_s"), lit(0)),
-              coalesce(col("rel_l"), lit(0))).as("rel"),
-            round(
-              coalesce(lit(1.0d) / (lit(60) + col("lex_rk")), lit(0.0d)) +
-              coalesce(lit(1.0d) / (lit(60) + col("sem_rk")), lit(0.0d)),
-              9).as("rrf"))
-          .withColumn("rrf_rk", row_number().over(byQ("rrf")))
-        val ranked = lex.select(lit("lexical_jaccard").as("system"),
-            col("qid"), col("rel"), col("lex_rk").as("rk"))
-          .unionByName(sem.select(lit("semantic_cosine").as("system"),
-            col("qid"), col("rel"), col("sem_rk").as("rk")))
-          .unionByName(fused.select(lit("hybrid_rrf").as("system"),
-            col("qid"), col("rel"), col("rrf_rk").as("rk")))
-        val hits = ranked.where(col("rel") === 1 && col("rk") <= 10)
-          .groupBy(col("system"), col("qid"))
-          .agg(min(col("rk")).as("first_rel"))
-        val systems = s.createDataset(Seq("lexical_jaccard",
-            "semantic_cosine", "hybrid_rrf"))(
-            org.apache.spark.sql.Encoders.STRING).toDF("system")
-        val spine = qs.select(col("qid")).crossJoin(systems)
-        spine.join(hits, Seq("system", "qid"), "left")
-          .select(col("system"),
-            expr("""cast(round(coalesce(1.0d / first_rel, 0.0d), 12)
-                    as decimal(32, 12))""").as("rr"),
-            when(col("first_rel").isNotNull, 1L).otherwise(0L).as("hit"))
-          .groupBy(col("system"))
-          .agg(count(lit(1)).as("n_queries"),
-            sum(col("hit")).as("n_hit"),
-            round(expr("cast(sum(rr) as double)") /
-              count(lit(1)), 6).as("mrr_at_10_r"))
-          .orderBy(col("system"))
+        hybridMrrTail(sem, lex, qs.select(col("qid")))
       },
       Some(s"""
         WITH e AS MATERIALIZED (SELECT vec_id, label,

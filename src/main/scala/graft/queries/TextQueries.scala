@@ -2064,7 +2064,10 @@ object TextQueries {
     // every combination: a source whose documents all have fewer
     // than n words reports 0 grams / 0 types / NULL ratios instead
     // of silently dropping — exactly the degenerate source a
-    // diversity report must surface.
+    // diversity report must surface. The spine rides the gram stream
+    // itself as per-doc NULL-gram sentinel rows (count(g) ignores
+    // them in both engines) rather than a separate distinct+join —
+    // same two keyed aggs, zero extra shuffles, no cross join.
     //
     // Scale: the gram stream collapses map-side into the (source, n,
     // gram)-keyed count relation (gram TYPES per source — Heaps-
@@ -2087,23 +2090,23 @@ object TextQueries {
                     i -> concat_ws(' ', slice(ws, i, $n))) end"""))
           wsrel.select(col("source"), lit(n).as("n"), g.as("g"))
         }
-        val counts = branch(1).union(branch(2)).union(branch(3))
+        val sentinel = wsrel.select(col("source"),
+          explode(array(lit(1), lit(2), lit(3))).as("n"),
+          lit(null).cast("string").as("g"))
+        branch(1).union(branch(2)).union(branch(3)).union(sentinel)
           .groupBy(col("source"), col("n"), col("g"))
-          .agg(count(lit(1)).as("c"))
+          .agg(count(col("g")).as("c")) // NULL sentinels count 0
           .groupBy(col("source"), col("n"))
           .agg(sum(col("c")).as("n_grams"),
-            count(lit(1)).as("n_distinct"),
+            count(col("g")).as("n_distinct"),
             max(col("c")).as("cmax"))
-        val spine = wsrel.select(col("source")).distinct()
-          .crossJoin(s.range(1, 4)
-            .select(col("id").cast("int").as("n")))
-        spine.join(counts, Seq("source", "n"), "left")
-          .select(col("source"), col("n"),
-            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-            coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-            round(col("n_distinct").cast("double") / col("n_grams"), 6)
+          .select(col("source"), col("n"), col("n_grams"),
+            col("n_distinct"),
+            when(col("n_grams") > 0,
+              round(col("n_distinct").cast("double") / col("n_grams"), 6))
               .as("distinct_ratio_r"),
-            round(col("cmax").cast("double") / col("n_grams"), 6)
+            when(col("n_grams") > 0,
+              round(col("cmax").cast("double") / col("n_grams"), 6))
               .as("top_share_r"))
           .orderBy(col("source"), col("n"))
       },
@@ -2124,25 +2127,21 @@ object TextQueries {
                    ELSE list_transform(range(1, len(ws) - 1),
                      i -> list_aggregate(ws[i:i+2], 'string_agg', ' '))
                    END) AS g
-          FROM w),
-        c AS (SELECT source, n, g, CAST(COUNT(*) AS BIGINT) AS c
-              FROM g GROUP BY 1, 2, 3),
-        agg AS (SELECT source, n, CAST(SUM(c) AS BIGINT) AS n_grams,
-                  CAST(COUNT(*) AS BIGINT) AS n_distinct,
-                  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6)
-                    AS distinct_ratio_r,
-                  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
-                    AS top_share_r
-                FROM c GROUP BY 1, 2),
-        spine AS (SELECT source, n
-                  FROM (SELECT DISTINCT source FROM w) sp
-                  CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS n) ns)
-        SELECT sp.source, sp.n,
-               COALESCE(a.n_grams, 0) AS n_grams,
-               COALESCE(a.n_distinct, 0) AS n_distinct,
-               a.distinct_ratio_r, a.top_share_r
-        FROM spine sp LEFT JOIN agg a
-          ON a.source = sp.source AND a.n = sp.n
+          FROM w
+          UNION ALL
+          SELECT source, n, NULL::VARCHAR AS g
+          FROM w CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS n) ns),
+        c AS (SELECT source, n, g, CAST(COUNT(g) AS BIGINT) AS c
+              FROM g GROUP BY 1, 2, 3)
+        SELECT source, n, CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(COUNT(g) AS BIGINT) AS n_distinct,
+               CASE WHEN SUM(c) > 0 THEN
+                 ROUND(CAST(COUNT(g) AS DOUBLE) / SUM(c), 6) END
+                 AS distinct_ratio_r,
+               CASE WHEN SUM(c) > 0 THEN
+                 ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) END
+                 AS top_share_r
+        FROM c GROUP BY 1, 2
         ORDER BY 1, 2
       """))
   )

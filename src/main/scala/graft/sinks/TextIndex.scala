@@ -151,6 +151,45 @@ object TextIndex {
     graft.queries.Q.bm25TopK(scored, topK)
   }
 
+  /** Batched BM25 over the persisted index: ONE postings scan serves a
+    * bounded SET of term-bag queries — the shape a retrieval EVAL runs
+    * (q269: a fixed query battery against the corpus), where looping
+    * [[searchBm25]] would re-open the index per query.
+    *
+    * @param queries (qid, terms array<string>) — bounded by design (a
+    *                query batch, not a corpus): the distinct term union
+    *                is collected to drive the same `word IN (...)`
+    *                parquet pushdown as [[searchBm25]], and the per-qid
+    *                term lists broadcast into the postings scan.
+    * @param topK    neighbors kept per qid — ranked by `Q.bm25TopKPerQuery`
+    *                (the [[searchBm25]] round-9 key + doc_id tiebreak,
+    *                partition-pre-capped so a common term's corpus-sized
+    *                match set never sorts in one task)
+    * @return (qid, rk, doc_id, n_terms, score) — [[searchBm25]]'s
+    *         contract plus the qid; per-word df and corpus totals are
+    *         the same merged statistics, so for any single query the
+    *         batch ranking ≡ the single ranking (TextIndexSpec pins it)
+    */
+  def searchBm25Batch(spark: SparkSession, indexDir: String,
+      queries: DataFrame, topK: Int): DataFrame = {
+    val qterms = queries
+      .select(col("qid"), explode(array_distinct(col("terms")))
+        .as("word"))
+      .ckpt() // bounded: |queries| · |terms| rows, feeds collect + join
+    val termSet = qterms.select(col("word")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val tf = readPostings(spark, indexDir)
+      .where(col("word").isin(termSet: _*))
+      .select(col("word"), col("doc_id"), col("tf"))
+      .ckpt() // feeds df AND the per-query scoring
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val qtf = tf.join(broadcast(qterms), "word")
+    val scored = graft.queries.Q.bm25AggregateBy(
+      qtf, df, readDoclens(spark, indexDir),
+      readTotals(spark, indexDir), Seq("qid", "doc_id"))
+    graft.queries.Q.bm25TopKPerQuery(scored, topK)
+  }
+
   /** Exact phrase search over the positional postings — q189's matcher
     * (`Q.phraseHits`, the shared anchor-vote scorer) and output
     * contract (doc_id, n_hits, first_pos), but starting from the

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Retrieval.hybridMrrFromIndexes]] differs from the oracle-gated
+  * q269 ONLY in the candidate source (persisted TextIndex/VectorIndex
+  * probes + bounded re-scores); with every IVF cell probed and both
+  * fetches covering the corpus it must reproduce q269 ROW FOR ROW —
+  * the ValuationSpec pin pattern.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hybridMrrFromIndexes: full probe + full fetch ≡ q269") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    // q269's eval corpus: docs that carry embeddings
+    val corpus = docs.join(e, docs("doc_id") === e("vec_id"))
+      .select(col("doc_id"), col("label"), col("text"))
+      .localCheckpoint()
+    val n = corpus.count().toInt
+    val tIdx = TestSpark.tmpDir("retrieval-text")
+    graft.sinks.TextIndex.build(
+      corpus.select(col("doc_id"), col("text")), tIdx)
+    val vIdx = TestSpark.tmpDir("retrieval-ivf")
+    graft.sinks.VectorIndex.build(e, vIdx, k = 16)
+    // fresh reads (not corpus ⋈ e — corpus already descends from e and
+    // localCheckpoint preserves attribute ids, so that re-join is an
+    // ambiguous self-join at analysis)
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") < 8)
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")),
+        col("doc_id") === col("vec_id"))
+      .select(col("vec_id"), col("label"), col("text"), col("embedding"))
+      .localCheckpoint()
+
+    // precondition for EXACT parity on the lexical arm: q269 ranks the
+    // WHOLE corpus (zero-similarity docs back-fill by ascending id), so
+    // the BM25 match set must cover it — every corpus doc shares ≥1
+    // word with every query
+    val qterms = queries.select(col("vec_id").as("qid"),
+      expr(s"array_distinct(${TextQueries.wordsExpr})").as("terms"))
+    val matches = graft.sinks.TextIndex
+      .searchBm25Batch(spark, tIdx, qterms, topK = n + 8)
+      .groupBy("qid").count().collect()
+    assert(matches.length == 8 && matches.forall(_.getLong(1) == n),
+      "fixture must satisfy full-match precondition (see scaladoc)")
+
+    val got = Retrieval.hybridMrrFromIndexes(spark, tIdx, vIdx,
+        queries, corpus, nprobe = 16, lexFetchK = n + 8)
+      .collect().toSeq
+    val want = graft.SparkEntry.queries("q269_hybrid_mrr")(spark, dir)
+      .collect().toSeq
+    assert(got.nonEmpty && got == want,
+      "index-backed hybrid eval != q269 at full probe")
+  }
+
+  test("hybridMrrFromIndexes: bounded fetch degrades gracefully") {
+    // with a narrow candidate budget the metric must still be a valid
+    // MRR in [0, 1] over all 8 queries for all three systems — the
+    // production configuration, not the parity one
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val corpus = docs.join(e, docs("doc_id") === e("vec_id"))
+      .select(col("doc_id"), col("label"), col("text"))
+      .localCheckpoint()
+    val tIdx = TestSpark.tmpDir("retrieval-text-b")
+    graft.sinks.TextIndex.build(
+      corpus.select(col("doc_id"), col("text")), tIdx)
+    val vIdx = TestSpark.tmpDir("retrieval-ivf-b")
+    graft.sinks.VectorIndex.build(e, vIdx, k = 16)
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") < 8)
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")),
+        col("doc_id") === col("vec_id"))
+      .select(col("vec_id"), col("label"), col("text"), col("embedding"))
+    val rows = Retrieval.hybridMrrFromIndexes(spark, tIdx, vIdx,
+        queries, corpus, nprobe = 4, lexFetchK = 100)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 8L, "every query scored")
+      val mrr = r.getDouble(3)
+      assert(mrr >= 0.0 && mrr <= 1.0, s"${r.getString(0)}: $mrr")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 8L)
+    }
+  }
+}

@@ -31,6 +31,34 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("batched BM25: each qid's slice == the single-query ranking") {
+    // three term bags of different shapes (overlapping, disjoint,
+    // single-term): the batch scan must reproduce each single-query
+    // ranking exactly — same df/totals, same round-9 key + tiebreak
+    val bags = Seq(
+      1L -> Seq("spark", "window", "merge"),
+      2L -> Seq("table", "hash"),
+      3L -> Seq("batch"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val qdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(bags.map { case (q, t) =>
+        Row(q, t) }),
+      StructType(Seq(StructField("qid", LongType),
+        StructField("terms", ArrayType(StringType)))))
+    val got = TextIndex.searchBm25Batch(spark, indexDir, qdf, topK = 15)
+      .orderBy(col("qid"), col("rk")).collect().toSeq
+      .groupBy(_.getLong(0))
+    bags.foreach { case (q, terms) =>
+      val single = TextIndex.searchBm25(spark, indexDir, terms, 15)
+        .orderBy(col("rk")).collect().toSeq
+      val batch = got(q).map(r => Row(r.getInt(1), r.get(2),
+        r.get(3), r.get(4)))
+      assert(batch == single.map(r => Row(r.getInt(0), r.get(1),
+        r.get(2), r.get(3))), s"qid $q batch != single")
+    }
+  }
+
   test("phrase search over positional postings == the in-query q189 answers") {
     val got = TextIndex
       .searchPhrase(spark, indexDir, Seq("table", "hash"))
