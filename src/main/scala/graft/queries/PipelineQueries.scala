@@ -3495,8 +3495,10 @@ object PipelineQueries {
     // docs scramble order at the third boundaries and inject sentinel
     // tokens, so every pn < 1 for real reasons. Clipped counts are
     // EXACT integers ((doc, n, gram)-keyed count join — the q184
-    // bigram shape); each ln pn quantizes at 9 before the mean
-    // (q184's exp/ln discipline), BLEU and pn round at 6.
+    // bigram shape); each ln pn quantizes at 9 AND the 4-term sum
+    // runs in exact decimals before the /4 mean (q184's exp/ln
+    // discipline + the q243 exact-sum discipline — no float
+    // reassociation anywhere), BLEU and pn round at 6.
     //
     // Scale: a PURE NARROW MAP — candidate and reference tokens live
     // in the same row, so the clipped counts come from the native
@@ -3535,11 +3537,15 @@ object PipelineQueries {
              else round(
                (case when c_len >= r_len then 1.0d
                 else exp(1.0d - cast(r_len as double) / c_len) end)
-               * exp((round(ln(cast(g1[0] as double) / g1[1]), 9)
-                    + round(ln(cast(g2[0] as double) / g2[1]), 9)
-                    + round(ln(cast(g3[0] as double) / g3[1]), 9)
-                    + round(ln(cast(g4[0] as double) / g4[1]), 9))
-                   / 4.0d), 6)
+               * exp(cast(
+                   cast(round(ln(cast(g1[0] as double) / g1[1]), 9)
+                     as decimal(32, 12))
+                 + cast(round(ln(cast(g2[0] as double) / g2[1]), 9)
+                     as decimal(32, 12))
+                 + cast(round(ln(cast(g3[0] as double) / g3[1]), 9)
+                     as decimal(32, 12))
+                 + cast(round(ln(cast(g4[0] as double) / g4[1]), 9)
+                     as decimal(32, 12)) as double) / 4.0d), 6)
              end as bleu_r"""): _*)
       },
       Some(s"""
@@ -3608,11 +3614,15 @@ object PipelineQueries {
                       (CASE WHEN c_len >= r_len THEN 1.0
                             ELSE EXP(1.0 - CAST(r_len AS DOUBLE) / c_len)
                             END)
-                      * EXP((ROUND(LN(CAST(clip1 AS DOUBLE) / tot1), 9)
-                           + ROUND(LN(CAST(clip2 AS DOUBLE) / tot2), 9)
-                           + ROUND(LN(CAST(clip3 AS DOUBLE) / tot3), 9)
-                           + ROUND(LN(CAST(clip4 AS DOUBLE) / tot4), 9))
-                          / 4.0), 6)
+                      * EXP(CAST(
+                          CAST(ROUND(LN(CAST(clip1 AS DOUBLE) / tot1), 9)
+                            AS DECIMAL(32, 12))
+                        + CAST(ROUND(LN(CAST(clip2 AS DOUBLE) / tot2), 9)
+                            AS DECIMAL(32, 12))
+                        + CAST(ROUND(LN(CAST(clip3 AS DOUBLE) / tot3), 9)
+                            AS DECIMAL(32, 12))
+                        + CAST(ROUND(LN(CAST(clip4 AS DOUBLE) / tot4), 9)
+                            AS DECIMAL(32, 12)) AS DOUBLE) / 4.0), 6)
                     END AS bleu_r
         FROM lens l LEFT JOIN piv ON piv.doc_id = l.doc_id
       """)),
@@ -3975,9 +3985,12 @@ object PipelineQueries {
           Seq(col("doc_id"), col("fim").cast("long").as("fim_applied")) ++
             (1 to 4).map(k =>
               expr(s"gram_clip(ct, rt, $k)").as(s"g$k")): _*)
-        // per-n precision/recall (round 9), then the n-average with
-        // NULL orders skipped — the same sum/count the old avg()
-        // computed, in fixed n order
+        // per-n precision/recall (round 9) quantize into exact
+        // decimals before the n-average (the q243/q262 discipline):
+        // the 4-term sum is exact and order-free in both engines, the
+        // single double division by the non-NULL count is the only
+        // float op left — no reassociation ULP risk. NULL (degenerate)
+        // orders are skipped identically.
         val p = g.select(
           Seq(col("doc_id"), col("fim_applied")) ++
             (1 to 4).flatMap(k => Seq(
@@ -3988,8 +4001,11 @@ object PipelineQueries {
                 round(cast(g$k[0] as double) / cast(g$k[2] as double), 9)
                 end""").as(s"cr$k"))): _*)
         def nAvg(pre: String) =
-          s"""(coalesce(${pre}1, 0.0d) + coalesce(${pre}2, 0.0d)
-              + coalesce(${pre}3, 0.0d) + coalesce(${pre}4, 0.0d))
+          s"""cast(coalesce(cast(${pre}1 as decimal(32, 12)), 0)
+                 + coalesce(cast(${pre}2 as decimal(32, 12)), 0)
+                 + coalesce(cast(${pre}3 as decimal(32, 12)), 0)
+                 + coalesce(cast(${pre}4 as decimal(32, 12)), 0)
+                 as double)
              / nullif(cast((${pre}1 is not null) as int)
                     + cast((${pre}2 is not null) as int)
                     + cast((${pre}3 is not null) as int)
@@ -4030,12 +4046,16 @@ object PipelineQueries {
                       CAST(SUM(r) AS BIGINT) AS totr
                FROM cr GROUP BY 1, 2),
         f AS (SELECT doc_id,
-                     AVG(CASE WHEN totc = 0 THEN NULL
-                         ELSE ROUND(CAST(clip AS DOUBLE) / totc, 9)
-                         END) AS chrp,
-                     AVG(CASE WHEN totr = 0 THEN NULL
-                         ELSE ROUND(CAST(clip AS DOUBLE) / totr, 9)
-                         END) AS chrr
+                     CAST(SUM(CASE WHEN totc = 0 THEN NULL
+                         ELSE CAST(ROUND(CAST(clip AS DOUBLE) / totc, 9)
+                           AS DECIMAL(32, 12)) END) AS DOUBLE)
+                     / NULLIF(COUNT(CASE WHEN totc = 0 THEN NULL
+                         ELSE 1 END), 0) AS chrp,
+                     CAST(SUM(CASE WHEN totr = 0 THEN NULL
+                         ELSE CAST(ROUND(CAST(clip AS DOUBLE) / totr, 9)
+                           AS DECIMAL(32, 12)) END) AS DOUBLE)
+                     / NULLIF(COUNT(CASE WHEN totr = 0 THEN NULL
+                         ELSE 1 END), 0) AS chrr
               FROM pr GROUP BY 1)
         SELECT b.doc_id,
                CAST(CASE WHEN fim THEN 1 ELSE 0 END AS BIGINT)

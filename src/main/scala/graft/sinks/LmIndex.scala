@@ -96,17 +96,19 @@ object LmIndex {
         .flatMap(l => scala.util.Try(
           l.stripPrefix("lmindex.format=").trim.toInt).toOption)
       if (!ver.contains(FormatVersion)) throw new IllegalStateException(
-        s"LmIndex at $dir declares format $ver, not $FormatVersion — " +
-          "refusing to mix incompatible count generations; rebuild with " +
-          "LmIndex.build")
+        s"rebuild-required: LmIndex at $dir declares format $ver, not " +
+          s"$FormatVersion — refusing to mix incompatible count " +
+          "generations; re-run LmIndex.build(docs, dir) over the full " +
+          "corpus to migrate")
     } else if (DeltaIO.exists(spark, s"$dir/bigrams") ||
         DeltaIO.exists(spark, s"$dir/bigrams_delta")) {
       throw new IllegalStateException(
-        s"LmIndex at $dir has no _format marker: it predates the v2 " +
-          "words/ semantics (unigram counts over >=2-token docs only, " +
-          "matching q184's vocab). Appending to or scoring it would " +
-          "silently merge incompatible vocab counts — rebuild the index " +
-          "with LmIndex.build")
+        s"rebuild-required: LmIndex at $dir has no _format marker: it " +
+          "predates the v2 words/ semantics (unigram counts over " +
+          ">=2-token docs only, matching q184's vocab). Appending to or " +
+          "scoring it would silently merge incompatible vocab counts — " +
+          "re-run LmIndex.build(docs, dir) over the full corpus to " +
+          "migrate")
     }
   }
 

@@ -151,18 +151,26 @@ class LmIndexSpec extends AnyFunSuite {
     val fs = fmt.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(fmt, false)
     val batch = Seq((1L, "hello world")).toDF("doc_id", "text")
+    // every refusal opens with the structured hint and names the
+    // remedy — the operational loop is closed in the message itself
+    def assertRemedy(e: IllegalStateException): Unit = {
+      assert(e.getMessage.startsWith("rebuild-required:"), e.getMessage)
+      assert(e.getMessage.contains("LmIndex.build"), e.getMessage)
+    }
     val e1 = intercept[IllegalStateException](
       LmIndex.append(batch, legacy))
-    assert(e1.getMessage.contains("rebuild"))
+    assertRemedy(e1)
     val e2 = intercept[IllegalStateException](
       LmIndex.score(spark, legacy, batch).collect())
     assert(e2.getMessage.contains("_format"))
+    assertRemedy(e2)
     // a future/foreign version is refused the same way
     val out = fs.create(fmt, true)
     out.write("lmindex.format=99\n".getBytes("UTF-8")); out.close()
     val e3 = intercept[IllegalStateException](
       LmIndex.scoreKn(spark, legacy, batch).collect())
     assert(e3.getMessage.contains("99"))
+    assertRemedy(e3)
     // a FRESH directory passes the check (build/appendDelta stamp it):
     // first-writer-stamps, so a streaming twin's first micro-batch on
     // an empty dir is legal
