@@ -70,7 +70,8 @@ object DedupIndex {
     * identical to build, so append-then-classify equals a full rebuild
     * (DedupIndexSpec pins it).
     */
-  def append(docs: DataFrame, indexDir: String): Unit =
+  def append(docs: DataFrame, indexDir: String,
+      claim: Option[ClaimPrimitive] = None): Unit =
     // Routed through the gen-scoped delta tree (negative-gen namespace
     // — see DeltaIO.nextPlainGen) instead of parquet mode-append on the
     // main tree: the mode-append commit lists + schema-infers the whole
@@ -79,7 +80,7 @@ object DedupIndex {
     // size; readers merge and compact folds, exactly as for streaming.
     appendDelta(docs, indexDir,
       DeltaIO.nextPlainGen(docs.sparkSession, indexDir,
-        Seq("fingerprints", "bands")))
+        Seq("fingerprints", "bands"), claim))
 
   /** Replay-safe gen-scoped [[append]] (the [[IndexSink.appendDelta]]
     * contract): a replayed micro-batch rewrites its own generation. A

@@ -66,6 +66,105 @@ trait IndexSink {
   def contents(spark: SparkSession, indexDir: String): Map[String, DataFrame]
 }
 
+/** Atomic check-and-claim seam for [[DeltaIO.nextPlainGen]]'s
+  * generation allocation. The contract is exactly-one-winner: for any
+  * set of concurrent `tryClaim(dir, g)` callers, AT MOST ONE may see
+  * true — that single guarantee is what stands between two
+  * simultaneous plain appends and a silent mode-overwrite of the same
+  * `gen=` subtree. Two implementations ship ([[ClaimPrimitive.hadoopCreate]]
+  * for atomic-create filesystems, [[ClaimPrimitive.conditionalPut]]
+  * adapting a store-native conditional write); SinkContractSpec races
+  * 4 claimants over both and asserts zero shared generations.
+  */
+trait ClaimPrimitive {
+  /** Label for diagnostics/specs. */
+  def name: String
+
+  /** Generations already claimed under `claimsDir` (crash-stale claims
+    * included — a skipped gen id is harmless, a reused one is not).
+    */
+  def claimedGens(claimsDir: String): Seq[Long]
+
+  /** Atomically create the claim marker for `gen` under `claimsDir`;
+    * true iff THIS caller created it. Losing (false, or any
+    * already-exists signal mapped to false) means: retry one gen
+    * lower.
+    */
+  def tryClaim(claimsDir: String, gen: Long): Boolean
+}
+
+object ClaimPrimitive {
+
+  private def parseGens(names: Seq[String]): Seq[Long] =
+    names.filter(_.startsWith("gen=-"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("gen=").toLong).toOption)
+
+  /** The filesystem claim, valid ONLY on
+    * [[DeltaIO.AtomicCreateSchemes]]. Hadoop's LOCAL FS is NOT a valid
+    * claim primitive as-is: RawLocalFileSystem.create(f,
+    * overwrite=false) is exists-then-open (plain FileOutputStream, no
+    * O_EXCL), so two racers can BOTH pass the exists check and both
+    * "win" — the SinkContractSpec claimant race reproduced exactly
+    * that (15 shared gens in 100 claims). On file:// the claim
+    * therefore goes through java.io.File.createNewFile, which the JDK
+    * guarantees atomic (O_CREAT|O_EXCL). On HDFS-family schemes
+    * fs.createNewFile is atomic at the namenode, but its exists
+    * pre-check can still THROW FileAlreadyExistsException to the
+    * loser instead of returning false — either signal means lost.
+    */
+  def hadoopCreate(conf: org.apache.hadoop.conf.Configuration)
+      : ClaimPrimitive = new ClaimPrimitive {
+    def name = "hadoop-create"
+    def claimedGens(claimsDir: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(claimsDir)
+      val fs = p.getFileSystem(conf)
+      fs.mkdirs(p)
+      parseGens(fs.listStatus(p).toSeq.map(_.getPath.getName))
+    }
+    def tryClaim(claimsDir: String, gen: Long): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(claimsDir, s"gen=$gen")
+      val fs = p.getFileSystem(conf)
+      val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+      require(DeltaIO.AtomicCreateSchemes.contains(scheme),
+        s"hadoopCreate claim on '$scheme://' is not atomic — use " +
+          "ClaimPrimitive.conditionalPut with the store's native " +
+          "conditional write")
+      if (scheme == "file")
+        new java.io.File(p.toUri.getPath).createNewFile()
+      else
+        try fs.createNewFile(p)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+    }
+  }
+
+  /** Adapter for a store-NATIVE conditional write — the real claim
+    * path for object stores, where create-with-overwrite=false is
+    * HEAD-then-PUT (last-writer-wins, not a claim): S3 `If-None-Match:
+    * *` PUT, GCS `ifGenerationMatch=0`, ABFS ETag preconditions all
+    * fit this shape. The caller supplies the store's atomic
+    * put-if-absent (true iff the key was created by this call) and a
+    * prefix listing; markers are keys `<claimsDir>/gen=<g>`. This
+    * container has no object store, so SinkContractSpec proves the
+    * seam with an in-memory atomic fake under real thread contention —
+    * wiring a production store is one constructor call around its
+    * client, no DeltaIO change.
+    */
+  def conditionalPut(label: String, putIfAbsent: String => Boolean,
+      listKeys: String => Seq[String]): ClaimPrimitive =
+    new ClaimPrimitive {
+      def name = label
+      def claimedGens(claimsDir: String): Seq[Long] =
+        parseGens(listKeys(claimsDir).map { k =>
+          val i = k.lastIndexOf('/')
+          if (i < 0) k else k.substring(i + 1)
+        })
+      def tryClaim(claimsDir: String, gen: Long): Boolean =
+        putIfAbsent(s"$claimsDir/gen=$gen")
+    }
+}
+
 /** Shared read/write plumbing for the gen-scoped delta trees every
   * sink's [[IndexSink.appendDelta]] uses: relation `rel` may carry an
   * optional sibling `rel_delta/gen=<g>/...` tree; readers union it in
@@ -119,8 +218,8 @@ private[sinks] object DeltaIO {
     * exactly that listing. A `gen=` subtree write touches only its own
     * directory and stays O(batch) at any index size.
     */
-  def nextPlainGen(spark: SparkSession, dir: String,
-      rels: Seq[String]): Long = {
+  def nextPlainGen(spark: SparkSession, dir: String, rels: Seq[String],
+      claim: Option[ClaimPrimitive] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val used = rels.flatMap { rel =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/${rel}_delta")
@@ -130,63 +229,43 @@ private[sinks] object DeltaIO {
         .filter(_.startsWith("gen=-"))
         .flatMap(n => scala.util.Try(n.stripPrefix("gen=").toLong).toOption)
     }
-    // Allocate via a create-if-absent claim marker: two concurrent
-    // appenders that both list the same free gen would otherwise
-    // mode-overwrite the same gen= subtree and silently drop the first
-    // batch. ATOMICITY SCOPE: createNewFile is atomic on HDFS and
-    // local/POSIX filesystems — enforced below by a hard scheme check.
-    // It is NOT atomic on S3A and most object stores
-    // (create-with-overwrite=false there is HEAD-then-PUT), so two
-    // remote appenders could race to the same gen and SILENTLY lose a
-    // batch; rather than ship that, plain append REFUSES to allocate
-    // on a scheme outside the atomic-create set. Object-store callers
-    // have two safe paths: [[writeGen]] via appendDelta with
-    // caller-assigned gens (a streaming micro-batch id, or any
-    // externally serialized counter), or a store-native conditional
-    // write (e.g. S3 If-None-Match) wired as the claim primitive. The
-    // loser here retries one gen lower. Claim files are O(#appends)
+    // Allocate via an atomic claim marker ([[ClaimPrimitive]]): two
+    // concurrent appenders that both list the same free gen would
+    // otherwise mode-overwrite the same gen= subtree and silently drop
+    // the first batch. DEFAULT primitive (claim = None) is the
+    // filesystem create ([[ClaimPrimitive.hadoopCreate]]), which is an
+    // atomic check-and-claim ONLY on HDFS and local/POSIX filesystems
+    // — enforced by the hard scheme check below. It is NOT atomic on
+    // S3A and most object stores (create-with-overwrite=false there is
+    // HEAD-then-PUT), so two remote appenders could race to the same
+    // gen and SILENTLY lose a batch; rather than ship that, plain
+    // append REFUSES to allocate on a scheme outside the atomic-create
+    // set unless the caller passes a primitive wired to the store's
+    // native conditional write ([[ClaimPrimitive.conditionalPut]] —
+    // e.g. an S3 If-None-Match PUT). The other safe object-store path
+    // stays [[writeGen]] via appendDelta with caller-assigned gens (a
+    // streaming micro-batch id, or any externally serialized counter).
+    // The loser retries one gen lower. Claim files are O(#appends)
     // tiny markers — same listing class as the delta tree itself —
     // and stale claims merely skip a gen id.
-    val claims = new org.apache.hadoop.fs.Path(s"$dir/_gen_claims")
-    val fs = claims.getFileSystem(conf)
-    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    if (!AtomicCreateSchemes.contains(scheme))
-      throw new UnsupportedOperationException(
-        s"nextPlainGen on '$scheme://' — createNewFile is not an atomic " +
-          "check-and-claim on this filesystem, so concurrent plain " +
-          "appends could silently drop a batch. Use appendDelta with a " +
-          "caller-assigned gen (streaming micro-batch id or an " +
-          "externally serialized counter), or add a store-native " +
-          "conditional-write claim for this scheme.")
-    fs.mkdirs(claims)
-    val claimed =
-      fs.listStatus(claims).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("gen=-"))
-        .flatMap(n => scala.util.Try(n.stripPrefix("gen=").toLong).toOption)
-    // The claim primitive, per scheme. Hadoop's LOCAL FS is NOT a
-    // valid claim primitive as-is: RawLocalFileSystem.create(f,
-    // overwrite=false) is exists-then-open (plain FileOutputStream, no
-    // O_EXCL), so two racers can BOTH pass the exists check and both
-    // "win" — the SinkContractSpec claimant race reproduced exactly
-    // that (15 shared gens in 100 claims). On file:// the claim
-    // therefore goes through java.io.File.createNewFile, which the JDK
-    // guarantees atomic (O_CREAT|O_EXCL). On HDFS-family schemes
-    // fs.createNewFile is atomic at the namenode, but its exists
-    // pre-check can still THROW FileAlreadyExistsException to the
-    // loser instead of returning false — either signal means: claim
-    // lost, retry one gen lower.
-    def tryClaim(g: Long): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(claims, s"gen=$g")
-      if (scheme == "file")
-        new java.io.File(p.toUri.getPath).createNewFile()
-      else
-        try fs.createNewFile(p)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        }
+    val claims = s"$dir/_gen_claims"
+    val primitive = claim.getOrElse {
+      val fs = new org.apache.hadoop.fs.Path(claims).getFileSystem(conf)
+      val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+      if (!AtomicCreateSchemes.contains(scheme))
+        throw new UnsupportedOperationException(
+          s"nextPlainGen on '$scheme://' — createNewFile is not an " +
+            "atomic check-and-claim on this filesystem, so concurrent " +
+            "plain appends could silently drop a batch. Use appendDelta " +
+            "with a caller-assigned gen (streaming micro-batch id or an " +
+            "externally serialized counter), or pass a " +
+            "ClaimPrimitive.conditionalPut wired to the store's native " +
+            "conditional write (e.g. S3 If-None-Match).")
+      ClaimPrimitive.hadoopCreate(conf)
     }
+    val claimed = primitive.claimedGens(claims)
     var g = ((used ++ claimed) :+ 0L).min - 1L
-    while (!tryClaim(g))
+    while (!primitive.tryClaim(claims, g))
       g -= 1L
     g
   }

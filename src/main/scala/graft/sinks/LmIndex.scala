@@ -158,13 +158,14 @@ object LmIndex {
     * Exactly-once callers only; at-least-once callers use
     * [[appendDelta]].
     */
-  def append(docs: DataFrame, indexDir: String): Unit = {
+  def append(docs: DataFrame, indexDir: String,
+      claim: Option[ClaimPrimitive] = None): Unit = {
     // format check BEFORE allocating a gen claim, so a refused append
     // leaves no stale claim marker behind
     requireFormat(docs.sparkSession, indexDir)
     appendDelta(docs, indexDir,
       DeltaIO.nextPlainGen(docs.sparkSession, indexDir,
-        Seq("bigrams", "words")))
+        Seq("bigrams", "words"), claim))
   }
 
   /** Replay-safe gen-scoped [[append]] (the [[IndexSink.appendDelta]]

@@ -108,7 +108,8 @@ object VectorIndex {
     * reassignment invalidates every cell.)
     */
   def append(spark: SparkSession, indexDir: String,
-      emb: DataFrame, maxRecordsPerFile: Int = 1 << 20): Unit =
+      emb: DataFrame, maxRecordsPerFile: Int = 1 << 20,
+      claim: Option[ClaimPrimitive] = None): Unit =
     // Routed through the gen-scoped delta tree (negative-gen namespace
     // — DeltaIO.nextPlainGen) instead of parquet mode-append on the
     // main cell-partitioned tree: the mode-append commit lists +
@@ -117,7 +118,7 @@ object VectorIndex {
     // the exact class the r9 10× SinkBench flagged on DedupIndex. The
     // gen= write touches only its own subtree: O(batch) at any size.
     appendDelta(spark, indexDir, emb,
-      DeltaIO.nextPlainGen(spark, indexDir, Seq("postings")),
+      DeltaIO.nextPlainGen(spark, indexDir, Seq("postings"), claim),
       maxRecordsPerFile)
 
   private def fsExists(spark: SparkSession, p: String): Boolean =
@@ -267,12 +268,13 @@ object VectorIndex {
     * [[appendDeltaPq]].
     */
   def appendPq(spark: SparkSession, indexDir: String,
-      emb: DataFrame, maxRecordsPerFile: Int = 1 << 20): Unit =
+      emb: DataFrame, maxRecordsPerFile: Int = 1 << 20,
+      claim: Option[ClaimPrimitive] = None): Unit =
     // Same delta-tree routing as [[append]] — the PQ main tree is
     // cell-partitioned too, so mode-append's full-tree listing grows
     // with the corpus; the gen= subtree write stays O(batch).
     appendDeltaPq(spark, indexDir, emb,
-      DeltaIO.nextPlainGen(spark, indexDir, Seq("pq_postings")),
+      DeltaIO.nextPlainGen(spark, indexDir, Seq("pq_postings"), claim),
       maxRecordsPerFile)
 
   /** Gen-scoped delta form of [[appendPq]] — the [[appendDelta]]

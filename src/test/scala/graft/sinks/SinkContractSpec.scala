@@ -123,21 +123,20 @@ class SinkContractSpec extends AnyFunSuite {
     }
   }
 
-  test("concurrent plain-gen claimants never share a generation") {
-    // the createNewFile claim in DeltaIO.nextPlainGen is the ONLY
-    // thing standing between two simultaneous plain appends and a
-    // silent mode-overwrite of the same gen= subtree — race it for
-    // real: 4 claimants × 25 allocations on one index root must yield
-    // 100 DISTINCT gens (atomic on local/POSIX, the scheme the check
-    // below pins)
-    val root = TestSpark.tmpDir("gen-claims-race")
+  /** 4 claimants × 25 allocations on one index root must yield 100
+    * DISTINCT negative gens — the exactly-one-winner contract of
+    * whatever [[ClaimPrimitive]] is plugged in.
+    */
+  private def raceClaimants(root: String,
+      claim: Option[ClaimPrimitive]): Unit = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val fs = scala.concurrent.Future.traverse((1 to 4).toList) { _ =>
       scala.concurrent.Future {
         (1 to 25).map(_ =>
-          DeltaIO.nextPlainGen(spark, root, Seq("bigrams", "words")))
+          DeltaIO.nextPlainGen(spark, root, Seq("bigrams", "words"),
+            claim))
       }
     }
     val gens = scala.concurrent.Await
@@ -146,6 +145,32 @@ class SinkContractSpec extends AnyFunSuite {
     assert(gens.size == 100 && gens.distinct.size == 100,
       s"gen collision: ${gens.groupBy(identity).filter(_._2.size > 1).keys}")
     assert(gens.forall(_ < 0), "plain gens must use the negative namespace")
+  }
+
+  test("concurrent plain-gen claimants never share a generation") {
+    // the default primitive (hadoopCreate: JDK createNewFile on
+    // file://) is the ONLY thing standing between two simultaneous
+    // plain appends and a silent mode-overwrite of the same gen=
+    // subtree — race it for real
+    raceClaimants(TestSpark.tmpDir("gen-claims-race"), None)
+  }
+
+  test("a conditional-put ClaimPrimitive passes the same claimant race") {
+    // the object-store seam: an atomic put-if-absent (standing in for
+    // an S3 If-None-Match PUT — this container has no object store)
+    // must satisfy the identical exactly-one-winner contract under
+    // real thread contention; claimedGens reads back the fake store's
+    // key listing, so the allocation scan path is exercised too
+    val store = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+    val claim = ClaimPrimitive.conditionalPut(
+      "fake-if-none-match",
+      putIfAbsent = k => store.putIfAbsent(k, ()) == null,
+      listKeys = prefix => {
+        import scala.jdk.CollectionConverters._
+        store.keySet.asScala.toSeq.filter(_.startsWith(prefix + "/"))
+      })
+    raceClaimants(TestSpark.tmpDir("gen-claims-race-condput"),
+      Some(claim))
   }
 
   test("plain-gen allocation refuses a non-atomic-create scheme") {
