@@ -4,7 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.local("graft-bench", cpus)
+    // data-derived shuffle-partition floor: identical to the plain
+    // core-count session at sf<=0.1, but a 100x ScaleProbe dir
+    // derives the partition count whose absence caused the r12
+    // AGGREGATE_OUT_OF_MEMORY (see Sessions.derivedShufflePartitions)
+    val spark = Sessions.localSized("graft-bench", cpus, sfDir)
     // Warm up the JVM/codegen and the parquet reader paths so the first
     // measured query doesn't absorb session startup.
     spark.range(1000000L).selectExpr("sum(id)").collect()

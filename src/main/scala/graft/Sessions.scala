@@ -20,9 +20,71 @@ object Sessions {
     * to as well). AQE coalesces small partitions back at runtime, so
     * oversizing is safe at every SF.
     */
-  def local(appName: String, master: String): SparkSession = {
-    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
-      master.takeWhile(_ != ','))
+  /** Pure arithmetic of [[derivedShufflePartitions]], spec-testable:
+    * partitions = max(cores, ceil(inputBytes / targetBytesPerTask)).
+    * A hash aggregation's per-task state is proportional to (input
+    * bytes / partitions), so holding bytes-per-task constant as the
+    * data grows is what keeps a fixed heap out of
+    * AGGREGATE_OUT_OF_MEMORY — the r12 100× probe hit exactly that
+    * with 32 partitions pinned while rows grew 100×. On a real
+    * cluster partitions scale with data for the same reason.
+    */
+  def partitionsFor(inputBytes: Long, cores: Int,
+      targetBytesPerTask: Long = 16L << 20): Int =
+    math.max(cores,
+      ((inputBytes + targetBytesPerTask - 1) / targetBytesPerTask)
+        .min(Int.MaxValue).toInt)
+
+  /** Shuffle-partition floor derived from the on-disk input size —
+    * the 100× OOM guardrail made automatic: instead of leaving
+    * `SPARK_GRAFT_SHUFFLE_PARTITIONS` a purely manual knob a probe
+    * operator must remember, the session measures the data directory
+    * and sizes partitions to the DATA, not the box. The 16 MiB
+    * default is ON-DISK (compressed parquet) bytes per task ≈ 128 MiB
+    * decompressed at the ~8× ratio typical for text-heavy parquet —
+    * i.e. the `maxPartitionBytes` convention restated in the units a
+    * directory listing can actually measure. At sf0.1 (~18 MB) the
+    * floor stays the core count and nothing changes; at the r12 100×
+    * probe dir (~1.8 GB) it derives ~110 partitions — precisely the
+    * sizing whose absence produced that probe's
+    * AGGREGATE_OUT_OF_MEMORY. AQE coalesces the excess back at
+    * runtime, so oversizing costs nothing at small SFs.
+    */
+  def derivedShufflePartitions(dataDir: String, cores: Int,
+      targetBytesPerTask: Long = 16L << 20): Int = {
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(dataDir)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    } catch { case _: Throwable => 0L }
+    partitionsFor(bytes, cores, targetBytesPerTask)
+  }
+
+  /** [[local]] with the data-derived shuffle-partition floor:
+    * `SPARK_GRAFT_SHUFFLE_PARTITIONS` still overrides (the manual
+    * escape hatch), otherwise partitions =
+    * [[derivedShufflePartitions]] over `dataDir`. Announces a derived
+    * setting above the core count so a probe log names the sizing
+    * rule that was applied.
+    */
+  def localSized(appName: String, master: String,
+      dataDir: String): SparkSession = {
+    val cores = master.takeWhile(_ != ',').toInt
+    val derived = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt)
+      .getOrElse(derivedShufflePartitions(dataDir, cores))
+    if (derived > cores)
+      System.err.println(s"[sessions] $dataDir → " +
+        s"spark.sql.shuffle.partitions=$derived (data-derived floor; " +
+        "override with SPARK_GRAFT_SHUFFLE_PARTITIONS)")
+    local(appName, master, Some(derived))
+  }
+
+  def local(appName: String, master: String,
+      shufflePartitions: Option[Int] = None): SparkSession = {
+    val parts = shufflePartitions.map(_.toString).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        master.takeWhile(_ != ',')))
     val spark = SparkSession.builder()
       .master(s"local[$master]")
       .appName(appName)

@@ -27,7 +27,7 @@ object SinkBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.local("graft-sinkbench", cpus)
+    val spark = Sessions.localSized("graft-sinkbench", cpus, sfDir)
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup
 
     val docs = Tables(spark, sfDir).documents

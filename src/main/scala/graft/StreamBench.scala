@@ -54,7 +54,7 @@ object StreamBench {
       "500").toInt
     val evBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_EV_BATCH",
       "10000").toInt
-    val spark = Sessions.local("graft-streambench", cpus)
+    val spark = Sessions.localSized("graft-streambench", cpus, sfDir)
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup
