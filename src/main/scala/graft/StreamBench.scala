@@ -54,7 +54,25 @@ object StreamBench {
       "500").toInt
     val evBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_EV_BATCH",
       "10000").toInt
+    // Probe-prefix cap: per-batch latency is batch-local and the clean
+    // twin's state bound is the watermark horizon (both prefix-
+    // independent claims), so a few-hundred-batch PREFIX of a 100×
+    // feed measures the same thing as the full drive without 10k
+    // processAllAvailable round-trips. State-row numbers are reported
+    // for the prefix actually fed (the sessions twin's O(users-seen)
+    // growth is visible either way — ScaleProbe interleaves the copies
+    // over one calendar window, so a ts-ordered prefix samples every
+    // copy's users). Unset = drive the whole feed.
+    val maxBatches = sys.env.get("SPARK_GRAFT_STREAM_MAX_BATCHES")
+      .map(_.toInt)
+    // State-store provider override — the RocksDB point
+    // (org.apache.spark.sql.execution.streaming.state
+    // .RocksDBStateStoreProvider) prices state OFF-heap: state_mb then
+    // reports the native store's footprint, not JVM-object overhead.
+    val provider = sys.env.get("SPARK_GRAFT_STREAM_STATE_PROVIDER")
     val spark = Sessions.localSized("graft-streambench", cpus, sfDir)
+    provider.foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup
@@ -63,17 +81,21 @@ object StreamBench {
     // docs: event time advances 1 s per doc in id order, so the 1 h
     // watermark horizon is a fixed 3600-doc window at any corpus size
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
-    val docRows = Tables(spark, sfDir).documents
+    // capped collects go through orderBy+limit (TakeOrdered — never a
+    // full-corpus driver collect when a prefix is all the probe feeds)
+    def capped(df: DataFrame, batchSize: Int): DataFrame =
+      maxBatches.map(m => df.limit(m * batchSize)).getOrElse(df)
+    val docRows = capped(Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .orderBy(col("doc_id")).collect()
+      .orderBy(col("doc_id")), docBatch).collect()
       .zipWithIndex.map { case (r, i) =>
         BenchDoc(r.getLong(0), r.getString(1), r.getString(2),
           r.getString(3), new java.sql.Timestamp(base + i * 1000L))
       }
-    val evRows = Tables(spark, sfDir).events
+    val evRows = capped(Tables(spark, sfDir).events
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-      .orderBy(col("ts"), col("event_id")).collect()
+      .orderBy(col("ts"), col("event_id")), evBatch).collect()
       .map(r => streaming.EventsStreaming.Event(r.getLong(0),
         r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
 
@@ -150,7 +172,9 @@ object StreamBench {
       .mkString(",")
     // sanity floor so a silently-empty feed can't masquerade as "fast"
     require(twins.forall(_.rows > 0), "empty feed")
-    println(s"""{"metric":"streambench","sf":"$sfDir","twins":{$js}}""")
+    val prov = provider.map(_.split('.').last).getOrElse("HDFSBackedStateStoreProvider")
+    println(s"""{"metric":"streambench","sf":"$sfDir",""" +
+      s""""state_provider":"$prov","twins":{$js}}""")
     spark.stop()
   }
 }

@@ -1615,36 +1615,57 @@ object DedupQueries {
     // |sources|-bounded with 1-row-broadcast totals.
     QDef(
       "q278_dedup_weights",
-      (s, dir) => {
-        val assign = clusterAssignment(s, dir).ckpt()
-        val docs = Tables(s, dir).documents
-          .select(col("doc_id"), col("source"))
-        val sized = assign.groupBy(col("cluster_id"))
-          .agg(count(lit(1)).as("csz"))
-        val agg = docs
-          .join(assign, Seq("doc_id"))
-          .join(sized, Seq("cluster_id"))
-          .select(col("source"),
-            expr("cast(round(1.0d / csz, 12) as decimal(32, 12))")
-              .as("wq"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("wq")).as("eff"))
-          .ckpt() // |sources|-bounded; feeds the totals AND the shares
-        val tot = agg.agg(sum(col("n_docs")).as("tn"),
-          sum(col("eff")).as("te"))
-        agg.crossJoin(broadcast(tot))
-          .select(col("source"), col("n_docs"),
-            round(col("eff").cast("double"), 6).as("effective_mass_r"),
-            round(col("n_docs").cast("double") / col("tn"), 6)
-              .as("raw_share_r"),
-            round(expr("cast(eff as double) / cast(te as double)"), 6)
-              .as("dedup_share_r"),
-            round(expr("cast(eff as double)") / col("n_docs"), 6)
-              .as("uniqueness_r"))
-          .orderBy(col("source"))
-      },
+      (s, dir) => dedupWeights(s, dir).orderBy(col("source")),
       Some(s"""
         WITH RECURSIVE $clusterAssignDuckCtes,
+        $dedupWeightsDuckCtes
+        SELECT source, n_docs, effective_mass_r, raw_share_r,
+               dedup_share_r, uniqueness_r
+        FROM dwrep
+        ORDER BY 1
+      """))
+  )
+
+  /** q278's per-source dedup-aware mass relation — ONE definition
+    * shared by the q278 QDef and q279's curation close-out (the
+    * sharedSpans rule): (source, n_docs, effective_mass_r,
+    * raw_share_r, dedup_share_r, uniqueness_r), unordered.
+    */
+  private[queries] def dedupWeights(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val assign = clusterAssignment(s, dir).ckpt()
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), col("source"))
+    val sized = assign.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csz"))
+    val agg = docs
+      .join(assign, Seq("doc_id"))
+      .join(sized, Seq("cluster_id"))
+      .select(col("source"),
+        expr("cast(round(1.0d / csz, 12) as decimal(32, 12))")
+          .as("wq"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("wq")).as("eff"))
+      .ckpt() // |sources|-bounded; feeds the totals AND the shares
+    val tot = agg.agg(sum(col("n_docs")).as("tn"),
+      sum(col("eff")).as("te"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("eff").cast("double"), 6).as("effective_mass_r"),
+        round(col("n_docs").cast("double") / col("tn"), 6)
+          .as("raw_share_r"),
+        round(expr("cast(eff as double) / cast(te as double)"), 6)
+          .as("dedup_share_r"),
+        round(expr("cast(eff as double)") / col("n_docs"), 6)
+          .as("uniqueness_r"))
+  }
+
+  /** DuckDB twin of [[dedupWeights]] (consumes the
+    * [[clusterAssignDuckCtes]] `assign` relation; final CTE `dwrep`).
+    * CTE names: sized, dd, dwagg, dwtot, dwrep.
+    */
+  private[queries] lazy val dedupWeightsDuckCtes: String = """
         sized AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csz
                   FROM assign GROUP BY 1),
         dd AS (SELECT d.source,
@@ -1652,19 +1673,19 @@ object DedupQueries {
                FROM documents d
                  JOIN assign a ON a.doc_id = d.doc_id
                  JOIN sized s2 ON s2.cluster_id = a.cluster_id),
-        agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                  SUM(wq) AS eff
-                FROM dd GROUP BY 1),
-        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tn, SUM(eff) AS te
-                FROM agg)
-        SELECT source, n_docs,
-               ROUND(CAST(eff AS DOUBLE), 6) AS effective_mass_r,
-               ROUND(CAST(n_docs AS DOUBLE) / t.tn, 6) AS raw_share_r,
-               ROUND(CAST(eff AS DOUBLE) / CAST(t.te AS DOUBLE), 6)
-                 AS dedup_share_r,
-               ROUND(CAST(eff AS DOUBLE) / n_docs, 6) AS uniqueness_r
-        FROM agg, tot t
-        ORDER BY 1
-      """))
-  )
+        dwagg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    SUM(wq) AS eff
+                  FROM dd GROUP BY 1),
+        dwtot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tn,
+                         SUM(eff) AS te
+                  FROM dwagg),
+        dwrep AS (SELECT source, n_docs,
+                    ROUND(CAST(eff AS DOUBLE), 6) AS effective_mass_r,
+                    ROUND(CAST(n_docs AS DOUBLE) / t.tn, 6)
+                      AS raw_share_r,
+                    ROUND(CAST(eff AS DOUBLE) / CAST(t.te AS DOUBLE), 6)
+                      AS dedup_share_r,
+                    ROUND(CAST(eff AS DOUBLE) / n_docs, 6)
+                      AS uniqueness_r
+                  FROM dwagg, dwtot t)"""
 }

@@ -3779,67 +3779,13 @@ object PipelineQueries {
     // rows in one partial-agg exchange; everything after is scalar.
     QDef(
       "q249_doremi_mixture",
-      (s, dir) => {
-        val (big, lp) = TextQueries.bigramLm(s, dir)
-        val bySrc = big.join(lp, Seq("w1", "w2"))
-          .select(col("source"),
-            expr("cast(round(-lp * 1e9) as bigint)").as("nll9"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            sum(col("nll9")).as("nll9_sum"))
-          .ckpt() // |sources| rows
-        val tot = bySrc.agg(sum(col("n_bigrams")).as("nt"),
-          sum(col("nll9_sum")).as("st"))
-        val w = bySrc.crossJoin(broadcast(tot))
-          .select(col("source"), col("n_bigrams"),
-            expr("round(cast(nll9_sum as double) / 1e9 / n_bigrams, 9)")
-              .as("mean_nll"),
-            expr("round(cast(st as double) / 1e9 / nt, 9)")
-              .as("corpus_nll"),
-            expr("round(cast(n_bigrams as double) / nt, 9)")
-              .as("base_share"))
-          .withColumn("excess",
-            expr("round(mean_nll - corpus_nll, 9)"))
-          .withColumn("raw",
-            expr("round(base_share * exp(excess), 6)"))
-        val z = w.agg(sum(col("raw")).as("z"))
-        w.crossJoin(broadcast(z))
-          .select(col("source"), col("n_bigrams"),
-            expr("round(mean_nll, 6)").as("mean_nll_r"),
-            expr("round(excess, 6)").as("excess_nll_r"),
-            expr("round(base_share, 6)").as("base_share_r"),
-            expr("round(raw / z, 6)").as("doremi_weight_r"))
-          .orderBy(col("source"))
-      },
+      (s, dir) => doremiWeights(s, dir).orderBy(col("source")),
       Some(s"""
         WITH ${TextQueries.bigramLmDuck},
-        sc AS (SELECT source, CAST(ROUND(-lp * 1e9) AS BIGINT) AS nll9
-               FROM big JOIN lp USING (w1, w2)),
-        bs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                      CAST(SUM(nll9) AS BIGINT) AS nll9_sum
-               FROM sc GROUP BY 1),
-        tt AS (SELECT CAST(SUM(n_bigrams) AS BIGINT) AS nt,
-                      CAST(SUM(nll9_sum) AS BIGINT) AS st FROM bs),
-        w AS (SELECT source, n_bigrams,
-                     ROUND(CAST(nll9_sum AS DOUBLE) / 1e9 / n_bigrams, 9)
-                       AS mean_nll,
-                     ROUND(CAST(st AS DOUBLE) / 1e9 / nt, 9)
-                       AS corpus_nll,
-                     ROUND(CAST(n_bigrams AS DOUBLE) / nt, 9)
-                       AS base_share
-              FROM bs, tt),
-        w2 AS (SELECT source, n_bigrams, mean_nll, base_share,
-                      ROUND(mean_nll - corpus_nll, 9) AS excess,
-                      ROUND(base_share
-                            * EXP(ROUND(mean_nll - corpus_nll, 9)), 6)
-                        AS raw
-               FROM w),
-        z AS (SELECT SUM(raw) AS z FROM w2)
-        SELECT source, n_bigrams, ROUND(mean_nll, 6) AS mean_nll_r,
-               ROUND(excess, 6) AS excess_nll_r,
-               ROUND(base_share, 6) AS base_share_r,
-               ROUND(raw / z, 6) AS doremi_weight_r
-        FROM w2, z ORDER BY source
+        $doremiWeightsDuckCtes
+        SELECT source, n_bigrams, mean_nll_r, excess_nll_r,
+               base_share_r, doremi_weight_r
+        FROM dmrep ORDER BY source
       """)),
 
     // ------------------------------------------------------------------
@@ -5163,4 +5109,79 @@ object PipelineQueries {
         ORDER BY 1
       """))
   )
+
+  /** q249's per-source DoReMi weight relation — ONE definition shared
+    * by the q249 QDef and q279's curation close-out (the sharedSpans
+    * rule): (source, n_bigrams, mean_nll_r, excess_nll_r,
+    * base_share_r, doremi_weight_r), unordered. Determinism/scale
+    * contract documented at q249.
+    */
+  private[queries] def doremiWeights(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val (big, lp) = TextQueries.bigramLm(s, dir)
+    val bySrc = big.join(lp, Seq("w1", "w2"))
+      .select(col("source"),
+        expr("cast(round(-lp * 1e9) as bigint)").as("nll9"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll9")).as("nll9_sum"))
+      .ckpt() // |sources| rows
+    val tot = bySrc.agg(sum(col("n_bigrams")).as("nt"),
+      sum(col("nll9_sum")).as("st"))
+    val w = bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_bigrams"),
+        expr("round(cast(nll9_sum as double) / 1e9 / n_bigrams, 9)")
+          .as("mean_nll"),
+        expr("round(cast(st as double) / 1e9 / nt, 9)")
+          .as("corpus_nll"),
+        expr("round(cast(n_bigrams as double) / nt, 9)")
+          .as("base_share"))
+      .withColumn("excess",
+        expr("round(mean_nll - corpus_nll, 9)"))
+      .withColumn("raw",
+        expr("round(base_share * exp(excess), 6)"))
+    val z = w.agg(sum(col("raw")).as("z"))
+    w.crossJoin(broadcast(z))
+      .select(col("source"), col("n_bigrams"),
+        expr("round(mean_nll, 6)").as("mean_nll_r"),
+        expr("round(excess, 6)").as("excess_nll_r"),
+        expr("round(base_share, 6)").as("base_share_r"),
+        expr("round(raw / z, 6)").as("doremi_weight_r"))
+  }
+
+  /** DuckDB twin of [[doremiWeights]] (consumes
+    * [[TextQueries.bigramLmDuck]]'s `big`/`lp` relations; final CTE
+    * `dmrep`). CTE names dm-prefixed so the fragment composes with the
+    * cluster-assignment chain (whose names include `w`) in q279.
+    */
+  private[queries] lazy val doremiWeightsDuckCtes: String = """
+        dmsc AS (SELECT source, CAST(ROUND(-lp * 1e9) AS BIGINT) AS nll9
+                 FROM big JOIN lp USING (w1, w2)),
+        dmbs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                        CAST(SUM(nll9) AS BIGINT) AS nll9_sum
+                 FROM dmsc GROUP BY 1),
+        dmtt AS (SELECT CAST(SUM(n_bigrams) AS BIGINT) AS nt,
+                        CAST(SUM(nll9_sum) AS BIGINT) AS st FROM dmbs),
+        dmw AS (SELECT source, n_bigrams,
+                  ROUND(CAST(nll9_sum AS DOUBLE) / 1e9 / n_bigrams, 9)
+                    AS mean_nll,
+                  ROUND(CAST(st AS DOUBLE) / 1e9 / nt, 9)
+                    AS corpus_nll,
+                  ROUND(CAST(n_bigrams AS DOUBLE) / nt, 9)
+                    AS base_share
+                FROM dmbs, dmtt),
+        dmw2 AS (SELECT source, n_bigrams, mean_nll, base_share,
+                   ROUND(mean_nll - corpus_nll, 9) AS excess,
+                   ROUND(base_share
+                         * EXP(ROUND(mean_nll - corpus_nll, 9)), 6)
+                     AS raw
+                 FROM dmw),
+        dmz AS (SELECT SUM(raw) AS z FROM dmw2),
+        dmrep AS (SELECT source, n_bigrams,
+                    ROUND(mean_nll, 6) AS mean_nll_r,
+                    ROUND(excess, 6) AS excess_nll_r,
+                    ROUND(base_share, 6) AS base_share_r,
+                    ROUND(raw / z, 6) AS doremi_weight_r
+                  FROM dmw2, dmz)"""
 }

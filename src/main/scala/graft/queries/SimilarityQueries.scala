@@ -3531,6 +3531,99 @@ object SimilarityQueries {
           ON a.cell = b.cell AND a.source < b.source
         GROUP BY 1, 2, 3, 4
         ORDER BY 1, 2
+      """)),
+
+    // ------------------------------------------------------------------
+    // q279: curation close-out — the one per-source ship/hold report a
+    // data lead reads before freezing a training mixture, composing
+    // this suite's three per-source signals WITHOUT re-deriving any of
+    // them (every input is a shared definition, the anti-drift rule):
+    //   - duplication: q278's dedup-aware mass (DedupQueries
+    //     .dedupWeights — uniqueness = effective/raw mass);
+    //   - value: q262's exact KNN-Shapley (knnShapley), rolled up per
+    //     SOURCE instead of q270's per-cluster size classes — a
+    //     source whose valued docs HURT eval on average is flagged;
+    //   - mixture: q249's DoReMi weight (PipelineQueries
+    //     .doremiWeights) — the weight the source ships WITH.
+    // Verdict rule (deterministic over the round-6/9 inputs):
+    // hold_duplication when under half the source's mass is unique
+    // (uniqueness_r < 0.5 — a crawl that mostly re-crawled itself),
+    // hold_value when its mean per-doc Shapley is negative (actively
+    // harmful to the fixed eval set), else ship.
+    //
+    // Determinism: every numeric input is an already-rounded shared
+    // relation; the only new arithmetic is the per-source decimal
+    // Shapley mass (q270's DECIMAL(32,9) quantization) and two round-9
+    // closing divisions; the verdict compares rounded doubles to
+    // constants. NULL-safe: a source with no valued docs (no
+    // embeddings among its docs) keeps NULL value columns and can
+    // only hold on duplication.
+    //
+    // Scale: all three inputs collapse to |sources|-bounded relations
+    // before this query touches them (their own headers carry the
+    // 100 TB arguments; q54's assignment and the sweep sit behind
+    // ckpts); the composition itself is two |sources|-row left joins
+    // and one doc_id-keyed hash join for the value rollup — nothing
+    // new is corpus-sized.
+    QDef(
+      "q279_curation_closeout",
+      (s, dir) => {
+        val dw = DedupQueries.dedupWeights(s, dir)
+        val mw = PipelineQueries.doremiWeights(s, dir)
+          .select(col("source"), col("doremi_weight_r"))
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), col("source"))
+        val vm = docs
+          .join(knnShapley(s, dir), docs("doc_id") === col("vec_id"))
+          .select(col("source"),
+            expr("cast(round(shap_r, 9) as decimal(32, 9))").as("shp"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_valued"),
+            round(expr("cast(sum(shp) as double)"), 9)
+              .as("value_mass_r"),
+            round(expr("cast(sum(shp) as double)") / count(lit(1)), 9)
+              .as("mean_value_r"))
+        dw.join(vm, Seq("source"), "left")
+          .join(mw, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("uniqueness_r"),
+            col("dedup_share_r"), col("n_valued"), col("value_mass_r"),
+            col("mean_value_r"), col("doremi_weight_r"),
+            expr("""case
+                when uniqueness_r < 0.5d then 'hold_duplication'
+                when mean_value_r is not null and mean_value_r < 0.0d
+                  then 'hold_value'
+                else 'ship' end""").as("verdict"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${DedupQueries.clusterAssignDuckCtes},
+        ${DedupQueries.dedupWeightsDuckCtes},
+        $knnShapleyDuckCtes,
+        ${TextQueries.bigramLmDuck},
+        ${PipelineQueries.doremiWeightsDuckCtes},
+        shap AS (SELECT tid AS vec_id,
+                   ROUND(CAST(SUM(sv) AS DOUBLE) / COUNT(*), 9) AS shap_r
+                 FROM sv GROUP BY tid),
+        vm AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_valued,
+                 ROUND(CAST(SUM(CAST(ROUND(s2.shap_r, 9)
+                     AS DECIMAL(32, 9))) AS DOUBLE), 9) AS value_mass_r,
+                 ROUND(CAST(SUM(CAST(ROUND(s2.shap_r, 9)
+                     AS DECIMAL(32, 9))) AS DOUBLE) / COUNT(*), 9)
+                   AS mean_value_r
+               FROM documents d JOIN shap s2 ON s2.vec_id = d.doc_id
+               GROUP BY 1)
+        SELECT dwrep.source, dwrep.n_docs, dwrep.uniqueness_r,
+               dwrep.dedup_share_r, vm.n_valued, vm.value_mass_r,
+               vm.mean_value_r, dmrep.doremi_weight_r,
+               CASE
+                 WHEN dwrep.uniqueness_r < 0.5 THEN 'hold_duplication'
+                 WHEN vm.mean_value_r IS NOT NULL
+                      AND vm.mean_value_r < 0.0 THEN 'hold_value'
+                 ELSE 'ship' END AS verdict
+        FROM dwrep
+          LEFT JOIN vm ON vm.source = dwrep.source
+          LEFT JOIN dmrep ON dmrep.source = dwrep.source
+        ORDER BY 1
       """))
   )
 }

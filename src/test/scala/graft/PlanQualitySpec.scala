@@ -269,7 +269,12 @@ class PlanQualitySpec extends AnyFunSuite {
     "q276_semantic_drift",
     // q278 crossJoins the ONE-row grand-total aggregate into the
     // |sources|-row rollup (q37 pattern) atop q54's allowance
-    "q278_dedup_weights")
+    "q278_dedup_weights",
+    // q279 composes three already-reviewed allowances without adding a
+    // new unbounded shape: q262's broadcast val-set pair build + ONE-row
+    // train-count cross (via knnShapley), q278's ONE-row total cross,
+    // and q249's two ONE-row crosses (corpus totals, normalizer)
+    "q279_curation_closeout")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds

@@ -671,7 +671,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q278: q54's assignment lives behind its ckpt; this plan is the
     // cluster-size agg + the per-source agg (the weight joins ride
     // broadcast/AQE off the ckpt'd bounded relations)
-    "q278_dedup_weights" -> 2)
+    "q278_dedup_weights" -> 2,
+    // q279: q278's two aggs (2) + q262's sweep shape (ranked window +
+    // suffix frame + per-tid rollup over the broadcast pair build) +
+    // the doc_id-keyed value join + the per-source value agg + the
+    // |sources|-row report sort; q54's assignment and the q249 chain
+    // sit behind their ckpts
+    "q279_curation_closeout" -> 9)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the
