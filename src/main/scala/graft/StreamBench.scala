@@ -70,7 +70,15 @@ object StreamBench {
     // .RocksDBStateStoreProvider) prices state OFF-heap: state_mb then
     // reports the native store's footprint, not JVM-object overhead.
     val provider = sys.env.get("SPARK_GRAFT_STREAM_STATE_PROVIDER")
-    val spark = Sessions.localSized("graft-streambench", cpus, sfDir)
+    // Plain core-count session, NOT localSized: a streaming job's
+    // shuffle/state partitioning must track the ARRIVAL RATE (the
+    // fixed micro-batch), not corpus-on-disk bytes — the r13 100×
+    // run with the data-derived 126-partition floor kept state rows
+    // exactly flat but inflated per-batch latency ~2.5× in pure
+    // per-partition state-store overhead (250 batches × 126 store
+    // instances for 500-row batches). The derived floor is the BATCH
+    // aggregation guardrail; streams size to the batch.
+    val spark = Sessions.local("graft-streambench", cpus)
     provider.foreach(p =>
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     import spark.implicits._

@@ -72,6 +72,50 @@ object Retrieval {
     * against id-pruned metadata/vector fetches; the fusion and eval
     * tail see ≤ topN rows per (query, system).
     */
+  /** q171's fused hybrid retrieval as the SERVING path over the two
+    * persisted indexes — one query in, the RRF-fused top-N out: the
+    * lexical arm from [[TextIndex.searchBm25]] (word-pruned postings
+    * scan, the q132-pinned scorer), the semantic arm from
+    * [[VectorIndex.search]] re-scored at round-9 on the index's stored
+    * vectors (the Valuation boundary-tie margin), both capped at
+    * `arms`, fused by the SHARED [[SimilarityQueries.rrfFuseTop]] —
+    * the q171 QDef executes the same tail, so the in-query and
+    * index-backed rankings cannot drift. RetrievalSpec pins full probe
+    * ≡ q171 row for row.
+    *
+    * @param terms  lexical term bag
+    * @param query  ONE-row (vec_id, embedding) query vector; its own
+    *               corpus entry (if indexed) is excluded, matching
+    *               q171's vec_id-0 convention
+    * @param nprobe IVF cells probed (semantic recall knob)
+    * @param arms   per-arm candidate-list depth before fusion (50)
+    * @param topN   fused results returned (20)
+    * @return (rk, doc_id, lex_rk, sem_rk, rrf) — q171's contract
+    */
+  def hybridSearch(spark: SparkSession, textIndexDir: String,
+      vecIndexDir: String, terms: Seq[String], query: DataFrame,
+      nprobe: Int, arms: Int = 50, topN: Int = 20,
+      kRrf: Int = 60): DataFrame = {
+    val lex = TextIndex.searchBm25(spark, textIndexDir, terms, arms)
+      .select(col("doc_id"), col("rk").as("lex_rk"))
+    val qv = query.select(expr("l2_normalize(embedding)").as("qv"))
+      .ckpt() // one row; cuts the query lineage before the join below
+    val hits = VectorIndex.search(spark, vecIndexDir, query, nprobe,
+        topK = arms + fetchMargin) // self already excluded by search
+      .select(col("neighbor_id").as("vec_id"))
+    val sem = VectorIndex.storedVectors(spark, vecIndexDir)
+      .join(broadcast(hits), "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(expr("dot_product(v, qv)"), 9).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("doc_id").asc)
+      .limit(arms)
+      .withColumn("sem_rk", row_number().over(Q.bounded.orderBy(
+        col("cos_r").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("sem_rk"))
+    SimilarityQueries.rrfFuseTop(sem, lex, kRrf, topN)
+  }
+
   def hybridMrrFromIndexes(spark: SparkSession, textIndexDir: String,
       vecIndexDir: String, queries: DataFrame, corpus: DataFrame,
       nprobe: Int, lexFetchK: Int, topN: Int = 50, semFetchK: Int = 0,

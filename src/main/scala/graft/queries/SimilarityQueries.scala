@@ -127,6 +127,28 @@ object SimilarityQueries {
              / (size(sg) + size(qsg)
                 - size(array_intersect(sg, qsg))) end, 9)""")
 
+  /** q171's RRF fusion + fused-top-N tail, shared with
+    * [[Retrieval.hybridSearch]] (the serving-path twin): takes the two
+    * CAPPED candidate lists (doc_id, sem_rk) / (doc_id, lex_rk), fuses
+    * by 1/(kRrf+rank) with a missing side contributing 0, and returns
+    * q171's contract (rk, doc_id, lex_rk, sem_rk, rrf) for the top
+    * `topN`. Bounded inputs by construction, so the global rank is
+    * over ≤ 2·arms rows.
+    */
+  private[queries] def rrfFuseTop(sem: DataFrame, lex: DataFrame,
+      kRrf: Int = 60, topN: Int = 20): DataFrame =
+    sem.join(lex, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rk"), col("sem_rk"),
+        round(
+          coalesce(lit(1.0d) / (lit(kRrf) + col("lex_rk")), lit(0.0d)) +
+          coalesce(lit(1.0d) / (lit(kRrf) + col("sem_rk")), lit(0.0d)),
+          9).as("rrf"))
+      .withColumn("rk", row_number().over(Q.bounded.orderBy(
+        col("rrf").desc, col("doc_id").asc)))
+      .where(col("rk") <= topN)
+      .select(col("rk"), col("doc_id"), col("lex_rk"), col("sem_rk"),
+        col("rrf"))
+
   /** q269's RRF fusion + MRR@10 eval tail, shared with
     * [[Retrieval.hybridMrrFromIndexes]] — ONE definition of the fused
     * system and the metric so the in-query and index-backed surfaces
@@ -1680,17 +1702,7 @@ object SimilarityQueries {
           .withColumn("lex_rk", row_number().over(Q.bounded.orderBy(
             col("key").desc, col("doc_id").asc)))
           .select(col("doc_id"), col("lex_rk"))
-        sem.join(lex, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"), col("lex_rk"), col("sem_rk"),
-            round(
-              coalesce(lit(1.0d) / (lit(60) + col("lex_rk")), lit(0.0d)) +
-              coalesce(lit(1.0d) / (lit(60) + col("sem_rk")), lit(0.0d)),
-              9).as("rrf"))
-          .withColumn("rk", row_number().over(Q.bounded.orderBy(
-            col("rrf").desc, col("doc_id").asc)))
-          .where(col("rk") <= 20)
-          .select(col("rk"), col("doc_id"), col("lex_rk"), col("sem_rk"),
-            col("rrf"))
+        rrfFuseTop(sem, lex)
       },
       Some(s"""
         WITH ${graft.queries.AnalyticQueries.bm25ScoredDuck},

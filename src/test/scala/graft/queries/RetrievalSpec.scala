@@ -61,6 +61,30 @@ class RetrievalSpec extends AnyFunSuite {
       "index-backed hybrid eval != q269 at full probe")
   }
 
+  test("hybridSearch: full probe ≡ q171's fused ranking") {
+    // q171's corpus: lexical arm over ALL documents (q132's terms),
+    // semantic arm over the embeddings, query = vec_id 0 (excluded
+    // from candidates — VectorIndex.search drops self)
+    val tIdx = TestSpark.tmpDir("hybrid-text")
+    graft.sinks.TextIndex.build(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")), tIdx)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val vIdx = TestSpark.tmpDir("hybrid-ivf")
+    graft.sinks.VectorIndex.build(e, vIdx, k = 16)
+    val got = Retrieval.hybridSearch(spark, tIdx, vIdx,
+        Seq("spark", "window", "merge"),
+        e.where(col("vec_id") === 0)
+          .select(col("vec_id"), col("embedding")),
+        nprobe = 16)
+      .collect().toSeq
+    val want = graft.SparkEntry.queries("q171_rrf_hybrid")(spark, dir)
+      .collect().toSeq
+    assert(got.nonEmpty && got == want,
+      "index-backed hybrid search != q171 at full probe")
+  }
+
   test("hybridMrrFromIndexes: bounded fetch degrades gracefully") {
     // with a narrow candidate budget the metric must still be a valid
     // MRR in [0, 1] over all 8 queries for all three systems — the
