@@ -179,7 +179,7 @@ class SinkContractSpec extends AnyFunSuite {
     // must FAIL FAST there instead of silently risking a dropped
     // batch (callers go through appendDelta with caller-assigned
     // gens). Simulated with a local FS registered under a foreign
-    // scheme, exactly how the library would meet s3a://.
+    // scheme, exactly how the library would meet an s3a path.
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.fakeobj.impl", classOf[FakeObjectStoreFs].getName)
     val e = intercept[UnsupportedOperationException](
