@@ -35,6 +35,16 @@ object Sessions {
       ((inputBytes + targetBytesPerTask - 1) / targetBytesPerTask)
         .min(Int.MaxValue).toInt)
 
+  /** Leading core count of a local master spec ("8", "8,4"), falling
+    * back to the host's processor count when the token is not an
+    * integer — `local[*]`'s `*` (a valid spec `SPARK_GRAFT_CPUS` may
+    * carry) must size partitions like the `*` it is, not throw
+    * NumberFormatException at session startup.
+    */
+  private[graft] def coresOf(master: String): Int =
+    master.takeWhile(_ != ',').toIntOption
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+
   /** Shuffle-partition floor derived from the on-disk input size —
     * the 100× OOM guardrail made automatic: instead of leaving
     * `SPARK_GRAFT_SHUFFLE_PARTITIONS` a purely manual knob a probe
@@ -51,12 +61,28 @@ object Sessions {
     * runtime, so oversizing costs nothing at small SFs.
     */
   def derivedShufflePartitions(dataDir: String, cores: Int,
-      targetBytesPerTask: Long = 16L << 20): Int = {
+      targetBytesPerTask: Long = 16L << 20,
+      conf: Option[org.apache.hadoop.conf.Configuration] = None): Int = {
+    // `conf` lets a post-session caller pass
+    // sparkContext.hadoopConfiguration; the default fresh Configuration
+    // (pre-session callers like localSized have nothing else) resolves
+    // file:// and hdfs:// but NOT schemes needing configured fs impls
+    // or credentials — those land in the catch below, which must be
+    // LOUD: a silent 0-byte probe would quietly degrade the floor to
+    // the core count, the exact OOM this guardrail exists to prevent.
     val bytes = try {
       val p = new org.apache.hadoop.fs.Path(dataDir)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(
+        conf.getOrElse(new org.apache.hadoop.conf.Configuration()))
       if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-    } catch { case _: Throwable => 0L }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[sessions] size probe on $dataDir failed " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — shuffle " +
+          "partitions fall back to the core count; pass the session's " +
+          "hadoopConfiguration or set SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        0L
+    }
     partitionsFor(bytes, cores, targetBytesPerTask)
   }
 
@@ -69,7 +95,7 @@ object Sessions {
     */
   def localSized(appName: String, master: String,
       dataDir: String): SparkSession = {
-    val cores = master.takeWhile(_ != ',').toInt
+    val cores = coresOf(master)
     val derived = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
       .map(_.toInt)
       .getOrElse(derivedShufflePartitions(dataDir, cores))
@@ -84,7 +110,7 @@ object Sessions {
       shufflePartitions: Option[Int] = None): SparkSession = {
     val parts = shufflePartitions.map(_.toString).getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
-        master.takeWhile(_ != ',')))
+        coresOf(master).toString))
     val spark = SparkSession.builder()
       .master(s"local[$master]")
       .appName(appName)

@@ -1459,8 +1459,17 @@ object DedupQueries {
               .orderBy(col("n_bands").desc,
                 abs(col("len_a") - col("len_b")).asc,
                 col("doc_b").asc)))
-          .where(col("rk") <= 64).drop("rk", "n_bands")
-        surv
+          .ckpt() // feeds the kept pairs AND the culled-pairs count
+        // the cap's recall bound made OBSERVABLE (the r13 weak): every
+        // report row carries the exact number of candidate pairs the
+        // top-64 cap dropped on THIS corpus — 0 means the cap was
+        // vacuous and the re-rank was complete; a consumer deciding
+        // dedup policy reads the recall cost instead of trusting a
+        // scaladoc. One-row aggregate, broadcast into the ≤50-row
+        // report (the q252 one-row-crossJoin discipline).
+        val culled = surv.where(col("rk") > 64)
+          .agg(count(lit(1)).as("culled_pairs"))
+        surv.where(col("rk") <= 64).drop("rk", "n_bands")
           .join(d.select(col("doc_id").as("doc_a"),
             col("text").as("ta")), "doc_a")
           .join(d.select(col("doc_id").as("doc_b"),
@@ -1471,6 +1480,7 @@ object DedupQueries {
             round(lit(1.0d) - col("lev").cast("double") /
               greatest(col("len_a"), col("len_b"), lit(1L)), 6))
           .withColumn("is_neardup", col("edit_sim_r") >= 0.8d)
+          .crossJoin(broadcast(culled))
           .orderBy(col("edit_sim_r").desc, col("doc_a"), col("doc_b"))
           .limit(50)
       },
@@ -1495,18 +1505,20 @@ object DedupQueries {
                  GROUP BY 1, 2),
         d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
               FROM documents WHERE length(text) <= 4000),
+        ranked AS (SELECT c.doc_a, c.doc_b, da.len AS len_a,
+                          db.len AS len_b,
+                          ROW_NUMBER() OVER (PARTITION BY c.doc_a
+                            ORDER BY c.n_bands DESC,
+                                     ABS(da.len - db.len) ASC,
+                                     c.doc_b ASC) AS rk
+                   FROM cand c
+                   JOIN d da ON da.doc_id = c.doc_a
+                   JOIN d db ON db.doc_id = c.doc_b
+                   WHERE ABS(da.len - db.len) <= 64),
         surv AS (SELECT doc_a, doc_b, len_a, len_b
-                 FROM (SELECT c.doc_a, c.doc_b, da.len AS len_a,
-                              db.len AS len_b,
-                              ROW_NUMBER() OVER (PARTITION BY c.doc_a
-                                ORDER BY c.n_bands DESC,
-                                         ABS(da.len - db.len) ASC,
-                                         c.doc_b ASC) AS rk
-                       FROM cand c
-                       JOIN d da ON da.doc_id = c.doc_a
-                       JOIN d db ON db.doc_id = c.doc_b
-                       WHERE ABS(da.len - db.len) <= 64) t
-                 WHERE rk <= 64),
+                 FROM ranked WHERE rk <= 64),
+        culled AS (SELECT CAST(COUNT(*) AS BIGINT) AS culled_pairs
+                   FROM ranked WHERE rk > 64),
         p AS (SELECT s.doc_a, s.doc_b, s.len_a, s.len_b,
                      CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev
               FROM surv s
@@ -1517,8 +1529,8 @@ object DedupQueries {
                            / GREATEST(len_a, len_b, 1), 6) AS edit_sim_r
               FROM p)
         SELECT doc_a, doc_b, len_a, len_b, lev, edit_sim_r,
-               edit_sim_r >= 0.8 AS is_neardup
-        FROM r
+               edit_sim_r >= 0.8 AS is_neardup, culled.culled_pairs
+        FROM r CROSS JOIN culled
         ORDER BY edit_sim_r DESC, doc_a, doc_b
         LIMIT 50
       """)),

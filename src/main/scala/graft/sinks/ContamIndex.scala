@@ -61,24 +61,29 @@ object ContamIndex {
     (clustered, docs)
   }
 
-  private def write(held: DataFrame, outDir: String,
-      mode: SaveMode): Unit = {
-    val (posts, docs) = relations(held)
-    posts.write.mode(mode).parquet(s"$outDir/postings")
-    docs.write.mode(mode).parquet(s"$outDir/docs")
-  }
-
   /** Shingle and index a (doc_id, text) held-out corpus from scratch. */
-  def build(held: DataFrame, outDir: String): Unit =
-    write(held, outDir, SaveMode.Overwrite)
+  def build(held: DataFrame, outDir: String): Unit = {
+    val (posts, docs) = relations(held)
+    posts.write.mode(SaveMode.Overwrite).parquet(s"$outDir/postings")
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+  }
 
   /** Incrementally index a (doc_id, text) batch of NEW held-out docs —
     * O(batch), no re-shingling of the indexed sets; deltas merge at
-    * read (see the object scaladoc for the contract). Exactly-once
-    * callers only — at-least-once callers use [[appendDelta]].
+    * read (see the object scaladoc for the contract). Routed through
+    * the claimed gen-scoped delta tree ([[DeltaIO.nextPlainGen]]'s
+    * negative-gen namespace): the commit touches only its own gen=
+    * subtree — O(batch) at any index size, where a parquet mode-append
+    * lists + schema-infers the whole main tree — and the claim makes
+    * concurrent plain appends race-safe. `claim` defaults to the
+    * filesystem create; object stores pass
+    * [[ClaimPrimitive.conditionalPut]].
     */
-  def append(held: DataFrame, indexDir: String): Unit =
-    write(held, indexDir, SaveMode.Append)
+  def append(held: DataFrame, indexDir: String,
+      claim: Option[ClaimPrimitive] = None): Unit =
+    appendDelta(held, indexDir,
+      DeltaIO.nextPlainGen(held.sparkSession, indexDir,
+        Seq("postings", "docs"), claim))
 
   /** Replay-safe gen-scoped [[append]] (the [[IndexSink.appendDelta]]
     * contract): a replayed micro-batch rewrites its own generation

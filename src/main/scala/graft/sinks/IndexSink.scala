@@ -129,6 +129,11 @@ object ClaimPrimitive {
         s"hadoopCreate claim on '$scheme://' is not atomic — use " +
           "ClaimPrimitive.conditionalPut with the store's native " +
           "conditional write")
+      // a first claim on a fresh index may precede any claimedGens
+      // call — createNewFile throws (rather than returning false) when
+      // the parent is missing, so ensure it here; mkdirs on an
+      // existing dir is a no-op and atomicity lives in the file create
+      fs.mkdirs(p.getParent)
       if (scheme == "file")
         new java.io.File(p.toUri.getPath).createNewFile()
       else
@@ -163,6 +168,67 @@ object ClaimPrimitive {
       def tryClaim(claimsDir: String, gen: Long): Boolean =
         putIfAbsent(s"$claimsDir/gen=$gen")
     }
+
+  /** An S3-shaped conditional store: the two operations (and their
+    * HTTP status contract) the [[s3Style]] adapter consumes. This is
+    * the REFERENCE wiring for the most common object store — the
+    * "one constructor call" around a production client, demonstrated
+    * rather than asserted. Against the AWS SDK v2 it is literally:
+    *
+    * {{{
+    * val s3: S3Client = ...            // the application's client
+    * val claim = ClaimPrimitive.s3Style("s3://b",
+    *   new S3ConditionalStore {
+    *     def putIfNoneMatch(key: String): Int =
+    *       try s3.putObject(PutObjectRequest.builder()
+    *           .bucket("b").key(key).ifNoneMatch("*").build(),
+    *         RequestBody.empty()).sdkHttpResponse().statusCode()
+    *       catch { case e: S3Exception => e.statusCode() }
+    *     def listKeys(prefix: String): Seq[String] =
+    *       s3.listObjectsV2Paginator(ListObjectsV2Request.builder()
+    *           .bucket("b").prefix(prefix + "/").build())
+    *         .contents().asScala.map(_.key()).toSeq
+    *   })
+    * TextIndex.append(batch, "s3a://b/index", Some(claim))
+    * }}}
+    *
+    * (GCS: `ifGenerationMatch(0)` insert, status 412 on loss; ABFS:
+    * Create with `If-None-Match: *`, 409/412 on loss — same shape.)
+    */
+  trait S3ConditionalStore {
+    /** PUT `key` with `If-None-Match: *` and return the store's HTTP
+      * status. 200/201 = this caller created the key; 412
+      * (PreconditionFailed) = it already exists; 409 = a concurrent
+      * create beat this one mid-flight (S3 strong-consistency
+      * semantics for conditional writes).
+      */
+    def putIfNoneMatch(key: String): Int
+
+    /** ListObjectsV2-shaped listing: all keys under `prefix/`. */
+    def listKeys(prefix: String): Seq[String]
+  }
+
+  /** [[conditionalPut]] specialized to the S3 status-code contract:
+    * 200/201 → claim won, 412/409 → claim lost (retry one gen lower —
+    * a 409 loser may leave its gen unclaimed, which merely SKIPS an
+    * id; the exactly-one-winner contract cares only that no two
+    * claimants share one). Any other status is an error, not a loss:
+    * mapping a 5xx to "lost" would silently burn gen ids under a
+    * store outage. SinkContractSpec races this adapter over a fake
+    * store that answers real statuses (including interleaved 409s)
+    * under thread contention.
+    */
+  def s3Style(label: String, store: S3ConditionalStore): ClaimPrimitive =
+    conditionalPut(label,
+      putIfAbsent = key => store.putIfNoneMatch(key) match {
+        case 200 | 201 => true
+        case 412 | 409 => false
+        case s => throw new java.io.IOException(
+          s"conditional PUT $key answered HTTP $s — not a win or a " +
+            "loss; refusing to guess (a 5xx mapped to 'lost' would " +
+            "burn gen ids under a store outage)")
+      },
+      listKeys = store.listKeys)
 }
 
 /** Shared read/write plumbing for the gen-scoped delta trees every

@@ -72,26 +72,30 @@ object SpanIndex {
     (clustered, dfs, docs.select(col("doc_id")).distinct())
   }
 
-  private def write(docs: DataFrame, outDir: String,
-      mode: SaveMode): Unit = {
-    val (grams, dfs, ids) = relations(docs)
-    grams.write.mode(mode).parquet(s"$outDir/grams")
-    dfs.write.mode(mode).parquet(s"$outDir/dfs")
-    ids.write.mode(mode).parquet(s"$outDir/docs")
-  }
-
   /** Shingle and index a (doc_id, text) corpus from scratch. */
-  def build(docs: DataFrame, outDir: String): Unit =
-    write(docs, outDir, SaveMode.Overwrite)
+  def build(docs: DataFrame, outDir: String): Unit = {
+    val (grams, dfs, ids) = relations(docs)
+    grams.write.mode(SaveMode.Overwrite).parquet(s"$outDir/grams")
+    dfs.write.mode(SaveMode.Overwrite).parquet(s"$outDir/dfs")
+    ids.write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+  }
 
   /** Incrementally index a (doc_id, text) batch of NEW docs — O(batch),
     * no corpus re-shingling; postings and df deltas merge at read time
     * (the DedupIndex/TextIndex append contract: appended doc_ids must
-    * be new). Exactly-once callers only — at-least-once callers use
-    * [[appendDelta]].
+    * be new). Routed through the claimed gen-scoped delta tree
+    * ([[DeltaIO.nextPlainGen]]'s negative-gen namespace) — a parquet
+    * mode-append commit would list + schema-infer the whole main tree
+    * (a constant factor that grows with the corpus, the r9 SinkBench
+    * flag) and gives concurrent appenders no claim. `claim` defaults
+    * to the filesystem create; object stores pass
+    * [[ClaimPrimitive.conditionalPut]].
     */
-  def append(docs: DataFrame, indexDir: String): Unit =
-    write(docs, indexDir, SaveMode.Append)
+  def append(docs: DataFrame, indexDir: String,
+      claim: Option[ClaimPrimitive] = None): Unit =
+    appendDelta(docs, indexDir,
+      DeltaIO.nextPlainGen(docs.sparkSession, indexDir,
+        Seq("grams", "dfs", "docs"), claim))
 
   /** Replay-safe gen-scoped [[append]] (the [[IndexSink.appendDelta]]
     * contract): postings and df-ledger rows land under gen-scoped

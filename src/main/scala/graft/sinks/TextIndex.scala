@@ -80,26 +80,32 @@ object TextIndex {
     (postings, dl, stats)
   }
 
-  private def write(docs: DataFrame, outDir: String,
-      mode: SaveMode): Unit = {
-    val (postings, dl, stats) = relations(docs)
-    postings.write.mode(mode).parquet(s"$outDir/postings")
-    dl.write.mode(mode).parquet(s"$outDir/doclens")
-    stats.write.mode(mode).parquet(s"$outDir/stats")
-  }
-
   /** Tokenize and index a (doc_id, text) corpus from scratch. */
-  def build(docs: DataFrame, outDir: String): Unit =
-    write(docs, outDir, SaveMode.Overwrite)
+  def build(docs: DataFrame, outDir: String): Unit = {
+    val (postings, dl, stats) = relations(docs)
+    postings.write.mode(SaveMode.Overwrite).parquet(s"$outDir/postings")
+    dl.write.mode(SaveMode.Overwrite).parquet(s"$outDir/doclens")
+    stats.write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
+  }
 
   /** Incrementally index a (doc_id, text) batch of NEW docs — O(batch),
     * no corpus rescan: postings/doclens deltas + a one-row stats delta
     * (merged at read; see the object scaladoc for the contract).
-    * Exactly-once callers only — at-least-once callers use
-    * [[appendDelta]].
+    * Routed through the claimed gen-scoped delta tree (negative-gen
+    * namespace — [[DeltaIO.nextPlainGen]]) like DedupIndex/LmIndex/
+    * VectorIndex, NOT parquet mode-append on the main tree: the
+    * mode-append commit lists + schema-infers the whole main tree, a
+    * constant factor that grows with the corpus (the r9 10× SinkBench
+    * flag), and two concurrent appenders under it silently interleave.
+    * The claim makes concurrent plain appends race-safe; `claim`
+    * defaults to the filesystem create (object stores pass
+    * [[ClaimPrimitive.conditionalPut]]).
     */
-  def append(docs: DataFrame, indexDir: String): Unit =
-    write(docs, indexDir, SaveMode.Append)
+  def append(docs: DataFrame, indexDir: String,
+      claim: Option[ClaimPrimitive] = None): Unit =
+    appendDelta(docs, indexDir,
+      DeltaIO.nextPlainGen(docs.sparkSession, indexDir,
+        Seq("postings", "doclens", "stats"), claim))
 
   /** Replay-safe gen-scoped [[append]] (the [[IndexSink.appendDelta]]
     * contract): all three relations land under their own

@@ -270,6 +270,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // q278 crossJoins the ONE-row grand-total aggregate into the
     // |sources|-row rollup (q37 pattern) atop q54's allowance
     "q278_dedup_weights",
+    // q245 crossJoins the ONE-row culled-pairs count (the cap's
+    // observability column, round 14) into the ≤50-row report (q37
+    // pattern); candidate generation stays banded equi-joins
+    "q245_edit_neardup",
     // q279 composes three already-reviewed allowances without adding a
     // new unbounded shape: q262's broadcast val-set pair build + ONE-row
     // train-count cross (via knnShapley), q278's ONE-row total cross,

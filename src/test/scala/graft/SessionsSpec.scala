@@ -27,6 +27,16 @@ class SessionsSpec extends AnyFunSuite {
     assert(p10 == 10 * p1)
   }
 
+  test("coresOf parses local master specs without throwing on '*'") {
+    assert(Sessions.coresOf("8") == 8)
+    assert(Sessions.coresOf("4,4") == 4)
+    // local[*]'s star (a valid SPARK_GRAFT_CPUS) must size like the
+    // host it is, not throw NumberFormatException at session startup
+    val hostCores = Runtime.getRuntime.availableProcessors
+    assert(Sessions.coresOf("*") == hostCores)
+    assert(Sessions.coresOf("*,4") == hostCores)
+  }
+
   test("derivedShufflePartitions measures a real directory") {
     val dir = TestSpark.tmpDir("sessions-sizing")
     val f = new java.io.File(dir, "blob.bin")

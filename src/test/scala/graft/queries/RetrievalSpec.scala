@@ -52,8 +52,12 @@ class RetrievalSpec extends AnyFunSuite {
     assert(matches.length == 8 && matches.forall(_.getLong(1) == n),
       "fixture must satisfy full-match precondition (see scaladoc)")
 
+    // semFetchK = n so the SEMANTIC fetch also covers the corpus: the
+    // default (topN + margin) fetches raw-cosine candidates, and a
+    // round-9 tie group straddling that boundary could legally break
+    // parity with q269, which ranks the whole corpus
     val got = Retrieval.hybridMrrFromIndexes(spark, tIdx, vIdx,
-        queries, corpus, nprobe = 16, lexFetchK = n + 8)
+        queries, corpus, nprobe = 16, lexFetchK = n + 8, semFetchK = n)
       .collect().toSeq
     val want = graft.SparkEntry.queries("q269_hybrid_mrr")(spark, dir)
       .collect().toSeq

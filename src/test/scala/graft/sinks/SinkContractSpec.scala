@@ -123,6 +123,38 @@ class SinkContractSpec extends AnyFunSuite {
     }
   }
 
+  test("plain append commits only its own gen subtree, for every sink") {
+    // the O(batch) shape made a FILE-LEVEL invariant: a plain append
+    // must not add, remove, or rename a single file of the MAIN tree
+    // (a parquet mode-append would — its commit lists + schema-infers
+    // the whole tree and drops new files into it, the r9 SinkBench
+    // cost class); everything it writes lands under a claimed
+    // negative-gen delta subtree. Uniform across all six sinks since
+    // round 14 — before it, TextIndex/SpanIndex/ContamIndex still
+    // mode-appended.
+    def mainFiles(root: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root)).map(_.getPath.stripPrefix(root))
+        .filterNot(p => p.contains("_delta") || p.contains("_gen_claims"))
+        .toSet
+    }
+    cases.foreach { case (sink, data, idCol) =>
+      val root = TestSpark.tmpDir(s"append-obatch-${sink.name}")
+      sink.build(data.where(col(idCol) < 300), root)
+      val before = mainFiles(root)
+      sink.append(data.where(col(idCol) >= 300), root)
+      assert(mainFiles(root) == before,
+        s"${sink.name}: plain append touched the main tree")
+      val deltas = new java.io.File(root).listFiles()
+        .filter(_.getName.endsWith("_delta"))
+      assert(deltas.nonEmpty &&
+        deltas.forall(_.listFiles().exists(_.getName.startsWith("gen=-"))),
+        s"${sink.name}: plain append must land in the negative-gen " +
+          "delta namespace")
+    }
+  }
+
   /** 4 claimants × 25 allocations on one index root must yield 100
     * DISTINCT negative gens — the exactly-one-winner contract of
     * whatever [[ClaimPrimitive]] is plugged in.
@@ -171,6 +203,37 @@ class SinkContractSpec extends AnyFunSuite {
       })
     raceClaimants(TestSpark.tmpDir("gen-claims-race-condput"),
       Some(claim))
+  }
+
+  test("the s3Style status-code adapter passes the same claimant race") {
+    // the documented reference wiring (ClaimPrimitive.s3Style scaladoc
+    // shows the literal AWS SDK v2 calls): the fake store answers REAL
+    // HTTP statuses — 200 created, 412 precondition-failed on an
+    // existing key, and every 7th otherwise-winning PUT a 409
+    // (concurrent-create, key NOT created) — so the adapter's
+    // status→win/loss mapping is what the race exercises, 409-driven
+    // gen skips included
+    val store = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+    val flakes = new java.util.concurrent.atomic.AtomicLong
+    val s3 = ClaimPrimitive.s3Style("fake-s3",
+      new ClaimPrimitive.S3ConditionalStore {
+        def putIfNoneMatch(key: String): Int =
+          if (flakes.incrementAndGet() % 7 == 0) 409
+          else if (store.putIfAbsent(key, ()) == null) 200
+          else 412
+        def listKeys(prefix: String): Seq[String] = {
+          import scala.jdk.CollectionConverters._
+          store.keySet.asScala.toSeq.filter(_.startsWith(prefix + "/"))
+        }
+      })
+    raceClaimants(TestSpark.tmpDir("gen-claims-race-s3style"), Some(s3))
+    // and a status outside the contract is an ERROR, never a loss
+    val e = intercept[java.io.IOException](ClaimPrimitive.s3Style(
+      "s3-outage", new ClaimPrimitive.S3ConditionalStore {
+        def putIfNoneMatch(key: String) = 503
+        def listKeys(prefix: String) = Seq.empty
+      }).tryClaim("/x", -1L))
+    assert(e.getMessage.contains("503"))
   }
 
   test("plain-gen allocation refuses a non-atomic-create scheme") {
