@@ -1635,6 +1635,108 @@ object DedupQueries {
                dedup_share_r, uniqueness_r
         FROM dwrep
         ORDER BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q281: MinHash estimator CALIBRATION — how accurate is the
+    // 8-permutation estimate on THIS corpus? q121 tunes the band
+    // config by precision/recall against a fixed 0.5 truth; this is
+    // the orthogonal audit: for every banded candidate pair, compare
+    // the estimator (n_agree/8, the signature-agreement fraction the
+    // near-dup rules threshold on) against the EXACT trigram Jaccard,
+    // rolled up per agreement level — the empirical calibration curve
+    // (bias + MAE per level) that tells an operator what "6/8 agree"
+    // actually means in Jaccard units before picking q23's ≥6/8 rule.
+    // Every ingredient is a shared definition (minhashSigs, the q23/
+    // q245 band construction, jaccardPairs' exact ground truth), so
+    // the audit measures the estimator the dedup rules ship.
+    //
+    // Determinism: n_agree is an exact integer; est = n_agree/8 is an
+    // exact binary fraction; exact Jaccard rounds at 9 before the
+    // round-6 means (summation-order ulps absorbed). Pairs that share
+    // a band but no shingle (a 2^-32 hex-collision event) drop from
+    // BOTH engines via the jaccard > 0 inner join — same relation.
+    //
+    // Scale: candidates are banded (never all-pairs); the agreement
+    // join ships 8 fixed-width hex fields per side onto the bounded
+    // candidate set; the exact-Jaccard side is the q237-shared
+    // shingle-postings join; the rollup is ≤9 rows.
+    QDef(
+      "q281_minhash_calibration",
+      (s, dir) => {
+        val sigs = minhashSigs(s, dir) // ckpt'd inside: feeds bands
+                                       // AND the per-pair agreement
+        val bands = sigs.withColumn("bucket",
+          explode(array((0 until 4).map(b =>
+            md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
+              .cast("binary"))): _*)))
+          .select(col("doc_id"), col("source"), col("bucket"))
+        val cand = bands.alias("a").join(bands.alias("b"),
+            col("a.bucket") === col("b.bucket") &&
+              col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val agree = (0 until 8)
+          .map(j => s"(case when a.sig_$j = b.sig_$j then 1 else 0 end)")
+          .mkString(" + ")
+        val est = cand
+          .join(sigs.alias("a"), col("doc_a") === col("a.doc_id"))
+          .join(sigs.alias("b"), col("doc_b") === col("b.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            expr(agree).cast("bigint").as("n_agree"))
+        val exact = jaccardPairs(s, dir)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("jaccard"), 9).as("j9"))
+        est.join(exact, Seq("doc_a", "doc_b"))
+          .groupBy(col("n_agree"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg(col("j9")), 6).as("mean_exact_r"),
+            round(avg(col("n_agree") / lit(8.0d) - col("j9")), 6)
+              .as("bias_r"),
+            round(avg(abs(col("n_agree") / lit(8.0d) - col("j9"))), 6)
+              .as("mae_r"))
+          .select(col("n_agree"),
+            (col("n_agree") / lit(8.0d)).as("est_jaccard"),
+            col("n_pairs"), col("mean_exact_r"), col("bias_r"),
+            col("mae_r"))
+          .orderBy(col("n_agree"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
+        sh AS (SELECT doc_id, source, $SGDuck AS sg FROM w),
+        sig AS (SELECT doc_id, source,
+                  list_transform(range(0, 8),
+                    j -> list_min(list_transform(sg,
+                      s -> substring(md5(CASE WHEN j < 4 THEN 'A|' ELSE 'B|' END || s),
+                                     (j % 4) * 8 + 1, 8)))) AS sig
+                FROM sh),
+        bands AS (SELECT doc_id, source,
+                    unnest(list_transform(range(0, 4),
+                      b -> md5(sig[2*b + 1] || sig[2*b + 2]))) AS bucket
+                  FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.bucket = b.bucket AND a.source = b.source
+                  AND a.doc_id < b.doc_id),
+        est AS (SELECT c.doc_a, c.doc_b,
+                  CAST(list_sum(list_transform(range(0, 8),
+                    j -> CASE WHEN sa.sig[j+1] = sb.sig[j+1]
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS n_agree
+                FROM cand c
+                  JOIN sig sa ON sa.doc_id = c.doc_a
+                  JOIN sig sb ON sb.doc_id = c.doc_b),
+        jp AS ($jaccardPairsDuck),
+        j AS (SELECT e.n_agree, ROUND(p.jaccard, 9) AS j9
+              FROM est e JOIN jp p
+                ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
+              WHERE p.jaccard > 0)
+        SELECT n_agree, n_agree / 8.0 AS est_jaccard,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(AVG(j9), 6) AS mean_exact_r,
+               ROUND(AVG(n_agree / 8.0 - j9), 6) AS bias_r,
+               ROUND(AVG(ABS(n_agree / 8.0 - j9)), 6) AS mae_r
+        FROM j GROUP BY 1 ORDER BY 1
       """))
   )
 

@@ -187,4 +187,57 @@ object Retrieval {
       arm(semScored, "sem_rk"), arm(lexScored, "lex_rk"),
       qmeta.select(col("qid")), kRrf)
   }
+
+  /** q172's NDCG@10 retrieval eval with candidates from a PERSISTED
+    * [[VectorIndex]] — the third and last retrieval-eval surface on
+    * the index-backed path (MRR: [[hybridMrrFromIndexes]]; serving:
+    * [[hybridSearch]]). The quantizer, cell assignments, and probe
+    * rule all come from the index (centroids + cell-partitioned
+    * postings); the metric math is the SHARED
+    * [[SimilarityQueries.ndcgAt10Tail]] the q172 QDef executes, so the
+    * two evals cannot drift. With the index built at q172's k=16 /
+    * trainIters=0 quantizer and nprobe=2, RetrievalSpec pins this
+    * ≡ q172 row for row.
+    *
+    * Unlike [[VectorIndex.search]] the candidate set is NOT
+    * top-k-capped: ideal DCG needs the full relevant count among the
+    * probed cells' candidates, so the probe joins whole cells — the
+    * blast radius is still nprobe/k of the corpus per query, the IVF
+    * scale contract.
+    *
+    * @param queries (vec_id, label, embedding) — the eval battery
+    * @param labels  (vec_id, label) — neighbor ground truth, co-keyed
+    *                with the postings on vec_id (one equi-join; at
+    *                scale both sides are corpus-sized and hash-join on
+    *                the id)
+    * @param nprobe  IVF cells probed per query (q172 uses 2)
+    * @return (qlabel, n_eval, mean_ndcg) — q172's contract
+    */
+  def ndcgFromIndexes(spark: SparkSession, vecIndexDir: String,
+      queries: DataFrame, labels: DataFrame, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$vecIndexDir/centroids")
+    val q = queries.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"),
+        expr("l2_normalize(embedding)").as("qv"))
+      .ckpt() // eval battery: feeds probe selection AND the re-score
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    val probes = q.join(broadcast(cents))
+      .select(col("qid"), col("cent_id"),
+        expr("dot_product(qv, cv)").as("sim"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cent_id").as("cell"))
+    val cand = VectorIndex.readPostings(spark, vecIndexDir)
+      .join(labels.select(col("vec_id"), col("label").as("nlabel")),
+        "vec_id")
+      .withColumnRenamed("vec_id", "nid")
+      .join(broadcast(probes), "cell")
+      .where(col("nid") =!= col("qid"))
+      .join(broadcast(q.select(col("qid"), col("qlabel"), col("qv"))),
+        "qid")
+      .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
+        expr("dot_product(v, qv)").as("sim"))
+    SimilarityQueries.ndcgAt10Tail(cand)
+  }
 }

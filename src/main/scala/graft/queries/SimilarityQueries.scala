@@ -212,6 +212,44 @@ object SimilarityQueries {
       .orderBy(col("system"))
   }
 
+  /** q172's NDCG@10 evaluation tail over a per-query candidate
+    * relation — ONE definition shared by the in-query q172 QDef and
+    * [[Retrieval.ndcgFromIndexes]] (the persisted-VectorIndex twin),
+    * the hybridMrrTail discipline: the metric math cannot drift
+    * between the eval surfaces because only one copy exists.
+    *
+    * @param cand (qid, qlabel, nid, nlabel, sim) — every candidate the
+    *             retrieval produced for each query (NOT top-k-capped:
+    *             the ideal DCG needs the full relevant count among
+    *             candidates), sim raw (ranking rounds at 9 inside)
+    * @return (qlabel, n_eval, mean_ndcg) — q172's contract
+    */
+  private[queries] def ndcgAt10Tail(cand: DataFrame): DataFrame = {
+    val perQ = cand
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(round(col("sim"), 9).desc, col("nid").asc)))
+      .withColumn("rel",
+        when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(
+        sum(when(col("pos") <= 10 && col("rel") === 1L,
+          expr("round(1.0d / log2(cast(pos as double) + 1.0d), 9)"))
+          .otherwise(lit(0.0d))).as("dcg"),
+        sum(col("rel")).as("r_tot"))
+      .withColumn("idcg", expr(
+        """case when r_tot = 0 then null
+           else aggregate(sequence(1, cast(least(10L, r_tot) as int)),
+             0D, (a, i) ->
+               a + round(1.0d / log2(cast(i as double) + 1.0d), 9))
+           end"""))
+      .withColumn("ndcg", round(col("dcg") / col("idcg"), 6))
+    perQ.groupBy(col("qlabel"))
+      .agg(count(col("ndcg")).as("n_eval"),
+        round(sum(col("ndcg")) / count(col("ndcg")), 6)
+          .as("mean_ndcg"))
+  }
+
   private[queries] def mmrSelect(cand: DataFrame,
       steps: Int = 8): DataFrame = {
     val pairs = cand.as("a").join(cand.as("b"),
@@ -1782,28 +1820,7 @@ object SimilarityQueries {
           .join(broadcast(e.select(col("vec_id").as("qid"),
             col("v").as("qv"), col("label").as("qlabel"))), "qid")
           .withColumn("sim", expr("dot_product(nv, qv)"))
-          .withColumn("pos", row_number().over(
-            Window.partitionBy(col("qid"))
-              .orderBy(round(col("sim"), 9).desc, col("nid").asc)))
-          .withColumn("rel",
-            when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
-        val perQ = cand.groupBy(col("qid"), col("qlabel"))
-          .agg(
-            sum(when(col("pos") <= 10 && col("rel") === 1L,
-              expr("round(1.0d / log2(cast(pos as double) + 1.0d), 9)"))
-              .otherwise(lit(0.0d))).as("dcg"),
-            sum(col("rel")).as("r_tot"))
-          .withColumn("idcg", expr(
-            """case when r_tot = 0 then null
-               else aggregate(sequence(1, cast(least(10L, r_tot) as int)),
-                 0D, (a, i) ->
-                   a + round(1.0d / log2(cast(i as double) + 1.0d), 9))
-               end"""))
-          .withColumn("ndcg", round(col("dcg") / col("idcg"), 6))
-        perQ.groupBy(col("qlabel"))
-          .agg(count(col("ndcg")).as("n_eval"),
-            round(sum(col("ndcg")) / count(col("ndcg")), 6)
-              .as("mean_ndcg"))
+        ndcgAt10Tail(cand)
       },
       Some(s"""
         WITH e AS (SELECT vec_id, label,
@@ -3636,6 +3653,113 @@ object SimilarityQueries {
           LEFT JOIN vm ON vm.source = dwrep.source
           LEFT JOIN dmrep ON dmrep.source = dwrep.source
         ORDER BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q280: semantic eval-set decontamination screen — the EMBEDDING-
+    // level leakage audit q56/q108's gram probes can't see (a
+    // paraphrased or translated eval doc shares no 13-gram with its
+    // train twin, but its embedding sits next to it): for every
+    // held-out doc (vec_id % 20 = 0, q67's split convention), the
+    // nearest TRAIN neighbor by cosine, reported as the top-50
+    // most-suspect list with a z-score against the eval-set's own
+    // nearest-neighbor distribution. No fixed threshold: leakage is a
+    // TAIL property of the corpus at hand (this fixture's cross-pair
+    // cosines top out ~0.43, so any literal cutoff is degenerate) —
+    // the operator ranks suspects and quantifies how far each sits
+    // outside its own distribution; the data lead reads from the top.
+    //
+    // Candidates come from the SAME first-16 IVF quantizer q48/q172
+    // ship (ivfRanked — one definition): train docs keep their rn=1
+    // cell, eval docs probe their top-2 cells, so the blast radius per
+    // eval doc is 2 cells, never the train corpus. Determinism: cosine
+    // rounds at 9 before the argmax (nid-asc tiebreak); mu/sigma are
+    // one-row aggregates whose summation-order ulps the round-6
+    // z absorbs.
+    //
+    // Scale: the corpus-sized side (train assignments) never moves —
+    // eval probes broadcast into it (the eval battery is 1/20th and in
+    // production a fixed eval release); per-eval NN is a qid-
+    // partitioned window over cell-bounded candidates; the stats row
+    // crossJoins (q37 pattern) into a TakeOrdered-50 report.
+    QDef(
+      "q280_semantic_decontam",
+      (s, dir) => {
+        val e = vectors(s, dir).ckpt()
+        // 3-int projection (the q172 discipline): assignments feed the
+        // train side AND the eval probes without re-running the
+        // centroid join per consumer
+        val rk = ivfRanked(e, 16)
+          .select(col("vec_id"), col("cent_id"), col("rn"))
+          .ckpt()
+        val train = rk.filter(col("rn") === 1 && col("vec_id") % 20 =!= 0)
+          .select(col("vec_id").as("nid"), col("cent_id").as("cell"))
+          .join(e.select(col("vec_id").as("nid"), col("v").as("nv")),
+            "nid")
+        val probes = rk.filter(col("rn") <= 2 && col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+        val nn = train.join(broadcast(probes), "cell")
+          .join(broadcast(e.where(col("vec_id") % 20 === 0)
+            .select(col("vec_id").as("qid"), col("v").as("qv"))), "qid")
+          .select(col("qid"), col("nid"),
+            round(expr("dot_product(nv, qv)"), 9).as("cos_r"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("cos_r").desc, col("nid").asc)))
+          .where(col("rk") === 1)
+          .select(col("qid").as("eval_id"), col("nid").as("nn_train_id"),
+            col("cos_r").as("nn_cos_r"))
+          .ckpt() // feeds the stats row AND the ranked report
+        val stats = nn.agg(avg(col("nn_cos_r")).as("mu"),
+          stddev_samp(col("nn_cos_r")).as("sigma"))
+        nn.crossJoin(broadcast(stats))
+          .select(col("eval_id"), col("nn_train_id"), col("nn_cos_r"),
+            round((col("nn_cos_r") - col("mu")) / col("sigma"), 6)
+              .as("z_r"))
+          .orderBy(col("nn_cos_r").desc, col("eval_id").asc)
+          .limit(50)
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                  WHERE vec_id < 16),
+        sims AS (SELECT a.vec_id, c.cent_id,
+                        list_sum(list_transform(range(1, 65),
+                          i -> a.v[i] * c.cv[i])) AS sim
+                 FROM e a, cents c),
+        ranked AS (SELECT vec_id, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, cent_id ASC) AS rn
+                   FROM sims),
+        train AS (SELECT r.vec_id AS nid, r.cent_id AS cell, ne.v AS nv
+                  FROM ranked r JOIN e ne ON ne.vec_id = r.vec_id
+                  WHERE r.rn = 1 AND r.vec_id % 20 <> 0),
+        probes AS (SELECT vec_id AS qid, cent_id AS cell
+                   FROM ranked WHERE rn <= 2 AND vec_id % 20 = 0),
+        cand AS (SELECT p.qid, t.nid,
+                        ROUND(list_sum(list_transform(range(1, 65),
+                          i -> t.nv[i] * qe.v[i])), 9) AS cos_r
+                 FROM probes p
+                 JOIN train t ON t.cell = p.cell
+                 JOIN e qe ON qe.vec_id = p.qid),
+        nn AS (SELECT qid AS eval_id, nid AS nn_train_id,
+                      cos_r AS nn_cos_r
+               FROM (SELECT qid, nid, cos_r,
+                            ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos_r DESC, nid ASC) AS rk
+                     FROM cand) t
+               WHERE rk = 1),
+        st AS (SELECT AVG(nn_cos_r) AS mu,
+                      STDDEV_SAMP(nn_cos_r) AS sigma FROM nn)
+        SELECT eval_id, nn_train_id, nn_cos_r,
+               ROUND((nn_cos_r - st.mu) / st.sigma, 6) AS z_r
+        FROM nn CROSS JOIN st
+        ORDER BY nn_cos_r DESC, eval_id ASC
+        LIMIT 50
       """))
   )
 }

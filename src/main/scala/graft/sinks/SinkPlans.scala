@@ -114,6 +114,15 @@ object SinkPlans {
       "LmIndex.scoreKn" -> (() => LmIndex.scoreKn(spark, lm, batch())),
       "LmIndex.probeNext" -> (() =>
         LmIndex.probeNext(spark, lm, Seq("the", "data"), 5)),
+      // the one interactive serving path (q171's fused ranking over
+      // BOTH persisted indexes — graft.ServeBench measures its
+      // per-query latency at scale); gated here so the lexical arm's
+      // word-IN pushdown and the semantic arm's cell pruning stay
+      // reviewed plans, not just benched ones
+      "Retrieval.hybridSearch" -> (() =>
+        graft.queries.Retrieval.hybridSearch(spark, text, vector,
+          Seq("the", "data"), queries().where(col("vec_id") === 0),
+          nprobe = 2)),
       // ---- compact jobs (reader + re-clustering repartition) ----
       "TextIndex.compact.postings" -> (() =>
         TextIndex.readPostings(spark, text)

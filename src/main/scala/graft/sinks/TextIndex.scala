@@ -34,8 +34,9 @@ import graft.Ckpt._
   * append-then-search ≡ full rebuild. Contract: appended doc_ids must
   * be NEW (dedup/ingest upstream decides admission — same as
   * DedupIndex); re-appending an indexed doc would double-count it.
-  * Many small appends accumulate delta files; compaction is re-running
-  * [[build]] over the full corpus (mode Overwrite).
+  * Many small appends accumulate delta generations; [[compact]] folds
+  * them back into one tight range-clustered tree without recomputing a
+  * row (the [[IndexSink]] contract).
   *
   * Scale shape: a term lookup pushes `word IN (...)` into the parquet
   * scan (PushedFilters — the spec asserts it), so only the files whose

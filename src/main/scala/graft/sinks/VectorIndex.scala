@@ -149,7 +149,7 @@ object VectorIndex {
     * `postings_delta` generation (the gen partition column is dropped —
     * readers see one (vec_id, v, cell) relation either way).
     */
-  private[sinks] def readPostings(spark: SparkSession,
+  private[graft] def readPostings(spark: SparkSession,
       indexDir: String): DataFrame = {
     val main = spark.read.parquet(s"$indexDir/postings")
     if (fsExists(spark, s"$indexDir/postings_delta"))

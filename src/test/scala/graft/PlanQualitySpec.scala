@@ -274,6 +274,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // observability column, round 14) into the ≤50-row report (q37
     // pattern); candidate generation stays banded equi-joins
     "q245_edit_neardup",
+    // q280 crossJoins the ONE-row mu/sigma aggregate into the ≤50-row
+    // suspect report (q37 pattern); candidate generation is the IVF
+    // cell equi-join (q172's allowance covers the 16-row centroid
+    // broadcast inside ivfRanked)
+    "q280_semantic_decontam",
     // q279 composes three already-reviewed allowances without adding a
     // new unbounded shape: q262's broadcast val-set pair build + ONE-row
     // train-count cross (via knnShapley), q278's ONE-row total cross,
@@ -411,16 +416,28 @@ class PlanQualitySpec extends AnyFunSuite {
     // LmIndex.score/scoreKn/probeNext cross a ONE-row total (vocab
     // size / distinct-bigram count) into the scored stream (q37
     // pattern)
-    "LmIndex.score", "LmIndex.scoreKn", "LmIndex.probeNext")
+    "LmIndex.score", "LmIndex.scoreKn", "LmIndex.probeNext",
+    // hybridSearch crosses the ONE-row normalized query vector into
+    // the sem-arm re-score (q171's allowance) atop searchBm25's
+    // one-row-totals cross
+    "Retrieval.hybridSearch")
 
-  // searchBm25's one global window is q132's ≤topK survivor rank.
-  private val sinkWindowBudget = Map("TextIndex.searchBm25" -> 1)
+  // searchBm25's one global window is q132's ≤topK survivor rank;
+  // hybridSearch adds its own three ranking windows, every input
+  // limit-bounded BEFORE the window: the lexical rank (searchBm25's
+  // ≤arms survivors), the semantic re-rank (≤arms+8 fetched
+  // candidates), and the RRF fusion rank (≤2·arms fused rows) —
+  // q171's reviewed shapes on the persisted-index path.
+  private val sinkWindowBudget = Map(
+    "TextIndex.searchBm25" -> 1,
+    "Retrieval.hybridSearch" -> 3)
 
   // Audit mode additionally reveals the retraining compact's
   // hash-sample renumber window — bounded at IvfSampleCap (256) rows
   // by the preceding limit, reviewed in VectorIndex.retrainSample.
   private val sinkAuditWindowBudget = Map(
     "TextIndex.searchBm25" -> 1,
+    "Retrieval.hybridSearch" -> 3,
     "VectorIndex.compactRetrain.assign" -> 1)
 
   test("sink plans codegen, avoid cartesians, keep windows partitioned") {

@@ -540,10 +540,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q244: pure narrow map — the native gram_clip kernel computes the
     // clipped counts row-locally; no gram row, no join, no exchange
     "q244_bleu" -> 0,
-    // q245: post-ckpt band self-join + the doc_a exchange for the
-    // per-doc fan-out-cap window; candidate/text joins broadcast
-    // (tiny candidate side), TakeOrdered closes
-    "q245_edit_neardup" -> 2,
+    // q245: the ranked (cap-window) relation ckpts since r14 — it
+    // feeds both the kept pairs and the culled-pairs count — so the
+    // band self-join and doc_a window exchanges sit behind the
+    // barrier; the one visible exchange is the candidate groupBy's;
+    // text joins broadcast (tiny candidate side), TakeOrdered closes
+    "q245_edit_neardup" -> 1,
     // q246: every superstep's pair-agg shuffle runs AT the per-step
     // ckpt barriers; the visible plan is the union of 8 checkpointed
     // 1-row merge frames — nothing left to exchange
@@ -677,12 +679,18 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // the doc_id-keyed value join + the per-source value agg + the
     // |sources|-row report sort; q54's assignment and the q249 chain
     // sit behind their ckpts
-    "q279_curation_closeout" -> 9)
+    "q279_curation_closeout" -> 9,
+    "q280_semantic_decontam" -> 1,
+    "q281_minhash_calibration" -> 4)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the
   // failure message after an intentional change.
   private val sinkBudget = Map(
+    // hybridSearch: searchBm25's three (tf groupBy, df agg, doclens
+    // co-key) + the sem-arm TakeOrdered's single exchange; all other
+    // joins broadcast (one-row query vector, ≤arms candidate lists)
+    "Retrieval.hybridSearch" -> 4,
     "TextIndex.build.postings" -> 2,
     "TextIndex.build.doclens" -> 0,
     "TextIndex.build.stats" -> 1,

@@ -89,6 +89,26 @@ class RetrievalSpec extends AnyFunSuite {
       "index-backed hybrid search != q171 at full probe")
   }
 
+  test("ndcgFromIndexes: persisted quantizer + probes ≡ q172") {
+    // the index built at q172's quantizer (k=16 first-vector anchors,
+    // trainIters=0 default) and probed at its nprobe=2 must reproduce
+    // the in-query NDCG eval row for row — the metric tail is shared
+    // (ndcgAt10Tail), so what this pins is the candidate path:
+    // persisted centroids/assignments/probe rule ≡ ivfRanked's
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val vIdx = TestSpark.tmpDir("retrieval-ndcg-ivf")
+    graft.sinks.VectorIndex.build(
+      e.select(col("vec_id"), col("embedding")), vIdx, k = 16)
+    val got = Retrieval.ndcgFromIndexes(spark, vIdx, e,
+        e.select(col("vec_id"), col("label")), nprobe = 2)
+      .orderBy(col("qlabel")).collect().toSeq
+    val want = graft.SparkEntry.queries("q172_ndcg_eval")(spark, dir)
+      .orderBy(col("qlabel")).collect().toSeq
+    assert(got.nonEmpty && got == want,
+      "index-backed NDCG eval != q172 at the pinned configuration")
+  }
+
   test("hybridMrrFromIndexes: bounded fetch degrades gracefully") {
     // with a narrow candidate budget the metric must still be a valid
     // MRR in [0, 1] over all 8 queries for all three systems — the
