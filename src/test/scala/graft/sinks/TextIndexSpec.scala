@@ -95,8 +95,12 @@ class TextIndexSpec extends AnyFunSuite {
       .orderBy(col("rk")).collect().toSeq
     assert(got.nonEmpty && got == want,
       "append deltas must be indistinguishable from a rebuild")
-    // the stats log really is one delta row per generation, summed at read
-    assert(spark.read.parquet(s"$incDir/stats").count() == 2)
+    // the stats log really is one delta row per generation, summed at
+    // read: build's row in the main tree, the append's in its claimed
+    // gen=-1 delta subtree (plain append routes through the gen-delta
+    // path since r14 — the main tree is never touched)
+    assert(spark.read.parquet(s"$incDir/stats").count() == 1)
+    assert(spark.read.parquet(s"$incDir/stats_delta").count() == 1)
   }
 
   test("compact merges append generations without re-tokenizing") {
@@ -108,11 +112,20 @@ class TextIndexSpec extends AnyFunSuite {
       TextIndex.append(docs.where(col("doc_id") % 4 === g), incDir))
     val cDir = TestSpark.tmpDir("text-index-compacted")
     TextIndex.compact(spark, incDir, cDir)
-    def files(d: String) = new java.io.File(d).listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    // count postings files across the main tree AND the gen-delta
+    // subtrees (plain appends land under postings_delta/gen=-g since
+    // r14) — compaction's claim is fewer files over the WHOLE reader
+    // surface, and a compacted tree carries no delta subtree at all
+    def files(d: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(d)).count(_.getName.endsWith(".parquet"))
+    }
     // one generation: the 4-generation stats log folds to a single row
     assert(spark.read.parquet(s"$cDir/stats").count() == 1)
-    assert(files(s"$cDir/postings") < files(s"$incDir/postings"),
+    assert(!new java.io.File(s"$cDir/postings_delta").exists())
+    assert(files(s"$cDir/postings") <
+      files(s"$incDir/postings") + files(s"$incDir/postings_delta"),
       "compaction must consolidate postings delta files")
     // and searches over the compacted index are byte-identical
     val terms = Seq("shuffle", "parquet", "join")
