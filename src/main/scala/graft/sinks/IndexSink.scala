@@ -177,7 +177,7 @@ object ClaimPrimitive {
     *
     * {{{
     * val s3: S3Client = ...            // the application's client
-    * val claim = ClaimPrimitive.s3Style("s3://b",
+    * val claim = ClaimPrimitive.s3Style("bucket-b",
     *   new S3ConditionalStore {
     *     def putIfNoneMatch(key: String): Int =
     *       try s3.putObject(PutObjectRequest.builder()
@@ -189,7 +189,7 @@ object ClaimPrimitive {
     *           .bucket("b").prefix(prefix + "/").build())
     *         .contents().asScala.map(_.key()).toSeq
     *   })
-    * TextIndex.append(batch, "s3a://b/index", Some(claim))
+    * TextIndex.append(batch, remoteIndexDir, Some(claim))
     * }}}
     *
     * (GCS: `ifGenerationMatch(0)` insert, status 412 on loss; ABFS:
