@@ -282,6 +282,51 @@ object CorpusStreaming {
           batch.select(col("doc_id"), col("text")), indexDir, gen = id)
       }
 
+  /** Streaming curation close-out — the per-micro-batch ship/hold
+    * dashboard a curation loop actually watches: each batch of newly
+    * ADMITTED documents (route through [[cleanStream]] /
+    * [[cleanStreamIncremental]] upstream) lands in an accumulating
+    * corpus tree, and the FULL q279 close-out recomputes over
+    * corpus-so-far, persisting one per-source verdict set per batch —
+    * so `outDir` holds the verdict HISTORY (which batch flipped a
+    * source from ship to hold_duplication is a batch= scan away).
+    *
+    * Shared-definition discipline: the close-out is literally
+    * `SparkEntry.queries("q279_curation_closeout")` over the
+    * accumulated tree — dedup mass, Shapley rollup, DoReMi weight and
+    * the verdict rule all stay the oracle-gated definitions; a
+    * streaming twin that re-derived any of them could silently drift.
+    *
+    * Contract: `corpusRoot/embeddings.parquet` must exist (the FIXED
+    * embedding/eval release the value arm scores against — embeddings
+    * for not-yet-ingested docs are inert until their doc arrives,
+    * because the per-source rollup joins through documents). Each
+    * batch OVERWRITES `documents.parquet/batch=<id>/` and
+    * `outDir/batch=<id>/`, so an at-least-once replay rewrites its own
+    * generation — both commits idempotent per batch (the exportSink
+    * pattern).
+    *
+    * Scale: the close-out is O(corpus-so-far) per batch — this sink is
+    * the DASHBOARD cadence (a curation loop re-checks verdicts per
+    * ingest wave), not a per-event path; at production volume the
+    * same sink runs on a trigger interval matched to how often a data
+    * lead reads it. Within a batch, the composed query keeps q279's
+    * own scale shape (banded candidates, one partial-agg exchange per
+    * arm, ǀsourcesǀ-row joins).
+    */
+  def curationCloseoutSink(docs: DataFrame, corpusRoot: String,
+      outDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite")
+          .parquet(s"$corpusRoot/documents.parquet/batch=$id")
+        graft.SparkEntry.queries("q279_curation_closeout")(
+            batch.sparkSession, corpusRoot)
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+
   /** Append each micro-batch to the partitioned corpus tree via the
     * batch export sink (same layout contract as [[CorpusExport]], with
     * `batch=<id>` as the leading partition directory). foreachBatch is

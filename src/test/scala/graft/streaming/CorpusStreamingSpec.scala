@@ -501,4 +501,48 @@ class CorpusStreamingSpec extends AnyFunSuite {
         s"streaming=${img(streamed)} batch=${img(batch)}")
     } finally q.stop()
   }
+
+  test("streaming curation close-out: last batch's verdicts ≡ batch q279") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001"
+    // corpus root pre-seeded with the FIXED embedding release (the
+    // sink's contract); documents accumulate batch by batch
+    val root = TestSpark.tmpDir("stream-closeout-corpus")
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .write.parquet(s"$root/embeddings.parquet")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().map(r => StreamedDoc(r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3), ts("2024-01-01 00:00:00")))
+    val out = TestSpark.tmpDir("stream-closeout-out")
+    val ms = MemoryStream[StreamedDoc]
+    val q = CorpusStreaming.curationCloseoutSink(ms.toDF(), root, out)
+      .option("checkpointLocation", TestSpark.tmpDir("closeout-ckpt"))
+      .start()
+    try {
+      // three ingest waves; a verdict set persists after EACH
+      val thirds = docs.grouped((docs.length + 2) / 3).toSeq
+      thirds.zipWithIndex.foreach { case (wave, i) =>
+        ms.addData(wave: _*)
+        q.processAllAvailable()
+        assert(new java.io.File(s"$out/batch=$i").exists(),
+          s"wave $i must persist its close-out")
+      }
+      // the verdict HISTORY is one partitioned read; after the last
+      // wave the corpus-so-far IS the full corpus, so the final
+      // close-out must equal the oracle-gated batch q279 over the
+      // original tables, row for row (the shared-definition pin)
+      val hist = spark.read.parquet(out)
+      assert(hist.select("batch").distinct().count() == thirds.length)
+      val last = hist.where(col("batch") === (thirds.length - 1))
+        .drop("batch", "batch_id")
+      val want = graft.SparkEntry
+        .queries("q279_curation_closeout")(spark, src)
+      val img = (df: org.apache.spark.sql.DataFrame) =>
+        df.orderBy("source").collect().map(_.toString).toSeq
+      assert(img(last).nonEmpty && img(last) == img(want),
+        "streaming close-out drifted from the batch q279")
+    } finally q.stop()
+  }
 }
