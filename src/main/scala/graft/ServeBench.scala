@@ -122,14 +122,20 @@ object ServeBench {
         r.getFooter.getBlocks.asScala.toSeq.flatMap { blk =>
           blk.getColumns.asScala
             .find(_.getPath.toDotString == "word")
-            .map { c =>
+            .flatMap { c =>
+              // stats can be absent (stats-disabled writer) or value-
+              // less (all-null page); count such row groups as
+              // unprunable (min="" sorts below every word, max=￿
+              // above) instead of NPE-ing after serving completed
               val st = c.getStatistics
-              (st.genericGetMin
-                 .asInstanceOf[org.apache.parquet.io.api.Binary]
-                 .toStringUsingUTF8,
-               st.genericGetMax
-                 .asInstanceOf[org.apache.parquet.io.api.Binary]
-                 .toStringUsingUTF8)
+              if (st != null && st.hasNonNullValue)
+                Some((st.genericGetMin
+                   .asInstanceOf[org.apache.parquet.io.api.Binary]
+                   .toStringUsingUTF8,
+                 st.genericGetMax
+                   .asInstanceOf[org.apache.parquet.io.api.Binary]
+                   .toStringUsingUTF8))
+              else Some(("", "￿"))
             }
         }
       } finally r.close()

@@ -35,15 +35,20 @@ object Sessions {
       ((inputBytes + targetBytesPerTask - 1) / targetBytesPerTask)
         .min(Int.MaxValue).toInt)
 
-  /** Leading core count of a local master spec ("8", "8,4"), falling
-    * back to the host's processor count when the token is not an
-    * integer — `local[*]`'s `*` (a valid spec `SPARK_GRAFT_CPUS` may
-    * carry) must size partitions like the `*` it is, not throw
-    * NumberFormatException at session startup.
+  /** Leading core count of a local master spec ("8", "8,4"), with the
+    * literal `*` token (local[*]'s "all host cores", a valid spec
+    * `SPARK_GRAFT_CPUS` may carry) mapping to the host's processor
+    * count. Any OTHER non-integer token is a typo and throws — a
+    * silent fall-through to the host count would size the session and
+    * every derived partition floor to the box instead of failing fast
+    * at startup where the bad spec is visible.
     */
-  private[graft] def coresOf(master: String): Int =
-    master.takeWhile(_ != ',').toIntOption
-      .getOrElse(Runtime.getRuntime.availableProcessors)
+  private[graft] def coresOf(master: String): Int = {
+    val tok = master.takeWhile(_ != ',')
+    if (tok == "*") Runtime.getRuntime.availableProcessors
+    else tok.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"bad core spec '$master': leading token must be an integer or *"))
+  }
 
   /** Shuffle-partition floor derived from the on-disk input size —
     * the 100× OOM guardrail made automatic: instead of leaving

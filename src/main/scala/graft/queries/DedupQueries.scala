@@ -1412,64 +1412,9 @@ object DedupQueries {
     QDef(
       "q245_edit_neardup",
       (s, dir) => {
-        val sigs = minhashSigs(s, dir)
-        val bands = sigs.withColumn("bucket",
-          explode(array((0 until 4).map(b =>
-            md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
-              .cast("binary"))): _*)))
-        // n_bands (how many of the 4 LSH bands collided) rides along at
-        // the same shuffle cost as the old DISTINCT — it is the
-        // per-pair MinHash evidence and the cap's primary ranking key
-        val cand = bands.alias("a").join(bands.alias("b"),
-            col("a.bucket") === col("b.bucket") &&
-              col("a.source") === col("b.source") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"),
-            col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("n_bands"))
-        val d = Tables(s, dir).documents
-          .where(length(col("text")) <= 4000)
-          .select(col("doc_id"), col("text"),
-            length(col("text")).cast("bigint").as("len"))
-        // lens-first: the 8-byte length columns join onto ALL candidate
-        // pairs and the |Δlen| ≤ 64 lower bound culls before the text
-        // payloads attach — only SURVIVING pairs ever shuffle a payload
-        val lens = d.select(col("doc_id"), col("len"))
-        val surv = cand
-          .join(lens.select(col("doc_id").as("doc_a"),
-            col("len").as("len_a")), "doc_a")
-          .join(lens.select(col("doc_id").as("doc_b"),
-            col("len").as("len_b")), "doc_b")
-          .where(abs(col("len_a") - col("len_b")) <= 64L)
-          // per-doc fan-out cap — a DOCUMENTED output contract: a doc
-          // with > 64 band candidates only re-ranks its top 64, so a
-          // true near-dup can in principle be culled pre-DP. A hot
-          // boilerplate clique of m docs otherwise produces C(m,2)
-          // band-candidate pairs and the DP cost goes quadratic in the
-          // clique (the round-10 dup-clique probe measured exactly
-          // that). Top-64 per doc_a ranks by the strongest pre-payload
-          // proxy: shared-band count DESC (MinHash collision evidence —
-          // 4 shared bands ≈ higher Jaccard than 1), then |Δlen| ASC,
-          // then doc_b (a deterministic total order). This bounds the
-          // DP at 64·n pairs at ANY clique size; the window partitions
-          // by doc_a, so it shards with the candidate set.
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("doc_a"))
-              .orderBy(col("n_bands").desc,
-                abs(col("len_a") - col("len_b")).asc,
-                col("doc_b").asc)))
-          .ckpt() // feeds the kept pairs AND the culled-pairs count
-        // the cap's recall bound made OBSERVABLE (the r13 weak): every
-        // report row carries the exact number of candidate pairs the
-        // top-64 cap dropped on THIS corpus — 0 means the cap was
-        // vacuous and the re-rank was complete; a consumer deciding
-        // dedup policy reads the recall cost instead of trusting a
-        // scaladoc. One-row aggregate, broadcast into the ≤50-row
-        // report (the q252 one-row-crossJoin discipline).
-        val culled = surv.where(col("rk") > 64)
-          .agg(count(lit(1)).as("culled_pairs"))
-        surv.where(col("rk") <= 64).drop("rk", "n_bands")
+        val (kept, culled) = editRerankCandidates(s, dir)
+        val d = editDocs(s, dir)
+        kept
           .join(d.select(col("doc_id").as("doc_a"),
             col("text").as("ta")), "doc_a")
           .join(d.select(col("doc_id").as("doc_b"),
@@ -1739,6 +1684,87 @@ object DedupQueries {
         FROM j GROUP BY 1 ORDER BY 1
       """))
   )
+
+  /** q245's payload-capped doc relation (docs ≤ 4000 chars with their
+    * byte length) — ONE definition shared by the candidate builder and
+    * the report tail's text joins.
+    */
+  private def editDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir).documents
+      .where(length(col("text")) <= 4000)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("bigint").as("len"))
+
+  /** q245's PRE-REPORT candidate construction: banded-MinHash pairs,
+    * the |Δlen| ≤ 64 length-bound cull, and the per-doc_a top-64
+    * fan-out cap, returned as (kept, culled) — kept = (doc_a, doc_b,
+    * len_a, len_b) after the cap, culled = the one-row exact count of
+    * pairs the cap dropped. The q245 QDef composes the edit-distance
+    * report over these; the relation is ALSO exposed (private[graft])
+    * so DedupCapSpec can assert the cap on the pre-LIMIT relation —
+    * the published report is LIMIT 50, where per-doc_a fan-out can
+    * never exceed 50 and a ≤64 assertion would be vacuous.
+    */
+  private[graft] def editRerankCandidates(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val sigs = minhashSigs(s, dir)
+    val bands = sigs.withColumn("bucket",
+      explode(array((0 until 4).map(b =>
+        md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
+          .cast("binary"))): _*)))
+    // n_bands (how many of the 4 LSH bands collided) rides along at
+    // the same shuffle cost as the old DISTINCT — it is the per-pair
+    // MinHash evidence and the cap's primary ranking key
+    val cand = bands.alias("a").join(bands.alias("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    // lens-first: the 8-byte length columns join onto ALL candidate
+    // pairs and the |Δlen| ≤ 64 lower bound culls before the text
+    // payloads attach — only SURVIVING pairs ever shuffle a payload
+    val lens = editDocs(s, dir).select(col("doc_id"), col("len"))
+    val surv = cand
+      .join(lens.select(col("doc_id").as("doc_a"),
+        col("len").as("len_a")), "doc_a")
+      .join(lens.select(col("doc_id").as("doc_b"),
+        col("len").as("len_b")), "doc_b")
+      .where(abs(col("len_a") - col("len_b")) <= 64L)
+      // per-doc fan-out cap — a DOCUMENTED output contract: a doc
+      // with > 64 band candidates only re-ranks its top 64, so a
+      // true near-dup can in principle be culled pre-DP. A hot
+      // boilerplate clique of m docs otherwise produces C(m,2)
+      // band-candidate pairs and the DP cost goes quadratic in the
+      // clique (the round-10 dup-clique probe measured exactly
+      // that). Top-64 per doc_a ranks by the strongest pre-payload
+      // proxy: shared-band count DESC (MinHash collision evidence —
+      // 4 shared bands ≈ higher Jaccard than 1), then |Δlen| ASC,
+      // then doc_b (a deterministic total order). This bounds the
+      // DP at 64·n pairs at ANY clique size; the window partitions
+      // by doc_a, so it shards with the candidate set.
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_a"))
+          .orderBy(col("n_bands").desc,
+            abs(col("len_a") - col("len_b")).asc,
+            col("doc_b").asc)))
+      .ckpt() // feeds the kept pairs AND the culled-pairs count
+    // the cap's recall bound made OBSERVABLE (the r13 weak): every
+    // report row carries the exact number of candidate pairs the
+    // top-64 cap dropped on THIS corpus — 0 means the cap was
+    // vacuous and the re-rank was complete; a consumer deciding
+    // dedup policy reads the recall cost instead of trusting a
+    // scaladoc. One-row aggregate, broadcast into the ≤50-row
+    // report (the q252 one-row-crossJoin discipline).
+    val culled = surv.where(col("rk") > 64)
+      .agg(count(lit(1)).as("culled_pairs"))
+    (surv.where(col("rk") <= 64).drop("rk", "n_bands"), culled)
+  }
 
   /** q278's per-source dedup-aware mass relation — ONE definition
     * shared by the q278 QDef and q279's curation close-out (the

@@ -319,13 +319,34 @@ object CorpusStreaming {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.write.mode("overwrite")
-          .parquet(s"$corpusRoot/documents.parquet/batch=$id")
-        graft.SparkEntry.queries("q279_curation_closeout")(
-            batch.sparkSession, corpusRoot)
-          .withColumn("batch_id", lit(id))
-          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        closeoutBatch(batch, id, corpusRoot, outDir)
       }
+
+  /** One micro-batch of [[curationCloseoutSink]], exposed so the spec
+    * can pin the two edge contracts directly:
+    *  - the corpus write carries ONLY the canonical documents-table
+    *    columns (doc_id, text, lang, source) — feed extras like
+    *    ingest_ts never leak into the accumulated tree, so q279's
+    *    sub-definitions see `batch` as the ONE addition to the
+    *    documents contract (an inert hive partition column);
+    *  - an EMPTY micro-batch is a no-op: it neither adds a corpus
+    *    generation nor re-publishes an identical verdict set (the
+    *    dashboard keeps the previous batch's verdicts) — and a
+    *    replayed empty batch skips again, so idempotence holds.
+    */
+  private[streaming] def closeoutBatch(batch: DataFrame, id: Long,
+      corpusRoot: String, outDir: String): Unit = {
+    val canon = batch.select(col("doc_id"), col("text"),
+      col("lang"), col("source"))
+    if (!canon.isEmpty) {
+      canon.write.mode("overwrite")
+        .parquet(s"$corpusRoot/documents.parquet/batch=$id")
+      graft.SparkEntry.queries("q279_curation_closeout")(
+          batch.sparkSession, corpusRoot)
+        .withColumn("batch_id", lit(id))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+    }
+  }
 
   /** Append each micro-batch to the partitioned corpus tree via the
     * batch export sink (same layout contract as [[CorpusExport]], with

@@ -35,6 +35,10 @@ class SessionsSpec extends AnyFunSuite {
     val hostCores = Runtime.getRuntime.availableProcessors
     assert(Sessions.coresOf("*") == hostCores)
     assert(Sessions.coresOf("*,4") == hostCores)
+    // ONLY the literal star gets the host fallback: a typo'd spec must
+    // fail fast at startup, not silently size everything to the box
+    intercept[IllegalArgumentException](Sessions.coresOf("8x"))
+    intercept[IllegalArgumentException](Sessions.coresOf(""))
   }
 
   test("derivedShufflePartitions measures a real directory") {

@@ -49,10 +49,20 @@ class DedupCapSpec extends AnyFunSuite {
     assert(culled.toSeq == Seq(expectedCulled(n)),
       s"culled_pairs must be the exact cap cost (${expectedCulled(n)})")
     assert(expectedCulled(n) == 15L) // 5+4+3+2+1 — the model itself
-    // and the kept pairs really are capped at 64 per doc_a
-    val fanout = rows.groupBy(_.getAs[Long]("doc_a")).view
-      .mapValues(_.length)
-    assert(fanout.values.forall(_ <= 64))
+    // and the cap really binds on the PRE-LIMIT candidate relation
+    // (the report is LIMIT 50, where fan-out can never exceed 50 and
+    // an assertion over it is vacuous): in the n-clique, doc_a = i has
+    // n-1-i band candidates, so kept(i) must be exactly min(n-1-i, 64)
+    val (kept, _) = DedupQueries.editRerankCandidates(
+      spark, fixtureDir(n))
+    val keptCounts = kept.groupBy("doc_a").count().collect()
+      .map(r => r.getAs[Long]("doc_a") -> r.getAs[Long]("count")).toMap
+    assert(keptCounts(0L) == 64L,
+      "doc_a=0 (69 candidates) must keep exactly the 64-pair cap")
+    (0 until n - 1).foreach { i =>
+      assert(keptCounts(i.toLong) == math.min(n - 1 - i, 64).toLong,
+        s"doc_a=$i kept ${keptCounts(i.toLong)}")
+    }
   }
 
   test("q245 reports zero culled pairs when the cap is vacuous") {

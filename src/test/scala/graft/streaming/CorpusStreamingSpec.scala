@@ -543,6 +543,41 @@ class CorpusStreamingSpec extends AnyFunSuite {
         df.orderBy("source").collect().map(_.toString).toSeq
       assert(img(last).nonEmpty && img(last) == img(want),
         "streaming close-out drifted from the batch q279")
+      // the accumulated tree carries ONLY the canonical documents
+      // columns + the batch partition — feed extras (ingest_ts) must
+      // not leak into what q279's sub-definitions read
+      assert(spark.read.parquet(s"$root/documents.parquet")
+        .columns.sorted.toSeq ==
+        Seq("batch", "doc_id", "lang", "source", "text"),
+        "corpus tree must be canonical columns + batch only")
     } finally q.stop()
+  }
+
+  test("curation close-out: an empty micro-batch is a no-op") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001"
+    val root = TestSpark.tmpDir("closeout-empty-corpus")
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .write.parquet(s"$root/embeddings.parquet")
+    val out = TestSpark.tmpDir("closeout-empty-out")
+    val feed = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        lit(ts("2024-01-01 00:00:00")).as("ingest_ts"))
+    // wave 0: a real batch establishes the corpus and a verdict set
+    CorpusStreaming.closeoutBatch(feed, 0L, root, out)
+    assert(new java.io.File(s"$out/batch=0").exists())
+    val before = spark.read.parquet(out).orderBy("source")
+      .collect().map(_.toString).toSeq
+    // wave 1: an EMPTY batch (same schema) must add neither a corpus
+    // generation nor a verdict set — the dashboard keeps wave 0's
+    CorpusStreaming.closeoutBatch(feed.limit(0), 1L, root, out)
+    assert(!new java.io.File(
+        s"$root/documents.parquet/batch=1").exists(),
+      "empty batch must not add a corpus generation")
+    assert(!new java.io.File(s"$out/batch=1").exists(),
+      "empty batch must not publish a verdict set")
+    assert(spark.read.parquet(out).orderBy("source")
+      .collect().map(_.toString).toSeq == before,
+      "verdict history must be unchanged by an empty batch")
   }
 }
