@@ -213,6 +213,68 @@ object Retrieval {
     * @param nprobe  IVF cells probed per query (q172 uses 2)
     * @return (qlabel, n_eval, mean_ndcg) — q172's contract
     */
+  /** q280's semantic eval-set decontamination screen over a PERSISTED
+    * [[VectorIndex]] — the 100 TB candidate path: the quantizer, the
+    * train-side cell assignments (rn=1 — the index's stored cells) and
+    * the eval vectors all come from the index; the eval battery is the
+    * caller's BOUNDED id relation (the fixed eval release q280's
+    * in-query cap models); and the closing z-score ranking is the
+    * SHARED [[SimilarityQueries.decontamTail]] the q280 QDef executes,
+    * so the two screens cannot drift. With the index built at q280's
+    * k=16 / trainIters=0 quantizer over the full corpus, nprobe=2, and
+    * the battery/exclusion matching the stride split, RetrievalSpec
+    * pins this ≡ q280 row for row.
+    *
+    * Like [[ndcgFromIndexes]], candidates are NOT top-k-capped: the
+    * per-eval NN must be exact over the probed cells (a capped fetch
+    * could drop the true nearest train doc behind excluded eval docs),
+    * so the probe joins whole cells — blast radius nprobe/k of the
+    * corpus per eval doc, the IVF scale contract.
+    *
+    * @param evalIds    bounded (vec_id) battery to screen — vectors
+    *                   are fetched FROM THE INDEX id-pruned, so the
+    *                   eval release needs no separate vector store
+    * @param excludeIds bounded (vec_id) relation candidates must NOT
+    *                   come from (every held-out id, not just the
+    *                   screened battery); defaults to `evalIds`
+    * @param nprobe     IVF cells probed per eval doc (q280 uses 2)
+    * @return top-50 most-suspect (eval_id, nn_train_id, nn_cos_r, z_r)
+    *         — q280's contract
+    */
+  def semanticDecontamFromIndexes(spark: SparkSession,
+      vecIndexDir: String, evalIds: DataFrame,
+      excludeIds: DataFrame = null, nprobe: Int = 2): DataFrame = {
+    val excl = Option(excludeIds).getOrElse(evalIds)
+      .select(col("vec_id"))
+    val cents = spark.read.parquet(s"$vecIndexDir/centroids")
+    val ev = VectorIndex.storedVectors(spark, vecIndexDir)
+      .join(broadcast(evalIds.select(col("vec_id"))), "vec_id")
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .ckpt() // bounded battery: feeds probe selection AND the re-score
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    val probes = ev.join(broadcast(cents))
+      .select(col("qid"), col("cent_id"),
+        expr("dot_product(qv, cv)").as("sim"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cent_id").as("cell"))
+    val nn = VectorIndex.readPostings(spark, vecIndexDir)
+      .join(broadcast(excl), Seq("vec_id"), "left_anti") // train side
+      .withColumnRenamed("vec_id", "nid")
+      .join(broadcast(probes), "cell")
+      .join(broadcast(ev), "qid")
+      .select(col("qid"), col("nid"),
+        round(expr("dot_product(v, qv)"), 9).as("cos_r"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos_r").desc, col("nid").asc)))
+      .where(col("rk") === 1)
+      .select(col("qid").as("eval_id"), col("nid").as("nn_train_id"),
+        col("cos_r").as("nn_cos_r"))
+    SimilarityQueries.decontamTail(nn)
+  }
+
   def ndcgFromIndexes(spark: SparkSession, vecIndexDir: String,
       queries: DataFrame, labels: DataFrame, nprobe: Int): DataFrame = {
     val cents = spark.read.parquet(s"$vecIndexDir/centroids")

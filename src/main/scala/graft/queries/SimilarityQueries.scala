@@ -250,6 +250,39 @@ object SimilarityQueries {
           .as("mean_ndcg"))
   }
 
+  /** q280's eval-battery size bound: the semantic decontamination
+    * screen probes AT MOST this many eval docs (the stride sample is
+    * additionally capped at `vec_id < 20·DecontamEvalCap`), so the two
+    * broadcast sides the query ships to executors are fixed-size at
+    * ANY corpus scale — the q262/q268 fixed-val-set discipline. At the
+    * gate SFs the cap never binds (max vec_id ≪ 10240); in production
+    * it encodes the real contract: decontamination screens a fixed,
+    * versioned eval RELEASE, not a corpus-proportional sample.
+    */
+  private[graft] val DecontamEvalCap = 512L
+
+  /** q280's closing report over the per-eval nearest-train-neighbor
+    * relation — ONE definition shared by the in-query q280 QDef and
+    * [[Retrieval.semanticDecontamFromIndexes]] (the persisted-
+    * VectorIndex twin), the ndcgAt10Tail discipline: the z-score
+    * ranking cannot drift between the two surfaces.
+    *
+    * @param nn (eval_id, nn_train_id, nn_cos_r) — one row per eval
+    *           doc, cosine already rounded at 9
+    * @return top-50 most-suspect (eval_id, nn_train_id, nn_cos_r, z_r)
+    */
+  private[queries] def decontamTail(nn: DataFrame): DataFrame = {
+    val nnc = nn.ckpt() // feeds the stats row AND the ranked report
+    val stats = nnc.agg(avg(col("nn_cos_r")).as("mu"),
+      stddev_samp(col("nn_cos_r")).as("sigma"))
+    nnc.crossJoin(broadcast(stats))
+      .select(col("eval_id"), col("nn_train_id"), col("nn_cos_r"),
+        round((col("nn_cos_r") - col("mu")) / col("sigma"), 6)
+          .as("z_r"))
+      .orderBy(col("nn_cos_r").desc, col("eval_id").asc)
+      .limit(50)
+  }
+
   private[queries] def mmrSelect(cand: DataFrame,
       steps: Int = 8): DataFrame = {
     val pairs = cand.as("a").join(cand.as("b"),
@@ -338,7 +371,7 @@ object SimilarityQueries {
     * [[shapleySweep]]; uncapped here, so the deepest rank is the exact
     * s_N = ind/N closed-form boundary.
     */
-  private[queries] def knnShapley(
+  private[graft] def knnShapley(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val e = vectors(s, dir).ckpt()
     val tr = e.where(col("vec_id") % 10 =!= 0)
@@ -356,6 +389,48 @@ object SimilarityQueries {
     shapleySweep(p, ntr, rCap = None)
       .select(col("tid").as("vec_id"), col("tl").as("label"),
         expr("round(cast(tot as double) / nq, 9)").as("shap_r"))
+  }
+
+  /** q279's close-out composition over an EXPLICIT Shapley relation —
+    * ONE definition executed by the q279 QDef (which passes the live
+    * [[knnShapley]]) and by the streaming incremental close-out
+    * ([[graft.streaming.CorpusStreaming.curationCloseoutIncrementalSink]],
+    * which passes the relation CACHED to parquet once): the value arm
+    * depends only on the FIXED embedding release, so caching it is
+    * exact, not approximate — the two surfaces cannot drift because
+    * the composition exists once and the cached input is pinned
+    * byte-for-byte by the spec. `shap` must be (vec_id, label,
+    * shap_r), [[knnShapley]]'s contract.
+    */
+  private[graft] def curationCloseout(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      shap: DataFrame): DataFrame = {
+    val dw = DedupQueries.dedupWeights(s, dir)
+    val mw = PipelineQueries.doremiWeights(s, dir)
+      .select(col("source"), col("doremi_weight_r"))
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), col("source"))
+    val vm = docs
+      .join(shap, docs("doc_id") === col("vec_id"))
+      .select(col("source"),
+        expr("cast(round(shap_r, 9) as decimal(32, 9))").as("shp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_valued"),
+        round(expr("cast(sum(shp) as double)"), 9)
+          .as("value_mass_r"),
+        round(expr("cast(sum(shp) as double)") / count(lit(1)), 9)
+          .as("mean_value_r"))
+    dw.join(vm, Seq("source"), "left")
+      .join(mw, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("uniqueness_r"),
+        col("dedup_share_r"), col("n_valued"), col("value_mass_r"),
+        col("mean_value_r"), col("doremi_weight_r"),
+        expr("""case
+            when uniqueness_r < 0.5d then 'hold_duplication'
+            when mean_value_r is not null and mean_value_r < 0.0d
+              then 'hold_value'
+            else 'ship' end""").as("verdict"))
+      .orderBy(col("source"))
   }
 
   /** Unit-normalized double vectors via the native codegen'd
@@ -3596,34 +3671,7 @@ object SimilarityQueries {
     // new is corpus-sized.
     QDef(
       "q279_curation_closeout",
-      (s, dir) => {
-        val dw = DedupQueries.dedupWeights(s, dir)
-        val mw = PipelineQueries.doremiWeights(s, dir)
-          .select(col("source"), col("doremi_weight_r"))
-        val docs = Tables(s, dir).documents
-          .select(col("doc_id"), col("source"))
-        val vm = docs
-          .join(knnShapley(s, dir), docs("doc_id") === col("vec_id"))
-          .select(col("source"),
-            expr("cast(round(shap_r, 9) as decimal(32, 9))").as("shp"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_valued"),
-            round(expr("cast(sum(shp) as double)"), 9)
-              .as("value_mass_r"),
-            round(expr("cast(sum(shp) as double)") / count(lit(1)), 9)
-              .as("mean_value_r"))
-        dw.join(vm, Seq("source"), "left")
-          .join(mw, Seq("source"), "left")
-          .select(col("source"), col("n_docs"), col("uniqueness_r"),
-            col("dedup_share_r"), col("n_valued"), col("value_mass_r"),
-            col("mean_value_r"), col("doremi_weight_r"),
-            expr("""case
-                when uniqueness_r < 0.5d then 'hold_duplication'
-                when mean_value_r is not null and mean_value_r < 0.0d
-                  then 'hold_value'
-                else 'ship' end""").as("verdict"))
-          .orderBy(col("source"))
-      },
+      (s, dir) => curationCloseout(s, dir, knnShapley(s, dir)),
       Some(s"""
         WITH RECURSIVE ${DedupQueries.clusterAssignDuckCtes},
         ${DedupQueries.dedupWeightsDuckCtes},
@@ -3659,8 +3707,10 @@ object SimilarityQueries {
     // q280: semantic eval-set decontamination screen — the EMBEDDING-
     // level leakage audit q56/q108's gram probes can't see (a
     // paraphrased or translated eval doc shares no 13-gram with its
-    // train twin, but its embedding sits next to it): for every
-    // held-out doc (vec_id % 20 = 0, q67's split convention), the
+    // train twin, but its embedding sits next to it): for every doc of
+    // the BOUNDED eval battery (vec_id % 20 = 0 — q67's split
+    // convention — capped at vec_id < 20·DecontamEvalCap, so the
+    // battery is ≤ 512 docs at any corpus size), the
     // nearest TRAIN neighbor by cosine, reported as the top-50
     // most-suspect list with a z-score against the eval-set's own
     // nearest-neighbor distribution. No fixed threshold: leakage is a
@@ -3678,10 +3728,21 @@ object SimilarityQueries {
     // z absorbs.
     //
     // Scale: the corpus-sized side (train assignments) never moves —
-    // eval probes broadcast into it (the eval battery is 1/20th and in
-    // production a fixed eval release); per-eval NN is a qid-
-    // partitioned window over cell-bounded candidates; the stats row
-    // crossJoins (q37 pattern) into a TakeOrdered-50 report.
+    // the eval battery is BOUNDED IN-QUERY (stride sample ∧
+    // vec_id < 20·DecontamEvalCap, the q262/q268 val-set discipline),
+    // so the two broadcast sides are ≤ DecontamEvalCap rows at ANY
+    // corpus size — without the bound the 1/20th stride grows linearly
+    // with the corpus and the broadcast is a guaranteed driver stop
+    // long before the join struggles (the r14 verdict's finding). The
+    // bound does not bind at the gate SFs (max vec_id ≪ 10240), and at
+    // production scale it IS the semantics: a decontamination screen
+    // runs against a fixed, versioned eval release, never "5 % of
+    // whatever the corpus is today". Per-eval NN is a qid-partitioned
+    // window over cell-bounded candidates; the stats row crossJoins
+    // (q37 pattern) into a TakeOrdered-50 report. The persisted-index
+    // twin is [[Retrieval.semanticDecontamFromIndexes]]
+    // (spec-pinned ≡ this query at full parity via the shared
+    // [[decontamTail]]).
     QDef(
       "q280_semantic_decontam",
       (s, dir) => {
@@ -3692,14 +3753,17 @@ object SimilarityQueries {
         val rk = ivfRanked(e, 16)
           .select(col("vec_id"), col("cent_id"), col("rn"))
           .ckpt()
+        val evalCap = lit(20L * DecontamEvalCap)
         val train = rk.filter(col("rn") === 1 && col("vec_id") % 20 =!= 0)
           .select(col("vec_id").as("nid"), col("cent_id").as("cell"))
           .join(e.select(col("vec_id").as("nid"), col("v").as("nv")),
             "nid")
-        val probes = rk.filter(col("rn") <= 2 && col("vec_id") % 20 === 0)
+        val probes = rk.filter(col("rn") <= 2 &&
+            col("vec_id") % 20 === 0 && col("vec_id") < evalCap)
           .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
         val nn = train.join(broadcast(probes), "cell")
-          .join(broadcast(e.where(col("vec_id") % 20 === 0)
+          .join(broadcast(e.where(col("vec_id") % 20 === 0 &&
+              col("vec_id") < evalCap)
             .select(col("vec_id").as("qid"), col("v").as("qv"))), "qid")
           .select(col("qid"), col("nid"),
             round(expr("dot_product(nv, qv)"), 9).as("cos_r"))
@@ -3709,15 +3773,7 @@ object SimilarityQueries {
           .where(col("rk") === 1)
           .select(col("qid").as("eval_id"), col("nid").as("nn_train_id"),
             col("cos_r").as("nn_cos_r"))
-          .ckpt() // feeds the stats row AND the ranked report
-        val stats = nn.agg(avg(col("nn_cos_r")).as("mu"),
-          stddev_samp(col("nn_cos_r")).as("sigma"))
-        nn.crossJoin(broadcast(stats))
-          .select(col("eval_id"), col("nn_train_id"), col("nn_cos_r"),
-            round((col("nn_cos_r") - col("mu")) / col("sigma"), 6)
-              .as("z_r"))
-          .orderBy(col("nn_cos_r").desc, col("eval_id").asc)
-          .limit(50)
+        decontamTail(nn)
       },
       Some(s"""
         WITH e AS (SELECT vec_id, label,
@@ -3739,7 +3795,9 @@ object SimilarityQueries {
                   FROM ranked r JOIN e ne ON ne.vec_id = r.vec_id
                   WHERE r.rn = 1 AND r.vec_id % 20 <> 0),
         probes AS (SELECT vec_id AS qid, cent_id AS cell
-                   FROM ranked WHERE rn <= 2 AND vec_id % 20 = 0),
+                   FROM ranked
+                   WHERE rn <= 2 AND vec_id % 20 = 0
+                     AND vec_id < ${20L * DecontamEvalCap}),
         cand AS (SELECT p.qid, t.nid,
                         ROUND(list_sum(list_transform(range(1, 65),
                           i -> t.nv[i] * qe.v[i])), 9) AS cos_r

@@ -109,6 +109,33 @@ class RetrievalSpec extends AnyFunSuite {
       "index-backed NDCG eval != q172 at the pinned configuration")
   }
 
+  test("semanticDecontamFromIndexes: persisted quantizer ≡ q280") {
+    // the index built at q280's quantizer (k=16 first-vector anchors
+    // over the FULL corpus) holds both splits; the twin screens the
+    // same bounded eval battery (stride ∧ cap — non-binding at this
+    // SF) against everything the stride excludes, so at nprobe=2 the
+    // candidate path must reproduce the in-query screen row for row
+    // (the z-score tail is shared — what this pins is the candidate
+    // source: persisted cells/centroids/vectors ≡ ivfRanked's)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val vIdx = TestSpark.tmpDir("retrieval-decontam-ivf")
+    graft.sinks.VectorIndex.build(e, vIdx, k = 16)
+    val evalIds = e.select(col("vec_id"))
+      .where(col("vec_id") % 20 === 0 &&
+        col("vec_id") < 20L * SimilarityQueries.DecontamEvalCap)
+    val excludeIds = e.select(col("vec_id"))
+      .where(col("vec_id") % 20 === 0)
+    val got = Retrieval.semanticDecontamFromIndexes(spark, vIdx,
+        evalIds, excludeIds, nprobe = 2)
+      .collect().toSeq
+    val want = graft.SparkEntry.queries("q280_semantic_decontam")(
+        spark, dir)
+      .collect().toSeq
+    assert(got.nonEmpty && got == want,
+      "index-backed decontamination screen != q280")
+  }
+
   test("hybridMrrFromIndexes: bounded fetch degrades gracefully") {
     // with a narrow candidate budget the metric must still be a valid
     // MRR in [0, 1] over all 8 queries for all three systems — the
