@@ -123,6 +123,32 @@ object SinkPlans {
         graft.queries.Retrieval.hybridSearch(spark, text, vector,
           Seq("the", "data"), queries().where(col("vec_id") === 0),
           nprobe = 2)),
+      // the three index-backed EVAL paths (MRR, NDCG, decontamination
+      // screen) — their in-query twins q269/q172/q280 are plan-gated
+      // via SparkEntry, but the index-backed candidate plans (postings
+      // cell pruning, bounded broadcasts, anti-join exclusion) are
+      // distinct plans that must stay reviewed in their own right
+      "Retrieval.hybridMrrFromIndexes" -> (() => {
+        val q = emb(spark, dataDir).where(col("vec_id") < 8)
+          .join(docs(spark, dataDir), col("doc_id") === col("vec_id"))
+          .select(col("vec_id"), lit(0L).as("label"), col("text"),
+            col("embedding"))
+        val corpus = docs(spark, dataDir)
+          .select(col("doc_id"), lit(0L).as("label"), col("text"))
+        graft.queries.Retrieval.hybridMrrFromIndexes(spark, text,
+          vector, q, corpus, nprobe = 2, lexFetchK = 50)
+      }),
+      "Retrieval.ndcgFromIndexes" -> (() => {
+        val q = emb(spark, dataDir).where(col("vec_id") < 8)
+          .select(col("vec_id"), lit(0L).as("label"), col("embedding"))
+        graft.queries.Retrieval.ndcgFromIndexes(spark, vector, q,
+          emb(spark, dataDir).select(col("vec_id"),
+            lit(0L).as("label")), nprobe = 2)
+      }),
+      "Retrieval.semanticDecontamFromIndexes" -> (() =>
+        graft.queries.Retrieval.semanticDecontamFromIndexes(spark,
+          vector, emb(spark, dataDir).select(col("vec_id"))
+            .where(col("vec_id") % 20 === 0), nprobe = 2)),
       // ---- compact jobs (reader + re-clustering repartition) ----
       "TextIndex.compact.postings" -> (() =>
         TextIndex.readPostings(spark, text)
@@ -149,6 +175,13 @@ object SinkPlans {
       // the retraining compact's two stages: the hash-ordered sample
       // (one TakeOrdered + the reviewed ≤256-row renumber window) and
       // the full reassignment scan against the retrained quantizer
+      // the hot-cell split's reassignment (bounded to the split cell's
+      // members — the O(hot cell) claim the plan gate keeps honest:
+      // one partition-pruned cell read, a ≤256-row sub-quantizer, a
+      // 2-row broadcast assignment)
+      "VectorIndex.split.reassign" -> (() =>
+        VectorIndex.splitAssignment(spark, vector, cellId = 0L,
+          newId = K.toLong)._1),
       "VectorIndex.compactRetrain.assign" -> (() => {
         val merged = VectorIndex.readPostings(spark, vector)
           .select(col("vec_id"), col("v"))

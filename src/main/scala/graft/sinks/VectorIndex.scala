@@ -426,6 +426,204 @@ object VectorIndex {
         (col("n_vecs") * k > col("total") * 2L).cast("int").as("hot"))
   }
 
+  /** One hot cell's split outcome: `cell` kept `nKept` members around
+    * the first local sub-anchor (which replaces its centroid), and
+    * `newCell` received `nMoved` members around the second.
+    */
+  final case class CellSplit(cell: Long, newCell: Long,
+      nKept: Long, nMoved: Long)
+
+  /** The per-cell split reassignment: members of `cellId` (main tree +
+    * every delta generation, duplicate-guarded) re-assigned to the
+    * nearer of TWO locally-derived sub-centroids — sub-anchor 0 keeps
+    * `cellId`, sub-anchor 1 becomes `newId`. Sub-centroids come from
+    * [[retrainSample]] over the cell's own members + `ivfCentroids`
+    * (k = 2) — the hash-ordered deterministic draw and the exact
+    * assignment tiebreak every other quantizer step uses, so a re-run
+    * over the same members reproduces the same split. Returns
+    * (vec_id, v, cell) with cell ∈ {cellId, newId}, plus the two
+    * sub-centroid rows. Shared by [[splitHotCells]] and the SinkPlans
+    * "VectorIndex.split.reassign" plan-gate entry.
+    */
+  private[sinks] def splitAssignment(spark: SparkSession,
+      indexDir: String, cellId: Long, newId: Long,
+      trainIters: Int = 0): (DataFrame, DataFrame) = {
+    // dropDuplicates is the crash-replay guard: an interrupted earlier
+    // split that folded delta rows into the main partition but died
+    // before deleting the delta subtree leaves the SAME (vec_id, v)
+    // twice; the re-run folds them back to one
+    val members = readPostings(spark, indexDir)
+      .where(col("cell").cast("long") === cellId)
+      .select(col("vec_id"), col("v"))
+      .dropDuplicates("vec_id")
+      .ckpt() // cuts the file lineage: the rewrite below OVERWRITES
+              // the very partitions this relation was read from
+    val sub = graft.queries.SimilarityQueries.ivfCentroids(
+      retrainSample(members), k = 2, iters = trainIters)
+    val reassigned = assignCells(members, sub)
+      .select(col("vec_id"), col("v"),
+        when(col("cell") === 0L, lit(cellId)).otherwise(lit(newId))
+          .as("cell"))
+    val cents = sub.select(
+      when(col("cent_id") === 0L, lit(cellId)).otherwise(lit(newId))
+        .as("cent_id"), col("cv"))
+    (reassigned, cents)
+  }
+
+  /** TARGETED hot-cell remediation — the maintenance response
+    * [[cellBalance]]'s hot flag calls for, at O(hot cells) cost
+    * instead of [[compact]]`(retrain = true)`'s O(corpus): each flagged
+    * cell is split in two around locally-trained sub-centroids, ONLY
+    * that cell's partitions are rewritten, and every other cell's
+    * files, the quantizer rows of every cold cell, and all unrelated
+    * delta generations are untouched (VectorIndexSpec asserts the
+    * file-level invariant). At 100 TB a hot cell IS the probe cost —
+    * ServeBench's census shows per-query latency tracking probed-cell
+    * size — and a global retrain to fix one cell rewrites the corpus.
+    *
+    * Mechanics per hot cell (ids ascending; new cent_ids allocated
+    * from max(cent_id)+1):
+    *   1. centroids table is rewritten FIRST — the hot cell's centroid
+    *      becomes sub-anchor 0, the new cell's row is added. From this
+    *      instant probes rank k+1 cells; until step 2 lands the new
+    *      cell scans empty and every vector is still reachable via the
+    *      old cell (recall dips near the split plane, nothing is lost
+    *      or duplicated).
+    *   2. the cell's members (main + delta, duplicate-guarded) are
+    *      reassigned to the nearer sub-centroid and written back:
+    *      `postings/cell=<old>` overwritten with the kept half,
+    *      `postings/cell=<new>` created with the moved half; when a PQ
+    *      tree exists, the same two cell partitions of `pq_postings`
+    *      are rewritten via a vec_id join (codes are cell-independent
+    *      by the append convention — only the cell column moves).
+    *   3. the cell's folded delta subdirectories (`cell=<old>` under
+    *      every delta generation of both trees) are deleted.
+    *
+    * Crash contract (single-writer, like [[compact]]'s swap): dying
+    * after 1 leaves an empty-but-probed new cell (pure recall wart; a
+    * re-run splits the still-hot cell again under a fresh id and the
+    * orphan centroid row is swept by the next retraining compact);
+    * dying between 2 and 3 leaves the folded delta rows duplicated,
+    * which the next run's duplicate guard (or [[compact]]) heals.
+    *
+    * Like a retraining [[compact]], a split is a new quantizer EPOCH:
+    * append-then-search ≡ rebuild no longer holds (the quantizer is no
+    * longer the fixed-sample one), while append itself keeps working
+    * unchanged against the updated centroid table.
+    *
+    * @return one [[CellSplit]] per split cell (empty = nothing hot,
+    *         zero writes)
+    */
+  def splitHotCells(spark: SparkSession, indexDir: String,
+      maxRecordsPerFile: Int = 1 << 20,
+      trainIters: Int = 0): Seq[CellSplit] = {
+    val hot = cellBalance(spark, indexDir)
+      .where(col("hot") === 1)
+      .select(col("cell").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (hot.isEmpty) return Seq.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val centRows = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cent_id").cast("long"), col("cv")).collect()
+    val maxId = centRows.map(_.getLong(0)).max
+    val newIds = hot.zipWithIndex
+      .map { case (c, i) => c -> (maxId + 1 + i) }.toMap
+
+    // the split assignments + sub-centroids, one bounded relation per
+    // hot cell (|hot| ≤ k — a driver loop, not a corpus job)
+    val parts = hot.map { c =>
+      val (reassigned, subCents) =
+        splitAssignment(spark, indexDir, c, newIds(c), trainIters)
+      (c, reassigned.ckpt(), subCents.collect())
+    }
+
+    // ---- step 1: centroids first (see crash contract above) --------
+    val splitCv = parts.flatMap(_._3)
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cent_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = true)))
+    val keptRows = centRows.map { r =>
+      val id = r.getLong(0)
+      org.apache.spark.sql.Row(id,
+        splitCv.getOrElse(id, r.getSeq[Double](1)))
+    }
+    val newRows = newIds.toSeq.sortBy(_._2).map { case (_, n) =>
+      org.apache.spark.sql.Row(n, splitCv(n)) }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(keptRows.toSeq ++ newRows, 1),
+        centSchema)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/centroids")
+
+    // ---- step 2: rewrite ONLY the split cells' partitions ----------
+    val hasPq = fsExists(spark, s"$indexDir/pq_postings")
+    val pqAll = if (hasPq) {
+      // the split cells' PQ rows (main + deltas, same duplicate guard)
+      readPqPostings(spark, indexDir)
+        .where(col("cell").cast("long").isin(hot: _*))
+        .select(col("vec_id"), col("codes"))
+        .dropDuplicates("vec_id")
+        .ckpt()
+    } else null
+    val report = parts.map { case (c, reassigned, _) =>
+      val n = newIds(c)
+      def half(cell: Long): DataFrame =
+        reassigned.where(col("cell") === cell)
+          .select(col("vec_id"), col("v"))
+      val kept = half(c).ckpt()
+      val moved = half(n).ckpt()
+      kept.write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+        .parquet(s"$indexDir/postings/cell=$c")
+      moved.write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+        .parquet(s"$indexDir/postings/cell=$n")
+      if (hasPq) {
+        Seq(c, n).foreach { cell =>
+          pqAll.join(reassigned.where(col("cell") === cell)
+              .select(col("vec_id")), "vec_id")
+            .select(col("vec_id"), col("codes"))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+            .parquet(s"$indexDir/pq_postings/cell=$cell")
+        }
+      }
+      CellSplit(c, n, kept.count(), moved.count())
+    }
+
+    // ---- step 3: drop the folded delta subdirectories --------------
+    val trees = Seq("postings_delta") ++
+      (if (hasPq) Seq("pq_postings_delta") else Seq.empty)
+    trees.foreach { t =>
+      val root = new org.apache.hadoop.fs.Path(s"$indexDir/$t")
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) {
+        fs.listStatus(root).foreach { gen =>
+          hot.foreach { c =>
+            val p = new org.apache.hadoop.fs.Path(gen.getPath, s"cell=$c")
+            if (fs.exists(p)) fs.delete(p, true)
+          }
+          // a generation whose ONLY cells were split is now payload-
+          // free (just commit markers) and would fail the delta
+          // union's schema inference — drop it whole
+          if (!fs.listStatus(gen.getPath)
+              .exists(_.getPath.getName.startsWith("cell=")))
+            fs.delete(gen.getPath, true)
+        }
+        // likewise an emptied delta tree: readers check exists() and
+        // must go back to the main-tree-only path
+        if (!fs.listStatus(root)
+            .exists(_.getPath.getName.startsWith("gen=")))
+          fs.delete(root, true)
+      }
+    }
+    report
+  }
+
   /** Deterministic corpus-representative training sample for a
     * retraining [[compact]]: the [[graft.queries.SimilarityQueries
     * .IvfSampleCap]] smallest rows by (fnv1a(vec_id), vec_id) — a

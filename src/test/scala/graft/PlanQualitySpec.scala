@@ -420,7 +420,14 @@ class PlanQualitySpec extends AnyFunSuite {
     // hybridSearch crosses the ONE-row normalized query vector into
     // the sem-arm re-score (q171's allowance) atop searchBm25's
     // one-row-totals cross
-    "Retrieval.hybridSearch")
+    "Retrieval.hybridSearch",
+    // the index-backed eval paths cross the broadcast k-row centroid
+    // table (probe selection) and/or a one-row stats aggregate
+    // (decontam's mu/sigma crossJoin — the q37 pattern)
+    "Retrieval.hybridMrrFromIndexes", "Retrieval.ndcgFromIndexes",
+    "Retrieval.semanticDecontamFromIndexes",
+    // split reassignment crosses the 2-row sub-centroid table
+    "VectorIndex.split.reassign")
 
   // searchBm25's one global window is q132's ≤topK survivor rank;
   // hybridSearch adds its own three ranking windows, every input
@@ -438,7 +445,10 @@ class PlanQualitySpec extends AnyFunSuite {
   private val sinkAuditWindowBudget = Map(
     "TextIndex.searchBm25" -> 1,
     "Retrieval.hybridSearch" -> 3,
-    "VectorIndex.compactRetrain.assign" -> 1)
+    "VectorIndex.compactRetrain.assign" -> 1,
+    // same retrainSample renumber window, over ONE cell's members
+    // (≤ IvfSampleCap rows by the preceding limit)
+    "VectorIndex.split.reassign" -> 1)
 
   test("sink plans codegen, avoid cartesians, keep windows partitioned") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -691,6 +691,19 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // co-key) + the sem-arm TakeOrdered's single exchange; all other
     // joins broadcast (one-row query vector, ≤arms candidate lists)
     "Retrieval.hybridSearch" -> 4,
+    // the three index-backed EVAL paths: every shuffle operates on a
+    // bounded relation (per-query candidate lists, ≤|queries|·fetch
+    // rows) or is a postings-side hash join keyed by the partition
+    // column / vec_id — the corpus is never re-shuffled whole.
+    // hybridMrr: searchBm25Batch's postings chain + two arms' ranked
+    // windows + the fusion/eval tail, all candidate-bounded
+    "Retrieval.hybridMrrFromIndexes" -> 11,
+    "Retrieval.ndcgFromIndexes" -> 3,
+    "Retrieval.semanticDecontamFromIndexes" -> 1,
+    // hot-cell split reassignment: one cell's partition-pruned read,
+    // ≤256-row sub-quantizer sample, 2-row broadcast assignment —
+    // zero exchanges (the O(hot cell) claim in plan form)
+    "VectorIndex.split.reassign" -> 0,
     "TextIndex.build.postings" -> 2,
     "TextIndex.build.doclens" -> 0,
     "TextIndex.build.stats" -> 1,

@@ -450,4 +450,188 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(post.count() == 740L &&
       post.select(col("vec_id")).distinct().count() == 740L)
   }
+
+  /** Recursive (path → (mtime, length)) snapshot for file-level
+    * untouched-ness assertions.
+    */
+  private def snapshot(root: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(root))
+      .map(f => f.getPath -> (f.lastModified, f.length)).toMap
+  }
+
+  test("hot-cell split: targeted, exact, and every cold file untouched") {
+    // same structured fixture as the clustered-drift test: mode B
+    // crowds ONE frozen cell hot, and both drifted modes arrive as
+    // APPENDS — so the split must fold delta generations too
+    val dim = 16
+    val build = synthVecs(0L, 240L, dim,
+      s"if(j = cast(id % 8 as int), 1.0d, 0.0d) + if(j < 8, $nz, 0.0d)")
+    val modeA = synthVecs(1000L, 1300L, dim, s"""
+      if(j = 8, 1.0d, 0.0d)
+      + if(j = 9 + cast(id % 3 as int), 0.3d, 0.0d)
+      + case when j < 8
+             then 0.02d * sin(cast(id * 7919 + j * 104729 as double))
+             else 0.05d * sin(cast(id * 104729 + j * 7919 as double))
+        end""")
+    val modeB = synthVecs(2000L, 2200L, dim,
+      s"case when j = 12 then 1.0d when j = 4 then 0.3d else 0.0d end" +
+        s" + $nz")
+    val out = TestSpark.tmpDir("ivf-split")
+    VectorIndex.build(build, out, k = 8)
+    VectorIndex.append(spark, out, modeA)
+    VectorIndex.append(spark, out, modeB)
+    val merged = build.unionByName(modeA).unionByName(modeB)
+
+    val balBefore = VectorIndex.cellBalance(spark, out).collect()
+    val hotCells = balBefore.filter(_.getInt(3) == 1)
+      .map(_.getLong(0)).toSet
+    assert(hotCells.nonEmpty, "fixture must trip the hot flag")
+    val sizeBefore = balBefore
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val membersBefore = VectorIndex.readPostings(spark, out)
+      .where(col("cell").cast("long").isin(hotCells.toSeq: _*))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val preCold = snapshot(s"$out/postings").view.filterKeys(p =>
+      !hotCells.exists(c => p.contains(s"cell=$c/"))).toMap
+    val preDelta = snapshot(s"$out/postings_delta")
+
+    val report = VectorIndex.splitHotCells(spark, out)
+    assert(report.map(_.cell).toSet == hotCells,
+      s"split must target exactly the hot cells, got $report")
+    report.foreach { r =>
+      assert(r.nKept > 0 && r.nMoved > 0 &&
+        r.nKept + r.nMoved == sizeBefore(r.cell),
+        s"split halves must partition the cell: $r")
+    }
+
+    // quantizer grew by exactly the split count; new ids fresh
+    val cents = spark.read.parquet(s"$out/centroids").collect()
+    assert(cents.length == 8 + report.size)
+    assert(report.map(_.newCell).forall(n =>
+      !balBefore.map(_.getLong(0)).contains(n)))
+
+    // corpus preserved exactly: every vector once, hot-cell members
+    // now split across (old ∪ new) and nowhere else
+    val post = VectorIndex.readPostings(spark, out)
+    assert(post.count() == 740L &&
+      post.select(col("vec_id")).distinct().count() == 740L)
+    val afterIds = post.where(col("cell").cast("long").isin(
+        (hotCells ++ report.map(_.newCell)).toSeq: _*))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(afterIds == membersBefore,
+      "split must move members only between the old and new cell")
+
+    // FILE-LEVEL invariant: every cold cell's files untouched (same
+    // paths, mtimes, lengths); the delta tree lost EXACTLY the hot
+    // cells' subdirs
+    val postCold = snapshot(s"$out/postings").view.filterKeys(p =>
+      !hotCells.exists(c => p.contains(s"cell=$c/")) &&
+        !report.exists(r => p.contains(s"cell=${r.newCell}/"))).toMap
+    assert(postCold == preCold,
+      "a cold cell's files changed — the split is not targeted")
+    // payload files: exactly the hot cells' removed, others untouched
+    // (commit markers of an emptied generation go with it — the
+    // schema-inference guard)
+    val payload = (m: Map[String, (Long, Long)]) =>
+      m.view.filterKeys(_.contains("cell=")).toMap
+    val postDelta = snapshot(s"$out/postings_delta")
+    val expectedDelta = payload(preDelta).view.filterKeys(p =>
+      !hotCells.exists(c => p.contains(s"cell=$c/"))).toMap
+    assert(payload(postDelta) == expectedDelta,
+      "delta tree must lose exactly the folded hot-cell subdirs")
+    // no payload-free generation dirs survive (they would break the
+    // delta union's schema inference)
+    Option(new java.io.File(s"$out/postings_delta").listFiles())
+      .toSeq.flatten.filter(_.getName.startsWith("gen="))
+      .foreach { g =>
+        assert(g.listFiles().exists(_.getName.startsWith("cell=")),
+          s"emptied generation ${g.getName} left behind")
+      }
+
+    // full probe over the grown quantizer stays EXACT (recall 1.0) —
+    // nothing was lost or duplicated on the serving path
+    val qB = modeB.where(col("vec_id") < 2020L)
+    assert(recallAt3(merged, out, qB,
+      nprobe = 8 + report.size) == 1.0)
+    // and the split cell's probe cost halved: the hot cell's share
+    // after < before (the O(probed-cell-size) serving win)
+    val balAfter = VectorIndex.cellBalance(spark, out).collect()
+    assert(balAfter.map(_.getLong(1)).sum == 740L)
+    hotCells.foreach { c =>
+      val after = balAfter.find(_.getLong(0) == c).get.getLong(1)
+      assert(after < sizeBefore(c),
+        s"cell $c did not shrink ($after vs ${sizeBefore(c)})")
+    }
+
+    // append keeps working against the updated quantizer: new vectors
+    // may land in the NEW cell and full probe still finds them
+    val late = synthVecs(3000L, 3040L, dim,
+      s"case when j = 12 then 1.0d when j = 4 then 0.3d else 0.0d end" +
+        s" + $nz")
+    VectorIndex.append(spark, out, late)
+    val mergedLate = merged.unionByName(late)
+    assert(VectorIndex.readPostings(spark, out).count() == 780L)
+    assert(recallAt3(mergedLate, out,
+      late.where(col("vec_id") < 3010L),
+      nprobe = 8 + report.size) == 1.0)
+
+    // a second run over the (no-longer-hot) index is a zero-write
+    // no-op — the maintenance loop converges
+    val bal2 = VectorIndex.cellBalance(spark, out).collect()
+    if (bal2.forall(_.getInt(3) == 0))
+      assert(VectorIndex.splitHotCells(spark, out).isEmpty)
+  }
+
+  test("hot-cell split keeps the PQ tree cell-aligned and ADC-exact") {
+    // 64-dim corpus (PQ's subspace layout) + a crowd appended around
+    // one vector to force a hot cell on BOTH posting trees
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val out = TestSpark.tmpDir("ivf-split-pq")
+    VectorIndex.build(emb, out, k = 16)
+    VectorIndex.buildPq(emb, out, k = 16)
+    // 300 near-copies of vec 5 (tiny deterministic jitter): all land
+    // in vec-5's cell
+    val crowd = emb.where(col("vec_id") === 5)
+      .crossJoin(spark.range(10000L, 10300L))
+      .select(col("id").as("vec_id"),
+        expr("""transform(embedding,
+          (x, j) -> x + 1.0e-4d * sin(cast(id * 31 + j as double)))""")
+          .as("embedding"))
+    VectorIndex.append(spark, out, crowd)
+    VectorIndex.appendPq(spark, out, crowd)
+    val hot = VectorIndex.cellBalance(spark, out)
+      .where(col("hot") === 1).collect()
+    assert(hot.nonEmpty, "crowd must trip the hot flag")
+
+    // pre-split full-probe ADC ranking — the split must not change it
+    val queries = emb.where(col("vec_id") < 6)
+    val adcBefore = VectorIndex
+      .searchAdc(spark, out, queries, nprobe = 16, topK = 5)
+      .orderBy("qid", "rk").collect().toSeq
+
+    val report = VectorIndex.splitHotCells(spark, out)
+    assert(report.nonEmpty)
+
+    // raw and PQ trees agree on every vector's cell after the split
+    val raw = VectorIndex.readPostings(spark, out)
+      .select(col("vec_id"), col("cell").cast("long").as("rc"))
+    val pq = spark.read.parquet(s"$out/pq_postings")
+      .select(col("vec_id"), col("cell").cast("long").as("pc"))
+    assert(pq.count() == 800L)
+    assert(raw.join(pq, "vec_id").where(col("rc") =!= col("pc"))
+      .count() == 0L, "PQ cell assignment drifted from the raw tree")
+
+    // codes and LUT untouched ⇒ full-probe ADC answers identical
+    val adcAfter = VectorIndex
+      .searchAdc(spark, out, queries, nprobe = 16 + report.size,
+        topK = 5)
+      .orderBy("qid", "rk").collect().toSeq
+    assert(adcAfter == adcBefore,
+      "full-probe ADC ranking changed across the split")
+  }
 }
