@@ -334,7 +334,7 @@ object CorpusStreaming {
     *    dashboard keeps the previous batch's verdicts) — and a
     *    replayed empty batch skips again, so idempotence holds.
     */
-  private[streaming] def closeoutBatch(batch: DataFrame, id: Long,
+  private[graft] def closeoutBatch(batch: DataFrame, id: Long,
       corpusRoot: String, outDir: String): Unit = {
     val canon = batch.select(col("doc_id"), col("text"),
       col("lang"), col("source"))
@@ -343,6 +343,59 @@ object CorpusStreaming {
         .parquet(s"$corpusRoot/documents.parquet/batch=$id")
       graft.SparkEntry.queries("q279_curation_closeout")(
           batch.sparkSession, corpusRoot)
+        .withColumn("batch_id", lit(id))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+    }
+  }
+
+  /** [[curationCloseoutSink]] with the VALUE ARM CACHED — the
+    * incremental form the r14 verdict asked the close-out to grow
+    * toward: q279's KNN-Shapley sweep depends ONLY on the fixed
+    * embedding release the sink's contract already pins
+    * (`corpusRoot/embeddings.parquet`), so it is computed once, on the
+    * first non-empty micro-batch, and persisted to
+    * `corpusRoot/shap.parquet`; every batch's close-out then runs
+    * [[graft.queries.SimilarityQueries.curationCloseout]] — the SAME
+    * composition the q279 QDef executes — over the cached relation.
+    * EXACT by construction (not an approximation): the cached input is
+    * the identical relation every batch would recompute, and
+    * CorpusStreamingSpec pins this sink's verdicts ≡ the full
+    * recomputing sink's ≡ batch q279, per wave.
+    *
+    * What stays O(corpus-so-far): the dedup-mass and DoReMi arms,
+    * which genuinely depend on the accumulated documents — the
+    * dashboard-cadence contract is unchanged for them, and
+    * `graft.CloseoutBench` measures both variants' per-wave growth
+    * curves side by side (the cached sweep is the dominant fixed-input
+    * cost at every measured wave).
+    */
+  def curationCloseoutIncrementalSink(docs: DataFrame, corpusRoot: String,
+      outDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        closeoutBatchIncremental(batch, id, corpusRoot, outDir)
+      }
+
+  private[graft] def closeoutBatchIncremental(batch: DataFrame,
+      id: Long, corpusRoot: String, outDir: String): Unit = {
+    val canon = batch.select(col("doc_id"), col("text"),
+      col("lang"), col("source"))
+    if (!canon.isEmpty) {
+      val s = batch.sparkSession
+      canon.write.mode("overwrite")
+        .parquet(s"$corpusRoot/documents.parquet/batch=$id")
+      val shapPath = s"$corpusRoot/shap.parquet"
+      val p = new org.apache.hadoop.fs.Path(shapPath)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // one-time cache build; a crash mid-write leaves a partial dir
+      // without _SUCCESS, and the overwrite below redoes it whole (the
+      // single-writer discipline every sink build already carries)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(shapPath, "_SUCCESS")))
+        graft.queries.SimilarityQueries.knnShapley(s, corpusRoot)
+          .write.mode("overwrite").parquet(shapPath)
+      graft.queries.SimilarityQueries.curationCloseout(s, corpusRoot,
+          s.read.parquet(shapPath))
         .withColumn("batch_id", lit(id))
         .write.mode("overwrite").parquet(s"$outDir/batch=$id")
     }

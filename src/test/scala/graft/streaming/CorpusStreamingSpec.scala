@@ -553,6 +553,53 @@ class CorpusStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental curation close-out ≡ batch q279 (cached value arm)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001"
+    val root = TestSpark.tmpDir("stream-closeout-incr-corpus")
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .write.parquet(s"$root/embeddings.parquet")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().map(r => StreamedDoc(r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3), ts("2024-01-01 00:00:00")))
+    val out = TestSpark.tmpDir("stream-closeout-incr-out")
+    val ms = MemoryStream[StreamedDoc]
+    val q = CorpusStreaming
+      .curationCloseoutIncrementalSink(ms.toDF(), root, out)
+      .option("checkpointLocation", TestSpark.tmpDir("closeout-incr-ckpt"))
+      .start()
+    try {
+      val thirds = docs.grouped((docs.length + 2) / 3).toSeq
+      thirds.zipWithIndex.foreach { case (wave, i) =>
+        ms.addData(wave: _*)
+        q.processAllAvailable()
+        assert(new java.io.File(s"$out/batch=$i").exists())
+      }
+      // the value arm was cached ONCE, on the first batch
+      assert(new java.io.File(s"$root/shap.parquet/_SUCCESS").exists(),
+        "Shapley cache must persist under the corpus root")
+      // the cached relation IS knnShapley over the fixed release
+      val cached = spark.read.parquet(s"$root/shap.parquet")
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+      val live = graft.queries.SimilarityQueries.knnShapley(spark, src)
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+      assert(cached == live, "cached value arm drifted from knnShapley")
+      // and the final verdicts equal the oracle-gated batch q279 (the
+      // full sink pins the same, so incremental ≡ full transitively)
+      val last = spark.read.parquet(out)
+        .where(col("batch") === (thirds.length - 1))
+        .drop("batch", "batch_id")
+      val want = graft.SparkEntry
+        .queries("q279_curation_closeout")(spark, src)
+      val img = (df: org.apache.spark.sql.DataFrame) =>
+        df.orderBy("source").collect().map(_.toString).toSeq
+      assert(img(last).nonEmpty && img(last) == img(want),
+        "incremental close-out drifted from the batch q279")
+    } finally q.stop()
+  }
+
   test("curation close-out: an empty micro-batch is a no-op") {
     import spark.implicits._
     val src = "/root/testdata/sf0.001"
