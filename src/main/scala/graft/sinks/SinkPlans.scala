@@ -181,7 +181,8 @@ object SinkPlans {
       // 2-row broadcast assignment)
       "VectorIndex.split.reassign" -> (() =>
         VectorIndex.splitAssignment(spark, vector, cellId = 0L,
-          newId = K.toLong)._1),
+          newId = K.toLong,
+          trainIters = graft.queries.SimilarityQueries.IvfIters)._1),
       "VectorIndex.compactRetrain.assign" -> (() => {
         val merged = VectorIndex.readPostings(spark, vector)
           .select(col("vec_id"), col("v"))

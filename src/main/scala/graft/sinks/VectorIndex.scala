@@ -447,7 +447,7 @@ object VectorIndex {
     */
   private[sinks] def splitAssignment(spark: SparkSession,
       indexDir: String, cellId: Long, newId: Long,
-      trainIters: Int = 0): (DataFrame, DataFrame) = {
+      trainIters: Int): (DataFrame, DataFrame) = {
     // dropDuplicates is the crash-replay guard: an interrupted earlier
     // split that folded delta rows into the main partition but died
     // before deleting the delta subtree leaves the SAME (vec_id, v)
@@ -511,12 +511,23 @@ object VectorIndex {
     * longer the fixed-sample one), while append itself keeps working
     * unchanged against the updated centroid table.
     *
+    * `trainIters` defaults to [[graft.queries.SimilarityQueries
+    * .IvfIters]] Lloyd iterations — the OPPOSITE default from
+    * [[build]], deliberately: build's data-point anchors are the
+    * measured recall winner for seeding k cells over an unstructured
+    * corpus, but a split's one job is to BALANCE a crowded direction,
+    * and two hash-drawn anchors from a dense crowd often sit adjacent
+    * and shave off a sliver (a measured 573/51 split on the SplitBench
+    * fixture); local Lloyd over the cell's own sample converges to the
+    * crowd's real halves. `trainIters = 0` opts back into anchors.
+    *
     * @return one [[CellSplit]] per split cell (empty = nothing hot,
     *         zero writes)
     */
   def splitHotCells(spark: SparkSession, indexDir: String,
       maxRecordsPerFile: Int = 1 << 20,
-      trainIters: Int = 0): Seq[CellSplit] = {
+      trainIters: Int = graft.queries.SimilarityQueries.IvfIters)
+      : Seq[CellSplit] = {
     val hot = cellBalance(spark, indexDir)
       .where(col("hot") === 1)
       .select(col("cell").cast("long"))
@@ -571,28 +582,25 @@ object VectorIndex {
     } else null
     val report = parts.map { case (c, reassigned, _) =>
       val n = newIds(c)
-      def half(cell: Long): DataFrame =
+      Seq(c, n).foreach { cell =>
         reassigned.where(col("cell") === cell)
           .select(col("vec_id"), col("v"))
-      val kept = half(c).ckpt()
-      val moved = half(n).ckpt()
-      kept.write.mode("overwrite")
-        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
-        .parquet(s"$indexDir/postings/cell=$c")
-      moved.write.mode("overwrite")
-        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
-        .parquet(s"$indexDir/postings/cell=$n")
-      if (hasPq) {
-        Seq(c, n).foreach { cell =>
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+          .parquet(s"$indexDir/postings/cell=$cell")
+        if (hasPq)
           pqAll.join(reassigned.where(col("cell") === cell)
               .select(col("vec_id")), "vec_id")
             .select(col("vec_id"), col("codes"))
             .write.mode("overwrite")
             .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
             .parquet(s"$indexDir/pq_postings/cell=$cell")
-        }
       }
-      CellSplit(c, n, kept.count(), moved.count())
+      // one keyed count over the (already-checkpointed) reassignment
+      // instead of a job per half
+      val sizes = reassigned.groupBy(col("cell")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      CellSplit(c, n, sizes.getOrElse(c, 0L), sizes.getOrElse(n, 0L))
     }
 
     // ---- step 3: drop the folded delta subdirectories --------------

@@ -446,9 +446,16 @@ class PlanQualitySpec extends AnyFunSuite {
     "TextIndex.searchBm25" -> 1,
     "Retrieval.hybridSearch" -> 3,
     "VectorIndex.compactRetrain.assign" -> 1,
-    // same retrainSample renumber window, over ONE cell's members
-    // (≤ IvfSampleCap rows by the preceding limit)
-    "VectorIndex.split.reassign" -> 1)
+    // the SAME ≤256-row retrainSample renumber window, over ONE cell's
+    // members — but the split's sub-quantizer defaults to IvfIters=3
+    // local Lloyd iterations, and with checkpoints disabled the
+    // un-checkpointed sample sub-plan (holding the one reviewed
+    // window) is INLINED once per reference in the Lloyd chain:
+    // each iteration's cents references samp + the previous cents, so
+    // copies = 2^(iters+1) - 1 = 15. All 15 are the identical
+    // limit-bounded renumber; production plans checkpoint the sample
+    // once (the non-audit pass sees 0)
+    "VectorIndex.split.reassign" -> 15)
 
   test("sink plans codegen, avoid cartesians, keep windows partitioned") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
