@@ -3818,6 +3818,189 @@ object SimilarityQueries {
         FROM nn CROSS JOIN st
         ORDER BY nn_cos_r DESC, eval_id ASC
         LIMIT 50
+      """)),
+
+    // ------------------------------------------------------------------
+    // q282: embedding ingest integrity — the data-quality screen a
+    // vector pipeline runs after every embedding job, per SOURCE:
+    // coverage (did every document get a vector?), dimension
+    // consistency (one ndim per corpus — a mixed-model ingest shows up
+    // as n_dims_distinct > 1), zero vectors (an encoder that emitted
+    // all-zeros normalizes to NaN downstream and silently poisons
+    // every cosine), non-finite coordinates, and the norm envelope
+    // (min/avg/max of the RAW norm — a drifted encoder shifts it).
+    // The q168-family counterpart for the embeddings table: q168
+    // audits text rows, nothing audited vectors.
+    //
+    // Determinism: the norm is a sequential array fold (identical IEEE
+    // op order in both engines) rounded at 6; the mean sums the
+    // ROUNDED norms as exact DECIMAL(18,6) before one rounded
+    // division; everything else is integer counts.
+    //
+    // Scale: one narrow map over the embeddings scan (fold + flags per
+    // row — no shuffle), one id-keyed join to attach sources, two
+    // |sources|-bounded rollups. Nothing pairwise, nothing windowed.
+    QDef(
+      "q282_embedding_integrity",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), col("source"))
+        val perVec = Tables(s, dir).embeddings
+          .select(col("vec_id"),
+            expr("cast(size(embedding) as bigint)").as("ndim"),
+            round(expr(
+              """sqrt(aggregate(embedding, cast(0.0 as double),
+                   (a, x) -> a + cast(x as double) * cast(x as double)))"""),
+              6).as("norm_r"),
+            expr("""cast(exists(embedding, x -> isnan(x)
+                 or abs(x) = cast('Infinity' as double)) as int)""")
+              .as("bad"))
+        val cov = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        val agg = docs.join(perVec, docs("doc_id") === col("vec_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_vecs"),
+            countDistinct(col("ndim")).as("n_dims_distinct"),
+            sum(when(col("norm_r") === 0.0d, 1L).otherwise(0L))
+              .as("n_zero"),
+            sum(col("bad").cast("long")).as("n_nonfinite"),
+            min(col("norm_r")).as("norm_min_r"),
+            round(expr(
+              "cast(sum(cast(norm_r as decimal(18, 6))) as double)")
+              / count(lit(1)), 6).as("norm_avg_r"),
+            max(col("norm_r")).as("norm_max_r"))
+        cov.join(agg, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+            round(coalesce(col("n_vecs"), lit(0L)).cast("double")
+              / col("n_docs"), 6).as("coverage_r"),
+            col("n_dims_distinct"), col("n_zero"), col("n_nonfinite"),
+            col("norm_min_r"), col("norm_avg_r"), col("norm_max_r"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH pv AS (SELECT vec_id,
+                      CAST(len(embedding) AS BIGINT) AS ndim,
+                      ROUND(sqrt(list_sum(list_transform(
+                        embedding::DOUBLE[], x -> x * x))), 6) AS norm_r,
+                      CASE WHEN list_sum(list_transform(
+                             embedding::DOUBLE[],
+                             x -> CASE WHEN isnan(x) OR NOT isfinite(x)
+                                  THEN 1 ELSE 0 END)) > 0
+                           THEN 1 ELSE 0 END AS bad
+                    FROM embeddings),
+        cov AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1),
+        agg AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                  CAST(COUNT(DISTINCT p.ndim) AS BIGINT)
+                    AS n_dims_distinct,
+                  CAST(SUM(CASE WHEN p.norm_r = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_zero,
+                  CAST(SUM(p.bad) AS BIGINT) AS n_nonfinite,
+                  MIN(p.norm_r) AS norm_min_r,
+                  ROUND(CAST(SUM(CAST(p.norm_r AS DECIMAL(18, 6)))
+                    AS DOUBLE) / COUNT(*), 6) AS norm_avg_r,
+                  MAX(p.norm_r) AS norm_max_r
+                FROM documents d JOIN pv p ON p.vec_id = d.doc_id
+                GROUP BY 1)
+        SELECT c.source, c.n_docs,
+               COALESCE(a.n_vecs, 0) AS n_vecs,
+               ROUND(CAST(COALESCE(a.n_vecs, 0) AS DOUBLE) / c.n_docs,
+                 6) AS coverage_r,
+               a.n_dims_distinct, a.n_zero, a.n_nonfinite,
+               a.norm_min_r, a.norm_avg_r, a.norm_max_r
+        FROM cov c LEFT JOIN agg a ON a.source = c.source
+        ORDER BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q283: IVF occupancy skew — the ONE-row dashboard number behind
+    // q221's per-cell balance audit and the splitHotCells trigger:
+    // Gini coefficient of the 16-cell occupancy (0 = perfectly
+    // balanced, →1 = everything in one cell), the largest cell's
+    // share, the EXPECTED probed-corpus share for an nprobe=1 query
+    // drawn from the data distribution (Σ share² — the quantity
+    // ServeBench showed per-query latency tracks), and the hot-cell
+    // count under q221's exact-integer rule. An operator watches THIS
+    // number drift upward across append generations and schedules a
+    // split/retrain when it moves.
+    //
+    // Determinism: occupancies are exact integers off the shared
+    // ivfRanked assignment; the Gini rank orders 16 rows by (n,
+    // cent_id); every reported value is one rounded division of exact
+    // integer sums.
+    //
+    // Scale: the assignment is the shared broadcast-centroid scan; the
+    // skew math runs over a 16-row relation (Q.bounded window).
+    QDef(
+      "q283_ivf_skew",
+      (s, dir) => {
+        val k = 16
+        val e = vectors(s, dir).ckpt()
+        val occ = ivfRanked(e, k).filter(col("rn") === 1)
+          .groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+        val spine = e.where(col("vec_id") < k)
+          .select(col("vec_id").as("cent_id"))
+        val cells = spine.join(occ, Seq("cent_id"), "left")
+          .select(col("cent_id"), coalesce(col("n"), lit(0L)).as("n"))
+          .ckpt() // 16 rows: feeds the rank, the totals, and the agg
+        val ranked = cells.withColumn("i", row_number().over(
+          Q.bounded.orderBy(col("n").asc, col("cent_id").asc)))
+        val tot = cells.agg(sum(col("n")).as("total"))
+        ranked.crossJoin(broadcast(tot))
+          .groupBy()
+          .agg(count(lit(1)).as("n_cells"),
+            max(col("total")).as("total_vecs"),
+            round(max(col("n")).cast("double") / max(col("total")), 6)
+              .as("max_share_r"),
+            round(sum((lit(2L) * col("i") - lit(k + 1L)) * col("n"))
+              .cast("double") / (lit(k.toLong) * max(col("total"))), 6)
+              .as("gini_r"),
+            round(sum(col("n") * col("n")).cast("double")
+              / (max(col("total")).cast("double")
+                 * max(col("total")).cast("double")), 6)
+              .as("expected_probe_share_r"),
+            sum(when(col("n") * k > col("total") * 2L, 1L)
+              .otherwise(0L)).as("hot_cells"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], y -> y * y)))) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                  WHERE vec_id < 16),
+        sims AS (SELECT e.vec_id, c.cent_id,
+                   list_sum(list_transform(range(1, 65),
+                     i -> e.v[i] * c.cv[i])) AS sim
+                 FROM e, cents c),
+        assign AS (SELECT vec_id, cent_id FROM (
+                     SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY sim DESC, cent_id ASC) AS rn
+                     FROM sims) t WHERE rn = 1),
+        occ AS (SELECT c.cent_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n
+                FROM cents c LEFT JOIN assign a
+                  ON a.cent_id = c.cent_id
+                GROUP BY 1),
+        rk AS (SELECT cent_id, n,
+                 ROW_NUMBER() OVER (ORDER BY n ASC, cent_id ASC) AS i
+               FROM occ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM occ)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               MAX(t.total) AS total_vecs,
+               ROUND(CAST(MAX(n) AS DOUBLE) / MAX(t.total), 6)
+                 AS max_share_r,
+               ROUND(CAST(SUM((2 * i - 17) * n) AS DOUBLE)
+                 / (16 * MAX(t.total)), 6) AS gini_r,
+               ROUND(CAST(SUM(n * n) AS DOUBLE)
+                 / (CAST(MAX(t.total) AS DOUBLE)
+                    * CAST(MAX(t.total) AS DOUBLE)), 6)
+                 AS expected_probe_share_r,
+               CAST(SUM(CASE WHEN n * 16 > t.total * 2
+                 THEN 1 ELSE 0 END) AS BIGINT) AS hot_cells
+        FROM rk CROSS JOIN tot t
       """))
   )
 }

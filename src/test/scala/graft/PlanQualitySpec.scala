@@ -283,7 +283,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // new unbounded shape: q262's broadcast val-set pair build + ONE-row
     // train-count cross (via knnShapley), q278's ONE-row total cross,
     // and q249's two ONE-row crosses (corpus totals, normalizer)
-    "q279_curation_closeout")
+    "q279_curation_closeout",
+    // q283 crossJoins the ONE-row occupancy total into the 16-row cell
+    // relation (q37 pattern); the assignment itself is ivfRanked's
+    // 16-row centroid broadcast (q172's allowance)
+    "q283_ivf_skew")
 
   // Queries whose plans legitimately contain unpartitioned WindowExec
   // nodes, with the REVIEWED bound on the window's input (Spark folds
@@ -309,6 +313,9 @@ class PlanQualitySpec extends AnyFunSuite {
   // a reviewed bounded window for a different one of the same arity
   // passes — the review lives in the query's own comments.
   private val globalWindowBudget = Map(
+    // q283's Gini rank orders the 16-row (one per IVF cell) occupancy
+    // relation — bounded by the quantizer's k by construction
+    "q283_ivf_skew" -> 1,
     "q116_bpe_pairs" -> 1, "q128_woe_binning" -> 1,
     "q131_concurrency" -> 1, "q132_bm25" -> 1,
     "q134_skipgram_pairs" -> 1, "q139_boolean_retrieval" -> 1,

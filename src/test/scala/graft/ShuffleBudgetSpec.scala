@@ -681,7 +681,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // sit behind their ckpts
     "q279_curation_closeout" -> 9,
     "q280_semantic_decontam" -> 1,
-    "q281_minhash_calibration" -> 4)
+    "q281_minhash_calibration" -> 4,
+    // q282: the doc⋈vec id join (2) + the two |sources| rollups
+    "q282_embedding_integrity" -> 4,
+    // q283: the (cent_id) occupancy agg + the 16-row spine join;
+    // everything after runs on 16 rows
+    "q283_ivf_skew" -> 2)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the
