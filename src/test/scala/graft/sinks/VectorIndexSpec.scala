@@ -586,6 +586,45 @@ class VectorIndexSpec extends AnyFunSuite {
       assert(VectorIndex.splitHotCells(spark, out).isEmpty)
   }
 
+  test("hot-cell split heals a fold-then-crash duplicate remnant") {
+    // the documented crash window: a previous split died AFTER folding
+    // a delta generation's rows into the main cell partition but
+    // BEFORE deleting the delta subtree — the same (vec_id, v) rows
+    // now exist twice. splitAssignment's duplicate guard must fold
+    // them back to one on the next run, so the maintenance loop heals
+    // the remnant instead of propagating it.
+    val dim = 16
+    val build = synthVecs(0L, 240L, dim,
+      s"if(j = cast(id % 8 as int), 1.0d, 0.0d) + if(j < 8, $nz, 0.0d)")
+    val modeB = synthVecs(2000L, 2200L, dim,
+      s"case when j = 12 then 1.0d when j = 4 then 0.3d else 0.0d end" +
+        s" + $nz")
+    val out = TestSpark.tmpDir("ivf-split-crash")
+    VectorIndex.build(build, out, k = 8)
+    VectorIndex.append(spark, out, modeB) // lands as a delta generation
+    val hot = VectorIndex.cellBalance(spark, out)
+      .where(col("hot") === 1).collect().map(_.getLong(0))
+    assert(hot.length == 1)
+    // simulate the crash remnant: copy the hot cell's delta rows into
+    // the MAIN partition (the fold happened) while LEAVING the delta
+    // subtree in place (the delete did not)
+    val deltaRows = spark.read
+      .parquet(s"$out/postings_delta")
+      .where(col("cell").cast("long") === hot.head)
+      .select(col("vec_id"), col("v"))
+    deltaRows.write.mode("append")
+      .parquet(s"$out/postings/cell=${hot.head}")
+    val dupTotal = VectorIndex.readPostings(spark, out).count()
+    assert(dupTotal > 440L, "remnant must introduce duplicates")
+
+    val report = VectorIndex.splitHotCells(spark, out)
+    assert(report.nonEmpty)
+    val post = VectorIndex.readPostings(spark, out)
+    assert(post.count() == 440L &&
+      post.select(col("vec_id")).distinct().count() == 440L,
+      "split must heal the duplicate remnant back to one row per id")
+  }
+
   test("hot-cell split keeps the PQ tree cell-aligned and ADC-exact") {
     // 64-dim corpus (PQ's subspace layout) + a crowd appended around
     // one vector to force a hot cell on BOTH posting trees
