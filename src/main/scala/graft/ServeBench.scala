@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   * reported separately as `cold_s` (it absorbs codegen) and excluded
   * from the percentiles, matching how a serving tier warms.
   *
+  * Two latency points per run: the UNPREPARED path (every query
+  * re-resolves and re-reads the index relations — `p50_s`/`p95_s`)
+  * and the WARM path over one `Retrieval.prepareServing` handle
+  * (relations resolved once, doclens/totals/centroids cached —
+  * `warm_p50_s`/`warm_p95_s`, with the one-time `prep_s` separate).
+  * The gap is pure per-call overhead: both paths run the same plan
+  * shape (RetrievalSpec pins row equality), so warm/cold is the
+  * re-planning + re-listing + statistics-re-read tax a prepared
+  * serving tier avoids.
+  *
   * Pruning evidence — measured from the index, not asserted: the
   * lexical arm's scale story is that range-clustered postings let a
   * term filter skip everything outside each file's word min/max. The
@@ -106,6 +116,29 @@ object ServeBench {
     val sorted = laps.sorted
     def pct(p: Double): Double = sorted((p * (sorted.length - 1)).toInt)
 
+    // warm phase: the SAME battery over a prepared handle
+    // (Retrieval.prepareServing — index relations resolved once,
+    // doclens/totals/centroids cached), the shape a serving tier
+    // actually runs; prep cost is reported separately because it
+    // amortizes over the handle's lifetime, not per query
+    val tPrep0 = System.nanoTime()
+    val handle = graft.queries.Retrieval.prepareServing(spark, text,
+      vector)
+    val prepS = (System.nanoTime() - tPrep0) / 1e9
+    def serveWarm(vecId: Long, terms: Seq[String]): Double = {
+      val t0 = System.nanoTime()
+      val rows = graft.queries.Retrieval.hybridSearchPrepared(handle,
+        terms, battery.where(col("vec_id") === vecId)
+          .select(col("vec_id"), col("embedding")), nprobe).collect()
+      require(rows.nonEmpty, s"warm query $vecId returned no results")
+      (System.nanoTime() - t0) / 1e9
+    }
+    serveWarm(qs.head._1, qs.head._2) // first warm lap absorbs codegen
+    val warmLaps = qs.map { case (id, terms) => serveWarm(id, terms) }
+    val warmSorted = warmLaps.sorted
+    def wpct(p: Double): Double =
+      warmSorted((p * (warmSorted.length - 1)).toInt)
+
     // postings-footer prune census (driver-side, O(files)): row groups
     // whose [word-min, word-max] intersects each query's term bag
     val conf = spark.sparkContext.hadoopConfiguration
@@ -145,7 +178,7 @@ object ServeBench {
         terms.exists(t => t >= mn && t <= mx) }
     }.sorted
 
-    println(f"""{"metric":"serve_hybrid_sec","sf":"$sfDir","n_queries":${qs.length},"cold_s":$cold%.3f,"p50_s":${pct(0.5)}%.3f,"p95_s":${pct(0.95)}%.3f,"mean_s":${laps.sum / laps.length}%.3f,"rowgroups_total":${ranges.length},"rowgroups_hit_p50":${hitCounts(hitCounts.length / 2)},"cells":$k,"nprobe":$nprobe}""")
+    println(f"""{"metric":"serve_hybrid_sec","sf":"$sfDir","n_queries":${qs.length},"cold_s":$cold%.3f,"p50_s":${pct(0.5)}%.3f,"p95_s":${pct(0.95)}%.3f,"mean_s":${laps.sum / laps.length}%.3f,"prep_s":$prepS%.3f,"warm_p50_s":${wpct(0.5)}%.3f,"warm_p95_s":${wpct(0.95)}%.3f,"warm_mean_s":${warmLaps.sum / warmLaps.length}%.3f,"rowgroups_total":${ranges.length},"rowgroups_hit_p50":${hitCounts(hitCounts.length / 2)},"cells":$k,"nprobe":$nprobe}""")
     spark.stop()
   }
 }

@@ -95,15 +95,91 @@ object Retrieval {
   def hybridSearch(spark: SparkSession, textIndexDir: String,
       vecIndexDir: String, terms: Seq[String], query: DataFrame,
       nprobe: Int, arms: Int = 50, topN: Int = 20,
+      kRrf: Int = 60): DataFrame =
+    hybridSearchPrepared(
+      prepareServing(spark, textIndexDir, vecIndexDir, cache = false),
+      terms, query, nprobe, arms, topN, kRrf)
+
+  /** A prepared serving context for [[hybridSearchPrepared]]: every
+    * index relation [[hybridSearch]] re-resolves per call — the
+    * postings/doclens/stats trees of the TextIndex, the centroids and
+    * postings of the VectorIndex — resolved ONCE (one directory
+    * listing and schema merge each) and, when `cache` is on, the
+    * BOUNDED statistics pinned in executor memory:
+    *
+    *  - `centroids` — k rows (one per IVF cell),
+    *  - `totals` — the ONE merged (nn, toktot) row,
+    *  - `doclens` — (doc_id, dl), 16 bytes/doc: the BM25 length norms
+    *    a lexical serving tier holds resident (what Lucene keeps in
+    *    its norms file) — ~160 MB per executor per billion docs on a
+    *    1000-executor cluster, MEMORY_AND_DISK so an undersized
+    *    executor degrades to spill, not OOM.
+    *
+    * The two posting trees are NOT cached — their scale contract is
+    * the word-range / IVF-cell pruned scan, and caching a corpus-sized
+    * tree would defeat it — but their resolved file indexes are
+    * reused, so the per-query driver cost drops to planning alone.
+    *
+    * SNAPSHOT semantics: the handle pins the generation set visible at
+    * prepare time. Rows appended (or cells split/compacted) after
+    * [[prepareServing]] are invisible to it — re-prepare to pick up a
+    * new generation, the swap a serving tier does at index publish.
+    * Call [[ServingHandle.close]] to release the pinned relations.
+    */
+  final class ServingHandle private[queries] (
+      private[queries] val textPostings: DataFrame,
+      private[queries] val doclens: DataFrame,
+      private[queries] val totals: DataFrame,
+      private[queries] val centroids: DataFrame,
+      private[queries] val vecPostings: DataFrame,
+      private val cached: Seq[DataFrame]) {
+    def close(): Unit = cached.foreach(_.unpersist())
+  }
+
+  /** Build a [[ServingHandle]] over the two persisted indexes.
+    * `cache = false` skips the persist/materialize step and is the
+    * exact relation set [[hybridSearch]] uses per call (the cold path
+    * delegates through it, so prepared and unprepared CANNOT drift).
+    */
+  def prepareServing(spark: SparkSession, textIndexDir: String,
+      vecIndexDir: String, cache: Boolean = true): ServingHandle = {
+    val doclens = TextIndex.readDoclens(spark, textIndexDir)
+    val totals = TextIndex.readTotals(spark, textIndexDir)
+    val cents = spark.read.parquet(s"$vecIndexDir/centroids")
+    val cached =
+      if (!cache) Seq.empty[DataFrame]
+      else {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        Seq(doclens, totals, cents).map { df =>
+          df.persist(lvl).count() // materialize: first query serves warm
+          df
+        }
+      }
+    new ServingHandle(
+      TextIndex.readPostings(spark, textIndexDir), doclens, totals,
+      cents, VectorIndex.readPostings(spark, vecIndexDir), cached)
+  }
+
+  /** [[hybridSearch]] over a prepared handle — q171's fused ranking
+    * with per-query work cut to the two pruned scans + the fusion
+    * tail. Identical results by construction ([[hybridSearch]] IS this
+    * method over an uncached handle); RetrievalSpec additionally pins
+    * warm ≡ cold row for row and the snapshot contract (post-prepare
+    * appends invisible until re-prepare).
+    */
+  def hybridSearchPrepared(handle: ServingHandle, terms: Seq[String],
+      query: DataFrame, nprobe: Int, arms: Int = 50, topN: Int = 20,
       kRrf: Int = 60): DataFrame = {
-    val lex = TextIndex.searchBm25(spark, textIndexDir, terms, arms)
+    val lex = TextIndex.searchBm25On(handle.textPostings,
+        handle.doclens, handle.totals, terms, arms)
       .select(col("doc_id"), col("rk").as("lex_rk"))
     val qv = query.select(expr("l2_normalize(embedding)").as("qv"))
       .ckpt() // one row; cuts the query lineage before the join below
-    val hits = VectorIndex.search(spark, vecIndexDir, query, nprobe,
+    val hits = VectorIndex.searchOn(handle.centroids,
+        handle.vecPostings, query, nprobe,
         topK = arms + fetchMargin) // self already excluded by search
       .select(col("neighbor_id").as("vec_id"))
-    val sem = VectorIndex.storedVectors(spark, vecIndexDir)
+    val sem = handle.vecPostings.select(col("vec_id"), col("v"))
       .join(broadcast(hits), "vec_id")
       .crossJoin(broadcast(qv))
       .select(col("vec_id").as("doc_id"),

@@ -123,6 +123,22 @@ object SinkPlans {
         graft.queries.Retrieval.hybridSearch(spark, text, vector,
           Seq("the", "data"), queries().where(col("vec_id") === 0),
           nprobe = 2)),
+      // the warm form of the same path: per-query plan over a prepared
+      // handle (cached doclens/totals/centroids, reused file indexes —
+      // graft.ServeBench's warm phase); gated separately because the
+      // InMemoryRelation inputs change the physical plan the cold
+      // entry reviews
+      "Retrieval.hybridSearch.prepared" -> (() => {
+        // handle left open: the gates inspect the returned frame's
+        // executed plan, which must still see the cached relations
+        // (closing first would gate the cold plan twice); the pinned
+        // rows are the fixture's k+|docs|+1 statistics rows
+        val h = graft.queries.Retrieval.prepareServing(spark, text,
+          vector)
+        graft.queries.Retrieval.hybridSearchPrepared(h,
+          Seq("the", "data"), queries().where(col("vec_id") === 0),
+          nprobe = 2)
+      }),
       // the three index-backed EVAL paths (MRR, NDCG, decontamination
       // screen) — their in-query twins q269/q172/q280 are plan-gated
       // via SparkEntry, but the index-backed candidate plans (postings

@@ -125,20 +125,20 @@ object TextIndex {
   }
 
   /** Postings across the main tree and every streaming delta gen. */
-  private[sinks] def readPostings(spark: SparkSession,
+  private[graft] def readPostings(spark: SparkSession,
       indexDir: String): DataFrame =
     DeltaIO.readMerged(spark, indexDir, "postings",
       Seq("word", "doc_id", "tf", "positions"))
 
   /** Doc lengths across the main tree and every delta gen. */
-  private[sinks] def readDoclens(spark: SparkSession,
+  private[graft] def readDoclens(spark: SparkSession,
       indexDir: String): DataFrame =
     DeltaIO.readMerged(spark, indexDir, "doclens", Seq("doc_id", "dl"))
 
   /** Corpus totals merged across build/append/delta generations: one
     * row (nn, toktot).
     */
-  private[sinks] def readTotals(spark: SparkSession,
+  private[graft] def readTotals(spark: SparkSession,
       indexDir: String): DataFrame =
     DeltaIO.readMerged(spark, indexDir, "stats", Seq("nn", "toktot"))
       .agg(sum(col("nn")).as("nn"), sum(col("toktot")).as("toktot"))
@@ -147,14 +147,28 @@ object TextIndex {
     * q132's scorer and output contract: (rk, doc_id, n_terms, score).
     */
   def searchBm25(spark: SparkSession, indexDir: String,
-      terms: Seq[String], topK: Int): DataFrame = {
-    val tf = readPostings(spark, indexDir)
+      terms: Seq[String], topK: Int): DataFrame =
+    searchBm25On(readPostings(spark, indexDir),
+      readDoclens(spark, indexDir), readTotals(spark, indexDir),
+      terms, topK)
+
+  /** [[searchBm25]] over pre-resolved index relations — the warm
+    * serving form: a prepared handle (`Retrieval.prepareServing`)
+    * resolves the postings/doclens/stats trees ONCE (one file listing,
+    * one schema merge) and caches the bounded statistics, so per-query
+    * cost is the word-pruned postings scan plus the scoring tail, not
+    * directory listings and re-reads of the same one-row totals. SAME
+    * body as [[searchBm25]] — the public form delegates here, so the
+    * two cannot drift.
+    */
+  private[graft] def searchBm25On(postings: DataFrame,
+      doclens: DataFrame, totals: DataFrame, terms: Seq[String],
+      topK: Int): DataFrame = {
+    val tf = postings
       .where(col("word").isin(terms: _*))
       .select(col("word"), col("doc_id"), col("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val dl = readDoclens(spark, indexDir)
-    val scored = graft.queries.Q.bm25Aggregate(
-      tf, df, dl, readTotals(spark, indexDir))
+    val scored = graft.queries.Q.bm25Aggregate(tf, df, doclens, totals)
     graft.queries.Q.bm25TopK(scored, topK)
   }
 

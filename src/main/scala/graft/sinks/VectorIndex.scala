@@ -176,8 +176,20 @@ object VectorIndex {
     * excluded, round-6 cosines, neighbor_id tiebreak).
     */
   def search(spark: SparkSession, indexDir: String, queries: DataFrame,
-      nprobe: Int, topK: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+      nprobe: Int, topK: Int): DataFrame =
+    searchOn(spark.read.parquet(s"$indexDir/centroids"),
+      readPostings(spark, indexDir), queries, nprobe, topK)
+
+  /** [[search]] over pre-resolved index relations — the warm serving
+    * form: a prepared handle (`Retrieval.prepareServing`) reads the
+    * k-row centroid relation once (cached) and resolves the postings
+    * tree's file index once, so per-query cost is the nprobe
+    * cell-pruned scan plus the top-k tail, not a centroids re-read and
+    * a fresh directory listing. SAME body as [[search]] — the public
+    * form delegates here, so the two cannot drift.
+    */
+  private[graft] def searchOn(cents: DataFrame, postings: DataFrame,
+      queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
     val q = normalized(queries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val byQ = Window.partitionBy(col("qid"))
@@ -188,7 +200,6 @@ object VectorIndex {
       .withColumn("rn", row_number().over(byQ))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("cent_id").as("cell"))
-    val postings = readPostings(spark, indexDir)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     // join on the partition column: only probed cells are scanned (a

@@ -426,8 +426,9 @@ class PlanQualitySpec extends AnyFunSuite {
     "LmIndex.score", "LmIndex.scoreKn", "LmIndex.probeNext",
     // hybridSearch crosses the ONE-row normalized query vector into
     // the sem-arm re-score (q171's allowance) atop searchBm25's
-    // one-row-totals cross
-    "Retrieval.hybridSearch",
+    // one-row-totals cross; the prepared form is the same plan over
+    // cached statistics relations
+    "Retrieval.hybridSearch", "Retrieval.hybridSearch.prepared",
     // the index-backed eval paths cross the broadcast k-row centroid
     // table (probe selection) and/or a one-row stats aggregate
     // (decontam's mu/sigma crossJoin — the q37 pattern)
@@ -444,7 +445,8 @@ class PlanQualitySpec extends AnyFunSuite {
   // q171's reviewed shapes on the persisted-index path.
   private val sinkWindowBudget = Map(
     "TextIndex.searchBm25" -> 1,
-    "Retrieval.hybridSearch" -> 3)
+    "Retrieval.hybridSearch" -> 3,
+    "Retrieval.hybridSearch.prepared" -> 3)
 
   // Audit mode additionally reveals the retraining compact's
   // hash-sample renumber window — bounded at IvfSampleCap (256) rows
@@ -452,6 +454,7 @@ class PlanQualitySpec extends AnyFunSuite {
   private val sinkAuditWindowBudget = Map(
     "TextIndex.searchBm25" -> 1,
     "Retrieval.hybridSearch" -> 3,
+    "Retrieval.hybridSearch.prepared" -> 3,
     "VectorIndex.compactRetrain.assign" -> 1,
     // the SAME ≤256-row retrainSample renumber window, over ONE cell's
     // members — but the split's sub-quantizer defaults to IvfIters=3

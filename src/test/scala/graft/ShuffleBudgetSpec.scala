@@ -696,6 +696,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // co-key) + the sem-arm TakeOrdered's single exchange; all other
     // joins broadcast (one-row query vector, ≤arms candidate lists)
     "Retrieval.hybridSearch" -> 4,
+    // warm form over the prepared handle: same composition with
+    // doclens/totals/centroids read from cache — caching changes the
+    // scan nodes, not the exchange count
+    "Retrieval.hybridSearch.prepared" -> 4,
     // the three index-backed EVAL paths: every shuffle operates on a
     // bounded relation (per-query candidate lists, ≤|queries|·fetch
     // rows) or is a postings-side hash join keyed by the partition

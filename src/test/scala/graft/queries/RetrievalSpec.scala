@@ -89,6 +89,51 @@ class RetrievalSpec extends AnyFunSuite {
       "index-backed hybrid search != q171 at full probe")
   }
 
+  test("hybridSearchPrepared: warm ≡ cold; handle pins the snapshot") {
+    // the warm path is hybridSearch over a prepared handle (cached
+    // statistics, reused file indexes) — results must be IDENTICAL
+    // (the cold path delegates through an uncached handle, so this is
+    // a pin on the caching, not a separate plan); and the handle is a
+    // SNAPSHOT: an append after prepareServing is invisible to it
+    // until re-prepare (the serving tier's publish-and-swap contract)
+    val tIdx = TestSpark.tmpDir("warm-text")
+    graft.sinks.TextIndex.build(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")), tIdx)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val vIdx = TestSpark.tmpDir("warm-ivf")
+    graft.sinks.VectorIndex.build(e, vIdx, k = 16)
+    val terms = Seq("spark", "window", "merge")
+    val q = e.where(col("vec_id") === 0)
+    val handle = Retrieval.prepareServing(spark, tIdx, vIdx)
+    try {
+      val cold = Retrieval.hybridSearch(spark, tIdx, vIdx, terms, q,
+        nprobe = 16).collect().toSeq
+      val warm = Retrieval.hybridSearchPrepared(handle, terms, q,
+        nprobe = 16).collect().toSeq
+      assert(warm.nonEmpty && warm == cold,
+        "prepared handle must reproduce the unprepared ranking")
+
+      // append an exact duplicate of the query vector under a new id:
+      // at full probe its cos 1.0 takes semantic rank 1 and shifts
+      // every other sem_rk, so a fresh read MUST change the fusion…
+      graft.sinks.VectorIndex.append(spark, vIdx,
+        e.where(col("vec_id") === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")))
+      val fresh = Retrieval.hybridSearch(spark, tIdx, vIdx, terms, q,
+        nprobe = 16).collect().toSeq
+      assert(fresh != cold,
+        "append must be visible to an unprepared search")
+      // …while the prepared handle still serves the prepare-time rows
+      val still = Retrieval.hybridSearchPrepared(handle, terms, q,
+        nprobe = 16).collect().toSeq
+      assert(still == cold,
+        "handle must pin the prepare-time index snapshot")
+    } finally handle.close()
+  }
+
   test("ndcgFromIndexes: persisted quantizer + probes ≡ q172") {
     // the index built at q172's quantizer (k=16 first-vector anchors,
     // trainIters=0 default) and probed at its nprobe=2 must reproduce
