@@ -119,9 +119,16 @@ object DedupQueries {
   }
 
   private def shingleRows(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables(s, dir).documents
-      .select(col("doc_id"), col("source"),
-        graft.functions.Shingles.shingles(col("text"), 3).as("shingle"))
+    shingleRowsOf(Tables(s, dir).documents)
+
+  /** [[shingleRows]] over an explicit (doc_id, source, text) relation —
+    * the form the persisted cluster index builds/appends from
+    * ([[graft.sinks.ClusterIndex]]); the dir form delegates here so the
+    * shingle definition exists once.
+    */
+  private[graft] def shingleRowsOf(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), col("source"),
+      graft.functions.Shingles.shingles(col("text"), 3).as("shingle"))
 
   /** One MinHash signature row per doc (sig_0..sig_7) — shared by q23
     * (4×2 banded LSH) and q121 (the band-config sweep), so the tuner
@@ -165,13 +172,23 @@ object DedupQueries {
     */
   private[queries] def clusterAssignment(
       s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val edges = jaccardPairs(s, dir)
+      dir: String): org.apache.spark.sql.DataFrame =
+    clusterAssignmentOf(Tables(s, dir).documents)
+
+  /** [[clusterAssignment]] over an explicit (doc_id, source, text)
+    * relation — shared with [[graft.sinks.ClusterIndex.build]] so the
+    * persisted clusters and the in-query q54 components are ONE
+    * definition (edges, threshold, star-contraction, min-id labels).
+    */
+  private[graft] def clusterAssignmentOf(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val edges = jaccardPairsOf(docs)
       .where(col("jaccard") >= 0.02)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     val assign = graft.core.ConnectedComponents.run(edges)
       .select(col("u").as("doc_id"), col("v").as("cid"))
-    Tables(s, dir).documents.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(assign, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cid"), col("doc_id")).as("cluster_id"))
@@ -197,13 +214,23 @@ object DedupQueries {
         assign AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
                    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)"""
 
-  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    jaccardPairsOf(Tables(s, dir).documents)
+
+  /** [[jaccardPairs]] over an explicit (doc_id, source, text) relation
+    * (the dir form delegates) — also the pair rule
+    * [[graft.sinks.ClusterIndex]] restates for its batch-vs-index edge
+    * discovery, so the similarity threshold's inputs have one shape.
+    */
+  private[graft] def jaccardPairsOf(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // localCheckpoint: the shingle relation feeds BOTH sides of the
     // self-join; without materialization the planner re-runs the
     // shingle Generate + window for the second side (measured ~1.5×
     // this stage). The materialized form is the posting-list shape a
     // 100 TB dedup pass would persist anyway before pair generation.
-    val ex = shingleRows(s, dir)
+    val ex = shingleRowsOf(docs)
       .withColumn("n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))))
@@ -1773,10 +1800,18 @@ object DedupQueries {
     */
   private[queries] def dedupWeights(
       s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val assign = clusterAssignment(s, dir).ckpt()
-    val docs = Tables(s, dir).documents
-      .select(col("doc_id"), col("source"))
+      dir: String): org.apache.spark.sql.DataFrame =
+    dedupWeightsOf(Tables(s, dir).documents)
+
+  /** [[dedupWeights]] over an explicit (doc_id, source, text) relation
+    * — the full-recompute form [[graft.sinks.ClusterIndex]]'s parity
+    * spec compares its incremental report against.
+    */
+  private[graft] def dedupWeightsOf(
+      docs0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val assign = clusterAssignmentOf(docs0).ckpt()
+    val docs = docs0.select(col("doc_id"), col("source"))
     val sized = assign.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("csz"))
     val agg = docs
@@ -1788,6 +1823,19 @@ object DedupQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("wq")).as("eff"))
       .ckpt() // |sources|-bounded; feeds the totals AND the shares
+    dedupWeightsTail(agg)
+  }
+
+  /** The per-source share/uniqueness tail over an explicit
+    * (source, n_docs BIGINT, eff DECIMAL) aggregate — ONE definition
+    * executed by [[dedupWeights]] (live cluster recompute) and by
+    * [[graft.sinks.ClusterIndex.report]] (the incrementally maintained
+    * aggregate), so the two surfaces cannot drift in their rounding or
+    * share arithmetic.
+    */
+  private[graft] def dedupWeightsTail(
+      agg: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val tot = agg.agg(sum(col("n_docs")).as("tn"),
       sum(col("eff")).as("te"))
     agg.crossJoin(broadcast(tot))

@@ -51,6 +51,9 @@ object SinkPlans {
     VectorIndex.build(e, s"$idxRoot/vector", k = K)
     VectorIndex.buildPq(e, s"$idxRoot/vector", k = K)
     LmIndex.build(d, s"$idxRoot/lm")
+    ClusterIndex.build(graft.Tables(spark, dataDir).documents
+      .select(col("doc_id"), col("source"), col("text")),
+      s"$idxRoot/cluster")
   }
 
   /** The registry: name → thunk building the plan-bearing DataFrame.
@@ -165,6 +168,17 @@ object SinkPlans {
         graft.queries.Retrieval.semanticDecontamFromIndexes(spark,
           vector, emb(spark, dataDir).select(col("vec_id"))
             .where(col("vec_id") % 20 === 0), nprobe = 2)),
+      // the cluster index's two distinctive plans: per-wave edge
+      // discovery (batch shingles vs the persisted postings — the
+      // O(batch × fanout) claim) and the additive dedup-mass report
+      // (O(clusters), never a re-cluster)
+      "ClusterIndex.append.edges" -> (() =>
+        ClusterIndex.appendEdgesPlan(spark, s"$idxRoot/cluster",
+          graft.Tables(spark, dataDir).documents
+            .select(col("doc_id"), col("source"), col("text"))
+            .where(col("doc_id") < 20))),
+      "ClusterIndex.report" -> (() =>
+        ClusterIndex.report(spark, s"$idxRoot/cluster")),
       // ---- compact jobs (reader + re-clustering repartition) ----
       "TextIndex.compact.postings" -> (() =>
         TextIndex.readPostings(spark, text)

@@ -435,7 +435,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "Retrieval.hybridMrrFromIndexes", "Retrieval.ndcgFromIndexes",
     "Retrieval.semanticDecontamFromIndexes",
     // split reassignment crosses the 2-row sub-centroid table
-    "VectorIndex.split.reassign")
+    "VectorIndex.split.reassign",
+    // the cluster-index report ends in dedupWeightsTail's 1-row
+    // totals crossJoin (the q278 pattern)
+    "ClusterIndex.report")
 
   // searchBm25's one global window is q132's ≤topK survivor rank;
   // hybridSearch adds its own three ranking windows, every input

@@ -713,6 +713,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // ≤256-row sub-quantizer sample, 2-row broadcast assignment —
     // zero exchanges (the O(hot cell) claim in plan form)
     "VectorIndex.split.reassign" -> 0,
+    // cluster index: edge discovery's visible plan is the one pair agg
+    // past the checkpointed batch-shingle relation (the postings join
+    // keys by (source, shingle) — the storage bucketing key); report =
+    // the three additive rollups + the |sources| co-partition, with the
+    // 1-row totals tail broadcast
+    "ClusterIndex.append.edges" -> 1,
+    "ClusterIndex.report" -> 4,
     "TextIndex.build.postings" -> 2,
     "TextIndex.build.doclens" -> 0,
     "TextIndex.build.stats" -> 1,
