@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * .curationCloseoutSink]] recomputes the full q279 per micro-batch
   * (O(corpus-so-far), the documented dashboard cadence), and the new
   * [[streaming.CorpusStreaming.curationCloseoutIncrementalSink]]
-  * caches the fixed-input Shapley arm. This bench drives BOTH
-  * per-batch bodies over the same ingest waves and reports each
-  * variant's per-wave wall time, so the growth curve is a measured
-  * row instead of a scaladoc adjective.
+  * caches the fixed-input Shapley arm, and the round-15
+  * [[streaming.CorpusStreaming.curationCloseoutIndexedSink]]
+  * additionally maintains the dedup arm in a persisted
+  * [[sinks.ClusterIndex]] (O(batch + touched clusters) per wave).
+  * This bench drives all THREE per-batch bodies over the same ingest
+  * waves and reports each variant's per-wave wall time, so the growth
+  * curve is a measured row instead of a scaladoc adjective.
   *
   * Measures the foreachBatch BODIES directly (closeoutBatch /
   * closeoutBatchIncremental) — the micro-batch machinery around them
@@ -29,8 +32,9 @@ import org.apache.spark.sql.functions._
   *
   * Prints ONE JSON line:
   * {"metric":"closeout_growth","sf":…,"waves":N,"batch":B,
-  *  "full_s":[w0,…],"incr_s":[w0,…]} — incr wave 0 includes the
-  * one-time Shapley cache build (reported in-line, not hidden).
+  *  "full_s":[w0,…],"incr_s":[w0,…],"idx_s":[w0,…]} — incr/idx wave 0
+  * includes the one-time Shapley cache build (and, for idx, the empty
+  * index init), reported in-line, not hidden.
   */
 object CloseoutBench {
 
@@ -61,7 +65,7 @@ object CloseoutBench {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-closeout-bench").toString
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    Seq("full", "incr").foreach(v =>
+    Seq("full", "incr", "idx").foreach(v =>
       emb.write.parquet(s"$tmp/$v/embeddings.parquet"))
 
     def time(f: => Unit): Double = {
@@ -69,11 +73,14 @@ object CloseoutBench {
     }
     val fullS = Array.ofDim[Double](waves)
     val incrS = Array.ofDim[Double](waves)
+    val idxS = Array.ofDim[Double](waves)
     (0 until waves).foreach { i =>
       fullS(i) = time(streaming.CorpusStreaming.closeoutBatch(
         wave(i), i.toLong, s"$tmp/full", s"$tmp/out-full"))
       incrS(i) = time(streaming.CorpusStreaming.closeoutBatchIncremental(
         wave(i), i.toLong, s"$tmp/incr", s"$tmp/out-incr"))
+      idxS(i) = time(streaming.CorpusStreaming.closeoutBatchIndexed(
+        wave(i), i.toLong, s"$tmp/idx", s"$tmp/out-idx"))
     }
 
     // variant parity on the final wave (the cheap in-bench pin)
@@ -84,12 +91,16 @@ object CloseoutBench {
     val (f, n) = (img(s"$tmp/out-full"), img(s"$tmp/out-incr"))
     require(f.nonEmpty && f == n,
       s"incremental close-out drifted from the full recompute: $n vs $f")
+    val x = img(s"$tmp/out-idx")
+    require(x == f,
+      s"indexed close-out drifted from the full recompute: $x vs $f")
 
     def arr(a: Array[Double]) =
       a.map(v => f"$v%.2f").mkString("[", ",", "]")
     println(s"""{"metric":"closeout_growth","sf":"$sfDir",""" +
       s""""waves":$waves,"batch":$docBatch,""" +
-      s""""full_s":${arr(fullS)},"incr_s":${arr(incrS)}}""")
+      s""""full_s":${arr(fullS)},"incr_s":${arr(incrS)},""" +
+      s""""idx_s":${arr(idxS)}}""")
     spark.stop()
   }
 }

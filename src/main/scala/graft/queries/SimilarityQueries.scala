@@ -404,8 +404,22 @@ object SimilarityQueries {
     */
   private[graft] def curationCloseout(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      shap: DataFrame): DataFrame = {
-    val dw = DedupQueries.dedupWeights(s, dir)
+      shap: DataFrame): DataFrame =
+    curationCloseout(s, dir, shap, DedupQueries.dedupWeights(s, dir))
+
+  /** [[curationCloseout]] over an EXPLICIT dedup-mass relation too —
+    * the fully-parameterized form the INDEX-BACKED streaming close-out
+    * executes ([[graft.streaming.CorpusStreaming
+    * .curationCloseoutIndexedSink]], which passes
+    * [[graft.sinks.ClusterIndex.report]]'s incrementally-maintained
+    * rollup — spec-pinned ≡ [[DedupQueries.dedupWeights]] over the
+    * accumulated corpus, so the substitution is exact). `dw` must be
+    * [[DedupQueries.dedupWeights]]'s contract (source, n_docs,
+    * effective_mass_r, raw_share_r, dedup_share_r, uniqueness_r).
+    */
+  private[graft] def curationCloseout(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      shap: DataFrame, dw: DataFrame): DataFrame = {
     val mw = PipelineQueries.doremiWeights(s, dir)
       .select(col("source"), col("doremi_weight_r"))
     val docs = Tables(s, dir).documents

@@ -115,6 +115,38 @@ object ClusterIndex {
       .write.mode("overwrite").parquet(s"$outDir/docs")
   }
 
+  /** Create EMPTY main trees (schema-bearing zero-row parquet) so a
+    * streaming caller can route EVERY micro-batch — including the
+    * first — through [[appendDelta]] with its batch id as the gen:
+    * a first-batch [[build]] would not be replay-idempotent (the
+    * retry would have to know to append instead), whereas gen-scoped
+    * deltas over an empty base rewrite themselves exactly. No-op when
+    * the index already exists.
+    */
+  def init(spark: SparkSession, outDir: String): Unit = {
+    import org.apache.spark.sql.types._
+    if (DeltaIO.exists(spark, s"$outDir/srcstats/_SUCCESS")) return
+    def empty(schema: StructType): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    empty(StructType(Seq(StructField("source", StringType),
+      StructField("shingle", StringType),
+      StructField("doc_id", LongType), StructField("n", LongType))))
+      .write.mode("overwrite").parquet(s"$outDir/shingles")
+    empty(StructType(Seq(StructField("doc_id", LongType),
+      StructField("cluster_id", LongType))))
+      .write.mode("overwrite").parquet(s"$outDir/assign")
+    empty(StructType(Seq(StructField("cluster_id", LongType),
+      StructField("source", StringType), StructField("csz", LongType))))
+      .write.mode("overwrite").parquet(s"$outDir/clusters")
+    empty(StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType))))
+      .write.mode("overwrite").parquet(s"$outDir/docs")
+    empty(StructType(Seq(StructField("source", StringType),
+      StructField("n_docs", LongType))))
+      .write.mode("overwrite").parquet(s"$outDir/srcstats")
+  }
+
   /** Incrementally merge a batch of NEW (doc_id, source, text) docs —
     * ids must not already be indexed (the [[DedupIndex.append]]
     * accepted-batch contract). O(batch + touched clusters).

@@ -401,6 +401,57 @@ object CorpusStreaming {
     }
   }
 
+  /** [[curationCloseoutIncrementalSink]] with the DEDUP ARM
+    * index-backed too — the last O(corpus-so-far) recompute in the
+    * streaming close-out replaced by maintained state: each batch
+    * appends into a persisted [[graft.sinks.ClusterIndex]] (gen =
+    * micro-batch id, the replay-safe delta contract) and the
+    * uniqueness/dedup-share columns come from
+    * [[graft.sinks.ClusterIndex.report]] — ClusterIndexSpec pins that
+    * report ≡ the full q54+q278 recompute over the accumulated corpus
+    * after any append sequence, so the verdicts are EXACT, not
+    * approximate (CorpusStreamingSpec re-pins ≡ batch q279 per wave).
+    * Per-batch cost: the value arm is the cached fixed-release sweep
+    * (one build), the dedup arm is O(batch + touched clusters) index
+    * maintenance plus an O(clusters) rollup, and only DoReMi's mixture
+    * arm still recomputes over the corpus tree — dashboard cadence for
+    * one arm instead of three.
+    */
+  def curationCloseoutIndexedSink(docs: DataFrame, corpusRoot: String,
+      outDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        closeoutBatchIndexed(batch, id, corpusRoot, outDir)
+      }
+
+  private[graft] def closeoutBatchIndexed(batch: DataFrame,
+      id: Long, corpusRoot: String, outDir: String): Unit = {
+    val canon = batch.select(col("doc_id"), col("text"),
+      col("lang"), col("source"))
+    if (!canon.isEmpty) {
+      val s = batch.sparkSession
+      canon.write.mode("overwrite")
+        .parquet(s"$corpusRoot/documents.parquet/batch=$id")
+      val shapPath = s"$corpusRoot/shap.parquet"
+      val p = new org.apache.hadoop.fs.Path(shapPath)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(shapPath, "_SUCCESS")))
+        graft.queries.SimilarityQueries.knnShapley(s, corpusRoot)
+          .write.mode("overwrite").parquet(shapPath)
+      val cidx = s"$corpusRoot/cluster_index"
+      graft.sinks.ClusterIndex.init(s, cidx) // no-op once present
+      graft.sinks.ClusterIndex.appendDelta(s, cidx,
+        canon.select(col("doc_id"), col("source"), col("text")),
+        gen = id)
+      graft.queries.SimilarityQueries.curationCloseout(s, corpusRoot,
+          s.read.parquet(shapPath),
+          graft.sinks.ClusterIndex.report(s, cidx))
+        .withColumn("batch_id", lit(id))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+    }
+  }
+
   /** Append each micro-batch to the partitioned corpus tree via the
     * batch export sink (same layout contract as [[CorpusExport]], with
     * `batch=<id>` as the leading partition directory). foreachBatch is

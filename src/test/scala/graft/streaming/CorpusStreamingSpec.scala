@@ -600,6 +600,67 @@ class CorpusStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("indexed curation close-out ≡ batch q279 (index-backed dedup arm)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001"
+    val root = TestSpark.tmpDir("stream-closeout-idx-corpus")
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .write.parquet(s"$root/embeddings.parquet")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().map(r => StreamedDoc(r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3), ts("2024-01-01 00:00:00")))
+    val out = TestSpark.tmpDir("stream-closeout-idx-out")
+    val ms = MemoryStream[StreamedDoc]
+    val q = CorpusStreaming
+      .curationCloseoutIndexedSink(ms.toDF(), root, out)
+      .option("checkpointLocation", TestSpark.tmpDir("closeout-idx-ckpt"))
+      .start()
+    try {
+      val img = (df: org.apache.spark.sql.DataFrame) =>
+        df.orderBy("source").collect().map(_.toString).toSeq
+      val thirds = docs.grouped((docs.length + 2) / 3).toSeq
+      thirds.zipWithIndex.foreach { case (wave, i) =>
+        ms.addData(wave: _*)
+        q.processAllAvailable()
+        assert(new java.io.File(s"$out/batch=$i").exists())
+      }
+      // MID-stream exactness, not just the final state: wave 1's
+      // persisted verdicts must equal the full-recompute close-out
+      // over the corpus as of wave 1 — near-dup pairs STRADDLE the
+      // wave boundaries (the accumulating corpus is id-interleaved),
+      // so this pin exercises cross-wave cluster merges in the
+      // maintained index, the part a final-state-only pin could pass
+      // without
+      val corpus1 = spark.read.parquet(s"$root/documents.parquet")
+        .where(col("batch") <= 1)
+      val fullDw1 = graft.queries.DedupQueries.dedupWeightsOf(
+        corpus1.select(col("doc_id"), col("source"), col("text")))
+      val snap1 = spark.read.parquet(out)
+        .where(col("batch") === 1).drop("batch", "batch_id")
+      // the recompute's doc/mixture arms must see the SAME wave-1
+      // prefix the snapshot saw — materialize it as its own corpus
+      val root1 = TestSpark.tmpDir("closeout-idx-prefix")
+      spark.read.parquet(s"$root/embeddings.parquet")
+        .write.parquet(s"$root1/embeddings.parquet")
+      corpus1.write.parquet(s"$root1/documents.parquet")
+      val want1p = graft.queries.SimilarityQueries.curationCloseout(
+        spark, root1, spark.read.parquet(s"$root/shap.parquet"),
+        fullDw1)
+      assert(img(snap1).nonEmpty && img(snap1) == img(want1p),
+        "wave-1 verdicts drifted from the full recompute at wave 1")
+      // final verdicts ≡ the oracle-gated batch q279
+      val last = spark.read.parquet(out)
+        .where(col("batch") === (thirds.length - 1))
+        .drop("batch", "batch_id")
+      val want = graft.SparkEntry
+        .queries("q279_curation_closeout")(spark, src)
+      assert(img(last).nonEmpty && img(last) == img(want),
+        "indexed close-out drifted from the batch q279")
+    } finally q.stop()
+  }
+
   test("curation close-out: an empty micro-batch is a no-op") {
     import spark.implicits._
     val src = "/root/testdata/sf0.001"
