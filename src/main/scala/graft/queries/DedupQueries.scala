@@ -1709,6 +1709,67 @@ object DedupQueries {
                ROUND(AVG(n_agree / 8.0 - j9), 6) AS bias_r,
                ROUND(AVG(ABS(n_agree / 8.0 - j9)), 6) AS mae_r
         FROM j GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // q284: shingle-novelty decay curve — the crawl-freshness question
+    // a corpus lead asks before paying for the NEXT crawl tranche: as
+    // the corpus grew (doc_id order = ingest order, the repo-wide
+    // convention), what fraction of each decile's distinct content was
+    // NEW vs already seen? A healthy crawl holds novelty high; a crawl
+    // re-visiting itself decays toward q278's duplication verdicts
+    // long before exact dup rates move, because shingles repeat across
+    // near-dups that fingerprints miss. Content unit = the SAME
+    // distinct word-trigram shingle q23/q54/q245 dedup on (shared
+    // generator), so "novel" here means novel to the dedup pass too.
+    //
+    // Scale: one Generate scan → a (decile, shingle) distinct + a
+    // shingle-keyed min — both shuffles keyed by the shingle (the
+    // postings key); the decile spine is ≤10 rows; the corpus max id
+    // is a 1-row broadcast cross (the q252 discipline). Nothing
+    // pairwise, nothing quadratic.
+    QDef(
+      "q284_novelty_curve",
+      (s, dir) => {
+        val mx = Tables(s, dir).documents
+          .agg(max(col("doc_id")).as("maxid"))
+        val dec = shingleRows(s, dir)
+          .crossJoin(broadcast(mx))
+          .select(least(lit(9L), floor(col("doc_id") * lit(10.0d) /
+            (col("maxid") + lit(1L)))).as("decile"), col("shingle"))
+        val pairs = dec.distinct().ckpt() // feeds first-seen AND the
+                                          // per-decile rollup
+        val first = pairs.groupBy(col("shingle"))
+          .agg(min(col("decile")).as("first_dec"))
+        pairs.join(first, Seq("shingle"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_dec") === col("decile"), 1L)
+              .otherwise(0L)).as("new_grams"))
+          .select(col("decile"), col("n_grams"), col("new_grams"),
+            round(col("new_grams").cast("double") / col("n_grams"), 6)
+              .as("novelty_r"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, source, $WDuck AS ws FROM documents),
+        sh AS (SELECT doc_id, source, $SGDuck AS sg FROM w),
+        mx AS (SELECT MAX(doc_id) AS maxid FROM documents),
+        rows0 AS (SELECT doc_id, unnest(sg) AS shingle FROM sh),
+        dec AS (SELECT CAST(LEAST(9, FLOOR(r.doc_id * 10.0 /
+                    (m.maxid + 1))) AS BIGINT) AS decile, r.shingle
+                FROM rows0 r, mx m),
+        pairs AS (SELECT DISTINCT decile, shingle FROM dec),
+        fs AS (SELECT shingle, MIN(decile) AS first_dec
+               FROM pairs GROUP BY 1)
+        SELECT p.decile, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_dec = p.decile
+                    THEN 1 ELSE 0 END) AS BIGINT) AS new_grams,
+               ROUND(CAST(SUM(CASE WHEN f.first_dec = p.decile
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                 AS novelty_r
+        FROM pairs p JOIN fs f USING (shingle)
+        GROUP BY 1 ORDER BY 1
       """))
   )
 

@@ -4015,6 +4015,120 @@ object SimilarityQueries {
                CAST(SUM(CASE WHEN n * 16 > t.total * 2
                  THEN 1 ELSE 0 END) AS BIGINT) AS hot_cells
         FROM rk CROSS JOIN tot t
+      """)),
+
+    // ------------------------------------------------------------------
+    // q285: embedding drift between ingest halves — the release-QA
+    // companion to q282's integrity screen: per SOURCE, the cosine
+    // between the mean embedding of the FIRST and SECOND half of the
+    // ingest (vec_id order, the repo-wide ingest-order convention). A
+    // re-run of the same encoder over fresh crawl holds drift_cos_r
+    // near 1; a silent encoder upgrade, a tokenizer change, or a
+    // topic shift in the crawl shows up as a per-source drop — BEFORE
+    // any similarity index built on the release degrades.
+    //
+    // Determinism (the q282 discipline): each coordinate rounds at 6
+    // and sums as exact DECIMAL(18,6) per (source, half, dim) — one
+    // deterministic double mean per cell; the 64-term cosine sums
+    // round-12 products as exact DECIMAL(32,12); one rounded double
+    // division closes. The 2-way half split sums {m, 0.0} — exact.
+    //
+    // Scale: one posexplode scan (64 rows/vector) into a
+    // (source, half, dim)-keyed partial agg — ǀsourcesǀ·128 rows out
+    // of the exchange; everything after is bounded by that grid. The
+    // max-id spine is a 1-row broadcast cross (the q252 discipline).
+    QDef(
+      "q285_embedding_drift",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+          .select(col("doc_id"), col("source"))
+        val mx = Tables(s, dir).embeddings
+          .agg(max(col("vec_id")).as("maxid"))
+        val ev = Tables(s, dir).embeddings
+          .join(docs, docs("doc_id") === col("vec_id"))
+          .crossJoin(broadcast(mx))
+          .select(col("source"),
+            when(col("vec_id") * 2 <= col("maxid"), lit(0L))
+              .otherwise(lit(1L)).as("half"),
+            col("embedding"))
+          .ckpt() // feeds the dim grid AND the per-half counts
+        val dims = ev
+          .select(col("source"), col("half"),
+            posexplode(col("embedding")))
+          .select(col("source"), col("half"), col("pos"),
+            expr("cast(round(cast(col as double), 6) as decimal(18, 6))")
+              .as("vq"))
+        val m = dims.groupBy(col("source"), col("half"), col("pos"))
+          .agg((expr("cast(sum(vq) as double)") / count(lit(1)))
+            .as("m"))
+        val paired = m.groupBy(col("source"), col("pos"))
+          .agg(sum(when(col("half") === 0L, col("m"))
+            .otherwise(lit(0.0d))).as("m0"),
+            sum(when(col("half") === 1L, col("m"))
+              .otherwise(lit(0.0d))).as("m1"))
+        val sums = paired
+          .select(col("source"),
+            expr("cast(round(m0 * m1, 12) as decimal(32, 12))")
+              .as("p01"),
+            expr("cast(round(m0 * m0, 12) as decimal(32, 12))")
+              .as("p00"),
+            expr("cast(round(m1 * m1, 12) as decimal(32, 12))")
+              .as("p11"))
+          .groupBy(col("source"))
+          .agg(sum(col("p01")).as("s01"), sum(col("p00")).as("s00"),
+            sum(col("p11")).as("s11"))
+        val cnt = ev.groupBy(col("source"))
+          .agg(sum(when(col("half") === 0L, 1L).otherwise(0L))
+            .as("n_first"),
+            sum(when(col("half") === 1L, 1L).otherwise(0L))
+              .as("n_second"))
+        cnt.join(sums, Seq("source"))
+          .select(col("source"), col("n_first"), col("n_second"),
+            when(col("s00") === 0 || col("s11") === 0, lit(null))
+              .otherwise(round(col("s01").cast("double") /
+                (sqrt(col("s00").cast("double")) *
+                  sqrt(col("s11").cast("double"))), 6))
+              .as("drift_cos_r"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH mx AS (SELECT MAX(vec_id) AS maxid FROM embeddings),
+        ev AS (SELECT d.source,
+                 CASE WHEN e.vec_id * 2 <= m.maxid THEN 0 ELSE 1 END
+                   AS half,
+                 e.embedding
+               FROM embeddings e
+                 JOIN documents d ON d.doc_id = e.vec_id, mx m),
+        dims AS (SELECT source, half, p.p AS pos,
+                   CAST(ROUND(CAST(embedding[p.p + 1] AS DOUBLE), 6)
+                     AS DECIMAL(18, 6)) AS vq
+                 FROM ev, (SELECT unnest(range(0, 64)) AS p) p),
+        m AS (SELECT source, half, pos,
+                CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS m
+              FROM dims GROUP BY 1, 2, 3),
+        paired AS (SELECT source, pos,
+                SUM(CASE WHEN half = 0 THEN m ELSE 0 END) AS m0,
+                SUM(CASE WHEN half = 1 THEN m ELSE 0 END) AS m1
+              FROM m GROUP BY 1, 2),
+        sums AS (SELECT source,
+                SUM(CAST(ROUND(m0 * m1, 12) AS DECIMAL(32, 12))) AS s01,
+                SUM(CAST(ROUND(m0 * m0, 12) AS DECIMAL(32, 12))) AS s00,
+                SUM(CAST(ROUND(m1 * m1, 12) AS DECIMAL(32, 12))) AS s11
+              FROM paired GROUP BY 1),
+        cnt AS (SELECT source,
+                CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_first,
+                CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_second
+              FROM ev GROUP BY 1)
+        SELECT c.source, c.n_first, c.n_second,
+               CASE WHEN s.s00 = 0 OR s.s11 = 0 THEN NULL
+                    ELSE ROUND(CAST(s.s01 AS DOUBLE) /
+                      (sqrt(CAST(s.s00 AS DOUBLE)) *
+                       sqrt(CAST(s.s11 AS DOUBLE))), 6) END
+                 AS drift_cos_r
+        FROM cnt c JOIN sums s USING (source)
+        ORDER BY 1
       """))
   )
 }

@@ -43,6 +43,9 @@ class PlanQualitySpec extends AnyFunSuite {
     "q78_profile", "q91_bigram_lm", "q95_gap_fill", "q100_triangles",
     "q101_pagerank", "q103_rolling_dau", "q104_histogram",
     "q106_rolling_hll", "q107_dsir", "q108_canary_scan",
+    // q284/q285 cross a 1-row max-id aggregate into the scan
+    // (the q252 one-row-broadcast discipline)
+    "q284_novelty_curve", "q285_embedding_drift",
     // q112's sources x vocab grid crosses the broadcast per-source
     // totals (bounded by |vocab| x |sources|) + the 1-row corpus totals
     "q112_kl_drift",

@@ -686,7 +686,14 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q282_embedding_integrity" -> 4,
     // q283: the (cent_id) occupancy agg + the 16-row spine join;
     // everything after runs on 16 rows
-    "q283_ivf_skew" -> 2)
+    "q283_ivf_skew" -> 2,
+    // q284: the (decile, shingle) distinct + the shingle-keyed
+    // first-seen agg + the 10-row decile rollup; max-id broadcast
+    "q284_novelty_curve" -> 3,
+    // q285: the (source, half, dim) partial agg off the posexplode
+    // scan + the |sources|x64 pair/product rollups + the per-half
+    // counts and their |sources| join; max-id broadcast
+    "q285_embedding_drift" -> 5)
 
   // Sink lifecycle plans (SinkPlans registry) under the same net.
   // Budgets recorded from the r9 plans; regenerate by reading the

@@ -54,6 +54,29 @@ class ClusterIndexSpec extends AnyFunSuite {
     assertState(idx, docsAll)
   }
 
+  test("plain append touches zero main-tree files (gen-delta contract)") {
+    // the SinkContractSpec FILE-LEVEL invariant, applied to the
+    // seventh sink: append must write only delta subtrees — a
+    // main-tree rewrite would make append O(index), not O(batch)
+    val idx = TestSpark.tmpDir("clusteridx-files")
+    ClusterIndex.build(docsAll.where(col("doc_id") < 300), idx)
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(idx))
+        .filterNot(_.getPath.contains("_delta"))
+        .filterNot(_.getPath.contains("_gen_claims"))
+        .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    }
+    val before = snapshot()
+    ClusterIndex.append(spark, idx,
+      docsAll.where(col("doc_id") >= 300))
+    assert(snapshot() == before,
+      "plain append must leave every main-tree file byte-untouched")
+  }
+
   test("a bridging doc merges two indexed clusters; replay is exact") {
     import spark.implicits._
     // two 2-doc cliques indexed in separate waves, then a bridge doc
