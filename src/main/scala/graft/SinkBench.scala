@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sink-lifecycle benchmark: times a full build → append → probe →
-  * compact chain for ALL FIVE persisted index sinks over
+  * compact chain for the persisted index sinks over
   * `SPARK_GRAFT_SF_DIR`'s documents/embeddings tables, printing ONE
   * JSON line —
   * the scale-probe companion to `graft.Bench` (which times the query
@@ -107,12 +107,30 @@ object SinkBench {
       "probeKn" -> sec(drain(sinks.LmIndex.scoreKn(spark, lm, probeBatch))),
       "compact" -> sec(sinks.LmIndex.compact(spark, lm, s"$tmp/lm2")))
 
+    // cluster index: build = the full q54 clustering; append = a
+    // scale-invariant 500-doc batch whose texts DUPLICATE indexed docs
+    // (re-keyed copies), so the append path pays real edge discovery
+    // and cluster merges, not just writes; probe = the additive
+    // dedup-mass report (the close-out's arm)
+    val cdocs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("source"), col("text"))
+    val cbatch = cdocs.where(col("doc_id") < 500)
+      .select((col("doc_id") + maxId + 1L).as("doc_id"), col("source"),
+        col("text"))
+      .localCheckpoint()
+    val cluster = s"$tmp/cluster"
+    val clusterTimes = Seq(
+      "build" -> sec(sinks.ClusterIndex.build(cdocs, cluster)),
+      "append" -> sec(sinks.ClusterIndex.append(spark, cluster, cbatch)),
+      "probe" -> sec(drain(sinks.ClusterIndex.report(spark, cluster))))
+
     def js(ts: Seq[(String, Double)]): String =
       ts.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"sink_chain_sec","sf":"$sfDir",""" +
       s""""text":${js(textTimes)},"span":${js(spanTimes)},""" +
       s""""dedup":${js(dedupTimes)},"contam":${js(contamTimes)},""" +
-      s""""vector":${js(vectorTimes)},"lm":${js(lmTimes)}}""")
+      s""""vector":${js(vectorTimes)},"lm":${js(lmTimes)},""" +
+      s""""cluster":${js(clusterTimes)}}""")
     spark.stop()
   }
 }
