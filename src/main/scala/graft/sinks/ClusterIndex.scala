@@ -372,13 +372,55 @@ object ClusterIndex {
     DedupQueries.dedupWeightsTail(agg)
   }
 
+  /** Fold the accumulated delta generations into fresh main trees at
+    * `dstDir` (the other sinks' compact contract): shingle postings
+    * re-clustered by shingle, CURRENT assignments only (stale rows —
+    * those referencing absorbed clusters — dropped, so the one-live-
+    * row-per-doc invariant is re-established at zero delta depth),
+    * cluster sizes NETTED (tombstoned ids disappear), counts summed.
+    * Readers of `dstDir` see identical assignments/report
+    * (ClusterIndexSpec pins both); append continues from gen -1.
+    * Run it when the gen listing itself is the cost — the same
+    * O(#appends) trigger as every other sink's compact.
+    */
+  def compact(spark: SparkSession, srcDir: String,
+      dstDir: String): Unit = {
+    val live = readRel(spark, srcDir, "clusters",
+        Seq("cluster_id", "source", "csz"), None)
+      .groupBy(col("cluster_id"), col("source"))
+      .agg(sum(col("csz")).as("csz"))
+      .where(col("csz") > 0)
+      .ckpt() // feeds the netted tree AND the assignment currency check
+    readRel(spark, srcDir, "shingles",
+        Seq("source", "shingle", "doc_id", "n"), None)
+      .repartitionByRange(col("shingle"))
+      .sortWithinPartitions(col("shingle"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dstDir/shingles")
+    readRel(spark, srcDir, "assign", Seq("doc_id", "cluster_id"), None)
+      .join(live.select(col("cluster_id")), Seq("cluster_id"),
+        "left_semi")
+      .repartitionByRange(col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"), col("doc_id"))
+      .select(col("doc_id"), col("cluster_id"))
+      .write.mode("overwrite").parquet(s"$dstDir/assign")
+    live.write.mode("overwrite").parquet(s"$dstDir/clusters")
+    readRel(spark, srcDir, "srcstats", Seq("source", "n_docs"), None)
+      .groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$dstDir/srcstats")
+    readRel(spark, srcDir, "docs", Seq("doc_id", "source"), None)
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dstDir/docs")
+  }
+
   // ------------------------------------------------------------------
 
   /** Main tree + delta generations for `rel`, optionally EXCLUDING one
     * generation (the replay-safety read inside [[appendDelta]]).
     */
-  private def readRel(spark: SparkSession, dir: String, rel: String,
-      cols: Seq[String], excludeGen: Option[Long]): DataFrame = {
+  private[sinks] def readRel(spark: SparkSession, dir: String,
+      rel: String, cols: Seq[String],
+      excludeGen: Option[Long]): DataFrame = {
     val main = spark.read.parquet(s"$dir/$rel").select(cols.map(col): _*)
     val delta = s"$dir/${rel}_delta"
     if (!DeltaIO.exists(spark, delta)) main

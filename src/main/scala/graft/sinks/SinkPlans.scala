@@ -3,7 +3,7 @@ package graft.sinks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Named plan registry for the five persisted index sinks — the same
+/** Named plan registry for the persisted index sinks — the same
   * idea as `SparkEntry.queries`, but for the sink lifecycle: every
   * corpus-sized DataFrame a sink build/append/probe/compact executes,
   * exposed WITHOUT running the write side effect, so the plan-quality
@@ -179,6 +179,11 @@ object SinkPlans {
             .where(col("doc_id") < 20))),
       "ClusterIndex.report" -> (() =>
         ClusterIndex.report(spark, s"$idxRoot/cluster")),
+      "ClusterIndex.compact.shingles" -> (() =>
+        ClusterIndex.readRel(spark, s"$idxRoot/cluster", "shingles",
+            Seq("source", "shingle", "doc_id", "n"), None)
+          .repartitionByRange(col("shingle"))
+          .sortWithinPartitions(col("shingle"), col("doc_id"))),
       // ---- compact jobs (reader + re-clustering repartition) ----
       "TextIndex.compact.postings" -> (() =>
         TextIndex.readPostings(spark, text)

@@ -727,6 +727,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // 1-row totals tail broadcast
     "ClusterIndex.append.edges" -> 1,
     "ClusterIndex.report" -> 4,
+    "ClusterIndex.compact.shingles" -> 1,
     "TextIndex.build.postings" -> 2,
     "TextIndex.build.doclens" -> 0,
     "TextIndex.build.stats" -> 1,

@@ -54,6 +54,24 @@ class ClusterIndexSpec extends AnyFunSuite {
     assertState(idx, docsAll)
   }
 
+  test("compact folds deltas; post-compact appends stay exact") {
+    val src = TestSpark.tmpDir("clusteridx-compact-src")
+    val dst = TestSpark.tmpDir("clusteridx-compact-dst")
+    val w0 = docsAll.where(col("doc_id") < 200)
+    val w1 = docsAll.where(col("doc_id") >= 200 && col("doc_id") < 350)
+    val w2 = docsAll.where(col("doc_id") >= 350)
+    ClusterIndex.build(w0, src)
+    ClusterIndex.append(spark, src, w1)
+    ClusterIndex.compact(spark, src, dst)
+    // folded: no delta trees, identical state
+    assert(!new java.io.File(s"$dst/shingles_delta").exists() &&
+      !new java.io.File(s"$dst/assign_delta").exists())
+    assertState(dst, w0.unionByName(w1))
+    // the compacted index keeps accepting appends exactly
+    ClusterIndex.append(spark, dst, w2)
+    assertState(dst, docsAll)
+  }
+
   test("plain append touches zero main-tree files (gen-delta contract)") {
     // the SinkContractSpec FILE-LEVEL invariant, applied to the
     // seventh sink: append must write only delta subtrees — a
