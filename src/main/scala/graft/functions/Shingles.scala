@@ -59,6 +59,65 @@ case class Shingles(child: Expression, n: Int)
 object Shingles {
   def shingles(text: Column, n: Int = 3): Column =
     Bridge.column(Shingles(Bridge.expression(text), n))
+
+  def shinglesWithCount(text: Column, n: Int = 3): Column =
+    Bridge.column(ShinglesWithCount(Bridge.expression(text), n))
+}
+
+/** shingles_with_count(text, n): [[Shingles]] additionally emitting the
+  * document's DISTINCT-shingle total alongside every row, schema
+  * (shingle, n) with n typed long.
+  *
+  * Why: every consumer of the shingle relation that needs per-doc set
+  * sizes (Jaccard denominators) previously derived them with
+  * `count(*) over (partition by doc_id)` — a full Exchange + Sort of
+  * the corpus-sized shingle relation purely to count rows that were
+  * generated CONTIGUOUSLY per document one operator earlier (guide
+  * §2.4: remove shuffles outright). The generator already buffers the
+  * doc's distinct set to dedup it, so the count is free at generation
+  * time and shingle+n becomes a pure map stage with zero shuffles.
+  * Values are identical to the window formulation (same distinct set,
+  * same long count), so downstream results cannot change.
+  */
+case class ShinglesWithCount(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType =
+    StructType(StructField("shingle", StringType, nullable = false) ::
+      StructField("n", org.apache.spark.sql.types.LongType,
+        nullable = false) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val words = v.asInstanceOf[UTF8String].toString
+      .toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+    if (words.length < n) return Iterator.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val cnt = seen.size.toLong
+    val it = seen.iterator()
+    new Iterator[InternalRow] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): InternalRow =
+        InternalRow(UTF8String.fromString(it.next()), cnt)
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShinglesWithCount = copy(child = newChild)
 }
 
 /** winnow(text, k, w): MOSS-style winnowing fingerprints as a Generator —

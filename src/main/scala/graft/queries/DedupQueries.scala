@@ -145,7 +145,16 @@ object DedupQueries {
     * the bucket self-join — without it the shingle+md5+min pipeline
     * runs again for the build side (same call as q58's sig table).
     */
-  private def minhashSigs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def minhashSigs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    minhashSigsOver(shingleRows(s, dir))
+
+  /** [[minhashSigs]]'s aggregation over an explicit (doc_id, source,
+    * shingle[, ...]) relation — q121/q281 pass their already-ckpt'd
+    * [[shingleExRows]] so the corpus is shingled once, not once for
+    * the signature arm and once for the exact-Jaccard arm.
+    */
+  private def minhashSigsOver(
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val minhashes = (0 until 8).map { j =>
       val seed = if (j < 4) "A|" else "B|"
       val lo = (j % 4) * 8 + 1
@@ -153,8 +162,7 @@ object DedupQueries {
         md5(concat(lit(seed), col("shingle")).cast("binary")), lo, 8))
         .as(s"sig_$j")
     }
-    shingleRows(s, dir)
-      .groupBy(col("doc_id"), col("source"))
+    sh.groupBy(col("doc_id"), col("source"))
       .agg(minhashes.head, minhashes.tail: _*)
       .ckpt()
   }
@@ -227,14 +235,31 @@ object DedupQueries {
       : org.apache.spark.sql.DataFrame = {
     // localCheckpoint: the shingle relation feeds BOTH sides of the
     // self-join; without materialization the planner re-runs the
-    // shingle Generate + window for the second side (measured ~1.5×
-    // this stage). The materialized form is the posting-list shape a
+    // shingle Generate for the second side (measured ~1.5× this
+    // stage). The materialized form is the posting-list shape a
     // 100 TB dedup pass would persist anyway before pair generation.
-    val ex = shingleRowsOf(docs)
-      .withColumn("n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))))
+    jaccardPairsFromEx(shingleExRows(docs))
+  }
+
+  /** The ckpt'd (doc_id, source, shingle, n) posting relation every
+    * trigram pair/signature consumer starts from. The per-doc set size
+    * rides the generator (shinglesWithCount), not a count() window —
+    * the window formulation paid a full Exchange + Sort of the
+    * corpus-sized shingle relation just to count rows generated
+    * contiguously per doc (guide §2.4). Exposed separately so queries
+    * needing BOTH the pair join and the signatures (q121, q281) shingle
+    * the corpus ONCE instead of once per arm.
+    */
+  private[queries] def shingleExRows(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        graft.functions.Shingles.shinglesWithCount(col("text"), 3)
+          .as(Seq("shingle", "n")))
       .ckpt()
+
+  /** [[jaccardPairsOf]]'s join over an explicit [[shingleExRows]]. */
+  private[queries] def jaccardPairsFromEx(
+      ex: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val a = ex.alias("a")
     val b = ex.alias("b")
     a.join(b,
@@ -750,10 +775,12 @@ object DedupQueries {
     QDef(
       "q92_containment",
       (s, dir) => {
-        val ex = shingleRows(s, dir)
-          .withColumn("n",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("doc_id"))))
+        // set size from the generator, not a count() window — same
+        // Exchange+Sort removal as jaccardPairsOf (guide §2.4)
+        val ex = Tables(s, dir).documents
+          .select(col("doc_id"), col("source"),
+            graft.functions.Shingles.shinglesWithCount(col("text"), 3)
+              .as(Seq("shingle", "n")))
           .ckpt()
         val a = ex.alias("a")
         val b = ex.alias("b")
@@ -907,29 +934,37 @@ object DedupQueries {
         import s.implicits._
         val configs = Seq(("8x1", 8, 1), ("4x2", 4, 2),
           ("2x4", 2, 4), ("1x8", 1, 8))
-        val sigs = minhashSigs(s, dir)
-        val bands = configs.map { case (label, nb, r) =>
-          sigs.withColumn("bucket", explode(array((0 until nb).map { bd =>
-              md5(concat((0 until r).map(i => col(s"sig_${bd * r + i}"))
-                : _*).cast("binary"))
-            }: _*)))
-            .select(lit(label).as("config"), col("doc_id"),
-              col("source"), col("bucket"))
-        }.reduce(_ unionByName _)
-        val a = bands.alias("a")
-        val b = bands.alias("b")
-        val cand = a.join(b,
-            col("a.config") === col("b.config") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.config").as("config"),
-            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-          .ckpt() // feeds the per-config count AND the hit join
-        val gt = jaccardPairs(s, dir).where(col("jaccard") >= 0.5d)
+        // ONE ckpt'd shingle pass feeds both arms (the signature agg
+        // and the exact ground truth each re-shingled the corpus
+        // before r15); the two arms are then independent eager chains
+        // — build them concurrently (guide §2.6; graft.Par)
+        val ex = shingleExRows(Tables(s, dir).documents)
+        val (cand, gt) = graft.Par.par2({
+          val sigs = minhashSigsOver(ex)
+          val bands = configs.map { case (label, nb, r) =>
+            sigs.withColumn("bucket", explode(array((0 until nb).map { bd =>
+                md5(concat((0 until r).map(i => col(s"sig_${bd * r + i}"))
+                  : _*).cast("binary"))
+              }: _*)))
+              .select(lit(label).as("config"), col("doc_id"),
+                col("source"), col("bucket"))
+          }.reduce(_ unionByName _)
+          val a = bands.alias("a")
+          val b = bands.alias("b")
+          a.join(b,
+              col("a.config") === col("b.config") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.config").as("config"),
+              col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .distinct()
+            .ckpt() // feeds the per-config count AND the hit join
+        },
+        jaccardPairsFromEx(ex).where(col("jaccard") >= 0.5d)
           .select(col("doc_a"), col("doc_b"))
           .ckpt() // feeds n_true AND the hit join
+        )
         val nTrue = gt.agg(count(lit(1)).as("n_true"))
         val nCand = cand.groupBy(col("config"))
           .agg(count(lit(1)).as("n_cand"))
@@ -1636,8 +1671,17 @@ object DedupQueries {
     QDef(
       "q281_minhash_calibration",
       (s, dir) => {
-        val sigs = minhashSigs(s, dir) // ckpt'd inside: feeds bands
-                                       // AND the per-pair agreement
+        // ONE ckpt'd shingle pass feeds the signature arm AND the
+        // exact-Jaccard arm (each re-shingled the corpus before r15);
+        // the arms then build concurrently (guide §2.6; graft.Par)
+        val ex = shingleExRows(Tables(s, dir).documents)
+        val (sigs, exact) = graft.Par.par2(
+          minhashSigsOver(ex), // ckpt'd inside: feeds bands AND the
+                               // per-pair agreement
+          jaccardPairsFromEx(ex)
+            .select(col("doc_a"), col("doc_b"),
+              round(col("jaccard"), 9).as("j9"))
+            .ckpt())
         val bands = sigs.withColumn("bucket",
           explode(array((0 until 4).map(b =>
             md5(concat(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
@@ -1657,9 +1701,6 @@ object DedupQueries {
           .join(sigs.alias("b"), col("doc_b") === col("b.doc_id"))
           .select(col("doc_a"), col("doc_b"),
             expr(agree).cast("bigint").as("n_agree"))
-        val exact = jaccardPairs(s, dir)
-          .select(col("doc_a"), col("doc_b"),
-            round(col("jaccard"), 9).as("j9"))
         est.join(exact, Seq("doc_a", "doc_b"))
           .groupBy(col("n_agree"))
           .agg(count(lit(1)).as("n_pairs"),

@@ -889,12 +889,14 @@ object PipelineQueries {
       (s, dir) => {
         // localCheckpoint: the shingle relation feeds both the held-out
         // and train sides of the join (same call as jaccardPairs)
+        // set size from the generator (shinglesWithCount), not a
+        // count() window — removes the Exchange+Sort of the full
+        // 8-gram relation (guide §2.4; same as jaccardPairsOf)
         val sh8 = Tables(s, dir).documents
           .withColumn("split", expr(splitExprSpark))
           .select(col("doc_id"), col("split"),
-            graft.functions.Shingles.shingles(col("text"), 8).as("g"))
-          .withColumn("n", count(lit(1)).over(
-            Window.partitionBy(col("doc_id"))))
+            graft.functions.Shingles.shinglesWithCount(col("text"), 8)
+              .as(Seq("g", "n")))
           .ckpt()
         val held = sh8.where(col("split") === "held_out").alias("h")
         val train = sh8.where(col("split") === "train").alias("t")
@@ -4129,17 +4131,20 @@ object PipelineQueries {
     QDef(
       "q256_bpe_oov_audit",
       (s, dir) => {
-        val (merges, vocabs) = bpeSteps(s, dir, trainOnly = true)
-        val hw = Tables(s, dir).documents
-          .where(expr(splitExprSpark) === "held_out")
-          .selectExpr("doc_id", "lang", s"posexplode($W) as (pos, w0)")
-          .select(col("lang"), expr(
-            """case when substring(md5(cast(concat('typo|',
-                 cast(doc_id as string), '|', cast(pos as string))
-                 as binary)), 1, 1) < '2'
-               then concat(substring(w0, 1, 1), w0) else w0 end""")
-            .as("word"))
-          .ckpt() // feeds the held vocab AND the scoring join
+        // the 8-superstep train chain and the held-out word stream are
+        // independent eager arms — overlap them (guide §2.6; graft.Par)
+        val ((merges, vocabs), hw) = graft.Par.par2(
+          bpeSteps(s, dir, trainOnly = true),
+          Tables(s, dir).documents
+            .where(expr(splitExprSpark) === "held_out")
+            .selectExpr("doc_id", "lang", s"posexplode($W) as (pos, w0)")
+            .select(col("lang"), expr(
+              """case when substring(md5(cast(concat('typo|',
+                   cast(doc_id as string), '|', cast(pos as string))
+                   as binary)), 1, 1) < '2'
+                 then concat(substring(w0, 1, 1), w0) else w0 end""")
+              .as("word"))
+            .ckpt()) // feeds the held vocab AND the scoring join
         var hv = hw.groupBy(col("word")).agg(count(lit(1)).as("wf"))
           .select(col("word"), col("wf"),
             expr("""concat(concat_ws(' ',

@@ -419,8 +419,9 @@ object SimilarityQueries {
     */
   private[graft] def curationCloseout(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      shap: DataFrame, dw: DataFrame): DataFrame = {
-    val mw = PipelineQueries.doremiWeights(s, dir)
+      shap: DataFrame, dw: DataFrame,
+      mw0: Option[DataFrame] = None): DataFrame = {
+    val mw = mw0.getOrElse(PipelineQueries.doremiWeights(s, dir))
       .select(col("source"), col("doremi_weight_r"))
     val docs = Tables(s, dir).documents
       .select(col("doc_id"), col("source"))
@@ -3402,8 +3403,11 @@ object SimilarityQueries {
     QDef(
       "q270_cluster_value",
       (s, dir) => {
-        val shap = knnShapley(s, dir)
-        val clusters = DedupQueries.clusterAssignment(s, dir)
+        // two independent eager arms (Shapley sweep, q54 components) —
+        // overlap their construction jobs (guide §2.6; graft.Par)
+        val (shap, clusters) = graft.Par.par2(
+          knnShapley(s, dir),
+          DedupQueries.clusterAssignment(s, dir))
         val perCluster = clusters
           .join(shap, clusters("doc_id") === shap("vec_id"))
           .select(col("cluster_id"),
@@ -3685,7 +3689,17 @@ object SimilarityQueries {
     // new is corpus-sized.
     QDef(
       "q279_curation_closeout",
-      (s, dir) => curationCloseout(s, dir, knnShapley(s, dir)),
+      (s, dir) => {
+        // the three per-source arms are independent eager ckpt chains
+        // (Shapley sweep, q54 cluster mass, DoReMi supersteps) — build
+        // them concurrently so one arm's superstep tail back-fills the
+        // others' stages (guide §2.6; graft.Par scaladoc)
+        val (shap, dw, mw) = graft.Par.par3(
+          knnShapley(s, dir),
+          DedupQueries.dedupWeights(s, dir),
+          PipelineQueries.doremiWeights(s, dir))
+        curationCloseout(s, dir, shap, dw, Some(mw))
+      },
       Some(s"""
         WITH RECURSIVE ${DedupQueries.clusterAssignDuckCtes},
         ${DedupQueries.dedupWeightsDuckCtes},

@@ -1627,19 +1627,27 @@ object TextQueries {
       "q252_heaps_fit",
       (s, dir) => {
         val docs = Tables(s, dir).documents
-        val G = s"""case when size($W) >= 3 then
-            transform(sequence(0, size($W) - 3),
-              j -> concat_ws(' ', slice($W, j + 1, 3)))
-          else array() end"""
+        // token-count arm: an n-word doc has exactly max(n-2, 0)
+        // 3-grams, so ntok needs only the word split — building the
+        // gram strings here doubled the gram-construction cost for a
+        // number the split already determines (guide §1.2: don't
+        // compute things you throw away)
         val mx = docs.agg(max(col("doc_id")).as("mx"))
         val dt = docs.select(col("doc_id"),
-            expr(s"cast(size($G) as bigint)").as("ntok"))
+            expr(s"cast(greatest(size($W) - 2, 0) as bigint)")
+              .as("ntok"))
           .crossJoin(broadcast(mx))
         val tokAggs = (1 to 10).map(p =>
           sum(when(col("doc_id") * 10 < (col("mx") + 1L) * p,
             col("ntok")).otherwise(0L)).as(s"n$p"))
         val toks = dt.groupBy().agg(tokAggs.head, tokAggs.tail: _*)
-        val fdoc = docs.select(explode(expr(G)).as("w"), col("doc_id"))
+        // vocab arm: the Shingles generator (one streaming pass per
+        // row, per-doc-distinct) replaces explode(transform(...)) —
+        // per-doc duplicate grams cannot change min(doc_id) per type,
+        // and the native pass skips the per-gram Column machinery
+        val fdoc = docs.select(
+            graft.functions.Shingles.shingles(col("text"), 3).as("w"),
+            col("doc_id"))
           .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
           .crossJoin(broadcast(mx))
         val vocAggs = (1 to 10).map(p =>

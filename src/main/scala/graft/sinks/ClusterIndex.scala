@@ -77,11 +77,13 @@ object ClusterIndex {
     */
   private val PruneCap = 10000
 
+  // per-doc set size from the generator, not a count() window — the
+  // window paid a full Exchange+Sort of the shingle relation before
+  // every build/append (guide §2.4; same switch as jaccardPairsOf)
   private def shinglesWithN(docs: DataFrame): DataFrame =
-    DedupQueries.shingleRowsOf(docs)
-      .withColumn("n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))))
+    docs.select(col("doc_id"), col("source"),
+      graft.functions.Shingles.shinglesWithCount(col("text"), 3)
+        .as(Seq("shingle", "n")))
 
   /** Index a (doc_id, source, text) corpus from scratch: clusters via
     * the SHARED q54 assignment, postings range-clustered by shingle

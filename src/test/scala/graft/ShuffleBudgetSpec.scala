@@ -25,7 +25,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // truncates the visible plan, so these budgets only cover the
     // post-checkpoint stages (the checkpointed sub-plan's shuffles run
     // once at materialization — exactly the point of the checkpoint)
-    "q23_minhash_lsh" -> 1, "q24_ngram_jaccard" -> 0,
+    // q24 (r15): shinglesWithCount replaced the count() window, so the
+    // ckpt'd shingle sub-plan lost its doc_id Exchange+Sort; the pair
+    // agg's final exchange (partially-aggregated PAIR rows — orders of
+    // magnitude under the shingle relation it used to ride free on)
+    // becomes visible. Net shuffle BYTES are strictly down.
+    "q23_minhash_lsh" -> 1, "q24_ngram_jaccard" -> 1,
     "q25_simhash" -> 2, "q26_cosine_topk" -> 1,
     "q27_ann_bucketed" -> 1, "q28_media_decode" -> 0,
     "q29_asof_join" -> 1, "q2_forecast_revenue" -> 1,
@@ -50,7 +55,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q63_sole_late_supplier" -> 3, "q64_metric_correlation" -> 2,
     "q65_interevent_gaps" -> 2, "q66_event_transitions" -> 3,
     "q67_stratified_sample" -> 0, "q68_pack_sequences" -> 1,
-    "q69_fuzzy_decontamination" -> 0, "q70_vocab_coverage" -> 1,
+    // q69 (r15): same window→generator switch as q24 — the pair agg's
+    // (small) exchange surfaces, the 8-gram relation's Exchange+Sort
+    // in the ckpt is gone
+    "q69_fuzzy_decontamination" -> 1, "q70_vocab_coverage" -> 1,
     "q71_pq_codes" -> 2, "q72_pq_adc_search" -> 3,
     "q73_embedding_outliers" -> 3, "q74_heavy_hitters" -> 2,
     // q75: the round-6 de-globalization trades the vocab-sized
@@ -104,8 +112,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q91: bigram agg + w1 window + the 2-exchange one-row vocab agg
     "q91_bigram_lm" -> 4,
     // q92: post-checkpoint stages only (shingle postings checkpointed,
-    // q24's shape); pair agg folds into the checkpoint-adjacent stage
-    "q92_containment" -> 0,
+    // q24's shape); r15 window→generator switch surfaces the pair
+    // agg's exchange (see q24's note)
+    "q92_containment" -> 1,
     // q93: pure scan-side Generate — no exchange at all
     "q93_doc_chunks" -> 0,
     // q94: doc_id window for latest-wins + (source, version) agg
@@ -725,7 +734,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // keys by (source, shingle) — the storage bucketing key); report =
     // the three additive rollups + the |sources| co-partition, with the
     // 1-row totals tail broadcast
-    "ClusterIndex.append.edges" -> 1,
+    // append.edges (r15): the window→generator switch in shinglesWithN
+    // surfaces the pair agg's exchange (see q24's note)
+    "ClusterIndex.append.edges" -> 2,
     "ClusterIndex.report" -> 4,
     "ClusterIndex.compact.shingles" -> 1,
     "TextIndex.build.postings" -> 2,

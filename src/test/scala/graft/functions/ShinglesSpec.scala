@@ -37,6 +37,26 @@ class ShinglesSpec extends AnyFunSuite {
     assert(run("a b c d", n = 4) == Seq("a b c d"))
   }
 
+  test("shinglesWithCount == shingles + count() window, row for row") {
+    // the generator-carried n replaced the per-doc count window in
+    // jaccardPairsOf/q92/q69/ClusterIndex (r15 optimization) — pin the
+    // two formulations identical on real documents, including docs
+    // that emit nothing (absent from both)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    val viaGen = docs.select(col("doc_id"),
+      Shingles.shinglesWithCount(col("text"), 3).as(Seq("s", "n")))
+    val viaWindow = docs
+      .select(col("doc_id"), shingles(col("text"), 3).as("s"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    assert(viaGen.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(viaGen.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaGen).count() == 0)
+    assert(viaGen.count() > 0)
+  }
+
   test("matches the wordsExpr tokenizer contract on real documents") {
     // generator shingle set == set derived from the shared words
     // expression (the two must never drift — q23/q24 vs q17-q21 share it)
