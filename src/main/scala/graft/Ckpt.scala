@@ -31,7 +31,18 @@ object Ckpt {
 
   implicit final class CkptOps[T](private val ds: Dataset[T])
       extends AnyVal {
-    /** `localCheckpoint()` unless the audit flag is on. */
+    /** `localCheckpoint()` unless the audit flag is on.
+      *
+      * Stays EAGER by default: an r15 experiment flipping every ckpt
+      * to lazy (folding materialization into the first consumer's job,
+      * the ConnectedComponents trick) measured ~5-10 % SLOWER across a
+      * 16-query superstep-heavy subset — under AQE, deferred finalize
+      * stages interleave with consumer stages and multi-consumer
+      * checkpoints pay block-manager contention. Lazy wins only in
+      * single-consumer-per-step chains; those opt in explicitly with
+      * `ckpt(eager = false)` (mmrSelect/q260: 82 jobs → measured
+      * −19 %).
+      */
     def ckpt(): Dataset[T] = if (disabled) ds else ds.localCheckpoint()
 
     /** `localCheckpoint(eager)` unless the audit flag is on. */
