@@ -120,6 +120,51 @@ case class ShinglesWithCount(child: Expression, n: Int)
       newChild: Expression): ShinglesWithCount = copy(child = newChild)
 }
 
+/** positioned_shingles(text, n): every word n-gram with its 0-based
+  * start position, schema (pos, gram) — NOT deduplicated (positions
+  * are the payload; q190/q219/SpanIndex match gram occurrences on
+  * diagonals). Replaces `posexplode(transform(sequence(...), i ->
+  * array_join(slice(ws, i+1, n), ' ')))`: same rows, one streaming
+  * pass per document with no per-gram Column machinery and no
+  * intermediate array allocation (r15; the [[Shingles]] rationale).
+  * Tokenization matches wordsExpr, same as [[Shingles]].
+  */
+case class PositionedShingles(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType =
+    StructType(StructField("pos", org.apache.spark.sql.types.IntegerType,
+      nullable = false) ::
+      StructField("gram", StringType, nullable = false) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val words = v.asInstanceOf[UTF8String].toString
+      .toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+    if (words.length < n) return Iterator.empty
+    val sb = new java.lang.StringBuilder()
+    (0 to words.length - n).iterator.map { i =>
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      InternalRow(i, UTF8String.fromString(sb.toString))
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PositionedShingles = copy(child = newChild)
+}
+
+object PositionedShingles {
+  def positionedShingles(text: Column, n: Int): Column =
+    Bridge.column(PositionedShingles(Bridge.expression(text), n))
+}
+
 /** winnow(text, k, w): MOSS-style winnowing fingerprints as a Generator —
   * hash every k-char gram (first 8 hex chars of md5, matching the SQL
   * restatement `substring(md5(substring(lower(text), i, k)), 1, 8)`),

@@ -60,14 +60,12 @@ object DedupQueries {
     */
   def positionedGrams(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    docs
-      .select(col("doc_id"), expr(W).as("ws"))
-      .where(expr("size(ws) >= 8"))
-      .select(col("doc_id"),
-        posexplode(expr(
-          """transform(sequence(0, size(ws) - 8),
-               i -> array_join(slice(ws, i + 1, 8), ' '))"""))
-          .as(Seq("pos", "gram")))
+    // native generator instead of posexplode(transform(...)) — same
+    // rows, one streaming pass, no per-gram Column machinery or
+    // intermediate array (r15; PositionedShinglesSpec pins parity)
+    docs.select(col("doc_id"),
+      graft.functions.PositionedShingles
+        .positionedShingles(col("text"), 8).as(Seq("pos", "gram")))
 
   /** Diagonal gaps-and-islands over cross-doc gram matches
     * (da, db, pa, diag) → per-pair (longest_run, n_spans). A match at

@@ -4048,9 +4048,12 @@ object PipelineQueries {
               transform(sequence(0, size($src) - 5),
                 j -> concat_ws(' ', slice($src, j + 1, 5)))
             else array() end""")
+        // corpus gram SET via the native Shingles generator (per-doc
+        // dedup cannot change the global distinct set; r15 — skips
+        // the per-gram Column machinery of explode(transform(...)))
         val corpus = base
-          .select(expr(W).as("w"))
-          .select(explode(grams("w")).as("gram"))
+          .select(graft.functions.Shingles.shingles(col("text"), 5)
+            .as("gram"))
           .distinct()
         val cand = base
           .select(col("doc_id"),

@@ -57,6 +57,28 @@ class ShinglesSpec extends AnyFunSuite {
     assert(viaGen.count() > 0)
   }
 
+  test("positionedShingles == posexplode(transform(...)), row for row") {
+    // the generator replaced the array formulation in positionedGrams
+    // (q190/q219/SpanIndex) — pin parity on real documents, including
+    // duplicate grams (NOT deduplicated here: positions are payload)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    val viaGen = docs.select(col("doc_id"),
+      PositionedShingles.positionedShingles(col("text"), 8)
+        .as(Seq("pos", "gram")))
+    val viaExpr = docs
+      .select(col("doc_id"),
+        expr(graft.queries.TextQueries.wordsExpr).as("ws"))
+      .where(expr("size(ws) >= 8"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, size(ws) - 8),
+             i -> array_join(slice(ws, i + 1, 8), ' '))"""))
+        .as(Seq("pos", "gram")))
+    assert(viaGen.exceptAll(viaExpr).count() == 0)
+    assert(viaExpr.exceptAll(viaGen).count() == 0)
+    assert(viaGen.count() > 0)
+  }
+
   test("matches the wordsExpr tokenizer contract on real documents") {
     // generator shingle set == set derived from the shared words
     // expression (the two must never drift — q23/q24 vs q17-q21 share it)
