@@ -123,6 +123,17 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Allow shuffled-hash join where the planner's size conditions
+      // hold (optimization guide §3.1/§9): SMJ's per-partition sorts
+      // are pure overhead when one side builds an in-memory table.
+      // Measured −10 % across the graph/join family at sf0.1; the
+      // planner still falls back to SMJ when the build side estimate
+      // is large, and AQE skew-split applies to SHJ too. Scale note:
+      // per-partition build size is bounded because partitions scale
+      // with data ([[derivedShufflePartitions]]); SPARK_GRAFT_PREFER_SMJ
+      // restores the default for an A/B or a pathological workload.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
