@@ -20,36 +20,33 @@ package graft
   * short-lived per call — arms number ≤3 in every caller.
   */
 object Par {
-  private lazy val pool = java.util.concurrent.Executors
-    .newCachedThreadPool(new java.util.concurrent.ThreadFactory {
-      private val n = new java.util.concurrent.atomic.AtomicInteger()
-      override def newThread(r: Runnable): Thread = {
-        val t = new Thread(r, s"graft-par-${n.incrementAndGet()}")
-        t.setDaemon(true)
-        t
-      }
-    })
-
-  private def submit[A](a: => A): java.util.concurrent.Future[A] =
-    pool.submit(new java.util.concurrent.Callable[A] {
-      override def call(): A = a
-    })
-
-  private def get[A](f: java.util.concurrent.Future[A]): A =
-    try f.get()
-    catch {
-      // surface the arm's own exception, not the ExecutionException
-      case e: java.util.concurrent.ExecutionException =>
-        throw e.getCause
+  // FRESH daemon threads per invocation, never a pool: Spark stashes
+  // per-thread state (active session, execution ids, job-group
+  // properties) in InheritableThreadLocals, and a cached pool's
+  // long-lived workers would retain that state — and whatever plans it
+  // pins — across EVERY later query of a 285-query bench session
+  // (observed as progressive session-wide slowdown). Thread start-up
+  // is microseconds next to the multi-second arms being overlapped.
+  private final class Arm[A](a: => A) extends Thread {
+    setDaemon(true)
+    @volatile private var out: Either[Throwable, A] = null
+    override def run(): Unit =
+      out = try Right(a) catch { case t: Throwable => Left(t) }
+    def await(): A = {
+      join()
+      out.fold(throw _, identity)
     }
+  }
 
   def par2[A, B](a: => A, b: => B): (A, B) = {
-    val fa = submit(a); val fb = submit(b)
-    (get(fa), get(fb))
+    val ta = new Arm(a); val tb = new Arm(b)
+    ta.start(); tb.start()
+    (ta.await(), tb.await())
   }
 
   def par3[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
-    val fa = submit(a); val fb = submit(b); val fc = submit(c)
-    (get(fa), get(fb), get(fc))
+    val ta = new Arm(a); val tb = new Arm(b); val tc = new Arm(c)
+    ta.start(); tb.start(); tc.start()
+    (ta.await(), tb.await(), tc.await())
   }
 }

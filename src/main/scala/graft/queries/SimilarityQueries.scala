@@ -291,19 +291,19 @@ object SimilarityQueries {
       .select(col("a.qid").as("qid"), col("a.vec_id").as("da"),
         col("b.vec_id").as("db"),
         round(expr("dot_product(a.v, b.v)"), 9).as("simp"))
-      .ckpt(eager = false) // |cand|²-bounded per query
-    // lazy checkpoints throughout the loop (the ConnectedComponents
-    // trick): each step's plan still truncates to an RDD scan, but the
-    // materialization folds into the NEXT consumer's job instead of
-    // paying a separate barrier job per superstep — the selection runs
-    // over ≤|cand| rows, so this chain was pure job-scheduling
-    // overhead (82 jobs for 100 rows at sf0.1 before r15)
+      .ckpt() // |cand|²-bounded per query
+    // NOTE r15: lazy checkpoints through this loop won a back-to-back
+    // isolated A/B (4.4 s → 3.5 s) but REGRESSED (+0.6 s) in every
+    // full-285-query bench run — under session-long block-manager
+    // churn the deferred finalize stages lose more than the saved
+    // barrier jobs. Eager kept; the full-session number is the one
+    // the driver measures.
     var sel = cand.groupBy(col("qid"))
       .agg(min(struct((-col("simq")).as("ns"), col("vec_id").as("id")))
         .as("m"))
       .select(col("qid"), col("m.id").as("vec_id"),
         lit(1).as("rank"), (-col("m.ns")).as("score"))
-      .ckpt(eager = false)
+      .ckpt()
     for (i <- 2 to steps) {
       val ms = pairs.join(sel.select(col("qid"),
           col("vec_id").as("db")), Seq("qid", "db"))
@@ -320,7 +320,7 @@ object SimilarityQueries {
           .as("m"))
         .select(col("qid"), col("m.id").as("vec_id"),
           lit(i).as("rank"), (-col("m.ns")).as("score"))
-      sel = sel.unionByName(pick).ckpt(eager = false) // superstep barrier
+      sel = sel.unionByName(pick).ckpt() // superstep barrier
     }
     sel
   }
@@ -3047,8 +3047,7 @@ object SimilarityQueries {
             Window.partitionBy(col("qid"))
               .orderBy(col("simq").desc, col("vec_id").asc)))
           .where(col("rk") <= 20).drop("rk")
-          .ckpt(eager = false) // 100 rows feeding pair sims + every
-                               // superstep; lazy — see mmrSelect
+          .ckpt() // 100 rows feeding pair sims + every superstep
         // selection supersteps are mmrSelect, shared with the
         // VectorIndex-candidate surface (Valuation.mmrFromIndex)
         mmrSelect(cand)
