@@ -38,13 +38,23 @@ object Par {
     }
   }
 
+  /** `spark.graft.par=false` degrades both helpers to plain sequential
+    * evaluation on the caller thread — the A/B switch that lets a
+    * bench session measure the overlap itself, with zero plan change.
+    */
+  private def parallelOk: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .forall(_.conf.getOption("spark.graft.par").forall(_ == "true"))
+
   def par2[A, B](a: => A, b: => B): (A, B) = {
+    if (!parallelOk) return (a, b)
     val ta = new Arm(a); val tb = new Arm(b)
     ta.start(); tb.start()
     (ta.await(), tb.await())
   }
 
   def par3[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
+    if (!parallelOk) return (a, b, c)
     val ta = new Arm(a); val tb = new Arm(b); val tc = new Arm(c)
     ta.start(); tb.start(); tc.start()
     (ta.await(), tb.await(), tc.await())

@@ -123,17 +123,12 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // Allow shuffled-hash join where the planner's size conditions
-      // hold (optimization guide §3.1/§9): SMJ's per-partition sorts
-      // are pure overhead when one side builds an in-memory table.
-      // Measured −10 % across the graph/join family at sf0.1; the
-      // planner still falls back to SMJ when the build side estimate
-      // is large, and AQE skew-split applies to SHJ too. Scale note:
-      // per-partition build size is bounded because partitions scale
-      // with data ([[derivedShufflePartitions]]); SPARK_GRAFT_PREFER_SMJ
-      // restores the default for an A/B or a pathological workload.
-      .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      // preferSortMergeJoin stays at Spark's default (true): an r15
+      // order-alternating in-JVM A/B over eight join-heavy queries
+      // measured allowing SHJ as a slight net LOSS (14.8 s vs 13.8 s)
+      // — an earlier apparent 1.2-2× SHJ win was an artifact of a
+      // biased A/B protocol (the second variant always re-ran the
+      // same query warm). Recorded in OPTIMIZATION_r15.md.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()

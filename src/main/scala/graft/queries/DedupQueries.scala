@@ -934,35 +934,32 @@ object DedupQueries {
           ("2x4", 2, 4), ("1x8", 1, 8))
         // ONE ckpt'd shingle pass feeds both arms (the signature agg
         // and the exact ground truth each re-shingled the corpus
-        // before r15); the two arms are then independent eager chains
-        // — build them concurrently (guide §2.6; graft.Par)
+        // before r15). Sequential on purpose: overlapping the arms
+        // with graft.Par measured 1.20× SLOWER in the r15 conf A/B.
         val ex = shingleExRows(Tables(s, dir).documents)
-        val (cand, gt) = graft.Par.par2({
-          val sigs = minhashSigsOver(ex)
-          val bands = configs.map { case (label, nb, r) =>
-            sigs.withColumn("bucket", explode(array((0 until nb).map { bd =>
-                md5(concat((0 until r).map(i => col(s"sig_${bd * r + i}"))
-                  : _*).cast("binary"))
-              }: _*)))
-              .select(lit(label).as("config"), col("doc_id"),
-                col("source"), col("bucket"))
-          }.reduce(_ unionByName _)
-          val a = bands.alias("a")
-          val b = bands.alias("b")
-          a.join(b,
-              col("a.config") === col("b.config") &&
-              col("a.bucket") === col("b.bucket") &&
-              col("a.source") === col("b.source") &&
-              col("a.doc_id") < col("b.doc_id"))
-            .select(col("a.config").as("config"),
-              col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-            .distinct()
-            .ckpt() // feeds the per-config count AND the hit join
-        },
-        jaccardPairsFromEx(ex).where(col("jaccard") >= 0.5d)
+        val sigs = minhashSigsOver(ex)
+        val bands = configs.map { case (label, nb, r) =>
+          sigs.withColumn("bucket", explode(array((0 until nb).map { bd =>
+              md5(concat((0 until r).map(i => col(s"sig_${bd * r + i}"))
+                : _*).cast("binary"))
+            }: _*)))
+            .select(lit(label).as("config"), col("doc_id"),
+              col("source"), col("bucket"))
+        }.reduce(_ unionByName _)
+        val a = bands.alias("a")
+        val b = bands.alias("b")
+        val cand = a.join(b,
+            col("a.config") === col("b.config") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.config").as("config"),
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .ckpt() // feeds the per-config count AND the hit join
+        val gt = jaccardPairsFromEx(ex).where(col("jaccard") >= 0.5d)
           .select(col("doc_a"), col("doc_b"))
           .ckpt() // feeds n_true AND the hit join
-        )
         val nTrue = gt.agg(count(lit(1)).as("n_true"))
         val nCand = cand.groupBy(col("config"))
           .agg(count(lit(1)).as("n_cand"))

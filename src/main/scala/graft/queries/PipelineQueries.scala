@@ -4134,20 +4134,21 @@ object PipelineQueries {
     QDef(
       "q256_bpe_oov_audit",
       (s, dir) => {
-        // the 8-superstep train chain and the held-out word stream are
-        // independent eager arms — overlap them (guide §2.6; graft.Par)
-        val ((merges, vocabs), hw) = graft.Par.par2(
-          bpeSteps(s, dir, trainOnly = true),
-          Tables(s, dir).documents
-            .where(expr(splitExprSpark) === "held_out")
-            .selectExpr("doc_id", "lang", s"posexplode($W) as (pos, w0)")
-            .select(col("lang"), expr(
-              """case when substring(md5(cast(concat('typo|',
-                   cast(doc_id as string), '|', cast(pos as string))
-                   as binary)), 1, 1) < '2'
-                 then concat(substring(w0, 1, 1), w0) else w0 end""")
-              .as("word"))
-            .ckpt()) // feeds the held vocab AND the scoring join
+        // sequential on purpose: overlapping the train chain with the
+        // held-out stream via graft.Par measured 1.30× SLOWER in the
+        // r15 conf A/B (the superstep chain is job-latency-bound, not
+        // capacity-bound — extra concurrency only contends)
+        val (merges, vocabs) = bpeSteps(s, dir, trainOnly = true)
+        val hw = Tables(s, dir).documents
+          .where(expr(splitExprSpark) === "held_out")
+          .selectExpr("doc_id", "lang", s"posexplode($W) as (pos, w0)")
+          .select(col("lang"), expr(
+            """case when substring(md5(cast(concat('typo|',
+                 cast(doc_id as string), '|', cast(pos as string))
+                 as binary)), 1, 1) < '2'
+               then concat(substring(w0, 1, 1), w0) else w0 end""")
+            .as("word"))
+          .ckpt() // feeds the held vocab AND the scoring join
         var hv = hw.groupBy(col("word")).agg(count(lit(1)).as("wf"))
           .select(col("word"), col("wf"),
             expr("""concat(concat_ws(' ',

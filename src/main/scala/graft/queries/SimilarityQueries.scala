@@ -3409,11 +3409,12 @@ object SimilarityQueries {
     QDef(
       "q270_cluster_value",
       (s, dir) => {
-        // two independent eager arms (Shapley sweep, q54 components) —
-        // overlap their construction jobs (guide §2.6; graft.Par)
-        val (shap, clusters) = graft.Par.par2(
-          knnShapley(s, dir),
-          DedupQueries.clusterAssignment(s, dir))
+        // sequential on purpose: overlapping these two arms with
+        // graft.Par measured 1.39× SLOWER in the r15 conf A/B (the
+        // Shapley arm saturates the machine; concurrent block writes
+        // only contend) — unlike q279, whose three arms do overlap
+        val shap = knnShapley(s, dir)
+        val clusters = DedupQueries.clusterAssignment(s, dir)
         val perCluster = clusters
           .join(shap, clusters("doc_id") === shap("vec_id"))
           .select(col("cluster_id"),
