@@ -115,13 +115,20 @@ object Bench {
     // it — a drifted session's inflated total reads comparable again.
     val grandTotal = results.values.filter(_ >= 0).sum
     val canaryJson = s""""canary":{"start":${ms3(canStart)},"mid":${ms3(canMid)},"end":${ms3(canEnd)}},"session_drift":${ms3(drift)},"total_drift_adj":${ms3(if (drift > 0) grandTotal / drift else grandTotal)}"""
+    // cpus/parallelism: the driver's scaling probe flagged
+    // `suspect_cpus_ignored` in r15 because nothing in the output PROVED
+    // the env var reached the master string. Emit both so the harness can
+    // verify instead of suspect: cpus echoes SPARK_GRAFT_CPUS as consumed,
+    // parallelism is the live scheduler's defaultParallelism (local[N] ⇒ N).
+    val envJson =
+      s""""cpus":$cpus,"parallelism":${spark.sparkContext.defaultParallelism}"""
     def render(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms3(v) }
         .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec",$canaryJson,"queries":$qs$om,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec",$envJson,$canaryJson,"queries":$qs$om,"sf":"$sfDir"}"""
     }
     // Full-fidelity dump (both passes + min + canaries) to a file when
     // asked — the committed BENCH_FULL_r{N}.json artifact the round-8

@@ -29,6 +29,17 @@ object Ckpt {
     */
   @volatile var disabled: Boolean = false
 
+  /** Barrier fusion (r16, guide §2.6/§5 — superstep chains burn most
+    * of their wall clock in per-barrier job latency, not work): when
+    * on (default), [[CkptOps.fuseCkpt]] skips the checkpoint so the
+    * relation is computed inside its consumers' jobs instead of paying
+    * a separate materialization job per superstep.
+    * `spark.graft.fuse=false` restores the r15 one-barrier-per-step
+    * shape — the A/B switch.
+    */
+  private[graft] def fuseOn(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.getOption("spark.graft.fuse").forall(_ == "true")
+
   implicit final class CkptOps[T](private val ds: Dataset[T])
       extends AnyVal {
     /** `localCheckpoint()` unless the audit flag is on.
@@ -39,14 +50,28 @@ object Ckpt {
       * 16-query superstep-heavy subset — under AQE, deferred finalize
       * stages interleave with consumer stages and multi-consumer
       * checkpoints pay block-manager contention. Lazy wins only in
-      * single-consumer-per-step chains; those opt in explicitly with
-      * `ckpt(eager = false)` (mmrSelect/q260: 82 jobs → measured
-      * −19 %).
+      * single-consumer-per-step chains; the one committed opt-in is
+      * ConnectedComponents' superstep loop. (mmrSelect/q260 measured
+      * −19 % lazy in an ISOLATED A/B but regressed in every full-bench
+      * run and stays eager — see the mmrSelect NOTE.)
       */
     def ckpt(): Dataset[T] = if (disabled) ds else ds.localCheckpoint()
 
     /** `localCheckpoint(eager)` unless the audit flag is on. */
     def ckpt(eager: Boolean): Dataset[T] =
       if (disabled) ds else ds.localCheckpoint(eager)
+
+    /** Barrier elision for cheap DERIVED relations (argmax rows, small
+      * per-step picks) whose separate materialization job costs more
+      * than recomputing them inside each consumer: identity when
+      * fusion is on (default — the consumer's job computes the
+      * subtree, typically once via the broadcast build), `ckpt()`
+      * when `spark.graft.fuse=false`. Only safe when the relation is
+      * deterministic and cheap to recompute from its own checkpointed
+      * inputs — results are identical either way, only the job count
+      * changes.
+      */
+    def fuseCkpt(): Dataset[T] =
+      if (Ckpt.fuseOn(ds.sparkSession)) ds else ds.ckpt()
   }
 }

@@ -34,8 +34,28 @@ object Par {
       out = try Right(a) catch { case t: Throwable => Left(t) }
     def await(): A = {
       join()
+      // A thread killed before the try body assigns `out` must read as
+      // a failure, not an NPE masking the real cause.
+      if (out == null)
+        throw new IllegalStateException("Par arm produced no result")
       out.fold(throw _, identity)
     }
+  }
+
+  /** Await EVERY arm before rethrowing the first failure: an early
+    * rethrow would leave sibling daemon threads running multi-second
+    * eager-checkpoint Spark jobs with no cancellation, consuming
+    * executors and skewing every later bench timing. Joining all arms
+    * first bounds the damage to the failing query itself.
+    */
+  private def awaitAll[A](arms: Seq[Arm[_]], result: => A): A = {
+    var firstErr: Throwable = null
+    arms.foreach { arm =>
+      try arm.await()
+      catch { case t: Throwable => if (firstErr == null) firstErr = t }
+    }
+    if (firstErr != null) throw firstErr
+    result
   }
 
   /** `spark.graft.par=false` degrades both helpers to plain sequential
@@ -50,13 +70,13 @@ object Par {
     if (!parallelOk) return (a, b)
     val ta = new Arm(a); val tb = new Arm(b)
     ta.start(); tb.start()
-    (ta.await(), tb.await())
+    awaitAll(Seq(ta, tb), (ta.await(), tb.await()))
   }
 
   def par3[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
     if (!parallelOk) return (a, b, c)
     val ta = new Arm(a); val tb = new Arm(b); val tc = new Arm(c)
     ta.start(); tb.start(); tc.start()
-    (ta.await(), tb.await(), tc.await())
+    awaitAll(Seq(ta, tb, tc), (ta.await(), tb.await(), tc.await()))
   }
 }

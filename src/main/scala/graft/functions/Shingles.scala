@@ -21,7 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * MinHash/Jaccard are the ones keyed by signature/shingle.
   *
   * Tokenization matches wc.go (split on non-letters, lowercased) —
-  * identical to TextQueries.wordsExpr.
+  * identical to TextQueries.wordsExpr. Lowercasing is Locale.ROOT in
+  * every generator here: Spark's `lower()` is locale-independent, and
+  * the default-locale form would diverge under tr/az JVM locales
+  * ('I' → dotless 'ı', dropped by the [^a-z]+ split).
   */
 case class Shingles(child: Expression, n: Int)
     extends UnaryExpression with Generator with CodegenFallback {
@@ -33,7 +36,7 @@ case class Shingles(child: Expression, n: Int)
     val v = child.eval(input)
     if (v == null) return Iterator.empty
     val words = v.asInstanceOf[UTF8String].toString
-      .toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      .toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").filter(_.nonEmpty)
     if (words.length < n) return Iterator.empty
     val seen = new java.util.HashSet[String]()
     val sb = new java.lang.StringBuilder()
@@ -91,7 +94,7 @@ case class ShinglesWithCount(child: Expression, n: Int)
     val v = child.eval(input)
     if (v == null) return Iterator.empty
     val words = v.asInstanceOf[UTF8String].toString
-      .toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      .toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").filter(_.nonEmpty)
     if (words.length < n) return Iterator.empty
     val seen = new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder()
@@ -141,7 +144,7 @@ case class PositionedShingles(child: Expression, n: Int)
     val v = child.eval(input)
     if (v == null) return Iterator.empty
     val words = v.asInstanceOf[UTF8String].toString
-      .toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      .toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").filter(_.nonEmpty)
     if (words.length < n) return Iterator.empty
     val sb = new java.lang.StringBuilder()
     (0 to words.length - n).iterator.map { i =>
@@ -182,7 +185,7 @@ case class Winnow(child: Expression, k: Int, w: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
     if (v == null) return Iterator.empty
-    val text = v.asInstanceOf[UTF8String].toString.toLowerCase
+    val text = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val nGrams = text.length - k + 1
     if (nGrams < 1) return Iterator.empty
     val md = java.security.MessageDigest.getInstance("MD5")

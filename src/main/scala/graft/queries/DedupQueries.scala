@@ -851,12 +851,23 @@ object DedupQueries {
         // one row per doc: full gram set in global (df, g) order + the
         // prefix slice; localCheckpoint — feeds the candidate self-join
         // AND both verify joins
+        // r16 verify-stage rework (measured: the exact re-rank was
+        // ~2.2 s of the query's ~4.2 s warm — the single dominant
+        // stage): grams are sorted LEXICOGRAPHICALLY once per doc here
+        // so the per-pair intersection below is a linear merge count
+        // instead of size(array_intersect(...))'s per-pair hash-set
+        // build. Count-identical (both are |A∩B| over the same
+        // distinct sets); grams only ever feed the intersection, so
+        // the order change is invisible. spark.graft.fuse=false
+        // restores the r15 path (A/B switch).
+        val fuse = graft.Ckpt.fuseOn(s)
         val docs = sh.join(dfreq, "g")
           .groupBy(col("doc_id"))
           .agg(sort_array(collect_list(struct(col("df"), col("g"))))
             .as("arr"))
           .select(col("doc_id"),
-            expr("transform(arr, e -> e.g)").as("grams"),
+            (if (fuse) sort_array(expr("transform(arr, e -> e.g)"))
+             else expr("transform(arr, e -> e.g)")).as("grams"),
             size(col("arr")).as("n"),
             expr(s"""transform(slice(arr, 1,
                 size(arr) - cast(ceil(${t}d * size(arr)) as int) + 1),
@@ -882,13 +893,27 @@ object DedupQueries {
                 lit(t) * (col("a.n") + col("b.n")))
           .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
           .distinct()
-        cands
+        // r16: spread the verify stage. The distinct's output is a few
+        // MB of (x, y) ids, so AQE coalesces it to ~1 partition and
+        // the whole exact re-rank runs on one core (the r15 verdict's
+        // single-task stage). An explicit round-robin repartition of
+        // the TINY candidate relation — never the document payloads —
+        // fans the per-pair merge counts across the session's
+        // (data-derived) shuffle partitions at every SF.
+        val candsR =
+          if (fuse) cands.repartition(
+            s.conf.get("spark.sql.shuffle.partitions").toInt)
+          else cands
+        candsR
           .join(docs.select(col("doc_id").as("x"), col("grams").as("gx"),
             col("n").as("nx")), "x")
           .join(docs.select(col("doc_id").as("y"), col("grams").as("gy"),
             col("n").as("ny")), "y")
-          .withColumn("i", size(array_intersect(col("gx"), col("gy")))
-            .cast("bigint"))
+          .withColumn("i",
+            if (fuse) graft.functions.SortedIntersectCount
+              .sortedIntersectCount(col("gx"), col("gy"))
+            else size(array_intersect(col("gx"), col("gy")))
+              .cast("bigint"))
           .where(col("i") / (col("nx") + col("ny") - col("i")) >= t)
           .select(col("x"), col("y"),
             round(col("i") / (col("nx") + col("ny") - col("i")), 6)

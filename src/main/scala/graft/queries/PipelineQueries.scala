@@ -370,23 +370,32 @@ object PipelineQueries {
     * APPLY path (q256's held-out encoding) provably use the identical
     * merge semantics.
     */
+  /** Sennrich merge-all as a fold over symbol string `rep` with merge
+    * symbols `l`/`r` (SQL column/field names spliced by the caller):
+    * the accumulator is the merged-so-far symbol string; (last symbol
+    * = l, x = r) ⇒ append x with NO space (the joined token is
+    * textually l||r = merged). endswith, not LIKE: l may contain the
+    * `_` end-of-word marker, which LIKE would treat as a wildcard.
+    * ONE definition spliced into both [[applyMerge]] (per-superstep,
+    * broadcast l/r columns) and q256's all-merges held-out fold
+    * (m.l/m.r over the collected merge table) so the two apply paths
+    * cannot drift.
+    */
+  private def mergeFoldSql(rep: String, l: String, r: String): String =
+    s"""aggregate(
+          slice(split($rep, ' '), 2,
+                greatest(size(split($rep, ' ')) - 1, 0)),
+          element_at(split($rep, ' '), 1),
+          (acc, x) -> if(x = $r and (acc = $l or
+                         endswith(acc, concat(' ', $l))),
+                         concat(acc, x),
+                         concat(acc, ' ', x)))"""
+
   private def applyMerge(vocab: org.apache.spark.sql.DataFrame,
       best: org.apache.spark.sql.DataFrame) = vocab
     .crossJoin(broadcast(best.select(col("l"), col("r"))))
     .select(col("word"), col("wf"),
-      // Sennrich merge-all as a fold: the accumulator is the
-      // merged-so-far symbol string; (last symbol = l, x = r) ⇒
-      // append x with NO space (the joined token is textually
-      // l||r = merged). endswith, not LIKE: l may contain the `_`
-      // end-of-word marker, which LIKE would treat as a wildcard.
-      expr("""aggregate(
-                slice(split(rep, ' '), 2,
-                      greatest(size(split(rep, ' ')) - 1, 0)),
-                element_at(split(rep, ' '), 1),
-                (acc, x) -> if(x = r and (acc = l or
-                               endswith(acc, concat(' ', l))),
-                               concat(acc, x),
-                               concat(acc, ' ', x)))""").as("rep"))
+      expr(mergeFoldSql("rep", "l", "r")).as("rep"))
     .ckpt()
 
   /** The char-split (word, wf, rep) TYPE vocabulary of `docs` — the
@@ -411,8 +420,18 @@ object PipelineQueries {
     * UNION-ALL branch mirrors exactly this, spec-pinned in
     * TrainedOpsSpec.
     */
+  /** @param fuseBest elide the argmax row's barrier (r16 fusion, guide
+    *   §2.6/§5). ONLY when the caller consumes the merge rows at most
+    *   through applyMerge's broadcast build: q247/q248 use just the
+    *   vocab trajectory, so the elision saves one job per superstep
+    *   for free (A/B: q247 1.86→1.70 s, q248 1.64→1.44 s). q246/q256
+    *   consume the merge rows a second time (final union / held-out
+    *   apply), where recomputing the pair-count agg per consumer
+    *   measured SLOWER than the barrier (A/B: q246 0.96×, q256 0.84×
+    *   with fusion) — they keep the ckpt.
+    */
   private[queries] def bpeStep(vocab: org.apache.spark.sql.DataFrame,
-      it: Int) = {
+      it: Int, fuseBest: Boolean = false) = {
     val best = vocab
       .select(col("wf"), expr(
         // adjacent symbol bigrams; zip_with over 0-length slices
@@ -430,18 +449,25 @@ object PipelineQueries {
         expr("element_at(split(m.p, ' '), 2)").as("r"),
         expr("replace(m.p, ' ', '')").as("merged"),
         (-col("m.nc")).as("cnt"))
-      .ckpt() // superstep barrier: 1 row
+      // r16 barrier fusion (guide §2.6/§5): the 1-row argmax pays its
+      // own eager-ckpt job per superstep (8 per BPE query) unless
+      // fused — elided, the pair-count agg runs inside applyMerge's
+      // broadcast BUILD instead (same work, one fewer job per step).
+      // Per-callsite, see the fuseBest scaladoc; spark.graft.fuse=false
+      // restores the barrier everywhere (the A/B switch).
+      .transform(d => if (fuseBest) d.fuseCkpt() else d.ckpt())
     (best, applyMerge(vocab, best))
   }
 
   private def bpeSteps(s: org.apache.spark.sql.SparkSession,
-      dir: String, trainOnly: Boolean = false) = {
+      dir: String, trainOnly: Boolean = false,
+      fuseBest: Boolean = false) = {
     val docs0 = Tables(s, dir).documents
     val vocab0 = charVocab(
       if (trainOnly) docs0.where(expr(splitExprSpark) === "train")
       else docs0)
     def step(vocab: org.apache.spark.sql.DataFrame, it: Int) =
-      bpeStep(vocab, it)
+      bpeStep(vocab, it, fuseBest)
     var vocab = vocab0
     val vocabs = scala.collection.mutable.ArrayBuffer(vocab0)
     val merges = (1 to bpeIters).map { it =>
@@ -3675,7 +3701,7 @@ object PipelineQueries {
     QDef(
       "q247_bpe_fertility",
       (s, dir) => {
-        val (_, vocabs) = bpeSteps(s, dir)
+        val (_, vocabs) = bpeSteps(s, dir, fuseBest = true)
         val tok = vocabs.last.select(col("word"),
           expr("cast(size(split(rep, ' ')) as bigint)").as("n_bpe"))
         Tables(s, dir).documents
@@ -3722,7 +3748,7 @@ object PipelineQueries {
     QDef(
       "q248_bpe_compression",
       (s, dir) => {
-        val (_, vocabs) = bpeSteps(s, dir)
+        val (_, vocabs) = bpeSteps(s, dir, fuseBest = true)
         vocabs.zipWithIndex.map { case (v, i) =>
           v.select(lit(i).cast("int").as("iter"), col("word"),
             col("wf"), col("rep"))
@@ -4138,6 +4164,12 @@ object PipelineQueries {
         // held-out stream via graft.Par measured 1.30× SLOWER in the
         // r15 conf A/B (the superstep chain is job-latency-bound, not
         // capacity-bound — extra concurrency only contends)
+        // train chain keeps the per-step argmax barrier (fuseBest =
+        // false): the merge rows are consumed TWICE here (applyMerge's
+        // broadcast + the held-out mergeTab collect), and fusing them
+        // measured 0.92× in the r16 A/B — recomputing the 8 pair-count
+        // aggs inside mergeTab's broadcast build costs more than the 8
+        // barrier jobs save.
         val (merges, vocabs) = bpeSteps(s, dir, trainOnly = true)
         val hw = Tables(s, dir).documents
           .where(expr(splitExprSpark) === "held_out")
@@ -4155,7 +4187,28 @@ object PipelineQueries {
                      filter(split(word, ''), c -> c <> '')), ' _')""")
               .as("rep"))
           .ckpt()
-        merges.foreach { b => hv = applyMerge(hv, b) }
+        // r16 (guide §2.6/§5): the held-out chain used to re-apply the
+        // 8 learned merges one applyMerge (= one eager-ckpt barrier +
+        // one broadcast) at a time — 16 driver-latency-bound jobs on a
+        // Heaps-bounded TYPE table. The merge table is fully known
+        // after training, so apply ALL merges in ONE pass: collect the
+        // 8 (iter, l, r) rows into a single ordered-array broadcast and
+        // fold them over each word's rep with the SAME mergeFoldSql
+        // semantics, nested inside an outer aggregate over the merge
+        // sequence (data-driven iteration — no plan-unrolled expression
+        // blowup). Result is identical by construction: the fold
+        // applies b1..b8 in iter order exactly as the sequential chain
+        // did. `spark.graft.fuse=false` restores the per-step chain.
+        if (graft.Ckpt.fuseOn(s)) {
+          val mergeTab = merges.reduce(_ unionByName _)
+            .agg(sort_array(collect_list(
+              struct(col("iter"), col("l"), col("r")))).as("ms"))
+          hv = hv.crossJoin(broadcast(mergeTab))
+            .select(col("word"), col("wf"),
+              expr(s"""aggregate(ms, rep, (acc0, m) ->
+                         ${mergeFoldSql("acc0", "m.l", "m.r")})""")
+                .as("rep"))
+        } else merges.foreach { b => hv = applyMerge(hv, b) }
         val tok = hv.select(col("word"),
             expr("cast(size(split(rep, ' ')) as bigint)").as("n_bpe"))
           .join(vocabs.head.select(col("word"),

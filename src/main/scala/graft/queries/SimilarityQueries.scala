@@ -298,18 +298,12 @@ object SimilarityQueries {
     // churn the deferred finalize stages lose more than the saved
     // barrier jobs. Eager kept; the full-session number is the one
     // the driver measures.
-    var sel = cand.groupBy(col("qid"))
-      .agg(min(struct((-col("simq")).as("ns"), col("vec_id").as("id")))
-        .as("m"))
-      .select(col("qid"), col("m.id").as("vec_id"),
-        lit(1).as("rank"), (-col("m.ns")).as("score"))
-      .ckpt()
-    for (i <- 2 to steps) {
+    def pickStep(sel: DataFrame, i: Int): DataFrame = {
       val ms = pairs.join(sel.select(col("qid"),
           col("vec_id").as("db")), Seq("qid", "db"))
         .groupBy(col("qid"), col("da")).agg(max(col("simp")).as("ms"))
         .withColumnRenamed("da", "vec_id")
-      val pick = cand
+      cand
         .join(sel.select(col("qid"), col("vec_id")),
           Seq("qid", "vec_id"), "left_anti")
         .join(ms, Seq("qid", "vec_id"))
@@ -320,7 +314,22 @@ object SimilarityQueries {
           .as("m"))
         .select(col("qid"), col("m.id").as("vec_id"),
           lit(i).as("rank"), (-col("m.ns")).as("score"))
-      sel = sel.unionByName(pick).ckpt() // superstep barrier
+    }
+    var sel = cand.groupBy(col("qid"))
+      .agg(min(struct((-col("simq")).as("ns"), col("vec_id").as("id")))
+        .as("m"))
+      .select(col("qid"), col("m.id").as("vec_id"),
+        lit(1).as("rank"), (-col("m.ns")).as("score"))
+      .ckpt()
+    // NOTE r16: unrolling TWO supersteps per barrier (second pick's
+    // plan referencing the first's unmaterialized union) measured
+    // 0.78× in the order-alternating A/B despite 69-vs-82 jobs — sel
+    // is referenced THREE times per step (ms join, left_anti, union),
+    // so the unfused pick recomputes ~4× per barrier and the extra
+    // work beats the saved job latency. One barrier per step kept,
+    // like the r15 lazy-ckpt revert.
+    for (i <- 2 to steps) {
+      sel = sel.unionByName(pickStep(sel, i)).ckpt() // superstep barrier
     }
     sel
   }
