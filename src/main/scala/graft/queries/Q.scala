@@ -196,6 +196,14 @@ object Q {
     // rank window partitions by (bin, sub, sub2), ~n/10⁹ per task.
     val cand0 = binned.join(broadcast(
       tloc.select(col("bin")).distinct()), Seq("bin"), "left_semi")
+    // NOTE r16: eliding the bstats/tloc2/tloc3 barriers (fuseCkpt, the
+    // BPE-trainer fusion) was tried and REVERTED — the clean
+    // order-alternating A/B measured 0.94×/0.95×/0.98× on
+    // q180/q148/q211: each tiny relation here has MULTIPLE consumers
+    // (semi-join broadcast + pick join + direct union), so the elided
+    // subtree recomputes per consumer and only 1-2 jobs actually
+    // disappear. Barrier fusion pays only where the subtree lands in
+    // exactly one consumer's existing job (the applyMerge pattern).
     val bstats = cand0.groupBy(col("bin"))
       .agg(min(col("v")).as("lo2"), max(col("v")).as("hi2"))
       .ckpt() // ≤ 2·|ps| rows: feeds the sub-binning

@@ -46,6 +46,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // q284/q285 cross a 1-row max-id aggregate into the scan
     // (the q252 one-row-broadcast discipline)
     "q284_novelty_curve", "q285_embedding_drift",
+    // q256 crosses the ONE-row collected merge table (the 8 learned
+    // (iter, l, r) rows as a single ordered array) into the held-out
+    // TYPE vocab — the q252 one-row-broadcast discipline (r16
+    // all-merges-in-one-pass apply); bounded at any corpus size
+    "q256_bpe_oov_audit",
     // q112's sources x vocab grid crosses the broadcast per-source
     // totals (bounded by |vocab| x |sources|) + the 1-row corpus totals
     "q112_kl_drift",
@@ -382,9 +387,8 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     graft.Ckpt.disabled = true
     val failures = try {
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filterNot { case (n, _) => auditExempt(n) }
-        .flatMap { case (name, fn) =>
+      TestSpark.parMap(SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => auditExempt(n) }) { case (name, fn) =>
         try {
           val physical = fn(spark, dir).queryExecution.executedPlan
           val globalWindows = physical.collect {
@@ -405,7 +409,7 @@ class PlanQualitySpec extends AnyFunSuite {
             Seq(s"$name: construction failed in audit mode: " +
               s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }
-      }
+      }.flatten
     } finally {
       graft.Ckpt.disabled = false
       spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -544,7 +548,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // string (AQE annotates them per stage at execution time)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val failures = try {
-      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      TestSpark.parMap(
+          SparkEntry.queries.toSeq.sortBy(_._1)) { case (name, fn) =>
         val physical = fn(spark, dir).queryExecution.executedPlan
         val plan = physical.toString
         val codegenSpans = physical.collect {
@@ -569,7 +574,7 @@ class PlanQualitySpec extends AnyFunSuite {
             s" (reviewed budget ${globalWindowBudget.getOrElse(name, 0)}" +
             " — rewrite scale-safe or review into globalWindowBudget)"
         errs.result()
-      }
+      }.flatten
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert(failures.isEmpty, failures.mkString("\n"))
   }

@@ -159,9 +159,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // q110: three cascading (agg + user-keyed join) funnel stages
     "q110_ordered_funnel" -> 7,
     // q111: post-checkpoint: prefix-postings self-join + candidate
-    // distinct + the two verify joins all fold into checkpoint-adjacent
-    // stages at this SF
-    "q111_prefix_simjoin" -> 0,
+    // distinct + the two verify joins fold into checkpoint-adjacent
+    // stages at this SF; the ONE exchange is the r16 round-robin
+    // repartition of the candidate (x, y) ID relation — a few bytes
+    // per pair, deliberately added so the exact re-rank fans across
+    // tasks instead of running on one AQE-coalesced partition (the
+    // document payloads never ride it)
+    "q111_prefix_simjoin" -> 1,
     // q112: post-checkpoint: vocab agg + the 2-exchange 1-row totals +
     // per-(source, word) agg + grid join + final per-source agg
     "q112_kl_drift" -> 7,
@@ -807,14 +811,17 @@ class ShuffleBudgetSpec extends AnyFunSuite {
   test("no query exceeds its shuffle budget") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val over = try {
-      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      // parMap: plan construction is driver-latency-bound (see
+      // TestSpark.parMap); the adaptive toggle is constant for the sweep
+      TestSpark.parMap(
+          SparkEntry.queries.toSeq.sortBy(_._1)) { case (name, fn) =>
         val n = fn(spark, dir).queryExecution.executedPlan.collect {
           case e: org.apache.spark.sql.execution.exchange
             .ShuffleExchangeExec => e
         }.size
         val b = budget.getOrElse(name, 0)
         if (n > b) Some(s"$name: $n > $b") else None
-      }
+      }.flatten
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert(over.isEmpty, s"over budget (new shuffle?): ${over.mkString(", ")}")
   }

@@ -15,4 +15,24 @@ object TestSpark {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Map `f` over `xs` on a small thread pool, preserving order —
+    * the r16 suite-runtime lever (guide §2.6 applied to the tests
+    * themselves): per-query plan construction and sf0.001 jobs are
+    * driver-latency-bound, so the all-query sweeps (determinism,
+    * plan-quality, shuffle-budget) waste most of their wall clock
+    * waiting serially. Catalyst planning and job submission are
+    * thread-safe on one session; any global toggles (Ckpt.disabled,
+    * session conf) are set constant by the caller BEFORE the sweep.
+    */
+  def parMap[A, B](xs: Seq[A], threads: Int = 4)(f: A => B): Seq[B] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = xs.map(x => scala.concurrent.Future(f(x)))
+      fs.map(fu => scala.concurrent.Await.result(
+        fu, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
 }
