@@ -490,6 +490,13 @@ object SimilarityQueries {
       .ckpt() // feeds mean, both gram sides, and q209's reuse
     val mu = dims.groupBy(col("i"))
       .agg(round(avg(col("x")), 9).as("mu"))
+    // NOTE r16: replacing this self-join with a pure MAP (explode dim
+    // i, `transform(vv, y -> x*y)` for the row's 64 products, partial
+    // agg — no join, no vec_id exchange, 6 fewer jobs) measured
+    // 0.70×/0.81× on q204/q209 in the clean order-alternating A/B and
+    // was REVERTED: the interpreted per-element lambda costs more than
+    // the whole-stage-codegen'd join it saves (the DotProduct
+    // scaladoc's HOF lesson — 64·64·|docs| interpreted steps).
     val gram = dims.as("a")
       .join(dims.as("b"), col("a.vec_id") === col("b.vec_id"))
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))
