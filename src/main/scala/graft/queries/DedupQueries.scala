@@ -851,23 +851,20 @@ object DedupQueries {
         // one row per doc: full gram set in global (df, g) order + the
         // prefix slice; localCheckpoint — feeds the candidate self-join
         // AND both verify joins
-        // r16 verify-stage rework (measured: the exact re-rank was
-        // ~2.2 s of the query's ~4.2 s warm — the single dominant
-        // stage): grams are sorted LEXICOGRAPHICALLY once per doc here
-        // so the per-pair intersection below is a linear merge count
-        // instead of size(array_intersect(...))'s per-pair hash-set
-        // build. Count-identical (both are |A∩B| over the same
-        // distinct sets); grams only ever feed the intersection, so
-        // the order change is invisible. spark.graft.fuse=false
-        // restores the r15 path (A/B switch).
+        // NOTE r16: a linear merge-intersect over per-doc
+        // lexicographically pre-sorted gram arrays (custom expression)
+        // was tried for the verify stage and REVERTED — it measured
+        // SLOWER than size(array_intersect(...)) at BOTH sf0.1 (3.3 vs
+        // 2.3 s) and 100× (per-element UTF8String compares lose to the
+        // codegen'd hash-set path). The verify win that stands is the
+        // conditional fan-out below.
         val fuse = graft.Ckpt.fuseOn(s)
         val docs = sh.join(dfreq, "g")
           .groupBy(col("doc_id"))
           .agg(sort_array(collect_list(struct(col("df"), col("g"))))
             .as("arr"))
           .select(col("doc_id"),
-            (if (fuse) sort_array(expr("transform(arr, e -> e.g)"))
-             else expr("transform(arr, e -> e.g)")).as("grams"),
+            expr("transform(arr, e -> e.g)").as("grams"),
             size(col("arr")).as("n"),
             expr(s"""transform(slice(arr, 1,
                 size(arr) - cast(ceil(${t}d * size(arr)) as int) + 1),
@@ -893,15 +890,24 @@ object DedupQueries {
                 lit(t) * (col("a.n") + col("b.n")))
           .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
           .distinct()
-        // r16: spread the verify stage. The distinct's output is a few
-        // MB of (x, y) ids, so AQE coalesces it to ~1 partition and
-        // the whole exact re-rank runs on one core (the r15 verdict's
-        // single-task stage). An explicit round-robin repartition of
-        // the TINY candidate relation — never the document payloads —
-        // fans the per-pair merge counts across the session's
-        // (data-derived) shuffle partitions at every SF.
+        // r16: spread the verify stage — CONDITIONALLY. At gate SFs the
+        // distinct's output is a few MB of (x, y) ids, so AQE coalesces
+        // it to ~1 partition and the whole exact re-rank (the query's
+        // dominant stage: per-pair array_intersect over ~500-gram
+        // docs) runs on one core — bytes are a bad proxy for this
+        // stage's work. A round-robin repartition of the TINY candidate
+        // relation (never the document payloads) fans it across the
+        // session's shuffle partitions: sf0.1 verify 2.25 → 0.98 s.
+        // CONDITIONAL on the materialized docs relation's partition
+        // count (free off the checkpoint) because at 100× the scan is
+        // already wide, AQE no longer under-parallelizes, and the same
+        // repartition measured PURE LOSS (+15 s) — the fan-out fires
+        // exactly when natural parallelism is below the core count,
+        // at any SF, with no constant tuned to either.
+        val fanOut = fuse &&
+          docs.rdd.getNumPartitions < s.sparkContext.defaultParallelism
         val candsR =
-          if (fuse) cands.repartition(
+          if (fanOut) cands.repartition(
             s.conf.get("spark.sql.shuffle.partitions").toInt)
           else cands
         candsR
@@ -909,11 +915,8 @@ object DedupQueries {
             col("n").as("nx")), "x")
           .join(docs.select(col("doc_id").as("y"), col("grams").as("gy"),
             col("n").as("ny")), "y")
-          .withColumn("i",
-            if (fuse) graft.functions.SortedIntersectCount
-              .sortedIntersectCount(col("gx"), col("gy"))
-            else size(array_intersect(col("gx"), col("gy")))
-              .cast("bigint"))
+          .withColumn("i", size(array_intersect(col("gx"), col("gy")))
+            .cast("bigint"))
           .where(col("i") / (col("nx") + col("ny") - col("i")) >= t)
           .select(col("x"), col("y"),
             round(col("i") / (col("nx") + col("ny") - col("i")), 6)
