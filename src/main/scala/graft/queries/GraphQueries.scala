@@ -742,6 +742,14 @@ object GraphQueries {
             .withColumn("rn", row_number().over(byCnt))
             .where(col("rn") === 1)
             .select(col("c").as("v"), col("lbl"))
+            // NOTE r16: eliding this barrier (each round's labels have
+            // exactly ONE consumer, so no recompute) still measured
+            // 0.92× in the order-alternating A/B despite 14-vs-19
+            // jobs — a corpus-keyed join+window nested inside the next
+            // round's job schedules worse than the barriered chain.
+            // Fusion pays only for TINY derived relations consumed via
+            // broadcast builds (the BPE argmax case); per-round graph
+            // state keeps its barrier.
             .ckpt() // cut lineage between supersteps
         }
         val l2 = prop(prop(l0))
